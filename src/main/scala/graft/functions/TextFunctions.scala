@@ -1,0 +1,146 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders for large-scale training-data
+  * pipelines: tokenization, shingling, MinHash, SimHash, language-ID
+  * scoring, quality scoring, fingerprinting.
+  *
+  * Everything here is composed from `org.apache.spark.sql.functions`
+  * (codegen'd, no UDFs) so whole-stage codegen spans the full text
+  * pipeline — this is the difference between streaming 100 TB of
+  * documents through one generated loop and breaking the stage per
+  * document function.
+  *
+  * Two hash families are provided:
+  *  - `xxhash64`-based (default): fast 64-bit hashes for production;
+  *  - `md5`-based: slower, but bit-identical across engines (used by
+  *    the oracle-checked queries, since DuckDB shares md5 semantics).
+  */
+object TextFunctions {
+
+  /** Lowercase word tokens: split on runs of non-alphanumerics. */
+  def tokens(text: Column): Column =
+    array_remove(split(lower(text), "[^a-z0-9]+"), "")
+
+  /** Whitespace token count (the cheap token counter). */
+  def wsTokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: alphanumeric runs count one per ceil(len/4)
+    * plus one per non-space symbol — a deterministic proxy for BPE
+    * token counts without a vocabulary. */
+  def bpeishTokenCount(text: Column): Column = {
+    val words = tokens(text)
+    val wordPieces = aggregate(
+      transform(words, w => ceil(length(w) / lit(4.0)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val symbols = length(regexp_replace(text, "[a-zA-Z0-9\\s]", ""))
+    wordPieces + symbols
+  }
+
+  /** w-word shingles joined by a single space. */
+  def shingles(toks: Column, w: Int): Column =
+    when(size(toks) >= w,
+      transform(sequence(lit(0), size(toks) - w),
+        i => concat_ws(" ", slice(toks, i + 1, lit(w)))))
+      .otherwise(array(concat_ws(" ", toks)))
+
+  /** MinHash signature: k minima of per-seed hashes over the shingle
+    * set. Seeded by prefixing the shingle; production path uses
+    * xxhash64. Returns array<string|long> of length k. */
+  def minhashXx(shingleSet: Column, k: Int): Column =
+    array((0 until k).map(seed =>
+      array_min(transform(shingleSet, s => xxhash64(lit(seed), s)))): _*)
+
+  /** MinHash with md5 (engine-portable: min of hex digests as strings). */
+  def minhashMd5(shingleSet: Column, k: Int): Column =
+    array((0 until k).map(seed =>
+      array_min(transform(shingleSet, s => md5(concat(lit(seed + "|"), s))))): _*)
+
+  /** LSH band keys from a signature: `nBands` groups of `rowsPerBand`
+    * consecutive signature entries hashed together; pairs sharing any
+    * band key are candidate duplicates. */
+  def lshBands(signature: Column, nBands: Int, rowsPerBand: Int): Column =
+    array((0 until nBands).map(b =>
+      concat_ws("#", lit(b.toString) +:
+        (0 until rowsPerBand).map(r => signature(b * rowsPerBand + r).cast("string")): _*)): _*)
+
+  /** 32-bit SimHash from md5 bit votes: bit i is set when the sum over
+    * tokens of ±1 votes (sign from md5(token#i)'s leading hex nibble)
+    * is positive. Portable across engines; the production variant
+    * would draw all 32 votes from one xxhash64 call per token. */
+  def simhashMd5(toks: Column, bits: Int = 32): Column = {
+    val votes = (0 until bits).map { i =>
+      val vote = aggregate(toks, lit(0),
+        (acc, t) => acc +
+          when(substring(md5(concat(t, lit("#" + i))), 1, 1) < "8", 1).otherwise(-1))
+      when(vote > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    votes.reduce(_ + _)
+  }
+
+  /** 64-bit SimHash, production path: one xxhash64 per token, bit i of
+    * the hash is the vote. */
+  def simhashXx(toks: Column): Column = {
+    // vote per bit from the token hash's own bit: sum_t (2*bit_i(h_t)-1)
+    val perBit = (0 until 64).map { i =>
+      val v = aggregate(toks, lit(0),
+        (acc, t) => acc + (shiftright(xxhash64(t), i).bitwiseAND(lit(1L)) * 2 - 1).cast("int"))
+      when(v > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    perBit.reduce(_ + _)
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Stopword-count language scores. Tiny fixed stoplists — the
+    * deterministic n-gram/stopword heuristic of the survey brief. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "un", "una", "en", "por"))
+
+  def langScore(toks: Column, lang: String): Column =
+    size(filter(toks, t => t.isin(stopwords(lang).map(lit(_)): _*)))
+
+  /** Predicted language: argmax of stopword scores with deterministic
+    * tie-break on language code; "und" (undetermined) when all zero. */
+  def langId(toks: Column): Column = {
+    val langs = stopwords.keys.toSeq.sorted
+    val scored = langs.map(l => struct(langScore(toks, l).as("score"), lit(l).as("lang")))
+    val best = array_max(array(scored.map(s =>
+      struct(s.getField("score").as("score"),
+        // invert lang code ordering so max prefers the alphabetically
+        // first language on score ties
+        s.getField("lang").as("lang"))): _*))
+    when(best.getField("score") === 0, lit("und")).otherwise(best.getField("lang"))
+  }
+
+  /** Document quality score in [0,1]: blend of length, punctuation
+    * ratio, stopword ratio, and mean word length — the survey's
+    * length/punct/stopword heuristic. */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val meanWordLen = when(nTok > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nTok).otherwise(0.0)
+    val punct = length(regexp_replace(text, "[^.,!?;:]", "")).cast("double")
+    val punctRatio = when(length(text) > 0, punct / length(text)).otherwise(0.0)
+    val allStop = stopwords.values.flatten.toSeq.distinct
+    val stopRatio = when(nTok > 0,
+      size(filter(toks, t => t.isin(allStop.map(lit(_)): _*))).cast("double") / nTok)
+      .otherwise(0.0)
+    val lenScore = least(lit(1.0), nTok / 100.0)
+    val wordLenScore = lit(1.0) - least(lit(1.0), abs(meanWordLen - 5.0) / 5.0)
+    val punctScore = lit(1.0) - least(lit(1.0), punctRatio * 10.0)
+    val stopScore = least(lit(1.0), stopRatio * 3.0)
+    round(lenScore * 0.3 + wordLenScore * 0.3 + punctScore * 0.2 + stopScore * 0.2, 6)
+  }
+
+  /** Content fingerprint: md5 of the normalised token stream —
+    * whitespace/punctuation-insensitive exact-dup key. */
+  def fingerprint(text: Column): Column = md5(concat_ws(" ", tokens(text)))
+}

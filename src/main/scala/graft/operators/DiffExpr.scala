@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.functions.StatKernels
+import graft.model.ExpressionMatrix
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Differential-expression operators — SURVEY.md §2.4 A11–A13.
+  *
+  * The reference fits limma's per-gene linear model with a cell-means
+  * design (`~0+group`, `DiffExpression_closedPlatform.R:474-543`), so
+  * β̂ per group is the group mean and the residual variance is the
+  * pooled within-group variance — everything is `groupBy(gene, group)`
+  * algebra until eBayes, whose two hyperparameters (d0, s0²) come from
+  * a method-of-moments fit over the per-gene variances (Smyth 2004).
+  * That fit needs two scalar moments of log s² — computed as one tiny
+  * aggregate, not a collect of per-gene data.
+  */
+object DiffExpr {
+
+  /** Per-(gene, group) sufficient statistics: the whole lmFit input. */
+  def groupStats(m: ExpressionMatrix, groups: DataFrame,
+      groupCol: String = "group"): DataFrame =
+    m.df.join(broadcast(groups), Seq(m.sample))
+      .groupBy(m.geneCol, col(groupCol))
+      .agg(count(m.valueCol).as("n"), avg(m.valueCol).as("mean"),
+           var_samp(m.valueCol).as("var"))
+
+  /** A11+A12-lite — two-group contrast via Welch's t-test: log2FC =
+    * meanA − meanB, t from unpooled variances, Welch–Satterthwaite df,
+    * two-sided p. Matches the reference's contrast semantics for a
+    * single pairwise comparison without variance moderation. */
+  def welchT(stats: DataFrame, groupCol: String, groupA: String, groupB: String,
+      gene: String = "gene_id"): DataFrame = {
+    val a = stats.filter(col(groupCol) === groupA)
+      .select(col(gene), col("n").as("na"), col("mean").as("ma"), col("var").as("va"))
+    val b = stats.filter(col(groupCol) === groupB)
+      .select(col(gene), col("n").as("nb"), col("mean").as("mb"), col("var").as("vb"))
+    val j = a.join(b, Seq(gene)).filter(col("na") > 1 && col("nb") > 1)
+    val se2 = col("va") / col("na") + col("vb") / col("nb")
+    val df = (se2 * se2) /
+      ((col("va") / col("na")) * (col("va") / col("na")) / (col("na") - 1) +
+       (col("vb") / col("nb")) * (col("vb") / col("nb")) / (col("nb") - 1))
+    j.select(col(gene), (col("ma") - col("mb")).as("log2fc"),
+        ((col("ma") - col("mb")) / sqrt(se2)).as("t"), df.as("df"))
+      .withColumn("p", graft.functions.StatFunctions.tP2(col("t"), col("df")))
+  }
+
+  /** A12 — moderated t (limma eBayes). Pools per-gene residual
+    * variances: pooled s² per gene over all groups, then shrinks
+    * toward s0² with prior df d0 estimated by method of moments on
+    * log s² (Smyth 2004 §6; `DiffExpression_closedPlatform.R:546`).
+    * Returns per-gene (log2fc, t_mod, df_total, p_mod) for contrast
+    * groupA − groupB. The hyperparameter fit aggregates two scalars —
+    * no per-gene collect. */
+  def moderatedT(stats: DataFrame, groupCol: String, groupA: String, groupB: String,
+      gene: String = "gene_id"): DataFrame = {
+    val perGene = stats.filter(col(groupCol).isin(groupA, groupB))
+      .groupBy(col(gene))
+      .agg(sum(col("n")).as("n_tot"), count(lit(1)).as("k"),
+           sum((col("n") - 1) * col("var")).as("ss_resid"),
+           max(when(col(groupCol) === groupA, col("mean"))).as("ma"),
+           max(when(col(groupCol) === groupB, col("mean"))).as("mb"),
+           max(when(col(groupCol) === groupA, col("n"))).as("na"),
+           max(when(col(groupCol) === groupB, col("n"))).as("nb"))
+      .filter(col("k") === 2 && col("n_tot") > 2 && col("ma").isNotNull && col("mb").isNotNull)
+      .withColumn("df_resid", col("n_tot") - 2)
+      .withColumn("s2", col("ss_resid") / col("df_resid"))
+      .filter(col("s2") > 0)
+    // method-of-moments on z = log(s2): E[z] and Var[z] give (d0, s0)
+    val moments = perGene
+      .select(avg(log(col("s2"))).as("zbar"), var_samp(log(col("s2"))).as("zvar"),
+              avg(col("df_resid").cast("double")).as("dbar"))
+      .collect()(0)
+    val (zbar, zvar, dbar) = (moments.getDouble(0), moments.getDouble(1), moments.getDouble(2))
+    // Var[log s2] = trigamma(d/2) + trigamma(d0/2) => d0 via trigamma inverse
+    val evar = zvar - StatKernels.trigamma(dbar / 2.0)
+    val d0 = if (evar > 0) 2.0 * StatKernels.trigammaInverse(evar) else 1e6
+    val s02 = math.exp(zbar + StatKernels.digamma(d0 / 2.0) - StatKernels.digamma(dbar / 2.0) +
+      math.log(d0 / dbar))
+    perGene
+      .withColumn("s2_post", (lit(d0) * lit(s02) + col("df_resid") * col("s2")) / (lit(d0) + col("df_resid")))
+      .withColumn("log2fc", col("ma") - col("mb"))
+      .withColumn("t_mod", col("log2fc") / sqrt(col("s2_post") * (lit(1.0) / col("na") + lit(1.0) / col("nb"))))
+      .withColumn("df_total", col("df_resid") + lit(d0))
+      .withColumn("p_mod", graft.functions.StatFunctions.tP2(col("t_mod"), col("df_total")))
+      .select(col(gene), col("log2fc"), col("t_mod"), col("df_total"), col("p_mod"))
+  }
+
+  /** W5/A13 — Benjamini–Hochberg adjustment as a window program:
+    * rank p ascending (deterministic tiebreak), candidate = p·n/rank,
+    * adjusted = running minimum of candidates from the current row to
+    * the largest p, capped at 1. Identical to R `p.adjust(method="BH")`.
+    *
+    * The global window is over one row per test — at scale, p-value
+    * relations are ≤ genes × contrasts, far below data volume. */
+  def bhAdjust(df: DataFrame, p: String, tiebreak: Seq[Column], out: String = "p_bh"): DataFrame = {
+    val n = count(lit(1)).over(Window.partitionBy())
+    val wRank = Window.orderBy(col(p).asc +: tiebreak.map(_.asc): _*)
+    val wSuffix = Window.orderBy(col(p).asc +: tiebreak.map(_.asc): _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    df.withColumn("__n", n)
+      .withColumn("__rk", row_number().over(wRank))
+      .withColumn(out, least(lit(1.0), min(col(p) * col("__n") / col("__rk")).over(wSuffix)))
+      .drop("__n", "__rk")
+  }
+
+  /** A13 — decideTests: significance call at (α, lfc) thresholds. */
+  def decideTests(df: DataFrame, pAdj: String = "p_bh", lfc: String = "log2fc",
+      alpha: Double = 0.05, minLfc: Double = 0.0): DataFrame =
+    df.withColumn("sig",
+      when(col(pAdj) < alpha && abs(col(lfc)) > minLfc, signum(col(lfc)).cast("int"))
+        .otherwise(lit(0)))
+
+  /** A13 — topTable: ranked DE table sorted by p (reference
+    * `sort.by="p"`, `DiffExpression_closedPlatform.R:600`). */
+  def topTable(de: DataFrame, p: String = "p", gene: String = "gene_id"): DataFrame =
+    bhAdjust(de, p, Seq(col(gene))).orderBy(col(p).asc, col(gene).asc)
+}

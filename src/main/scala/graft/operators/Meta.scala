@@ -1,0 +1,214 @@
+package graft.operators
+
+import graft.functions.StatFunctions
+import graft.model.ExpressionMatrix
+import org.apache.spark.mllib.linalg.{Vectors => OldVectors}
+import org.apache.spark.mllib.linalg.distributed.{IndexedRow, IndexedRowMatrix}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Meta-analysis operators — SURVEY.md §2.4 A20–A25, A30.
+  *
+  * Everything except the ICC gramian is closed-form per-gene algebra
+  * over (gene, study) statistics: a single shuffle keyed on gene.
+  */
+object Meta {
+
+  /** A22 — per-(gene, study) standardized effect sizes (GeneMeta
+    * `getdF`/`dstar`/`sigmad`, `Meta_analysis.R:755-841`):
+    * Cohen's d, small-sample-unbiased d*, and its variance. Input is
+    * the [[DiffExpr.groupStats]] relation restricted to two groups. */
+  def effectSizes(stats: DataFrame, groupCol: String, study: String,
+      groupA: String, groupB: String, gene: String = "gene_id"): DataFrame = {
+    val base = stats.filter(col(groupCol).isin(groupA, groupB))
+      .groupBy(col(gene), col(study))
+      .agg(max(when(col(groupCol) === groupA, col("mean"))).as("ma"),
+           max(when(col(groupCol) === groupB, col("mean"))).as("mb"),
+           max(when(col(groupCol) === groupA, col("var"))).as("va"),
+           max(when(col(groupCol) === groupB, col("var"))).as("vb"),
+           max(when(col(groupCol) === groupA, col("n"))).as("na"),
+           max(when(col(groupCol) === groupB, col("n"))).as("nb"))
+      .filter(col("ma").isNotNull && col("mb").isNotNull && col("na") > 1 && col("nb") > 1)
+    val sp = sqrt(((col("na") - 1) * col("va") + (col("nb") - 1) * col("vb")) /
+      (col("na") + col("nb") - 2))
+    val d = (col("ma") - col("mb")) / sp
+    val nTot = col("na") + col("nb")
+    val dstar = col("d") * (lit(1.0) - lit(3.0) / (lit(4.0) * (nTot - 2) - 1))
+    base.withColumn("d", d)
+      .withColumn("dstar", dstar)
+      .withColumn("sigmad",
+        lit(1.0) / col("na") + lit(1.0) / col("nb") +
+          col("dstar") * col("dstar") / (lit(2.0) * nTot))
+      .select(col(gene), col(study), col("d"), col("dstar"), col("sigmad"))
+  }
+
+  /** A22 — fixed/random-effects combine (GeneMeta `f.Q`/`tau2.DL`/
+    * `mu.tau2`): Cochran Q, DerSimonian–Laird τ², FEM and REM combined
+    * effects with z scores. One aggregation per gene. */
+  def femRem(effects: DataFrame, gene: String = "gene_id"): DataFrame = {
+    val w = lit(1.0) / col("sigmad")
+    val perGene = effects
+      .withColumn("w", w)
+      .groupBy(col(gene))
+      .agg(count(lit(1)).as("k"),
+           sum(col("w")).as("sw"), sum(col("w") * col("w")).as("sw2"),
+           sum(col("w") * col("dstar")).as("swd"),
+           sum(col("w") * col("dstar") * col("dstar")).as("swd2"))
+      .filter(col("k") > 1)
+    perGene
+      .withColumn("mu_fem", col("swd") / col("sw"))
+      .withColumn("q", col("swd2") - col("swd") * col("swd") / col("sw"))
+      .withColumn("tau2", greatest(lit(0.0),
+        (col("q") - (col("k") - 1)) / (col("sw") - col("sw2") / col("sw"))))
+      .withColumn("z_fem", col("mu_fem") * sqrt(col("sw")))
+      .withColumn("q_p", StatFunctions.pchisqUpper(col("q"), col("k") - 1))
+      .select(col(gene), col("k"), col("mu_fem"), col("z_fem"), col("q"), col("q_p"), col("tau2"))
+  }
+
+  /** A25 — weighted Stouffer combine (`Meta_analysis.R:1211-1228`):
+    * per gene over platforms: z_i = sign(FC_i) · qnorm(1 − p_i/2),
+    * w_i = |FC_i| + |FC_i|·ICC_i², combined
+    * Z = Σ √|FC_i| z_i / √Σ w_i (the reference's exact weighting,
+    * `Meta_analysis.R:105-121`), combined p = 2·pnorm(−|Z|).
+    * Requires membership in ≥ 2 platforms (`:1218`). */
+  def weightedStouffer(perPlatform: DataFrame, gene: String = "gene_id",
+      p: String = "p", fc: String = "log2fc", icc: String = "icc"): DataFrame = {
+    val z = signum(col(fc)) * StatFunctions.qnorm(lit(1.0) - col(p) / 2)
+    val wgt = abs(col(fc)) + abs(col(fc)) * col(icc) * col(icc)
+    perPlatform
+      .withColumn("__z", z).withColumn("__w", wgt)
+      .groupBy(col(gene))
+      .agg(count(lit(1)).as("n_platforms"),
+           sum(sqrt(abs(col(fc))) * col("__z")).as("__num"),
+           sum(col("__w")).as("__den"),
+           avg(col(fc)).as("avg_log2fc"))
+      .filter(col("n_platforms") >= 2)
+      .withColumn("z_comb", col("__num") / sqrt(col("__den")))
+      .withColumn("p_comb", StatFunctions.zP2(col("z_comb")))
+      .select(col(gene), col("n_platforms"), col("avg_log2fc"), col("z_comb"), col("p_comb"))
+  }
+
+  /** A20 — integrative correlation (MergeMaid `intCor`,
+    * `Meta_analysis.R:314-347`): for each gene, its correlation-with-
+    * every-other-gene vector within each platform; ICC(gene) between
+    * two platforms = Pearson correlation of those two G-vectors.
+    *
+    * The reference flags this "!!!very time consuming!!!". Spark-first
+    * formulation: standardize each gene's row (mean 0, norm 1 across
+    * samples), then the G×G correlation matrix is the gramian R = X·Xᵀ
+    * computed as a distributed matrix product; the ICC per gene is the
+    * Pearson correlation of row g of R₁ with row g of R₂, which
+    * reduces blockwise without materialising G² on one node.
+    *
+    * This implementation computes the two gramians via
+    * `IndexedRowMatrix` (gene-indexed rows, sample-dim columns — the
+    * G×G product distributes over row blocks) and then a row-wise
+    * Pearson in one pass. Genes are indexed by a dense rank broadcast.
+    */
+  def icc(m1: ExpressionMatrix, m2: ExpressionMatrix): DataFrame = {
+    val spark = m1.df.sparkSession
+    import spark.implicits._
+
+    // common genes, indexed
+    val genes = m1.df.select(m1.geneCol.as("gene_id")).distinct()
+      .join(m2.df.select(m2.geneCol.as("gene_id")).distinct(), Seq("gene_id"), "left_semi")
+    val geneIdx = genes.orderBy("gene_id").rdd.map(_.getString(0))
+      .zipWithIndex().toDF("gene_id", "gidx")
+
+    def standardizedRows(m: ExpressionMatrix): IndexedRowMatrix = {
+      val sampleIds = m.canonical.df.select(col("sample_id")).distinct()
+        .orderBy("sample_id").collect().map(_.getString(0))
+      val sIdx = sampleIds.zipWithIndex.toMap
+      val bc = spark.sparkContext.broadcast(sIdx)
+      val rows = m.canonical.df.join(geneIdx, Seq("gene_id"))
+        .select(col("gidx"), col("sample_id"), col("value"))
+        .as[(Long, String, Double)].rdd
+        .map { case (g, s, v) => (g, (bc.value(s), v)) }
+        .groupByKey()
+        .map { case (g, cells) =>
+          val arr = new Array[Double](bc.value.size)
+          cells.foreach { case (i, v) => arr(i) = v }
+          val mean = arr.sum / arr.length
+          var ss = 0.0
+          var i = 0
+          while (i < arr.length) { arr(i) -= mean; ss += arr(i) * arr(i); i += 1 }
+          val norm = math.sqrt(ss)
+          if (norm > 0) { i = 0; while (i < arr.length) { arr(i) /= norm; i += 1 } }
+          IndexedRow(g, OldVectors.dense(arr))
+        }
+      new IndexedRowMatrix(rows)
+    }
+
+    val x1 = standardizedRows(m1)
+    val x2 = standardizedRows(m2)
+    // correlation vectors: row g of R_k = X_k(g,:) · X_kᵀ ; computed as
+    // block product to stay distributed for large G
+    val r1 = x1.toBlockMatrix(1024, 1024)
+    val r1t = r1.multiply(r1.transpose).toIndexedRowMatrix()
+    val r2 = x2.toBlockMatrix(1024, 1024)
+    val r2t = r2.multiply(r2.transpose).toIndexedRowMatrix()
+
+    val v1 = r1t.rows.map(r => (r.index, r.vector.toArray))
+    val v2 = r2t.rows.map(r => (r.index, r.vector.toArray))
+    val iccRdd = v1.join(v2).map { case (g, (a, b)) =>
+      // Pearson of the two correlation vectors, excluding self-corr position
+      var sa = 0.0; var sb = 0.0; var saa = 0.0; var sbb = 0.0; var sab = 0.0
+      var n = 0
+      var i = 0
+      while (i < a.length) {
+        if (i != g.toInt) {
+          sa += a(i); sb += b(i); saa += a(i) * a(i); sbb += b(i) * b(i); sab += a(i) * b(i)
+          n += 1
+        }
+        i += 1
+      }
+      val cov = sab - sa * sb / n
+      val va = saa - sa * sa / n
+      val vb = sbb - sb * sb / n
+      val icc = if (va > 0 && vb > 0) cov / math.sqrt(va * vb) else Double.NaN
+      (g, icc)
+    }
+    iccRdd.toDF("gidx", "icc").join(geneIdx, Seq("gidx")).select("gene_id", "icc")
+  }
+
+  /** A30 — mean ICC per gene over platform-pair combinations. */
+  def meanIcc(iccPairs: DataFrame, gene: String = "gene_id"): DataFrame =
+    iccPairs.groupBy(col(gene)).agg(avg(col("icc")).as("mean_icc"))
+
+  /** A24 — integration-driven discovery rate (`Meta_analysis.R:872-893`):
+    * per threshold t, count genes whose combined |z| passes t while no
+    * single-platform |z| does. Thresholds fan out via explode. */
+  def idr(perGene: DataFrame, thresholds: Seq[Double], gene: String = "gene_id",
+      zComb: String = "z_comb", zMaxSingle: String = "z_max_single"): DataFrame =
+    perGene.crossJoin(broadcast(
+        perGene.sparkSession.createDataFrame(thresholds.map(Tuple1(_))).toDF("t")))
+      .select(col(gene), col(zComb), col(zMaxSingle), col("t"))
+      .groupBy(col("t"))
+      .agg(sum((abs(col(zComb)) >= col("t") && abs(col(zMaxSingle)) < col("t")).cast("int"))
+        .as("idr_count"))
+
+  /** A23 — permutation FDR (`Meta_analysis.R:896-991`, nperm=50 with
+    * fixed seeds): fan 50 deterministic label permutations out with
+    * explode, recompute the combined z per (gene, perm), and report
+    * the exceedance rate against the observed z. The permutation is a
+    * deterministic pseudo-shuffle: labels reassigned by
+    * xxhash64(sample, seed) rank — reproducible across runs/cluster
+    * sizes, no RNG state. */
+  def permutationLabels(samples: DataFrame, sample: String, label: String,
+      nperm: Int): DataFrame = {
+    val perms = samples.crossJoin(broadcast(
+      samples.sparkSession.range(1, nperm + 1).select(col("id").cast("int").as("perm"))))
+    // rank samples by deterministic hash within perm; assign the sorted
+    // label multiset by that rank => a seeded permutation of labels
+    val wHash = org.apache.spark.sql.expressions.Window.partitionBy(col("perm"))
+      .orderBy(xxhash64(col(sample), col("perm")).asc, col(sample).asc)
+    val wLabel = org.apache.spark.sql.expressions.Window.partitionBy(col("perm"))
+      .orderBy(col(label).asc, col(sample).asc)
+    val ranked = perms.withColumn("__hrk", row_number().over(wHash))
+    val labelByRank = perms.withColumn("__lrk", row_number().over(wLabel))
+      .select(col("perm").as("__perm2"), col("__lrk"), col(label).as("perm_label"))
+    ranked.join(labelByRank,
+        ranked("perm") === labelByRank("__perm2") && ranked("__hrk") === labelByRank("__lrk"))
+      .select(col(sample), col("perm"), col("perm_label"))
+  }
+}

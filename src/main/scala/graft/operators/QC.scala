@@ -1,0 +1,113 @@
+package graft.operators
+
+import graft.model.ExpressionMatrix
+import org.apache.spark.ml.feature.{StandardScaler, VectorAssembler}
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** QC / diagnostic operators — SURVEY.md §2.4 A6–A9, A28–A29.
+  *
+  * The reference's QC stage emits ~60 diagnostic plots; the engine
+  * emits the tables behind them (per-sample summary batteries, RLE,
+  * stratified correlations, PCA coordinates, outlier calls).
+  */
+object QC {
+
+  /** A28 — per-sample summary battery (arrayQualityMetrics-style):
+    * mean/median/IQR/quantiles per array in one pass, using exact
+    * `percentile` (reference works on ≤ hundreds of arrays; the
+    * aggregation is per-sample so it scales by partition count). */
+  def sampleSummary(m: ExpressionMatrix): DataFrame =
+    m.df.groupBy(m.sampleCol).agg(
+      count(m.valueCol).as("n"),
+      avg(m.valueCol).as("mean"),
+      expr(s"percentile(${m.value}, 0.25)").as("q25"),
+      expr(s"percentile(${m.value}, 0.5)").as("median"),
+      expr(s"percentile(${m.value}, 0.75)").as("q75"),
+      stddev_samp(m.valueCol).as("sd"))
+
+  /** A28 — RLE (relative log expression): value − per-gene median;
+    * summarised per sample. */
+  def rle(m: ExpressionMatrix): DataFrame = {
+    val med = m.df.groupBy(m.geneCol)
+      .agg(expr(s"percentile(${m.value}, 0.5)").as("__med"))
+    m.df.join(med, Seq(m.gene))
+      .withColumn("__rle", m.valueCol - col("__med"))
+      .groupBy(m.sampleCol)
+      .agg(expr("percentile(__rle, 0.5)").as("rle_median"),
+           (expr("percentile(__rle, 0.75)") - expr("percentile(__rle, 0.25)")).as("rle_iqr"))
+  }
+
+  /** A6 — pairwise sample correlation (`Study_effect.R:320-398`):
+    * Pearson r per sample pair via a self-join on gene. The join
+    * shuffles on gene (co-partitioned), the corr aggregates per pair;
+    * strata predicates (same group / same study) attach from metadata
+    * afterwards. */
+  def pairwiseSampleCorr(m: ExpressionMatrix, minCommon: Long = 3): DataFrame = {
+    val a = m.canonical.df.select(col("gene_id"),
+      col("sample_id").as("s1"), col("value").as("v1"))
+    val b = m.canonical.df.select(col("gene_id"),
+      col("sample_id").as("s2"), col("value").as("v2"))
+    a.join(b, Seq("gene_id")).filter(col("s1") < col("s2"))
+      .groupBy("s1", "s2")
+      .agg(count(lit(1)).as("n_common"), corr("v1", "v2").as("r"))
+      .filter(col("n_common") >= minCommon)
+  }
+
+  /** A7 — PCA of samples (`Study_effect.R:543-593`): pivot the
+    * (bounded) gene dimension into an MLlib vector per sample, scale,
+    * and fit `ml.feature.PCA`. Returns (sample_id, pc1..pcK). */
+  def pca(m: ExpressionMatrix, k: Int, genes: Seq[String]): DataFrame = {
+    val wide = m.canonical.df
+      .filter(col("gene_id").isin(genes: _*))
+      .groupBy("sample_id").pivot("gene_id", genes).agg(first("value"))
+      .na.fill(0.0)
+    val assembler = new VectorAssembler().setInputCols(genes.toArray).setOutputCol("__features")
+    val assembled = assembler.transform(wide)
+    val scaler = new StandardScaler().setWithMean(true).setWithStd(true)
+      .setInputCol("__features").setOutputCol("__scaled")
+    val scaled = scaler.fit(assembled).transform(assembled)
+    val pcaModel = new org.apache.spark.ml.feature.PCA()
+      .setK(k).setInputCol("__scaled").setOutputCol("__pc").fit(scaled)
+    val toArr = udf((v: org.apache.spark.ml.linalg.Vector) => v.toArray)
+    val out = scaled.select(col("sample_id"),
+      toArr(pcaModel.transform(scaled)("__pc")).as("__arr"))
+    (0 until k).foldLeft(out) { case (df, i) =>
+      df.withColumn(s"pc${i + 1}", col("__arr")(i))
+    }.drop("__arr")
+  }
+
+  /** A29 — multivariate outlier detection (`arrayMvout::ArrayOutliers`
+    * analogue): Mahalanobis distance of samples in the first `k` PCs
+    * against a chi-squared cutoff. PCs come from [[pca]]; the distance
+    * uses the per-PC variance (PCs are uncorrelated by construction). */
+  def pcaOutliers(pcs: DataFrame, k: Int, alpha: Double = 0.001): DataFrame = {
+    val cutoff = graft.functions.StatKernels.qchisq(1.0 - alpha, k.toDouble)
+    val stats = pcs.select((1 to k).flatMap(i =>
+      Seq(avg(col(s"pc$i")).as(s"m$i"), var_samp(col(s"pc$i")).as(s"v$i"))): _*)
+    val d2 = pcs.crossJoin(broadcast(stats))
+      .withColumn("d2", (1 to k).map(i =>
+        (col(s"pc$i") - col(s"m$i")) * (col(s"pc$i") - col(s"m$i")) / col(s"v$i"))
+        .reduce(_ + _))
+    d2.select(col("sample_id"), col("d2"), (col("d2") > cutoff).as("outlier"))
+  }
+
+  /** A6 — two-sample Kolmogorov–Smirnov statistic via the sorted-CDF
+    * formulation (`Study_effect.R:804-811` uses ks.test on correlation
+    * strata): D = max over observed values of |F1 − F2|, computed with
+    * running counts over the value-ordered union — fully distributed,
+    * no collect. */
+  def ksStatistic(df: DataFrame, value: String, groupCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    val na = count(when(col(groupCol) === groupA, 1)).over(Window.partitionBy())
+    val nb = count(when(col(groupCol) === groupB, 1)).over(Window.partitionBy())
+    val w = Window.orderBy(col(value).asc, col(groupCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.filter(col(groupCol).isin(groupA, groupB))
+      .withColumn("__fa", count(when(col(groupCol) === groupA, 1)).over(w) / na)
+      .withColumn("__fb", count(when(col(groupCol) === groupB, 1)).over(w) / nb)
+      .agg(max(abs(col("__fa") - col("__fb"))).as("ks_d"))
+  }
+}

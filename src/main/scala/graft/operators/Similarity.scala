@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbour / similarity search over an embedding
+  * column (`array<float>`).
+  *
+  * Three tiers, per the brief:
+  *  - brute-force cosine top-k (baseline; exact, O(Q·N));
+  *  - random-hyperplane LSH buckets (scale path: candidates only
+  *    within matching sign-sketches);
+  *  - IVF-style coarse quantization via MLlib KMeans (scale path:
+  *    probe the nearest `nProbe` centroids only).
+  *
+  * The dot-product kernel is `zip_with` + `aggregate` column algebra —
+  * codegen'd, no UDF — computed in double after an explicit cast so
+  * results are reproducible across engines.
+  */
+object Similarity {
+
+  /** Cosine similarity between two array<float|double> columns. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+    val nb = sqrt(aggregate(transform(b, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+    dot / (na * nb)
+  }
+
+  /** All-pairs cosine (id_a < id_b). Quadratic — use only on bounded
+    * relations (the dedup verify stage or small candidate sets). */
+  def cosinePairs(embeddings: DataFrame, id: String = "vec_id",
+      vec: String = "embedding"): DataFrame = {
+    val a = embeddings.select(col(id).as("id_a"), col(vec).as("v_a"))
+    val b = embeddings.select(col(id).as("id_b"), col(vec).as("v_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cosine"))
+  }
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest
+    * corpus vectors by cosine (ties broken on corpus id). The corpus
+    * side stays distributed; queries are broadcast. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val q = queries.select(col(id).as("query_id"), col(vec).as("q_vec"))
+    val c = corpus.select(col(id).as("corpus_id"), col(vec).as("c_vec"))
+    val scored = broadcast(q).crossJoin(c)
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        cosine(col("q_vec"), col("c_vec")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Random-hyperplane (sign) sketch: `nBits` deterministic
+    * pseudo-random hyperplanes; bit i = sign(v · h_i) where h_i's
+    * components come from a hash of (i, dim) — reproducible without
+    * RNG state, computable inside codegen. */
+  def hyperplaneSketch(vec: Column, dim: Int, nBits: Int): Column = {
+    val bits = (0 until nBits).map { i =>
+      // h_i[d] in {-1,+1} from xxhash64 parity — a Rademacher
+      // hyperplane; dot in double
+      val dot = (0 until dim).map { d =>
+        val sign = when(
+          (org.apache.spark.sql.functions.xxhash64(lit(i * 131071 + d)).bitwiseAND(lit(1L))) === 1L,
+          lit(1.0)).otherwise(lit(-1.0))
+        vec.getItem(d).cast("double") * sign
+      }.reduce(_ + _)
+      when(dot >= 0, lit(1L << (i % 63))).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed approximate top-k: candidates must share the
+    * hyperplane sketch (one band of `nBits` bits); exact cosine is
+    * computed only within buckets. Recall tunes with fewer bits /
+    * multiple bands. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      nBits: Int = 8, id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val sk = (df: DataFrame, idAs: String, vecAs: String) =>
+      df.select(col(id).as(idAs), col(vec).as(vecAs),
+        hyperplaneSketch(col(vec), dim, nBits).as("bucket"))
+    val q = sk(queries, "query_id", "q_vec")
+    val c = sk(corpus, "corpus_id", "c_vec")
+    val scored = q.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        cosine(col("q_vec"), col("c_vec")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** IVF-style ANN: KMeans coarse quantizer (deterministic seed), each
+    * vector assigned to its centroid list; queries probe the nearest
+    * `nProbe` centroids and rank exact cosine within those cells. At
+    * scale the corpus is partitioned by cell id — a probe touches
+    * nProbe/nCells of the data. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nCells: Int,
+      nProbe: Int, id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.feature.VectorAssembler
+    val toVec = udf((a: Seq[Float]) =>
+      org.apache.spark.ml.linalg.Vectors.dense(a.map(_.toDouble).toArray))
+    val corpusV = corpus.withColumn("__fv", toVec(col(vec)))
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nCells).setSeed(42L).setFeaturesCol("__fv").setPredictionCol("cell")
+    val model = km.fit(corpusV)
+    val assigned = model.transform(corpusV).select(col(id).as("corpus_id"),
+      col(vec).as("c_vec"), col("cell"))
+    val centroids = model.clusterCenters.zipWithIndex.map { case (cVec, i) =>
+      (i, cVec.toArray.map(_.toFloat).toSeq)
+    }
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centDf = centroids.toSeq.toDF("cell", "centroid")
+    val q = queries.select(col(id).as("query_id"), col(vec).as("q_vec"))
+    val probed = broadcast(q).crossJoin(broadcast(centDf))
+      .withColumn("cdist", cosine(col("q_vec"), col("centroid")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cdist").desc, col("cell").asc)))
+      .filter(col("crank") <= nProbe)
+      .select("query_id", "q_vec", "cell")
+    val scored = probed.join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        cosine(col("q_vec"), col("c_vec")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

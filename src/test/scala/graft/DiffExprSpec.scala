@@ -1,0 +1,90 @@
+package graft
+
+import graft.model.ExpressionMatrix
+import graft.operators.{DiffExpr, Filters, Normalize}
+import org.apache.spark.sql.functions._
+
+class DiffExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bhAdjust matches R p.adjust(method='BH')") {
+    // R: p.adjust(c(0.01, 0.02, 0.03, 0.04, 0.5), "BH")
+    //    = 0.05 0.05 0.05 0.05 0.50
+    val df = Seq(("a", 0.01), ("b", 0.02), ("c", 0.03), ("d", 0.04), ("e", 0.5))
+      .toDF("id", "p")
+    val adj = DiffExpr.bhAdjust(df, "p", Seq(col("id")))
+      .orderBy("id").select("p_bh").as[Double].collect()
+    val expected = Array(0.05, 0.05, 0.05, 0.05, 0.5)
+    adj.zip(expected).foreach { case (a, e) => assert(math.abs(a - e) < 1e-12) }
+  }
+
+  test("bhAdjust caps at 1 and is monotone in rank order") {
+    val df = (1 to 50).map(i => (i, i / 50.0 * 1.5)).toDF("id", "p")
+    val adj = DiffExpr.bhAdjust(df, "p", Seq(col("id")))
+      .orderBy("p").select("p_bh").as[Double].collect()
+    assert(adj.forall(_ <= 1.0))
+    adj.sliding(2).foreach { case Array(x, y) => assert(x <= y + 1e-12); case _ => }
+  }
+
+  test("welchT recovers a known group difference") {
+    val rows = (for {
+      g <- Seq("g1", "g2"); i <- 1 to 4
+    } yield {
+      val base = if (g == "g1") 10.0 else 5.0
+      val grp = if (i <= 2) "A" else "B"
+      val shift = if (grp == "A" && g == "g1") 2.0 else 0.0
+      (g, s"s$i-$grp", base + shift + i * 0.01, grp)
+    })
+    val m = ExpressionMatrix(rows.toDF("gene_id", "sample_id", "value", "g").drop("g"))
+    val groups = rows.map(r => (r._2, r._4)).distinct.toDF("sample_id", "group")
+    val stats = DiffExpr.groupStats(m, groups)
+    val de = DiffExpr.welchT(stats, "group", "A", "B").orderBy("gene_id").collect()
+    val fc1 = de(0).getAs[Double]("log2fc")
+    val fc2 = de(1).getAs[Double]("log2fc")
+    assert(math.abs(fc1 - 1.98) < 1e-9)   // (10+2+avg(.01,.02)) - (10+avg(.03,.04))
+    assert(math.abs(fc2 - (-0.02)) < 1e-9)
+    assert(de(0).getAs[Double]("t") > 0)
+  }
+
+  test("moderatedT shrinks extreme variances toward the pool") {
+    val rows = for {
+      g <- 1 to 40; i <- 1 to 6
+    } yield {
+      val grp = if (i <= 3) "A" else "B"
+      val noise = ((g * 31 + i * 17) % 7 - 3) * 0.1
+      (s"g$g", s"s$i", 5.0 + (if (grp == "A") 1.0 else 0.0) + noise, grp)
+    }
+    val m = ExpressionMatrix(rows.toDF("gene_id", "sample_id", "value", "g").drop("g"))
+    val groups = rows.map(r => (r._2, r._4)).distinct.toDF("sample_id", "group")
+    val stats = DiffExpr.groupStats(m, groups)
+    val mod = DiffExpr.moderatedT(stats, "group", "A", "B")
+    val out = mod.collect()
+    assert(out.length > 0)
+    // moderated df exceed residual df (prior df added)
+    assert(out.forall(_.getAs[Double]("df_total") > 4.0))
+  }
+
+  test("quantileNormalize equalizes per-sample distributions and preserves ranks") {
+    val rows = Seq(
+      ("g1", "s1", 1.0), ("g2", "s1", 5.0), ("g3", "s1", 3.0),
+      ("g1", "s2", 10.0), ("g2", "s2", 50.0), ("g3", "s2", 30.0))
+    val m = ExpressionMatrix(rows.toDF("gene_id", "sample_id", "value"))
+    val qn = Normalize.quantileNormalize(m).df.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // rank means: (1+10)/2=5.5, (3+30)/2=16.5, (5+50)/2=27.5
+    assert(qn(("g1", "s1")) == 5.5 && qn(("g1", "s2")) == 5.5)
+    assert(qn(("g3", "s1")) == 16.5 && qn(("g3", "s2")) == 16.5)
+    assert(qn(("g2", "s1")) == 27.5 && qn(("g2", "s2")) == 27.5)
+  }
+
+  test("topNBySd keeps exactly the highest-variance genes") {
+    val rows = Seq(
+      ("flat", "s1", 1.0), ("flat", "s2", 1.0),
+      ("wild", "s1", 0.0), ("wild", "s2", 100.0),
+      ("mid", "s1", 1.0), ("mid", "s2", 5.0))
+    val m = ExpressionMatrix(rows.toDF("gene_id", "sample_id", "value"))
+    val kept = Filters.topNBySd(m, 2).df.select("gene_id").distinct()
+      .as[String].collect().sorted
+    assert(kept.toSeq == Seq("mid", "wild"))
+  }
+}

@@ -1,0 +1,41 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (1L, Seq(1.0f, 0.0f, 0.0f)),
+    (2L, Seq(0.9f, 0.1f, 0.0f)),
+    (3L, Seq(0.0f, 1.0f, 0.0f)),
+    (4L, Seq(0.0f, 0.0f, 1.0f)))
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    val df = vecs.toDF("vec_id", "embedding")
+    val c = df.as("a").crossJoin(df.as("b"))
+      .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(c((1L, 1L)) - 1.0) < 1e-9)
+    assert(math.abs(c((1L, 3L))) < 1e-9)
+    assert(c((1L, 2L)) > 0.9)
+  }
+
+  test("bruteForceTopK ranks the nearest vector first") {
+    val df = vecs.toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(df, df.filter(col("vec_id") === 1L), k = 2)
+      .orderBy("rank").collect()
+    assert(top(0).getAs[Long]("corpus_id") == 2L)
+    assert(top(0).getAs[Int]("rank") == 1)
+  }
+
+  test("ivfTopK with full probing matches brute force top-1") {
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id") === 1L)
+    val ivf = Similarity.ivfTopK(df, q, k = 1, nCells = 2, nProbe = 2)
+      .collect()
+    assert(ivf.head.getAs[Long]("corpus_id") == 2L)
+  }
+}

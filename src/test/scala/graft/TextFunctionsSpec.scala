@@ -1,0 +1,64 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.operators.TextDedup
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens lowercases and splits on non-alphanumerics") {
+    val out = Seq("Hello, World!  foo_bar 42").toDF("text")
+      .select(TextFunctions.tokens(col("text"))).as[Seq[String]].head()
+    assert(out == Seq("hello", "world", "foo", "bar", "42"))
+  }
+
+  test("shingles produce n-w+1 overlapping windows") {
+    val out = Seq("a b c d").toDF("text")
+      .select(TextFunctions.shingles(TextFunctions.tokens(col("text")), 3))
+      .as[Seq[String]].head()
+    assert(out == Seq("a b c", "b c d"))
+  }
+
+  test("exactDedup keeps the lowest id per normalized content") {
+    val docs = Seq(
+      (1L, "Hello world"), (2L, "hello, WORLD!"), (3L, "something else"))
+      .toDF("doc_id", "text")
+    val kept = TextDedup.exactDedup(docs).select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L))
+  }
+
+  test("minhashLshPairs finds a near-duplicate and scores jaccard") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 28).map(i => s"w$i").mkString(" ") + " x y"
+    val unrelated = (100 to 130).map(i => s"v$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, unrelated)).toDF("doc_id", "text")
+    val pairs = TextDedup.minhashLshPairs(docs, k = 8, bands = 4, minJaccard = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists { case (a, b, j) => a == 1L && b == 2L && j > 0.5 })
+    assert(!pairs.exists { case (a, b, _) => b == 3L || a == 3L })
+  }
+
+  test("simhash of identical token streams is identical; hamming 0") {
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "ALPHA beta!! gamma delta"),
+      (3L, "wholly different content here")).toDF("doc_id", "text")
+    val pairs = TextDedup.simhashPairs(docs, maxHamming = 0).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+  }
+
+  test("langId picks the language with most stopword hits") {
+    val df = Seq(
+      "the cat sat of the mat and it is that",
+      "der hund ist nicht auf der mit und das",
+      "xyzzy qwerty plugh").toDF("text")
+    val out = df.select(TextFunctions.langId(TextFunctions.tokens(col("text"))))
+      .as[String].collect()
+    assert(out(0) == "en" && out(1) == "de" && out(2) == "und")
+  }
+
+  test("fingerprint is whitespace/punctuation insensitive") {
+    val fp = Seq("a b  c", "A,b.C").toDF("text")
+      .select(TextFunctions.fingerprint(col("text"))).as[String].collect()
+    assert(fp(0) == fp(1))
+  }
+}

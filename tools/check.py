@@ -1,0 +1,59 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's t2 correctness gate: run graft.Verify
+at a scale factor, then execute each oracle SQL in DuckDB over the
+same parquet tables and compare row sets (column-name-sorted, value
+comparison with exact match after both engines' own rounding).
+
+Usage: python3 tools/check.py [sfdir] [outdir]
+"""
+import json, math, sys, glob, os
+import duckdb
+import pyarrow.parquet as pq
+
+sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+
+con = duckdb.connect()
+for p in glob.glob(f"{sfdir}/*.parquet"):
+    name = os.path.basename(p).replace(".parquet", "")
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+results = {}
+for name, sql in sorted(oracle.items()):
+    files = glob.glob(f"{outdir}/{name}/*.parquet")
+    if not files:
+        results[name] = "MISSING_SPARK_OUTPUT"
+        continue
+    spark_tbl = pq.read_table(files[0])
+    try:
+        duck = con.execute(sql).arrow()
+    except Exception as e:
+        results[name] = f"ORACLE_ERROR: {e}"
+        continue
+    scols = sorted(spark_tbl.column_names)
+    dcols = sorted(duck.column_names)
+    if scols != dcols:
+        results[name] = f"SCHEMA_MISMATCH spark={scols} duck={dcols}"
+        continue
+    def norm(tbl):
+        rows = []
+        for row in zip(*[tbl.column(c).to_pylist() for c in sorted(tbl.column_names)]):
+            rows.append(tuple(
+                round(v, 9) if isinstance(v, float) else v for v in row))
+        return sorted(rows, key=lambda r: tuple(str(x) for x in r))
+    s, d = norm(spark_tbl), norm(duck)
+    if len(s) != len(d):
+        results[name] = f"ROWCOUNT {len(s)} vs {len(d)}"
+    elif s != d:
+        diff = next((i, a, b) for i, (a, b) in enumerate(zip(s, d)) if a != b)
+        results[name] = f"VALUE_MISMATCH at sorted row {diff[0]}: spark={diff[1]} duck={diff[2]}"
+    else:
+        results[name] = f"OK ({len(s)} rows)"
+
+width = max(len(n) for n in results)
+ok = sum(1 for v in results.values() if v.startswith("OK"))
+for name, v in sorted(results.items()):
+    print(f"{name:<{width}}  {v[:200]}")
+print(f"\n{ok}/{len(results)} queries match")
+sys.exit(0 if ok == len(results) else 1)
