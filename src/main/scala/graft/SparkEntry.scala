@@ -47,7 +47,13 @@ object SparkEntry {
     DiffExpr.topTable(de)
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = coreQueries ++
+    graft.queries.MetaQueries.queries
+
+  def oracleSql: Map[String, String] = coreOracleSql ++
+    graft.queries.MetaQueries.oracleSql
+
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §2.4 A1 + §2.1 scan: grouped aggregation battery ----
     "q01_pricing_summary" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -152,25 +158,25 @@ object SparkEntry {
     }),
   )
 
-  def oracleSql: Map[String, String] = Map(
+  private def coreOracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-         round(sum(l_quantity) + 1e-5, 2) AS sum_qty,
-         round(sum(l_extendedprice) + 1e-5, 2) AS sum_base,
-         round(avg(l_discount) + 1e-9, 6) AS avg_disc,
+         round(sum(l_quantity) + 1e-5, 2) + 0.0 AS sum_qty,
+         round(sum(l_extendedprice) + 1e-5, 2) + 0.0 AS sum_base,
+         round(avg(l_discount) + 1e-9, 6) + 0.0 AS avg_disc,
          count(*) AS n
          FROM lineitem GROUP BY 1, 2""",
 
     "q02_gene_stats" ->
       """SELECT l_partkey, count(*) AS n,
-         round(avg(l_extendedprice) + 1e-5, 2) AS mean_price,
-         round(stddev_samp(l_extendedprice) + 1e-5, 2) AS sd_price
+         round(avg(l_extendedprice) + 1e-5, 2) + 0.0 AS mean_price,
+         round(stddev_samp(l_extendedprice) + 1e-5, 2) + 0.0 AS sd_price
          FROM lineitem GROUP BY 1
          HAVING round(stddev_samp(l_extendedprice) + 1e-5, 2) > 0""",
 
     "q03_top_sd" ->
       """WITH sd AS (
-           SELECT l_partkey, round(stddev_samp(l_extendedprice) + 1e-5, 2) AS sd_price
+           SELECT l_partkey, round(stddev_samp(l_extendedprice) + 1e-5, 2) + 0.0 AS sd_price
            FROM lineitem GROUP BY 1
          ), ranked AS (
            SELECT l_partkey, sd_price,
@@ -179,7 +185,7 @@ object SparkEntry {
          ) SELECT l_partkey, sd_price, rk FROM ranked WHERE rk <= 100""",
 
     "q04_outlier_antijoin" ->
-      """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity) + 1e-5, 2) AS sum_qty
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity) + 1e-5, 2) + 0.0 AS sum_qty
          FROM lineitem
          WHERE NOT EXISTS (SELECT 1 FROM supplier
                            WHERE s_suppkey = l_suppkey AND s_acctbal < 0)
@@ -194,7 +200,7 @@ object SparkEntry {
     "q06_dedup_maxvar" ->
       """WITH scored AS (
            SELECT p_brand, l_partkey,
-                  round(var_samp(l_extendedprice) + 1e-5, 2) AS var_price
+                  round(var_samp(l_extendedprice) + 1e-5, 2) + 0.0 AS var_price
            FROM lineitem JOIN part ON l_partkey = p_partkey
            GROUP BY 1, 2
          ), ranked AS (
@@ -206,11 +212,11 @@ object SparkEntry {
 
     "q07_collapse_avg" ->
       """SELECT l_partkey, l_returnflag,
-         round(avg(l_extendedprice) + 1e-5, 2) AS avg_price, count(*) AS n
+         round(avg(l_extendedprice) + 1e-5, 2) + 0.0 AS avg_price, count(*) AS n
          FROM lineitem GROUP BY 1, 2""",
 
     "q08_library_size" ->
-      """SELECT l_suppkey, round(sum(l_quantity) + 1e-5, 2) AS lib_size
+      """SELECT l_suppkey, round(sum(l_quantity) + 1e-5, 2) + 0.0 AS lib_size
          FROM lineitem GROUP BY 1""",
 
     "q09_quantile_norm" ->
@@ -225,7 +231,7 @@ object SparkEntry {
            FROM m
          ), rank_means AS (
            SELECT rk, avg(value) AS rkmean FROM ranked GROUP BY 1
-         ) SELECT r.gene_id, r.sample_id, round(rm.rkmean + 1e-7, 4) AS qn_value
+         ) SELECT r.gene_id, r.sample_id, round(rm.rkmean + 1e-7, 4) + 0.0 AS qn_value
            FROM ranked r JOIN rank_means rm ON r.rk = rm.rk""",
 
     "q10_bh_adjust" ->
@@ -237,10 +243,10 @@ object SparkEntry {
            SELECT *, count(*) OVER () AS n,
                   row_number() OVER (ORDER BY p ASC, l_orderkey ASC, l_linenumber ASC) AS rk
            FROM p
-         ) SELECT l_orderkey, l_linenumber, round(p + 1e-9, 6) AS p,
+         ) SELECT l_orderkey, l_linenumber, round(p + 1e-9, 6) + 0.0 AS p,
                   round(1e-9 + least(1.0, min(p * n / rk) OVER
                     (ORDER BY p ASC, l_orderkey ASC, l_linenumber ASC
-                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)), 6) AS p_bh
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)), 6) + 0.0 AS p_bh
            FROM ranked""",
   )
 }

@@ -16,8 +16,19 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      // Normalize IEEE negative zero (+ 0.0 ⇒ +0.0) on every double
+      // column: engines disagree on the sign of rounded -0.0 and the
+      // driver's hash compare is bit-sensitive.
+      import org.apache.spark.sql.functions.{col, lit}
+      import org.apache.spark.sql.types.DoubleType
+      try {
+        val df = fn(spark, sfDir)
+        val fixed = df.select(df.schema.fields.map { f =>
+          if (f.dataType == DoubleType) (col(f.name) + lit(0.0)).as(f.name)
+          else col(f.name)
+        }.toSeq: _*)
+        fixed.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -87,8 +87,15 @@ object Filters {
     * samples; probesets absent in every group are dropped.
     * `groups` maps sample_id → group. Pure boolean aggregation. */
   def dabgFilter(m: ExpressionMatrix, groups: DataFrame,
-      presentThresh: Double = 3.0, minGroupFrac: Double = 0.5): ExpressionMatrix = {
-    val withGroup = m.df.join(broadcast(groups), Seq(m.sample))
+      presentThresh: Double = 3.0, minGroupFrac: Double = 0.5): ExpressionMatrix =
+    dabgFilterGrouped(m, m.df.join(broadcast(groups), Seq(m.sample)),
+      presentThresh, minGroupFrac)
+
+  /** F10 variant for when the biological group is already a column of
+    * the observation relation (no sample join needed). `withGroup`
+    * must carry the matrix's gene column plus `group` and the value. */
+  def dabgFilterGrouped(m: ExpressionMatrix, withGroup: DataFrame,
+      presentThresh: Double, minGroupFrac: Double): ExpressionMatrix = {
     val present = withGroup.groupBy(m.geneCol, col("group"))
       .agg(avg((m.valueCol >= presentThresh).cast("int")).as("frac_present"))
       .groupBy(m.geneCol)

@@ -103,8 +103,10 @@ object QC {
       groupA: String, groupB: String): DataFrame = {
     val na = count(when(col(groupCol) === groupA, 1)).over(Window.partitionBy())
     val nb = count(when(col(groupCol) === groupB, 1)).over(Window.partitionBy())
-    val w = Window.orderBy(col(value).asc, col(groupCol).asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // RANGE frame: all rows with value <= current, regardless of group
+    // interleaving at ties — the mathematically correct empirical CDF.
+    val w = Window.orderBy(col(value).asc)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     df.filter(col(groupCol).isin(groupA, groupB))
       .withColumn("__fa", count(when(col(groupCol) === groupA, 1)).over(w) / na)
       .withColumn("__fb", count(when(col(groupCol) === groupB, 1)).over(w) / nb)
