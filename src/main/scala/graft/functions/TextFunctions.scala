@@ -137,7 +137,7 @@ object TextFunctions {
     val wordLenScore = lit(1.0) - least(lit(1.0), abs(meanWordLen - 5.0) / 5.0)
     val punctScore = lit(1.0) - least(lit(1.0), punctRatio * 10.0)
     val stopScore = least(lit(1.0), stopRatio * 3.0)
-    round(lenScore * 0.3 + wordLenScore * 0.3 + punctScore * 0.2 + stopScore * 0.2, 6)
+    lenScore * 0.3 + wordLenScore * 0.3 + punctScore * 0.2 + stopScore * 0.2
   }
 
   /** Content fingerprint: md5 of the normalised token stream —

@@ -1,0 +1,330 @@
+package graft.queries
+
+import graft.functions.TextFunctions
+import graft.functions.TextFunctions._
+import graft.operators.{Similarity, TextDedup}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline query catalog (the brief's dedup /
+  * similarity / text-analysis operators) over `documents` and
+  * `embeddings`.
+  *
+  * Oracle-compatible hashing: every hash that must agree with DuckDB
+  * is md5-over-strings (identical hex output in both engines); the
+  * production path uses xxhash64 (see TextFunctions docs).
+  */
+object TextQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Shared SQL fragment: tokens per document. */
+  private val toksSql =
+    """SELECT doc_id, source, lang, text,
+       list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+       FROM documents"""
+
+  /** Shared SQL fragment: distinct 3-shingle sets per document. */
+  private val shinglesSql =
+    s"""WITH tk AS ($toksSql)
+       SELECT doc_id, source,
+              list_distinct(list_transform(
+                generate_series(1, greatest(len(toks) - 2, 1)),
+                i -> array_to_string(toks[i:i+2], ' '))) AS sh
+       FROM tk"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- exact dedup: content-hash groups ----
+    "q30_exact_dedup" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(fingerprint(col("text")).as("fp"))
+        .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_docs"))
+        .orderBy("fp")
+    }),
+
+    // ---- token counting (whitespace + BPE-ish) per source ----
+    "q31_token_counts" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("source"), wsTokenCount(col("text")).as("ws"),
+          bpeishTokenCount(col("text")).as("bpe"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("ws").as("ws_tokens"),
+          sum("bpe").as("bpe_tokens"))
+        .orderBy("source")
+    }),
+
+    // ---- quality scoring per language ----
+    "q32_quality" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("lang"), qualityScore(col("text")).as("q"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("q") + 1e-9, 6).as("avg_quality"),
+          round(min("q") + 1e-9, 6).as("min_quality"))
+        .orderBy("lang")
+    }),
+
+    // ---- language identification confusion counts ----
+    "q33_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("lang"), langId(tokens(col("text"))).as("predicted"))
+        .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted")
+    }),
+
+    // ---- n-gram Jaccard similarity, aggregated per source ----
+    "q34_ngram_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = docs.alias("a").join(docs.alias("b"),
+          col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.source").as("source"),
+          col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      TextDedup.ngramJaccard(docs, pairs)
+        .join(docs.select(col("doc_id").as("id_a"), col("source")), Seq("id_a"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg("jaccard") + 1e-9, 6).as("avg_jaccard"),
+          round(max("jaccard") + 1e-9, 6).as("max_jaccard"))
+        .orderBy("source")
+    }),
+
+    // ---- MinHash + LSH candidate generation + Jaccard verify ----
+    "q35_minhash_lsh" -> ((s, dir) => {
+      val pairs = TextDedup.minhashLshPairs(t(s, dir, "documents"),
+        k = 8, bands = 4, shingleWidth = 3, minJaccard = 0.0, md5Hashes = true)
+      pairs.agg(count(lit(1)).as("n_candidates"),
+        coalesce(sum((col("jaccard") >= 0.3).cast("long")), lit(0L)).as("n_high"),
+        round(avg("jaccard") + 1e-9, 6).as("avg_jaccard"))
+    }),
+
+    // ---- SimHash fingerprints (32-bit, engine-portable bit votes) ----
+    "q36_simhash" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), simhashMd5(tokens(col("text")), 32).as("simhash"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- brute-force cosine top-k over embeddings ----
+    "q37_cosine_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+        .select(col("query_id"), col("corpus_id"), col("rank"),
+          round(col("cosine") + 1e-9, 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- k-NN majority-vote label accuracy (ANN evaluation) ----
+    "q38_knn_label" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val knn = Similarity.bruteForceTopK(emb, emb, k = 5)
+      val labels = emb.select(col("vec_id"), col("label"))
+      val votes = knn
+        .join(labels.withColumnRenamed("vec_id", "corpus_id")
+          .withColumnRenamed("label", "n_label"), Seq("corpus_id"))
+        .groupBy("query_id", "n_label").agg(count(lit(1)).as("v"))
+      val pred = votes.withColumn("rn", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("v").desc, col("n_label").asc)))
+        .filter(col("rn") === 1)
+        .select(col("query_id").as("vec_id"), col("n_label").as("predicted"))
+      pred.join(labels, Seq("vec_id"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          sum((col("predicted") === col("label")).cast("long")).as("n_correct"))
+        .orderBy("label")
+    }),
+
+    // ---- hyperplane-LSH ANN (production path; rows-only check) ----
+    "q39_lsh_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 50), k = 5,
+          dim = 64, nBits = 6)
+        .select(col("query_id"), col("corpus_id"), col("rank"),
+          round(col("cosine") + 1e-9, 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- IVF (KMeans-quantized) ANN (rows-only check) ----
+    "q40_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20), k = 5,
+          nCells = 8, nProbe = 3)
+        .select(col("query_id"), col("corpus_id"), col("rank"),
+          round(col("cosine") + 1e-9, 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+  )
+
+  private val stoplistSql =
+    TextFunctions.stopwords.values.flatten.toSeq.distinct.sorted
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private def langListSql(l: String) =
+    TextFunctions.stopwords(l).map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val oracleSql: Map[String, String] = Map(
+    "q30_exact_dedup" ->
+      """SELECT md5(array_to_string(
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''),
+           ' ')) AS fp,
+         min(doc_id) AS keeper, count(*) AS n_docs
+         FROM documents GROUP BY 1""",
+
+    "q31_token_counts" ->
+      (s"""WITH tk AS ($toksSql)
+          SELECT source, count(*) AS n_docs,
+                 CAST(sum(len(toks)) AS BIGINT) AS ws_tokens,
+                 CAST(sum(coalesce(list_sum(list_transform(toks,
+                        w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0)
+                      + length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')))
+                   AS BIGINT) AS bpe_tokens
+          FROM tk GROUP BY 1"""),
+
+    "q32_quality" ->
+      (s"""WITH tk AS ($toksSql), q AS (
+            SELECT lang,
+                   len(toks) * 1.0 AS ntok,
+                   CASE WHEN len(toks) > 0
+                        THEN coalesce(list_sum(list_transform(toks, w -> length(w))), 0) * 1.0 / len(toks)
+                        ELSE 0.0 END AS mwl,
+                   CASE WHEN length(text) > 0
+                        THEN length(regexp_replace(text, '[^.,!?;:]', '', 'g')) * 1.0 / length(text)
+                        ELSE 0.0 END AS pr,
+                   CASE WHEN len(toks) > 0
+                        THEN len(list_filter(toks, w -> list_contains($stoplistSql, w))) * 1.0 / len(toks)
+                        ELSE 0.0 END AS sr
+            FROM tk
+          ), score AS (
+            SELECT lang,
+                   least(1.0, ntok / 100.0) * 0.3
+                 + (1.0 - least(1.0, abs(mwl - 5.0) / 5.0)) * 0.3
+                 + (1.0 - least(1.0, pr * 10.0)) * 0.2
+                 + least(1.0, sr * 3.0) * 0.2 AS q
+            FROM q
+          ) SELECT lang, count(*) AS n_docs,
+                   round(avg(q) + 1e-9, 6) + 0.0 AS avg_quality,
+                   round(min(q) + 1e-9, 6) + 0.0 AS min_quality
+            FROM score GROUP BY 1"""),
+
+    "q33_lang_id" ->
+      (s"""WITH tk AS ($toksSql), scored AS (
+            SELECT lang,
+                   len(list_filter(toks, w -> list_contains(${langListSql("en")}, w))) AS s_en,
+                   len(list_filter(toks, w -> list_contains(${langListSql("de")}, w))) AS s_de,
+                   len(list_filter(toks, w -> list_contains(${langListSql("es")}, w))) AS s_es,
+                   len(list_filter(toks, w -> list_contains(${langListSql("fr")}, w))) AS s_fr
+            FROM tk
+          ), pred AS (
+            SELECT lang,
+                   CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+                        WHEN s_fr = greatest(s_en, s_de, s_es, s_fr) THEN 'fr'
+                        WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+                        WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+                        ELSE 'de' END AS predicted
+            FROM scored
+          ) SELECT lang, predicted, count(*) AS n FROM pred GROUP BY 1, 2"""),
+
+    "q34_ngram_jaccard" ->
+      (s"""WITH sh AS ($shinglesSql), pairs AS (
+            SELECT a.source,
+                   len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS inter,
+                   len(a.sh) + len(b.sh)
+                     - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS uni
+            FROM sh a JOIN sh b
+              ON a.source = b.source AND a.doc_id < b.doc_id
+          ) SELECT source, count(*) AS n_pairs,
+                   round(avg(inter * 1.0 / uni) + 1e-9, 6) + 0.0 AS avg_jaccard,
+                   round(max(inter * 1.0 / uni) + 1e-9, 6) + 0.0 AS max_jaccard
+            FROM pairs GROUP BY 1"""),
+
+    "q35_minhash_lsh" ->
+      (s"""WITH sh AS ($shinglesSql), sig AS (
+            SELECT doc_id, sh,
+                   [list_min(list_transform(sh, x -> md5('0|' || x))),
+                    list_min(list_transform(sh, x -> md5('1|' || x))),
+                    list_min(list_transform(sh, x -> md5('2|' || x))),
+                    list_min(list_transform(sh, x -> md5('3|' || x))),
+                    list_min(list_transform(sh, x -> md5('4|' || x))),
+                    list_min(list_transform(sh, x -> md5('5|' || x))),
+                    list_min(list_transform(sh, x -> md5('6|' || x))),
+                    list_min(list_transform(sh, x -> md5('7|' || x)))] AS s
+            FROM sh
+          ), banded AS (
+            SELECT doc_id, sh,
+                   unnest(['0#' || s[1] || '#' || s[2], '1#' || s[3] || '#' || s[4],
+                           '2#' || s[5] || '#' || s[6], '3#' || s[7] || '#' || s[8]]) AS band
+            FROM sig
+          ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.doc_id < b.doc_id
+          ), verified AS (
+            SELECT id_a, id_b,
+                   len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) * 1.0 /
+                   (len(sa.sh) + len(sb.sh)
+                    - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))) AS j
+            FROM cand JOIN sh sa ON sa.doc_id = id_a
+                      JOIN sh sb ON sb.doc_id = id_b
+          ) SELECT count(*) AS n_candidates,
+                   CAST(coalesce(sum(CASE WHEN j >= 0.3 THEN 1 END), 0) AS BIGINT) AS n_high,
+                   round(avg(j) + 1e-9, 6) + 0.0 AS avg_jaccard
+            FROM verified"""),
+
+    "q36_simhash" ->
+      (s"""WITH tk AS ($toksSql)
+          SELECT doc_id,
+                 (SELECT CAST(sum(CASE WHEN
+                     coalesce(list_sum(list_transform(toks,
+                       tk2 -> CASE WHEN substr(md5(tk2 || '#' || i), 1, 1) < '8'
+                                   THEN 1 ELSE -1 END)), 0) > 0
+                     THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT)
+                  FROM generate_series(0, 31) g(i)) AS simhash
+          FROM tk"""),
+
+    "q37_cosine_topk" ->
+      """WITH scored AS (
+           SELECT a.vec_id AS query_id, b.vec_id AS corpus_id,
+                  list_sum(list_transform(range(1, 65),
+                    i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+                  (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+                   sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS cosine
+           FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+           WHERE a.vec_id < 10
+         ), ranked AS (
+           SELECT query_id, corpus_id, cosine,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, corpus_id ASC) AS rank
+           FROM scored
+         ) SELECT query_id, corpus_id, CAST(rank AS INT) AS rank,
+                  round(cosine + 1e-9, 6) + 0.0 AS cosine
+           FROM ranked WHERE rank <= 5""",
+
+    "q38_knn_label" ->
+      """WITH scored AS (
+           SELECT a.vec_id AS query_id, b.vec_id AS corpus_id, b.label AS n_label,
+                  list_sum(list_transform(range(1, 65),
+                    i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+                  (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+                   sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS cosine
+           FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+         ), ranked AS (
+           SELECT query_id, n_label,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, corpus_id ASC) AS rank
+           FROM scored
+         ), votes AS (
+           SELECT query_id, n_label, count(*) AS v
+           FROM ranked WHERE rank <= 5 GROUP BY 1, 2
+         ), pred AS (
+           SELECT query_id AS vec_id, n_label AS predicted,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY v DESC, n_label ASC) AS rn
+           FROM votes
+         ) SELECT e.label, count(*) AS n,
+                  CAST(coalesce(sum(CASE WHEN p.predicted = e.label THEN 1 END), 0) AS BIGINT) AS n_correct
+           FROM pred p JOIN embeddings e ON p.vec_id = e.vec_id
+           WHERE p.rn = 1
+           GROUP BY 1""",
+  )
+}

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators.
+  *
+  * The reference is batch-only (SURVEY.md §2.10), but the engine's
+  * event-shaped operators (sessionization, windowed aggregation) are
+  * written once and exposed for both batch DataFrames and streaming
+  * Datasets: the batch forms live in the query catalog (q26/q27); the
+  * streaming forms here use watermarks + `flatMapGroupsWithState` so
+  * state is bounded and evictable on a real cluster.
+  */
+object StreamOps {
+
+  case class Event(user_id: Long, event_id: Long, ts: Timestamp, event_type: String, value: Double)
+  case class SessionState(sessionStart: Long, lastTs: Long, nEvents: Long, sumValue: Double)
+  case class SessionOut(user_id: Long, session_start: Long, session_end: Long,
+      n_events: Long, sum_value: Double)
+
+  /** Streaming sessionization: per-user sessions closed after
+    * `gapMinutes` of inactivity, emitted on state timeout. Mirrors the
+    * batch q26 semantics (gap > 30 min starts a new session). */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60 * 1000L
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, s.sessionStart, s.lastTs, s.nEvents, s.sumValue))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastTs <= gapMs =>
+                  cur = Some(s.copy(lastTs = t, nEvents = s.nEvents + 1,
+                    sumValue = s.sumValue + e.value))
+                case Some(s) =>
+                  closed += SessionOut(userId, s.sessionStart, s.lastTs, s.nEvents, s.sumValue)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastTs + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Watermarked tumbling-window aggregation per event type — the
+    * streaming form of q27. Works on a streaming or batch DataFrame
+    * with (ts: timestamp, event_type, value). */
+  def windowedCounts(events: DataFrame, windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+}
