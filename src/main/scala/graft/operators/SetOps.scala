@@ -47,10 +47,12 @@ object SetOps {
     * which sets contain it, counted per mask. Sets given as
     * (name, keys) DataFrames. */
   def vennCounts(sets: Seq[(String, DataFrame)], key: String): DataFrame = {
+    // No per-set distinct needed: bit_or absorbs duplicates, so the
+    // union shuffles once on the key instead of once per set.
     val tagged = sets.zipWithIndex.map { case ((name, df), i) =>
-      df.select(col(key)).distinct().withColumn("__bit", lit(1 << i))
+      df.select(col(key)).withColumn("__bit", lit(1L << i))
     }.reduce(_ unionByName _)
-    tagged.groupBy(col(key)).agg(sum("__bit").as("mask"))
+    tagged.groupBy(col(key)).agg(bit_or(col("__bit")).as("mask"))
       .groupBy(col("mask")).agg(count(lit(1)).as("n"))
   }
 }

@@ -20,16 +20,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity between two array<float|double> columns. */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
-    val nb = sqrt(aggregate(transform(b, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
-    dot / (na * nb)
-  }
+  import graft.functions.VecDot.{vec_dot, vec_norm}
+
+  /** Cosine similarity between two array<float|double> columns
+    * (native codegen'd dot-product kernel, see [[graft.functions.VecDot]]). */
+  def cosine(a: Column, b: Column): Column =
+    vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
 
   /** All-pairs cosine (id_a < id_b). Quadratic — use only on bounded
     * relations (the dedup verify stage or small candidate sets). */
@@ -46,12 +42,16 @@ object Similarity {
     * side stays distributed; queries are broadcast. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       id: String = "vec_id", vec: String = "embedding"): DataFrame = {
-    val q = queries.select(col(id).as("query_id"), col(vec).as("q_vec"))
-    val c = corpus.select(col(id).as("corpus_id"), col(vec).as("c_vec"))
+    // Precompute norms once per vector — the O(Q·N) pair loop then
+    // runs only the dot-product kernel per pair, not three of them.
+    val q = queries.select(col(id).as("query_id"), col(vec).as("q_vec"),
+      vec_norm(col(vec)).as("q_norm"))
+    val c = corpus.select(col(id).as("corpus_id"), col(vec).as("c_vec"),
+      vec_norm(col(vec)).as("c_norm"))
     val scored = broadcast(q).crossJoin(c)
       .filter(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
-        cosine(col("q_vec"), col("c_vec")).as("cosine"))
+        (vec_dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

@@ -30,24 +30,71 @@ object TextDedup {
     * k = signature length, bands × rowsPerBand = k. Returns
     * (id_a, id_b, jaccard) for candidates above `minJaccard`.
     * `md5Hashes` selects the engine-portable hash family. */
+  /** Fully relational MinHash+LSH — the 100 TB shape. No array-typed
+    * intermediates and no interpreted higher-order functions (those
+    * run outside codegen and cost ~30× here): the document explodes
+    * once into (doc, pos, token) rows, shingles come from two
+    * `lead` windows partitioned by doc, each shingle is hashed once,
+    * and signatures/bands/Jaccard are plain aggregations and joins
+    * that shuffle on doc / band / shingle keys.
+    *
+    * Signature slots: md5 path takes k ≤ 8 substring minima of one
+    * digest (engine-portable); xx path takes minima of k seeded
+    * xxhash64 values (production).
+    */
   def minhashLshPairs(docs: DataFrame, k: Int = 8, bands: Int = 4,
       shingleWidth: Int = 3, minJaccard: Double = 0.0, md5Hashes: Boolean = false,
       id: String = "doc_id", text: String = "text"): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val rowsPerBand = k / bands
-    val sh = docs.select(col(id), array_distinct(shingles(tokens(col(text)), shingleWidth)).as("sh"))
-    val sig = sh.withColumn("sig",
-      if (md5Hashes) minhashMd5(col("sh"), k) else minhashXx(col("sh"), k))
-    val banded = sig.select(col(id), col("sh"),
-        explode(lshBands(col("sig"), bands, rowsPerBand)).as("band"))
-    val a = banded.select(col("band"), col(id).as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col(id).as("id_b"), col("sh").as("sh_b"))
-    val cand = a.join(b, Seq("band")).filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+    val tok = docs.select(col(id), posexplode(tokens(col(text))).as(Seq("pos", "tk")))
+    val wDoc = Window.partitionBy(col(id)).orderBy(col("pos"))
+    // concat_ws skips nulls, so documents shorter than the shingle
+    // width produce one shingle of all their tokens (same semantics as
+    // the array formulation in TextFunctions.shingles).
+    val leads = (1 until shingleWidth).map(o => lead(col("tk"), o).over(wDoc))
+    // Persisted: the shingle relation feeds four branches (signature,
+    // sizes, both sides of the intersection join) whose aliased
+    // projections defeat exchange reuse — materialize once.
+    val shRows = tok
+      .withColumn("s", concat_ws(" ", (col("tk") +: leads): _*))
+      .withColumn("full", leads.last.isNotNull)
+      .filter(col("full") || col("pos") === 0)
+      .select(col(id), col("s")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hashed =
+      if (md5Hashes) {
+        require(k <= 8, "md5 minhash derives at most 8 16-bit slots per digest")
+        shRows.withColumn("h", md5(col("s")))
+      } else shRows
+    val slots: Seq[org.apache.spark.sql.Column] =
+      if (md5Hashes) (0 until k).map(i => min(substring(col("h"), i * 4 + 1, 4)).cast("string"))
+      else (0 until k).map(i => min(xxhash64(lit(i), col("s"))).cast("string"))
+    val sig = hashed.groupBy(col(id))
+      .agg(slots.head.as("m0"), slots.tail.zipWithIndex.map { case (c, i) => c.as(s"m${i + 1}") }: _*)
+    val bandCols = (0 until bands).map { b =>
+      concat_ws("#", lit(b.toString) +:
+        (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*)
+    }
+    val banded = sig.select(col(id), explode(array(bandCols: _*)).as("band"))
+    val cand = banded.select(col("band"), col(id).as("id_a"))
+      .join(banded.select(col("band"), col(id).as("id_b")), Seq("band"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Jaccard relationally: |A∩B| by joining shingle rows on the
+    // shingle string, |A∪B| from per-doc distinct counts.
+    val sizes = shRows.groupBy(col(id)).agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(shRows.select(col(id).as("id_a"), col("s")), Seq("id_a"))
+      .join(shRows.select(col(id).as("id_b"), col("s")), Seq("id_b", "s"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
     cand
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .join(inter, Seq("id_a", "id_b"), "left").na.fill(0L, Seq("inter"))
+      .join(sizes.select(col(id).as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col(id).as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
   }

@@ -239,19 +239,17 @@ object TextQueries {
             FROM pairs GROUP BY 1"""),
 
     "q35_minhash_lsh" ->
-      (s"""WITH sh AS ($shinglesSql), sig AS (
-            SELECT doc_id, sh,
-                   [list_min(list_transform(sh, x -> md5('0|' || x))),
-                    list_min(list_transform(sh, x -> md5('1|' || x))),
-                    list_min(list_transform(sh, x -> md5('2|' || x))),
-                    list_min(list_transform(sh, x -> md5('3|' || x))),
-                    list_min(list_transform(sh, x -> md5('4|' || x))),
-                    list_min(list_transform(sh, x -> md5('5|' || x))),
-                    list_min(list_transform(sh, x -> md5('6|' || x))),
-                    list_min(list_transform(sh, x -> md5('7|' || x)))] AS s
-            FROM sh
+      (s"""WITH sh AS ($shinglesSql), hashed AS (
+            SELECT doc_id, md5(unnest(sh)) AS h FROM sh
+          ), sig AS (
+            SELECT doc_id,
+                   [min(substr(h, 1, 4)), min(substr(h, 5, 4)),
+                    min(substr(h, 9, 4)), min(substr(h, 13, 4)),
+                    min(substr(h, 17, 4)), min(substr(h, 21, 4)),
+                    min(substr(h, 25, 4)), min(substr(h, 29, 4))] AS s
+            FROM hashed GROUP BY doc_id
           ), banded AS (
-            SELECT doc_id, sh,
+            SELECT doc_id,
                    unnest(['0#' || s[1] || '#' || s[2], '1#' || s[3] || '#' || s[4],
                            '2#' || s[5] || '#' || s[6], '3#' || s[7] || '#' || s[8]]) AS band
             FROM sig
