@@ -48,10 +48,12 @@ object SparkEntry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = coreQueries ++
-    graft.queries.MetaQueries.queries ++ graft.queries.TextQueries.queries
+    graft.queries.MetaQueries.queries ++ graft.queries.TextQueries.queries ++
+    graft.queries.ExtraQueries.queries
 
   def oracleSql: Map[String, String] = coreOracleSql ++
-    graft.queries.MetaQueries.oracleSql ++ graft.queries.TextQueries.oracleSql
+    graft.queries.MetaQueries.oracleSql ++ graft.queries.TextQueries.oracleSql ++
+    graft.queries.ExtraQueries.oracleSql
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §2.4 A1 + §2.1 scan: grouped aggregation battery ----

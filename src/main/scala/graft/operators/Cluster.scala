@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.model.ExpressionMatrix
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** A8/A9 — clustering utilities (`Study_effect.R:450-531`,
+  * `DiffExpression_closedPlatform.R:645-683`).
+  *
+  * The reference clusters *samples* (≤ a few hundred), so the
+  * distance matrix is tiny: it is computed distributed (self-join on
+  * gene) and the linkage runs on the driver — deterministic
+  * Lance–Williams Ward (explicitly "ward.D" semantics, the choice the
+  * reference inherited from pre-3.1 R; recorded per SURVEY §7.4.7).
+  */
+object Cluster {
+
+  /** Pairwise squared Euclidean distances between samples over their
+    * gene vectors — distributed, one shuffle on gene. */
+  def sampleDistances(m: ExpressionMatrix): DataFrame = {
+    val a = m.canonical.df.select(col("gene_id"), col("sample_id").as("s1"), col("value").as("v1"))
+    val b = m.canonical.df.select(col("gene_id"), col("sample_id").as("s2"), col("value").as("v2"))
+    a.join(b, Seq("gene_id")).filter(col("s1") < col("s2"))
+      .groupBy("s1", "s2")
+      .agg(sum((col("v1") - col("v2")) * (col("v1") - col("v2"))).as("dist2"),
+           count(lit(1)).as("n_genes"))
+  }
+
+  final case class Merge(step: Int, left: String, right: String, height: Double, size: Int)
+
+  /** Ward.D agglomeration on a collected distance matrix. Cluster
+    * labels are the sorted-joined member ids so output is
+    * deterministic regardless of driver map ordering; ties in minimum
+    * distance break on label order. */
+  def wardLinkage(distances: DataFrame): Seq[Merge] = {
+    val d0 = distances.collect().map(r =>
+      (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val samples = d0.keysIterator.flatMap { case (a, b) => Seq(a, b) }.toSeq.distinct.sorted
+    var dist = scala.collection.mutable.Map[(String, String), Double]()
+    for (((a, b), v) <- d0) dist(if (a < b) (a, b) else (b, a)) = v
+    var clusters = samples.map(s => s -> Seq(s)).to(scala.collection.mutable.LinkedHashMap)
+    def key(a: String, b: String) = if (a < b) (a, b) else (b, a)
+    val merges = Seq.newBuilder[Merge]
+    var step = 0
+    while (clusters.size > 1) {
+      step += 1
+      val pairs = clusters.keys.toSeq.sorted
+      var best: Option[((String, String), Double)] = None
+      for (i <- pairs.indices; j <- i + 1 until pairs.size) {
+        val k = key(pairs(i), pairs(j))
+        val v = dist.getOrElse(k, Double.MaxValue)
+        if (best.isEmpty || v < best.get._2) best = Some((k, v))
+      }
+      val ((ca, cb), h) = best.get
+      val na = clusters(ca).size.toDouble
+      val nb = clusters(cb).size.toDouble
+      val merged = (clusters(ca) ++ clusters(cb)).sorted
+      val newLabel = merged.mkString("+")
+      merges += Merge(step, ca, cb, h, merged.size)
+      // Lance–Williams update for Ward.D
+      for (c <- clusters.keys if c != ca && c != cb) {
+        val nc = clusters(c).size.toDouble
+        val dac = dist(key(ca, c)); val dbc = dist(key(cb, c)); val dab = dist(key(ca, cb))
+        val nd = ((na + nc) * dac + (nb + nc) * dbc - nc * dab) / (na + nb + nc)
+        dist(key(newLabel, c)) = nd
+      }
+      clusters.remove(ca); clusters.remove(cb)
+      clusters(newLabel) = merged
+    }
+    merges.result()
+  }
+}

@@ -171,6 +171,129 @@ object Meta {
     iccRdd.toDF("gidx", "icc").join(geneIdx, Seq("gidx")).select("gene_id", "icc")
   }
 
+  /** A21 — study-specific per-gene logistic regression
+    * (`Meta_analysis.R:581-598`, modelOutcome): for each gene, fit
+    * outcome ~ expression by IRLS and return the Wald z score of the
+    * slope. `groupByKey(gene).mapGroups` — per-group data is one row
+    * per sample (bounded by cohort size), the gene dimension stays
+    * fully distributed. */
+  def logisticZScores(m: ExpressionMatrix, outcomes: DataFrame,
+      outcomeCol: String = "outcome", maxIter: Int = 25): DataFrame = {
+    val spark = m.df.sparkSession
+    import spark.implicits._
+    val joined = m.canonical.df.join(broadcast(outcomes), Seq("sample_id"))
+      .select(col("gene_id"), col("sample_id"), col("value"),
+        col(outcomeCol).cast("double").as("y"))
+      .as[(String, String, Double, Double)]
+    joined.groupByKey(_._1).mapGroups { (gene, it) =>
+      // sort by sample so float accumulation order (and thus the last
+      // ulp of the fit) is reproducible across runs/partitionings
+      val rows = it.toArray.sortBy(_._2)
+      val x = rows.map(_._3)
+      val y = rows.map(_._4)
+      // IRLS for logit(p) = b0 + b1 x, Wald z = b1 / se(b1)
+      var b0 = 0.0; var b1 = 0.0
+      var iter = 0
+      var converged = false
+      var se = Double.NaN
+      while (iter < maxIter && !converged) {
+        var s00 = 0.0; var s01 = 0.0; var s11 = 0.0; var g0 = 0.0; var g1 = 0.0
+        var i = 0
+        while (i < x.length) {
+          val eta = b0 + b1 * x(i)
+          val p = 1.0 / (1.0 + math.exp(-eta))
+          val w = math.max(p * (1 - p), 1e-10)
+          s00 += w; s01 += w * x(i); s11 += w * x(i) * x(i)
+          g0 += y(i) - p; g1 += (y(i) - p) * x(i)
+          i += 1
+        }
+        val det = s00 * s11 - s01 * s01
+        if (math.abs(det) < 1e-12) { converged = true }
+        else {
+          val d0 = (s11 * g0 - s01 * g1) / det
+          val d1 = (s00 * g1 - s01 * g0) / det
+          b0 += d0; b1 += d1
+          se = math.sqrt(s00 / det)
+          if (math.abs(d0) < 1e-10 && math.abs(d1) < 1e-10) converged = true
+        }
+        iter += 1
+      }
+      (gene, b1, if (se > 0) b1 / se else Double.NaN)
+    }.toDF("gene_id", "beta", "z")
+  }
+
+  /** A23 — permutation FDR (`Meta_analysis.R:896-991`): observed
+    * per-gene effect |z| vs the pooled null distribution from `nperm`
+    * deterministic label permutations. FDR(gene) = (mean permuted
+    * exceedance count) / (observed count at that threshold), the
+    * zScoreFDR estimator shape. One explode fan-out, aggregations
+    * only. */
+  def permutationFdr(m: ExpressionMatrix, groups: DataFrame, groupA: String,
+      groupB: String, nperm: Int = 50): DataFrame = {
+    def zOf(stats: DataFrame, extraKey: Seq[String]): DataFrame = {
+      val keys = (Seq("gene_id") ++ extraKey).map(col)
+      stats.groupBy(keys: _*)
+        .agg(max(when(col("group") === groupA, col("mean"))).as("ma"),
+             max(when(col("group") === groupB, col("mean"))).as("mb"),
+             max(when(col("group") === groupA, col("var"))).as("va"),
+             max(when(col("group") === groupB, col("var"))).as("vb"),
+             max(when(col("group") === groupA, col("n"))).as("na"),
+             max(when(col("group") === groupB, col("n"))).as("nb"))
+        .filter(col("na") > 1 && col("nb") > 1)
+        .withColumn("z", (col("ma") - col("mb")) /
+          sqrt(col("va") / col("na") + col("vb") / col("nb")))
+    }
+    val obsStats = m.canonical.df.join(broadcast(groups), Seq("sample_id"))
+      .groupBy("gene_id", "group")
+      .agg(count(lit(1)).as("n"), avg("value").as("mean"), var_samp("value").as("var"))
+    val obs = zOf(obsStats, Nil).select(col("gene_id"), abs(col("z")).as("z_obs"))
+
+    val permLabels = permutationLabels(groups.select(col("sample_id"), col("group")),
+      "sample_id", "group", nperm)
+    val permStats = m.canonical.df
+      .join(permLabels.withColumnRenamed("perm_label", "group"), Seq("sample_id"))
+      .groupBy(col("gene_id"), col("perm"), col("group"))
+      .agg(count(lit(1)).as("n"), avg("value").as("mean"), var_samp("value").as("var"))
+    val permZ = zOf(permStats, Seq("perm")).select(col("gene_id"), abs(col("z")).as("z_perm"))
+
+    // pooled-null FDR: for each observed |z|, fraction of the pooled
+    // permuted |z| that exceed it, scaled by observed exceedance
+    val nGenes = obs.count().toDouble
+    val exceed = obs.join(permZ, Seq("gene_id"))
+      .groupBy(col("gene_id"), col("z_obs"))
+      .agg((sum((col("z_perm") >= col("z_obs")).cast("int")) / nperm.toDouble).as("e_null"))
+      .select(col("gene_id"), col("e_null"))
+    val obsRank = obs.withColumn("n_ge_obs",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("z_obs").desc)
+        .rangeBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    obsRank.join(exceed, Seq("gene_id"))
+      .withColumn("fdr", least(lit(1.0), col("e_null") * nGenes / col("n_ge_obs")))
+      .select("gene_id", "z_obs", "fdr")
+  }
+
+  /** A26 — set enrichment (`Meta_analysis.R:1359-1392`, topGO classic
+    * Fisher): per term, hypergeometric upper-tail p of the overlap
+    * between the term's gene set and the significant set. Counts are
+    * plain aggregations; the p-value is a deterministic kernel. */
+  def enrichment(term2gene: DataFrame, sigGenes: DataFrame, universe: DataFrame,
+      term: String = "term", gene: String = "gene_id"): DataFrame = {
+    val n = universe.select(col(gene)).distinct().count()
+    val k = sigGenes.select(col(gene)).distinct().count()
+    val counts = term2gene
+      .join(sigGenes.select(col(gene)).distinct().withColumn("__sig", lit(1)),
+        Seq(gene), "left")
+      .groupBy(col(term))
+      .agg(count(lit(1)).as("term_size"),
+           coalesce(sum(col("__sig")), lit(0L)).as("overlap"))
+    val hyperP = udf((termSize: Long, overlap: Long) =>
+      new org.apache.commons.math3.distribution.HypergeometricDistribution(
+        null, n.toInt, k.toInt, termSize.toInt)
+        .upperCumulativeProbability(overlap.toInt))
+    counts.withColumn("p", hyperP(col("term_size"), col("overlap")))
+      .withColumn("n_universe", lit(n)).withColumn("n_sig", lit(k))
+  }
+
   /** A30 — mean ICC per gene over platform-pair combinations. */
   def meanIcc(iccPairs: DataFrame, gene: String = "gene_id"): DataFrame =
     iccPairs.groupBy(col(gene)).agg(avg(col("icc")).as("mean_icc"))

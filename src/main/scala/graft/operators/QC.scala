@@ -72,8 +72,8 @@ object QC {
     val pcaModel = new org.apache.spark.ml.feature.PCA()
       .setK(k).setInputCol("__scaled").setOutputCol("__pc").fit(scaled)
     val toArr = udf((v: org.apache.spark.ml.linalg.Vector) => v.toArray)
-    val out = scaled.select(col("sample_id"),
-      toArr(pcaModel.transform(scaled)("__pc")).as("__arr"))
+    val out = pcaModel.transform(scaled)
+      .select(col("sample_id"), toArr(col("__pc")).as("__arr"))
     (0 until k).foldLeft(out) { case (df, i) =>
       df.withColumn(s"pc${i + 1}", col("__arr")(i))
     }.drop("__arr")

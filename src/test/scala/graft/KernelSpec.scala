@@ -1,0 +1,109 @@
+package graft
+
+import graft.model.ExpressionMatrix
+import graft.operators.{Batch, Cluster, Meta, Normalize}
+import graft.sources.MatrixIO
+import org.apache.spark.sql.functions._
+
+class KernelSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("SQL extensions register qnorm/pnorm/vec_dot") {
+    val r = spark.sql(
+      "SELECT qnorm(0.975) AS q, pnorm(1.959963984540054) AS p, " +
+      "vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").head()
+    assert(math.abs(r.getDouble(0) - 1.959963984540054) < 1e-9)
+    assert(math.abs(r.getDouble(1) - 0.975) < 1e-9)
+    assert(r.getDouble(2) == 11.0)
+  }
+
+  test("combat removes an additive batch effect, preserves grand structure") {
+    // two batches, batch B shifted +10 on every gene
+    val rows = for {
+      g <- 1 to 20; b <- Seq("X", "Y"); i <- 1 to 5
+    } yield {
+      val base = g.toDouble + i * 0.1
+      (s"g$g", s"s$b$i", base + (if (b == "Y") 10.0 else 0.0))
+    }
+    val m = ExpressionMatrix(rows.toDF("gene_id", "sample_id", "value"))
+    val batches = rows.map(r => (r._2, r._2.substring(1, 2))).distinct.toDF("sample_id", "batch")
+    val adj = Batch.combat(m, batches).df
+    val byBatch = adj.join(batches, Seq("sample_id"))
+      .groupBy("batch").agg(avg("value").as("m")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // batch means should be pulled together (within ~0.5 after EB)
+    assert(math.abs(byBatch("X") - byBatch("Y")) < 0.5,
+      s"batch means after ComBat: $byBatch")
+  }
+
+  test("ward linkage merges the closest pair first, deterministic labels") {
+    val m = ExpressionMatrix(Seq(
+      ("g1", "a", 0.0), ("g1", "b", 0.1), ("g1", "c", 5.0),
+      ("g2", "a", 0.0), ("g2", "b", 0.1), ("g2", "c", 5.0)).toDF("gene_id", "sample_id", "value"))
+    val merges = Cluster.wardLinkage(Cluster.sampleDistances(m))
+    assert(merges.head.left == "a" && merges.head.right == "b")
+    assert(merges.size == 2)
+    assert(merges(1).height > merges.head.height)
+  }
+
+  test("logisticZScores finds positive slope for separable gene, ~0 for null") {
+    val rows = for (i <- 1 to 40) yield {
+      val y = if (i <= 20) 0.0 else 1.0
+      // overlapping distributions (perfect separation collapses the
+      // Wald z — Hauck–Donner — so keep the signal moderate)
+      Seq(("sep", s"s$i", y * 1.5 + (i % 10) * 0.3, y),
+          ("null", s"s$i", (i % 7).toDouble, y))
+    }
+    val flat = rows.flatten
+    val m = ExpressionMatrix(flat.map(t => (t._1, t._2, t._3)).toDF("gene_id", "sample_id", "value"))
+    val outcomes = flat.map(t => (t._2, t._4)).distinct.toDF("sample_id", "outcome")
+    val z = Meta.logisticZScores(m, outcomes).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(z("sep") > 1.5, s"separable gene z=${z("sep")}")
+    assert(math.abs(z("null")) < 1.5, s"null gene z=${z("null")}")
+  }
+
+  test("enrichment: fully-overlapping term gets small p, disjoint term large p") {
+    val term2gene = (Seq.tabulate(10)(i => ("hit", s"g$i")) ++
+      Seq.tabulate(10)(i => ("miss", s"h$i"))).toDF("term", "gene_id")
+    val sig = Seq.tabulate(10)(i => Tuple1(s"g$i")).toDF("gene_id")
+    val universe = (Seq.tabulate(10)(i => s"g$i") ++ Seq.tabulate(90)(i => s"h$i"))
+      .map(Tuple1(_)).toDF("gene_id")
+    val p = Meta.enrichment(term2gene, sig, universe).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("p")).toMap
+    assert(p("hit") < 1e-6)
+    assert(p("miss") > 0.5)
+  }
+
+  test("permutationFdr: a strong real effect gets low FDR") {
+    val rows = for (g <- 1 to 30; i <- 1 to 10) yield {
+      val grp = if (i <= 5) "A" else "B"
+      val signal = if (g == 1 && grp == "A") 5.0 else 0.0
+      (s"g$g", s"s$i", signal + ((g * 13 + i * 7) % 11) * 0.1)
+    }
+    val m = ExpressionMatrix(rows.toDF("gene_id", "sample_id", "value"))
+    val groups = (1 to 10).map(i => (s"s$i", if (i <= 5) "A" else "B")).toDF("sample_id", "group")
+    val fdr = Meta.permutationFdr(m, groups, "A", "B", nperm = 20).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(fdr("g1") < 0.2, s"signal gene fdr=${fdr("g1")}")
+  }
+
+  test("TSV matrix roundtrip preserves values (S1/S2)") {
+    val m = ExpressionMatrix(Seq(
+      ("g1", "s1", 1.5), ("g1", "s2", 2.5), ("g2", "s1", 3.0), ("g2", "s2", 4.0))
+      .toDF("gene_id", "sample_id", "value"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_tsv").toString + "/mat"
+    MatrixIO.writeTsvMatrix(m, Seq("s1", "s2"), dir)
+    val back = MatrixIO.readTsvMatrix(spark, dir).canonical.df
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(back(("g1", "s2")) == 2.5 && back(("g2", "s1")) == 3.0)
+  }
+
+  test("cqnLite floors low expression at zero and preserves sample rank order") {
+    val rows = for (g <- 1 to 10; s <- 1 to 4) yield
+      (s"g$g", s"s$s", (g * s).toDouble)
+    val out = Normalize.cqnLite(ExpressionMatrix(rows.toDF("gene_id", "sample_id", "value"))).df
+    val vals = out.select("value").as[Double].collect()
+    assert(vals.forall(v => v == 0.0 || v >= 2.0))
+  }
+}
