@@ -38,14 +38,18 @@ object Batch {
     val grand = df.groupBy("gene_id")
       .agg(avg("value").as("alpha"), var_samp("value").as("sigma2"))
       .filter(col("sigma2") > 0)
-    // 2. standardized data
+    // 2. standardized data (reused by the location/scale pass and the
+    // final adjustment — materialize once)
     val z = df.join(grand, Seq("gene_id"))
       .withColumn("z", (col("value") - col("alpha")) / sqrt(col("sigma2")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // 3. per-(gene, batch) location/scale
+    // 3. per-(gene, batch) location/scale (feeds both the hyperprior
+    // aggregate and the posterior map)
     val gb = z.groupBy("gene_id", "batch")
       .agg(count(lit(1)).as("n_b"), avg("z").as("gamma_hat"), var_samp("z").as("delta2_hat"))
       .filter(col("delta2_hat").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // 4. per-batch hyperpriors (moment estimates as in sva):
     //    gamma_bar, tau2 = var of gamma_hat; (a_prior, b_prior) from
@@ -59,21 +63,31 @@ object Batch {
     // 5. parametric EB posterior via sva's it.sol fixed point:
     //    g* = (n τ² γ̂ + δ²* γ̄)/(n τ² + δ²*)
     //    δ²* = (b + ½Σ(z−g*)² ) / (n/2 + a − 1), with Σ(z−g*)² =
-    //          (n−1)δ̂² + n(γ̂ − g*)²   [sufficient statistics only]
-    var post = gb.join(broadcast(hyper), Seq("batch"))
-      .withColumn("g_star", col("gamma_hat"))
-      .withColumn("d_star", col("delta2_hat"))
-    for (_ <- 1 to iterations) {
-      post = post
-        .withColumn("g_star",
-          (col("n_b") * col("tau2") * col("gamma_hat") + col("d_star") * col("gamma_bar")) /
-            (col("n_b") * col("tau2") + col("d_star")))
-        .withColumn("d_star",
-          (col("b_prior") + lit(0.5) * ((col("n_b") - 1) * col("delta2_hat") +
-            col("n_b") * (col("gamma_hat") - col("g_star")) * (col("gamma_hat") - col("g_star")))) /
-            (col("n_b") / 2 + col("a_prior") - 1))
-    }
-    val postSel = post.select(col("gene_id"), col("batch"), col("g_star"), col("d_star"))
+    //          (n−1)δ̂² + n(γ̂ − g*)²   [sufficient statistics only].
+    //    The iteration is row-local given the (broadcast) per-batch
+    //    hyperparameters, so it runs as a typed map — a bounded Scala
+    //    loop per (gene, batch) row — rather than as an unrolled
+    //    column expression whose tree would grow exponentially with
+    //    the iteration count.
+    val spark = m.df.sparkSession
+    import spark.implicits._
+    val postSel = gb.join(broadcast(hyper), Seq("batch"))
+      .select(col("gene_id"), col("batch"), col("n_b").cast("double"),
+        col("gamma_hat"), col("delta2_hat"),
+        col("gamma_bar"), col("tau2"), col("a_prior"), col("b_prior"))
+      .as[(String, String, Double, Double, Double, Double, Double, Double, Double)]
+      .map { case (gene, batch, n, gammaHat, delta2Hat, gammaBar, tau2, aPrior, bPrior) =>
+        var gStar = gammaHat
+        var dStar = delta2Hat
+        var i = 0
+        while (i < iterations) {
+          gStar = (n * tau2 * gammaHat + dStar * gammaBar) / (n * tau2 + dStar)
+          dStar = (bPrior + 0.5 * ((n - 1) * delta2Hat +
+            n * (gammaHat - gStar) * (gammaHat - gStar))) / (n / 2 + aPrior - 1)
+          i += 1
+        }
+        (gene, batch, gStar, dStar)
+      }.toDF("gene_id", "batch", "g_star", "d_star")
 
     // 6. adjust
     val adjusted = z.join(postSel, Seq("gene_id", "batch"))

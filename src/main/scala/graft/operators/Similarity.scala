@@ -21,6 +21,17 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   import graft.functions.VecDot.{vec_dot, vec_norm}
+  import graft.functions.TopKPairs.top_k_pairs
+
+  /** Bounded top-k per query via the partial-aggregable
+    * [[graft.functions.TopKPairs]] — no full sort, shuffle carries
+    * ≤ k rows per query. */
+  private def topKOf(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(top_k_pairs(col("cosine"), col("corpus_id"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("r0", "kv")))
+      .select(col("query_id"), col("kv.id").as("corpus_id"),
+        (col("r0") + 1).cast("int").as("rank"), col("kv.score").as("cosine"))
 
   /** Cosine similarity between two array<float|double> columns
     * (native codegen'd dot-product kernel, see [[graft.functions.VecDot]]). */
@@ -52,25 +63,26 @@ object Similarity {
       .filter(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
         (vec_dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("corpus_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    topKOf(scored, k)
   }
 
   /** Random-hyperplane (sign) sketch: `nBits` deterministic
-    * pseudo-random hyperplanes; bit i = sign(v · h_i) where h_i's
-    * components come from a hash of (i, dim) — reproducible without
-    * RNG state, computable inside codegen. */
+    * Rademacher hyperplanes; bit i = sign(v · h_i). The hyperplanes
+    * are generated driver-side with a fixed splitmix64 stream and
+    * baked into the plan as array literals, so each bit is one
+    * codegen'd [[graft.functions.VecDot]] loop — no per-dimension
+    * expression nodes. */
   def hyperplaneSketch(vec: Column, dim: Int, nBits: Int): Column = {
+    def splitmix64(seed: Long): Long = {
+      var z = seed + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
     val bits = (0 until nBits).map { i =>
-      // h_i[d] in {-1,+1} from xxhash64 parity — a Rademacher
-      // hyperplane; dot in double
-      val dot = (0 until dim).map { d =>
-        val sign = when(
-          (org.apache.spark.sql.functions.xxhash64(lit(i * 131071 + d)).bitwiseAND(lit(1L))) === 1L,
-          lit(1.0)).otherwise(lit(-1.0))
-        vec.getItem(d).cast("double") * sign
-      }.reduce(_ + _)
+      val h = Array.tabulate(dim)(d =>
+        if ((splitmix64(i.toLong * 1000003L + d) & 1L) == 1L) 1.0 else -1.0)
+      val dot = graft.functions.VecDot.vec_dot(vec, lit(h))
       when(dot >= 0, lit(1L << (i % 63))).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
@@ -91,9 +103,7 @@ object Similarity {
       .filter(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
         cosine(col("q_vec"), col("c_vec")).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("corpus_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    topKOf(scored, k)
   }
 
   /** IVF-style ANN: KMeans coarse quantizer (deterministic seed), each
@@ -129,8 +139,6 @@ object Similarity {
       .filter(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
         cosine(col("q_vec"), col("c_vec")).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("corpus_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    topKOf(scored, k)
   }
 }
