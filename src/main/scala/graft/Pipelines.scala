@@ -1,0 +1,91 @@
+package graft
+
+import graft.model.{ExpressionMatrix, Workspace}
+import graft.operators._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The reference's three entry-point chains (SURVEY.md §3) composed
+  * from the operator library — what a user of the reference runs
+  * today, re-expressed as DataFrame pipelines.
+  *
+  * E1 closed-platform:  probe filter → dedup → bind → ComBat → DE
+  * E2 open-platform:    counts → CQN-lite → ComBat → CPM/voom → DE
+  * E3 meta-analysis:    ICC → effect sizes → FEM/REM → weighted
+  *                      Stouffer → permutation FDR → enrichment
+  *
+  * Each stage input/output is the canonical long ExpressionMatrix, so
+  * chains can be checkpointed to parquet at exactly the reference's
+  * stage-file boundaries (Comb_*.exp, RNAseq_cqn.exp, topTables).
+  */
+object Pipelines {
+
+  /** E1 — closed-platform differential expression
+    * (`DiffExpression_closedPlatform.R`): outlier removal, reliable-
+    * probe semi-join, max-variance probe→gene dedup, datasets bound on
+    * common genes, ComBat batch adjustment, top-SD variance filter,
+    * moderated-t DE with BH-ranked topTable. */
+  def closedPlatformDE(datasets: Seq[(String, ExpressionMatrix)],
+      annot: DataFrame, flat: DataFrame, outliers: DataFrame, groups: DataFrame,
+      groupA: String, groupB: String, sdFrac: Double = 0.6): DataFrame = {
+    val perDataset = datasets.map { case (name, probes) =>
+      val cleaned = Filters.keepReliableProbes(
+        Filters.removeOutliers(probes, outliers), flat, "probe")
+      name -> Dedup.maxVarianceDedup(cleaned, annot, "probe", "gene_id")
+    }
+    val bound = ExpressionMatrix(SetOps.bindDatasets(perDataset)
+      .select("gene_id", "sample_id", "value", "dataset"))
+    val adjusted = Batch.combat(
+      ExpressionMatrix(bound.df.select("gene_id", "sample_id", "value")),
+      bound.df.select(col("sample_id"), col("dataset").as("batch")).distinct())
+    val filtered = Filters.topFracBySd(Filters.dropZeroVariance(adjusted), sdFrac)
+    val stats = DiffExpr.groupStats(filtered, groups)
+    DiffExpr.topTable(
+      DiffExpr.moderatedT(stats, "group", groupA, groupB).withColumnRenamed("p_mod", "p"))
+  }
+
+  /** E2 — open-platform (RNA-seq) differential expression
+    * (`GenExpressionComb_RNAseq.R` + `DiffExpression_openPlatform.R`):
+    * special-counter filter, outlier removal, zero-count partition,
+    * CQN-lite normalisation with the <2→0 floor, ComBat, top-SD
+    * filter, Welch DE. */
+  def openPlatformDE(counts: ExpressionMatrix, outliers: DataFrame,
+      batches: DataFrame, groups: DataFrame, groupA: String, groupB: String,
+      sdFrac: Double = 0.5): DataFrame = {
+    val cleaned = Filters.removeOutliers(Filters.dropSpecialCounters(counts), outliers)
+    val (nonzero, _) = Filters.partitionZeroCounts(cleaned)
+    val normalized = Normalize.cqnLite(nonzero)
+    val adjusted = Batch.combat(normalized, batches)
+    val filtered = Filters.topFracBySd(Filters.dropZeroVariance(adjusted), sdFrac)
+    val stats = DiffExpr.groupStats(filtered, groups)
+    DiffExpr.topTable(DiffExpr.welchT(stats, "group", groupA, groupB))
+  }
+
+  /** E3 — meta-analysis (`Meta_analysis.R`): per-platform effect
+    * sizes, ICC between platform pairs (negative-ICC genes dropped,
+    * F7), FEM/REM combine, weighted Stouffer over per-platform DE
+    * results with mean-ICC weights. Returns the `Meta_<AvsB>`-shaped
+    * relation: gene, platforms, avg log2FC, combined z, combined p. */
+  def metaAnalysis(platforms: Seq[(String, ExpressionMatrix)], groups: DataFrame,
+      groupA: String, groupB: String): DataFrame = {
+    // ICC per platform pair -> mean per gene; genes with negative mean
+    // ICC are dropped (Meta_analysis.R:620-645)
+    val iccPairs = platforms.combinations(2).map { case Seq((_, m1), (_, m2)) =>
+      Meta.icc(m1, m2)
+    }.reduce(_ unionByName _)
+    val meanIcc = Meta.meanIcc(iccPairs).filter(col("mean_icc") >= 0)
+
+    // per-platform DE (log2fc + p via Welch)
+    val perPlatform = platforms.map { case (name, m) =>
+      val stats = DiffExpr.groupStats(m, groups)
+      DiffExpr.welchT(stats, "group", groupA, groupB)
+        .select(col("gene_id"), col("log2fc"), col("p"))
+        .withColumn("platform", lit(name))
+    }.reduce(_ unionByName _)
+
+    val withIcc = perPlatform
+      .join(meanIcc.withColumnRenamed("mean_icc", "icc"), Seq("gene_id"), "left_semi")
+      .join(meanIcc.withColumnRenamed("mean_icc", "icc"), Seq("gene_id"))
+    Meta.weightedStouffer(withIcc)
+  }
+}

@@ -1,0 +1,73 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Typed metadata model + catalog — the engine's replacement for the
+  * reference's file-based workspace (SURVEY.md §1.2, FIXTURES.md).
+  *
+  * The reference coordinates its stages through tab-separated files:
+  * the dataset registry `GenExpression_InputFiles.txt`
+  * (`QC_Affy_U133Plus2.R:90-104`), per-dataset sample sheets
+  * `target_<ID>.txt`, and outlier lists `outliers_<ID>.txt`
+  * (`QC_Affy_U133Plus2.R:162-164`). Here those are typed relations in
+  * one `Workspace`; stage hand-offs become DataFrame hand-offs (or
+  * parquet checkpoint tables keyed by the same names).
+  */
+final case class DatasetMeta(dataset_name: String, target_file: String,
+    dtype: String, platform: String)
+
+final case class Sample(name: String, file_name: String, target: String,
+    replicate: Option[Int], dataset_name: String)
+
+final case class Outlier(dataset_name: String, sample_name: String)
+
+final case class ProbeAnnot(probe: String, gene_id: String,
+    gene_symbol: String, cigar: String, gene_no: Int)
+
+final case class GeneInfo(gene_id: String, gene_symbol: String,
+    length: Int, gc_content: Double)
+
+final case class Workspace(registry: DataFrame, samples: DataFrame,
+    outliers: DataFrame) {
+
+  /** Samples of one dataset, outliers removed, duplicate names dropped
+    * (F1 + F12 at load time, as every reference combiner does). */
+  def cleanSamples(datasetName: String): DataFrame =
+    samples.filter(col("dataset_name") === datasetName)
+      .join(broadcast(outliers.filter(col("dataset_name") === datasetName)
+        .select(col("sample_name").as("name"))), Seq("name"), "left_anti")
+      .dropDuplicates("name")
+
+  /** Biological group per sample across all datasets (the Target
+    * column), for the DE / meta stages. */
+  def groups: DataFrame =
+    samples.select(col("name").as("sample_id"), col("target").as("group"))
+
+  def datasetNames: Seq[String] =
+    registry.select("dataset_name").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+}
+
+object Workspace {
+  /** Read the reference's three TSV shapes into a typed workspace. */
+  def fromTsv(spark: SparkSession, registryPath: String,
+      samplesPath: String, outliersPath: String): Workspace = {
+    def tsv(p: String) = spark.read.option("sep", "\t").option("header", "true").csv(p)
+    val registry = tsv(registryPath).select(
+      col("DatasetName").as("dataset_name"), col("TargetFile").as("target_file"),
+      col("Type").as("dtype"), col("Platform").as("platform"))
+    val samples = tsv(samplesPath).select(
+      col("Name").as("name"), col("FileName").as("file_name"),
+      col("Target").as("target"),
+      when(col("Replicate") === "NA", lit(null)).otherwise(col("Replicate"))
+        .cast("int").as("replicate"),
+      col("DatasetName").as("dataset_name"))
+    // outliers arrive comma-joined per dataset (FIXTURES.md §3)
+    val outliers = tsv(outliersPath)
+      .select(col("DatasetName").as("dataset_name"),
+        explode(split(col("Samples2exclude"), ",")).as("sample_name"))
+      .filter(col("sample_name") =!= "" && col("sample_name") =!= "NA")
+    Workspace(registry, samples, outliers)
+  }
+}

@@ -37,7 +37,11 @@ object DiffExpr {
       .select(col(gene), col("n").as("na"), col("mean").as("ma"), col("var").as("va"))
     val b = stats.filter(col(groupCol) === groupB)
       .select(col(gene), col("n").as("nb"), col("mean").as("mb"), col("var").as("vb"))
-    val j = a.join(b, Seq(gene)).filter(col("na") > 1 && col("nb") > 1)
+    // genes with zero variance in both groups are untestable (the
+    // reference drops them via the F4 zero-variance filter); guard here
+    // too so ANSI mode never divides by zero
+    val j = a.join(b, Seq(gene))
+      .filter(col("na") > 1 && col("nb") > 1 && (col("va") + col("vb")) > 0)
     val se2 = col("va") / col("na") + col("vb") / col("nb")
     val df = (se2 * se2) /
       ((col("va") / col("na")) * (col("va") / col("na")) / (col("na") - 1) +

@@ -28,7 +28,8 @@ object Meta {
            max(when(col(groupCol) === groupB, col("var"))).as("vb"),
            max(when(col(groupCol) === groupA, col("n"))).as("na"),
            max(when(col(groupCol) === groupB, col("n"))).as("nb"))
-      .filter(col("ma").isNotNull && col("mb").isNotNull && col("na") > 1 && col("nb") > 1)
+      .filter(col("ma").isNotNull && col("mb").isNotNull && col("na") > 1 && col("nb") > 1 &&
+        (col("va") + col("vb")) > 0)
     val sp = sqrt(((col("na") - 1) * col("va") + (col("nb") - 1) * col("vb")) /
       (col("na") + col("nb") - 2))
     val d = (col("ma") - col("mb")) / sp

@@ -279,7 +279,7 @@ object ExtraQueries {
            SELECT l_partkey, l_linestatus, na, nb,
                   (ma - mb) / sqrt(((na-1)*va + (nb-1)*vb) / (na+nb-2)) AS d
            FROM wide
-           WHERE ma IS NOT NULL AND mb IS NOT NULL AND na > 1 AND nb > 1
+           WHERE ma IS NOT NULL AND mb IS NOT NULL AND na > 1 AND nb > 1 AND (va + vb) > 0
          ), star AS (
            SELECT l_partkey, l_linestatus, na, nb, d,
                   d * (1 - 3.0 / (4*(na+nb-2) - 1)) AS dstar

@@ -279,7 +279,7 @@ object MetaQueries {
          SELECT l_partkey, l_linestatus, na, nb,
                 (ma - mb) / sqrt(((na-1)*va + (nb-1)*vb) / (na+nb-2)) AS d
          FROM wide
-         WHERE ma IS NOT NULL AND mb IS NOT NULL AND na > 1 AND nb > 1
+         WHERE ma IS NOT NULL AND mb IS NOT NULL AND na > 1 AND nb > 1 AND (va + vb) > 0
        ), star AS (
          SELECT l_partkey, l_linestatus, na, nb, d,
                 d * (1 - 3.0 / (4*(na+nb-2) - 1)) AS dstar
@@ -309,7 +309,7 @@ object MetaQueries {
                   round(pow(va/na + vb/nb, 2) /
                         (pow(va/na, 2)/(na-1) + pow(vb/nb, 2)/(nb-1)) + 1e-5, 2) + 0.0 AS df
            FROM wide
-           WHERE na > 1 AND nb > 1 AND ma IS NOT NULL AND mb IS NOT NULL""",
+           WHERE na > 1 AND nb > 1 AND ma IS NOT NULL AND mb IS NOT NULL AND (va + vb) > 0""",
 
     "q12_effect_sizes" ->
       (s"""WITH base AS ($effectSizesSql)

@@ -1,0 +1,113 @@
+package graft
+
+import graft.model.{ExpressionMatrix, Workspace}
+import org.apache.spark.sql.functions._
+
+class PipelinesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def probeData(datasets: Seq[String], shiftGene: String = "ENSG1") = {
+    // 2 probes per gene, 3 genes, 4 samples per dataset; gene ENSG1
+    // differentially expressed between groups
+    for {
+      ds <- datasets
+      probe <- Seq("p1a", "p1b", "p2a", "p2b", "p3a", "p3b")
+      i <- 1 to 4
+    } yield {
+      val gene = "ENSG" + probe.charAt(1)
+      val grp = if (i <= 2) "A" else "B"
+      val bump = if (gene == shiftGene && grp == "A") 3.0 else 0.0
+      val batchShift = if (ds == "ds2") 1.0 else 0.0
+      val noise = ((probe.hashCode.abs % 7) + i * 3 % 5) * 0.13
+      (probe, s"$ds-s$i", 8.0 + bump + batchShift + noise, ds, grp)
+    }
+  }
+
+  test("closedPlatformDE end-to-end: DE gene ranked first") {
+    val rows = probeData(Seq("ds1", "ds2"))
+    val datasets = Seq("ds1", "ds2").map { ds =>
+      ds -> ExpressionMatrix(rows.filter(_._4 == ds)
+        .map(r => (r._1, r._2, r._3)).toDF("gene_id", "sample_id", "value"))
+    }
+    val annot = Seq(("p1a", "ENSG1"), ("p1b", "ENSG1"), ("p2a", "ENSG2"),
+      ("p2b", "ENSG2"), ("p3a", "ENSG3"), ("p3b", "ENSG3")).toDF("probe", "gene_id")
+    val flat = annot.select("probe")  // all probes reliable
+    val outliers = Seq.empty[String].toDF("sample_id")
+    val groups = rows.map(r => (r._2, r._5)).distinct.toDF("sample_id", "group")
+    val top = Pipelines.closedPlatformDE(datasets, annot, flat, outliers, groups,
+      "A", "B", sdFrac = 1.0).collect()
+    assert(top.nonEmpty)
+    assert(top.head.getAs[String]("gene_id") == "ENSG1",
+      s"expected ENSG1 first, got ${top.map(_.getAs[String]("gene_id")).toSeq}")
+    assert(top.head.getAs[Double]("log2fc") > 1.0)
+  }
+
+  test("openPlatformDE end-to-end runs and keeps the signal gene") {
+    val rows = for {
+      g <- 1 to 8; i <- 1 to 8
+    } yield {
+      val grp = if (i <= 4) "A" else "B"
+      // noise larger than the inter-gene gap so per-sample ranks differ
+      // (quantile normalisation collapses variance when ranks agree)
+      val base = 50 + g * 10 + ((g * 13 + i * 7) % 9) * 8
+      val bump = if (g == 1 && grp == "A") 200 else 0
+      (s"g$g", s"s$i", (base + bump).toDouble, grp)
+    }
+    val counts = ExpressionMatrix(
+      (rows.map(r => (r._1, r._2, r._3)) ++
+        Seq(("__no_feature", "s1", 99.0), ("gz", "s1", 0.0), ("gz", "s2", 0.0)))
+        .toDF("gene_id", "sample_id", "value"))
+    val outliers = Seq.empty[String].toDF("sample_id")
+    val batches = (1 to 8).map(i => (s"s$i", if (i % 2 == 0) "b1" else "b2"))
+      .toDF("sample_id", "batch")
+    val groups = rows.map(r => (r._2, r._4)).distinct.toDF("sample_id", "group")
+    val top = Pipelines.openPlatformDE(counts, outliers, batches, groups, "A", "B",
+      sdFrac = 1.0).collect()
+    assert(top.nonEmpty)
+    val genes = top.map(_.getAs[String]("gene_id")).toSet
+    assert(!genes.contains("__no_feature") && !genes.contains("gz"))
+  }
+
+  test("metaAnalysis combines platforms and requires >=2-platform support") {
+    val rows = for {
+      plat <- Seq("P1", "P2"); g <- 1 to 12; i <- 1 to 6
+    } yield {
+      val grp = if (i <= 3) "A" else "B"
+      val corr = g * 1.0 + i * 0.2          // shared structure across platforms
+      val bump = if (g == 1 && grp == "A") 4.0 else 0.0
+      (plat, s"g$g", s"$plat-s$i", corr + bump + ((g * 7 + i * 3) % 5) * 0.1, grp)
+    }
+    val platforms = Seq("P1", "P2").map { p =>
+      p -> ExpressionMatrix(rows.filter(_._1 == p)
+        .map(r => (r._2, r._3, r._4)).toDF("gene_id", "sample_id", "value"))
+    }
+    val groups = rows.map(r => (r._3, r._5)).distinct.toDF("sample_id", "group")
+    val meta = Pipelines.metaAnalysis(platforms, groups, "A", "B").collect()
+    assert(meta.nonEmpty)
+    assert(meta.forall(_.getAs[Long]("n_platforms") >= 2))
+    val best = meta.minBy(_.getAs[Double]("p_comb"))
+    assert(best.getAs[String]("gene_id") == "g1",
+      s"expected g1 most significant, got ${best}")
+  }
+
+  test("Workspace.fromTsv parses registry/target/outlier fixture shapes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ws")
+    def write(name: String, content: String) = {
+      val p = dir.resolve(name)
+      java.nio.file.Files.writeString(p, content)
+      p.toString
+    }
+    val reg = write("registry.tsv",
+      "DatasetName\tTargetFile\tType\tPlatform\nGSE1\t/t1\traw\tAffy_U133Plus2\n")
+    val tgt = write("target.tsv",
+      "Name\tFileName\tTarget\tReplicate\tDatasetName\n" +
+      "S1\tf1.CEL\tNormal\tNA\tGSE1\nS2\tf2.CEL\tTumour\t1\tGSE1\nS3\tf3.CEL\tTumour\tNA\tGSE1\n")
+    val out = write("outliers.tsv",
+      "DatasetName\tDataDir\tSamples2exclude\nGSE1\t/d\tS3\n")
+    val ws = Workspace.fromTsv(spark, reg, tgt, out)
+    assert(ws.datasetNames == Seq("GSE1"))
+    val clean = ws.cleanSamples("GSE1").select("name").as[String].collect().sorted
+    assert(clean.toSeq == Seq("S1", "S2"))
+    assert(ws.groups.count() == 3)
+  }
+}
