@@ -1,0 +1,86 @@
+package graft
+
+import graft.model.ExpressionMatrix
+import graft.operators.{DiffExpr, Normalize, TextDedup}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based invariants (SURVEY.md §5.3): the reference has no
+  * tests, so the engine asserts the mathematical invariants its plots
+  * used to eyeball. Cases are drawn from scalacheck generators on
+  * fixed seeds (the offline cache has scalacheck but not the
+  * scalatest bridge, so sampling is explicit). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cases[A](g: Gen[A], n: Int = 5): Seq[A] =
+    (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("quantile normalisation preserves within-sample rank order") {
+    val gen = Gen.listOfN(12, Gen.choose(0.0, 100.0))
+    for ((s1, s2) <- cases(Gen.zip(gen, gen))) {
+      val rows = s1.zipWithIndex.map { case (v, i) => (s"g$i", "s1", v) } ++
+        s2.zipWithIndex.map { case (v, i) => (s"g$i", "s2", v) }
+      val qn = Normalize.quantileNormalize(
+        ExpressionMatrix(rows.toDF("gene_id", "sample_id", "value"))).df
+        .collect().map(r => (r.getString(1), r.getString(0)) -> r.getDouble(2)).toMap
+      for ((sid, vals) <- Seq("s1" -> s1, "s2" -> s2)) {
+        // qn values listed in original-value rank order must be non-decreasing
+        val rankOrder = vals.zipWithIndex.sortBy(t => (t._1, t._2)).map(_._2)
+        val inRankOrder = rankOrder.map(i => qn((sid, s"g$i")))
+        assert(inRankOrder.sliding(2).forall {
+          case Seq(a, b) => a <= b + 1e-12; case _ => true })
+      }
+    }
+  }
+
+  test("BH adjustment is monotone and bounded by [p, 1]") {
+    for (ps <- cases(Gen.listOfN(15, Gen.choose(0.0, 1.0)))) {
+      val df = ps.zipWithIndex.map { case (p, i) => (s"t$i", p) }.toDF("id", "p")
+      val adj = DiffExpr.bhAdjust(df, "p", Seq(col("id")))
+        .select("p", "p_bh").collect()
+        .map(r => (r.getDouble(0), r.getDouble(1)))
+      assert(adj.forall { case (p, q) => q >= p - 1e-12 && q <= 1.0 + 1e-12 })
+      val sorted = adj.sortBy(_._1).map(_._2)
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a <= b + 1e-12; case _ => true })
+    }
+  }
+
+  test("exact dedup is idempotent") {
+    val textGen = Gen.listOfN(10, Gen.oneOf("alpha beta", "Gamma delta", "alpha  BETA!"))
+    for (texts <- cases(textGen, 3)) {
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val once = TextDedup.exactDedup(docs)
+      val twice = TextDedup.exactDedup(once)
+      assert(once.select("doc_id").as[Long].collect().sorted.toSeq ==
+        twice.select("doc_id").as[Long].collect().sorted.toSeq)
+    }
+  }
+
+  test("melt/pivot round-trip is the identity on complete matrices") {
+    for (vs <- cases(Gen.listOfN(6, Gen.choose(-50.0, 50.0)))) {
+      val rows = for ((v, i) <- vs.zipWithIndex)
+        yield (s"g${i / 2}", s"s${i % 2}", v)
+      val m = ExpressionMatrix(rows.toDF("gene_id", "sample_id", "value"))
+      val back = ExpressionMatrix.melt(
+        m.pivot(Seq("s0", "s1")), "gene_id").df
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+      assert(rows.forall { case (g, s, v) => math.abs(back((g, s)) - v) < 1e-12 })
+    }
+  }
+
+  test("weighted Stouffer combined p is monotone in each platform p") {
+    import graft.operators.Meta
+    def comb(p1: Double): Double = {
+      val df = Seq(("g", 0.5, p1, 2.0), ("g", 0.5, 0.2, 1.5))
+        .toDF("gene_id", "icc", "p", "log2fc")
+      Meta.weightedStouffer(df).select("p_comb").as[Double].head()
+    }
+    val ps = Seq(0.001, 0.01, 0.05, 0.2, 0.5)
+    val combined = ps.map(comb)
+    assert(combined.sliding(2).forall { case Seq(a, b) => a <= b + 1e-12; case _ => true },
+      s"combined p not monotone: ${ps.zip(combined)}")
+  }
+}
