@@ -92,6 +92,25 @@ object DiffExpr {
       .select(col(gene), col("log2fc"), col("t_mod"), col("df_total"), col("p_mod"))
   }
 
+  /** A14 — array quality weights (`DiffExpression_closedPlatform.R:456-464`,
+    * limma `arrayWeights`). Documented v1 simplification (SURVEY.md
+    * §7.4.2): instead of the full gene-by-gene REML iteration, each
+    * array's weight is the inverse of its mean squared residual from
+    * the per-(gene, group) means, normalised to mean 1 — the same
+    * "noisy arrays count less" contract, one aggregation pass. */
+  def arrayWeights(m: ExpressionMatrix, groups: DataFrame,
+      groupCol: String = "group"): DataFrame = {
+    val withGroup = m.canonical.df.join(broadcast(groups), Seq("sample_id"))
+    val cellMeans = withGroup.groupBy("gene_id", groupCol)
+      .agg(avg("value").as("__mu"))
+    val resid = withGroup.join(cellMeans, Seq("gene_id", groupCol))
+      .withColumn("__r2", (col("value") - col("__mu")) * (col("value") - col("__mu")))
+      .groupBy("sample_id").agg(avg("__r2").as("msr"))
+      .withColumn("__w_raw", lit(1.0) / greatest(col("msr"), lit(1e-12)))
+    val meanW = resid.agg(avg("__w_raw")).head().getDouble(0)
+    resid.select(col("sample_id"), (col("__w_raw") / meanW).as("weight"))
+  }
+
   /** W5/A13 — Benjamini–Hochberg adjustment as a window program:
     * rank p ascending (deterministic tiebreak), candidate = p·n/rank,
     * adjusted = running minimum of candidates from the current row to

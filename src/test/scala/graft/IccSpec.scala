@@ -1,0 +1,59 @@
+package graft
+
+import graft.model.ExpressionMatrix
+import graft.operators.{DiffExpr, Meta}
+import org.apache.spark.sql.functions._
+
+class IccSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pearson(a: Seq[Double], b: Seq[Double]): Double = {
+    val n = a.size
+    val ma = a.sum / n; val mb = b.sum / n
+    val cov = a.zip(b).map { case (x, y) => (x - ma) * (y - mb) }.sum
+    val va = a.map(x => (x - ma) * (x - ma)).sum
+    val vb = b.map(y => (y - mb) * (y - mb)).sum
+    cov / math.sqrt(va * vb)
+  }
+
+  test("Meta.icc matches the direct correlation-of-correlation-vectors definition") {
+    // deterministic values, 4 genes x 5 samples per platform
+    def value(p: Int, g: Int, s: Int): Double =
+      g * 2.0 + math.sin(g * 3 + s * 7 + p).abs * 5 + (g * s % 4) * 0.7 + p * 0.3
+    val genes = (1 to 4).map(g => s"g$g")
+    val rows = for (p <- Seq(1, 2); g <- 1 to 4; s <- 1 to 5)
+      yield (p, s"g$g", s"p$p-s$s", value(p, g, s))
+    val m1 = ExpressionMatrix(rows.filter(_._1 == 1).map(r => (r._2, r._3, r._4))
+      .toDF("gene_id", "sample_id", "value"))
+    val m2 = ExpressionMatrix(rows.filter(_._1 == 2).map(r => (r._2, r._3, r._4))
+      .toDF("gene_id", "sample_id", "value"))
+
+    // direct (reference-shaped) computation: per platform, each gene's
+    // correlation vector against every other gene; ICC = Pearson of the
+    // two vectors across the *other* genes
+    def geneVec(p: Int, g: Int): Seq[Double] = (1 to 5).map(s => value(p, g, s))
+    def corrVec(p: Int, g: Int): Seq[Double] =
+      (1 to 4).filter(_ != g).map(o => pearson(geneVec(p, g), geneVec(p, o)))
+    val expected = (1 to 4).map(g => s"g$g" -> pearson(corrVec(1, g), corrVec(2, g))).toMap
+
+    val got = Meta.icc(m1, m2).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == expected.keySet)
+    for ((g, e) <- expected)
+      assert(math.abs(got(g) - e) < 1e-9, s"$g: got ${got(g)} expected $e")
+  }
+
+  test("arrayWeights downweights a noisy array") {
+    val rows = for (g <- 1 to 30; s <- 1 to 6) yield {
+      val grp = if (s <= 3) "A" else "B"
+      val noise = if (s == 6) ((g * 17) % 13 - 6) * 1.0 else ((g * 7 + s) % 5 - 2) * 0.1
+      (s"g$g", s"s$s", 5.0 + g * 0.1 + noise, grp)
+    }
+    val m = ExpressionMatrix(rows.map(r => (r._1, r._2, r._3)).toDF("gene_id", "sample_id", "value"))
+    val groups = rows.map(r => (r._2, r._4)).distinct.toDF("sample_id", "group")
+    val w = DiffExpr.arrayWeights(m, groups).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(w("s6") < w("s1"), s"noisy array not downweighted: $w")
+    assert(math.abs(w.values.sum / w.size - 1.0) < 1e-9)
+  }
+}
