@@ -17,24 +17,34 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      // Normalize IEEE negative zero (+ 0.0 ⇒ +0.0) on every double
-      // column: engines disagree on the sign of rounded -0.0 and the
-      // driver's hash compare is bit-sensitive.
-      import org.apache.spark.sql.functions.{col, lit}
-      import org.apache.spark.sql.types.DoubleType
-      try {
-        val df = fn(spark, sfDir)
-        val fixed = df.select(df.schema.fields.map { f =>
-          if (f.dataType == DoubleType) (col(f.name) + lit(0.0)).as(f.name)
-          else col(f.name)
-        }.toSeq: _*)
-        fixed.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-      }
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+    // Queries run on a small thread pool — Spark schedules concurrent
+    // jobs, so independent query dumps overlap their stages and the
+    // wall time drops ~3x vs sequential.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val tasks = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      pool.submit(new Runnable {
+        override def run(): Unit = {
+          // Normalize IEEE negative zero (+ 0.0 ⇒ +0.0) on every double
+          // column: engines disagree on the sign of rounded -0.0 and the
+          // driver's hash compare is bit-sensitive.
+          import org.apache.spark.sql.functions.{col, lit}
+          import org.apache.spark.sql.types.DoubleType
+          try {
+            val df = fn(spark, sfDir)
+            val fixed = df.select(df.schema.fields.map { f =>
+              if (f.dataType == DoubleType) (col(f.name) + lit(0.0)).as(f.name)
+              else col(f.name)
+            }.toSeq: _*)
+            fixed.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+          }
+          catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          }
+        }
+      })
     }
+    tasks.foreach(_.get())
+    pool.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

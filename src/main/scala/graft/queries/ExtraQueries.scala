@@ -206,6 +206,24 @@ object ExtraQueries {
         .orderBy("term")
     }),
 
+    // ---- A18: RMA median-polish summarisation (rows-only) ----
+    "q54_median_polish" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").filter(col("l_partkey") <= 100)
+      val probes = ExpressionMatrix(li
+        .groupBy(col("l_partkey"), col("l_linenumber"), col("l_suppkey"))
+        .agg(avg("l_extendedprice").as("value"))
+        .select(concat_ws("-", col("l_partkey"), col("l_linenumber")).as("gene_id"),
+          col("l_suppkey").cast("string").as("sample_id"), col("value")))
+      val annot = li.select(
+        concat_ws("-", col("l_partkey"), col("l_linenumber")).as("probe"),
+        col("l_partkey").cast("string").as("probeset")).distinct()
+      Dedup.medianPolish(probes, annot)
+        .df.select(col("gene_id").cast("long").as("l_partkey"),
+          col("sample_id").cast("long").as("l_suppkey"),
+          round(col("value") + 1e-5, 2).as("summarized"))
+        .orderBy("l_partkey", "l_suppkey")
+    }),
+
     // ---- A8: Ward linkage dendrogram heights ----
     "q51_ward" -> ((s, dir) => {
       val m = ExpressionMatrix(t(s, dir, "lineitem")

@@ -106,4 +106,19 @@ class KernelSpec extends SparkSpec {
     val vals = out.select("value").as[Double].collect()
     assert(vals.forall(v => v == 0.0 || v >= 2.0))
   }
+
+  test("medianPolish recovers additive probe/sample effects") {
+    // value = overall(5) + probe effect + sample effect (median-zero sets)
+    val probeEff = Map("p1" -> -1.0, "p2" -> 0.0, "p3" -> 2.0)
+    val sampleEff = Map("s1" -> -0.5, "s2" -> 0.0, "s3" -> 1.5)
+    val rows = for (p <- probeEff.keys.toSeq; s <- sampleEff.keys.toSeq)
+      yield (p, s, 5.0 + probeEff(p) + sampleEff(s))
+    val m = graft.model.ExpressionMatrix(rows.toDF("gene_id", "sample_id", "value"))
+    val annot = probeEff.keys.toSeq.map(p => (p, "ps1")).toDF("probe", "probeset")
+    val out = graft.operators.Dedup.medianPolish(m, annot).df.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    for ((s, e) <- sampleEff)
+      assert(math.abs(out(("ps1", s)) - (5.0 + e)) < 1e-9,
+        s"sample $s: got ${out(("ps1", s))}")
+  }
 }
