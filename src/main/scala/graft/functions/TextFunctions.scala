@@ -66,15 +66,15 @@ object TextFunctions {
       concat_ws("#", lit(b.toString) +:
         (0 until rowsPerBand).map(r => signature(b * rowsPerBand + r).cast("string")): _*)): _*)
 
-  /** 32-bit SimHash from md5 bit votes: bit i is set when the sum over
-    * tokens of ±1 votes (sign from md5(token#i)'s leading hex nibble)
-    * is positive. Portable across engines; the production variant
-    * would draw all 32 votes from one xxhash64 call per token. */
+  /** 32-bit SimHash from md5 bit votes: ONE digest per token, bit i's
+    * ±1 vote from the sign of the digest's i-th hex character
+    * (< '8' ⇔ high bit clear). Portable across engines and 32× fewer
+    * digests than hashing per (token, bit). */
   def simhashMd5(toks: Column, bits: Int = 32): Column = {
+    require(bits <= 32, "md5 provides 32 hex chars = 32 votes")
     val votes = (0 until bits).map { i =>
-      val vote = aggregate(toks, lit(0),
-        (acc, t) => acc +
-          when(substring(md5(concat(t, lit("#" + i))), 1, 1) < "8", 1).otherwise(-1))
+      val vote = aggregate(transform(toks, t => md5(t)), lit(0),
+        (acc, h) => acc + when(substring(h, i + 1, 1) < "8", 1).otherwise(-1))
       when(vote > 0, lit(1L << i)).otherwise(lit(0L))
     }
     votes.reduce(_ + _)

@@ -121,11 +121,19 @@ object DiffExpr {
   def bhAdjust(df: DataFrame, p: String, tiebreak: Seq[Column], out: String = "p_bh"): DataFrame = {
     val n = count(lit(1)).over(Window.partitionBy())
     val wRank = Window.orderBy(col(p).asc +: tiebreak.map(_.asc): _*)
-    val wSuffix = Window.orderBy(col(p).asc +: tiebreak.map(_.asc): _*)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // The running min "from here to the largest p" is expressed as a
+    // GROWING frame over the reverse ordering: Spark evaluates
+    // unbounded-preceding frames incrementally (O(n)), whereas an
+    // unbounded-following frame re-scans the buffered partition per
+    // row — O(n²), catastrophic once the window buffer spills.
+    // __rk is the final tie-break so the reverse ordering is the exact
+    // mirror of the ranking order even when (p, tiebreak) has
+    // duplicate keys.
+    val wRevCum = Window.orderBy(col(p).desc +: tiebreak.map(_.desc) :+ col("__rk").desc: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("__n", n)
       .withColumn("__rk", row_number().over(wRank))
-      .withColumn(out, least(lit(1.0), min(col(p) * col("__n") / col("__rk")).over(wSuffix)))
+      .withColumn(out, least(lit(1.0), min(col(p) * col("__n") / col("__rk")).over(wRevCum)))
       .drop("__n", "__rk")
   }
 

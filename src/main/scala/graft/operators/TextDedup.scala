@@ -42,25 +42,34 @@ object TextDedup {
     * digest (engine-portable); xx path takes minima of k seeded
     * xxhash64 values (production).
     */
+  /** Distinct shingle rows `(id, extras..., s)` — the relational
+    * shingle shape: posexplode once, shingles from `lead` windows
+    * partitioned by doc (codegen'd; the array/HOF formulation is
+    * ~30× slower interpreted). concat_ws skips nulls, so documents
+    * shorter than the width yield one shingle of all their tokens,
+    * matching TextFunctions.shingles. */
+  def shingleRows(docs: DataFrame, shingleWidth: Int, id: String = "doc_id",
+      text: String = "text", extras: Seq[String] = Nil): DataFrame = {
+    val tok = docs.select((col(id) +: extras.map(col)) :+
+      posexplode(tokens(col(text))).as(Seq("pos", "tk")): _*)
+    val wDoc = Window.partitionBy(col(id)).orderBy(col("pos"))
+    val leads = (1 until shingleWidth).map(o => lead(col("tk"), o).over(wDoc))
+    tok
+      .withColumn("s", concat_ws(" ", (col("tk") +: leads): _*))
+      .withColumn("full", leads.last.isNotNull)
+      .filter(col("full") || col("pos") === 0)
+      .select((col(id) +: extras.map(col)) :+ col("s"): _*).distinct()
+  }
+
   def minhashLshPairs(docs: DataFrame, k: Int = 8, bands: Int = 4,
       shingleWidth: Int = 3, minJaccard: Double = 0.0, md5Hashes: Boolean = false,
       id: String = "doc_id", text: String = "text"): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val rowsPerBand = k / bands
-    val tok = docs.select(col(id), posexplode(tokens(col(text))).as(Seq("pos", "tk")))
-    val wDoc = Window.partitionBy(col(id)).orderBy(col("pos"))
-    // concat_ws skips nulls, so documents shorter than the shingle
-    // width produce one shingle of all their tokens (same semantics as
-    // the array formulation in TextFunctions.shingles).
-    val leads = (1 until shingleWidth).map(o => lead(col("tk"), o).over(wDoc))
     // Persisted: the shingle relation feeds four branches (signature,
     // sizes, both sides of the intersection join) whose aliased
     // projections defeat exchange reuse — materialize once.
-    val shRows = tok
-      .withColumn("s", concat_ws(" ", (col("tk") +: leads): _*))
-      .withColumn("full", leads.last.isNotNull)
-      .filter(col("full") || col("pos") === 0)
-      .select(col(id), col("s")).distinct()
+    val shRows = shingleRows(docs, shingleWidth, id, text)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hashed =
       if (md5Hashes) {

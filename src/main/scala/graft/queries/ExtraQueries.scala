@@ -206,6 +206,35 @@ object ExtraQueries {
         .orderBy("term")
     }),
 
+    // ---- A13: decideTests significance calls at (alpha, lfc) ----
+    "q55_decide_tests" -> ((s, dir) => {
+      val p = t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        (((col("l_orderkey") * 131 + col("l_linenumber") * 7919) % 9973) / lit(9973.0)).as("p"),
+        (((col("l_orderkey") * 7) % 21) - 10).cast("double").as("log2fc"))
+      val adj = DiffExpr.bhAdjust(p, "p", Seq(col("l_orderkey"), col("l_linenumber")))
+      DiffExpr.decideTests(adj, alpha = 0.4, minLfc = 3.0)
+        .groupBy("sig").agg(count(lit(1)).as("n"))
+        .orderBy("sig")
+    }),
+
+    // ---- A12: all-pairwise-contrast enumeration (combn semantics) ----
+    "q56_contrasts" -> ((s, dir) => {
+      val stats = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"), col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), avg("l_extendedprice").as("mean"),
+             var_samp("l_extendedprice").as("var"))
+        .withColumnRenamed("l_returnflag", "group")
+        .withColumnRenamed("l_partkey", "gene_id")
+      val flags = Seq("A", "N", "R")
+      flags.combinations(2).map { case Seq(a, b) =>
+        DiffExpr.welchT(stats, "group", a, b)
+          .select(lit(s"${a}_vs_$b").as("contrast"), col("gene_id").as("l_partkey"),
+            round(col("log2fc") + 1e-5, 2).as("log2fc"),
+            round(col("t") + 1e-7, 4).as("t_stat"))
+      }.reduce(_ unionByName _).orderBy("contrast", "l_partkey")
+    }),
+
     // ---- A18: RMA median-polish summarisation (rows-only) ----
     "q54_median_polish" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").filter(col("l_partkey") <= 100)
@@ -240,7 +269,52 @@ object ExtraQueries {
     }),
   )
 
+  private def contrastSql(a: String, b: String) =
+    s"""SELECT '${a}_vs_$b' AS contrast, l_partkey,
+        round((ma - mb) + 1e-5, 2) + 0.0 AS log2fc,
+        round((ma - mb) / sqrt(va/na + vb/nb) + 1e-7, 4) + 0.0 AS t_stat
+        FROM (
+          SELECT l_partkey,
+                 max(CASE WHEN l_returnflag='$a' THEN n END) AS na,
+                 max(CASE WHEN l_returnflag='$a' THEN mean END) AS ma,
+                 max(CASE WHEN l_returnflag='$a' THEN var END) AS va,
+                 max(CASE WHEN l_returnflag='$b' THEN n END) AS nb,
+                 max(CASE WHEN l_returnflag='$b' THEN mean END) AS mb,
+                 max(CASE WHEN l_returnflag='$b' THEN var END) AS vb
+          FROM (SELECT l_partkey, l_returnflag, count(*) AS n,
+                       avg(l_extendedprice) AS mean, var_samp(l_extendedprice) AS var
+                FROM lineitem GROUP BY 1, 2)
+          GROUP BY 1
+        ) WHERE na > 1 AND nb > 1 AND ma IS NOT NULL AND mb IS NOT NULL
+              AND (va + vb) > 0"""
+
   val oracleSql: Map[String, String] = Map(
+    "q55_decide_tests" ->
+      """WITH p AS (
+           SELECT l_orderkey, l_linenumber,
+                  ((l_orderkey * 131 + l_linenumber * 7919) % 9973) / 9973.0 AS p,
+                  CAST(((l_orderkey * 7) % 21) - 10 AS DOUBLE) AS log2fc
+           FROM lineitem
+         ), ranked AS (
+           SELECT *, count(*) OVER () AS n,
+                  row_number() OVER (ORDER BY p ASC, l_orderkey ASC, l_linenumber ASC) AS rk
+           FROM p
+         ), adj AS (
+           SELECT log2fc,
+                  least(1.0, min(p * n / rk) OVER
+                    (ORDER BY p ASC, l_orderkey ASC, l_linenumber ASC
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS p_bh
+           FROM ranked
+         ) SELECT CAST(CASE WHEN p_bh < 0.4 AND abs(log2fc) > 3.0
+                            THEN CASE WHEN log2fc > 0 THEN 1 WHEN log2fc < 0 THEN -1 ELSE 0 END
+                            ELSE 0 END AS INT) AS sig,
+                  count(*) AS n
+           FROM adj GROUP BY 1""",
+
+    "q56_contrasts" ->
+      (contrastSql("A", "N") + "\nUNION ALL\n" + contrastSql("A", "R") +
+       "\nUNION ALL\n" + contrastSql("N", "R")),
+
     "q28_melt" ->
       """WITH wide AS (
            SELECT l_partkey,

@@ -75,18 +75,32 @@ object TextQueries {
     }),
 
     // ---- n-gram Jaccard similarity, aggregated per source ----
+    // Relational: |A∩B| from a shingle-row self-join, |A∪B| from
+    // per-doc sizes, pair universe C(n,2) analytically — non-
+    // intersecting pairs contribute 0 without being materialized.
     "q34_ngram_jaccard" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val pairs = docs.alias("a").join(docs.alias("b"),
-          col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.source").as("source"),
-          col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      TextDedup.ngramJaccard(docs, pairs)
-        .join(docs.select(col("doc_id").as("id_a"), col("source")), Seq("id_a"))
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_pairs"),
-          round(avg("jaccard") + 1e-9, 6).as("avg_jaccard"),
-          round(max("jaccard") + 1e-9, 6).as("max_jaccard"))
+      val sh = TextDedup.shingleRows(t(s, dir, "documents"), 3, extras = Seq("source"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sizes = sh.groupBy("source", "doc_id").agg(count(lit(1)).as("sz"))
+      val inter = sh.select(col("source"), col("doc_id").as("id_a"), col("s"))
+        .join(sh.select(col("source"), col("doc_id").as("id_b"), col("s")),
+          Seq("source", "s"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("source", "id_a", "id_b").agg(count(lit(1)).as("inter"))
+      val j = inter
+        .join(sizes.select(col("source"), col("doc_id").as("id_a"), col("sz").as("sz_a")),
+          Seq("source", "id_a"))
+        .join(sizes.select(col("source"), col("doc_id").as("id_b"), col("sz").as("sz_b")),
+          Seq("source", "id_b"))
+        .withColumn("j", col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+        .groupBy("source").agg(sum("j").as("sum_j"), max("j").as("max_j"))
+      val totals = sizes.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .withColumn("n_pairs", col("n_docs") * (col("n_docs") - 1) / 2)
+        .filter(col("n_pairs") > 0)
+      totals.join(j, Seq("source"), "left")
+        .select(col("source"), col("n_pairs"),
+          round(coalesce(col("sum_j"), lit(0.0)) / col("n_pairs") + 1e-9, 6).as("avg_jaccard"),
+          round(coalesce(col("max_j"), lit(0.0)) + 1e-9, 6).as("max_jaccard"))
         .orderBy("source")
     }),
 
@@ -100,9 +114,18 @@ object TextQueries {
     }),
 
     // ---- SimHash fingerprints (32-bit, engine-portable bit votes) ----
+    // Relational shape: one md5 per (doc, token-occurrence) row, all
+    // 32 bit votes as conditional sums in a single aggregation.
     "q36_simhash" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(col("doc_id"), simhashMd5(tokens(col("text")), 32).as("simhash"))
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tk"))
+        .withColumn("h", md5(col("tk")))
+      val votes = (0 until 32).map(i =>
+        sum(when(substring(col("h"), i + 1, 1) < "8", 1).otherwise(-1)).as(s"v$i"))
+      tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+        .select(col("doc_id"),
+          (0 until 32).map(i => when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+            .reduce(_ + _).as("simhash"))
         .orderBy("doc_id")
     }),
 
@@ -133,6 +156,13 @@ object TextQueries {
         .agg(count(lit(1)).as("n"),
           sum((col("predicted") === col("label")).cast("long")).as("n_correct"))
         .orderBy("label")
+    }),
+
+    // ---- embedding-cosine near-duplicate pairs ----
+    "q57_embed_dup" -> ((s, dir) => {
+      TextDedup.embeddingDupPairs(t(s, dir, "embeddings"), threshold = 0.4)
+        .select(col("id_a"), col("id_b"), round(col("cosine") + 1e-9, 6).as("cosine"))
+        .orderBy("id_a", "id_b")
     }),
 
     // ---- hyperplane-LSH ANN (production path; rows-only check) ----
@@ -269,16 +299,29 @@ object TextQueries {
                    round(avg(j) + 1e-9, 6) + 0.0 AS avg_jaccard
             FROM verified"""),
 
-    "q36_simhash" ->
-      (s"""WITH tk AS ($toksSql)
-          SELECT doc_id,
-                 (SELECT CAST(sum(CASE WHEN
-                     coalesce(list_sum(list_transform(toks,
-                       tk2 -> CASE WHEN substr(md5(tk2 || '#' || i), 1, 1) < '8'
-                                   THEN 1 ELSE -1 END)), 0) > 0
-                     THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT)
-                  FROM generate_series(0, 31) g(i)) AS simhash
-          FROM tk"""),
+    "q36_simhash" -> {
+      val bitTerms = (0 until 32).map(i =>
+        s"""(CASE WHEN sum(CASE WHEN substr(h, ${i + 1}, 1) < '8'
+            THEN 1 ELSE -1 END) > 0
+            THEN (CAST(1 AS BIGINT) << $i) ELSE CAST(0 AS BIGINT) END)""")
+        .mkString(" + ")
+      s"""WITH tk AS ($toksSql), ex AS (
+            SELECT doc_id, md5(unnest(toks)) AS h FROM tk
+          )
+          SELECT doc_id, CAST($bitTerms AS BIGINT) AS simhash
+          FROM ex GROUP BY doc_id"""
+    },
+
+    "q57_embed_dup" ->
+      """WITH scored AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                  list_sum(list_transform(range(1, 65),
+                    i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+                  (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+                   sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS cosine
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         ) SELECT id_a, id_b, round(cosine + 1e-9, 6) + 0.0 AS cosine
+           FROM scored WHERE cosine >= 0.4""",
 
     "q37_cosine_topk" ->
       """WITH scored AS (
