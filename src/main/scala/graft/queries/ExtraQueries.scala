@@ -19,14 +19,16 @@ object ExtraQueries {
     s.read.parquet(s"$dir/$name.parquet")
 
   /** avg price per (gene=partkey, sample=suppkey) — the shared matrix
-    * for the kernel queries. */
+    * for the kernel queries. Persisted: the iterative kernels
+    * (ComBat, eBayes, PCA) branch over it several times. */
   private def geneSupplierMatrix(s: SparkSession, dir: String, maxGene: Int = Int.MaxValue): ExpressionMatrix =
     ExpressionMatrix(t(s, dir, "lineitem")
       .filter(col("l_partkey") <= maxGene)
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(avg("l_extendedprice").as("value"))
       .select(col("l_partkey").cast("string").as("gene_id"),
-        col("l_suppkey").cast("string").as("sample_id"), col("value")))
+        col("l_suppkey").cast("string").as("sample_id"), col("value"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   private def supplierGroups(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "supplier").select(col("s_suppkey").cast("string").as("sample_id"),
