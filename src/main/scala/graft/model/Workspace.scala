@@ -50,6 +50,31 @@ final case class Workspace(registry: DataFrame, samples: DataFrame,
 }
 
 object Workspace {
+  /** Checkpoint an expression matrix as a bucketed+sorted table keyed
+    * on gene_id — the co-location path for repeated per-gene stages
+    * (DE → meta → FDR all shuffle on gene): downstream equi-joins and
+    * aggregations on gene_id read the buckets back without an
+    * Exchange. This is the cluster-scale replacement for the
+    * reference's `.exp` stage files (SURVEY.md §3: stage checkpoints
+    * land exactly where the reference had file hand-offs). */
+  def checkpointBucketed(m: ExpressionMatrix, table: String, buckets: Int = 64): ExpressionMatrix = {
+    val spark = m.df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    // a previous session may have left the managed location behind
+    // without a catalog entry — clear it so the write is idempotent
+    val warehouse = new org.apache.hadoop.fs.Path(
+      spark.sessionState.conf.warehousePath, table.toLowerCase)
+    val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(warehouse)) fs.delete(warehouse, true)
+    m.canonical.df.write
+      .bucketBy(buckets, "gene_id")
+      .sortBy("gene_id")
+      .format("parquet")
+      .mode("overwrite")
+      .saveAsTable(table)
+    ExpressionMatrix(m.df.sparkSession.table(table))
+  }
+
   /** Read the reference's three TSV shapes into a typed workspace. */
   def fromTsv(spark: SparkSession, registryPath: String,
       samplesPath: String, outliersPath: String): Workspace = {

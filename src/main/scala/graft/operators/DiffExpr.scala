@@ -92,6 +92,29 @@ object DiffExpr {
       .select(col(gene), col("log2fc"), col("t_mod"), col("df_total"), col("p_mod"))
   }
 
+  /** A11 blocking — duplicateCorrelation
+    * (`DiffExpression_closedPlatform.R:489-507`, limma
+    * `duplicateCorrelation`): consensus intra-replicate correlation.
+    * Simplified estimator (documented divergence from limma's REML):
+    * per gene, the Pearson correlation across biological units between
+    * technical replicate 1 and 2 values; consensus = tanh of the mean
+    * Fisher z over genes. `replicates` maps sample_id → (unit, rep).
+    * One aggregation per step, fully distributed until the scalar. */
+  def duplicateCorrelation(m: ExpressionMatrix, replicates: DataFrame): (DataFrame, Double) = {
+    val wide = m.canonical.df.join(broadcast(replicates), Seq("sample_id"))
+      .groupBy(col("gene_id"), col("unit"))
+      .agg(max(when(col("rep") === 1, col("value"))).as("v1"),
+           max(when(col("rep") === 2, col("value"))).as("v2"))
+      .filter(col("v1").isNotNull && col("v2").isNotNull)
+    val perGene = wide.groupBy("gene_id")
+      .agg(corr("v1", "v2").as("r"), count(lit(1)).as("n_units"))
+      .filter(col("r").isNotNull && abs(col("r")) < 1.0)
+    val consensus = perGene
+      .agg(avg(lit(0.5) * log((lit(1.0) + col("r")) / (lit(1.0) - col("r")))))
+      .head().getDouble(0)
+    (perGene, math.tanh(consensus))
+  }
+
   /** A14 — array quality weights (`DiffExpression_closedPlatform.R:456-464`,
     * limma `arrayWeights`). Documented v1 simplification (SURVEY.md
     * §7.4.2): instead of the full gene-by-gene REML iteration, each

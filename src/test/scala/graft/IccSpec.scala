@@ -56,4 +56,21 @@ class IccSpec extends SparkSpec {
     assert(w("s6") < w("s1"), s"noisy array not downweighted: $w")
     assert(math.abs(w.values.sum / w.size - 1.0) < 1e-9)
   }
+
+  test("duplicateCorrelation finds high consensus for correlated replicates") {
+    // replicate 2 = replicate 1 + small noise -> high consensus;
+    // independent pair -> low
+    val rows = for (g <- 1 to 20; u <- 1 to 8; rep <- 1 to 2) yield {
+      val base = g * 1.0 + u * 0.5 + ((g * 7 + u * 3) % 5) * 0.4
+      val v = if (rep == 1) base else base + ((g + u) % 3) * 0.05
+      (s"g$g", s"u$u-r$rep", v, s"u$u", rep)
+    }
+    val m = ExpressionMatrix(rows.map(r => (r._1, r._2, r._3))
+      .toDF("gene_id", "sample_id", "value"))
+    val reps = rows.map(r => (r._2, r._4, r._5)).distinct
+      .toDF("sample_id", "unit", "rep")
+    val (perGene, consensus) = DiffExpr.duplicateCorrelation(m, reps)
+    assert(perGene.count() > 0)
+    assert(consensus > 0.9, s"expected high consensus, got $consensus")
+  }
 }

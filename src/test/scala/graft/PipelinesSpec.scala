@@ -110,4 +110,18 @@ class PipelinesSpec extends SparkSpec {
     assert(clean.toSeq == Seq("S1", "S2"))
     assert(ws.groups.count() == 3)
   }
+
+  test("bucketed checkpoint joins without an exchange on the bucketed side") {
+    import graft.operators.DiffExpr
+    val rows = for (g <- 1 to 50; i <- 1 to 4)
+      yield (s"g$g", s"s$i", g * 1.0 + i * 0.3)
+    val m = ExpressionMatrix(rows.toDF("gene_id", "sample_id", "value"))
+    val bucketed = Workspace.checkpointBucketed(m, "graft_test_bucketed", buckets = 4)
+    // per-gene aggregation over the bucketed table: bucket layout must
+    // satisfy the hash-partitioning requirement, so no Exchange appears
+    val agg = bucketed.df.groupBy("gene_id").agg(avg("value"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in plan:\n$plan")
+    assert(agg.count() == 50)
+  }
 }
