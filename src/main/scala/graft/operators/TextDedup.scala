@@ -61,15 +61,34 @@ object TextDedup {
       .select((col(id) +: extras.map(col)) :+ col("s"): _*).distinct()
   }
 
+  /** Drop shingles whose document frequency exceeds `cap`. A shingle
+    * present in more than `cap` documents carries no dedup signal but
+    * makes the shingle self-join emit up to df² pair rows — at corpus
+    * scale one viral boilerplate shingle is a job-killer. The count
+    * window shuffles on the same (groupCols, shingle) key as the
+    * downstream pair join, so the partitioning is reused. */
+  def capShingleDf(shRows: DataFrame, cap: Long, shingleCol: String = "s",
+      groupCols: Seq[String] = Nil): DataFrame = {
+    if (cap == Long.MaxValue) shRows
+    else {
+      val w = Window.partitionBy((groupCols :+ shingleCol).map(col): _*)
+      shRows.withColumn("__df", count(lit(1)).over(w))
+        .filter(col("__df") <= cap).drop("__df")
+    }
+  }
+
   def minhashLshPairs(docs: DataFrame, k: Int = 8, bands: Int = 4,
       shingleWidth: Int = 3, minJaccard: Double = 0.0, md5Hashes: Boolean = false,
-      id: String = "doc_id", text: String = "text"): DataFrame = {
+      id: String = "doc_id", text: String = "text",
+      dfCap: Long = 100000L): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val rowsPerBand = k / bands
     // Persisted: the shingle relation feeds four branches (signature,
     // sizes, both sides of the intersection join) whose aliased
-    // projections defeat exchange reuse — materialize once.
-    val shRows = shingleRows(docs, shingleWidth, id, text)
+    // projections defeat exchange reuse — materialize once. Viral
+    // shingles (df > dfCap) are dropped before anything downstream —
+    // they contribute no dedup signal, only df² join rows.
+    val shRows = capShingleDf(shingleRows(docs, shingleWidth, id, text), dfCap)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hashed =
       if (md5Hashes) {

@@ -122,6 +122,30 @@ object ExtraQueries {
         .orderBy("l_partkey")
     }),
 
+    // ---- F3: ProbeFilter cigar/gene reliability rules ----
+    // Annotation relation fabricated deterministically from lineitem:
+    // probeset = part, one row per lineitem mapping. Every 37th
+    // probeset is multi-gene (suppkey parity), l_quantity=1 rows get a
+    // mismatch cigar, l_quantity=50 rows map to 2 genes, linenumber 7
+    // rows are unannotated "-". Exon threshold: remove at >1 bad row.
+    "q58_probe_filter" -> ((s, dir) => {
+      val annot = t(s, dir, "lineitem").select(
+        col("l_partkey").cast("string").as("probeset"),
+        when(col("l_linenumber") === 7, "-")
+          .when(col("l_partkey") % 37 === 0,
+            concat(lit("G"), col("l_partkey").cast("string"), lit("x"),
+              (col("l_suppkey") % 2).cast("string")))
+          .otherwise(concat(lit("G"), col("l_partkey").cast("string"))).as("gene_id"),
+        when(col("l_linenumber") === 7, "-")
+          .otherwise(concat(lit("N"), col("l_partkey").cast("string"))).as("gene_short_name"),
+        when(col("l_quantity") === 1, "24=1X").otherwise("25=").as("cigar"),
+        when(col("l_quantity") === 50, 2).otherwise(1).as("gene_no"))
+      ProbeFilter.exonFlat(annot)
+        .select(col("probe").cast("long").as("probeset"), col("gene_idD"),
+          col("gene_short_name"))
+        .orderBy("probeset")
+    }),
+
     // ---- A10: ComBat batch adjustment (rows-only: iterative EB) ----
     "q44_combat" -> ((s, dir) => {
       val m = geneSupplierMatrix(s, dir)
@@ -291,6 +315,30 @@ object ExtraQueries {
               AND (va + vb) > 0"""
 
   val oracleSql: Map[String, String] = Map(
+    "q58_probe_filter" ->
+      """WITH annot AS (
+           SELECT CAST(l_partkey AS VARCHAR) AS probeset,
+                  CASE WHEN l_linenumber = 7 THEN '-'
+                       WHEN l_partkey % 37 = 0
+                         THEN 'G' || CAST(l_partkey AS VARCHAR) || 'x' || CAST(l_suppkey % 2 AS VARCHAR)
+                       ELSE 'G' || CAST(l_partkey AS VARCHAR) END AS gene_id,
+                  CASE WHEN l_linenumber = 7 THEN '-'
+                       ELSE 'N' || CAST(l_partkey AS VARCHAR) END AS gene_short_name,
+                  CASE WHEN l_quantity = 1 THEN '24=1X' ELSE '25=' END AS cigar,
+                  CASE WHEN l_quantity = 50 THEN 2 ELSE 1 END AS gene_no
+           FROM lineitem
+         ), g AS (
+           SELECT probeset,
+                  count(DISTINCT gene_id) AS n_genes,
+                  sum(CASE WHEN cigar <> '25=' OR gene_no <> 1 THEN 1 ELSE 0 END) AS bad_rows,
+                  max(gene_id) AS gene_idD,
+                  max(gene_short_name) AS gene_short_name
+           FROM annot WHERE gene_id <> '-' GROUP BY 1
+         )
+         SELECT CAST(probeset AS BIGINT) AS probeset, gene_idD, gene_short_name
+         FROM g WHERE n_genes = 1 AND bad_rows <= 1
+         ORDER BY probeset""",
+
     "q55_decide_tests" ->
       """WITH p AS (
            SELECT l_orderkey, l_linenumber,

@@ -79,7 +79,12 @@ object TextQueries {
     // per-doc sizes, pair universe C(n,2) analytically — non-
     // intersecting pairs contribute 0 without being materialized.
     "q34_ngram_jaccard" -> ((s, dir) => {
-      val sh = TextDedup.shingleRows(t(s, dir, "documents"), 3, extras = Seq("source"))
+      // df-capped per (source, shingle): a viral shingle would emit
+      // df² rows in the self-join below; cap is far above the max df
+      // at any test SF, so results are unchanged here.
+      val sh = TextDedup.capShingleDf(
+          TextDedup.shingleRows(t(s, dir, "documents"), 3, extras = Seq("source")),
+          cap = 100000L, groupCols = Seq("source"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sizes = sh.groupBy("source", "doc_id").agg(count(lit(1)).as("sz"))
       val inter = sh.select(col("source"), col("doc_id").as("id_a"), col("s"))
@@ -95,7 +100,7 @@ object TextQueries {
         .withColumn("j", col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
         .groupBy("source").agg(sum("j").as("sum_j"), max("j").as("max_j"))
       val totals = sizes.groupBy("source").agg(count(lit(1)).as("n_docs"))
-        .withColumn("n_pairs", col("n_docs") * (col("n_docs") - 1) / 2)
+        .withColumn("n_pairs", (col("n_docs") * (col("n_docs") - 1) / 2).cast("long"))
         .filter(col("n_pairs") > 0)
       totals.join(j, Seq("source"), "left")
         .select(col("source"), col("n_pairs"),

@@ -39,6 +39,27 @@ class TextFunctionsSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b, _) => b == 3L || a == 3L })
   }
 
+  test("capShingleDf drops viral shingles and bounds the candidate pair space") {
+    // Adversarial fixture: every doc shares one boilerplate phrase, so
+    // the uncapped shingle self-join emits a full n² pair block on it.
+    val n = 20
+    val docs = (1 to n).map(i =>
+      (i.toLong, s"common boiler plate unique$i token$i word$i extra$i")).toDF("doc_id", "text")
+    val sh = TextDedup.shingleRows(docs, 3)
+    val hot = TextDedup.capShingleDf(sh, cap = 5)
+    // the df=n shingle "common boiler plate" must be gone
+    assert(hot.filter(col("s") === "common boiler plate").count() == 0)
+    // per-doc unique shingles (df=1) survive
+    assert(hot.filter(col("s") === s"unique7 token7 word7").count() == 1)
+    // pair join on the capped relation yields zero candidate rows
+    val pairs = hot.select(col("doc_id").as("id_a"), col("s"))
+      .join(hot.select(col("doc_id").as("id_b"), col("s")), Seq("s"))
+      .filter(col("id_a") < col("id_b"))
+    assert(pairs.count() == 0)
+    // cap above max df is the identity
+    assert(TextDedup.capShingleDf(sh, cap = 100).count() == sh.count())
+  }
+
   test("simhash of identical token streams is identical; hamming 0") {
     val docs = Seq((1L, "alpha beta gamma delta"), (2L, "ALPHA beta!! gamma delta"),
       (3L, "wholly different content here")).toDF("doc_id", "text")
