@@ -153,7 +153,9 @@ object SparkEntry {
       val p = t(s, dir, "lineitem").select(
         col("l_orderkey"), col("l_linenumber"),
         (((col("l_orderkey") * 131 + col("l_linenumber") * 7919) % 9973) / lit(9973.0)).as("p"))
-      DiffExpr.bhAdjust(p, "p", Seq(col("l_orderkey"), col("l_linenumber")))
+      // data-sized input (one row per lineitem) -> the range-
+      // partitioned two-pass BH, not the gene-grain global window
+      DiffExpr.bhAdjustScalable(p, "p", Seq(col("l_orderkey"), col("l_linenumber")))
         .select(col("l_orderkey"), col("l_linenumber"),
           round(col("p") + 1e-9, 6).as("p"), round(col("p_bh") + 1e-9, 6).as("p_bh"))
         .orderBy("l_orderkey", "l_linenumber")

@@ -160,6 +160,46 @@ object DiffExpr {
       .drop("__n", "__rk")
   }
 
+  /** W5/A13 at data scale — BH without the single-partition global
+    * window of [[bhAdjust]]: range-partition on the ranking key, take
+    * local ranks and reverse running-mins per partition, and stitch
+    * with per-partition offsets (windows over ≤ #partitions rows).
+    * Numerically identical to [[bhAdjust]] — same p·n/rank candidates,
+    * same running min — so use this whenever the p-value relation is
+    * data-sized rather than gene-sized. Equal (p, tiebreak) keys land
+    * in one range partition, so ranks stitch exactly. */
+  def bhAdjustScalable(df: DataFrame, p: String, tiebreak: Seq[Column],
+      out: String = "p_bh"): DataFrame = {
+    val spark = df.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val nDf = df.agg(count(lit(1)).as("__n"))
+    val orderAsc = col(p).asc +: tiebreak.map(_.asc)
+    val ranged = df.repartitionByRange(parts, orderAsc: _*)
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy("__pid").orderBy(orderAsc: _*)
+    val withLrk = ranged.withColumn("__lrk", row_number().over(wLocal))
+    val wOff = Window.partitionBy(lit(0)).orderBy(col("__pid").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = withLrk.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+      .select(col("__pid"), coalesce(sum("__cnt").over(wOff), lit(0L)).as("__off"))
+    val cand = withLrk.join(broadcast(offs), Seq("__pid")).crossJoin(broadcast(nDf))
+      .withColumn("__rk", col("__lrk") + col("__off"))
+      .withColumn("__cand", col(p) * col("__n") / col("__rk"))
+    // suffix min over the global rank order = within-partition reverse
+    // running min, floored by the min of all later partitions
+    val wRevLocal = Window.partitionBy("__pid").orderBy(col("__rk").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withLmin = cand.withColumn("__lmin", min("__cand").over(wRevLocal))
+    val wRevOff = Window.partitionBy(lit(0)).orderBy(col("__pid").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sufmins = withLmin.groupBy("__pid").agg(min("__cand").as("__pmin"))
+      .select(col("__pid"), min("__pmin").over(wRevOff).as("__sufmin"))
+    withLmin.join(broadcast(sufmins), Seq("__pid"))
+      .withColumn(out, least(lit(1.0),
+        least(col("__lmin"), coalesce(col("__sufmin"), lit(Double.MaxValue)))))
+      .drop("__pid", "__lrk", "__off", "__n", "__rk", "__cand", "__lmin", "__sufmin")
+  }
+
   /** A13 — decideTests: significance call at (α, lfc) thresholds. */
   def decideTests(df: DataFrame, pAdj: String = "p_bh", lfc: String = "log2fc",
       alpha: Double = 0.05, minLfc: Double = 0.0): DataFrame =

@@ -44,8 +44,17 @@ object Meta {
   }
 
   /** A22 — fixed/random-effects combine (GeneMeta `f.Q`/`tau2.DL`/
-    * `mu.tau2`): Cochran Q, DerSimonian–Laird τ², FEM and REM combined
-    * effects with z scores. One aggregation per gene. */
+    * `mu.tau2`/`var.tau2`, `Meta_analysis.R:812-841`): Cochran Q,
+    * DerSimonian–Laird τ², FEM combined effect/z, and the REM combined
+    * effect/z with weights 1/(σ²_d+τ²) (the reference's
+    * `varsDL <- vars + tau2.DL; muREM <- mu.tau2(mns, varsDL);
+    * ZREM <- muREM/sqrt(var.tau2(varsDL))`).
+    *
+    * Two aggregations on the same gene key — the REM weights depend
+    * nonlinearly on τ², so a second pass over `effects` is inherent;
+    * both shuffles hash on the gene, and the relation is (genes ×
+    * studies)-sized. Callers whose `effects` lineage is expensive
+    * should persist it. */
   def femRem(effects: DataFrame, gene: String = "gene_id"): DataFrame = {
     val w = lit(1.0) / col("sigmad")
     val perGene = effects
@@ -56,7 +65,7 @@ object Meta {
            sum(col("w") * col("dstar")).as("swd"),
            sum(col("w") * col("dstar") * col("dstar")).as("swd2"))
       .filter(col("k") > 1)
-    perGene
+    val fem = perGene
       .withColumn("mu_fem", col("swd") / col("sw"))
       .withColumn("q", col("swd2") - col("swd") * col("swd") / col("sw"))
       .withColumn("tau2", greatest(lit(0.0),
@@ -64,6 +73,13 @@ object Meta {
       .withColumn("z_fem", col("mu_fem") * sqrt(col("sw")))
       .withColumn("q_p", StatFunctions.pchisqUpper(col("q"), col("k") - 1))
       .select(col(gene), col("k"), col("mu_fem"), col("z_fem"), col("q"), col("q_p"), col("tau2"))
+    val rem = effects.join(fem.select(col(gene), col("tau2")), Seq(gene))
+      .withColumn("wp", lit(1.0) / (col("sigmad") + col("tau2")))
+      .groupBy(col(gene))
+      .agg(sum("wp").as("swp"), sum(col("wp") * col("dstar")).as("swpd"))
+      .select(col(gene), (col("swpd") / col("swp")).as("mu_rem"),
+        ((col("swpd") / col("swp")) * sqrt(col("swp"))).as("z_rem"))
+    fem.join(rem, Seq(gene))
   }
 
   /** A25 — weighted Stouffer combine (`Meta_analysis.R:1211-1228`):

@@ -96,20 +96,43 @@ object QC {
 
   /** A6 — two-sample Kolmogorov–Smirnov statistic via the sorted-CDF
     * formulation (`Study_effect.R:804-811` uses ks.test on correlation
-    * strata): D = max over observed values of |F1 − F2|, computed with
-    * running counts over the value-ordered union — fully distributed,
-    * no collect. */
+    * strata): D = max over observed values of |F1 − F2|.
+    *
+    * Distributed prefix-sum shape — no single-partition global window:
+    * collapse to per-distinct-value group counts (ties merge here, so
+    * a ROWS cumsum equals the RANGE-frame empirical CDF), range-
+    * partition by value, cumsum within each range partition, and
+    * stitch with per-partition offsets computed by a window over
+    * ≤ #partitions rows. Equal values land in one range partition, so
+    * the stitched counts are exact. */
   def ksStatistic(df: DataFrame, value: String, groupCol: String,
       groupA: String, groupB: String): DataFrame = {
-    val na = count(when(col(groupCol) === groupA, 1)).over(Window.partitionBy())
-    val nb = count(when(col(groupCol) === groupB, 1)).over(Window.partitionBy())
-    // RANGE frame: all rows with value <= current, regardless of group
-    // interleaving at ties — the mathematically correct empirical CDF.
-    val w = Window.orderBy(col(value).asc)
-      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    df.filter(col(groupCol).isin(groupA, groupB))
-      .withColumn("__fa", count(when(col(groupCol) === groupA, 1)).over(w) / na)
-      .withColumn("__fb", count(when(col(groupCol) === groupB, 1)).over(w) / nb)
-      .agg(max(abs(col("__fa") - col("__fb"))).as("ks_d"))
+    val spark = df.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val filtered = df.filter(col(groupCol).isin(groupA, groupB))
+    val totals = filtered.agg(
+      count(when(col(groupCol) === groupA, 1)).as("__na"),
+      count(when(col(groupCol) === groupB, 1)).as("__nb"))
+    val perValue = filtered.groupBy(col(value).as("__v"))
+      .agg(count(when(col(groupCol) === groupA, 1)).as("__ca"),
+           count(when(col(groupCol) === groupB, 1)).as("__cb"))
+    val ranged = perValue.repartitionByRange(parts, col("__v").asc)
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy("__pid").orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ranged
+      .withColumn("__la", sum("__ca").over(wLocal))
+      .withColumn("__lb", sum("__cb").over(wLocal))
+    val wOff = Window.partitionBy(lit(0)).orderBy(col("__pid").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy("__pid")
+      .agg(sum("__ca").as("__ta"), sum("__cb").as("__tb"))
+      .select(col("__pid"),
+        coalesce(sum("__ta").over(wOff), lit(0L)).as("__oa"),
+        coalesce(sum("__tb").over(wOff), lit(0L)).as("__ob"))
+    local.join(broadcast(offsets), Seq("__pid")).crossJoin(broadcast(totals))
+      .select(abs((col("__la") + col("__oa")).cast("double") / col("__na") -
+        (col("__lb") + col("__ob")).cast("double") / col("__nb")).as("__diff"))
+      .agg(max(col("__diff")).as("ks_d"))
   }
 }

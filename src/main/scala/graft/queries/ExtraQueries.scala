@@ -238,7 +238,7 @@ object ExtraQueries {
         col("l_orderkey"), col("l_linenumber"),
         (((col("l_orderkey") * 131 + col("l_linenumber") * 7919) % 9973) / lit(9973.0)).as("p"),
         (((col("l_orderkey") * 7) % 21) - 10).cast("double").as("log2fc"))
-      val adj = DiffExpr.bhAdjust(p, "p", Seq(col("l_orderkey"), col("l_linenumber")))
+      val adj = DiffExpr.bhAdjustScalable(p, "p", Seq(col("l_orderkey"), col("l_linenumber")))
       DiffExpr.decideTests(adj, alpha = 0.4, minLfc = 3.0)
         .groupBy("sig").agg(count(lit(1)).as("n"))
         .orderBy("sig")

@@ -60,12 +60,15 @@ object MetaQueries {
         .withColumnRenamed("l_returnflag", "group")
         .withColumnRenamed("l_partkey", "gene_id")
       val eff = Meta.effectSizes(stats, "group", "l_linestatus", "A", "N")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       Meta.femRem(eff)
         .select(col("gene_id").as("l_partkey"), col("k"),
           round(col("mu_fem") + 1e-9, 6).as("mu_fem"),
           round(col("z_fem") + 1e-7, 4).as("z_fem"),
           round(col("q") + 1e-7, 4).as("q_stat"),
-          round(col("tau2") + 1e-9, 6).as("tau2"))
+          round(col("tau2") + 1e-9, 6).as("tau2"),
+          round(col("mu_rem") + 1e-9, 6).as("mu_rem"),
+          round(col("z_rem") + 1e-7, 4).as("z_rem"))
         .orderBy("l_partkey")
     }),
 
@@ -325,13 +328,24 @@ object MetaQueries {
             SELECT l_partkey, count(*) AS k, sum(w) AS sw, sum(w*w) AS sw2,
                    sum(w*dstar) AS swd, sum(w*dstar*dstar) AS swd2
             FROM wtd GROUP BY 1 HAVING count(*) > 1
-          ) SELECT l_partkey, k,
+          ), fem AS (
+            SELECT l_partkey, k, sw, swd, swd2,
+                   greatest(0.0, ((swd2 - swd*swd/sw) - (k-1)) /
+                                 (sw - sw2/sw)) AS tau2
+            FROM agg
+          ), rem AS (
+            SELECT b.l_partkey,
+                   sum(1.0/(b.sigmad + f.tau2)) AS swp,
+                   sum(b.dstar/(b.sigmad + f.tau2)) AS swpd
+            FROM base b JOIN fem f USING (l_partkey) GROUP BY 1
+          ) SELECT f.l_partkey, f.k,
                    round(swd/sw + 1e-9, 6) + 0.0 AS mu_fem,
                    round((swd/sw) * sqrt(sw) + 1e-7, 4) + 0.0 AS z_fem,
                    round((swd2 - swd*swd/sw) + 1e-7, 4) + 0.0 AS q_stat,
-                   round(greatest(0.0, ((swd2 - swd*swd/sw) - (k-1)) /
-                                        (sw - sw2/sw)) + 1e-9, 6) + 0.0 AS tau2
-            FROM agg"""),
+                   round(tau2 + 1e-9, 6) + 0.0 AS tau2,
+                   round(swpd/swp + 1e-9, 6) + 0.0 AS mu_rem,
+                   round((swpd/swp) * sqrt(swp) + 1e-7, 4) + 0.0 AS z_rem
+            FROM fem f JOIN rem USING (l_partkey)"""),
 
     "q15_pairwise_corr" ->
       """WITH m AS (

@@ -26,6 +26,19 @@ class DiffExprSpec extends SparkSpec {
     adj.sliding(2).foreach { case Array(x, y) => assert(x <= y + 1e-12); case _ => }
   }
 
+  test("bhAdjustScalable is numerically identical to bhAdjust") {
+    // 500 rows across many range partitions, with tied p-values so the
+    // partition-boundary tie handling is exercised
+    val df = (1 to 500).map(i => (i, ((i * 131) % 97) / 97.0)).toDF("id", "p")
+      .repartition(7)
+    val simple = DiffExpr.bhAdjust(df, "p", Seq(col("id")))
+      .orderBy("id").select("p_bh").as[Double].collect()
+    val scalable = DiffExpr.bhAdjustScalable(df, "p", Seq(col("id")))
+      .orderBy("id").select("p_bh").as[Double].collect()
+    assert(simple.length == 500 && scalable.length == 500)
+    simple.zip(scalable).foreach { case (a, b) => assert(a == b) }
+  }
+
   test("welchT recovers a known group difference") {
     val rows = (for {
       g <- Seq("g1", "g2"); i <- 1 to 4

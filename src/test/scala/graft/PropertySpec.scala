@@ -1,7 +1,7 @@
 package graft
 
 import graft.model.ExpressionMatrix
-import graft.operators.{DiffExpr, Normalize, TextDedup}
+import graft.operators.{DiffExpr, Meta, Normalize, TextDedup}
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
@@ -33,6 +33,25 @@ class PropertySpec extends SparkSpec {
           case Seq(a, b) => a <= b + 1e-12; case _ => true })
       }
     }
+  }
+
+  test("femRem REM combine: hand-computed tau2>0 case; REM==FEM when tau2==0") {
+    // two studies, equal sigmad=1: d*=(1,3) -> sw=2, q=2, tau2=1,
+    // REM weights 1/2 -> mu_rem=2, z_rem=2*sqrt(1)=2; FEM z=2*sqrt(2).
+    val eff = Seq(("g1", "s1", 1.0, 1.0), ("g1", "s2", 3.0, 1.0),
+      ("g2", "s1", 1.0, 1.0), ("g2", "s2", 1.0, 1.0))
+      .toDF("gene_id", "study", "dstar", "sigmad")
+    val out = Meta.femRem(eff).collect()
+      .map(r => r.getAs[String]("gene_id") -> r).toMap
+    val g1 = out("g1")
+    assert(math.abs(g1.getAs[Double]("tau2") - 1.0) < 1e-12)
+    assert(math.abs(g1.getAs[Double]("mu_rem") - 2.0) < 1e-12)
+    assert(math.abs(g1.getAs[Double]("z_rem") - 2.0) < 1e-12)
+    assert(math.abs(g1.getAs[Double]("z_fem") - 2.0 * math.sqrt(2.0)) < 1e-12)
+    val g2 = out("g2") // homogeneous effects: tau2=0 so REM degenerates to FEM
+    assert(g2.getAs[Double]("tau2") == 0.0)
+    assert(math.abs(g2.getAs[Double]("mu_rem") - g2.getAs[Double]("mu_fem")) < 1e-12)
+    assert(math.abs(g2.getAs[Double]("z_rem") - g2.getAs[Double]("z_fem")) < 1e-12)
   }
 
   test("BH adjustment is monotone and bounded by [p, 1]") {
