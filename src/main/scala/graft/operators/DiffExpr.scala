@@ -81,8 +81,12 @@ object DiffExpr {
     // Var[log s2] = trigamma(d/2) + trigamma(d0/2) => d0 via trigamma inverse
     val evar = zvar - StatKernels.trigamma(dbar / 2.0)
     val d0 = if (evar > 0) 2.0 * StatKernels.trigammaInverse(evar) else 1e6
+    // limma fitFDist: log s0² = ē + ψ(d0/2) − log(d0/2) with
+    // ē = mean(log s²) − ψ(d/2) + log(d/2) — i.e. the ratio inside the
+    // log is d/d0, not d0/d (Smyth 2004 eq. 3; sign error here
+    // previously inflated s0² by (d0/d)² and zeroed every moderated t)
     val s02 = math.exp(zbar + StatKernels.digamma(d0 / 2.0) - StatKernels.digamma(dbar / 2.0) +
-      math.log(d0 / dbar))
+      math.log(dbar / d0))
     perGene
       .withColumn("s2_post", (lit(d0) * lit(s02) + col("df_resid") * col("s2")) / (lit(d0) + col("df_resid")))
       .withColumn("log2fc", col("ma") - col("mb"))

@@ -246,7 +246,7 @@ object Meta {
     * zScoreFDR estimator shape. One explode fan-out, aggregations
     * only. */
   def permutationFdr(m: ExpressionMatrix, groups: DataFrame, groupA: String,
-      groupB: String, nperm: Int = 50): DataFrame = {
+      groupB: String, nperm: Int = 50, md5Hashes: Boolean = false): DataFrame = {
     def zOf(stats: DataFrame, extraKey: Seq[String]): DataFrame = {
       val keys = (Seq("gene_id") ++ extraKey).map(col)
       stats.groupBy(keys: _*)
@@ -266,7 +266,7 @@ object Meta {
     val obs = zOf(obsStats, Nil).select(col("gene_id"), abs(col("z")).as("z_obs"))
 
     val permLabels = permutationLabels(groups.select(col("sample_id"), col("group")),
-      "sample_id", "group", nperm)
+      "sample_id", "group", nperm, md5Hashes)
     val permStats = m.canonical.df
       .join(permLabels.withColumnRenamed("perm_label", "group"), Seq("sample_id"))
       .groupBy(col("gene_id"), col("perm"), col("group"))
@@ -335,13 +335,18 @@ object Meta {
     * xxhash64(sample, seed) rank — reproducible across runs/cluster
     * sizes, no RNG state. */
   def permutationLabels(samples: DataFrame, sample: String, label: String,
-      nperm: Int): DataFrame = {
+      nperm: Int, md5Hashes: Boolean = false): DataFrame = {
     val perms = samples.crossJoin(broadcast(
       samples.sparkSession.range(1, nperm + 1).select(col("id").cast("int").as("perm"))))
     // rank samples by deterministic hash within perm; assign the sorted
-    // label multiset by that rank => a seeded permutation of labels
+    // label multiset by that rank => a seeded permutation of labels.
+    // md5 is the engine-portable hash family (oracle SQL reproduces
+    // it); xxhash64 is the production path.
+    val hashExpr =
+      if (md5Hashes) md5(concat_ws("#", col("perm").cast("string"), col(sample)))
+      else xxhash64(col(sample), col("perm"))
     val wHash = org.apache.spark.sql.expressions.Window.partitionBy(col("perm"))
-      .orderBy(xxhash64(col(sample), col("perm")).asc, col(sample).asc)
+      .orderBy(hashExpr.asc, col(sample).asc)
     val wLabel = org.apache.spark.sql.expressions.Window.partitionBy(col("perm"))
       .orderBy(col(label).asc, col(sample).asc)
     val ranked = perms.withColumn("__hrk", row_number().over(wHash))
