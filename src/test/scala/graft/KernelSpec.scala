@@ -36,6 +36,65 @@ class KernelSpec extends SparkSpec {
       s"batch means after ComBat: $byBatch")
   }
 
+  test("combatWithCovariates removes the batch shift but preserves the group effect") {
+    // 2 batches × 2 groups, balanced: value = gene base + 2.0 group
+    // effect (treatment) + 10.0 batch effect (Y) + small deterministic
+    // noise. The ~group design must keep the 2.0 treatment difference
+    // out of the batch correction.
+    val rows = for {
+      g <- 1 to 20; b <- Seq("X", "Y"); grp <- Seq("ctl", "trt"); i <- 1 to 3
+    } yield {
+      val noise = ((g * 7 + i * 3 + b.hashCode % 5) % 11) * 0.02
+      (s"g$g", s"s$b-$grp-$i", b, grp,
+        g.toDouble + (if (grp == "trt") 2.0 else 0.0) + (if (b == "Y") 10.0 else 0.0) + noise)
+    }
+    val m = ExpressionMatrix(rows.map(r => (r._1, r._2, r._5)).toDF("gene_id", "sample_id", "value"))
+    val batches = rows.map(r => (r._2, r._3)).distinct.toDF("sample_id", "batch")
+    val groups = rows.map(r => (r._2, r._4)).distinct.toDF("sample_id", "group")
+    val adj = Batch.combatWithCovariates(m, batches, groups).df
+      .join(batches, Seq("sample_id")).join(groups, Seq("sample_id"))
+    val byBatch = adj.groupBy("batch").agg(avg("value").as("m")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(byBatch("X") - byBatch("Y")) < 0.3,
+      s"batch means after covariate ComBat: $byBatch")
+    val byGroup = adj.groupBy("group").agg(avg("value").as("m")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs((byGroup("trt") - byGroup("ctl")) - 2.0) < 0.3,
+      s"treatment effect not preserved: $byGroup")
+  }
+
+  test("nonparametric posterior matches the int.eprior definition directly") {
+    // small fixture; direct O(G^2) computation of the reference's
+    // log-likelihood-weighted posterior vs the relational operator
+    val rows = for (g <- 1 to 8; i <- 1 to 5) yield
+      (s"g$g", s"s$i", "b1", g * 1.0 + i * 0.3 + (g * i % 3) * 0.25)
+    val df = rows.toDF("gene_id", "sample_id", "batch", "z")
+    val gb = df.groupBy("gene_id", "batch")
+      .agg(count(lit(1)).as("n_b"), avg("z").as("gamma_hat"),
+        var_samp("z").as("delta2_hat"))
+    val out = Batch.nonparametricPosterior(df, gb, geneCap = 100)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    // direct definition
+    val zByGene = rows.groupBy(_._1).map { case (g, rs) => g -> rs.map(_._4) }
+    val params = zByGene.map { case (g, zs) =>
+      val n = zs.size; val mean = zs.sum / n
+      val v = zs.map(x => (x - mean) * (x - mean)).sum / (n - 1)
+      g -> (mean, v)
+    }
+    for ((g, zs) <- zByGene) {
+      val others = params.filter(_._1 != g).toSeq
+      val lls = others.map { case (_, (gamma, d)) =>
+        zs.map(x => -0.5 * math.log(2 * math.Pi * d) - (x - gamma) * (x - gamma) / (2 * d)).sum
+      }
+      val mx = lls.max
+      val ws = lls.map(l => math.exp(l - mx))
+      val gStar = others.zip(ws).map { case ((_, (gamma, _)), w) => gamma * w }.sum / ws.sum
+      val dStar = others.zip(ws).map { case ((_, (_, d)), w) => d * w }.sum / ws.sum
+      assert(math.abs(out(g)._1 - gStar) < 1e-9, s"$g g_star ${out(g)._1} vs $gStar")
+      assert(math.abs(out(g)._2 - dStar) < 1e-9, s"$g d_star ${out(g)._2} vs $dStar")
+    }
+  }
+
   test("ward linkage merges the closest pair first, deterministic labels") {
     val m = ExpressionMatrix(Seq(
       ("g1", "a", 0.0), ("g1", "b", 0.1), ("g1", "c", 5.0),
