@@ -27,7 +27,8 @@ object Pipelines {
     * moderated-t DE with BH-ranked topTable. */
   def closedPlatformDE(datasets: Seq[(String, ExpressionMatrix)],
       annot: DataFrame, flat: DataFrame, outliers: DataFrame, groups: DataFrame,
-      groupA: String, groupB: String, sdFrac: Double = 0.6): DataFrame = {
+      groupA: String, groupB: String, sdFrac: Double = 0.6,
+      replicates: Option[DataFrame] = None): DataFrame = {
     val perDataset = datasets.map { case (name, probes) =>
       val cleaned = Filters.keepReliableProbes(
         Filters.removeOutliers(probes, outliers), flat, "probe")
@@ -39,7 +40,21 @@ object Pipelines {
       ExpressionMatrix(bound.df.select("gene_id", "sample_id", "value")),
       bound.df.select(col("sample_id"), col("dataset").as("batch")).distinct())
     val filtered = Filters.topFracBySd(Filters.dropZeroVariance(adjusted), sdFrac)
-    val stats = DiffExpr.groupStats(filtered, groups)
+    // arrayWeights enter the fit as WLS sufficient statistics; with
+    // technical replicates declared, the duplicateCorrelation
+    // consensus deflates effective n (DiffExpression_closedPlatform.R:
+    // 456-507: lmFit(eset, design, weights=arrayw, block=...,
+    // correlation=corfit$consensus))
+    val weights = DiffExpr.arrayWeights(filtered, groups)
+    val stats0 = DiffExpr.groupStatsWeighted(filtered, groups, weights)
+    val stats = replicates match {
+      case Some(reps) =>
+        val (_, rho) = DiffExpr.duplicateCorrelation(filtered, reps)
+        val avgReps = reps.groupBy("unit").agg(count(lit(1)).as("m"))
+          .agg(avg("m")).head().getDouble(0)
+        DiffExpr.deflateForBlocking(stats0, rho, avgReps)
+      case None => stats0
+    }
     DiffExpr.topTable(
       DiffExpr.moderatedT(stats, "group", groupA, groupB).withColumnRenamed("p_mod", "p"))
   }

@@ -27,6 +27,44 @@ object DiffExpr {
       .agg(count(m.valueCol).as("n"), avg(m.valueCol).as("mean"),
            var_samp(m.valueCol).as("var"))
 
+  /** A14 wiring — per-(gene, group) sufficient statistics under array
+    * quality weights (`DiffExpression_closedPlatform.R:456-507`: limma
+    * runs `lmFit(eset, design, weights=arrayw, ...)`). Weighted mean,
+    * the unbiased weighted variance Σw(x−μ̂)²/(Σw − Σw²/Σw), and the
+    * Kish effective sample size n_eff = (Σw)²/Σw² in place of n, so
+    * noisy arrays shrink both the estimate and its evidence. Output is
+    * schema-compatible with [[groupStats]] — drop-in for
+    * [[welchT]]/[[moderatedT]]. */
+  def groupStatsWeighted(m: ExpressionMatrix, groups: DataFrame, weights: DataFrame,
+      groupCol: String = "group"): DataFrame =
+    m.canonical.df
+      .join(broadcast(groups), Seq("sample_id"))
+      .join(broadcast(weights), Seq("sample_id"))
+      .groupBy(col("gene_id"), col(groupCol))
+      .agg(sum("weight").as("__sw"), sum(col("weight") * col("weight")).as("__sw2"),
+           sum(col("weight") * col("value")).as("__swx"),
+           sum(col("weight") * col("value") * col("value")).as("__swx2"))
+      .withColumn("mean", col("__swx") / col("__sw"))
+      .withColumn("var",
+        (col("__swx2") - col("__swx") * col("__swx") / col("__sw")) /
+          (col("__sw") - col("__sw2") / col("__sw")))
+      .withColumn("n", col("__sw") * col("__sw") / col("__sw2"))
+      .select(col("gene_id"), col(groupCol), col("n"), col("mean"), col("var"))
+
+  /** A11 blocking wiring — the duplicateCorrelation consensus ρ enters
+    * the fit as a design effect (`DiffExpression_closedPlatform.R:
+    * 489-507`: limma passes `correlation=corfit$consensus` into lmFit
+    * so technical replicates stop counting as independent arrays).
+    * Simplified contract (documented, as for [[DiffExpr.duplicateCorrelation]]):
+    * each group's sample size deflates by Kish's design effect
+    * 1 + (m̄−1)ρ for m̄ technical replicates per biological unit, which
+    * widens the standard error and lowers df exactly when replicates
+    * are correlated. ρ=0 or m̄=1 degrade to the unblocked fit. */
+  def deflateForBlocking(stats: DataFrame, rho: Double, repsPerUnit: Double): DataFrame = {
+    val deff = math.max(1.0, 1.0 + (repsPerUnit - 1.0) * rho)
+    stats.withColumn("n", col("n") / lit(deff))
+  }
+
   /** A11+A12-lite — two-group contrast via Welch's t-test: log2FC =
     * meanA − meanB, t from unpooled variances, Welch–Satterthwaite df,
     * two-sided p. Matches the reference's contrast semantics for a

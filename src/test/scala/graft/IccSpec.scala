@@ -73,4 +73,54 @@ class IccSpec extends SparkSpec {
     assert(perGene.count() > 0)
     assert(consensus > 0.9, s"expected high consensus, got $consensus")
   }
+
+  test("groupStatsWeighted: unit weights reproduce groupStats; downweighting shrinks evidence") {
+    val rows = for (g <- 1 to 10; s <- 1 to 6) yield {
+      val grp = if (s <= 3) "A" else "B"
+      val noise = if (s == 6) ((g * 17) % 13 - 6) * 2.0 else ((g * 7 + s) % 5 - 2) * 0.1
+      (s"g$g", s"s$s", 5.0 + g * 0.1 + (if (grp == "A") 1.0 else 0.0) + noise, grp)
+    }
+    val m = ExpressionMatrix(rows.map(r => (r._1, r._2, r._3)).toDF("gene_id", "sample_id", "value"))
+    val groups = rows.map(r => (r._2, r._4)).distinct.toDF("sample_id", "group")
+    val unit = groups.select(col("sample_id"), lit(1.0).as("weight"))
+    val plain = DiffExpr.groupStats(m, groups)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2).toDouble, r.getDouble(3), r.getDouble(4))).toMap
+    val weighted = DiffExpr.groupStatsWeighted(m, groups, unit)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    for ((k, (n, mean, v)) <- plain) {
+      assert(math.abs(weighted(k)._1 - n) < 1e-9)
+      assert(math.abs(weighted(k)._2 - mean) < 1e-9)
+      assert(math.abs(weighted(k)._3 - v) < 1e-9)
+    }
+    // downweight the noisy array s6: group B's variance must drop and
+    // its effective n must fall below the unweighted count
+    val w = DiffExpr.arrayWeights(m, groups)
+    val dw = DiffExpr.groupStatsWeighted(m, groups, w)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getDouble(2), r.getDouble(4))).toMap
+    val avgVarB = plain.collect { case ((g, "B"), (_, _, v)) => v }.sum / 10
+    val avgVarBw = dw.collect { case ((g, "B"), (_, v)) => v }.sum / 10
+    assert(avgVarBw < avgVarB, s"weighted B variance $avgVarBw !< $avgVarB")
+    assert(dw.forall { case ((_, grp), (n, _)) => grp != "B" || n < 3.0 })
+  }
+
+  test("blocking deflation widens the moderated-t confidence exactly when rho > 0") {
+    val rows = for (g <- 1 to 30; s <- 1 to 12) yield {
+      val grp = if (s <= 6) "A" else "B"
+      val eff = if (grp == "A") 1.5 else 0.0
+      (s"g$g", s"s$s", 10.0 + g * 0.05 + eff + ((g * 11 + s * 5) % 7 - 3) * 0.3, grp)
+    }
+    val m = ExpressionMatrix(rows.map(r => (r._1, r._2, r._3)).toDF("gene_id", "sample_id", "value"))
+    val groups = rows.map(r => (r._2, r._4)).distinct.toDF("sample_id", "group")
+    val stats = DiffExpr.groupStats(m, groups)
+      .withColumn("n", col("n").cast("double"))
+    def meanAbsT(rho: Double): Double = {
+      val adj = DiffExpr.deflateForBlocking(stats, rho, repsPerUnit = 2.0)
+      DiffExpr.welchT(adj, "group", "A", "B")
+        .agg(avg(abs(col("t")))).head().getDouble(0)
+    }
+    val t0 = meanAbsT(0.0)
+    val t5 = meanAbsT(0.5)
+    val t9 = meanAbsT(0.9)
+    assert(t0 > t5 && t5 > t9, s"expected |t| monotone decreasing in rho: $t0, $t5, $t9")
+  }
 }
