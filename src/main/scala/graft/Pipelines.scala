@@ -66,10 +66,16 @@ object Pipelines {
     * filter, Welch DE. */
   def openPlatformDE(counts: ExpressionMatrix, outliers: DataFrame,
       batches: DataFrame, groups: DataFrame, groupA: String, groupB: String,
-      sdFrac: Double = 0.5): DataFrame = {
+      sdFrac: Double = 0.5, geneInfo: Option[DataFrame] = None): DataFrame = {
     val cleaned = Filters.removeOutliers(Filters.dropSpecialCounters(counts), outliers)
     val (nonzero, _) = Filters.partitionZeroCounts(cleaned)
-    val normalized = Normalize.cqnLite(nonzero)
+    // with (gc, length) gene info the full conditional quantile
+    // normalisation runs (the reference always has GenesInfo); the
+    // quantile-only cqnLite is the fallback
+    val normalized = geneInfo match {
+      case Some(gi) => Normalize.cqn(nonzero, gi)
+      case None => Normalize.cqnLite(nonzero)
+    }
     val adjusted = Batch.combat(normalized, batches)
     val filtered = Filters.topFracBySd(Filters.dropZeroVariance(adjusted), sdFrac)
     val stats = DiffExpr.groupStats(filtered, groups)

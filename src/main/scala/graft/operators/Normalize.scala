@@ -75,4 +75,113 @@ object Normalize {
     * with the GC/length spline recorded as a divergence). */
   def cqnLite(counts: ExpressionMatrix, clampBelow: Double = 2.0): ExpressionMatrix =
     Filters.clampLow(quantileNormalize(log2Cpm(counts)), clampBelow)
+
+  /** A16 — conditional quantile normalisation with the GC/length
+    * systematic-effect component (cqn, Hansen 2012;
+    * `GenExpressionComb_RNAseq.R:183-201`:
+    * `cqn(dat, lengths=GenesInfo$length, x=GenesInfo$GC_content)` then
+    * the `<2 → 0` floor).
+    *
+    * Spark-first decomposition:
+    *  1. y = log2-CPM − log2(length/1000) (the RPKM length offset);
+    *  2. per-sample GC systematic effect: genes bin into global GC
+    *     quantile bins; the per-(sample, bin) median y and the global
+    *     bin GC means give `bins` points per sample, through which the
+    *     driver fits one natural cubic spline (a `bins`-point
+    *     tridiagonal solve per sample — samples are reference-bounded,
+    *     genes never leave the cluster). Executors evaluate the
+    *     broadcast piecewise cubic via a (sample, segment) join and
+    *     subtract the mean-centered effect;
+    *  3. quantile-normalize the corrected values across samples and
+    *     apply the reference's floor.
+    *
+    * `geneInfo` columns: gene_id, gc, length. One shuffle per keyed
+    * step; the only collects are bins×samples medians and GC edges. */
+  def cqn(counts: ExpressionMatrix, geneInfo: DataFrame, bins: Int = 10,
+      clampBelow: Double = 2.0): ExpressionMatrix = {
+    val spark = counts.df.sparkSession
+    import spark.implicits._
+    val info = broadcast(geneInfo.select(col("gene_id"), col("gc").cast("double"),
+      col("length").cast("double")))
+    val y = log2Cpm(counts).canonical.df.join(info, Seq("gene_id"))
+      .withColumn("y", col("value") - log2(col("length") / 1000.0))
+
+    // global GC bins (exact quantile edges over the bounded gene-info
+    // relation) and their mean GC = the spline knot x-coordinates
+    val edges = geneInfo.select(col("gc").cast("double"))
+      .stat.approxQuantile("gc", (1 until bins).map(_.toDouble / bins).toArray, 0.0)
+    val binExpr = edges.foldLeft(lit(0)) { (acc, e) => acc + (col("gc") > e).cast("int") }
+    val binned = y.withColumn("__bin", binExpr)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val knotX = binned.groupBy("__bin").agg(avg("gc").as("x"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val medians = binned.groupBy("sample_id", "__bin")
+      .agg(expr("percentile(y, 0.5)").as("med"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+
+    // one natural cubic spline per sample through (knotX, median)
+    val sampleIds = medians.keys.map(_._1).toSeq.distinct.sorted
+    val ks = knotX.keys.toSeq.sorted
+    val segRows = sampleIds.flatMap { s =>
+      val xs = ks.map(knotX)
+      val ysRaw = ks.map(k => medians.get((s, k)))
+      // a sample missing a bin (no genes) falls back to its neighbours
+      val ys = ysRaw.zipWithIndex.map { case (v, i) =>
+        v.orElse(ysRaw.take(i).reverse.flatten.headOption)
+          .orElse(ysRaw.drop(i + 1).flatten.headOption).getOrElse(0.0)
+      }
+      val m2 = naturalSplineSecondDerivs(xs.toArray, ys.toArray)
+      (0 until xs.size - 1).map { k =>
+        (s, k, xs(k), xs(k + 1), ys(k), ys(k + 1), m2(k), m2(k + 1))
+      }
+    }
+    val segs = broadcast(segRows
+      .toDF("sample_id", "__seg", "x0", "x1", "y0", "y1", "m0", "m1"))
+
+    // segment index: count of interior knots below gc, clamped to the
+    // knot span (flat extrapolation beyond the end knots)
+    val xsAll = ks.map(knotX)
+    val segExpr = xsAll.tail.dropRight(1).foldLeft(lit(0)) { (acc, xk) =>
+      acc + (col("gc") > xk).cast("int")
+    }
+    val xc = least(greatest(col("gc"), lit(xsAll.head)), lit(xsAll.last))
+    val h = col("x1") - col("x0")
+    val spline =
+      (col("m0") * pow(col("x1") - xc, 3) + col("m1") * pow(xc - col("x0"), 3)) / (lit(6.0) * h) +
+      (col("y0") / h - col("m0") * h / 6.0) * (col("x1") - xc) +
+      (col("y1") / h - col("m1") * h / 6.0) * (xc - col("x0"))
+    val withEffect = binned.withColumn("__seg", segExpr)
+      .join(segs, Seq("sample_id", "__seg"))
+      .withColumn("__effect", spline)
+    // subtract the mean-centered effect so each sample keeps its level
+    val centers = withEffect.groupBy("sample_id").agg(avg("__effect").as("__eff_mean"))
+    val corrected = withEffect.join(centers, Seq("sample_id"))
+      .select(col("gene_id"), col("sample_id"),
+        (col("y") - (col("__effect") - col("__eff_mean"))).as("value"))
+    Filters.clampLow(quantileNormalize(ExpressionMatrix(corrected)), clampBelow)
+  }
+
+  /** Natural cubic spline second derivatives through (x_i, y_i):
+    * tridiagonal Thomas solve with natural boundary M_0 = M_n = 0. */
+  private[operators] def naturalSplineSecondDerivs(x: Array[Double], y: Array[Double]): Array[Double] = {
+    val n = x.length
+    val m = new Array[Double](n)
+    if (n < 3) return m
+    val a = new Array[Double](n); val b = new Array[Double](n)
+    val c = new Array[Double](n); val d = new Array[Double](n)
+    for (i <- 1 until n - 1) {
+      val h0 = x(i) - x(i - 1); val h1 = x(i + 1) - x(i)
+      a(i) = h0 / 6.0; b(i) = (h0 + h1) / 3.0; c(i) = h1 / 6.0
+      d(i) = (y(i + 1) - y(i)) / h1 - (y(i) - y(i - 1)) / h0
+    }
+    // Thomas algorithm on rows 1..n-2
+    for (i <- 2 until n - 1) {
+      val w = a(i) / b(i - 1)
+      b(i) -= w * c(i - 1)
+      d(i) -= w * d(i - 1)
+    }
+    m(n - 2) = d(n - 2) / b(n - 2)
+    for (i <- n - 3 to 1 by -1) m(i) = (d(i) - c(i) * m(i + 1)) / b(i)
+    m
+  }
 }

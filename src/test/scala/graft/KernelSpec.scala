@@ -95,6 +95,47 @@ class KernelSpec extends SparkSpec {
     }
   }
 
+  test("cqn removes a synthetic GC gradient that cqnLite leaves in place") {
+    // 60 genes on a GC grid, counts = 2^(8 + 6(gc−0.5)) — a pure GC
+    // artifact; two samples with 4x library-size difference. After the
+    // spline correction the regression slope of value on GC must be
+    // near zero; the uncorrected log2-CPM slope is ≈ 6.
+    val genes = (1 to 60).map(i => (s"g%02d".format(i), 0.3 + 0.4 * (i - 1) / 59.0, 1000.0))
+    val rows = for ((g, gc, _) <- genes; s <- Seq("s1", "s2")) yield {
+      val libFactor = if (s == "s1") 1.0 else 4.0
+      (g, s, math.pow(2.0, 8.0 + 6.0 * (gc - 0.5)) * libFactor)
+    }
+    val m = ExpressionMatrix(rows.toDF("gene_id", "sample_id", "value"))
+    val info = genes.toDF("gene_id", "gc", "length")
+    def gcSlope(mat: ExpressionMatrix): Double =
+      mat.canonical.df.filter(col("value") =!= 0.0)
+        .join(info, Seq("gene_id"))
+        .agg((covar_samp(col("value"), col("gc")) / var_samp(col("gc"))).as("slope"))
+        .head().getDouble(0)
+    val rawSlope = gcSlope(Normalize.log2Cpm(m))
+    assert(rawSlope > 5.0, s"fixture GC trend missing: $rawSlope")
+    val corrected = Normalize.cqn(m, info, bins = 6)
+    val slope = gcSlope(corrected)
+    assert(math.abs(slope) < 0.8, s"GC effect not removed: slope $slope (raw $rawSlope)")
+    // the reference's floor still applies
+    assert(corrected.df.filter(col("value") < 2.0 && col("value") =!= 0.0).count() == 0)
+  }
+
+  test("cqn length offset: doubling gene length halves its RPKM-scale value") {
+    val genes = Seq(("gShort", 0.5, 1000.0), ("gLong", 0.5, 2000.0)) ++
+      (1 to 20).map(i => (s"bg$i", 0.3 + (i % 7) * 0.05, 1000.0))
+    val rows = for ((g, _, _) <- genes; s <- Seq("s1", "s2"))
+      yield (g, s, if (g.startsWith("g")) 256.0 else 64.0 + (g.hashCode % 32).abs)
+    val m = ExpressionMatrix(rows.toDF("gene_id", "sample_id", "value"))
+    val info = genes.toDF("gene_id", "gc", "length")
+    // same counts, same GC: the longer gene must come out lower (the
+    // log2(length/1e3) offset), surviving quantile normalisation
+    val out = Normalize.cqn(m, info, bins = 4, clampBelow = -1e9).canonical.df
+      .filter(col("sample_id") === "s1")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out("gShort") > out("gLong"), s"length offset missing: $out")
+  }
+
   test("ward linkage merges the closest pair first, deterministic labels") {
     val m = ExpressionMatrix(Seq(
       ("g1", "a", 0.0), ("g1", "b", 0.1), ("g1", "c", 5.0),
