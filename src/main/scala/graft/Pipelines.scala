@@ -89,11 +89,10 @@ object Pipelines {
     * relation: gene, platforms, avg log2FC, combined z, combined p. */
   def metaAnalysis(platforms: Seq[(String, ExpressionMatrix)], groups: DataFrame,
       groupA: String, groupB: String): DataFrame = {
-    // ICC per platform pair -> mean per gene; genes with negative mean
-    // ICC are dropped (Meta_analysis.R:620-645)
-    val iccPairs = platforms.combinations(2).map { case Seq((_, m1), (_, m2)) =>
-      Meta.icc(m1, m2)
-    }.reduce(_ unionByName _)
+    // ICC per platform pair (standardized once per platform, reused
+    // across pairs) -> mean per gene; genes with negative mean ICC are
+    // dropped (Meta_analysis.R:620-645)
+    val iccPairs = Meta.iccMulti(platforms).select("gene_id", "icc")
     val meanIcc = Meta.meanIcc(iccPairs).filter(col("mean_icc") >= 0)
 
     // per-platform DE (log2fc + p via Welch)

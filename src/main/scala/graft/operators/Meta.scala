@@ -2,9 +2,7 @@ package graft.operators
 
 import graft.functions.StatFunctions
 import graft.model.ExpressionMatrix
-import org.apache.spark.mllib.linalg.{Vectors => OldVectors}
-import org.apache.spark.mllib.linalg.distributed.{IndexedRow, IndexedRowMatrix}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Meta-analysis operators — SURVEY.md §2.4 A20–A25, A30.
@@ -110,82 +108,144 @@ object Meta {
     * every-other-gene vector within each platform; ICC(gene) between
     * two platforms = Pearson correlation of those two G-vectors.
     *
-    * The reference flags this "!!!very time consuming!!!". Spark-first
-    * formulation: standardize each gene's row (mean 0, norm 1 across
-    * samples), then the G×G correlation matrix is the gramian R = X·Xᵀ
-    * computed as a distributed matrix product; the ICC per gene is the
-    * Pearson correlation of row g of R₁ with row g of R₂, which
-    * reduces blockwise without materialising G² on one node.
+    * The reference flags this "!!!very time consuming!!!" — it is G×G
+    * per platform pair as written. The G² NEVER materialises here:
+    * with per-gene rows standardized to mean 0 / norm 1, the
+    * correlation vectors are rows of R_k = X_k·X_kᵀ, and every moment
+    * the per-gene Pearson needs collapses to a quadratic form over
+    * sample-dimension matrices:
     *
-    * This implementation computes the two gramians via
-    * `IndexedRowMatrix` (gene-indexed rows, sample-dim columns — the
-    * G×G product distributes over row blocks) and then a row-wise
-    * Pearson in one pass. Genes are indexed by a dense rank broadcast.
-    */
-  def icc(m1: ExpressionMatrix, m2: ExpressionMatrix): DataFrame = {
-    val spark = m1.df.sparkSession
+    *   Σ_o r1[g,o]          = x1_gᵀ·s1           (s1 = Σ_o x1_o)
+    *   Σ_o r1[g,o]²         = x1_gᵀ(X1ᵀX1)x1_g
+    *   Σ_o r1[g,o]·r2[g,o]  = x1_gᵀ(X1ᵀX2)x2_g
+    *
+    * (self term o = g subtracted exactly). X1ᵀX1, X2ᵀX2, X1ᵀX2 and the
+    * s-vectors are samples×samples — bounded at reference scale —
+    * accumulated in one `treeAggregate` pass and broadcast; the final
+    * map touches each gene once. Total work O(G·s²) instead of
+    * O(G²·s), shuffle O(G·s) instead of two G² block products. */
+  def icc(m1: ExpressionMatrix, m2: ExpressionMatrix): DataFrame =
+    iccMulti(Seq("p1" -> m1, "p2" -> m2)).select("gene_id", "icc")
+
+  /** A20 for all platform pairs, standardizing each platform ONCE
+    * (`Meta_analysis.R:331` reuses the intermediate across pairs).
+    * Returns (p1, p2, gene_id, icc) for every unordered pair. */
+  def iccMulti(platforms: Seq[(String, ExpressionMatrix)]): DataFrame = {
+    val spark = platforms.head._2.df.sparkSession
     import spark.implicits._
 
-    // common genes, indexed
-    val genes = m1.df.select(m1.geneCol.as("gene_id")).distinct()
-      .join(m2.df.select(m2.geneCol.as("gene_id")).distinct(), Seq("gene_id"), "left_semi")
-    val geneIdx = genes.orderBy("gene_id").rdd.map(_.getString(0))
-      .zipWithIndex().toDF("gene_id", "gidx")
+    // genes present on every platform (MergeMaid intersects)
+    val genes = platforms.map { case (_, m) =>
+      m.canonical.df.select(col("gene_id")).distinct()
+    }.reduce((a, b) => a.join(b, Seq("gene_id"), "left_semi"))
 
-    def standardizedRows(m: ExpressionMatrix): IndexedRowMatrix = {
+    // per-platform standardized dense per-gene vectors over the
+    // platform's own sample universe (missing cells = 0 before
+    // centering — the dense-matrix semantics of the reference)
+    def standardize(m: ExpressionMatrix): Dataset[(String, Array[Double])] = {
       val sampleIds = m.canonical.df.select(col("sample_id")).distinct()
         .orderBy("sample_id").collect().map(_.getString(0))
-      val sIdx = sampleIds.zipWithIndex.toMap
-      val bc = spark.sparkContext.broadcast(sIdx)
-      val rows = m.canonical.df.join(geneIdx, Seq("gene_id"))
-        .select(col("gidx"), col("sample_id"), col("value"))
-        .as[(Long, String, Double)].rdd
-        .map { case (g, s, v) => (g, (bc.value(s), v)) }
-        .groupByKey()
-        .map { case (g, cells) =>
+      val bc = spark.sparkContext.broadcast(sampleIds.zipWithIndex.toMap)
+      m.canonical.df.join(genes, Seq("gene_id"), "left_semi")
+        .select(col("gene_id"), col("sample_id"), col("value"))
+        .as[(String, String, Double)]
+        .groupByKey(_._1)
+        .mapGroups { (g, it) =>
           val arr = new Array[Double](bc.value.size)
-          cells.foreach { case (i, v) => arr(i) = v }
+          it.foreach { case (_, s, v) => arr(bc.value(s)) = v }
           val mean = arr.sum / arr.length
           var ss = 0.0
           var i = 0
           while (i < arr.length) { arr(i) -= mean; ss += arr(i) * arr(i); i += 1 }
           val norm = math.sqrt(ss)
           if (norm > 0) { i = 0; while (i < arr.length) { arr(i) /= norm; i += 1 } }
-          IndexedRow(g, OldVectors.dense(arr))
+          (g, arr)
         }
-      new IndexedRowMatrix(rows)
     }
 
-    val x1 = standardizedRows(m1)
-    val x2 = standardizedRows(m2)
-    // correlation vectors: row g of R_k = X_k(g,:) · X_kᵀ ; computed as
-    // block product to stay distributed for large G
-    val r1 = x1.toBlockMatrix(1024, 1024)
-    val r1t = r1.multiply(r1.transpose).toIndexedRowMatrix()
-    val r2 = x2.toBlockMatrix(1024, 1024)
-    val r2t = r2.multiply(r2.transpose).toIndexedRowMatrix()
+    def outerAgg(ds: Dataset[(Array[Double], Array[Double])]): Array[Array[Double]] =
+      ds.rdd.treeAggregate(null: Array[Array[Double]])(
+        (acc, xy) => {
+          val (x, y2) = xy
+          val m = if (acc == null) Array.ofDim[Double](x.length, y2.length) else acc
+          var i = 0
+          while (i < x.length) {
+            if (x(i) != 0.0) {
+              var j = 0
+              while (j < y2.length) { m(i)(j) += x(i) * y2(j); j += 1 }
+            }
+            i += 1
+          }
+          m
+        },
+        (a, b) =>
+          if (a == null) b else if (b == null) a
+          else {
+            for (i <- a.indices; j <- a(i).indices) a(i)(j) += b(i)(j); a
+          })
 
-    val v1 = r1t.rows.map(r => (r.index, r.vector.toArray))
-    val v2 = r2t.rows.map(r => (r.index, r.vector.toArray))
-    val iccRdd = v1.join(v2).map { case (g, (a, b)) =>
-      // Pearson of the two correlation vectors, excluding self-corr position
-      var sa = 0.0; var sb = 0.0; var saa = 0.0; var sbb = 0.0; var sab = 0.0
-      var n = 0
+    val std = platforms.map { case (name, m) =>
+      name -> standardize(m).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    val grams = std.map { case (name, v) =>
+      name -> outerAgg(v.map(t => (t._2, t._2)))
+    }.toMap
+    val svecs = std.map { case (name, v) =>
+      name -> v.rdd.map(_._2).treeAggregate(null: Array[Double])(
+        (acc, x) => {
+          val s = if (acc == null) new Array[Double](x.length) else acc
+          var i = 0; while (i < x.length) { s(i) += x(i); i += 1 }; s
+        },
+        (a, b) => if (a == null) b else if (b == null) a
+          else { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a })
+    }.toMap
+
+    def qf(x: Array[Double], mat: Array[Array[Double]], y2: Array[Double]): Double = {
+      var acc = 0.0
       var i = 0
-      while (i < a.length) {
-        if (i != g.toInt) {
-          sa += a(i); sb += b(i); saa += a(i) * a(i); sbb += b(i) * b(i); sab += a(i) * b(i)
-          n += 1
+      while (i < x.length) {
+        if (x(i) != 0.0) {
+          val row = mat(i)
+          var inner = 0.0
+          var j = 0
+          while (j < y2.length) { inner += row(j) * y2(j); j += 1 }
+          acc += x(i) * inner
         }
         i += 1
       }
-      val cov = sab - sa * sb / n
-      val va = saa - sa * sa / n
-      val vb = sbb - sb * sb / n
-      val icc = if (va > 0 && vb > 0) cov / math.sqrt(va * vb) else Double.NaN
-      (g, icc)
+      acc
     }
-    iccRdd.toDF("gidx", "icc").join(geneIdx, Seq("gidx")).select("gene_id", "icc")
+    def dot(x: Array[Double], y2: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < x.length) { acc += x(i) * y2(i); i += 1 }
+      acc
+    }
+
+    val nGenes = std.head._2.count()
+    std.combinations(2).map { case Seq((n1, v1), (n2, v2)) =>
+      val joined = v1.joinWith(v2, v1("_1") === v2("_1"))
+        .map { case ((g, x1), (_, x2)) => (g, x1, x2) }
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cross = outerAgg(joined.map(t => (t._2, t._3)))
+      val bcAll = spark.sparkContext.broadcast(
+        (grams(n1), grams(n2), cross, svecs(n1), svecs(n2), nGenes))
+      joined.map { case (g, x1, x2) =>
+        val (g11, g22, c, s1, s2, gCount) = bcAll.value
+        val n = (gCount - 1).toDouble
+        val r11 = dot(x1, x1) // 1 for standardized, 0 for zero-variance
+        val r22 = dot(x2, x2)
+        val sa = dot(x1, s1) - r11
+        val sb = dot(x2, s2) - r22
+        val saa = qf(x1, g11, x1) - r11 * r11
+        val sbb = qf(x2, g22, x2) - r22 * r22
+        val sab = qf(x1, c, x2) - r11 * r22
+        val cov = sab - sa * sb / n
+        val va = saa - sa * sa / n
+        val vb = sbb - sb * sb / n
+        val icc = if (va > 0 && vb > 0) cov / math.sqrt(va * vb) else Double.NaN
+        (n1, n2, g, icc)
+      }.toDF("p1", "p2", "gene_id", "icc")
+    }.reduce(_ unionByName _)
   }
 
   /** A21 — study-specific per-gene logistic regression
