@@ -26,6 +26,54 @@ object Cluster {
            count(lit(1)).as("n_genes"))
   }
 
+  /** A9 — classical multidimensional scaling (`cmdscale`,
+    * `Study_effect.R:508-531`: `cmdscale(d.usa, eig=TRUE, k=2)` feeds
+    * the k-means study-effect plot). Double-center B = −½·J·D²·J on
+    * the collected samples² distance matrix (bounded at reference
+    * scale — the gene dimension never leaves the cluster: distances
+    * come from [[sampleDistances]]' distributed self-join), eigen-
+    * decompose on the driver, coordinates = v_i·√λ_i for the top k
+    * positive eigenvalues. Sign convention: each coordinate column is
+    * flipped so its largest-|·| entry is positive — `cmdscale` leaves
+    * sign arbitrary; this makes output deterministic. Returns
+    * (sample_id, c1..ck) plus the eigenvalue per dimension. */
+  def cmdscale(distances: DataFrame, k: Int): DataFrame = {
+    val spark = distances.sparkSession
+    val d0 = distances.collect().map(r =>
+      (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val samples = d0.keysIterator.flatMap { case (a, b) => Seq(a, b) }.toSeq.distinct.sorted
+    val n = samples.size
+    val idx = samples.zipWithIndex.toMap
+    val d2 = Array.ofDim[Double](n, n)
+    for (((a, b), v) <- d0) { d2(idx(a))(idx(b)) = v; d2(idx(b))(idx(a)) = v }
+    val rowMean = d2.map(_.sum / n)
+    val grand = rowMean.sum / n
+    val bMat = Array.tabulate(n, n)((i, j) =>
+      -0.5 * (d2(i)(j) - rowMean(i) - rowMean(j) + grand))
+    val eig = new org.apache.commons.math3.linear.EigenDecomposition(
+      new org.apache.commons.math3.linear.Array2DRowRealMatrix(bMat))
+    val order = eig.getRealEigenvalues.zipWithIndex
+      .sortBy { case (v, i) => (-v, i) }.take(k)
+    val coords = order.map { case (lam, col_) =>
+      val v = eig.getEigenvector(col_).toArray
+      val scaled = v.map(_ * math.sqrt(math.max(lam, 0.0)))
+      val maxAbs = scaled.maxBy(math.abs)
+      (lam, if (maxAbs < 0) scaled.map(-_) else scaled)
+    }
+    val rows = samples.zipWithIndex.map { case (s, i) =>
+      org.apache.spark.sql.Row.fromSeq(s +: coords.toSeq.flatMap { case (lam, c) => Seq(c(i), lam) })
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("sample_id",
+        org.apache.spark.sql.types.StringType) +:
+      (1 to k).flatMap(i => Seq(
+        org.apache.spark.sql.types.StructField(s"c$i",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField(s"eig$i",
+          org.apache.spark.sql.types.DoubleType))))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq), schema)
+  }
+
   final case class Merge(step: Int, left: String, right: String, height: Double, size: Int)
 
   /** Ward.D agglomeration on a collected distance matrix. Cluster

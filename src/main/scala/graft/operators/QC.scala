@@ -94,6 +94,74 @@ object QC {
     d2.select(col("sample_id"), col("d2"), (col("d2") > cutoff).as("outlier"))
   }
 
+  /** A28 — MA-plot statistics (arrayQualityMetrics' `MAplot` module,
+    * `QC_Affy_U133Plus2.R:136`): against the pseudo-reference array
+    * (per-gene median across samples), M = value − ref and
+    * A = (value + ref)/2; per sample, the median and IQR of M and the
+    * median A — the table behind the plot grid. Two shuffles (gene
+    * median, per-sample summary). */
+  def maStats(m: ExpressionMatrix): DataFrame = {
+    val ref = m.canonical.df.groupBy("gene_id")
+      .agg(expr("percentile(value, 0.5)").as("__ref"))
+    m.canonical.df.join(ref, Seq("gene_id"))
+      .withColumn("__m", col("value") - col("__ref"))
+      .withColumn("__a", (col("value") + col("__ref")) / 2)
+      .groupBy("sample_id")
+      .agg(expr("percentile(__m, 0.5)").as("ma_m_median"),
+           (expr("percentile(__m, 0.75)") - expr("percentile(__m, 0.25)")).as("ma_m_iqr"),
+           expr("percentile(__a, 0.5)").as("ma_a_median"))
+  }
+
+  /** A28 — NUSE (affyPLM `NUSE`, `QC_Affy_U133Plus2.R:136`): per
+    * (probeset, sample) the unscaled standard error of the PLM
+    * summary, normalized by the probeset's median SE across samples;
+    * reported as per-sample median + IQR (the boxplot stats). PLM
+    * decomposition relationally: summary_psj = per-(probeset, sample)
+    * probe median; probe effect = per-probe median of residuals from
+    * the summary; SE from the remaining residuals, √(Σr²/(n(n−1))).
+    * Probesets with one probe carry no SE and are dropped, as in
+    * affyPLM. All keyed aggregations — no driver loop. */
+  def nuse(probes: ExpressionMatrix, annot: DataFrame,
+      probeCol: String = "probe", probesetCol: String = "probeset"): DataFrame = {
+    val mapped = probes.canonical.df.join(
+      broadcast(annot.select(col(probeCol).as("gene_id"), col(probesetCol).as("__ps"))),
+      Seq("gene_id"))
+    val summary = mapped.groupBy("__ps", "sample_id")
+      .agg(expr("percentile(value, 0.5)").as("__sum"))
+    val withRes = mapped.join(summary, Seq("__ps", "sample_id"))
+      .withColumn("__r0", col("value") - col("__sum"))
+    val probeEff = withRes.groupBy("gene_id")
+      .agg(expr("percentile(__r0, 0.5)").as("__pe"))
+    val se = withRes.join(probeEff, Seq("gene_id"))
+      .withColumn("__r", col("__r0") - col("__pe"))
+      .groupBy("__ps", "sample_id")
+      .agg(count(lit(1)).as("__np"), sum(col("__r") * col("__r")).as("__ssr"))
+      .filter(col("__np") > 1)
+      .withColumn("__se", sqrt(col("__ssr") / (col("__np") * (col("__np") - 1))))
+    val medSe = se.groupBy("__ps")
+      .agg(expr("percentile(__se, 0.5)").as("__medse"))
+      .filter(col("__medse") > 0)
+    se.join(medSe, Seq("__ps"))
+      .withColumn("__nuse", col("__se") / col("__medse"))
+      .groupBy("sample_id")
+      .agg(expr("percentile(__nuse, 0.5)").as("nuse_median"),
+           (expr("percentile(__nuse, 0.75)") - expr("percentile(__nuse, 0.25)")).as("nuse_iqr"))
+  }
+
+  /** A28 — RNA degradation slopes (affy `AffyRNAdeg`,
+    * `QC_Affy_U133Plus2.R:143-145`): mean intensity by probe position
+    * (5'→3') per sample, then the least-squares slope of mean vs
+    * position — rising slope = 3' bias = degradation. `probes` needs a
+    * position column (probe index within probeset). One aggregation +
+    * one tiny per-sample regression, all relational. */
+  def rnaDegradation(probes: DataFrame, sample: String = "sample_id",
+      position: String = "position", value: String = "value"): DataFrame =
+    probes.groupBy(col(sample), col(position).cast("double").as("__pos"))
+      .agg(avg(col(value)).as("__mean"))
+      .groupBy(col(sample))
+      .agg((covar_samp(col("__pos"), col("__mean")) / var_samp(col("__pos"))).as("deg_slope"),
+           avg(col("__mean")).as("mean_intensity"))
+
   /** A6 — two-sample Kolmogorov–Smirnov statistic via the sorted-CDF
     * formulation (`Study_effect.R:804-811` uses ks.test on correlation
     * strata): D = max over observed values of |F1 − F2|.

@@ -150,6 +150,60 @@ object ExtraQueries {
         .orderBy("probeset")
     }),
 
+    // ---- A28: MA-plot stats vs the pseudo-reference array ----
+    "q59_ma_stats" -> ((s, dir) => {
+      val m = ExpressionMatrix(t(s, dir, "lineitem").select(
+        col("l_partkey").cast("string").as("gene_id"),
+        col("l_suppkey").cast("string").as("sample_id"),
+        col("l_extendedprice").as("value")))
+      QC.maStats(m)
+        .select(col("sample_id").cast("long").as("l_suppkey"),
+          round(col("ma_m_median") + 1e-5, 2).as("ma_m_median"),
+          round(col("ma_m_iqr") + 1e-5, 2).as("ma_m_iqr"),
+          round(col("ma_a_median") + 1e-5, 2).as("ma_a_median"))
+        .orderBy("l_suppkey")
+    }),
+
+    // ---- A28: NUSE from the relational PLM decomposition ----
+    "q60_nuse" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val probes = ExpressionMatrix(li
+        .groupBy(col("l_partkey"), col("l_linenumber"), col("l_suppkey"))
+        .agg(avg("l_extendedprice").as("value"))
+        .select(concat_ws("-", col("l_partkey"), col("l_linenumber")).as("gene_id"),
+          col("l_suppkey").cast("string").as("sample_id"), col("value")))
+      val annot = li.select(
+        concat_ws("-", col("l_partkey"), col("l_linenumber")).as("probe"),
+        col("l_partkey").cast("string").as("probeset")).distinct()
+      QC.nuse(probes, annot)
+        .select(col("sample_id").cast("long").as("l_suppkey"),
+          round(col("nuse_median") + 1e-9, 6).as("nuse_median"),
+          round(col("nuse_iqr") + 1e-9, 6).as("nuse_iqr"))
+        .orderBy("l_suppkey")
+    }),
+
+    // ---- A28: RNA-degradation slope (mean intensity vs position) ----
+    "q61_rna_deg" -> ((s, dir) => {
+      QC.rnaDegradation(t(s, dir, "lineitem").select(
+          col("l_suppkey").as("sample_id"),
+          col("l_linenumber").as("position"),
+          col("l_extendedprice").as("value")))
+        .select(col("sample_id").as("l_suppkey"),
+          round(col("deg_slope") + 1e-5, 2).as("deg_slope"),
+          round(col("mean_intensity") + 1e-5, 2).as("mean_intensity"))
+        .orderBy("l_suppkey")
+    }),
+
+    // ---- A9: classical MDS (cmdscale; rows-only: driver eigen) ----
+    "q62_mds" -> ((s, dir) => {
+      val m = geneSupplierMatrix(s, dir, maxGene = 50)
+      Cluster.cmdscale(Cluster.sampleDistances(m), k = 2)
+        .select(col("sample_id").cast("long").as("l_suppkey"),
+          round(col("c1") + 1e-5, 2).as("c1"), round(col("c2") + 1e-5, 2).as("c2"),
+          round(col("eig1") + 1e-5, 2).as("eig1"), round(col("eig2") + 1e-5, 2).as("eig2"))
+        .orderBy("l_suppkey")
+    }),
+
     // ---- A10: ComBat batch adjustment. Hash-checked: the 30-step
     // it.sol fixed point is row-local given the per-batch moment
     // hyperpriors, so the oracle replays it as a recursive CTE. ----
@@ -340,6 +394,56 @@ object ExtraQueries {
     (0 until 40).map(j => s"1.0/(dh + $j)").mkString(" + ")
 
   val oracleSql: Map[String, String] = Map(
+    "q59_ma_stats" ->
+      """WITH ref AS (
+           SELECT l_partkey, quantile_cont(l_extendedprice, 0.5) AS ref
+           FROM lineitem GROUP BY 1
+         ), j AS (
+           SELECT l_suppkey, l_extendedprice - ref AS m, (l_extendedprice + ref)/2 AS a
+           FROM lineitem JOIN ref USING (l_partkey)
+         )
+         SELECT l_suppkey,
+                round(quantile_cont(m, 0.5) + 1e-5, 2) + 0.0 AS ma_m_median,
+                round(quantile_cont(m, 0.75) - quantile_cont(m, 0.25) + 1e-5, 2) + 0.0 AS ma_m_iqr,
+                round(quantile_cont(a, 0.5) + 1e-5, 2) + 0.0 AS ma_a_median
+         FROM j GROUP BY 1 ORDER BY 1""",
+
+    "q60_nuse" ->
+      """WITH cells AS (
+           SELECT l_partkey AS ps, l_linenumber AS pr, l_suppkey AS s, avg(l_extendedprice) AS v
+           FROM lineitem GROUP BY 1,2,3
+         ), summ AS (
+           SELECT ps, s, quantile_cont(v, 0.5) AS sm FROM cells GROUP BY 1,2
+         ), r0 AS (
+           SELECT c.ps, c.pr, c.s, c.v - sm AS r0 FROM cells c JOIN summ USING (ps, s)
+         ), pe AS (
+           SELECT ps, pr, quantile_cont(r0, 0.5) AS pe FROM r0 GROUP BY 1,2
+         ), se AS (
+           SELECT r0.ps, r0.s, count(*) AS np, sum(pow(r0.r0 - pe.pe, 2)) AS ssr
+           FROM r0 JOIN pe USING (ps, pr) GROUP BY 1,2 HAVING count(*) > 1
+         ), se2 AS (
+           SELECT ps, s, sqrt(ssr/(np*(np-1.0))) AS se FROM se
+         ), med AS (
+           SELECT ps, quantile_cont(se, 0.5) AS medse FROM se2 GROUP BY 1
+           HAVING quantile_cont(se, 0.5) > 0
+         ), nu AS (
+           SELECT s, se/medse AS nuse FROM se2 JOIN med USING (ps)
+         )
+         SELECT s AS l_suppkey,
+                round(quantile_cont(nuse, 0.5) + 1e-9, 6) + 0.0 AS nuse_median,
+                round(quantile_cont(nuse, 0.75) - quantile_cont(nuse, 0.25) + 1e-9, 6) + 0.0 AS nuse_iqr
+         FROM nu GROUP BY 1 ORDER BY 1""",
+
+    "q61_rna_deg" ->
+      """WITH posm AS (
+           SELECT l_suppkey, CAST(l_linenumber AS DOUBLE) AS pos, avg(l_extendedprice) AS m
+           FROM lineitem GROUP BY 1,2
+         )
+         SELECT l_suppkey,
+                round(covar_samp(pos, m)/var_samp(pos) + 1e-5, 2) + 0.0 AS deg_slope,
+                round(avg(m) + 1e-5, 2) + 0.0 AS mean_intensity
+         FROM posm GROUP BY 1 ORDER BY 1""",
+
     // ComBat: hyperpriors are moment aggregates; the 30-step it.sol
     // fixed point replays as a recursive CTE (iteration is row-local
     // given the per-batch hyperpriors, so all genes step in lockstep)

@@ -1,7 +1,7 @@
 package graft
 
 import graft.model.ExpressionMatrix
-import graft.operators.{Batch, Cluster, Meta, Normalize}
+import graft.operators.{Batch, Cluster, Meta, Normalize, QC}
 import graft.sources.MatrixIO
 import org.apache.spark.sql.functions._
 
@@ -134,6 +134,48 @@ class KernelSpec extends SparkSpec {
       .filter(col("sample_id") === "s1")
       .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
     assert(out("gShort") > out("gLong"), s"length offset missing: $out")
+  }
+
+  test("cmdscale reconstructs planar distances exactly in 2 dimensions") {
+    // four points in the plane; squared distances in, coordinates out:
+    // pairwise distances of the embedding must match the input
+    val pts = Map("a" -> (0.0, 0.0), "b" -> (3.0, 0.0), "c" -> (0.0, 4.0), "d" -> (3.0, 4.0))
+    val dist2 = (for {
+      Seq(s1, s2) <- pts.keys.toSeq.sorted.combinations(2).toSeq
+      (x1, y1) = pts(s1); (x2, y2) = pts(s2)
+    } yield (s1, s2, (x1 - x2) * (x1 - x2) + (y1 - y2) * (y1 - y2), 1L))
+      .toDF("s1", "s2", "dist2", "n_genes")
+    val out = Cluster.cmdscale(dist2, k = 2).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(3))).toMap
+    for (Seq(s1, s2) <- pts.keys.toSeq.sorted.combinations(2)) {
+      val (x1, y1) = out(s1); val (x2, y2) = out(s2)
+      val got = (x1 - x2) * (x1 - x2) + (y1 - y2) * (y1 - y2)
+      val (p1, q1) = pts(s1); val (p2, q2) = pts(s2)
+      val want = (p1 - p2) * (p1 - p2) + (q1 - q2) * (q1 - q2)
+      assert(math.abs(got - want) < 1e-9, s"$s1-$s2: $got vs $want")
+    }
+  }
+
+  test("QC tables: NUSE flags the noisy array, rnaDegradation recovers a known slope") {
+    // NUSE: sample s4's probes are noisy within every probeset
+    val rows = for (ps <- 1 to 15; p <- 1 to 4; sIdx <- 1 to 4) yield {
+      val noise = if (sIdx == 4) ((ps * 13 + p * 7) % 9 - 4) * 1.0
+                  else ((ps + p + sIdx) % 3 - 1) * 0.05
+      (s"ps$ps-p$p", s"s$sIdx", 10.0 + ps * 0.2 + p * 0.5 + noise, s"ps$ps")
+    }
+    val probes = ExpressionMatrix(rows.map(r => (r._1, r._2, r._3))
+      .toDF("gene_id", "sample_id", "value"))
+    val annot = rows.map(r => (r._1, r._4)).distinct.toDF("probe", "probeset")
+    val nuse = QC.nuse(probes, annot).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(nuse("s4") > nuse("s1"), s"noisy array not flagged: $nuse")
+    // RNA degradation: s1 rises 2.0 per position, s2 is flat
+    val deg = QC.rnaDegradation(Seq(
+        ("s1", 1, 10.0), ("s1", 2, 12.0), ("s1", 3, 14.0), ("s1", 4, 16.0),
+        ("s2", 1, 10.0), ("s2", 2, 10.0), ("s2", 3, 10.0), ("s2", 4, 10.0))
+      .toDF("sample_id", "position", "value"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(deg("s1") - 2.0) < 1e-9 && math.abs(deg("s2")) < 1e-9)
   }
 
   test("ward linkage merges the closest pair first, deterministic labels") {
