@@ -72,7 +72,7 @@ object Similarity {
     * baked into the plan as array literals, so each bit is one
     * codegen'd [[graft.functions.VecDot]] loop — no per-dimension
     * expression nodes. */
-  def hyperplaneSketch(vec: Column, dim: Int, nBits: Int): Column = {
+  def hyperplaneSketch(vec: Column, dim: Int, nBits: Int, seedOffset: Int = 0): Column = {
     def splitmix64(seed: Long): Long = {
       var z = seed + 0x9e3779b97f4a7c15L
       z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
@@ -81,26 +81,39 @@ object Similarity {
     }
     val bits = (0 until nBits).map { i =>
       val h = Array.tabulate(dim)(d =>
-        if ((splitmix64(i.toLong * 1000003L + d) & 1L) == 1L) 1.0 else -1.0)
+        if ((splitmix64((i.toLong + seedOffset) * 1000003L + d) & 1L) == 1L) 1.0 else -1.0)
       val dot = graft.functions.VecDot.vec_dot(vec, lit(h))
       when(dot >= 0, lit(1L << (i % 63))).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }
 
-  /** LSH-bucketed approximate top-k: candidates must share the
-    * hyperplane sketch (one band of `nBits` bits); exact cosine is
-    * computed only within buckets. Recall tunes with fewer bits /
-    * multiple bands. */
+  /** LSH-bucketed approximate top-k: a candidate must share at least
+    * one of `nBands` hyperplane-sketch bands of `bitsPerBand` bits
+    * with the query (each band uses its own hyperplane family via a
+    * seed offset). Recall rises with more bands, precision/cost with
+    * more bits per band — the standard banding trade-off; `nBands=1`
+    * degrades to the single-band sketch. Exact cosine is computed
+    * only within buckets, each vector explodes into nBands rows, and
+    * duplicate candidates collapse before scoring so a pair sharing
+    * several bands is scored once. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
-      nBits: Int = 8, id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+      bitsPerBand: Int = 8, nBands: Int = 1,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
     val sk = (df: DataFrame, idAs: String, vecAs: String) =>
       df.select(col(id).as(idAs), col(vec).as(vecAs),
-        hyperplaneSketch(col(vec), dim, nBits).as("bucket"))
+        explode(array((0 until nBands).map(b =>
+          concat_ws("#", lit(b.toString),
+            hyperplaneSketch(col(vec), dim, bitsPerBand, seedOffset = b * 7919)
+              .cast("string"))): _*)).as("bucket"))
     val q = sk(queries, "query_id", "q_vec")
     val c = sk(corpus, "corpus_id", "c_vec")
-    val scored = q.join(c, Seq("bucket"))
+    val cand = q.select("bucket", "query_id").join(c.select("bucket", "corpus_id"), Seq("bucket"))
       .filter(col("query_id") =!= col("corpus_id"))
+      .select("query_id", "corpus_id").distinct()
+    val qv = queries.select(col(id).as("query_id"), col(vec).as("q_vec"))
+    val cv = corpus.select(col(id).as("corpus_id"), col(vec).as("c_vec"))
+    val scored = cand.join(broadcast(qv), Seq("query_id")).join(cv, Seq("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
         cosine(col("q_vec"), col("c_vec")).as("cosine"))
     topKOf(scored, k)

@@ -166,8 +166,34 @@ object TextDedup {
   }
 
   /** Embedding-cosine near-dup pairs above a threshold, via
-    * [[Similarity.cosinePairs]]. */
+    * [[Similarity.cosinePairs]]. All-pairs — bounded relations only;
+    * [[embeddingDupPairsLsh]] is the corpus-scale path. */
   def embeddingDupPairs(embeddings: DataFrame, threshold: Double,
       id: String = "vec_id", vec: String = "embedding"): DataFrame =
     Similarity.cosinePairs(embeddings, id, vec).filter(col("cosine") >= threshold)
+
+  /** Embedding near-dup at corpus scale: candidates from multi-band
+    * hyperplane-LSH buckets (pair space bounded by bucket
+    * co-membership, recall tuned by `nBands` — near-identical vectors
+    * agree on a whole band with probability ≈ (1−θ/π)^bits per band),
+    * exact cosine verify inside buckets only. No cross join. */
+  def embeddingDupPairsLsh(embeddings: DataFrame, threshold: Double, dim: Int,
+      bitsPerBand: Int = 8, nBands: Int = 4,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val banded = embeddings.select(col(id), col(vec),
+      explode(array((0 until nBands).map(b =>
+        concat_ws("#", lit(b.toString),
+          Similarity.hyperplaneSketch(col(vec), dim, bitsPerBand, seedOffset = b * 7919)
+            .cast("string"))): _*)).as("bucket"))
+    val cand = banded.select(col("bucket"), col(id).as("id_a"))
+      .join(banded.select(col("bucket"), col(id).as("id_b")), Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(embeddings.select(col(id).as("id_a"), col(vec).as("v_a")), Seq("id_a"))
+      .join(embeddings.select(col(id).as("id_b"), col(vec).as("v_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosine(col("v_a"), col("v_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
 }

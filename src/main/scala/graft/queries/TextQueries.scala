@@ -174,7 +174,7 @@ object TextQueries {
     "q39_lsh_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 50), k = 5,
-          dim = 64, nBits = 6)
+          dim = 64, bitsPerBand = 6, nBands = 4)
         .select(col("query_id"), col("corpus_id"), col("rank"),
           round(col("cosine") + 1e-9, 6).as("cosine"))
         .orderBy("query_id", "rank")

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Similarity
+import graft.operators.{Similarity, TextDedup}
 import org.apache.spark.sql.functions._
 
 class SimilaritySpec extends SparkSpec {
@@ -29,6 +29,25 @@ class SimilaritySpec extends SparkSpec {
       .orderBy("rank").collect()
     assert(top(0).getAs[Long]("corpus_id") == 2L)
     assert(top(0).getAs[Int]("rank") == 1)
+  }
+
+  test("multi-band LSH recovers near-duplicates that single-band misses") {
+    // 40 corpus vectors in 8 dims; vec 1 has a near-duplicate (vec 2).
+    // With enough bands the near-dup must surface as the top match.
+    def v(seed: Int): Seq[Float] =
+      (0 until 8).map(d => (((seed * 1315423911 + d * 2654435761L) % 1000) / 500.0f - 1.0f))
+    val base = (3 to 40).map(i => (i.toLong, v(i)))
+    val nearDup = (2L, v(1).map(x => x * 0.95f + 0.01f))
+    val corpus = (Seq((1L, v(1)), nearDup) ++ base).toDF("vec_id", "embedding")
+    val top = Similarity.lshTopK(corpus, corpus.filter(col("vec_id") === 1L),
+        k = 1, dim = 8, bitsPerBand = 4, nBands = 6)
+      .collect()
+    assert(top.nonEmpty && top.head.getAs[Long]("corpus_id") == 2L,
+      s"near-dup not recovered: ${top.mkString(",")}")
+    val dup = TextDedup.embeddingDupPairsLsh(corpus, threshold = 0.98, dim = 8,
+        bitsPerBand = 4, nBands = 6)
+      .collect().map(r => (r.getLong(1), r.getLong(0)))
+    assert(dup.contains((1L, 2L)) || dup.contains((2L, 1L)), s"dup pair missing: ${dup.toSeq}")
   }
 
   test("ivfTopK with full probing matches brute force top-1") {
