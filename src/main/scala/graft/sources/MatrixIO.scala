@@ -39,6 +39,25 @@ object MatrixIO {
       .write.option("sep", "\t").option("header", "true")
       .mode("overwrite").csv(path)
 
+  /** S7 — RSEM `.results` conversion
+    * (`Convert_RSEMprocessed.pl:104-121`): RSEM writes a header row
+    * and `SYMBOL|id`-keyed rows with the expected count in the second
+    * column; the reference splits the key on `|`, maps the symbol to
+    * an Ensembl id via the gene-info relation and DROPS unmapped
+    * genes. `geneInfo` columns: (ensembl_id, symbol) — broadcast
+    * inner join. Returns (gene_id, count, sample_id). */
+  def readRsemResults(spark: SparkSession, path: String, sampleId: String,
+      geneInfo: DataFrame): DataFrame = {
+    val raw = spark.read.option("sep", "\t").option("header", "true").csv(path)
+    val first = raw.columns(0)
+    val second = raw.columns(1)
+    raw.select(
+        split(col(first), "\\|").getItem(0).as("symbol"),
+        col(second).cast("double").as("count"))
+      .join(broadcast(geneInfo.select(col("ensembl_id"), col("symbol"))), Seq("symbol"))
+      .select(col("ensembl_id").as("gene_id"), col("count"), lit(sampleId).as("sample_id"))
+  }
+
   /** S6 — HTSeq count-file scan (`GenExpressionComb_RNAseq.pl:184-203`):
     * per-sample two-column `gene_id \t count` with trailing `__*`
     * summary counters dropped (F14). */

@@ -74,4 +74,17 @@ object StreamOps {
       .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
+
+  /** Checkpointed parquet file sink — the production shape for a
+    * streaming ETL leg: append mode, exactly-once via the checkpoint
+    * WAL + the file-sink manifest, partitioned output directory. The
+    * same sink works for any of the operators above. */
+  def parquetSink(df: DataFrame, path: String, checkpointDir: String,
+      partitionBy: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = df.writeStream.format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).start()
+  }
 }

@@ -33,6 +33,47 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("parquet file sink with checkpointing persists windowed aggregates") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val input = MemoryStream[Event]
+    val counts = StreamOps.windowedCounts(
+      input.toDS().select(col("ts"), col("event_type"), col("value")))
+    val query = StreamOps.parquetSink(counts, s"$dir/out", s"$dir/ckpt")
+    try {
+      val t0 = 1700000000000L
+      input.addData(
+        Event(1L, 1L, new Timestamp(t0), "click", 1.0),
+        Event(1L, 2L, new Timestamp(t0 + 60000), "click", 2.0))
+      query.processAllAvailable()
+      // advance the watermark so the first window finalizes and flushes
+      input.addData(Event(2L, 3L, new Timestamp(t0 + 5 * 3600 * 1000L), "view", 1.0))
+      query.processAllAvailable()
+      val out = spark.read.parquet(s"$dir/out")
+      assert(out.count() >= 1)
+      val clicks = out.filter(col("event_type") === "click").collect()
+      assert(clicks.length == 1 && clicks.head.getAs[Long]("n") == 2L)
+      // checkpoint directory materialized (offsets + commits WAL)
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/ckpt/offsets")))
+    } finally query.stop()
+  }
+
+  test("readRsemResults maps symbols to Ensembl ids and drops unmapped rows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_rsem").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/s1.results"),
+      ("gene_id\texpected_count\tTPM\n" +
+       "TP53|7157\t120.5\t8.1\n" +
+       "BRCA1|672\t33.0\t1.2\n" +
+       "UNKNOWN|0\t5.0\t0.1\n").getBytes)
+    val geneInfo = Seq(("ENSG00000141510", "TP53"), ("ENSG00000012048", "BRCA1"))
+      .toDF("ensembl_id", "symbol")
+    val out = graft.sources.MatrixIO.readRsemResults(spark, s"$dir/s1.results", "s1", geneInfo)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out == Map("ENSG00000141510" -> 120.5, "ENSG00000012048" -> 33.0))
+  }
+
   test("windowedCounts groups into tumbling windows (batch mode)") {
     import spark.implicits._
     val t0 = 1700000000000L // 2023-11-14 22:13:20 UTC
