@@ -50,12 +50,41 @@ object Cluster {
     val grand = rowMean.sum / n
     val bMat = Array.tabulate(n, n)((i, j) =>
       -0.5 * (d2(i)(j) - rowMean(i) - rowMean(j) + grand))
-    val eig = new org.apache.commons.math3.linear.EigenDecomposition(
-      new org.apache.commons.math3.linear.Array2DRowRealMatrix(bMat))
-    val order = eig.getRealEigenvalues.zipWithIndex
-      .sortBy { case (v, i) => (-v, i) }.take(k)
-    val coords = order.map { case (lam, col_) =>
-      val v = eig.getEigenvector(col_).toArray
+    // top-k eigenpairs by deterministic power iteration with
+    // deflation: B is PSD for Euclidean D², only k (=2 typically)
+    // pairs are needed, and unlike a full tridiagonalization this
+    // cannot hit an iterative-QR convergence failure on large sample
+    // counts. Seeded start vector; 500 fixed iterations ≫ enough for
+    // the well-separated leading study-effect axes.
+    def powerIter(m: Array[Array[Double]], seed: Int): (Double, Array[Double]) = {
+      var v = Array.tabulate(n) { i =>
+        var z = (i + 1).toLong * 0x9e3779b97f4a7c15L + seed
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        ((z >>> 11).toDouble / (1L << 53).toDouble) - 0.5
+      }
+      var lam = 0.0
+      var it = 0
+      while (it < 500) {
+        val w = Array.ofDim[Double](n)
+        var i = 0
+        while (i < n) {
+          var acc = 0.0; var j = 0
+          while (j < n) { acc += m(i)(j) * v(j); j += 1 }
+          w(i) = acc; i += 1
+        }
+        val norm = math.sqrt(w.map(x => x * x).sum)
+        if (norm < 1e-300) return (0.0, v)
+        lam = v.zip(w).map { case (a, b) => a * b }.sum
+        v = w.map(_ / norm)
+        it += 1
+      }
+      (lam, v)
+    }
+    val work = bMat.map(_.clone())
+    val coords = (0 until k).map { d =>
+      val (lam, v) = powerIter(work, d)
+      // deflate: B ← B − λ v vᵀ
+      for (i <- 0 until n; j <- 0 until n) work(i)(j) -= lam * v(i) * v(j)
       val scaled = v.map(_ * math.sqrt(math.max(lam, 0.0)))
       val maxAbs = scaled.maxBy(math.abs)
       (lam, if (maxAbs < 0) scaled.map(-_) else scaled)

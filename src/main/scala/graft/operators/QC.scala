@@ -128,8 +128,12 @@ object QC {
       Seq("gene_id"))
     val summary = mapped.groupBy("__ps", "sample_id")
       .agg(expr("percentile(value, 0.5)").as("__sum"))
+    // persisted: the residual relation feeds both the probe-effect
+    // aggregation and the SE pass — its lineage re-runs two exact
+    // percentile aggregations otherwise
     val withRes = mapped.join(summary, Seq("__ps", "sample_id"))
       .withColumn("__r0", col("value") - col("__sum"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probeEff = withRes.groupBy("gene_id")
       .agg(expr("percentile(__r0, 0.5)").as("__pe"))
     val se = withRes.join(probeEff, Seq("gene_id"))
