@@ -21,20 +21,55 @@ object Plans {
       else Seq("q01_pricing_summary", "q04_outlier_antijoin", "q05_semijoin_reliable",
         "q20_log2_cpm", "q26_sessionize", "q37_cosine_topk")
     names.foreach { name =>
-      val df = SparkEntry.queries(name)(spark, dir)
-      val plan = df.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode)
-      println(s"\n========== $name ==========")
-      println(plan)
-      val smells = Seq(
-        "no parquet filter pushdown" ->
-          (plan.contains("PushedFilters: []") && plan.contains("Filter (")),
-        "cartesian product" -> plan.contains("CartesianProduct"),
-        "sort-merge join" -> plan.contains("SortMergeJoin"))
-        .collect { case (s, true) => s }
-      println(s"[audit] $name: " +
-        (if (smells.isEmpty) "clean" else s"SMELLS: ${smells.mkString(", ")}"))
+      if (name == "bucketed_demo") bucketedDemo(spark, dir)
+      else {
+        val df = SparkEntry.queries(name)(spark, dir)
+        val plan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        println(s"\n========== $name ==========")
+        println(plan)
+        val smells = Seq(
+          "no parquet filter pushdown" ->
+            (plan.contains("PushedFilters: []") && plan.contains("Filter (")),
+          "cartesian product" -> plan.contains("CartesianProduct"),
+          "sort-merge join" -> plan.contains("SortMergeJoin"))
+          .collect { case (s, true) => s }
+        println(s"[audit] $name: " +
+          (if (smells.isEmpty) "clean" else s"SMELLS: ${smells.mkString(", ")}"))
+      }
     }
     spark.stop()
+  }
+
+  /** The bucketed-workspace co-location demo (SCALING.md / ROADMAP):
+    * checkpoint the expression matrix bucketed on gene_id, then run a
+    * two-stage per-gene pipeline (per-gene stats → self-join on gene)
+    * and count the Exchanges — the bucketed plan must have ZERO
+    * (stage co-location replaces the reference's .exp file hand-offs);
+    * the unbucketed plan shuffles twice. */
+  private def bucketedDemo(spark: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val m = graft.model.ExpressionMatrix(
+      spark.read.parquet(s"$dir/lineitem.parquet").select(
+        col("l_partkey").cast("string").as("gene_id"),
+        col("l_suppkey").cast("string").as("sample_id"),
+        col("l_extendedprice").as("value")))
+    def twoStage(mx: graft.model.ExpressionMatrix) = {
+      val stats = mx.df.groupBy("gene_id")
+        .agg(avg("value").as("mean"), stddev_samp("value").as("sd"))
+      mx.df.join(stats, Seq("gene_id"))
+        .groupBy("gene_id").agg(sum((col("value") - col("mean")) / col("sd")).as("z_sum"))
+    }
+    // count SHUFFLE exchanges only — a BroadcastExchange moves the
+    // bounded side, not the data, and is the desired join strategy
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      "(?<!Broadcast)Exchange".r.findAllIn(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)).size
+    val plain = exchanges(twoStage(m))
+    val bucketed = exchanges(twoStage(
+      graft.model.Workspace.checkpointBucketed(m, "graft_bucket_demo", buckets = 8)))
+    println(s"\n========== bucketed_demo ==========")
+    println(s"[audit] bucketed_demo: exchanges unbucketed=$plain bucketed=$bucketed " +
+      (if (bucketed == 0) "(no-exchange co-location confirmed)" else "UNEXPECTED EXCHANGES"))
   }
 }
