@@ -262,7 +262,10 @@ object ExtraQueries {
         .orderBy("l_suppkey")
     }),
 
-    // ---- A21: per-gene logistic regression z-scores ----
+    // ---- A21: per-gene logistic regression z-scores. Hash-checked:
+    // the IRLS fixed point replays as a recursive CTE (25 Newton
+    // steps, converged genes frozen-carried — identical to the Scala
+    // early-exit loop's final state). ----
     "q53_logistic" -> ((s, dir) => {
       val m = geneSupplierMatrix(s, dir, maxGene = 200)
       val outcomes = t(s, dir, "supplier").select(
@@ -330,7 +333,11 @@ object ExtraQueries {
       }.reduce(_ unionByName _).orderBy("contrast", "l_partkey")
     }),
 
-    // ---- A18: RMA median-polish summarisation (rows-only) ----
+    // ---- A18: RMA median-polish summarisation. Hash-checked: the
+    // sweep loop replays as a recursive CTE — row/column medians are
+    // windows over the (full) grid, converged probesets frozen-carry,
+    // and the balanced duplication of row/col effects across cells
+    // makes median-over-cells equal median-over-effects. ----
     "q54_median_polish" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").filter(col("l_partkey") <= 100)
       val probes = ExpressionMatrix(li
@@ -587,6 +594,120 @@ object ExtraQueries {
          SELECT o.gene AS l_partkey, round(o.z_obs + 1e-7, 4) + 0.0 AS z_obs,
                 round(least(1.0, e.e_null * (SELECT n_genes FROM ng) / o.n_ge) + 1e-9, 6) + 0.0 AS fdr
          FROM obsrank o JOIN exceed e USING (gene) ORDER BY 1""",
+
+    // median polish replayed as a recursive CTE: one level per sweep,
+    // medians as windows, per-probeset convergence as a frozen-carry
+    // flag (matches the Scala early-exit loop's final state)
+    "q54_median_polish" ->
+      """WITH RECURSIVE cells0 AS (
+           SELECT CAST(l_partkey AS VARCHAR) AS ps,
+                  CAST(l_partkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS probe,
+                  l_suppkey AS samp, CAST(avg(l_extendedprice) AS DOUBLE) AS v
+           FROM lineitem WHERE l_partkey <= 100 GROUP BY 1,2,3
+         ), probes AS (SELECT DISTINCT ps, probe FROM cells0),
+         samps AS (SELECT DISTINCT ps, samp FROM cells0),
+         colmed AS (SELECT ps, samp, median(v) AS cm FROM cells0 GROUP BY 1,2),
+         grid AS (
+           SELECT p.ps, p.probe, s.samp,
+                  coalesce(c.v, cm.cm, 0.0) AS v
+           FROM probes p JOIN samps s USING (ps)
+           LEFT JOIN cells0 c ON c.ps = p.ps AND c.probe = p.probe AND c.samp = s.samp
+           LEFT JOIN colmed cm ON cm.ps = p.ps AND cm.samp = s.samp
+         ), st AS (
+           SELECT 0 AS iter, ps, probe, samp, v AS resid,
+                  CAST(0.0 AS DOUBLE) AS roweff, CAST(0.0 AS DOUBLE) AS coleff,
+                  CAST(0.0 AS DOUBLE) AS overall, TRUE AS active
+           FROM grid
+           UNION ALL
+           SELECT iter + 1, ps, probe, samp,
+                  CASE WHEN active THEN resid2 ELSE resid END,
+                  CASE WHEN active THEN roweff2 ELSE roweff END,
+                  CASE WHEN active THEN coleff2 ELSE coleff END,
+                  CASE WHEN active THEN overall2 ELSE overall END,
+                  CASE WHEN active THEN delta > 0.01 ELSE FALSE END
+           FROM (
+             SELECT *,
+                    overall1 + cmm AS overall2,
+                    coleff1 - cmm AS coleff2,
+                    resid1 - cmj AS resid2,
+                    drow + abs(rmm) + dcol + abs(cmm) AS delta
+             FROM (
+               SELECT *,
+                      median(coleff1) OVER (PARTITION BY iter, ps) AS cmm,
+                      sum(abs(cmj)) OVER (PARTITION BY iter, ps) / nprobes AS dcol
+               FROM (
+                 SELECT *, coleff + cmj AS coleff1
+                 FROM (
+                   SELECT *, median(resid1) OVER (PARTITION BY iter, ps, samp) AS cmj
+                   FROM (
+                     SELECT *,
+                            overall + rmm AS overall1,
+                            roweff1 - rmm AS roweff2
+                     FROM (
+                       SELECT *,
+                              median(roweff1) OVER (PARTITION BY iter, ps) AS rmm,
+                              sum(abs(rmi)) OVER (PARTITION BY iter, ps) / nsamps AS drow
+                       FROM (
+                         SELECT *, resid - rmi AS resid1, roweff + rmi AS roweff1
+                         FROM (
+                           SELECT st.*,
+                                  median(resid) OVER (PARTITION BY iter, ps, probe) AS rmi,
+                                  count(*) OVER (PARTITION BY iter, ps, probe) AS nsamps,
+                                  count(*) OVER (PARTITION BY iter, ps, samp) AS nprobes
+                           FROM st WHERE iter < 10
+                         ) a
+                       ) b
+                     ) c
+                   ) d
+                 ) e
+               ) f
+             ) g
+           ) h
+         )
+         SELECT CAST(ps AS BIGINT) AS l_partkey, samp AS l_suppkey,
+                round(max(overall + coleff) + 1e-5, 2) + 0.0 AS summarized
+         FROM st WHERE iter = 10
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // IRLS logistic replayed as a recursive CTE. DECIMAL hazards: the
+    // anchor's 0.0 literals and avg(DECIMAL) MUST cast to DOUBLE or
+    // the recursion coerces the state to DECIMAL(2,1).
+    "q53_logistic" ->
+      """WITH RECURSIVE data AS (
+           SELECT m.gene, CAST(m.value AS DOUBLE) / 100000.0 AS x,
+                  CAST(CASE WHEN s.s_nationkey % 2 = 0 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS y
+           FROM (SELECT l_partkey AS gene, l_suppkey AS samp, avg(l_extendedprice) AS value
+                 FROM lineitem WHERE l_partkey <= 200 GROUP BY 1,2) m
+           JOIN supplier s ON s.s_suppkey = m.samp
+         ), st AS (
+           SELECT 0 AS iter, gene, CAST(0.0 AS DOUBLE) AS b0, CAST(0.0 AS DOUBLE) AS b1,
+                  FALSE AS conv, CAST('nan' AS DOUBLE) AS se
+           FROM (SELECT DISTINCT gene FROM data)
+           UNION ALL
+           SELECT iter + 1, gene,
+                  CASE WHEN conv OR abs(det) < 1e-12 THEN b0 ELSE b0 + (s11*g0 - s01*g1)/det END,
+                  CASE WHEN conv OR abs(det) < 1e-12 THEN b1 ELSE b1 + (s00*g1 - s01*g0)/det END,
+                  CASE WHEN conv THEN TRUE
+                       WHEN abs(det) < 1e-12 THEN TRUE
+                       ELSE abs((s11*g0 - s01*g1)/det) < 1e-10 AND abs((s00*g1 - s01*g0)/det) < 1e-10 END,
+                  CASE WHEN conv OR abs(det) < 1e-12 THEN se ELSE sqrt(s00/det) END
+           FROM (
+             SELECT iter, gene, b0, b1, conv, se,
+                    sum(w) AS s00, sum(w*x) AS s01, sum(w*x*x) AS s11,
+                    sum(y - p) AS g0, sum((y - p)*x) AS g1,
+                    sum(w)*sum(w*x*x) - sum(w*x)*sum(w*x) AS det
+             FROM (
+               SELECT st.iter, st.gene, st.b0, st.b1, st.conv, st.se, d.x, d.y,
+                      1.0/(1.0 + exp(-(st.b0 + st.b1*d.x))) AS p,
+                      greatest(1.0/(1.0 + exp(-(st.b0 + st.b1*d.x))) *
+                               (1.0 - 1.0/(1.0 + exp(-(st.b0 + st.b1*d.x)))), 1e-10) AS w
+               FROM st JOIN data d USING (gene) WHERE st.iter < 25
+             ) s GROUP BY 1,2,3,4,5,6
+           )
+         )
+         SELECT gene AS l_partkey,
+                round(CASE WHEN se > 0 THEN b1/se ELSE CAST('nan' AS DOUBLE) END + 1e-7, 4) + 0.0 AS z
+         FROM st WHERE iter = 25 ORDER BY 1""",
 
     // hypergeometric upper tail as an lgamma-form pmf sum over the
     // overlap..min(term_size, k) support
