@@ -9,13 +9,14 @@ import org.apache.spark.sql.functions._
 /** Remaining SURVEY.md §2 operator coverage: melt/unpivot (S1), F3,
   * F8, F11, F12, A7-A10, A12, A20-A21, A23-A24, A26, A31, W4, plus
   * the Ward linkage utility (A8). Oracle SQL is provided wherever
-  * DuckDB can express (or replay) the operator — including ComBat
-  * (recursive-CTE fixed point), ICC (corr of correlation vectors),
-  * permutation FDR (md5 rank-hash shuffles), enrichment (lgamma pmf
-  * tail) and eBayes (inlined deterministic hyperparameters). Only the
-  * genuinely non-SQL kernels (PCA/Ward eigen-/linkage structure,
-  * IRLS logistic, median polish, LSH/IVF model state) remain on the
-  * driver's weaker rows-only check.
+  * DuckDB can express (or replay) the operator — including the
+  * iterative kernels as recursive-CTE replays (ComBat it.sol, IRLS
+  * logistic, median-polish sweeps, Ward agglomeration), ICC as corr
+  * of correlation vectors, permutation FDR as md5 rank-hash shuffles,
+  * enrichment as an lgamma pmf tail and eBayes with the digamma
+  * recurrence unrolled into SQL. Only the eigen/model-state kernels
+  * (PCA, MDS, KMeans cells, LSH sketch families) and the qnorm/t-CDF
+  * special functions remain on the driver's weaker rows-only check.
   */
 object ExtraQueries {
 
@@ -355,7 +356,9 @@ object ExtraQueries {
         .orderBy("l_partkey", "l_suppkey")
     }),
 
-    // ---- A8: Ward linkage dendrogram heights ----
+    // ---- A8: Ward linkage dendrogram heights. Hash-checked: the
+    // agglomeration replays as a recursive CTE (argmin + Lance-
+    // Williams per level). ----
     "q51_ward" -> ((s, dir) => {
       val m = ExpressionMatrix(t(s, dir, "lineitem")
         .filter(col("l_suppkey") <= 12)
@@ -594,6 +597,65 @@ object ExtraQueries {
          SELECT o.gene AS l_partkey, round(o.z_obs + 1e-7, 4) + 0.0 AS z_obs,
                 round(least(1.0, e.e_null * (SELECT n_genes FROM ng) / o.n_ge) + 1e-9, 6) + 0.0 AS fdr
          FROM obsrank o JOIN exceed e USING (gene) ORDER BY 1""",
+
+    // Ward.D agglomeration replayed as a recursive CTE: one level per
+    // merge — argmin by (d, ca, cb), Lance–Williams update, cluster
+    // labels as sorted member joins (list_sort || string_agg)
+    "q51_ward" ->
+      """WITH RECURSIVE m AS (
+           SELECT CAST(l_suppkey AS VARCHAR) AS samp, l_partkey AS gene,
+                  CAST(avg(l_extendedprice) AS DOUBLE) AS v
+           FROM lineitem WHERE l_suppkey <= 12 GROUP BY 1,2
+         ), d0 AS (
+           SELECT a.samp AS ca, b.samp AS cb, sum((a.v - b.v)*(a.v - b.v)) AS d
+           FROM m a JOIN m b ON a.gene = b.gene AND a.samp < b.samp
+           GROUP BY 1,2
+         ), st AS (
+           SELECT 0 AS step, 'pair' AS kind, ca, cb, d,
+                  CAST(1 AS BIGINT) AS na, CAST(1 AS BIGINT) AS nb
+           FROM d0
+           UNION ALL
+           SELECT * FROM (
+             WITH cur AS (SELECT * FROM st WHERE kind = 'pair'),
+             best AS (SELECT step AS bstep, ca AS bca, cb AS bcb, d AS bd, na AS bna, nb AS bnb
+                      FROM cur ORDER BY d, ca, cb LIMIT 1),
+             newlab AS (SELECT *, list_aggregate(list_sort(string_split(bca, '+') || string_split(bcb, '+')), 'string_agg', '+') AS nl
+                        FROM best),
+             untouched AS (
+               SELECT c.step + 1 AS step, 'pair' AS kind, c.ca, c.cb, c.d, c.na, c.nb
+               FROM cur c, newlab b
+               WHERE c.ca NOT IN (b.bca, b.bcb) AND c.cb NOT IN (b.bca, b.bcb)),
+             touched AS (
+               SELECT b.bstep, b.bna, b.bnb, b.bd, b.nl,
+                      CASE WHEN c.ca IN (b.bca, b.bcb) THEN c.cb ELSE c.ca END AS k,
+                      CASE WHEN c.ca IN (b.bca, b.bcb) THEN c.nb ELSE c.na END AS nk,
+                      CASE WHEN c.ca = b.bca OR c.cb = b.bca THEN c.d END AS dak,
+                      CASE WHEN c.ca = b.bcb OR c.cb = b.bcb THEN c.d END AS dbk
+               FROM cur c, newlab b
+               WHERE (c.ca IN (b.bca, b.bcb)) <> (c.cb IN (b.bca, b.bcb))),
+             merged AS (
+               SELECT bstep, k, max(nk) AS nk, max(dak) AS dak, max(dbk) AS dbk,
+                      max(bna) AS bna, max(bnb) AS bnb, max(bd) AS bd, max(nl) AS nl
+               FROM touched GROUP BY bstep, k),
+             newpairs AS (
+               SELECT bstep + 1 AS step, 'pair' AS kind,
+                      least(nl, k) AS ca, greatest(nl, k) AS cb,
+                      ((bna + nk)*dak + (bnb + nk)*dbk - nk*bd) / (bna + bnb + nk) AS d,
+                      CASE WHEN nl < k THEN bna + bnb ELSE nk END AS na,
+                      CASE WHEN nl < k THEN nk ELSE bna + bnb END AS nb
+               FROM merged),
+             mergerow AS (
+               SELECT bstep + 1 AS step, 'merge' AS kind, bca AS ca, bcb AS cb, bd AS d,
+                      bna + bnb AS na, CAST(0 AS BIGINT) AS nb
+               FROM best)
+             SELECT * FROM untouched
+             UNION ALL SELECT * FROM newpairs
+             UNION ALL SELECT * FROM mergerow
+           )
+         )
+         SELECT CAST(step AS INT) AS step, CAST(na AS INT) AS size,
+                round(d/1e6) + 0.0 AS height_m
+         FROM st WHERE kind = 'merge' ORDER BY 1""",
 
     // median polish replayed as a recursive CTE: one level per sweep,
     // medians as windows, per-probeset convergence as a frozen-carry
