@@ -72,7 +72,12 @@ object MetaQueries {
         .orderBy("l_partkey")
     }),
 
-    // ---- A25: weighted Stouffer combine (no SQL oracle: qnorm) ----
+    // ---- A25: weighted Stouffer combine. Hash-checked: the oracle
+    // computes pt(|t|, df) by the regularized-incomplete-beta Lentz
+    // continued fraction (recursive CTE) and qnorm by the Acklam
+    // rational approximation (agrees with commons-math3 to ~1e-9;
+    // outputs round at 4dp). p_comb is omitted — it is a bijection of
+    // z_comb through pnorm, covered by the weightedStouffer spec. ----
     "q14_stouffer" -> ((s, dir) => {
       val stats = t(s, dir, "lineitem")
         .groupBy(col("l_partkey"), col("l_linestatus"), col("l_returnflag"))
@@ -90,8 +95,7 @@ object MetaQueries {
       Meta.weightedStouffer(perStudy)
         .select(col("gene_id").cast("long").as("l_partkey"), col("n_platforms"),
           round(col("avg_log2fc") + 1e-5, 2).as("avg_log2fc"),
-          round(col("z_comb") + 1e-7, 4).as("z_comb"),
-          round(col("p_comb") + 1e-9, 6).as("p_comb"))
+          round(col("z_comb") + 1e-7, 4).as("z_comb"))
         .orderBy("l_partkey")
     }),
 
@@ -346,6 +350,105 @@ object MetaQueries {
                    round(swpd/swp + 1e-9, 6) + 0.0 AS mu_rem,
                    round((swpd/swp) * sqrt(swp) + 1e-7, 4) + 0.0 AS z_rem
             FROM fem f JOIN rem USING (l_partkey)"""),
+
+    // pt via NR betacf Lentz continued fraction (100 recursive-CTE
+    // levels), qnorm via Acklam. DECIMAL hazard: every recursion
+    // anchor literal must CAST to DOUBLE.
+    "q14_stouffer" ->
+      """WITH RECURSIVE stats AS (
+           SELECT l_partkey AS gene, l_linestatus AS study, l_returnflag AS grp,
+                  count(*) AS n, avg(l_extendedprice) AS mean, var_samp(l_extendedprice) AS var
+           FROM lineitem GROUP BY 1,2,3
+         ), wide AS (
+           SELECT gene, study,
+                  max(CASE WHEN grp='A' THEN n END) AS na, max(CASE WHEN grp='A' THEN mean END) AS ma,
+                  max(CASE WHEN grp='A' THEN var END) AS va,
+                  max(CASE WHEN grp='N' THEN n END) AS nb, max(CASE WHEN grp='N' THEN mean END) AS mb,
+                  max(CASE WHEN grp='N' THEN var END) AS vb
+           FROM stats GROUP BY 1,2
+         ), welch AS (
+           SELECT gene, study, CAST(ma - mb AS DOUBLE) AS fc,
+                  CAST((ma - mb) / sqrt(va/na + vb/nb) AS DOUBLE) AS t,
+                  CAST(pow(va/na + vb/nb, 2) / (pow(va/na, 2)/(na-1) + pow(vb/nb, 2)/(nb-1)) AS DOUBLE) AS df
+           FROM wide
+           WHERE na > 1 AND nb > 1 AND ma IS NOT NULL AND mb IS NOT NULL AND (va + vb) > 0
+         ), prep AS (
+           SELECT gene, study, fc, t, df,
+                  df/(df + t*t) AS x0, df/2.0 AS ba, CAST(0.5 AS DOUBLE) AS bb,
+                  (df/(df + t*t)) >= (df/2.0 + 1.0)/(df/2.0 + 0.5 + 2.0) AS flip
+           FROM welch
+         ), cfin AS (
+           SELECT *, CASE WHEN flip THEN 1.0 - x0 ELSE x0 END AS xx,
+                  CASE WHEN flip THEN bb ELSE ba END AS ca,
+                  CASE WHEN flip THEN ba ELSE bb END AS cb
+           FROM prep
+         ), cf AS (
+           SELECT 0 AS m, gene, study, xx, ca, cb,
+                  CAST(1.0 AS DOUBLE) AS c,
+                  1.0 / (CASE WHEN abs(1.0 - (ca+cb)*xx/(ca+1.0)) < 1e-300
+                              THEN 1e-300 ELSE 1.0 - (ca+cb)*xx/(ca+1.0) END) AS d,
+                  1.0 / (CASE WHEN abs(1.0 - (ca+cb)*xx/(ca+1.0)) < 1e-300
+                              THEN 1e-300 ELSE 1.0 - (ca+cb)*xx/(ca+1.0) END) AS h
+           FROM cfin
+           UNION ALL
+           SELECT m + 1, gene, study, xx, ca, cb, c2, d2, h * d1*c1 * d2*c2
+           FROM (
+             SELECT *,
+                    1.0/(1.0 + aa2*(1.0/(1.0 + aa1*d))) AS d2,
+                    1.0 + aa2/(1.0 + aa1/c) AS c2,
+                    1.0/(1.0 + aa1*d) AS d1,
+                    1.0 + aa1/c AS c1
+             FROM (
+               SELECT *, (m+1)*(cb-(m+1))*xx/((ca+2*(m+1)-1.0)*(ca+2*(m+1))) AS aa1,
+                      -(ca+(m+1))*(ca+cb+(m+1))*xx/((ca+2*(m+1))*(ca+2*(m+1)+1.0)) AS aa2
+               FROM cf WHERE m < 100
+             ) s1
+           ) s2
+         ), ibeta AS (
+           SELECT p.gene, p.study, p.fc,
+                  CASE WHEN p.flip
+                       THEN 1.0 - exp(cf.ca*ln(cf.xx) + cf.cb*ln(1.0-cf.xx)
+                             + lgamma(cf.ca+cf.cb) - lgamma(cf.ca) - lgamma(cf.cb))*cf.h/cf.ca
+                       ELSE exp(cf.ca*ln(cf.xx) + cf.cb*ln(1.0-cf.xx)
+                             + lgamma(cf.ca+cf.cb) - lgamma(cf.ca) - lgamma(cf.cb))*cf.h/cf.ca END AS ix
+           FROM cf JOIN prep p USING (gene, study)
+           WHERE cf.m = 100
+         ), zfinal AS (
+           SELECT gene, study, fc, sign(fc) * (
+             CASE WHEN pq < 0.02425 THEN
+               ( ((((( -7.784894002430293e-03*q + -3.223964580411365e-01)*q + -2.400758277161838e+00)*q
+                     + -2.549732539343734e+00)*q + 4.374664141464968e+00)*q + 2.938163982698783e+00) /
+                  (((( 7.784695709041462e-03*q + 3.224671290700398e-01)*q + 2.445134137142996e+00)*q
+                     + 3.754408661907416e+00)*q + 1.0) )
+             WHEN pq > 1.0 - 0.02425 THEN
+               -( ((((( -7.784894002430293e-03*qr + -3.223964580411365e-01)*qr + -2.400758277161838e+00)*qr
+                     + -2.549732539343734e+00)*qr + 4.374664141464968e+00)*qr + 2.938163982698783e+00) /
+                  (((( 7.784695709041462e-03*qr + 3.224671290700398e-01)*qr + 2.445134137142996e+00)*qr
+                     + 3.754408661907416e+00)*qr + 1.0) )
+             ELSE
+               ( ((((( -3.969683028665376e+01*r + 2.209460984245205e+02)*r + -2.759285104469687e+02)*r
+                    + 1.383577518672690e+02)*r + -3.066479806614716e+01)*r + 2.506628277459239e+00)*qc /
+                 ((((( -5.447609879822406e+01*r + 1.615858368580409e+02)*r + -1.556989798598866e+02)*r
+                    + 6.680131188771972e+01)*r + -1.328068155288572e+01)*r + 1.0) )
+             END) AS z
+           FROM (
+             SELECT gene, study, fc, pq,
+                    sqrt(-2.0*ln(greatest(1.0 - pq, 1e-300))) AS qr,
+                    sqrt(-2.0*ln(greatest(pq, 1e-300))) AS q,
+                    pq - 0.5 AS qc, (pq-0.5)*(pq-0.5) AS r
+             FROM (SELECT gene, study, fc, least(greatest(1.0 - 0.5*ix, 0.0), 1.0) AS pq FROM ibeta)
+           )
+         ), comb AS (
+           SELECT gene, count(*) AS n_platforms,
+                  sum(sqrt(abs(fc)) * z) AS num,
+                  sum(abs(fc) + abs(fc)*0.25) AS den,
+                  avg(fc) AS avg_fc
+           FROM zfinal GROUP BY 1 HAVING count(*) >= 2
+         )
+         SELECT gene AS l_partkey, n_platforms,
+                round(avg_fc + 1e-5, 2) + 0.0 AS avg_log2fc,
+                round(num/sqrt(den) + 1e-7, 4) + 0.0 AS z_comb
+         FROM comb ORDER BY 1""",
 
     "q15_pairwise_corr" ->
       """WITH m AS (
