@@ -161,6 +161,68 @@ object Normalize {
     Filters.clampLow(quantileNormalize(ExpressionMatrix(corrected)), clampBelow)
   }
 
+  /** A19 — robust spline normalisation (lumi `rsn`,
+    * `GenExpressionComb_Illum_HT_12_V3.R` chain): each array maps onto
+    * the target distribution through a SMOOTH monotone curve instead
+    * of quantile normalisation's exact rank replacement — QN's
+    * equalize-everything step destroys within-array spacing; RSN
+    * preserves it up to a monotone warp.
+    *
+    * Engine shape: target = per-rank mean across arrays (the same
+    * relation QN uses); per sample, `bins` quantile-bin anchor points
+    * (bin mean value → bin mean target) feed one driver-side natural
+    * cubic spline (samples are reference-bounded); executors evaluate
+    * the broadcast piecewise cubic per row. Monotone for monotone
+    * anchors at reference bin counts; values outside the anchor span
+    * clamp to the end segments. */
+  def rsn(m: ExpressionMatrix, bins: Int = 20): ExpressionMatrix = {
+    val spark = m.df.sparkSession
+    import spark.implicits._
+    val wRank = Window.partitionBy("sample_id").orderBy(col("value").asc, col("gene_id").asc)
+    val ranked = m.canonical.df.withColumn("__rk", row_number().over(wRank))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rankMeans = ranked.groupBy("__rk").agg(avg("value").as("__target"))
+    val nPerSample = ranked.groupBy("sample_id").agg(count(lit(1)).as("__n"))
+    val anchors = ranked.join(rankMeans, Seq("__rk"))
+      .join(nPerSample, Seq("sample_id"))
+      .withColumn("__bin", least(lit(bins - 1),
+        floor(col("__rk") * bins / (col("__n") + 1)).cast("int")))
+      .groupBy("sample_id", "__bin")
+      .agg(avg("value").as("x"), avg("__target").as("y"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> (r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val sampleIds = anchors.keys.map(_._1).toSeq.distinct.sorted
+    val segRows = sampleIds.flatMap { s =>
+      val pts = (0 until bins).flatMap(b => anchors.get((s, b))).sortBy(_._1)
+      val xs = pts.map(_._1).toArray
+      val ys = pts.map(_._2).toArray
+      val m2 = naturalSplineSecondDerivs(xs, ys)
+      (0 until xs.length - 1).map { k =>
+        (s, k, xs(k), xs(k + 1), ys(k), ys(k + 1), m2(k), m2(k + 1))
+      }
+    }
+    val segs = broadcast(segRows.toDF("sample_id", "__seg", "x0", "x1", "y0", "y1", "m0", "m1"))
+    // segment index per row: count of interior anchor x's below value,
+    // per sample — anchors are per-sample, so bake them as a map
+    val anchorXs = sampleIds.map { s =>
+      s -> (0 until bins).flatMap(b => anchors.get((s, b))).map(_._1).sorted
+    }.toMap
+    val segUdfInput = anchorXs.toSeq.flatMap { case (s, xs) =>
+      xs.tail.dropRight(1).zipWithIndex.map { case (x, _) => (s, x) }
+    }.toDF("sample_id", "__cut")
+    val segIdx = m.canonical.df.join(broadcast(segUdfInput), Seq("sample_id"), "left")
+      .groupBy("gene_id", "sample_id", "value")
+      .agg(coalesce(sum((col("value") > col("__cut")).cast("int")), lit(0)).as("__seg"))
+    val h = col("x1") - col("x0")
+    val xc = least(greatest(col("value"), col("x0")), col("x1"))
+    val spline =
+      (col("m0") * pow(col("x1") - xc, 3) + col("m1") * pow(xc - col("x0"), 3)) / (lit(6.0) * h) +
+      (col("y0") / h - col("m0") * h / 6.0) * (col("x1") - xc) +
+      (col("y1") / h - col("m1") * h / 6.0) * (xc - col("x0"))
+    ExpressionMatrix(segIdx.join(segs, Seq("sample_id", "__seg"))
+      .select(col("gene_id"), col("sample_id"), spline.as("value")))
+  }
+
   /** Natural cubic spline second derivatives through (x_i, y_i):
     * tridiagonal Thomas solve with natural boundary M_0 = M_n = 0. */
   private[operators] def naturalSplineSecondDerivs(x: Array[Double], y: Array[Double]): Array[Double] = {

@@ -136,6 +136,39 @@ class KernelSpec extends SparkSpec {
     assert(out("gShort") > out("gLong"), s"length offset missing: $out")
   }
 
+  test("rsn aligns array distributions smoothly and preserves within-array order") {
+    // three arrays: s2/s3 are affine warps of s1 — RSN must pull all
+    // three onto the shared target while keeping each array's ranking
+    val rows = for (g <- 1 to 200; s <- Seq("s1", "s2", "s3")) yield {
+      val base = 5.0 + (g % 47) * 0.2 + (g % 13) * 0.05
+      val v = s match {
+        case "s1" => base
+        case "s2" => base * 1.6 + 2.0
+        case _    => base * 0.7 - 1.0
+      }
+      (s"g%03d".format(g), s, v)
+    }
+    val m = ExpressionMatrix(rows.toDF("gene_id", "sample_id", "value"))
+    val out = Normalize.rsn(m, bins = 10)
+    val means = out.df.groupBy("sample_id").agg(avg("value").as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val spread = means.values.max - means.values.min
+    val rawSpread = {
+      val rm = m.df.groupBy("sample_id").agg(avg("value").as("m"))
+        .collect().map(_.getDouble(1))
+      rm.max - rm.min
+    }
+    assert(spread < rawSpread / 10.0, s"distributions not aligned: $means vs raw $rawSpread")
+    // within-sample order preserved (monotone mapping)
+    for (s <- Seq("s1", "s2", "s3")) {
+      val vals = out.df.filter(col("sample_id") === s)
+        .join(m.df.filter(col("sample_id") === s)
+          .select(col("gene_id"), col("value").as("raw")), Seq("gene_id"))
+        .orderBy("raw").select("value").collect().map(_.getDouble(0))
+      vals.sliding(2).foreach { case Array(a, b) => assert(a <= b + 1e-9); case _ => }
+    }
+  }
+
   test("cmdscale reconstructs planar distances exactly in 2 dimensions") {
     // four points in the plane; squared distances in, coordinates out:
     // pairwise distances of the embedding must match the input
