@@ -205,6 +205,19 @@ object ExtraQueries {
         .orderBy("l_suppkey")
     }),
 
+    // ---- A19: robust spline normalisation. Hash-checked: anchors are
+    // plain aggregates, the tridiagonal (Thomas) spline solve replays
+    // as two single-chain recursive CTEs, and the piecewise cubic is
+    // closed-form. ----
+    "q63_rsn" -> ((s, dir) => {
+      val m = geneSupplierMatrix(s, dir, maxGene = 300)
+      Normalize.rsn(m, bins = 10).df
+        .select(col("gene_id").cast("long").as("l_partkey"),
+          col("sample_id").cast("long").as("l_suppkey"),
+          round(col("value") + 1e-5, 2).as("rsn_value"))
+        .orderBy("l_partkey", "l_suppkey")
+    }),
+
     // ---- A10: ComBat batch adjustment. Hash-checked: the 30-step
     // it.sol fixed point is row-local given the per-batch moment
     // hyperpriors, so the oracle replays it as a recursive CTE. ----
@@ -597,6 +610,77 @@ object ExtraQueries {
          SELECT o.gene AS l_partkey, round(o.z_obs + 1e-7, 4) + 0.0 AS z_obs,
                 round(least(1.0, e.e_null * (SELECT n_genes FROM ng) / o.n_ge) + 1e-9, 6) + 0.0 AS fdr
          FROM obsrank o JOIN exceed e USING (gene) ORDER BY 1""",
+
+    // RSN replay: rank/target aggregates, natural-spline Thomas solve
+    // as two single-chain recursive CTEs (forward elimination, back
+    // substitution), closed-form piecewise cubic evaluation
+    "q63_rsn" ->
+      """WITH RECURSIVE mm AS (
+           SELECT CAST(l_partkey AS VARCHAR) AS gene, CAST(l_suppkey AS VARCHAR) AS samp,
+                  CAST(avg(l_extendedprice) AS DOUBLE) AS v
+           FROM lineitem WHERE l_partkey <= 300 GROUP BY 1,2
+         ), rk AS (
+           SELECT gene, samp, v, row_number() OVER (PARTITION BY samp ORDER BY v, gene) AS r
+           FROM mm
+         ), ns AS (SELECT samp, count(*) AS n FROM mm GROUP BY 1),
+         tgt AS (SELECT r, avg(v) AS target FROM rk GROUP BY 1),
+         anch AS (
+           SELECT k.samp, least(9, CAST(floor(k.r * 10.0 / (ns.n + 1)) AS INT)) AS bin,
+                  avg(k.v) AS x, avg(t.target) AS y
+           FROM rk k JOIN ns USING (samp) JOIN tgt t USING (r)
+           GROUP BY 1,2
+         ), pts AS (
+           SELECT samp, CAST(row_number() OVER (PARTITION BY samp ORDER BY x) - 1 AS INT) AS i, x, y
+           FROM anch
+         ), np AS (SELECT samp, count(*) AS np FROM pts GROUP BY 1),
+         coef AS (
+           SELECT p.samp, p.i,
+                  (p.x - pm.x)/6.0 AS a, ((p.x - pm.x) + (pp.x - p.x))/3.0 AS b,
+                  (pp.x - p.x)/6.0 AS c,
+                  (pp.y - p.y)/(pp.x - p.x) - (p.y - pm.y)/(p.x - pm.x) AS d
+           FROM pts p
+           JOIN pts pm ON pm.samp = p.samp AND pm.i = p.i - 1
+           JOIN pts pp ON pp.samp = p.samp AND pp.i = p.i + 1
+         ), fwd AS (
+           SELECT samp, i, a, b, c, d FROM coef WHERE i = 1
+           UNION ALL
+           SELECT c2.samp, c2.i, c2.a, c2.b - (c2.a/f.b)*f.c, c2.c, c2.d - (c2.a/f.b)*f.d
+           FROM fwd f JOIN coef c2 ON c2.samp = f.samp AND c2.i = f.i + 1
+         ), bwd AS (
+           SELECT f.samp, f.i, f.d/f.b AS m, f.c, f.b
+           FROM fwd f JOIN np ON np.samp = f.samp AND f.i = np.np - 2
+           UNION ALL
+           SELECT f.samp, f.i, (f.d - f.c*b.m)/f.b, f.c, f.b
+           FROM bwd b JOIN fwd f ON f.samp = b.samp AND f.i = b.i - 1
+         ), m2 AS (
+           SELECT samp, i, m FROM bwd
+           UNION ALL SELECT samp, 0, CAST(0.0 AS DOUBLE) FROM np
+           UNION ALL SELECT samp, np - 1, CAST(0.0 AS DOUBLE) FROM np
+         ), segs AS (
+           SELECT p0.samp, p0.i AS seg, p0.x AS x0, p1.x AS x1, p0.y AS y0, p1.y AS y1,
+                  ma.m AS m0, mb.m AS m1
+           FROM pts p0
+           JOIN pts p1 ON p1.samp = p0.samp AND p1.i = p0.i + 1
+           JOIN m2 ma ON ma.samp = p0.samp AND ma.i = p0.i
+           JOIN m2 mb ON mb.samp = p0.samp AND mb.i = p1.i
+         ), cuts AS (
+           SELECT p.samp, p.x FROM pts p JOIN np ON np.samp = p.samp
+           WHERE p.i BETWEEN 1 AND np.np - 2
+         ), segidx AS (
+           SELECT mm.gene, mm.samp, mm.v,
+                  coalesce(sum(CASE WHEN mm.v > c.x THEN 1 ELSE 0 END), 0) AS seg
+           FROM mm LEFT JOIN cuts c USING (samp)
+           GROUP BY 1,2,3
+         )
+         SELECT CAST(s.gene AS BIGINT) AS l_partkey, CAST(s.samp AS BIGINT) AS l_suppkey,
+                round(
+                  (g.m0 * pow(g.x1 - xc, 3) + g.m1 * pow(xc - g.x0, 3)) / (6.0*(g.x1 - g.x0))
+                  + (g.y0/(g.x1 - g.x0) - g.m0*(g.x1 - g.x0)/6.0) * (g.x1 - xc)
+                  + (g.y1/(g.x1 - g.x0) - g.m1*(g.x1 - g.x0)/6.0) * (xc - g.x0)
+                  + 1e-5, 2) + 0.0 AS rsn_value
+         FROM segidx s JOIN segs g ON g.samp = s.samp AND g.seg = s.seg,
+         LATERAL (SELECT least(greatest(s.v, g.x0), g.x1) AS xc) l
+         ORDER BY 1, 2""",
 
     // Ward.D agglomeration replayed as a recursive CTE: one level per
     // merge — argmin by (d, ca, cb), Lance–Williams update, cluster
