@@ -106,10 +106,12 @@ object Normalize {
     val y = log2Cpm(counts).canonical.df.join(info, Seq("gene_id"))
       .withColumn("y", col("value") - log2(col("length") / 1000.0))
 
-    // global GC bins (exact quantile edges over the bounded gene-info
-    // relation) and their mean GC = the spline knot x-coordinates
-    val edges = geneInfo.select(col("gc").cast("double"))
-      .stat.approxQuantile("gc", (1 until bins).map(_.toDouble / bins).toArray, 0.0)
+    // global GC bins (exact interpolating quantile edges over the
+    // bounded gene-info relation — `percentile`, which both engines
+    // define identically) and their mean GC = the spline knots
+    val edges = geneInfo.selectExpr(
+        s"percentile(cast(gc as double), array(${(1 until bins).map(_.toDouble / bins).mkString(",")})) as e")
+      .head().getSeq[Double](0).toArray
     val binExpr = edges.foldLeft(lit(0)) { (acc, e) => acc + (col("gc") > e).cast("int") }
     val binned = y.withColumn("__bin", binExpr)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -153,11 +155,16 @@ object Normalize {
     val withEffect = binned.withColumn("__seg", segExpr)
       .join(segs, Seq("sample_id", "__seg"))
       .withColumn("__effect", spline)
-    // subtract the mean-centered effect so each sample keeps its level
+    // subtract the mean-centered effect so each sample keeps its
+    // level. Corrected values round at 1e-6 before the quantile step:
+    // the spline correction is a computed float, and the QN ranking
+    // must be reproducible bit-for-bit across engines (the catalog's
+    // rank-over-rounded-values convention); 1e-6 is far below any
+    // biological signal and far above cross-engine float noise.
     val centers = withEffect.groupBy("sample_id").agg(avg("__effect").as("__eff_mean"))
     val corrected = withEffect.join(centers, Seq("sample_id"))
       .select(col("gene_id"), col("sample_id"),
-        (col("y") - (col("__effect") - col("__eff_mean"))).as("value"))
+        round(col("y") - (col("__effect") - col("__eff_mean")) + 1e-9, 6).as("value"))
     Filters.clampLow(quantileNormalize(ExpressionMatrix(corrected)), clampBelow)
   }
 

@@ -218,6 +218,28 @@ object ExtraQueries {
         .orderBy("l_partkey", "l_suppkey")
     }),
 
+    // ---- A16: conditional quantile normalisation. Hash-checked: the
+    // GC systematic-effect spline replays like q63's (Thomas solve in
+    // recursive CTEs), then QN rank windows and the floor. Gene info
+    // (gc, length) is fabricated deterministically from part keys. ----
+    "q64_cqn" -> ((s, dir) => {
+      val counts = ExpressionMatrix(t(s, dir, "lineitem")
+        .filter(col("l_partkey") <= 300)
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum("l_quantity").cast("double").as("value"))
+        .select(col("l_partkey").cast("string").as("gene_id"),
+          col("l_suppkey").cast("string").as("sample_id"), col("value")))
+      val info = t(s, dir, "part").filter(col("p_partkey") <= 300).select(
+        col("p_partkey").cast("string").as("gene_id"),
+        ((col("p_partkey") % 41) / 100.0 + 0.3).as("gc"),
+        (lit(500) + (col("p_partkey") % 17) * 100).cast("double").as("length"))
+      Normalize.cqn(counts, info, bins = 6)
+        .df.select(col("gene_id").cast("long").as("l_partkey"),
+          col("sample_id").cast("long").as("l_suppkey"),
+          round(col("value") + 1e-5, 2).as("cqn_value"))
+        .orderBy("l_partkey", "l_suppkey")
+    }),
+
     // ---- A10: ComBat batch adjustment. Hash-checked: the 30-step
     // it.sol fixed point is row-local given the per-batch moment
     // hyperpriors, so the oracle replays it as a recursive CTE. ----
@@ -610,6 +632,110 @@ object ExtraQueries {
          SELECT o.gene AS l_partkey, round(o.z_obs + 1e-7, 4) + 0.0 AS z_obs,
                 round(least(1.0, e.e_null * (SELECT n_genes FROM ng) / o.n_ge) + 1e-9, 6) + 0.0 AS fdr
          FROM obsrank o JOIN exceed e USING (gene) ORDER BY 1""",
+
+    // CQN replay: GC-bin medians, Thomas-solve spline (recursive
+    // CTEs), centered-effect subtraction, rank-rounded QN, floor
+    "q64_cqn" ->
+      """WITH RECURSIVE counts AS (
+  SELECT CAST(l_partkey AS VARCHAR) AS gene, CAST(l_suppkey AS VARCHAR) AS samp,
+         CAST(sum(l_quantity) AS DOUBLE) AS cnt
+  FROM lineitem WHERE l_partkey <= 300 GROUP BY 1,2
+), info AS (
+  SELECT CAST(p_partkey AS VARCHAR) AS gene,
+         CAST((p_partkey % 41) / 100.0 + 0.3 AS DOUBLE) AS gc,
+         CAST(500 + (p_partkey % 17) * 100 AS DOUBLE) AS length
+  FROM part WHERE p_partkey <= 300
+), libs AS (SELECT samp, sum(cnt) AS lib FROM counts GROUP BY 1),
+y0 AS (
+  SELECT c.gene, c.samp,
+         log2((c.cnt + 0.5) / (l.lib + 1.0) * 1e6) - log2(i.length / 1000.0) AS y,
+         i.gc
+  FROM counts c JOIN libs l USING (samp) JOIN info i USING (gene)
+), edges AS (
+  SELECT quantile_cont(gc, [1.0/6, 2.0/6, 3.0/6, 4.0/6, 5.0/6]) AS e FROM info
+), binned AS (
+  SELECT y0.*, CAST((gc > e[1]) AS INT) + CAST((gc > e[2]) AS INT) + CAST((gc > e[3]) AS INT)
+         + CAST((gc > e[4]) AS INT) + CAST((gc > e[5]) AS INT) AS bin
+  FROM y0 CROSS JOIN edges
+), knots AS (SELECT bin, avg(gc) AS kx FROM binned GROUP BY 1),
+meds AS (SELECT samp, bin, quantile_cont(y, 0.5) AS med FROM binned GROUP BY 1,2),
+ptsf AS (
+  SELECT g.samp, g.bin, g.kx, m.med
+  FROM (SELECT s.samp, k.bin, k.kx
+        FROM (SELECT DISTINCT samp FROM counts) s CROSS JOIN knots k) g
+  LEFT JOIN meds m ON m.samp = g.samp AND m.bin = g.bin
+), pts AS (
+  -- samples missing a bin fall back to the nearest previous (then
+  -- next) bin's median, as the Scala fill does
+  SELECT samp,
+         CAST(row_number() OVER (PARTITION BY samp ORDER BY kx) - 1 AS INT) AS i,
+         kx AS x,
+         coalesce(med,
+           last_value(med IGNORE NULLS) OVER (PARTITION BY samp ORDER BY kx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           first_value(med IGNORE NULLS) OVER (PARTITION BY samp ORDER BY kx
+             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING),
+           0.0) AS y
+  FROM ptsf
+), np AS (SELECT samp, count(*) AS np FROM pts GROUP BY 1),
+coef AS (
+  SELECT p.samp, p.i,
+         (p.x - pm.x)/6.0 AS a, ((p.x - pm.x) + (pp.x - p.x))/3.0 AS b,
+         (pp.x - p.x)/6.0 AS c,
+         (pp.y - p.y)/(pp.x - p.x) - (p.y - pm.y)/(p.x - pm.x) AS d
+  FROM pts p
+  JOIN pts pm ON pm.samp = p.samp AND pm.i = p.i - 1
+  JOIN pts pp ON pp.samp = p.samp AND pp.i = p.i + 1
+), fwd AS (
+  SELECT samp, i, a, b, c, d FROM coef WHERE i = 1
+  UNION ALL
+  SELECT c2.samp, c2.i, c2.a, c2.b - (c2.a/f.b)*f.c, c2.c, c2.d - (c2.a/f.b)*f.d
+  FROM fwd f JOIN coef c2 ON c2.samp = f.samp AND c2.i = f.i + 1
+), bwd AS (
+  SELECT f.samp, f.i, f.d/f.b AS m, f.c, f.b
+  FROM fwd f JOIN np ON np.samp = f.samp AND f.i = np.np - 2
+  UNION ALL
+  SELECT f.samp, f.i, (f.d - f.c*b.m)/f.b, f.c, f.b
+  FROM bwd b JOIN fwd f ON f.samp = b.samp AND f.i = b.i - 1
+), m2 AS (
+  SELECT samp, i, m FROM bwd
+  UNION ALL SELECT samp, 0, CAST(0.0 AS DOUBLE) FROM np
+  UNION ALL SELECT samp, np - 1, CAST(0.0 AS DOUBLE) FROM np
+), segs AS (
+  SELECT p0.samp, p0.i AS seg, p0.x AS x0, p1.x AS x1, p0.y AS y0, p1.y AS y1,
+         ma.m AS m0, mb.m AS m1
+  FROM pts p0
+  JOIN pts p1 ON p1.samp = p0.samp AND p1.i = p0.i + 1
+  JOIN m2 ma ON ma.samp = p0.samp AND ma.i = p0.i
+  JOIN m2 mb ON mb.samp = p0.samp AND mb.i = p1.i
+), kcuts AS (
+  SELECT kx, row_number() OVER (ORDER BY kx) AS ki FROM knots
+), nk AS (SELECT count(*) AS nk FROM knots),
+segassign AS (
+  SELECT b.gene, b.samp, b.y, b.gc,
+         coalesce(sum(CASE WHEN b.gc > k.kx THEN 1 ELSE 0 END), 0) AS seg
+  FROM binned b LEFT JOIN (SELECT kx FROM kcuts, nk WHERE ki > 1 AND ki < nk.nk) k ON TRUE
+  GROUP BY 1,2,3,4
+), effects AS (
+  SELECT s.gene, s.samp, s.y,
+         (g.m0 * pow(g.x1 - xc, 3) + g.m1 * pow(xc - g.x0, 3)) / (6.0*(g.x1 - g.x0))
+         + (g.y0/(g.x1 - g.x0) - g.m0*(g.x1 - g.x0)/6.0) * (g.x1 - xc)
+         + (g.y1/(g.x1 - g.x0) - g.m1*(g.x1 - g.x0)/6.0) * (xc - g.x0) AS eff
+  FROM segassign s JOIN segs g ON g.samp = s.samp AND g.seg = s.seg,
+  LATERAL (SELECT least(greatest(s.gc, g.x0), g.x1) AS xc) l
+), centered AS (
+  SELECT gene, samp,
+         round(y - (eff - avg(eff) OVER (PARTITION BY samp)) + 1e-9, 6) + 0.0 AS corrected
+  FROM effects
+), ranked AS (
+  SELECT gene, samp, corrected,
+         row_number() OVER (PARTITION BY samp ORDER BY corrected, gene) AS r
+  FROM centered
+), rmeans AS (SELECT r, avg(corrected) AS rm FROM ranked GROUP BY 1)
+SELECT CAST(k.gene AS BIGINT) AS l_partkey, CAST(k.samp AS BIGINT) AS l_suppkey,
+       round(CASE WHEN m.rm < 2.0 THEN 0.0 ELSE m.rm END + 1e-5, 2) + 0.0 AS cqn_value
+FROM ranked k JOIN rmeans m USING (r)
+ORDER BY 1, 2""",
 
     // RSN replay: rank/target aggregates, natural-spline Thomas solve
     // as two single-chain recursive CTEs (forward elimination, back
