@@ -82,6 +82,33 @@ object Pipelines {
     DiffExpr.topTable(DiffExpr.welchT(stats, "group", groupA, groupB))
   }
 
+  /** E4 — training-data text curation (the brief's LLM-pipeline
+    * operators chained the way a production corpus pass runs them):
+    * exact dedup (cheapest first) → MinHash near-dup removal (keep
+    * the lowest id of each candidate pair above the Jaccard
+    * threshold) → language filter → quality floor → per-document
+    * token statistics. Every stage is the bucketed/df-capped scale
+    * shape; nothing compares all pairs. Returns the surviving
+    * documents with (lang, quality, ws_tokens, bpeish_tokens). */
+  def textCuration(docs: DataFrame, langs: Seq[String] = Seq("en"),
+      minQuality: Double = 0.3, nearDupJaccard: Double = 0.8,
+      dfCap: Long = 100000L, md5Hashes: Boolean = false): DataFrame = {
+    import graft.functions.TextFunctions._
+    val exact = TextDedup.exactDedup(docs)
+    val nearDupLosers = TextDedup
+      .minhashLshPairs(exact, k = 8, bands = 4, shingleWidth = 3,
+        minJaccard = nearDupJaccard, md5Hashes = md5Hashes, dfCap = dfCap)
+      .select(greatest(col("id_a"), col("id_b")).as("doc_id")).distinct()
+    val kept = exact.join(nearDupLosers, Seq("doc_id"), "left_anti")
+    kept
+      .withColumn("lang", langId(tokens(col("text"))))
+      .filter(col("lang").isin(langs: _*))
+      .withColumn("quality", qualityScore(col("text")))
+      .filter(col("quality") >= minQuality)
+      .withColumn("ws_tokens", wsTokenCount(col("text")))
+      .withColumn("bpeish_tokens", bpeishTokenCount(col("text")))
+  }
+
   /** E3 — meta-analysis (`Meta_analysis.R`): per-platform effect
     * sizes, ICC between platform pairs (negative-ICC genes dropped,
     * F7), FEM/REM combine, weighted Stouffer over per-platform DE

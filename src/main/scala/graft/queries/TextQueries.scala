@@ -36,6 +36,18 @@ object TextQueries {
        FROM tk"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- E4: the full text-curation pipeline end-to-end (exact
+    // dedup -> MinHash near-dup -> lang filter -> quality floor ->
+    // token stats), hash-checked against a stage-by-stage SQL replay.
+    "q65_text_curation" -> ((s, dir) => {
+      graft.Pipelines.textCuration(t(s, dir, "documents"), langs = Seq("en"),
+          minQuality = 0.3, nearDupJaccard = 0.5, md5Hashes = true)
+        .select(col("doc_id"), col("lang"),
+          round(col("quality") + 1e-9, 6).as("quality"),
+          col("ws_tokens"), col("bpeish_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // ---- exact dedup: content-hash groups ----
     "q30_exact_dedup" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -199,6 +211,87 @@ object TextQueries {
     TextFunctions.stopwords(l).map(w => s"'$w'").mkString("[", ", ", "]")
 
   val oracleSql: Map[String, String] = Map(
+    // E4 curation pipeline replayed stage by stage: exact-dedup
+    // keepers, md5 MinHash bands + Jaccard verify for near-dup losers,
+    // stopword lang-id, quality score, token counts
+    "q65_text_curation" ->
+      (s"""WITH tk AS (
+            SELECT doc_id, text,
+                   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+            FROM documents
+          ), keep0 AS (
+            SELECT *, row_number() OVER (PARTITION BY md5(array_to_string(toks, ' '))
+                        ORDER BY doc_id) AS rn
+            FROM tk
+          ), keepers AS (SELECT doc_id, text, toks FROM keep0 WHERE rn = 1),
+          sh AS (
+            SELECT doc_id, list_distinct(list_transform(
+                     generate_series(1, greatest(len(toks) - 2, 1)),
+                     i -> array_to_string(toks[i:i+2], ' '))) AS sh
+            FROM keepers
+          ), hashed AS (SELECT doc_id, md5(unnest(sh)) AS h FROM sh),
+          sig AS (
+            SELECT doc_id,
+                   [min(substr(h, 1, 4)), min(substr(h, 5, 4)),
+                    min(substr(h, 9, 4)), min(substr(h, 13, 4)),
+                    min(substr(h, 17, 4)), min(substr(h, 21, 4)),
+                    min(substr(h, 25, 4)), min(substr(h, 29, 4))] AS s
+            FROM hashed GROUP BY doc_id
+          ), banded AS (
+            SELECT doc_id,
+                   unnest(['0#' || s[1] || '#' || s[2], '1#' || s[3] || '#' || s[4],
+                           '2#' || s[5] || '#' || s[6], '3#' || s[7] || '#' || s[8]]) AS band
+            FROM sig
+          ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+          ), verified AS (
+            SELECT id_a, id_b,
+                   len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) * 1.0 /
+                   (len(sa.sh) + len(sb.sh)
+                    - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))) AS j
+            FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+          ), losers AS (
+            SELECT DISTINCT greatest(id_a, id_b) AS doc_id FROM verified WHERE j >= 0.5
+          ), kept AS (
+            SELECT k.* FROM keepers k LEFT JOIN losers l USING (doc_id) WHERE l.doc_id IS NULL
+          ), scored AS (
+            SELECT doc_id, text, toks,
+                   len(list_filter(toks, w -> list_contains(${langListSql("en")}, w))) AS s_en,
+                   len(list_filter(toks, w -> list_contains(${langListSql("de")}, w))) AS s_de,
+                   len(list_filter(toks, w -> list_contains(${langListSql("es")}, w))) AS s_es,
+                   len(list_filter(toks, w -> list_contains(${langListSql("fr")}, w))) AS s_fr
+            FROM kept
+          ), lang AS (
+            SELECT *, CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+                           WHEN s_fr = greatest(s_en, s_de, s_es, s_fr) THEN 'fr'
+                           WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+                           WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+                           ELSE 'de' END AS lang
+            FROM scored
+          ), quality AS (
+            SELECT *,
+                   least(1.0, len(toks) / 100.0) * 0.3
+                 + (1.0 - least(1.0, abs(CASE WHEN len(toks) > 0
+                       THEN coalesce(list_sum(list_transform(toks, w -> length(w))), 0) * 1.0 / len(toks)
+                       ELSE 0.0 END - 5.0) / 5.0)) * 0.3
+                 + (1.0 - least(1.0, (CASE WHEN length(text) > 0
+                       THEN length(regexp_replace(text, '[^.,!?;:]', '', 'g')) * 1.0 / length(text)
+                       ELSE 0.0 END) * 10.0)) * 0.2
+                 + least(1.0, (CASE WHEN len(toks) > 0
+                       THEN len(list_filter(toks, w -> list_contains($stoplistSql, w))) * 1.0 / len(toks)
+                       ELSE 0.0 END) * 3.0) * 0.2 AS q
+            FROM lang
+          )
+          SELECT doc_id, lang, round(q + 1e-9, 6) + 0.0 AS quality,
+                 CAST(len(toks) AS INT) AS ws_tokens,
+                 CAST(coalesce(list_sum(list_transform(toks,
+                        w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0)
+                      + length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS INT) AS bpeish_tokens
+          FROM quality
+          WHERE lang = 'en' AND q >= 0.3
+          ORDER BY doc_id"""),
+
     "q30_exact_dedup" ->
       """SELECT md5(array_to_string(
            list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''),

@@ -90,6 +90,25 @@ class PipelinesSpec extends SparkSpec {
       s"expected g1 most significant, got ${best}")
   }
 
+  test("textCuration end-to-end: dedup, near-dup, lang and quality filters compose") {
+    val base = "the quick brown fox jumps over the lazy dog and it is a fine day in the park " * 3
+    val docs = Seq(
+      (1L, base),                                  // keeper
+      (2L, base.toUpperCase),                      // exact dup of 1 (normalized) -> dropped
+      (3L, base + "with one extra tail phrase"),   // near-dup of 1 -> dropped
+      (4L, "der hund ist nicht auf der mit und das war so und der tag ist gut " * 4), // German -> dropped
+      (5L, "zx qv jk wq " * 40),                   // junk quality -> dropped
+      (6L, "a completely different english story about the sea and the ships that sail it " * 3))
+      .toDF("doc_id", "text")
+    val out = Pipelines.textCuration(docs, langs = Seq("en"),
+        minQuality = 0.3, nearDupJaccard = 0.5)
+      .select("doc_id", "lang", "ws_tokens").collect()
+    val ids = out.map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 6L), s"survivors: $ids")
+    assert(out.forall(_.getString(1) == "en"))
+    assert(out.forall(_.getInt(2) > 10))
+  }
+
   test("Workspace.fromTsv parses registry/target/outlier fixture shapes") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ws")
     def write(name: String, content: String) = {
