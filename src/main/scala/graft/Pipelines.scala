@@ -89,7 +89,14 @@ object Pipelines {
     * threshold) → language filter → quality floor → per-document
     * token statistics. Every stage is the bucketed/df-capped scale
     * shape; nothing compares all pairs. Returns the surviving
-    * documents with (lang, quality, ws_tokens, bpeish_tokens). */
+    * documents with (lang, quality, ws_tokens, bpeish_tokens).
+    *
+    * NOTE on `dfCap`: the near-dup stage drops shingles whose df
+    * exceeds the cap (default 100k). This is the pipeline's explicit
+    * scale guard — for corpora containing viral boilerplate shingles
+    * it changes which pairs are found vs the uncapped definition
+    * (`TextDedup.minhashLshPairs` itself defaults to uncapped). Pass
+    * `dfCap = Long.MaxValue` for the exact semantics. */
   def textCuration(docs: DataFrame, langs: Seq[String] = Seq("en"),
       minQuality: Double = 0.3, nearDupJaccard: Double = 0.8,
       dfCap: Long = 100000L, md5Hashes: Boolean = false): DataFrame = {

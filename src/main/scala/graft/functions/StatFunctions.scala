@@ -27,6 +27,16 @@ object StatFunctions {
           ColumnBridge.expression(b.cast(DoubleType))),
       Seq(DoubleType, DoubleType), propagateNull = true, returnNullable = false))
 
+  private def invoke4(method: String, a: Column, b: Column, c: Column, d: Column): Column =
+    ColumnBridge.column(StaticInvoke(
+      StatKernels.getClass, DoubleType, method,
+      Seq(ColumnBridge.expression(a.cast(DoubleType)),
+          ColumnBridge.expression(b.cast(DoubleType)),
+          ColumnBridge.expression(c.cast(DoubleType)),
+          ColumnBridge.expression(d.cast(DoubleType))),
+      Seq(DoubleType, DoubleType, DoubleType, DoubleType),
+      propagateNull = true, returnNullable = false))
+
   /** R qnorm: standard normal quantile. */
   def qnorm(p: Column): Column = invoke1("qnorm", p)
   /** R pnorm: standard normal CDF. */
@@ -38,4 +48,9 @@ object StatFunctions {
   /** Chi-squared upper tail (for Cochran Q heterogeneity p). */
   def pchisqUpper(x: Column, df: Column): Column = invoke2("pchisqUpper", x, df)
   def qchisq(p: Column, df: Column): Column = invoke2("qchisq", p, df)
+  /** Hypergeometric upper tail P(X >= overlap) for
+    * Hyper(N=nUniverse, K=nSig, n=termSize); engine-invariant
+    * mode-anchored pmf recurrence (see [[StatKernels.hyperTail]]). */
+  def hyperTail(nUniverse: Column, nSig: Column, termSize: Column, overlap: Column): Column =
+    invoke4("hyperTail", nUniverse, nSig, termSize, overlap)
 }

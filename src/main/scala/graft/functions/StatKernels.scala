@@ -59,6 +59,47 @@ object StatKernels {
     if (x.isNaN || df1 <= 0 || df2 <= 0) Double.NaN
     else new FDistribution(null, df1, df2).cumulativeProbability(x)
 
+  /** Hypergeometric upper tail P(X >= x), X ~ Hyper(N=nUni, K=kSig,
+    * n=termSize) — topGO classic Fisher (`Meta_analysis.R:1359-1392`).
+    *
+    * Engine-invariant by construction: only +, *, / on exact-integer
+    * doubles (every product < 2^53), so any IEEE-754 engine replaying
+    * the same walk — e.g. the DuckDB recursive CTE in the q49 oracle —
+    * reproduces it bit-for-bit. No lgamma/exp, whose libm variance
+    * across builds broke the previous oracle at the rounding boundary.
+    *
+    * Shape: anchor the pmf recurrence at the mode (weight 1), walk up
+    * then down the support accumulating unnormalized weights, return
+    * tail/total. Weights only decay away from the mode, so no overflow;
+    * far-tail underflow to 0 is IEEE-deterministic and identical on
+    * both engines. */
+  def hyperTail(nUni: Double, kSig: Double, termSize: Double, overlap: Double): Double = {
+    val N = nUni.toLong; val K = kSig.toLong; val n = termSize.toLong; val x = overlap.toLong
+    val lo = math.max(0L, n + K - N)
+    val hi = math.min(n, K)
+    if (hi < lo) return Double.NaN
+    val m = math.min(math.max(((n + 1L) * (K + 1L)) / (N + 2L), lo), hi)
+    var total = 1.0
+    var tail = if (m >= x) 1.0 else 0.0
+    var w = 1.0
+    var i = m
+    while (i < hi) {
+      w = w * ((K - i) * (n - i)) / ((i + 1L) * (N - K - n + i + 1L))
+      i += 1
+      total += w
+      if (i >= x) tail += w
+    }
+    w = 1.0
+    i = m
+    while (i > lo) {
+      w = w * (i * (N - K - n + i)) / ((K - i + 1L) * (n - i + 1L))
+      i -= 1
+      total += w
+      if (i >= x) tail += w
+    }
+    tail / total
+  }
+
   def digamma(x: Double): Double = Gamma.digamma(x)
   def trigamma(x: Double): Double = Gamma.trigamma(x)
 

@@ -68,16 +68,20 @@ object Bind {
     * file), both relations share the schema: meta columns (gene id
     * mark-prefixed when in a mark list), optional `known` yes/No
     * column, then per-study `<id>_log2FC`, `<id>_adj_p` pairs (null =
-    * the study lacks the gene). All list relations are metadata-sized
-    * → broadcast joins; the per-study tables join on the gene key. */
+    * the study lacks the gene). The list relations (known/exclude/
+    * marks) are metadata-sized → broadcast joins; the per-study
+    * topTables join on the gene key with the strategy left to the
+    * optimizer — AQE broadcasts them when they are gene-bounded, and
+    * falls back to a shuffle join if a study relation is data-sized
+    * (an unconditional broadcast here would be an OOM trap). */
   def bindMetaToDE(meta: DataFrame, studies: Seq[(String, DataFrame)],
       known: Option[DataFrame] = None, exclude: Option[DataFrame] = None,
       marks: Option[DataFrame] = None,
       gene: String = "gene_id"): (DataFrame, DataFrame) = {
     val withStudies = studies.foldLeft(meta) { case (d, (id, tt)) =>
-      d.join(broadcast(tt.select(col(gene),
+      d.join(tt.select(col(gene),
           col("log2FC").as(s"${id}_log2FC"),
-          col("adj_p_value").as(s"${id}_adj_p"))),
+          col("adj_p_value").as(s"${id}_adj_p")),
         Seq(gene), "left")
     }
     val withKnown = known match {

@@ -352,7 +352,9 @@ object Meta {
   /** A26 — set enrichment (`Meta_analysis.R:1359-1392`, topGO classic
     * Fisher): per term, hypergeometric upper-tail p of the overlap
     * between the term's gene set and the significant set. Counts are
-    * plain aggregations; the p-value is a deterministic kernel. */
+    * plain aggregations; the p-value is the engine-invariant
+    * [[graft.functions.StatKernels.hyperTail]] recurrence kernel
+    * (codegen `StaticInvoke`, no closure UDF). */
   def enrichment(term2gene: DataFrame, sigGenes: DataFrame, universe: DataFrame,
       term: String = "term", gene: String = "gene_id"): DataFrame = {
     val n = universe.select(col(gene)).distinct().count()
@@ -363,11 +365,9 @@ object Meta {
       .groupBy(col(term))
       .agg(count(lit(1)).as("term_size"),
            coalesce(sum(col("__sig")), lit(0L)).as("overlap"))
-    val hyperP = udf((termSize: Long, overlap: Long) =>
-      new org.apache.commons.math3.distribution.HypergeometricDistribution(
-        null, n.toInt, k.toInt, termSize.toInt)
-        .upperCumulativeProbability(overlap.toInt))
-    counts.withColumn("p", hyperP(col("term_size"), col("overlap")))
+    counts.withColumn("p",
+        graft.functions.StatFunctions.hyperTail(
+          lit(n), lit(k), col("term_size"), col("overlap")))
       .withColumn("n_universe", lit(n)).withColumn("n_sig", lit(k))
   }
 

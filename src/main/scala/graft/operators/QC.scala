@@ -120,36 +120,53 @@ object QC {
     * probe median; probe effect = per-probe median of residuals from
     * the summary; SE from the remaining residuals, √(Σr²/(n(n−1))).
     * Probesets with one probe carry no SE and are dropped, as in
-    * affyPLM. All keyed aggregations — no driver loop. */
+    * affyPLM. All keyed aggregations — no driver loop.
+    *
+    * Shuffle shape: probe → probeset is functional, so ONE hash
+    * repartition on the probeset clusters every downstream key — the
+    * (probeset, sample) summary, the (probeset, probe) effect, their
+    * joins and the SE pass all run exchange-free on subset
+    * co-partitioning. One data-sized shuffle total (was five).
+    *
+    * `approxAccuracy` switches the medians to `approx_percentile` for
+    * corpus-scale runs; `None` (default) keeps exact percentiles —
+    * the oracle-checked path. */
   def nuse(probes: ExpressionMatrix, annot: DataFrame,
-      probeCol: String = "probe", probesetCol: String = "probeset"): DataFrame = {
+      probeCol: String = "probe", probesetCol: String = "probeset",
+      approxAccuracy: Option[Int] = None): DataFrame = {
+    def pct(c: String, p: Double): org.apache.spark.sql.Column = approxAccuracy match {
+      case Some(acc) => expr(s"approx_percentile($c, $p, $acc)")
+      case None      => expr(s"percentile($c, $p)")
+    }
     val mapped = probes.canonical.df.join(
       broadcast(annot.select(col(probeCol).as("gene_id"), col(probesetCol).as("__ps"))),
       Seq("gene_id"))
-    val summary = mapped.groupBy("__ps", "sample_id")
-      .agg(expr("percentile(value, 0.5)").as("__sum"))
+    val pre = mapped.repartition(col("__ps"))
+    val summary = pre.groupBy("__ps", "sample_id")
+      .agg(pct("value", 0.5).as("__sum"))
     // persisted: the residual relation feeds both the probe-effect
-    // aggregation and the SE pass — its lineage re-runs two exact
-    // percentile aggregations otherwise
-    val withRes = mapped.join(summary, Seq("__ps", "sample_id"))
+    // aggregation and the SE pass — its lineage re-runs the summary
+    // aggregation otherwise (the repartition exchange itself is
+    // deduplicated by ReuseExchange)
+    val withRes = pre.join(summary, Seq("__ps", "sample_id"))
       .withColumn("__r0", col("value") - col("__sum"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val probeEff = withRes.groupBy("gene_id")
-      .agg(expr("percentile(__r0, 0.5)").as("__pe"))
-    val se = withRes.join(probeEff, Seq("gene_id"))
+    val probeEff = withRes.groupBy("__ps", "gene_id")
+      .agg(pct("__r0", 0.5).as("__pe"))
+    val se = withRes.join(probeEff, Seq("__ps", "gene_id"))
       .withColumn("__r", col("__r0") - col("__pe"))
       .groupBy("__ps", "sample_id")
       .agg(count(lit(1)).as("__np"), sum(col("__r") * col("__r")).as("__ssr"))
       .filter(col("__np") > 1)
       .withColumn("__se", sqrt(col("__ssr") / (col("__np") * (col("__np") - 1))))
     val medSe = se.groupBy("__ps")
-      .agg(expr("percentile(__se, 0.5)").as("__medse"))
+      .agg(pct("__se", 0.5).as("__medse"))
       .filter(col("__medse") > 0)
     se.join(medSe, Seq("__ps"))
       .withColumn("__nuse", col("__se") / col("__medse"))
       .groupBy("sample_id")
-      .agg(expr("percentile(__nuse, 0.5)").as("nuse_median"),
-           (expr("percentile(__nuse, 0.75)") - expr("percentile(__nuse, 0.25)")).as("nuse_iqr"))
+      .agg(pct("__nuse", 0.5).as("nuse_median"),
+           (pct("__nuse", 0.75) - pct("__nuse", 0.25)).as("nuse_iqr"))
   }
 
   /** A28 — RNA degradation slopes (affy `AffyRNAdeg`,

@@ -119,28 +119,69 @@ object Similarity {
     topKOf(scored, k)
   }
 
+  /** KMeans quantizer cache, keyed by (canonicalized corpus plan,
+    * nCells): the IVF contract is fit-once / probe-many — a repeated
+    * probe call must not refit the coarse quantizer. */
+  private val quantizerCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), org.apache.spark.ml.clustering.KMeansModel]()
+
+  /** Fit (or fetch cached) the IVF coarse quantizer for a corpus. The
+    * featurized corpus is persisted for the duration of the fit so the
+    * KMeans iterations read it once, not once per step; the bridge to
+    * MLlib vectors is the native `ml.functions.array_to_vector`, not a
+    * hand-rolled closure. */
+  def ivfQuantizer(corpus: DataFrame, nCells: Int,
+      vec: String = "embedding"): org.apache.spark.ml.clustering.KMeansModel = {
+    val key = (corpus.queryExecution.analyzed.canonicalized.hashCode(), nCells)
+    quantizerCache.computeIfAbsent(key, _ => {
+      val corpusV = corpus
+        .select(org.apache.spark.ml.functions.array_to_vector(
+          col(vec).cast("array<double>")).as("__fv"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val model = new org.apache.spark.ml.clustering.KMeans()
+        .setK(nCells).setSeed(42L).setFeaturesCol("__fv").setPredictionCol("cell")
+        .fit(corpusV)
+      corpusV.unpersist(blocking = false)
+      model
+    })
+  }
+
   /** IVF-style ANN: KMeans coarse quantizer (deterministic seed), each
     * vector assigned to its centroid list; queries probe the nearest
     * `nProbe` centroids and rank exact cosine within those cells. At
     * scale the corpus is partitioned by cell id — a probe touches
-    * nProbe/nCells of the data. */
+    * nProbe/nCells of the data. Pass `centroids` (cell, centroid
+    * array<float>) to skip the fit entirely — the 100 TB path fits the
+    * quantizer once on a sample and reuses the relation. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nCells: Int,
-      nProbe: Int, id: String = "vec_id", vec: String = "embedding"): DataFrame = {
-    import org.apache.spark.ml.feature.VectorAssembler
-    val toVec = udf((a: Seq[Float]) =>
-      org.apache.spark.ml.linalg.Vectors.dense(a.map(_.toDouble).toArray))
-    val corpusV = corpus.withColumn("__fv", toVec(col(vec)))
-    val km = new org.apache.spark.ml.clustering.KMeans()
-      .setK(nCells).setSeed(42L).setFeaturesCol("__fv").setPredictionCol("cell")
-    val model = km.fit(corpusV)
-    val assigned = model.transform(corpusV).select(col(id).as("corpus_id"),
-      col(vec).as("c_vec"), col("cell"))
-    val centroids = model.clusterCenters.zipWithIndex.map { case (cVec, i) =>
-      (i, cVec.toArray.map(_.toFloat).toSeq)
-    }
+      nProbe: Int, id: String = "vec_id", vec: String = "embedding",
+      centroids: Option[DataFrame] = None): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val centDf = centroids.toSeq.toDF("cell", "centroid")
+    // Centroids are structurally bounded (nCells rows) — collect and
+    // bake them into the plan as literals, like hyperplaneSketch does.
+    val cents: Seq[(Int, Array[Float])] = centroids match {
+      case Some(df) => df.select(col("cell").cast("int"), col("centroid"))
+        .collect().toSeq.map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      case None =>
+        val model = ivfQuantizer(corpus, nCells, vec)
+        model.clusterCenters.zipWithIndex.map { case (cVec, i) =>
+          (i, cVec.toArray.map(_.toFloat))
+        }.toSeq
+    }
+    val centDf = cents.map { case (i, a) => (i, a.toSeq) }.toDF("cell", "centroid")
+    // Nearest-centroid assignment as pure codegen'd column algebra:
+    // argmin over cells of |c|^2 - 2 v·c (== argmin Euclidean for a
+    // fixed v) via least() over (dist, cell) structs with literal
+    // centroid arrays — one vec_dot loop per cell, no join, no
+    // shuffle, no MLlib row UDF on the corpus-sized side.
+    val distStructs = cents.map { case (cellId, arr) =>
+      val c2 = arr.foldLeft(0.0)((s, v) => s + v.toDouble * v.toDouble)
+      struct((lit(c2) - lit(2.0) * vec_dot(col("c_vec"), lit(arr))).as("d"),
+        lit(cellId).as("cell"))
+    }
+    val assigned = corpus.select(col(id).as("corpus_id"), col(vec).as("c_vec"),
+      least(distStructs: _*).getField("cell").as("cell"))
     val q = queries.select(col(id).as("query_id"), col(vec).as("q_vec"))
     val probed = broadcast(q).crossJoin(broadcast(centDf))
       .withColumn("cdist", cosine(col("q_vec"), col("centroid")))

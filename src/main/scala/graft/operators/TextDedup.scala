@@ -77,10 +77,15 @@ object TextDedup {
     }
   }
 
+  /** `dfCap` defaults to uncapped so the result matches the exact
+    * MinHash+verify definition (and the oracle) out of the box;
+    * corpus-scale call sites opt in to a cap explicitly — capping
+    * changes the result for corpora containing viral shingles, so it
+    * must never be a silent default. */
   def minhashLshPairs(docs: DataFrame, k: Int = 8, bands: Int = 4,
       shingleWidth: Int = 3, minJaccard: Double = 0.0, md5Hashes: Boolean = false,
       id: String = "doc_id", text: String = "text",
-      dfCap: Long = 100000L): DataFrame = {
+      dfCap: Long = Long.MaxValue): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val rowsPerBand = k / bands
     // Persisted: the shingle relation feeds four branches (signature,

@@ -59,8 +59,10 @@ object MetaQueries {
              var_samp("l_extendedprice").as("var"))
         .withColumnRenamed("l_returnflag", "group")
         .withColumnRenamed("l_partkey", "gene_id")
+      // Eager checkpoint: femRem runs a second (REM) pass over the
+      // effects lineage; gene×study-sized, so materializing is cheap.
       val eff = Meta.effectSizes(stats, "group", "l_linestatus", "A", "N")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       Meta.femRem(eff)
         .select(col("gene_id").as("l_partkey"), col("k"),
           round(col("mu_fem") + 1e-9, 6).as("mu_fem"),
