@@ -116,8 +116,11 @@ object Batch {
     val withFit = joined
       .withColumn("__fit", batchBeta + covShift)
       .withColumn("__center", grandMean + covShift)
+    // squared residual as an explicit product (not pow): x*x is the
+    // same IEEE op on every engine, pow(x, 2) is only 1-ulp-accurate
     val pooled = withFit.groupBy("gene_id")
-      .agg((sum(pow(col("value") - col("__fit"), 2)) / lit(nTotal)).as("sigma2"))
+      .agg((sum((col("value") - col("__fit")) * (col("value") - col("__fit"))) / lit(nTotal))
+        .as("sigma2"))
       .filter(col("sigma2") > 0)
     val standardized = withFit.join(pooled, Seq("gene_id"))
       .withColumn("z", (col("value") - col("__center")) / sqrt(col("sigma2")))

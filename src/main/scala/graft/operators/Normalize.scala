@@ -121,19 +121,23 @@ object Normalize {
       .agg(expr("percentile(y, 0.5)").as("med"))
       .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
 
-    // one natural cubic spline per sample through (knotX, median)
+    // one natural cubic spline per sample through (knotX, median).
+    // Knot x's are shared across samples; coincident knots (discrete
+    // GC grids can collide bin means) collapse identically for every
+    // sample, so segments stay consistent with the index below.
     val sampleIds = medians.keys.map(_._1).toSeq.distinct.sorted
     val ks = knotX.keys.toSeq.sorted
     val segRows = sampleIds.flatMap { s =>
-      val xs = ks.map(knotX)
+      val xsRaw = ks.map(knotX)
       val ysRaw = ks.map(k => medians.get((s, k)))
       // a sample missing a bin (no genes) falls back to its neighbours
-      val ys = ysRaw.zipWithIndex.map { case (v, i) =>
+      val ysFilled = ysRaw.zipWithIndex.map { case (v, i) =>
         v.orElse(ysRaw.take(i).reverse.flatten.headOption)
           .orElse(ysRaw.drop(i + 1).flatten.headOption).getOrElse(0.0)
       }
-      val m2 = naturalSplineSecondDerivs(xs.toArray, ys.toArray)
-      (0 until xs.size - 1).map { k =>
+      val (xs, ys) = collapseAnchors(xsRaw.zip(ysFilled))
+      val m2 = naturalSplineSecondDerivs(xs, ys)
+      (0 until xs.length - 1).map { k =>
         (s, k, xs(k), xs(k + 1), ys(k), ys(k + 1), m2(k), m2(k + 1))
       }
     }
@@ -141,8 +145,9 @@ object Normalize {
       .toDF("sample_id", "__seg", "x0", "x1", "y0", "y1", "m0", "m1"))
 
     // segment index: count of interior knots below gc, clamped to the
-    // knot span (flat extrapolation beyond the end knots)
-    val xsAll = ks.map(knotX)
+    // knot span (flat extrapolation beyond the end knots); uses the
+    // same collapsed knot xs as the spline pieces
+    val xsAll = collapseAnchors(ks.map(k => (knotX(k), 0.0)))._1.toSeq
     val segExpr = xsAll.tail.dropRight(1).foldLeft(lit(0)) { (acc, xk) =>
       acc + (col("gc") > xk).cast("int")
     }
@@ -199,27 +204,37 @@ object Normalize {
       .collect().map(r => (r.getString(0), r.getInt(1)) -> (r.getDouble(2), r.getDouble(3)))
       .toMap
     val sampleIds = anchors.keys.map(_._1).toSeq.distinct.sorted
+    // coincident-x anchors collapse before the Thomas solve (h = 0
+    // guard); the collapsed xs also drive the segment index below, so
+    // segments and spline pieces stay consistent
+    val perSample: Map[String, (Array[Double], Array[Double], Array[Double])] =
+      sampleIds.map { s =>
+        val pts = (0 until bins).flatMap(b => anchors.get((s, b)))
+        val (xs, ys) = collapseAnchors(pts)
+        s -> ((xs, ys, naturalSplineSecondDerivs(xs, ys)))
+      }.toMap
     val segRows = sampleIds.flatMap { s =>
-      val pts = (0 until bins).flatMap(b => anchors.get((s, b))).sortBy(_._1)
-      val xs = pts.map(_._1).toArray
-      val ys = pts.map(_._2).toArray
-      val m2 = naturalSplineSecondDerivs(xs, ys)
+      val (xs, ys, m2) = perSample(s)
       (0 until xs.length - 1).map { k =>
         (s, k, xs(k), xs(k + 1), ys(k), ys(k + 1), m2(k), m2(k + 1))
       }
     }
     val segs = broadcast(segRows.toDF("sample_id", "__seg", "x0", "x1", "y0", "y1", "m0", "m1"))
-    // segment index per row: count of interior anchor x's below value,
-    // per sample — anchors are per-sample, so bake them as a map
-    val anchorXs = sampleIds.map { s =>
-      s -> (0 until bins).flatMap(b => anchors.get((s, b))).map(_._1).sorted
-    }.toMap
-    val segUdfInput = anchorXs.toSeq.flatMap { case (s, xs) =>
-      xs.tail.dropRight(1).zipWithIndex.map { case (x, _) => (s, x) }
-    }.toDF("sample_id", "__cut")
-    val segIdx = m.canonical.df.join(broadcast(segUdfInput), Seq("sample_id"), "left")
-      .groupBy("gene_id", "sample_id", "value")
-      .agg(coalesce(sum((col("value") > col("__cut")).cast("int")), lit(0)).as("__seg"))
+    // segment index per row: count of interior anchor x's below value.
+    // Anchors are per-sample, so broadcast ONE row per sample carrying
+    // its cut ARRAY and fold a fixed number of element_at comparisons
+    // (the cqn knot idiom) — no row×cuts fan-out, no re-aggregation,
+    // one broadcast join. try_element_at past a shorter sample's cut
+    // list is null (element_at would THROW under ANSI) → coalesce to 0.
+    val cutsDf = broadcast(perSample.toSeq.map { case (s, (xs, _, _)) =>
+      (s, xs.drop(1).dropRight(1).toSeq)
+    }.toDF("sample_id", "__cuts"))
+    val maxCuts = perSample.values.map(v => math.max(v._1.length - 2, 0)).maxOption.getOrElse(0)
+    val segCol = (1 to maxCuts)
+      .map(j => coalesce((col("value") > try_element_at(col("__cuts"), lit(j))).cast("int"), lit(0)))
+      .foldLeft(lit(0))(_ + _)
+    val segIdx = m.canonical.df.join(cutsDf, Seq("sample_id"))
+      .withColumn("__seg", segCol).drop("__cuts")
     val h = col("x1") - col("x0")
     val xc = least(greatest(col("value"), col("x0")), col("x1"))
     val spline =
@@ -228,6 +243,25 @@ object Normalize {
       (col("y1") / h - col("m1") * h / 6.0) * (xc - col("x0"))
     ExpressionMatrix(segIdx.join(segs, Seq("sample_id", "__seg"))
       .select(col("gene_id"), col("sample_id"), spline.as("value")))
+  }
+
+  /** Merge anchor points whose x's coincide within `eps`: heavily
+    * tied/discrete arrays can land two quantile-bin anchors on the
+    * same x, which would give a zero-width segment (h = 0 → division
+    * by zero in the piecewise cubic) and break the strictly-increasing
+    * precondition of the Thomas solve. Coincident anchors average
+    * their y. */
+  private[operators] def collapseAnchors(pts: Seq[(Double, Double)],
+      eps: Double = 1e-9): (Array[Double], Array[Double]) = {
+    val sorted = pts.sortBy(_._1)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Int)]
+    for ((x, y) <- sorted) {
+      if (buf.nonEmpty && x - buf.last._1 <= eps) {
+        val (lx, ls, ln) = buf.last
+        buf(buf.size - 1) = (lx, ls + y, ln + 1)
+      } else buf += ((x, y, 1))
+    }
+    (buf.map(_._1).toArray, buf.map(t => t._2 / t._3).toArray)
   }
 
   /** Natural cubic spline second derivatives through (x_i, y_i):

@@ -264,6 +264,42 @@ object ExtraQueries {
         .orderBy("l_partkey")
     }),
 
+    // ---- A10: ComBat with the reference's mod = model.matrix(~group)
+    // covariate design. Hash-checked: the oracle replays the shared-
+    // design OLS — XᵀX from integer contingency counts, inverted by
+    // the SAME Gauss-Jordan elimination sequence unrolled into three
+    // CTE stages (all +,-,*,/ on exact-integer inputs → bit-identical
+    // across engines) — then the 30-step it.sol recursion of q44. ----
+    "q66_combat_covariates" -> ((s, dir) => {
+      val m = geneSupplierMatrix(s, dir)
+      val batches = t(s, dir, "supplier").select(
+        col("s_suppkey").cast("string").as("sample_id"),
+        when(col("s_nationkey") % 3 === 0, "b0").otherwise("b1").as("batch"))
+      Batch.combatWithCovariates(m, batches, supplierGroups(s, dir)).df
+        .groupBy("gene_id")
+        .agg(round(avg("value") + 1e-5, 2).as("adj_mean"), count(lit(1)).as("n"))
+        .select(col("gene_id").cast("long").as("l_partkey"), col("adj_mean"), col("n"))
+        .orderBy("l_partkey")
+    }),
+
+    // ---- A10: ComBat nonparametric posterior — the reference's
+    // log-likelihood int.eprior patch. Hash-checked: the pairwise LL
+    // over per-gene sufficient statistics is a plain self-join +
+    // max-LL-guarded softmax aggregation DuckDB expresses directly
+    // (ln/exp only, no lgamma). Bounded gene set: int.eprior is O(G²)
+    // per batch by definition. ----
+    "q67_combat_nonparam" -> ((s, dir) => {
+      val m = geneSupplierMatrix(s, dir, maxGene = 300)
+      val batches = t(s, dir, "supplier").select(
+        col("s_suppkey").cast("string").as("sample_id"),
+        when(col("s_nationkey") % 3 === 0, "b0").otherwise("b1").as("batch"))
+      Batch.combat(m, batches, parametric = false).df
+        .groupBy("gene_id")
+        .agg(round(avg("value") + 1e-5, 2).as("adj_mean"), count(lit(1)).as("n"))
+        .select(col("gene_id").cast("long").as("l_partkey"), col("adj_mean"), col("n"))
+        .orderBy("l_partkey")
+    }),
+
     // ---- A12: eBayes moderated t. Hash-checked: the (d0, s0²)
     // hyperparameters from the trigamma-inverse moment fit are inlined
     // into the oracle as literals (deterministic at the gate's SF);
@@ -535,6 +571,157 @@ object ExtraQueries {
            FROM it WHERE iter < 30),
          post AS (SELECT gene, batch, g_star, d_star FROM it WHERE iter = 30),
          adj AS (SELECT z.gene, z.samp, sqrt(z.sigma2)*(z.z - p.g_star)/sqrt(p.d_star) + z.alpha AS value
+                 FROM z JOIN post p ON z.gene = p.gene AND z.batch = p.batch)
+         SELECT gene AS l_partkey, round(avg(value) + 1e-5, 2) + 0.0 AS adj_mean, count(*) AS n
+         FROM adj GROUP BY 1 ORDER BY 1""",
+
+    // ComBat covariate path: the shared-design OLS replayed exactly —
+    // XᵀX entries are integer contingency counts; the inverse is the
+    // SAME Gauss-Jordan elimination sequence as the engine's invert()
+    // (normalize pivot row, eliminate all other rows; pivot order
+    // 0,1,2 — no swaps, since each batch diagonal count strictly
+    // exceeds its off-diagonal group cell), unrolled into CTE stages
+    // g1..g3 of named columns. All +,-,*,/ on exact-integer-seeded
+    // doubles → bit-identical on every engine. Then β̂ = inv·Xᵀy per
+    // gene, pooled RSS/n variance, and the q44 it.sol recursion with
+    // the row-level center (grand + covariate shift) added back.
+    "q66_combat_covariates" ->
+      """WITH RECURSIVE m AS (
+           SELECT l_partkey AS gene, l_suppkey AS samp, avg(l_extendedprice) AS value
+           FROM lineitem GROUP BY 1,2),
+         meta AS (SELECT s_suppkey AS samp,
+                         CASE WHEN s_nationkey % 3 = 0 THEN 'b0' ELSE 'b1' END AS batch,
+                         CASE WHEN s_nationkey % 2 = 0 THEN 'A' ELSE 'B' END AS grp
+                  FROM supplier),
+         mbg AS (SELECT m.gene, m.samp, m.value, meta.batch, meta.grp
+                 FROM m JOIN meta USING (samp)),
+         cnt AS (SELECT CAST(sum(CASE WHEN batch = 'b0' THEN 1 ELSE 0 END) AS DOUBLE) AS nb0,
+                        CAST(sum(CASE WHEN batch = 'b1' THEN 1 ELSE 0 END) AS DOUBLE) AS nb1,
+                        CAST(sum(CASE WHEN batch = 'b0' AND grp = 'B' THEN 1 ELSE 0 END) AS DOUBLE) AS nb0b,
+                        CAST(sum(CASE WHEN batch = 'b1' AND grp = 'B' THEN 1 ELSE 0 END) AS DOUBLE) AS nb1b,
+                        CAST(count(*) AS DOUBLE) AS ntot
+                 FROM meta),
+         g0 AS (SELECT nb0 AS m00, 0e0 AS m01, nb0b AS m02, 1e0 AS m03, 0e0 AS m04, 0e0 AS m05,
+                       0e0 AS m10, nb1 AS m11, nb1b AS m12, 0e0 AS m13, 1e0 AS m14, 0e0 AS m15,
+                       nb0b AS m20, nb1b AS m21, nb0b + nb1b AS m22, 0e0 AS m23, 0e0 AS m24, 1e0 AS m25,
+                       nb0, nb1, ntot
+                FROM cnt),
+         g1 AS (SELECT m00/m00 AS m00, m01/m00 AS m01, m02/m00 AS m02,
+                       m03/m00 AS m03, m04/m00 AS m04, m05/m00 AS m05,
+                       m10 - m10*(m00/m00) AS m10, m11 - m10*(m01/m00) AS m11, m12 - m10*(m02/m00) AS m12,
+                       m13 - m10*(m03/m00) AS m13, m14 - m10*(m04/m00) AS m14, m15 - m10*(m05/m00) AS m15,
+                       m20 - m20*(m00/m00) AS m20, m21 - m20*(m01/m00) AS m21, m22 - m20*(m02/m00) AS m22,
+                       m23 - m20*(m03/m00) AS m23, m24 - m20*(m04/m00) AS m24, m25 - m20*(m05/m00) AS m25,
+                       nb0, nb1, ntot FROM g0),
+         g2 AS (SELECT m00 - m01*(m10/m11) AS m00, m01 - m01*(m11/m11) AS m01, m02 - m01*(m12/m11) AS m02,
+                       m03 - m01*(m13/m11) AS m03, m04 - m01*(m14/m11) AS m04, m05 - m01*(m15/m11) AS m05,
+                       m10/m11 AS m10, m11/m11 AS m11, m12/m11 AS m12,
+                       m13/m11 AS m13, m14/m11 AS m14, m15/m11 AS m15,
+                       m20 - m21*(m10/m11) AS m20, m21 - m21*(m11/m11) AS m21, m22 - m21*(m12/m11) AS m22,
+                       m23 - m21*(m13/m11) AS m23, m24 - m21*(m14/m11) AS m24, m25 - m21*(m15/m11) AS m25,
+                       nb0, nb1, ntot FROM g1),
+         g3 AS (SELECT m00 - m02*(m20/m22) AS m00, m01 - m02*(m21/m22) AS m01, m02 - m02*(m22/m22) AS m02,
+                       m03 - m02*(m23/m22) AS m03, m04 - m02*(m24/m22) AS m04, m05 - m02*(m25/m22) AS m05,
+                       m10 - m12*(m20/m22) AS m10, m11 - m12*(m21/m22) AS m11, m12 - m12*(m22/m22) AS m12,
+                       m13 - m12*(m23/m22) AS m13, m14 - m12*(m24/m22) AS m14, m15 - m12*(m25/m22) AS m15,
+                       m20/m22 AS m20, m21/m22 AS m21, m22/m22 AS m22,
+                       m23/m22 AS m23, m24/m22 AS m24, m25/m22 AS m25,
+                       nb0, nb1, ntot FROM g2),
+         inv AS (SELECT m03 AS i00, m04 AS i01, m05 AS i02,
+                        m13 AS i10, m14 AS i11, m15 AS i12,
+                        m23 AS i20, m24 AS i21, m25 AS i22,
+                        nb0, nb1, ntot FROM g3),
+         xty AS (SELECT gene,
+                        coalesce(sum(CASE WHEN batch = 'b0' THEN value END), 0e0) AS x0,
+                        coalesce(sum(CASE WHEN batch = 'b1' THEN value END), 0e0) AS x1,
+                        coalesce(sum(CASE WHEN grp = 'B' THEN value END), 0e0) AS x2
+                 FROM mbg GROUP BY 1),
+         beta AS (SELECT gene,
+                         i00*x0 + i01*x1 + i02*x2 AS b0,
+                         i10*x0 + i11*x1 + i12*x2 AS b1,
+                         i20*x0 + i21*x1 + i22*x2 AS b2,
+                         nb0, nb1, ntot
+                  FROM xty CROSS JOIN inv),
+         wf AS (SELECT g.gene, g.samp, g.value, g.batch,
+                       (CASE WHEN g.batch = 'b0' THEN b.b0 WHEN g.batch = 'b1' THEN b.b1 END)
+                         + (CASE WHEN g.grp = 'B' THEN b.b2 ELSE 0e0 END) AS fit,
+                       ((b.nb0/b.ntot)*b.b0 + (b.nb1/b.ntot)*b.b1)
+                         + (CASE WHEN g.grp = 'B' THEN b.b2 ELSE 0e0 END) AS center,
+                       b.ntot
+                FROM mbg g JOIN beta b USING (gene)),
+         pooled AS (SELECT gene, sum((value - fit)*(value - fit))/max(ntot) AS sigma2
+                    FROM wf GROUP BY 1
+                    HAVING sum((value - fit)*(value - fit))/max(ntot) > 0),
+         z AS (SELECT wf.gene, wf.samp, wf.batch, (wf.value - wf.center)/sqrt(p.sigma2) AS z,
+                      wf.center, p.sigma2
+               FROM wf JOIN pooled p USING (gene)),
+         gb AS (SELECT gene, batch, count(*) AS n_b, avg(z) AS gamma_hat, var_samp(z) AS delta2_hat
+                FROM z GROUP BY 1,2 HAVING var_samp(z) IS NOT NULL),
+         hp AS (SELECT batch, avg(gamma_hat) AS gamma_bar, var_samp(gamma_hat) AS tau2,
+                       (2*var_samp(delta2_hat) + avg(delta2_hat)*avg(delta2_hat))/var_samp(delta2_hat) AS a_prior,
+                       (avg(delta2_hat)*var_samp(delta2_hat)
+                          + avg(delta2_hat)*avg(delta2_hat)*avg(delta2_hat))/var_samp(delta2_hat) AS b_prior
+                FROM gb GROUP BY 1),
+         base AS (SELECT gb.gene, gb.batch, CAST(gb.n_b AS DOUBLE) AS n, gb.gamma_hat, gb.delta2_hat,
+                         hp.gamma_bar, hp.tau2, hp.a_prior, hp.b_prior
+                  FROM gb JOIN hp USING (batch)),
+         it AS (
+           SELECT 0 AS iter, gene, batch, gamma_hat AS g_star, delta2_hat AS d_star,
+                  n, gamma_hat, delta2_hat, gamma_bar, tau2, a_prior, b_prior FROM base
+           UNION ALL
+           SELECT iter+1, gene, batch,
+                  (n*tau2*gamma_hat + d_star*gamma_bar)/(n*tau2 + d_star),
+                  (b_prior + 0.5*((n-1)*delta2_hat
+                     + n*((gamma_hat - (n*tau2*gamma_hat + d_star*gamma_bar)/(n*tau2 + d_star))
+                          *(gamma_hat - (n*tau2*gamma_hat + d_star*gamma_bar)/(n*tau2 + d_star)))))
+                    / (n/2 + a_prior - 1),
+                  n, gamma_hat, delta2_hat, gamma_bar, tau2, a_prior, b_prior
+           FROM it WHERE iter < 30),
+         post AS (SELECT gene, batch, g_star, d_star FROM it WHERE iter = 30),
+         adj AS (SELECT z.gene, z.samp,
+                        sqrt(z.sigma2)*(z.z - p.g_star)/sqrt(p.d_star) + z.center AS value
+                 FROM z JOIN post p ON z.gene = p.gene AND z.batch = p.batch)
+         SELECT gene AS l_partkey, round(avg(value) + 1e-5, 2) + 0.0 AS adj_mean, count(*) AS n
+         FROM adj GROUP BY 1 ORDER BY 1""",
+
+    // ComBat nonparametric int.eprior: pairwise Gaussian LL over
+    // per-gene sufficient statistics (T = Σz, S = Σz²) as a per-batch
+    // self-join, max-LL softmax guard via a window, weighted posterior
+    // means — ln/exp only (proven stable on the gate's engine; no
+    // lgamma), every other op +,-,*,/.
+    "q67_combat_nonparam" ->
+      """WITH m AS (
+           SELECT l_partkey AS gene, l_suppkey AS samp, avg(l_extendedprice) AS value
+           FROM lineitem WHERE l_partkey <= 300 GROUP BY 1,2),
+         b AS (SELECT s_suppkey AS samp,
+                      CASE WHEN s_nationkey % 3 = 0 THEN 'b0' ELSE 'b1' END AS batch FROM supplier),
+         mb AS (SELECT m.gene, m.samp, m.value, b.batch FROM m JOIN b USING (samp)),
+         grand AS (SELECT gene, avg(value) AS alpha, var_samp(value) AS sigma2
+                   FROM mb GROUP BY 1 HAVING var_samp(value) > 0),
+         z AS (SELECT mb.gene, mb.samp, mb.batch, (mb.value - g.alpha)/sqrt(g.sigma2) AS z,
+                      g.alpha, g.sigma2
+               FROM mb JOIN grand g USING (gene)),
+         gb AS (SELECT gene, batch, count(*) AS n_b, avg(z) AS gamma_hat, var_samp(z) AS delta2_hat
+                FROM z GROUP BY 1,2 HAVING var_samp(z) IS NOT NULL),
+         suff AS (SELECT gene, batch, CAST(count(*) AS DOUBLE) AS n,
+                         sum(z) AS t_sum, sum(z*z) AS s_sum
+                  FROM z GROUP BY 1,2),
+         pairs AS (
+           SELECT s.gene, s.batch,
+                  -0.5e0*s.n*ln((2*pi())*p.delta2_hat)
+                    - (s.s_sum - 2*p.gamma_hat*s.t_sum + s.n*p.gamma_hat*p.gamma_hat)
+                      /(2*p.delta2_hat) AS ll,
+                  p.gamma_hat, p.delta2_hat
+           FROM suff s JOIN gb p ON s.batch = p.batch AND s.gene <> p.gene),
+         w AS (SELECT gene, batch,
+                      exp(ll - max(ll) OVER (PARTITION BY gene, batch)) AS w,
+                      gamma_hat, delta2_hat
+               FROM pairs),
+         post AS (SELECT gene, batch, sum(w*gamma_hat)/sum(w) AS g_star,
+                         sum(w*delta2_hat)/sum(w) AS d_star
+                  FROM w GROUP BY 1,2),
+         adj AS (SELECT z.gene, z.samp,
+                        sqrt(z.sigma2)*(z.z - p.g_star)/sqrt(p.d_star) + z.alpha AS value
                  FROM z JOIN post p ON z.gene = p.gene AND z.batch = p.batch)
          SELECT gene AS l_partkey, round(avg(value) + 1e-5, 2) + 0.0 AS adj_mean, count(*) AS n
          FROM adj GROUP BY 1 ORDER BY 1""",

@@ -169,6 +169,26 @@ class KernelSpec extends SparkSpec {
     }
   }
 
+  test("rsn survives heavily tied (discrete) arrays: coincident anchors collapse, no NaN/Inf") {
+    // 90% of each array sits on a 3-level discrete grid → several
+    // quantile bins share the same mean value, so anchors coincide;
+    // without the collapse the zero-width segment divides by zero
+    val rows = for (g <- 1 to 120; s <- Seq("s1", "s2")) yield {
+      val v = (g % 10) match {
+        case 9 => 10.0 + g * 0.01 + (if (s == "s2") 1.0 else 0.0)
+        case k => (k % 3).toDouble + (if (s == "s2") 1.0 else 0.0)
+      }
+      (s"g%03d".format(g), s, v)
+    }
+    val m = ExpressionMatrix(rows.toDF("gene_id", "sample_id", "value"))
+    val out = Normalize.rsn(m, bins = 10).df.collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val v = r.getDouble(2)
+      assert(!v.isNaN && !v.isInfinite, s"degenerate rsn value $v in $r")
+    }
+  }
+
   test("cmdscale reconstructs planar distances exactly in 2 dimensions") {
     // four points in the plane; squared distances in, coordinates out:
     // pairwise distances of the embedding must match the input
