@@ -56,11 +56,13 @@ object Cluster {
     // cannot hit an iterative-QR convergence failure on large sample
     // counts. Seeded start vector; 500 fixed iterations ≫ enough for
     // the well-separated leading study-effect axes.
+    // The start vector uses small-modulus integer arithmetic (every
+    // intermediate < 2^31, exactly representable) so the q62 oracle's
+    // recursive CTE reproduces it with plain BIGINT ops — no 64-bit
+    // wraparound emulation needed.
     def powerIter(m: Array[Array[Double]], seed: Int): (Double, Array[Double]) = {
       var v = Array.tabulate(n) { i =>
-        var z = (i + 1).toLong * 0x9e3779b97f4a7c15L + seed
-        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-        ((z >>> 11).toDouble / (1L << 53).toDouble) - 0.5
+        (((i + 1) * 40503 + seed * 7919) % 65536).toDouble / 65536.0 - 0.5
       }
       var lam = 0.0
       var it = 0
@@ -83,6 +85,18 @@ object Cluster {
     val work = bMat.map(_.clone())
     val coords = (0 until k).map { d =>
       val (lam, v) = powerIter(work, d)
+      // convergence guard (cmdscale leaves degeneracy silent): when the
+      // leading eigenvalues nearly tie, 500 fixed iterations can return
+      // an arbitrary mixture of the tied axes — detect via the
+      // eigen-residual rather than silently emitting mixed coordinates
+      val res = (0 until n).map { i =>
+        val bv = (0 until n).map(j => work(i)(j) * v(j)).sum
+        math.abs(bv - lam * v(i))
+      }.max / math.max(math.abs(lam), 1.0)
+      if (res > 1e-6)
+        System.err.println(
+          s"[graft] WARN cmdscale axis ${d + 1}: power-iteration residual $res > 1e-6 " +
+            "(near-tied eigenvalues); returned axis may be a mixture")
       // deflate: B ← B − λ v vᵀ
       for (i <- 0 until n; j <- 0 until n) work(i)(j) -= lam * v(i) * v(j)
       val scaled = v.map(_ * math.sqrt(math.max(lam, 0.0)))

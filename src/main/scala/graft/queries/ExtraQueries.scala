@@ -204,13 +204,27 @@ object ExtraQueries {
         .orderBy("l_suppkey")
     }),
 
-    // ---- A9: classical MDS (cmdscale; rows-only: driver eigen) ----
+    // ---- A9: classical MDS (cmdscale). Hash-checked: the distance
+    // inputs round to the 2dp grid on BOTH sides (so both engines
+    // start from identical doubles), the double-centering and the
+    // 500-step seeded power iteration + deflation replay as recursive
+    // CTEs with ordered-aggregate matvecs; cross-engine drift is
+    // bounded by the noise-injection steady state 1e-16/(1−λ2/λ1),
+    // far below the 2dp output grid for any non-degenerate gap. ----
     "q62_mds" -> ((s, dir) => {
       val m = geneSupplierMatrix(s, dir, maxGene = 50)
-      Cluster.cmdscale(Cluster.sampleDistances(m), k = 2)
+      val bounded = ExpressionMatrix(
+        m.df.filter(col("sample_id").cast("long") <= 300))
+      // dist² is ~1e9-scale: round to whole units (still 1e-9 relative)
+      // so both engines seed the iteration from identical doubles with
+      // float noise far from any rounding boundary; eigenvalues
+      // (1e10-scale) likewise round to integers on output
+      val dist = Cluster.sampleDistances(bounded)
+        .withColumn("dist2", round(col("dist2") + 1e-5, 0) + 0.0)
+      Cluster.cmdscale(dist, k = 2)
         .select(col("sample_id").cast("long").as("l_suppkey"),
           round(col("c1") + 1e-5, 2).as("c1"), round(col("c2") + 1e-5, 2).as("c2"),
-          round(col("eig1") + 1e-5, 2).as("eig1"), round(col("eig2") + 1e-5, 2).as("eig2"))
+          round(col("eig1") + 1e-5, 0).as("eig1"), round(col("eig2") + 1e-5, 0).as("eig2"))
         .orderBy("l_suppkey")
     }),
 
@@ -1245,6 +1259,97 @@ ORDER BY 1, 2""",
          SELECT term, ts AS term_size, ov AS overlap,
                 round(tl / total + 1e-9, 6) + 0.0 AS p
          FROM walk WHERE phase = 2 ORDER BY term""",
+
+    // cmdscale replay: identical rounded distance inputs, exact
+    // double-centering (ordered sums mirror the Scala index-order
+    // loops), then the 500-step seeded power iteration + deflation as
+    // two recursive CTEs. The per-step norm is a window sum (pairwise
+    // vs the Scala sequential fold — ~1e-16/step noise); the iteration
+    // is contractive, so the cross-engine steady-state difference is
+    // 1e-16/(1−λ2/λ1), invisible at the 2dp output grid unless the
+    // eigenvalues tie to one part in 1e8 (the engine logs a residual
+    // warning in that case).
+    "q62_mds" ->
+      """WITH RECURSIVE m AS (
+           SELECT l_partkey AS gene, l_suppkey AS samp, avg(l_extendedprice) AS value
+           FROM lineitem WHERE l_partkey <= 50 AND l_suppkey <= 300 GROUP BY 1,2),
+         pr AS MATERIALIZED (
+                SELECT a.samp AS s1, b.samp AS s2,
+                       round(sum((a.value - b.value)*(a.value - b.value)) + 1e-5, 0) + 0.0 AS d
+                FROM m a JOIN m b ON a.gene = b.gene
+                                 AND CAST(a.samp AS VARCHAR) < CAST(b.samp AS VARCHAR)
+                GROUP BY 1,2),
+         samples AS (SELECT samp FROM (SELECT s1 AS samp FROM pr UNION SELECT s2 FROM pr) u GROUP BY 1),
+         nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM samples),
+         sidx AS (SELECT samp, CAST(row_number() OVER (ORDER BY CAST(samp AS VARCHAR)) AS BIGINT) - 1 AS i
+                  FROM samples),
+         sym AS (SELECT s1 AS sa, s2 AS sb, d FROM pr UNION ALL SELECT s2, s1, d FROM pr),
+         grid AS MATERIALIZED (
+                  SELECT si.i AS i, sj.i AS j, coalesce(y.d, 0e0) AS v
+                  FROM sidx si CROSS JOIN sidx sj
+                  LEFT JOIN sym y ON y.sa = si.samp AND y.sb = sj.samp),
+         rm AS (SELECT g.i, sum(g.v ORDER BY g.j) / (SELECT n FROM nn) AS rm
+                FROM grid g GROUP BY g.i),
+         gd AS (SELECT sum(rm ORDER BY i) / (SELECT n FROM nn) AS gd FROM rm),
+         bm AS MATERIALIZED (
+                SELECT g.i, g.j, -0.5e0*(g.v - ri.rm - rj.rm + (SELECT gd FROM gd)) AS v
+                FROM grid g JOIN rm ri ON ri.i = g.i JOIN rm rj ON rj.i = g.j),
+         v1seed AS (SELECT i, CAST(((i + 1) * 40503) % 65536 AS DOUBLE) / 65536e0 - 0.5e0 AS v
+                    FROM sidx),
+         p1 AS (
+           SELECT 0 AS iter, i, v FROM v1seed
+           UNION ALL
+           SELECT s.iter, s.i, s.w / sqrt(sum(s.w*s.w) OVER ()) AS v
+           FROM (SELECT p.iter + 1 AS iter, b.i AS i, sum(b.v * p.v ORDER BY b.j) AS w
+                 FROM p1 p JOIN bm b ON b.j = p.i
+                 WHERE p.iter < 500
+                 GROUP BY p.iter, b.i) s),
+         tail1 AS MATERIALIZED (SELECT iter, i, v FROM p1 WHERE iter >= 499),
+         fv1 AS MATERIALIZED (SELECT i, v FROM tail1 WHERE iter = 500),
+         pv1 AS MATERIALIZED (SELECT i, v FROM tail1 WHERE iter = 499),
+         w1 AS (SELECT b.i AS i, sum(b.v * p.v ORDER BY b.j) AS w
+                FROM bm b JOIN pv1 p ON p.i = b.j GROUP BY b.i),
+         lam1 AS MATERIALIZED (
+                  SELECT sum(x.vw ORDER BY x.i) AS lam
+                  FROM (SELECT w1.i, p.v * w1.w AS vw
+                        FROM w1 JOIN pv1 p ON p.i = w1.i) x),
+         bm2 AS MATERIALIZED (
+                 SELECT b.i, b.j, b.v - (SELECT lam FROM lam1) * vi.v * vj.v AS v
+                 FROM bm b JOIN fv1 vi ON vi.i = b.i JOIN fv1 vj ON vj.i = b.j),
+         v2seed AS (SELECT i, CAST(((i + 1) * 40503 + 7919) % 65536 AS DOUBLE) / 65536e0 - 0.5e0 AS v
+                    FROM sidx),
+         p2 AS (
+           SELECT 0 AS iter, i, v FROM v2seed
+           UNION ALL
+           SELECT s.iter, s.i, s.w / sqrt(sum(s.w*s.w) OVER ()) AS v
+           FROM (SELECT p.iter + 1 AS iter, b.i AS i, sum(b.v * p.v ORDER BY b.j) AS w
+                 FROM p2 p JOIN bm2 b ON b.j = p.i
+                 WHERE p.iter < 500
+                 GROUP BY p.iter, b.i) s),
+         tail2 AS MATERIALIZED (SELECT iter, i, v FROM p2 WHERE iter >= 499),
+         fv2 AS MATERIALIZED (SELECT i, v FROM tail2 WHERE iter = 500),
+         pv2 AS MATERIALIZED (SELECT i, v FROM tail2 WHERE iter = 499),
+         w2 AS (SELECT b.i AS i, sum(b.v * p.v ORDER BY b.j) AS w
+                FROM bm2 b JOIN pv2 p ON p.i = b.j GROUP BY b.i),
+         lam2 AS MATERIALIZED (
+                  SELECT sum(x.vw ORDER BY x.i) AS lam
+                  FROM (SELECT w2.i, p.v * w2.w AS vw
+                        FROM w2 JOIN pv2 p ON p.i = w2.i) x),
+         c1r AS MATERIALIZED (
+                  SELECT f.i, f.v * sqrt(greatest((SELECT lam FROM lam1), 0e0)) AS c FROM fv1 f),
+         c2r AS MATERIALIZED (
+                  SELECT f.i, f.v * sqrt(greatest((SELECT lam FROM lam2), 0e0)) AS c FROM fv2 f),
+         f1 AS (SELECT CASE WHEN (SELECT c FROM c1r ORDER BY abs(c) DESC, i ASC LIMIT 1) < 0
+                            THEN -1e0 ELSE 1e0 END AS f),
+         f2 AS (SELECT CASE WHEN (SELECT c FROM c2r ORDER BY abs(c) DESC, i ASC LIMIT 1) < 0
+                            THEN -1e0 ELSE 1e0 END AS f)
+         SELECT CAST(s.samp AS BIGINT) AS l_suppkey,
+                round(c1r.c * (SELECT f FROM f1) + 1e-5, 2) + 0.0 AS c1,
+                round(c2r.c * (SELECT f FROM f2) + 1e-5, 2) + 0.0 AS c2,
+                round((SELECT lam FROM lam1) + 1e-5, 0) + 0.0 AS eig1,
+                round((SELECT lam FROM lam2) + 1e-5, 0) + 0.0 AS eig2
+         FROM sidx s JOIN c1r ON c1r.i = s.i JOIN c2r ON c2r.i = s.i
+         ORDER BY 1""",
 
     "q58_probe_filter" ->
       """WITH annot AS (

@@ -207,10 +207,82 @@ object TextQueries {
     TextFunctions.stopwords.values.flatten.toSeq.distinct.sorted
       .map(w => s"'$w'").mkString("[", ", ", "]")
 
+  // ---- q39 oracle generator: the hyperplane families are
+  // deterministic driver-side splitmix64 Rademacher streams
+  // (Similarity.hyperplaneSketch), so the oracle bakes each ±1 sign
+  // pattern into the SQL as a left-associated add/subtract chain over
+  // the embedding elements — the exact accumulation order of the
+  // VecDot codegen loop, hence bit-identical dots, buckets, cosines
+  // and ranks (the q45 programmatic-oracle precedent). ----
+  private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** true = +1 hyperplane component (mirrors hyperplaneSketch). */
+  private def hyperSigns(bit: Int, seedOffset: Int, dim: Int): IndexedSeq[Boolean] =
+    (0 until dim).map(d =>
+      (splitmix64((bit.toLong + seedOffset) * 1000003L + d) & 1L) == 1L)
+
+  /** Σ ±e[d] in index order, left-associated. */
+  private def signedDotSql(alias: String, signs: IndexedSeq[Boolean]): String =
+    signs.zipWithIndex.map { case (s, d) =>
+      val t = s"CAST($alias.embedding[${d + 1}] AS DOUBLE)"
+      if (d == 0) { if (s) t else s"-$t" }
+      else { if (s) s"+ $t" else s"- $t" }
+    }.mkString(" ")
+
+  /** Σ a[d]*b[d] in index order (the VecDot loop). */
+  private def pairDotSql(a: String, b: String, dim: Int): String =
+    (0 until dim).map(d =>
+      s"CAST($a.embedding[${d + 1}] AS DOUBLE)*CAST($b.embedding[${d + 1}] AS DOUBLE)")
+      .mkString(" + ")
+
+  /** One band's bucket string: 'b#' || sum of sign-bit powers. */
+  private def bandBucketSql(alias: String, band: Int, bitsPerBand: Int, dim: Int): String = {
+    val bits = (0 until bitsPerBand).map { i =>
+      val dot = signedDotSql(alias, hyperSigns(i, band * 7919, dim))
+      s"(CASE WHEN ($dot) >= 0 THEN ${1L << (i % 63)} ELSE 0 END)"
+    }
+    s"'$band#' || CAST((${bits.mkString(" + ")}) AS VARCHAR)"
+  }
+
   private def langListSql(l: String) =
     TextFunctions.stopwords(l).map(w => s"'$w'").mkString("[", ", ", "]")
 
   val oracleSql: Map[String, String] = Map(
+    // multi-band hyperplane-LSH ANN, replayed exactly: baked ±1
+    // hyperplane chains → identical sketch bits → identical buckets,
+    // candidates, cosines (bit-for-bit) and (score desc, id asc) ranks
+    "q39_lsh_topk" -> {
+      val dim = 64; val bpb = 6; val nb = 4
+      val buckets = (0 until nb).map(b => bandBucketSql("e", b, bpb, dim)).mkString(", ")
+      s"""WITH qs AS (SELECT e.vec_id AS query_id, unnest([$buckets]) AS bucket
+            FROM embeddings e WHERE e.vec_id < 50),
+          cs AS (SELECT e.vec_id AS corpus_id, unnest([$buckets]) AS bucket
+            FROM embeddings e),
+          cand AS (SELECT DISTINCT q.query_id, c.corpus_id
+                   FROM qs q JOIN cs c USING (bucket)
+                   WHERE q.query_id <> c.corpus_id),
+          nrm AS (SELECT e.vec_id, sqrt(${pairDotSql("e", "e", dim)}) AS nrm
+                  FROM embeddings e),
+          scored AS (SELECT cand.query_id, cand.corpus_id,
+                            (${pairDotSql("qa", "ca", dim)}) / (nq.nrm * nc.nrm) AS cosine
+                     FROM cand
+                     JOIN embeddings qa ON qa.vec_id = cand.query_id
+                     JOIN embeddings ca ON ca.vec_id = cand.corpus_id
+                     JOIN nrm nq ON nq.vec_id = cand.query_id
+                     JOIN nrm nc ON nc.vec_id = cand.corpus_id),
+          ranked AS (SELECT query_id, corpus_id, cosine,
+                            CAST(row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, corpus_id ASC) AS INTEGER) AS rank
+                     FROM scored)
+          SELECT query_id, corpus_id, rank, round(cosine + 1e-9, 6) + 0.0 AS cosine
+          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+    },
+
     // E4 curation pipeline replayed stage by stage: exact-dedup
     // keepers, md5 MinHash bands + Jaccard verify for near-dup losers,
     // stopword lang-id, quality score, token counts
