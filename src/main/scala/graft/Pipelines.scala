@@ -40,16 +40,16 @@ object Pipelines {
       ExpressionMatrix(bound.df.select("gene_id", "sample_id", "value")),
       bound.df.select(col("sample_id"), col("dataset").as("batch")).distinct())
     val filtered = Filters.topFracBySd(Filters.dropZeroVariance(adjusted), sdFrac)
-    // arrayWeights enter the fit as WLS sufficient statistics; with
-    // technical replicates declared, the duplicateCorrelation
-    // consensus deflates effective n (DiffExpression_closedPlatform.R:
-    // 456-507: lmFit(eset, design, weights=arrayw, block=...,
-    // correlation=corfit$consensus))
-    val weights = DiffExpr.arrayWeights(filtered, groups)
+    // REML arrayWeights enter the fit as WLS sufficient statistics;
+    // with technical replicates declared, the REML
+    // duplicateCorrelation consensus deflates effective n
+    // (DiffExpression_closedPlatform.R:456-507: lmFit(eset, design,
+    // weights=arrayw, block=..., correlation=corfit$consensus))
+    val weights = DiffExpr.arrayWeightsReml(filtered, groups)
     val stats0 = DiffExpr.groupStatsWeighted(filtered, groups, weights)
     val stats = replicates match {
       case Some(reps) =>
-        val (_, rho) = DiffExpr.duplicateCorrelation(filtered, reps)
+        val (_, rho) = DiffExpr.duplicateCorrelationReml(filtered, reps, groups)
         val avgReps = reps.groupBy("unit").agg(count(lit(1)).as("m"))
           .agg(avg("m")).head().getDouble(0)
         DiffExpr.deflateForBlocking(stats0, rho, avgReps)

@@ -134,10 +134,56 @@ object DiffExpr {
       .select(col(gene), col("log2fc"), col("t_mod"), col("df_total"), col("p_mod"))
   }
 
+  /** A11 blocking — duplicateCorrelation, exact REML estimator
+    * (`DiffExpression_closedPlatform.R:489-507`, limma
+    * `duplicateCorrelation`). Per gene, the mixed model
+    * y = group + unit_random + ε is fitted by REML; for (near-)
+    * balanced technical-replicate layouts the REML estimates equal
+    * the ANOVA between/within decomposition on the fixed-effect
+    * residuals (a classical identity), so the per-gene fit is pure
+    * keyed aggregation: σ̂u² = (MSB − MSW)/m̄, ρ_g = σ̂u²/(σ̂u² + MSW),
+    * consensus = tanh(mean Fisher-z) exactly as limma combines genes.
+    * `replicates` maps sample_id → (unit, rep); `groups` supplies the
+    * fixed effect. Fully distributed: one shuffle per keyed step,
+    * only the scalar consensus leaves the cluster. */
+  def duplicateCorrelationReml(m: ExpressionMatrix, replicates: DataFrame,
+      groups: DataFrame, groupCol: String = "group"): (DataFrame, Double) = {
+    val joined = m.canonical.df
+      .join(broadcast(replicates), Seq("sample_id"))
+      .join(broadcast(groups), Seq("sample_id"))
+    val cells = joined.groupBy("gene_id", groupCol).agg(avg("value").as("__mu"))
+    val resid = joined.join(cells, Seq("gene_id", groupCol))
+      .withColumn("__e", col("value") - col("__mu"))
+    val unit = resid.groupBy(col("gene_id"), col("unit"))
+      .agg(avg("__e").as("__eu"), count(lit(1)).as("__m"),
+           sum(col("__e") * col("__e")).as("__se2"))
+    val perGene = unit.groupBy("gene_id")
+      .agg(count(lit(1)).as("__nu"),
+           sum("__m").as("__n"),
+           avg(col("__m").cast("double")).as("__mbar"),
+           sum(col("__m") * col("__eu") * col("__eu")).as("__ssb"),
+           (sum("__se2") - sum(col("__m") * col("__eu") * col("__eu"))).as("__ssw"))
+      .join(resid.groupBy("gene_id").agg(countDistinct(groupCol).as("__p")), Seq("gene_id"))
+      .filter(col("__n") - col("__nu") > 0 && col("__nu") - col("__p") > 0)
+      .withColumn("__msw", col("__ssw") / (col("__n") - col("__nu")))
+      .withColumn("__msb", col("__ssb") / (col("__nu") - col("__p")))
+      .filter(col("__msw") > 0)
+      .withColumn("__su2", (col("__msb") - col("__msw")) / col("__mbar"))
+      .withColumn("r",
+        greatest(lit(-0.999), least(lit(0.999),
+          col("__su2") / (col("__su2") + col("__msw")))))
+      .select(col("gene_id"), col("r"))
+    val consensus = perGene
+      .agg(avg(lit(0.5) * log((lit(1.0) + col("r")) / (lit(1.0) - col("r")))))
+      .head().getDouble(0)
+    (perGene, math.tanh(consensus))
+  }
+
   /** A11 blocking — duplicateCorrelation
     * (`DiffExpression_closedPlatform.R:489-507`, limma
     * `duplicateCorrelation`): consensus intra-replicate correlation.
-    * Simplified estimator (documented divergence from limma's REML):
+    * Fast approximation (the exact estimator is
+    * [[duplicateCorrelationReml]], which the E1 chain uses):
     * per gene, the Pearson correlation across biological units between
     * technical replicate 1 and 2 values; consensus = tanh of the mean
     * Fisher z over genes. `replicates` maps sample_id → (unit, rep).
@@ -157,12 +203,76 @@ object DiffExpr {
     (perGene, math.tanh(consensus))
   }
 
-  /** A14 — array quality weights (`DiffExpression_closedPlatform.R:456-464`,
-    * limma `arrayWeights`). Documented v1 simplification (SURVEY.md
-    * §7.4.2): instead of the full gene-by-gene REML iteration, each
-    * array's weight is the inverse of its mean squared residual from
-    * the per-(gene, group) means, normalised to mean 1 — the same
-    * "noisy arrays count less" contract, one aggregation pass. */
+  /** A14 — array quality weights, exact REML estimator (Ritchie 2006;
+    * `DiffExpression_closedPlatform.R:456-464`, limma `arrayWeights`).
+    * Heteroscedastic model y_gj ~ N(μ_{g,c(j)}, σ_g²/w_j); the REML
+    * score equation for array j (profiling the per-gene σ_g²) is
+    *
+    *   w_j · Σ_g e_gj²/s_g²  =  Σ_g (1 − h_gj)
+    *
+    * with e the WLS residual, h_gj = w_j/Σ_{j'∈c} w_{j'} the leverage
+    * and s_g² = Σ_j w_j e_gj²/(n_g − p_g) the REML variance. Solved by
+    * the natural fixed point w_j ← Σ(1−h)/Σ(e²/s²), normalised to
+    * mean 1 each sweep — at convergence the score equations hold
+    * exactly, i.e. the REML stationary point (verified in KernelSpec
+    * against direct numerical maximisation of the restricted
+    * likelihood on a fixture). Each sweep is two keyed aggregations
+    * over the persisted (gene, sample) relation; only the
+    * array-bounded weight vector reaches the driver. */
+  def arrayWeightsReml(m: ExpressionMatrix, groups: DataFrame,
+      groupCol: String = "group", maxIter: Int = 50, tol: Double = 1e-8): DataFrame = {
+    val spark = m.df.sparkSession
+    import spark.implicits._
+    val base = m.canonical.df.join(broadcast(groups), Seq("sample_id"))
+      .select(col("gene_id"), col("sample_id"), col(groupCol).as("__grp"), col("value"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sampleIds = base.select("sample_id").distinct()
+      .collect().map(_.getString(0)).sorted
+    var w = sampleIds.map(_ -> 1.0).toMap
+    var iter = 0
+    var delta = Double.MaxValue
+    while (iter < maxIter && delta > tol) {
+      val wDf = broadcast(sampleIds.map(s => (s, w(s))).toSeq.toDF("sample_id", "__w"))
+      val joined = base.join(wDf, Seq("sample_id"))
+      val cell = joined.groupBy("gene_id", "__grp")
+        .agg(sum(col("__w") * col("value")).as("__swy"), sum("__w").as("__sw"))
+      val res = joined.join(cell, Seq("gene_id", "__grp"))
+        .withColumn("__e2",
+          (col("value") - col("__swy") / col("__sw")) *
+            (col("value") - col("__swy") / col("__sw")))
+        .withColumn("__h", col("__w") / col("__sw"))
+      val geneStats = res.groupBy("gene_id")
+        .agg(sum(col("__w") * col("__e2")).as("__swe2"),
+             count(lit(1)).as("__n"), countDistinct("__grp").as("__p"))
+        .withColumn("__d", col("__n") - col("__p"))
+        .filter(col("__d") > 0)
+        .withColumn("__s2", col("__swe2") / col("__d"))
+        .filter(col("__s2") > 0)
+      val arr = res.join(geneStats.select("gene_id", "__s2"), Seq("gene_id"))
+        .groupBy("sample_id")
+        .agg(sum(col("__e2") / col("__s2")).as("__a"),
+             sum(lit(1.0) - col("__h")).as("__b"))
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      val wRaw = sampleIds.map { s =>
+        val (a, b) = arr.getOrElse(s, (0.0, 0.0))
+        s -> (if (a > 1e-300 && b > 0) math.max(b / a, 1e-6) else w(s))
+      }.toMap
+      val mean = wRaw.values.sum / wRaw.size
+      val wNew = wRaw.map { case (s, v) => s -> v / mean }
+      delta = sampleIds.map(s => math.abs(wNew(s) - w(s))).max
+      w = wNew
+      iter += 1
+    }
+    base.unpersist(blocking = false)
+    sampleIds.map(s => (s, w(s))).toSeq.toDF("sample_id", "weight")
+  }
+
+  /** A14 — array quality weights, fast single-pass approximation (the
+    * exact estimator is [[arrayWeightsReml]], which the E1 chain
+    * uses): each array's weight is the inverse of its mean squared
+    * residual from the per-(gene, group) means, normalised to mean 1 —
+    * the same "noisy arrays count less" contract, one aggregation
+    * pass. */
   def arrayWeights(m: ExpressionMatrix, groups: DataFrame,
       groupCol: String = "group"): DataFrame = {
     val withGroup = m.canonical.df.join(broadcast(groups), Seq("sample_id"))

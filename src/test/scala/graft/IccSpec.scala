@@ -103,6 +103,109 @@ class IccSpec extends SparkSpec {
     assert(dw.forall { case ((_, grp), (n, _)) => grp != "B" || n < 3.0 })
   }
 
+  test("arrayWeightsReml matches direct numerical REML maximisation on a fixture") {
+    // 40 genes x 10 arrays (groups A: s01-05, B: s06-10); s10 is ~3x
+    // noisier. Deterministic but decorrelated noise (sin-hash):
+    // lattice noise (mod arithmetic) is rank-deficient across arrays
+    // and sends the heteroscedastic REML to a degenerate boundary
+    // optimum; and a 6-array/4-df layout makes the fixed point
+    // converge pathologically slowly (hundreds of sweeps) where 10
+    // arrays converge in ~30.
+    def noise(g: Int, s: Int): Double = {
+      val x = math.sin(g * 12.9898 + s * 78.233) * 43758.5453
+      (x - math.floor(x)) * 2.0 - 1.0
+    }
+    def value(g: Int, s: Int): Double = {
+      val grp = if (s <= 5) 1.0 else 0.0
+      val scale = if (s == 10) 3.0 else 1.0
+      5.0 + g * 0.1 + grp + noise(g, s) * scale
+    }
+    val genes = 1 to 40
+    val arrays = 1 to 10
+    val rows = for (g <- genes; s <- arrays) yield (s"g$g", f"s$s%02d", value(g, s))
+    val m = ExpressionMatrix(rows.toDF("gene_id", "sample_id", "value"))
+    val groups = arrays.map(s => (f"s$s%02d", if (s <= 5) "A" else "B")).toDF("sample_id", "group")
+    val got = DiffExpr.arrayWeightsReml(m, groups).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+    // independent reference: -2 * restricted log-likelihood, profiled
+    // over the per-gene sigma^2:
+    //   sum_g [ sum_j log v_j + sum_c log S_c + (n-p) log(r_g/(n-p)) ]
+    // minimised by cyclic golden-section over each log v_j
+    def negRll(v: Map[Int, Double]): Double = {
+      val w = v.map { case (s, x) => s -> 1.0 / x }
+      genes.map { g =>
+        val cells = Seq(1 to 5, 6 to 10)
+        val logDetX = cells.map(c => math.log(c.map(w).sum)).sum
+        val r = cells.map { c =>
+          val sw = c.map(w).sum
+          val mu = c.map(s => w(s) * value(g, s)).sum / sw
+          c.map(s => w(s) * (value(g, s) - mu) * (value(g, s) - mu)).sum
+        }.sum
+        arrays.map(s => math.log(v(s))).sum + logDetX + (10 - 2) * math.log(r / (10 - 2))
+      }.sum
+    }
+    var v = arrays.map(_ -> 1.0).toMap
+    val phi = (math.sqrt(5.0) - 1) / 2
+    for (_ <- 1 to 15; j <- arrays) {
+      var (lo, hi) = (-5.0, 5.0)
+      while (hi - lo > 1e-7) {
+        val x1 = hi - phi * (hi - lo); val x2 = lo + phi * (hi - lo)
+        val f1 = negRll(v + (j -> math.exp(x1)))
+        val f2 = negRll(v + (j -> math.exp(x2)))
+        if (f1 < f2) hi = x2 else lo = x1
+      }
+      v = v + (j -> math.exp((lo + hi) / 2))
+    }
+    val wOpt0 = arrays.map(s => s -> 1.0 / v(s)).toMap
+    val wMean = wOpt0.values.sum / wOpt0.size
+    val wOpt = wOpt0.map { case (s, x) => s -> x / wMean }
+    for (s <- arrays)
+      assert(math.abs(got(f"s$s%02d") - wOpt(s)) < 0.03,
+        s"s$s: reml ${got(f"s$s%02d")} vs numeric ${wOpt(s)} (all: $got vs $wOpt)")
+    assert(got("s10") < 0.5, s"noisy array weight not shrunk: $got")
+  }
+
+  test("duplicateCorrelationReml equals the hand-computed balanced ANOVA-REML per gene") {
+    // 30 genes x 6 units x 2 reps; units 1-3 group A, 4-6 B; unit
+    // effect amplitude 0.8, replicate noise amplitude 0.3
+    def unitEff(g: Int, u: Int): Double = (((g * 13 + u * 7) % 9) - 4) / 4.0 * 0.8
+    def repNoise(g: Int, u: Int, r: Int): Double = (((g * 5 + u * 11 + r * 3) % 7) - 3) / 3.0 * 0.3
+    def value(g: Int, u: Int, r: Int): Double =
+      2.0 + g * 0.05 + (if (u <= 3) 1.0 else 0.0) + unitEff(g, u) + repNoise(g, u, r)
+    val rows = for (g <- 1 to 30; u <- 1 to 6; r <- 1 to 2)
+      yield (s"g$g", s"u$u-r$r", value(g, u, r), s"u$u", r, if (u <= 3) "A" else "B")
+    val m = ExpressionMatrix(rows.map(t => (t._1, t._2, t._3)).toDF("gene_id", "sample_id", "value"))
+    val reps = rows.map(t => (t._2, t._4, t._5)).distinct.toDF("sample_id", "unit", "rep")
+    val groups = rows.map(t => (t._2, t._6)).distinct.toDF("sample_id", "group")
+    val (perGene, consensus) = DiffExpr.duplicateCorrelationReml(m, reps, groups)
+    val got = perGene.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+    for (g <- 1 to 30) {
+      val cells = Map("A" -> (1 to 3), "B" -> (4 to 6))
+      val e = (for ((_, us) <- cells.toSeq; u <- us; r <- 1 to 2) yield {
+        val mu = (for (u2 <- cells.find(_._2.contains(u)).get._2; r2 <- 1 to 2)
+          yield value(g, u2, r2)).sum / 6.0
+        (u, value(g, u, r) - mu)
+      })
+      val byUnit = e.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val ssw = byUnit.values.map(es => {
+        val m0 = es.sum / es.size; es.map(x => (x - m0) * (x - m0)).sum
+      }).sum
+      val ssb = byUnit.values.map(es => {
+        val m0 = es.sum / es.size; es.size * m0 * m0
+      }).sum
+      val msw = ssw / (12 - 6)
+      val msb = ssb / (6 - 2)
+      val su2 = (msb - msw) / 2.0
+      val expected = math.max(-0.999, math.min(0.999, su2 / (su2 + msw)))
+      if (msw > 0)
+        assert(math.abs(got(s"g$g") - expected) < 1e-9,
+          s"g$g: got ${got(s"g$g")} expected $expected")
+    }
+    assert(consensus > 0.5, s"unit effects present but consensus=$consensus")
+  }
+
   test("blocking deflation widens the moderated-t confidence exactly when rho > 0") {
     val rows = for (g <- 1 to 30; s <- 1 to 12) yield {
       val grp = if (s <= 6) "A" else "B"
