@@ -28,7 +28,8 @@ object Pipelines {
   def closedPlatformDE(datasets: Seq[(String, ExpressionMatrix)],
       annot: DataFrame, flat: DataFrame, outliers: DataFrame, groups: DataFrame,
       groupA: String, groupB: String, sdFrac: Double = 0.6,
-      replicates: Option[DataFrame] = None): DataFrame = {
+      replicates: Option[DataFrame] = None, remlIters: Int = 50,
+      remlTol: Double = 1e-8): DataFrame = {
     val perDataset = datasets.map { case (name, probes) =>
       val cleaned = Filters.keepReliableProbes(
         Filters.removeOutliers(probes, outliers), flat, "probe")
@@ -39,13 +40,21 @@ object Pipelines {
     val adjusted = Batch.combat(
       ExpressionMatrix(bound.df.select("gene_id", "sample_id", "value")),
       bound.df.select(col("sample_id"), col("dataset").as("batch")).distinct())
-    val filtered = Filters.topFracBySd(Filters.dropZeroVariance(adjusted), sdFrac)
+    // Stage-file boundary (the reference writes Comb_*.exp here):
+    // eagerly materialize the adjusted+filtered matrix — the REML
+    // sweeps and the DE fit below each trigger several actions, and
+    // without the checkpoint every one re-executes the whole
+    // dedup→bind→ComBat lineage.
+    val filtered = ExpressionMatrix(
+      Filters.topFracBySd(Filters.dropZeroVariance(adjusted), sdFrac)
+        .canonical.df.localCheckpoint(true))
     // REML arrayWeights enter the fit as WLS sufficient statistics;
     // with technical replicates declared, the REML
     // duplicateCorrelation consensus deflates effective n
     // (DiffExpression_closedPlatform.R:456-507: lmFit(eset, design,
     // weights=arrayw, block=..., correlation=corfit$consensus))
-    val weights = DiffExpr.arrayWeightsReml(filtered, groups)
+    val weights = DiffExpr.arrayWeightsReml(filtered, groups,
+      maxIter = remlIters, tol = remlTol)
     val stats0 = DiffExpr.groupStatsWeighted(filtered, groups, weights)
     val stats = replicates match {
       case Some(reps) =>

@@ -212,15 +212,21 @@ object DiffExpr {
     *
     * with e the WLS residual, h_gj = w_j/Σ_{j'∈c} w_{j'} the leverage
     * and s_g² = Σ_j w_j e_gj²/(n_g − p_g) the REML variance. Solved by
-    * the natural fixed point w_j ← Σ(1−h)/Σ(e²/s²), normalised to
-    * mean 1 each sweep — at convergence the score equations hold
-    * exactly, i.e. the REML stationary point (verified in KernelSpec
-    * against direct numerical maximisation of the restricted
-    * likelihood on a fixture). Each sweep is two keyed aggregations
-    * over the persisted (gene, sample) relation; only the
+    * the natural fixed point w_j ← (Σ(1−h) + n₀)/(Σ(e²/s²) + n₀),
+    * normalised to mean 1 each sweep — at convergence the (penalised)
+    * score equations hold exactly, i.e. the REML stationary point
+    * (verified in IccSpec against direct numerical maximisation of the
+    * restricted likelihood on a fixture at priorN = 0). `priorN`
+    * mirrors limma's `prior.n = 10` default: each array's variance
+    * estimate is squeezed toward equality as if by n₀ unit-weight
+    * pseudo-genes — without it, an array observed in very few genes
+    * gets a self-referential one-observation weight whose fixed point
+    * amplifies float noise without bound. Each sweep is two keyed
+    * aggregations over the persisted (gene, sample) relation; only the
     * array-bounded weight vector reaches the driver. */
   def arrayWeightsReml(m: ExpressionMatrix, groups: DataFrame,
-      groupCol: String = "group", maxIter: Int = 50, tol: Double = 1e-8): DataFrame = {
+      groupCol: String = "group", maxIter: Int = 50, tol: Double = 1e-8,
+      priorN: Double = 10.0): DataFrame = {
     val spark = m.df.sparkSession
     import spark.implicits._
     val base = m.canonical.df.join(broadcast(groups), Seq("sample_id"))
@@ -255,7 +261,8 @@ object DiffExpr {
         .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
       val wRaw = sampleIds.map { s =>
         val (a, b) = arr.getOrElse(s, (0.0, 0.0))
-        s -> (if (a > 1e-300 && b > 0) math.max(b / a, 1e-6) else w(s))
+        s -> (if (a + priorN > 1e-300 && b + priorN > 0)
+          math.max((b + priorN) / (a + priorN), 1e-6) else w(s))
       }.toMap
       val mean = wRaw.values.sum / wRaw.size
       val wNew = wRaw.map { case (s, v) => s -> v / mean }

@@ -314,6 +314,47 @@ object ExtraQueries {
         .orderBy("l_partkey")
     }),
 
+    // ---- E1: the closed-platform chain end-to-end
+    // (Pipelines.closedPlatformDE): outlier removal → reliable-probe
+    // semi-join → max-variance probe→gene dedup per dataset → bind on
+    // common genes → ComBat (null model, batch = dataset) → zero-var +
+    // top-60%-SD filters → 8 REML arrayWeights sweeps → weighted
+    // moderated-t. Hash-checked stage by stage (the q65 pattern);
+    // output stops at (log2fc, t_mod, df_total) — the t-CDF and BH
+    // tails are separately gated by q14/q10. remlTol=0 pins the sweep
+    // count so the oracle replays exactly 8 sweeps. ----
+    "q68_e1_chain" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_partkey") <= 200 && col("l_linestatus").isin("O", "F"))
+      def ds(status: String) = ExpressionMatrix(
+        li.filter(col("l_linestatus") === status)
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(avg("l_extendedprice").as("value"))
+          .select(col("l_partkey").cast("string").as("gene_id"),
+            concat_ws("-", lit(status), col("l_suppkey")).as("sample_id"),
+            col("value")))
+      val part = t(s, dir, "part").filter(col("p_partkey") <= 200)
+      val annot = part.select(col("p_partkey").cast("string").as("probe"),
+        concat(lit("G"), (col("p_partkey") % 97).cast("string")).as("gene_id"))
+      val flat = part.filter(col("p_size") > 15)
+        .select(col("p_partkey").cast("string").as("probe"))
+      val sup = t(s, dir, "supplier")
+      val outliers = Seq("O", "F").map(st => sup.filter(col("s_acctbal") < 0)
+          .select(concat_ws("-", lit(st), col("s_suppkey")).as("sample_id")))
+        .reduce(_ unionByName _)
+      val groups = Seq("O", "F").map(st => sup.select(
+          concat_ws("-", lit(st), col("s_suppkey")).as("sample_id"),
+          when(col("s_nationkey") % 2 === 0, "A").otherwise("B").as("group")))
+        .reduce(_ unionByName _)
+      graft.Pipelines.closedPlatformDE(Seq("O" -> ds("O"), "F" -> ds("F")), annot, flat,
+          outliers, groups, "A", "B", sdFrac = 0.6, remlIters = 8, remlTol = 0.0)
+        .select(col("gene_id"),
+          round(col("log2fc") + 1e-5, 2).as("log2fc"),
+          round(col("t_mod") + 1e-7, 4).as("t_mod"),
+          round(col("df_total") + 1e-5, 2).as("df_total"))
+        .orderBy("gene_id")
+    }),
+
     // ---- A12: eBayes moderated t. Hash-checked: the (d0, s0²)
     // hyperparameters from the trigamma-inverse moment fit are inlined
     // into the oracle as literals (deterministic at the gate's SF);
@@ -497,6 +538,50 @@ object ExtraQueries {
   private val digammaRecurrence =
     (0 until 40).map(j => s"1.0/(dh + $j)").mkString(" + ")
 
+  // q68 uses a 45-term digamma shift (valid for dh ≥ 4 — the Kish
+  // effective df of the weighted chain fit can average below the
+  // 40-term unroll's dh ≥ 9 bound)
+  private val digammaShifted45 =
+    "(ln(dh + 45) - 0.5/(dh + 45) - (1.0/((dh + 45)*(dh + 45)))*(1.0/12.0" +
+      " - (1.0/((dh + 45)*(dh + 45)))*(1.0/120.0 - (1.0/((dh + 45)*(dh + 45)))/252.0)))"
+  private val digammaRecurrence45 =
+    (0 until 45).map(j => s"1.0/(dh + $j)").mkString(" + ")
+
+  /** One REML arrayWeights sweep as CTE text (the exact arithmetic of
+    * `DiffExpr.arrayWeightsReml`): weighted cell means → squared
+    * residuals + leverages → per-gene REML variance → per-array score
+    * sums → guarded update → mean-1 renormalisation. Sweep k reads
+    * w{k} and defines w{k+1}. */
+  private def remlSweepSql(k: Int): String = {
+    val kk = k + 1
+    s"""c$kk AS MATERIALIZED (
+           SELECT f.gene, g.g AS grp, sum(w.w * f.value) AS swy, sum(w.w) AS sw
+           FROM fm f JOIN grp g ON g.samp = f.samp JOIN w$k w ON w.samp = f.samp
+           GROUP BY 1,2),
+         r$kk AS MATERIALIZED (
+           SELECT f.gene, f.samp, g.g AS grp, w.w,
+                  (f.value - c.swy/c.sw)*(f.value - c.swy/c.sw) AS e2,
+                  w.w/c.sw AS h
+           FROM fm f JOIN grp g ON g.samp = f.samp JOIN w$k w ON w.samp = f.samp
+           JOIN c$kk c ON c.gene = f.gene AND c.grp = g.g),
+         gs$kk AS MATERIALIZED (
+           SELECT gene, sum(w*e2)/(count(*) - count(DISTINCT grp)) AS s2
+           FROM r$kk GROUP BY 1
+           HAVING count(*) - count(DISTINCT grp) > 0
+              AND sum(w*e2)/(count(*) - count(DISTINCT grp)) > 0),
+         a$kk AS MATERIALIZED (
+           SELECT r.samp, sum(r.e2/gs.s2) AS a, sum(1.0 - r.h) AS b
+           FROM r$kk r JOIN gs$kk gs USING (gene) GROUP BY 1),
+         x$kk AS MATERIALIZED (
+           SELECT w.samp,
+                  CASE WHEN coalesce(a.a, 0e0) + 10.0 > 1e-300 AND coalesce(a.b, 0e0) + 10.0 > 0
+                       THEN greatest((coalesce(a.b, 0e0) + 10.0)/(coalesce(a.a, 0e0) + 10.0), 1e-6)
+                       ELSE w.w END AS wr
+           FROM w$k w LEFT JOIN a$kk a ON a.samp = w.samp),
+         w$kk AS MATERIALIZED (
+           SELECT samp, wr / (SELECT avg(wr) FROM x$kk) AS w FROM x$kk)"""
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q59_ma_stats" ->
       """WITH ref AS (
@@ -588,6 +673,127 @@ object ExtraQueries {
                  FROM z JOIN post p ON z.gene = p.gene AND z.batch = p.batch)
          SELECT gene AS l_partkey, round(avg(value) + 1e-5, 2) + 0.0 AS adj_mean, count(*) AS n
          FROM adj GROUP BY 1 ORDER BY 1""",
+
+    // E1 chain replay, stage by stage (the q65 pattern): outlier
+    // anti-join + reliable semi-join + per-dataset max-variance dedup
+    // (window, ties on probe id) + bind on common genes + the q44
+    // ComBat recursion (batch = dataset) + zero-variance and
+    // percent_rank top-60%-SD filters + EIGHT unrolled REML
+    // arrayWeights sweeps (exact DiffExpr.arrayWeightsReml arithmetic)
+    // + Kish-weighted group stats + the q45 moderated-t with a 45-term
+    // digamma unroll (weighted effective df can average below the
+    // 40-term bound).
+    "q68_e1_chain" ->
+      (s"""WITH RECURSIVE mm AS MATERIALIZED (
+           SELECT l_linestatus AS ds, CAST(l_partkey AS VARCHAR) AS probe,
+                  l_linestatus || '-' || CAST(l_suppkey AS VARCHAR) AS samp,
+                  avg(l_extendedprice) AS value
+           FROM lineitem
+           WHERE l_partkey <= 200 AND l_linestatus IN ('O','F')
+           GROUP BY 1, 2, 3),
+         outl AS (SELECT 'O-' || CAST(s_suppkey AS VARCHAR) AS samp FROM supplier WHERE s_acctbal < 0
+                  UNION ALL
+                  SELECT 'F-' || CAST(s_suppkey AS VARCHAR) FROM supplier WHERE s_acctbal < 0),
+         flat AS (SELECT CAST(p_partkey AS VARCHAR) AS probe FROM part
+                  WHERE p_partkey <= 200 AND p_size > 15),
+         an AS (SELECT CAST(p_partkey AS VARCHAR) AS probe,
+                       'G' || CAST(p_partkey % 97 AS VARCHAR) AS gene
+                FROM part WHERE p_partkey <= 200),
+         cl AS (SELECT mm.* FROM mm
+                WHERE NOT EXISTS (SELECT 1 FROM outl WHERE outl.samp = mm.samp)
+                  AND EXISTS (SELECT 1 FROM flat WHERE flat.probe = mm.probe)),
+         mapped AS MATERIALIZED (
+           SELECT cl.ds, cl.probe, an.gene, cl.samp, cl.value
+           FROM cl JOIN an USING (probe)),
+         win AS (SELECT ds, probe, gene FROM (
+                   SELECT ds, probe, gene,
+                          row_number() OVER (PARTITION BY ds, gene
+                            ORDER BY var_samp_v DESC NULLS LAST, probe ASC) AS rn
+                   FROM (SELECT ds, probe, gene, var_samp(value) AS var_samp_v
+                         FROM mapped GROUP BY 1,2,3))
+                 WHERE rn = 1),
+         ded AS MATERIALIZED (
+           SELECT m.ds, m.gene, m.samp, m.value
+           FROM mapped m JOIN win ON win.ds = m.ds AND win.probe = m.probe AND win.gene = m.gene),
+         common AS (SELECT gene FROM (SELECT DISTINCT ds, gene FROM ded)
+                    GROUP BY gene HAVING count(*) = 2),
+         bnd AS MATERIALIZED (
+           SELECT d.gene, d.samp, d.value, d.ds AS batch
+           FROM ded d JOIN common USING (gene)),
+         grand AS (SELECT gene, avg(value) AS alpha, var_samp(value) AS sigma2
+                   FROM bnd GROUP BY 1 HAVING var_samp(value) > 0),
+         z AS MATERIALIZED (
+           SELECT bnd.gene, bnd.samp, bnd.batch,
+                  (bnd.value - g.alpha)/sqrt(g.sigma2) AS z, g.alpha, g.sigma2
+           FROM bnd JOIN grand g USING (gene)),
+         gb AS (SELECT gene, batch, count(*) AS n_b, avg(z) AS gamma_hat, var_samp(z) AS delta2_hat
+                FROM z GROUP BY 1,2 HAVING var_samp(z) IS NOT NULL),
+         hp AS (SELECT batch, avg(gamma_hat) AS gamma_bar, var_samp(gamma_hat) AS tau2,
+                       (2*var_samp(delta2_hat) + avg(delta2_hat)*avg(delta2_hat))/var_samp(delta2_hat) AS a_prior,
+                       (avg(delta2_hat)*var_samp(delta2_hat) + pow(avg(delta2_hat), 3))/var_samp(delta2_hat) AS b_prior
+                FROM gb GROUP BY 1),
+         base AS (SELECT gb.gene, gb.batch, CAST(gb.n_b AS DOUBLE) AS n, gb.gamma_hat, gb.delta2_hat,
+                         hp.gamma_bar, hp.tau2, hp.a_prior, hp.b_prior
+                  FROM gb JOIN hp USING (batch)),
+         it AS (
+           SELECT 0 AS iter, gene, batch, gamma_hat AS g_star, delta2_hat AS d_star,
+                  n, gamma_hat, delta2_hat, gamma_bar, tau2, a_prior, b_prior FROM base
+           UNION ALL
+           SELECT iter+1, gene, batch,
+                  (n*tau2*gamma_hat + d_star*gamma_bar)/(n*tau2 + d_star),
+                  (b_prior + 0.5*((n-1)*delta2_hat
+                     + n*pow(gamma_hat - (n*tau2*gamma_hat + d_star*gamma_bar)/(n*tau2 + d_star), 2)))
+                    / (n/2 + a_prior - 1),
+                  n, gamma_hat, delta2_hat, gamma_bar, tau2, a_prior, b_prior
+           FROM it WHERE iter < 30),
+         post AS MATERIALIZED (SELECT gene, batch, g_star, d_star FROM it WHERE iter = 30),
+         adj AS MATERIALIZED (
+           SELECT z.gene, z.samp, sqrt(z.sigma2)*(z.z - p.g_star)/sqrt(p.d_star) + z.alpha AS value
+           FROM z JOIN post p ON z.gene = p.gene AND z.batch = p.batch),
+         keep1 AS (SELECT gene FROM (SELECT gene, stddev_samp(value) AS sd FROM adj GROUP BY 1)
+                   WHERE sd > 0),
+         m1 AS MATERIALIZED (SELECT adj.* FROM adj JOIN keep1 USING (gene)),
+         keep2 AS (SELECT gene FROM (
+                     SELECT gene, percent_rank() OVER (ORDER BY sd ASC, gene ASC) AS pr
+                     FROM (SELECT gene, stddev_samp(value) AS sd FROM m1 GROUP BY 1))
+                   WHERE pr >= 0.4),
+         fm AS MATERIALIZED (SELECT m1.gene, m1.samp, m1.value FROM m1 JOIN keep2 USING (gene)),
+         grp AS MATERIALIZED (
+           SELECT 'O-' || CAST(s_suppkey AS VARCHAR) AS samp,
+                  CASE WHEN s_nationkey % 2 = 0 THEN 'A' ELSE 'B' END AS g
+           FROM supplier
+           UNION ALL
+           SELECT 'F-' || CAST(s_suppkey AS VARCHAR),
+                  CASE WHEN s_nationkey % 2 = 0 THEN 'A' ELSE 'B' END
+           FROM supplier),
+         w0 AS MATERIALIZED (SELECT DISTINCT samp, CAST(1.0 AS DOUBLE) AS w FROM fm),
+         ${(0 until 8).map(remlSweepSql).mkString(",\n         ")},
+         ws AS (SELECT f.gene, g.g AS grp,
+                       sum(w.w) AS sw, sum(w.w*w.w) AS sw2,
+                       sum(w.w*f.value) AS swx, sum(w.w*f.value*f.value) AS swx2
+                FROM fm f JOIN grp g ON g.samp = f.samp JOIN w8 w ON w.samp = f.samp
+                GROUP BY 1,2),
+         st AS (SELECT gene, grp, sw*sw/sw2 AS n, swx/sw AS mean,
+                       (swx2 - swx*swx/sw)/(sw - sw2/sw) AS var FROM ws),
+         per AS (SELECT gene, sum(n) AS n_tot, count(*) AS k, sum((n-1)*var) AS ss_resid,
+                        max(CASE WHEN grp='A' THEN mean END) AS ma, max(CASE WHEN grp='B' THEN mean END) AS mb,
+                        max(CASE WHEN grp='A' THEN n END) AS na, max(CASE WHEN grp='B' THEN n END) AS nb
+                 FROM st GROUP BY 1),
+         f AS MATERIALIZED (
+               SELECT gene, ma - mb AS log2fc, na, nb, n_tot - 2 AS df_resid,
+                      ss_resid/(n_tot-2) AS s2 FROM per
+               WHERE k = 2 AND n_tot > 2 AND ma IS NOT NULL AND mb IS NOT NULL
+                 AND ss_resid/(n_tot-2) > 0),
+         mo2 AS (SELECT avg(ln(s2)) AS zbar, avg(df_resid) AS dbar, avg(df_resid)/2.0 AS dh FROM f),
+         s0 AS (SELECT exp(zbar + 13.122362377403995
+                  - ($digammaShifted45 - ($digammaRecurrence45))
+                  + ln(dbar/1e6)) AS s02 FROM mo2)
+         SELECT gene AS gene_id,
+                round(log2fc + 1e-5, 2) + 0.0 AS log2fc,
+                round(log2fc / sqrt(((1e6 * s02 + df_resid*s2)/(1e6 + df_resid))
+                      * (1.0/na + 1.0/nb)) + 1e-7, 4) + 0.0 AS t_mod,
+                round(df_resid + 1e6 + 1e-5, 2) + 0.0 AS df_total
+         FROM f CROSS JOIN s0 ORDER BY 1"""),
 
     // ComBat covariate path: the shared-design OLS replayed exactly —
     // XᵀX entries are integer contingency counts; the inverse is the

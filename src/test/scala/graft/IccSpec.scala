@@ -125,8 +125,17 @@ class IccSpec extends SparkSpec {
     val rows = for (g <- genes; s <- arrays) yield (s"g$g", f"s$s%02d", value(g, s))
     val m = ExpressionMatrix(rows.toDF("gene_id", "sample_id", "value"))
     val groups = arrays.map(s => (f"s$s%02d", if (s <= 5) "A" else "B")).toDF("sample_id", "group")
-    val got = DiffExpr.arrayWeightsReml(m, groups).collect()
+    // priorN = 0: pure (unpenalised) REML, to compare against the
+    // numeric maximiser of the unpenalised restricted likelihood; the
+    // production default priorN = 10 is limma's prior.n squeeze
+    val got = DiffExpr.arrayWeightsReml(m, groups, priorN = 0.0).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // the limma-default prior squeezes the same fit toward equality:
+    // noisy array's weight rises toward 1, clean arrays' fall toward 1
+    val gotP = DiffExpr.arrayWeightsReml(m, groups).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(gotP("s10") > got("s10") && gotP("s10") < 0.7,
+      s"prior should shrink toward 1: ${gotP("s10")} vs ${got("s10")}")
 
     // independent reference: -2 * restricted log-likelihood, profiled
     // over the per-gene sigma^2:
