@@ -56,35 +56,9 @@ object Cluster {
     // cannot hit an iterative-QR convergence failure on large sample
     // counts. Seeded start vector; 500 fixed iterations ≫ enough for
     // the well-separated leading study-effect axes.
-    // The start vector uses small-modulus integer arithmetic (every
-    // intermediate < 2^31, exactly representable) so the q62 oracle's
-    // recursive CTE reproduces it with plain BIGINT ops — no 64-bit
-    // wraparound emulation needed.
-    def powerIter(m: Array[Array[Double]], seed: Int): (Double, Array[Double]) = {
-      var v = Array.tabulate(n) { i =>
-        (((i + 1) * 40503 + seed * 7919) % 65536).toDouble / 65536.0 - 0.5
-      }
-      var lam = 0.0
-      var it = 0
-      while (it < 500) {
-        val w = Array.ofDim[Double](n)
-        var i = 0
-        while (i < n) {
-          var acc = 0.0; var j = 0
-          while (j < n) { acc += m(i)(j) * v(j); j += 1 }
-          w(i) = acc; i += 1
-        }
-        val norm = math.sqrt(w.map(x => x * x).sum)
-        if (norm < 1e-300) return (0.0, v)
-        lam = v.zip(w).map { case (a, b) => a * b }.sum
-        v = w.map(_ / norm)
-        it += 1
-      }
-      (lam, v)
-    }
     val work = bMat.map(_.clone())
     val coords = (0 until k).map { d =>
-      val (lam, v) = powerIter(work, d)
+      val (lam, v) = Cluster.powerIter(work, d)
       // convergence guard (cmdscale leaves degeneracy silent): when the
       // leading eigenvalues nearly tie, 500 fixed iterations can return
       // an arbitrary mixture of the tied axes — detect via the
@@ -115,6 +89,37 @@ object Cluster {
         org.apache.spark.sql.types.StructField(s"eig$i",
           org.apache.spark.sql.types.DoubleType))))
     spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq), schema)
+  }
+
+  /** Dominant eigenpair by 500 fixed power-iteration steps on a
+    * bounded symmetric matrix. The start vector uses small-modulus
+    * integer arithmetic (every intermediate < 2^31, exactly
+    * representable) so the q62/q43 oracles' recursive CTEs reproduce
+    * it with plain BIGINT ops — no 64-bit wraparound emulation. Shared
+    * by cmdscale (B matrix) and QC.pca (gene covariance); callers
+    * deflate between extractions. */
+  private[operators] def powerIter(m: Array[Array[Double]], seed: Int): (Double, Array[Double]) = {
+    val n = m.length
+    var v = Array.tabulate(n) { i =>
+      (((i + 1) * 40503 + seed * 7919) % 65536).toDouble / 65536.0 - 0.5
+    }
+    var lam = 0.0
+    var it = 0
+    while (it < 500) {
+      val w = Array.ofDim[Double](n)
+      var i = 0
+      while (i < n) {
+        var acc = 0.0; var j = 0
+        while (j < n) { acc += m(i)(j) * v(j); j += 1 }
+        w(i) = acc; i += 1
+      }
+      val norm = math.sqrt(w.map(x => x * x).sum)
+      if (norm < 1e-300) return (0.0, v)
+      lam = v.zip(w).map { case (a, b) => a * b }.sum
+      v = w.map(_ / norm)
+      it += 1
+    }
+    (lam, v)
   }
 
   final case class Merge(step: Int, left: String, right: String, height: Double, size: Int)

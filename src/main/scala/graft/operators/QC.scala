@@ -1,8 +1,6 @@
 package graft.operators
 
 import graft.model.ExpressionMatrix
-import org.apache.spark.ml.feature.{StandardScaler, VectorAssembler}
-import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -56,27 +54,59 @@ object QC {
       .filter(col("n_common") >= minCommon)
   }
 
-  /** A7 — PCA of samples (`Study_effect.R:543-593`): pivot the
-    * (bounded) gene dimension into an MLlib vector per sample, scale,
-    * and fit `ml.feature.PCA`. Returns (sample_id, pc1..pcK). */
+  /** A7 — PCA of samples (`Study_effect.R:543-593`, `prcomp(scale=T)`
+    * semantics). Deterministic Spark-first decomposition — no MLlib
+    * model state, so the q43 oracle can replay it exactly:
+    *  1. dense-complete the (bounded) gene × sample grid (missing
+    *     cells → 0, as the reference's filled matrix), standardize per
+    *     gene ((x − μ)/sd, zero-variance genes → 0);
+    *  2. gene×gene Gramian XᵀX by a sample-keyed self-join — one
+    *     shuffle, output bounded at |genes|²; collected (bounded);
+    *  3. top-k eigenpairs by the seeded 500-step power iteration with
+    *     deflation ([[Cluster.powerIter]]); each loading vector is
+    *     sign-fixed (largest-|entry| component positive — prcomp
+    *     leaves sign arbitrary, this makes output deterministic);
+    *  4. coordinates = Σ_g x·v_g via a broadcast loadings join + one
+    *     keyed aggregation — pure codegen column algebra.
+    * Returns (sample_id, pc1..pcK). */
   def pca(m: ExpressionMatrix, k: Int, genes: Seq[String]): DataFrame = {
-    val wide = m.canonical.df
-      .filter(col("gene_id").isin(genes: _*))
-      .groupBy("sample_id").pivot("gene_id", genes).agg(first("value"))
-      .na.fill(0.0)
-    val assembler = new VectorAssembler().setInputCols(genes.toArray).setOutputCol("__features")
-    val assembled = assembler.transform(wide)
-    val scaler = new StandardScaler().setWithMean(true).setWithStd(true)
-      .setInputCol("__features").setOutputCol("__scaled")
-    val scaled = scaler.fit(assembled).transform(assembled)
-    val pcaModel = new org.apache.spark.ml.feature.PCA()
-      .setK(k).setInputCol("__scaled").setOutputCol("__pc").fit(scaled)
-    val toArr = udf((v: org.apache.spark.ml.linalg.Vector) => v.toArray)
-    val out = pcaModel.transform(scaled)
-      .select(col("sample_id"), toArr(col("__pc")).as("__arr"))
-    (0 until k).foldLeft(out) { case (df, i) =>
-      df.withColumn(s"pc${i + 1}", col("__arr")(i))
-    }.drop("__arr")
+    val spark = m.df.sparkSession
+    import spark.implicits._
+    val long = m.canonical.df.filter(col("gene_id").isin(genes: _*))
+    val samples = long.select("sample_id").distinct()
+    val grid = samples.crossJoin(broadcast(genes.toDF("gene_id")))
+      .join(long, Seq("gene_id", "sample_id"), "left")
+      .withColumn("value", coalesce(col("value"), lit(0.0)))
+    val stats = grid.groupBy("gene_id")
+      .agg(avg("value").as("__mu"), stddev_samp("value").as("__sd"))
+    val scaled = grid.join(broadcast(stats), Seq("gene_id"))
+      .withColumn("x",
+        when(col("__sd") > 0, (col("value") - col("__mu")) / col("__sd")).otherwise(lit(0.0)))
+      .select("gene_id", "sample_id", "x")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val gIdx = genes.zipWithIndex.toMap
+    val p = genes.size
+    val gram = Array.ofDim[Double](p, p)
+    scaled.select(col("gene_id").as("g1"), col("sample_id"), col("x").as("x1"))
+      .join(scaled.select(col("gene_id").as("g2"), col("sample_id"), col("x").as("x2")),
+        Seq("sample_id"))
+      .groupBy("g1", "g2").agg(sum(col("x1") * col("x2")).as("s"))
+      .collect().foreach(r => gram(gIdx(r.getString(0)))(gIdx(r.getString(1))) = r.getDouble(2))
+    val work = gram.map(_.clone())
+    val loadings = (0 until k).map { d =>
+      val (lam, v) = Cluster.powerIter(work, d)
+      for (i <- 0 until p; j <- 0 until p) work(i)(j) -= lam * v(i) * v(j)
+      val maxAbs = v.maxBy(math.abs)
+      if (maxAbs < 0) v.map(-_) else v
+    }
+    val loadDf = broadcast(genes.zipWithIndex.map { case (g, i) =>
+      (g, loadings.map(_(i)))
+    }.toDF("gene_id", "__l"))
+    val pcCols = (0 until k).map(d =>
+      sum(col("x") * col("__l")(d)).as(s"pc${d + 1}"))
+    scaled.join(loadDf, Seq("gene_id"))
+      .groupBy("sample_id")
+      .agg(pcCols.head, pcCols.tail: _*)
   }
 
   /** A29 — multivariate outlier detection (`arrayMvout::ArrayOutliers`

@@ -1466,6 +1466,115 @@ ORDER BY 1, 2""",
                 round(tl / total + 1e-9, 6) + 0.0 AS p
          FROM walk WHERE phase = 2 ORDER BY term""",
 
+    // PCA replay (q43): dense gene×sample grid, per-gene
+    // standardization, gene Gramian XᵀX by a sample-keyed self-join,
+    // then THREE seeded 500-step power-iteration passes with deflation
+    // (the q62 machinery on a 50×50 matrix), sign-fixed loadings,
+    // coordinates as Σ x·v, and the Mahalanobis call against the
+    // baked qchisq(0.999, 3) cutoff.
+    "q43_pca_outliers" ->
+      (s"""WITH RECURSIVE m AS MATERIALIZED (
+           -- BETWEEN 1 AND 50, not <= 50: the Spark side selects genes
+           -- by the explicit id list "1".."50", and partkey 0 exists —
+           -- it must not smuggle its suppliers into the sample universe
+           SELECT l_partkey AS gene, l_suppkey AS samp, avg(l_extendedprice) AS value
+           FROM lineitem WHERE l_partkey BETWEEN 1 AND 50 GROUP BY 1,2),
+         samples AS (SELECT DISTINCT samp FROM m),
+         gs AS (SELECT unnest(generate_series(CAST(1 AS BIGINT), CAST(50 AS BIGINT))) AS gene),
+         grid AS MATERIALIZED (
+           SELECT s.samp, g.gene, coalesce(m.value, 0e0) AS value
+           FROM samples s CROSS JOIN gs g
+           LEFT JOIN m ON m.samp = s.samp AND m.gene = g.gene),
+         gstats AS (SELECT gene, avg(value) AS mu, stddev_samp(value) AS sd
+                    FROM grid GROUP BY 1),
+         scaled AS MATERIALIZED (
+           SELECT grid.samp, grid.gene, CAST(grid.gene - 1 AS BIGINT) AS gi,
+                  CASE WHEN st.sd > 0 THEN (grid.value - st.mu)/st.sd ELSE 0e0 END AS x
+           FROM grid JOIN gstats st USING (gene)),
+         gm AS MATERIALIZED (
+           SELECT a.gi AS i, b.gi AS j, sum(a.x * b.x) AS v
+           FROM scaled a JOIN scaled b USING (samp) GROUP BY 1,2),
+         v1seed AS (SELECT i, CAST(((i + 1) * 40503) % 65536 AS DOUBLE) / 65536e0 - 0.5e0 AS v
+                    FROM (SELECT DISTINCT i FROM gm)),
+         p1 AS (
+           SELECT 0 AS iter, i, v FROM v1seed
+           UNION ALL
+           SELECT s.iter, s.i, s.w / sqrt(sum(s.w*s.w) OVER ()) AS v
+           FROM (SELECT p.iter + 1 AS iter, b.i AS i, sum(b.v * p.v ORDER BY b.j) AS w
+                 FROM p1 p JOIN gm b ON b.j = p.i WHERE p.iter < 500
+                 GROUP BY p.iter, b.i) s),
+         tl1 AS MATERIALIZED (SELECT iter, i, v FROM p1 WHERE iter >= 499),
+         fv1 AS MATERIALIZED (SELECT i, v FROM tl1 WHERE iter = 500),
+         pv1 AS MATERIALIZED (SELECT i, v FROM tl1 WHERE iter = 499),
+         lam1 AS MATERIALIZED (
+           SELECT sum(x.vw ORDER BY x.i) AS lam
+           FROM (SELECT w1.i, p.v * w1.w AS vw
+                 FROM (SELECT b.i AS i, sum(b.v * p.v ORDER BY b.j) AS w
+                       FROM gm b JOIN pv1 p ON p.i = b.j GROUP BY b.i) w1
+                 JOIN pv1 p ON p.i = w1.i) x),
+         gm2 AS MATERIALIZED (
+           SELECT b.i, b.j, b.v - (SELECT lam FROM lam1) * vi.v * vj.v AS v
+           FROM gm b JOIN fv1 vi ON vi.i = b.i JOIN fv1 vj ON vj.i = b.j),
+         v2seed AS (SELECT i, CAST(((i + 1) * 40503 + 7919) % 65536 AS DOUBLE) / 65536e0 - 0.5e0 AS v
+                    FROM (SELECT DISTINCT i FROM gm)),
+         p2 AS (
+           SELECT 0 AS iter, i, v FROM v2seed
+           UNION ALL
+           SELECT s.iter, s.i, s.w / sqrt(sum(s.w*s.w) OVER ()) AS v
+           FROM (SELECT p.iter + 1 AS iter, b.i AS i, sum(b.v * p.v ORDER BY b.j) AS w
+                 FROM p2 p JOIN gm2 b ON b.j = p.i WHERE p.iter < 500
+                 GROUP BY p.iter, b.i) s),
+         tl2 AS MATERIALIZED (SELECT iter, i, v FROM p2 WHERE iter >= 499),
+         fv2 AS MATERIALIZED (SELECT i, v FROM tl2 WHERE iter = 500),
+         pv2 AS MATERIALIZED (SELECT i, v FROM tl2 WHERE iter = 499),
+         lam2 AS MATERIALIZED (
+           SELECT sum(x.vw ORDER BY x.i) AS lam
+           FROM (SELECT w2.i, p.v * w2.w AS vw
+                 FROM (SELECT b.i AS i, sum(b.v * p.v ORDER BY b.j) AS w
+                       FROM gm2 b JOIN pv2 p ON p.i = b.j GROUP BY b.i) w2
+                 JOIN pv2 p ON p.i = w2.i) x),
+         gm3 AS MATERIALIZED (
+           SELECT b.i, b.j, b.v - (SELECT lam FROM lam2) * vi.v * vj.v AS v
+           FROM gm2 b JOIN fv2 vi ON vi.i = b.i JOIN fv2 vj ON vj.i = b.j),
+         v3seed AS (SELECT i, CAST(((i + 1) * 40503 + 15838) % 65536 AS DOUBLE) / 65536e0 - 0.5e0 AS v
+                    FROM (SELECT DISTINCT i FROM gm)),
+         p3 AS (
+           SELECT 0 AS iter, i, v FROM v3seed
+           UNION ALL
+           SELECT s.iter, s.i, s.w / sqrt(sum(s.w*s.w) OVER ()) AS v
+           FROM (SELECT p.iter + 1 AS iter, b.i AS i, sum(b.v * p.v ORDER BY b.j) AS w
+                 FROM p3 p JOIN gm3 b ON b.j = p.i WHERE p.iter < 500
+                 GROUP BY p.iter, b.i) s),
+         fv3 AS MATERIALIZED (SELECT i, v FROM p3 WHERE iter = 500),
+         ff1 AS (SELECT CASE WHEN (SELECT v FROM fv1 ORDER BY abs(v) DESC, i ASC LIMIT 1) < 0
+                             THEN -1e0 ELSE 1e0 END AS f),
+         ff2 AS (SELECT CASE WHEN (SELECT v FROM fv2 ORDER BY abs(v) DESC, i ASC LIMIT 1) < 0
+                             THEN -1e0 ELSE 1e0 END AS f),
+         ff3 AS (SELECT CASE WHEN (SELECT v FROM fv3 ORDER BY abs(v) DESC, i ASC LIMIT 1) < 0
+                             THEN -1e0 ELSE 1e0 END AS f),
+         pcs AS MATERIALIZED (
+           SELECT sc.samp,
+                  sum(sc.x * v1.v) * (SELECT f FROM ff1) AS pc1,
+                  sum(sc.x * v2.v) * (SELECT f FROM ff2) AS pc2,
+                  sum(sc.x * v3.v) * (SELECT f FROM ff3) AS pc3
+           FROM scaled sc
+           JOIN fv1 v1 ON v1.i = sc.gi
+           JOIN fv2 v2 ON v2.i = sc.gi
+           JOIN fv3 v3 ON v3.i = sc.gi
+           GROUP BY 1),
+         pst AS (SELECT avg(pc1) AS m1, var_samp(pc1) AS s1,
+                        avg(pc2) AS m2, var_samp(pc2) AS s2,
+                        avg(pc3) AS m3, var_samp(pc3) AS s3 FROM pcs),
+         d2 AS (SELECT p.samp,
+                       (p.pc1 - t.m1)*(p.pc1 - t.m1)/t.s1
+                       + (p.pc2 - t.m2)*(p.pc2 - t.m2)/t.s2
+                       + (p.pc3 - t.m3)*(p.pc3 - t.m3)/t.s3 AS d2
+                FROM pcs p CROSS JOIN pst t)
+         SELECT CAST(samp AS BIGINT) AS l_suppkey,
+                round(d2 + 1e-5, 2) + 0.0 AS d2,
+                d2 > ${graft.functions.StatKernels.qchisq(0.999, 3.0)} AS outlier
+         FROM d2 ORDER BY 1"""),
+
     // cmdscale replay: identical rounded distance inputs, exact
     // double-centering (ordered sums mirror the Scala index-order
     // loops), then the 500-step seeded power iteration + deflation as

@@ -189,6 +189,24 @@ class KernelSpec extends SparkSpec {
     }
   }
 
+  test("pca: deterministic power-iteration PCA separates planted sample clusters") {
+    // 12 genes x 24 samples; samples 13-24 shifted up on genes g01-g06
+    // -> pc1 must separate the two sample groups
+    val genes = (1 to 12).map(i => f"g$i%02d")
+    val rows = for (g <- 1 to 12; s <- 1 to 24) yield {
+      val shift = if (s > 12 && g <= 6) 4.0 else 0.0
+      val noise = (((g * 31 + s * 17) % 13) - 6) * 0.1
+      (f"g$g%02d", f"s$s%02d", 10.0 + g * 0.3 + shift + noise)
+    }
+    val m = ExpressionMatrix(rows.toDF("gene_id", "sample_id", "value"))
+    val pcs = QC.pca(m, k = 2, genes).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val lo = (1 to 12).map(s => pcs(f"s$s%02d"))
+    val hi = (13 to 24).map(s => pcs(f"s$s%02d"))
+    assert(lo.max < hi.min || hi.max < lo.min,
+      s"pc1 does not separate planted clusters: $lo vs $hi")
+  }
+
   test("cmdscale reconstructs planar distances exactly in 2 dimensions") {
     // four points in the plane; squared distances in, coordinates out:
     // pairwise distances of the embedding must match the input
