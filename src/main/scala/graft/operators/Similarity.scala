@@ -146,6 +146,46 @@ object Similarity {
     })
   }
 
+  /** Deterministic Lloyd k-means for the IVF coarse quantizer — no
+    * MLlib model state, so an oracle can replay the fit exactly:
+    * init = the `nCells` lowest-id vectors; `iters` fixed
+    * assignment/update rounds; assignment = argmin squared distance
+    * over literal-baked centroids (codegen `least` over (dist, cell)
+    * structs, ties to the lower cell); update = per-(cell, position)
+    * mean via posexplode; empty cells carry their previous centroid.
+    * The corpus side stays distributed; only k×dim means reach the
+    * driver per round. Returns (cell, centroid array<float>) for
+    * [[ivfTopK]]'s `centroids` parameter. */
+  def lloydCentroids(corpus: DataFrame, nCells: Int, iters: Int, dim: Int,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var cents: Array[Array[Double]] = corpus.filter(col(id) < nCells)
+      .orderBy(col(id)).select(col(vec)).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    var t = 0
+    while (t < iters) {
+      val distStructs = cents.zipWithIndex.map { case (c, cellId) =>
+        val dist = (0 until dim).map { d =>
+          (col(vec)(d) - lit(c(d))) * (col(vec)(d) - lit(c(d)))
+        }.reduce(_ + _)
+        struct(dist.as("d"), lit(cellId).as("cell"))
+      }
+      val assigned = corpus.select(col(vec).as("__v"),
+        least(distStructs: _*).getField("cell").as("cell"))
+      val means = assigned
+        .select(col("cell"), posexplode(col("__v")).as(Seq("pos", "val")))
+        .groupBy("cell", "pos").agg(avg(col("val")).as("m"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      cents = cents.zipWithIndex.map { case (c, cellId) =>
+        Array.tabulate(dim)(d => means.getOrElse((cellId, d), c(d)))
+      }
+      t += 1
+    }
+    cents.zipWithIndex.map { case (c, i) => (i, c.map(_.toFloat).toSeq) }
+      .toSeq.toDF("cell", "centroid")
+  }
+
   /** IVF-style ANN: KMeans coarse quantizer (deterministic seed), each
     * vector assigned to its centroid list; queries probe the nearest
     * `nProbe` centroids and rank exact cosine within those cells. At

@@ -192,11 +192,14 @@ object TextQueries {
         .orderBy("query_id", "rank")
     }),
 
-    // ---- IVF (KMeans-quantized) ANN (rows-only check) ----
+    // ---- IVF ANN with the deterministic Lloyd quantizer: the fit
+    // itself (10 assignment/update rounds from the 8 lowest-id seeds)
+    // replays in the oracle, so the query is fully hash-checked ----
     "q40_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
+      val cents = Similarity.lloydCentroids(emb, nCells = 8, iters = 10, dim = 64)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20), k = 5,
-          nCells = 8, nProbe = 3)
+          nCells = 8, nProbe = 3, centroids = Some(cents))
         .select(col("query_id"), col("corpus_id"), col("rank"),
           round(col("cosine") + 1e-9, 6).as("cosine"))
         .orderBy("query_id", "rank")
@@ -249,6 +252,46 @@ object TextQueries {
     s"'$band#' || CAST((${bits.mkString(" + ")}) AS VARCHAR)"
   }
 
+  // ---- q40 oracle generators: the Lloyd fit and the IVF probe are
+  // plain index-order arithmetic over embedding elements and centroid
+  // lists, mirrored term by term from the Scala expressions. ----
+
+  /** Σ (e[d] − c[d])² in index order (fit distance; c is a DOUBLE list). */
+  private def sqDistSql(e: String, c: String, dim: Int): String =
+    (1 to dim).map(d =>
+      s"(CAST($e.embedding[$d] AS DOUBLE) - $c[$d])*(CAST($e.embedding[$d] AS DOUBLE) - $c[$d])")
+      .mkString(" + ")
+
+  /** Σ e[d]·c[d] in index order (probe; c is a REAL list). */
+  private def dotVecListSql(e: String, c: String, dim: Int): String =
+    (1 to dim).map(d =>
+      s"CAST($e.embedding[$d] AS DOUBLE)*CAST($c[$d] AS DOUBLE)").mkString(" + ")
+
+  /** Σ c[d]² in index order over a REAL centroid list. */
+  private def selfListSql(c: String, dim: Int): String =
+    (1 to dim).map(d =>
+      s"CAST($c[$d] AS DOUBLE)*CAST($c[$d] AS DOUBLE)").mkString(" + ")
+
+  /** One Lloyd round: centroid lists → argmin assignment →
+    * per-(cell, position) means → carry (empty cells keep their
+    * previous centroid). */
+  private def lloydIterSql(t: Int, dim: Int): String = {
+    val dist = sqDistSql("e", "c.c", dim)
+    s"""cl$t AS MATERIALIZED (SELECT cell, list(val ORDER BY pos) AS c FROM cent$t GROUP BY 1),
+       asg$t AS MATERIALIZED (
+         SELECT vec_id, embedding, cell FROM (
+           SELECT e.vec_id, e.embedding, c.cell,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY ($dist) ASC, c.cell ASC) AS rn
+           FROM embeddings e CROSS JOIN cl$t c) WHERE rn = 1),
+       mn$t AS MATERIALIZED (
+         SELECT a.cell, g.d AS pos, avg(CAST(a.embedding[g.d] AS DOUBLE)) AS val
+         FROM asg$t a CROSS JOIN dgrid g GROUP BY 1,2),
+       cent${t + 1} AS MATERIALIZED (
+         SELECT o.cell, o.pos, coalesce(m.val, o.val) AS val
+         FROM cent$t o LEFT JOIN mn$t m ON m.cell = o.cell AND m.pos = o.pos)"""
+  }
+
   private def langListSql(l: String) =
     TextFunctions.stopwords(l).map(w => s"'$w'").mkString("[", ", ", "]")
 
@@ -281,6 +324,56 @@ object TextQueries {
                      FROM scored)
           SELECT query_id, corpus_id, rank, round(cosine + 1e-9, 6) + 0.0 AS cosine
           FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+    },
+
+    // IVF ANN, fully replayed: 10 Lloyd rounds from the 8 lowest-id
+    // seed vectors (index-order arithmetic, carry for empty cells),
+    // float-cast final centroids, cosine-ranked 3-cell probe, argmin
+    // cell assignment, exact in-cell cosine top-5 (the q39 ranking
+    // machinery — bit-exact corpus cosines).
+    "q40_ivf_topk" -> {
+      val dim = 64
+      val iters = (0 until 10).map(t => lloydIterSql(t, dim)).mkString(",\n       ")
+      val probeCos = s"((${dotVecListSql("q", "f.c", dim)}) / (sqrt(${pairDotSql("q", "q", dim)}) * sqrt(${selfListSql("f.c", dim)})))"
+      val assignD = s"((${selfListSql("f.c", dim)}) - 2.0*(${dotVecListSql("e", "f.c", dim)}))"
+      s"""WITH dgrid AS (SELECT unnest(generate_series(CAST(1 AS BIGINT), CAST($dim AS BIGINT))) AS d),
+       cent0 AS MATERIALIZED (
+         SELECT CAST(vec_id AS INT) AS cell, g.d AS pos,
+                CAST(embedding[g.d] AS DOUBLE) AS val
+         FROM embeddings CROSS JOIN dgrid g WHERE vec_id < 8),
+       $iters,
+       cf AS MATERIALIZED (
+         SELECT cell, list(CAST(val AS REAL) ORDER BY pos) AS c FROM cent10 GROUP BY 1),
+       pr AS MATERIALIZED (
+         SELECT vec_id AS query_id, cell FROM (
+           SELECT q.vec_id, f.cell,
+                  row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY $probeCos DESC, f.cell ASC) AS rn
+           FROM embeddings q CROSS JOIN cf f WHERE q.vec_id < 20) WHERE rn <= 3),
+       ca AS MATERIALIZED (
+         SELECT vec_id AS corpus_id, cell FROM (
+           SELECT e.vec_id, f.cell,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY $assignD ASC, f.cell ASC) AS rn
+           FROM embeddings e CROSS JOIN cf f) WHERE rn = 1),
+       cand AS (SELECT pr.query_id, ca.corpus_id
+                FROM pr JOIN ca ON ca.cell = pr.cell
+                WHERE pr.query_id <> ca.corpus_id),
+       nrm AS MATERIALIZED (
+         SELECT e.vec_id, sqrt(${pairDotSql("e", "e", dim)}) AS nrm FROM embeddings e),
+       scored AS (SELECT cand.query_id, cand.corpus_id,
+                         (${pairDotSql("qa", "ca2", dim)}) / (nq.nrm * nc.nrm) AS cosine
+                  FROM cand
+                  JOIN embeddings qa ON qa.vec_id = cand.query_id
+                  JOIN embeddings ca2 ON ca2.vec_id = cand.corpus_id
+                  JOIN nrm nq ON nq.vec_id = cand.query_id
+                  JOIN nrm nc ON nc.vec_id = cand.corpus_id),
+       ranked AS (SELECT query_id, corpus_id, cosine,
+                         CAST(row_number() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, corpus_id ASC) AS INTEGER) AS rank
+                  FROM scored)
+       SELECT query_id, corpus_id, rank, round(cosine + 1e-9, 6) + 0.0 AS cosine
+       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
     },
 
     // E4 curation pipeline replayed stage by stage: exact-dedup
