@@ -147,38 +147,46 @@ object Similarity {
   }
 
   /** Deterministic Lloyd k-means for the IVF coarse quantizer — no
-    * MLlib model state, so an oracle can replay the fit exactly:
-    * init = the `nCells` lowest-id vectors; `iters` fixed
-    * assignment/update rounds; assignment = argmin squared distance
-    * over literal-baked centroids (codegen `least` over (dist, cell)
-    * structs, ties to the lower cell); update = per-(cell, position)
-    * mean via posexplode; empty cells carry their previous centroid.
-    * The corpus side stays distributed; only k×dim means reach the
-    * driver per round. Returns (cell, centroid array<float>) for
+    * MLlib model state, so an oracle can replay the fit exactly: the
+    * fit runs driver-side over a BOUNDED sample (`sampleCap` lowest
+    * ids — the 100 TB contract: quantizers fit on samples, the corpus
+    * never leaves the cluster), init = the `nCells` lowest-id vectors,
+    * `iters` fixed assignment/update rounds (argmin squared distance,
+    * ties to the lower cell; empty cells carry their previous
+    * centroid). Returns (cell, centroid array<float>) for
     * [[ivfTopK]]'s `centroids` parameter. */
   def lloydCentroids(corpus: DataFrame, nCells: Int, iters: Int, dim: Int,
-      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+      id: String = "vec_id", vec: String = "embedding",
+      sampleCap: Int = 1000): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    var cents: Array[Array[Double]] = corpus.filter(col(id) < nCells)
+    val sample: Array[Array[Double]] = corpus.filter(col(id) < sampleCap)
       .orderBy(col(id)).select(col(vec)).collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    var cents: Array[Array[Double]] = sample.take(nCells).map(_.clone())
     var t = 0
     while (t < iters) {
-      val distStructs = cents.zipWithIndex.map { case (c, cellId) =>
-        val dist = (0 until dim).map { d =>
-          (col(vec)(d) - lit(c(d))) * (col(vec)(d) - lit(c(d)))
-        }.reduce(_ + _)
-        struct(dist.as("d"), lit(cellId).as("cell"))
+      val sums = Array.fill(nCells)(Array.ofDim[Double](dim))
+      val counts = Array.ofDim[Long](nCells)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < nCells) {
+          var dist = 0.0; var d = 0
+          while (d < dim) {
+            val t0 = v(d) - cents(c)(d); dist += t0 * t0; d += 1
+          }
+          if (dist < bestD) { bestD = dist; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var d = 0
+        while (d < dim) { sums(best)(d) += v(d); d += 1 }
       }
-      val assigned = corpus.select(col(vec).as("__v"),
-        least(distStructs: _*).getField("cell").as("cell"))
-      val means = assigned
-        .select(col("cell"), posexplode(col("__v")).as(Seq("pos", "val")))
-        .groupBy("cell", "pos").agg(avg(col("val")).as("m"))
-        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
       cents = cents.zipWithIndex.map { case (c, cellId) =>
-        Array.tabulate(dim)(d => means.getOrElse((cellId, d), c(d)))
+        if (counts(cellId) > 0)
+          Array.tabulate(dim)(d => sums(cellId)(d) / counts(cellId))
+        else c
       }
       t += 1
     }

@@ -318,11 +318,11 @@ object ExtraQueries {
     // (Pipelines.closedPlatformDE): outlier removal → reliable-probe
     // semi-join → max-variance probe→gene dedup per dataset → bind on
     // common genes → ComBat (null model, batch = dataset) → zero-var +
-    // top-60%-SD filters → 8 REML arrayWeights sweeps → weighted
+    // top-60%-SD filters → 5 REML arrayWeights sweeps → weighted
     // moderated-t. Hash-checked stage by stage (the q65 pattern);
     // output stops at (log2fc, t_mod, df_total) — the t-CDF and BH
     // tails are separately gated by q14/q10. remlTol=0 pins the sweep
-    // count so the oracle replays exactly 8 sweeps. ----
+    // count so the oracle replays exactly 5 sweeps. ----
     "q68_e1_chain" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
         .filter(col("l_partkey") <= 200 && col("l_linestatus").isin("O", "F"))
@@ -347,7 +347,7 @@ object ExtraQueries {
           when(col("s_nationkey") % 2 === 0, "A").otherwise("B").as("group")))
         .reduce(_ unionByName _)
       graft.Pipelines.closedPlatformDE(Seq("O" -> ds("O"), "F" -> ds("F")), annot, flat,
-          outliers, groups, "A", "B", sdFrac = 0.6, remlIters = 8, remlTol = 0.0)
+          outliers, groups, "A", "B", sdFrac = 0.6, remlIters = 5, remlTol = 0.0)
         .select(col("gene_id"),
           round(col("log2fc") + 1e-5, 2).as("log2fc"),
           round(col("t_mod") + 1e-7, 4).as("t_mod"),
@@ -678,7 +678,7 @@ object ExtraQueries {
     // anti-join + reliable semi-join + per-dataset max-variance dedup
     // (window, ties on probe id) + bind on common genes + the q44
     // ComBat recursion (batch = dataset) + zero-variance and
-    // percent_rank top-60%-SD filters + EIGHT unrolled REML
+    // percent_rank top-60%-SD filters + FIVE unrolled REML
     // arrayWeights sweeps (exact DiffExpr.arrayWeightsReml arithmetic)
     // + Kish-weighted group stats + the q45 moderated-t with a 45-term
     // digamma unroll (weighted effective df can average below the
@@ -767,11 +767,11 @@ object ExtraQueries {
                   CASE WHEN s_nationkey % 2 = 0 THEN 'A' ELSE 'B' END
            FROM supplier),
          w0 AS MATERIALIZED (SELECT DISTINCT samp, CAST(1.0 AS DOUBLE) AS w FROM fm),
-         ${(0 until 8).map(remlSweepSql).mkString(",\n         ")},
+         ${(0 until 5).map(remlSweepSql).mkString(",\n         ")},
          ws AS (SELECT f.gene, g.g AS grp,
                        sum(w.w) AS sw, sum(w.w*w.w) AS sw2,
                        sum(w.w*f.value) AS swx, sum(w.w*f.value*f.value) AS swx2
-                FROM fm f JOIN grp g ON g.samp = f.samp JOIN w8 w ON w.samp = f.samp
+                FROM fm f JOIN grp g ON g.samp = f.samp JOIN w5 w ON w.samp = f.samp
                 GROUP BY 1,2),
          st AS (SELECT gene, grp, sw*sw/sw2 AS n, swx/sw AS mean,
                        (swx2 - swx*swx/sw)/(sw - sw2/sw) AS var FROM ws),

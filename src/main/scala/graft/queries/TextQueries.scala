@@ -283,7 +283,8 @@ object TextQueries {
            SELECT e.vec_id, e.embedding, c.cell,
                   row_number() OVER (PARTITION BY e.vec_id
                     ORDER BY ($dist) ASC, c.cell ASC) AS rn
-           FROM embeddings e CROSS JOIN cl$t c) WHERE rn = 1),
+           FROM embeddings e CROSS JOIN cl$t c
+           WHERE e.vec_id < 1000) WHERE rn = 1),
        mn$t AS MATERIALIZED (
          SELECT a.cell, g.d AS pos, avg(CAST(a.embedding[g.d] AS DOUBLE)) AS val
          FROM asg$t a CROSS JOIN dgrid g GROUP BY 1,2),
