@@ -355,6 +355,35 @@ object ExtraQueries {
         .orderBy("gene_id")
     }),
 
+    // ---- E2: the open-platform (RNA-seq) chain end-to-end
+    // (Pipelines.openPlatformDE): special-counter filter → outlier
+    // removal → zero-count partition → cqnLite (log2-CPM → quantile
+    // normalisation → <2→0 floor) → ComBat → zero-var + top-50%-SD
+    // filters → Welch DE. Output stops at (log2fc, t, df) — the t-CDF
+    // and BH tails are separately gated by q14/q10. ----
+    "q69_e2_chain" -> ((s, dir) => {
+      val counts = ExpressionMatrix(t(s, dir, "lineitem")
+        .filter(col("l_partkey") <= 400)
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum("l_quantity").as("value"))
+        .select(col("l_partkey").cast("string").as("gene_id"),
+          col("l_suppkey").cast("string").as("sample_id"),
+          col("value").cast("double").as("value")))
+      val sup = t(s, dir, "supplier")
+      val outliers = sup.filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey").cast("string").as("sample_id"))
+      val batches = sup.select(col("s_suppkey").cast("string").as("sample_id"),
+        when(col("s_nationkey") % 3 === 0, "b0").otherwise("b1").as("batch"))
+      val groups = sup.select(col("s_suppkey").cast("string").as("sample_id"),
+        when(col("s_nationkey") % 2 === 0, "A").otherwise("B").as("group"))
+      graft.Pipelines.openPlatformDE(counts, outliers, batches, groups, "A", "B")
+        .select(col("gene_id").cast("long").as("l_partkey"),
+          round(col("log2fc") + 1e-5, 2).as("log2fc"),
+          round(col("t") + 1e-7, 4).as("t_stat"),
+          round(col("df") + 1e-5, 2).as("df"))
+        .orderBy("l_partkey")
+    }),
+
     // ---- A12: eBayes moderated t. Hash-checked: the (d0, s0²)
     // hyperparameters from the trigamma-inverse moment fit are inlined
     // into the oracle as literals (deterministic at the gate's SF);
@@ -794,6 +823,99 @@ object ExtraQueries {
                       * (1.0/na + 1.0/nb)) + 1e-7, 4) + 0.0 AS t_mod,
                 round(df_resid + 1e6 + 1e-5, 2) + 0.0 AS df_total
          FROM f CROSS JOIN s0 ORDER BY 1"""),
+
+    // E2 chain replay, stage by stage: exact-integer count sums,
+    // outlier anti-join, zero-count partition, log2-CPM (integer-grid
+    // inputs, so cross-engine log2 noise cannot flip the QN ranks),
+    // per-sample quantile normalisation with the string-gene
+    // tie-break, the <2→0 floor, the q44 ComBat recursion, zero-var +
+    // percent_rank top-50%-SD filters, and the Welch fit written with
+    // explicit products (the Scala op order).
+    "q69_e2_chain" ->
+      """WITH RECURSIVE cnt AS MATERIALIZED (
+           SELECT l_partkey AS gene, l_suppkey AS samp, CAST(sum(l_quantity) AS DOUBLE) AS value
+           FROM lineitem WHERE l_partkey <= 400 GROUP BY 1,2),
+         outl AS (SELECT s_suppkey AS samp FROM supplier WHERE s_acctbal < 0),
+         cl AS (SELECT cnt.* FROM cnt
+                WHERE NOT EXISTS (SELECT 1 FROM outl WHERE outl.samp = cnt.samp)),
+         zg AS (SELECT gene FROM (SELECT gene, sum(abs(value)) AS s FROM cl GROUP BY 1)
+                WHERE s = 0),
+         nz AS MATERIALIZED (SELECT cl.* FROM cl
+                WHERE NOT EXISTS (SELECT 1 FROM zg WHERE zg.gene = cl.gene)),
+         libs AS (SELECT samp, sum(value) AS lib FROM nz GROUP BY 1),
+         lcpm AS MATERIALIZED (
+           SELECT nz.gene, nz.samp, log2((nz.value + 0.5)/(l.lib + 1.0) * 1e6) AS value
+           FROM nz JOIN libs l USING (samp)),
+         rnk AS MATERIALIZED (
+           SELECT gene, samp, value,
+                  row_number() OVER (PARTITION BY samp
+                    ORDER BY value ASC, CAST(gene AS VARCHAR) ASC) AS rk
+           FROM lcpm),
+         rkm AS (SELECT rk, avg(value) AS rkmean FROM rnk GROUP BY 1),
+         qn AS MATERIALIZED (
+           SELECT r.gene, r.samp, m.rkmean AS value FROM rnk r JOIN rkm m USING (rk)),
+         cla AS MATERIALIZED (
+           SELECT gene, samp, CASE WHEN value < 2.0 THEN 0e0 ELSE value END AS value FROM qn),
+         b AS (SELECT s_suppkey AS samp,
+                      CASE WHEN s_nationkey % 3 = 0 THEN 'b0' ELSE 'b1' END AS batch FROM supplier),
+         mb AS MATERIALIZED (SELECT cla.gene, cla.samp, cla.value, b.batch
+                             FROM cla JOIN b USING (samp)),
+         grand AS (SELECT gene, avg(value) AS alpha, var_samp(value) AS sigma2
+                   FROM mb GROUP BY 1 HAVING var_samp(value) > 0),
+         z AS MATERIALIZED (
+           SELECT mb.gene, mb.samp, mb.batch, (mb.value - g.alpha)/sqrt(g.sigma2) AS z,
+                  g.alpha, g.sigma2
+           FROM mb JOIN grand g USING (gene)),
+         gb AS (SELECT gene, batch, count(*) AS n_b, avg(z) AS gamma_hat, var_samp(z) AS delta2_hat
+                FROM z GROUP BY 1,2 HAVING var_samp(z) IS NOT NULL),
+         hp AS (SELECT batch, avg(gamma_hat) AS gamma_bar, var_samp(gamma_hat) AS tau2,
+                       (2*var_samp(delta2_hat) + avg(delta2_hat)*avg(delta2_hat))/var_samp(delta2_hat) AS a_prior,
+                       (avg(delta2_hat)*var_samp(delta2_hat) + pow(avg(delta2_hat), 3))/var_samp(delta2_hat) AS b_prior
+                FROM gb GROUP BY 1),
+         base AS (SELECT gb.gene, gb.batch, CAST(gb.n_b AS DOUBLE) AS n, gb.gamma_hat, gb.delta2_hat,
+                         hp.gamma_bar, hp.tau2, hp.a_prior, hp.b_prior
+                  FROM gb JOIN hp USING (batch)),
+         it AS (
+           SELECT 0 AS iter, gene, batch, gamma_hat AS g_star, delta2_hat AS d_star,
+                  n, gamma_hat, delta2_hat, gamma_bar, tau2, a_prior, b_prior FROM base
+           UNION ALL
+           SELECT iter+1, gene, batch,
+                  (n*tau2*gamma_hat + d_star*gamma_bar)/(n*tau2 + d_star),
+                  (b_prior + 0.5*((n-1)*delta2_hat
+                     + n*pow(gamma_hat - (n*tau2*gamma_hat + d_star*gamma_bar)/(n*tau2 + d_star), 2)))
+                    / (n/2 + a_prior - 1),
+                  n, gamma_hat, delta2_hat, gamma_bar, tau2, a_prior, b_prior
+           FROM it WHERE iter < 30),
+         post AS MATERIALIZED (SELECT gene, batch, g_star, d_star FROM it WHERE iter = 30),
+         adj AS MATERIALIZED (
+           SELECT z.gene, z.samp, sqrt(z.sigma2)*(z.z - p.g_star)/sqrt(p.d_star) + z.alpha AS value
+           FROM z JOIN post p ON z.gene = p.gene AND z.batch = p.batch),
+         keep1 AS (SELECT gene FROM (SELECT gene, stddev_samp(value) AS sd FROM adj GROUP BY 1)
+                   WHERE sd > 0),
+         m1 AS MATERIALIZED (SELECT adj.* FROM adj JOIN keep1 USING (gene)),
+         keep2 AS (SELECT gene FROM (
+                     SELECT gene, percent_rank() OVER (ORDER BY sd ASC, CAST(gene AS VARCHAR) ASC) AS pr
+                     FROM (SELECT gene, stddev_samp(value) AS sd FROM m1 GROUP BY 1))
+                   WHERE pr >= 0.5),
+         fm AS MATERIALIZED (SELECT m1.gene, m1.samp, m1.value FROM m1 JOIN keep2 USING (gene)),
+         grp AS (SELECT s_suppkey AS samp,
+                        CASE WHEN s_nationkey % 2 = 0 THEN 'A' ELSE 'B' END AS g FROM supplier),
+         st AS (SELECT f.gene, g.g, count(*) AS n, avg(f.value) AS mean, var_samp(f.value) AS var
+                FROM fm f JOIN grp g ON g.samp = f.samp GROUP BY 1,2),
+         wide AS (SELECT gene,
+                         max(CASE WHEN g='A' THEN n END) AS na, max(CASE WHEN g='A' THEN mean END) AS ma,
+                         max(CASE WHEN g='A' THEN var END) AS va,
+                         max(CASE WHEN g='B' THEN n END) AS nb, max(CASE WHEN g='B' THEN mean END) AS mb,
+                         max(CASE WHEN g='B' THEN var END) AS vb
+                  FROM st GROUP BY 1)
+         SELECT gene AS l_partkey,
+                round(ma - mb + 1e-5, 2) + 0.0 AS log2fc,
+                round((ma - mb) / sqrt(va/na + vb/nb) + 1e-7, 4) + 0.0 AS t_stat,
+                round((va/na + vb/nb)*(va/na + vb/nb)
+                      / ((va/na)*(va/na)/(na-1) + (vb/nb)*(vb/nb)/(nb-1)) + 1e-5, 2) + 0.0 AS df
+         FROM wide
+         WHERE na IS NOT NULL AND nb IS NOT NULL AND na > 1 AND nb > 1 AND (va + vb) > 0
+         ORDER BY 1""",
 
     // ComBat covariate path: the shared-design OLS replayed exactly —
     // XᵀX entries are integer contingency counts; the inverse is the
