@@ -384,6 +384,31 @@ object ExtraQueries {
         .orderBy("l_partkey")
     }),
 
+    // ---- E3: the meta-analysis chain end-to-end
+    // (Pipelines.metaAnalysis): pair ICC over standardized dense
+    // platform grids → negative-mean-ICC gene drop (F7) → per-platform
+    // Welch DE → ICC-weighted Stouffer combine. Two platforms (O/F
+    // linestatus), so mean ICC = the pair ICC. p_comb is a bijection
+    // of z_comb through pnorm and is omitted, as in q14. ----
+    "q70_e3_chain" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").filter(col("l_partkey") <= 100)
+      def mat(status: String) = ExpressionMatrix(
+        li.filter(col("l_linestatus") === status)
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(avg("l_extendedprice").as("value"))
+          .select(col("l_partkey").cast("string").as("gene_id"),
+            col("l_suppkey").cast("string").as("sample_id"), col("value")))
+      val groups = t(s, dir, "supplier").select(
+        col("s_suppkey").cast("string").as("sample_id"),
+        when(col("s_nationkey") % 2 === 0, "A").otherwise("B").as("group"))
+      graft.Pipelines.metaAnalysis(Seq("O" -> mat("O"), "F" -> mat("F")),
+          groups, "A", "B")
+        .select(col("gene_id").cast("long").as("l_partkey"), col("n_platforms"),
+          round(col("avg_log2fc") + 1e-5, 2).as("avg_log2fc"),
+          round(col("z_comb") + 1e-7, 4).as("z_comb"))
+        .orderBy("l_partkey")
+    }),
+
     // ---- A12: eBayes moderated t. Hash-checked: the (d0, s0²)
     // hyperparameters from the trigamma-inverse moment fit are inlined
     // into the oracle as literals (deterministic at the gate's SF);
@@ -916,6 +941,133 @@ object ExtraQueries {
          FROM wide
          WHERE na IS NOT NULL AND nb IS NOT NULL AND na > 1 AND nb > 1 AND (va + vb) > 0
          ORDER BY 1""",
+
+    // E3 chain replay: the q46 ICC stack (dense grids → gramian-row
+    // correlation vectors → corr of corr) gates which genes survive
+    // the negative-ICC drop and supplies the Stouffer weight; the q14
+    // Welch → Lentz-CF t-CDF → Acklam qnorm tail is reused verbatim
+    // with the per-gene icc replacing the constant 0.5 weight.
+    "q70_e3_chain" ->
+      """WITH RECURSIVE cells AS MATERIALIZED (
+           SELECT l_linestatus AS st, l_partkey AS g, l_suppkey AS s, avg(l_extendedprice) AS v
+           FROM lineitem WHERE l_partkey <= 100 AND l_linestatus IN ('O','F') GROUP BY 1,2,3
+         ), common AS (
+           SELECT g FROM (SELECT DISTINCT g, st FROM cells) GROUP BY g HAVING count(*) = 2
+         ), samps AS (SELECT DISTINCT st, s FROM cells),
+         grid AS MATERIALIZED (
+           SELECT sp.st, c.g, sp.s, coalesce(cl.v, 0.0) AS v
+           FROM common c CROSS JOIN samps sp
+           LEFT JOIN cells cl ON cl.st = sp.st AND cl.g = c.g AND cl.s = sp.s
+         ), cm AS MATERIALIZED (
+           SELECT a.st, a.g AS ga, b.g AS gb, corr(a.v, b.v) AS r
+           FROM grid a JOIN grid b ON a.st = b.st AND a.s = b.s
+           GROUP BY 1,2,3
+         ), icck AS MATERIALIZED (
+           SELECT g, icc FROM (
+             SELECT o.ga AS g, corr(o.r, f.r) AS icc
+             FROM cm o JOIN cm f ON o.ga = f.ga AND o.gb = f.gb AND f.st='F'
+             WHERE o.st='O' AND o.ga <> o.gb
+             GROUP BY 1)
+           WHERE icc >= 0
+         ), grp AS (
+           SELECT s_suppkey AS samp,
+                  CASE WHEN s_nationkey % 2 = 0 THEN 'A' ELSE 'B' END AS label
+           FROM supplier
+         ), stats AS (
+           SELECT c.st AS study, c.g AS gene, gr.label AS lbl,
+                  count(*) AS n, avg(c.v) AS mean, var_samp(c.v) AS var
+           FROM cells c JOIN grp gr ON gr.samp = c.s GROUP BY 1,2,3
+         ), wide AS (
+           SELECT gene, study,
+                  max(CASE WHEN lbl='A' THEN n END) AS na, max(CASE WHEN lbl='A' THEN mean END) AS ma,
+                  max(CASE WHEN lbl='A' THEN var END) AS va,
+                  max(CASE WHEN lbl='B' THEN n END) AS nb, max(CASE WHEN lbl='B' THEN mean END) AS mb,
+                  max(CASE WHEN lbl='B' THEN var END) AS vb
+           FROM stats GROUP BY 1,2
+         ), welch AS (
+           SELECT gene, study, CAST(ma - mb AS DOUBLE) AS fc,
+                  CAST((ma - mb) / sqrt(va/na + vb/nb) AS DOUBLE) AS t,
+                  CAST(pow(va/na + vb/nb, 2) / (pow(va/na, 2)/(na-1) + pow(vb/nb, 2)/(nb-1)) AS DOUBLE) AS df
+           FROM wide
+           WHERE na > 1 AND nb > 1 AND ma IS NOT NULL AND mb IS NOT NULL AND (va + vb) > 0
+         ), prep AS MATERIALIZED (
+           SELECT gene, study, fc, t, df,
+                  df/(df + t*t) AS x0, df/2.0 AS ba, CAST(0.5 AS DOUBLE) AS bb,
+                  (df/(df + t*t)) >= (df/2.0 + 1.0)/(df/2.0 + 0.5 + 2.0) AS flip
+           FROM welch
+         ), cfin AS MATERIALIZED (
+           SELECT *, CASE WHEN flip THEN 1.0 - x0 ELSE x0 END AS xx,
+                  CASE WHEN flip THEN bb ELSE ba END AS ca,
+                  CASE WHEN flip THEN ba ELSE bb END AS cb
+           FROM prep
+         ), cf AS (
+           SELECT 0 AS m, gene, study, xx, ca, cb,
+                  CAST(1.0 AS DOUBLE) AS c,
+                  1.0 / (CASE WHEN abs(1.0 - (ca+cb)*xx/(ca+1.0)) < 1e-300
+                              THEN 1e-300 ELSE 1.0 - (ca+cb)*xx/(ca+1.0) END) AS d,
+                  1.0 / (CASE WHEN abs(1.0 - (ca+cb)*xx/(ca+1.0)) < 1e-300
+                              THEN 1e-300 ELSE 1.0 - (ca+cb)*xx/(ca+1.0) END) AS h
+           FROM cfin
+           UNION ALL
+           SELECT m + 1, gene, study, xx, ca, cb, c2, d2, h * d1*c1 * d2*c2
+           FROM (
+             SELECT *,
+                    1.0/(1.0 + aa2*(1.0/(1.0 + aa1*d))) AS d2,
+                    1.0 + aa2/(1.0 + aa1/c) AS c2,
+                    1.0/(1.0 + aa1*d) AS d1,
+                    1.0 + aa1/c AS c1
+             FROM (
+               SELECT *, (m+1)*(cb-(m+1))*xx/((ca+2*(m+1)-1.0)*(ca+2*(m+1))) AS aa1,
+                      -(ca+(m+1))*(ca+cb+(m+1))*xx/((ca+2*(m+1))*(ca+2*(m+1)+1.0)) AS aa2
+               FROM cf WHERE m < 100
+             ) s1
+           ) s2
+         ), ibeta AS (
+           SELECT p.gene, p.study, p.fc,
+                  CASE WHEN p.flip
+                       THEN 1.0 - exp(cf.ca*ln(cf.xx) + cf.cb*ln(1.0-cf.xx)
+                             + lgamma(cf.ca+cf.cb) - lgamma(cf.ca) - lgamma(cf.cb))*cf.h/cf.ca
+                       ELSE exp(cf.ca*ln(cf.xx) + cf.cb*ln(1.0-cf.xx)
+                             + lgamma(cf.ca+cf.cb) - lgamma(cf.ca) - lgamma(cf.cb))*cf.h/cf.ca END AS ix
+           FROM cf JOIN prep p USING (gene, study)
+           WHERE cf.m = 100
+         ), zfinal AS (
+           SELECT gene, study, fc, sign(fc) * (
+             CASE WHEN pq < 0.02425 THEN
+               ( ((((( -7.784894002430293e-03*q + -3.223964580411365e-01)*q + -2.400758277161838e+00)*q
+                     + -2.549732539343734e+00)*q + 4.374664141464968e+00)*q + 2.938163982698783e+00) /
+                  (((( 7.784695709041462e-03*q + 3.224671290700398e-01)*q + 2.445134137142996e+00)*q
+                     + 3.754408661907416e+00)*q + 1.0) )
+             WHEN pq > 1.0 - 0.02425 THEN
+               -( ((((( -7.784894002430293e-03*qr + -3.223964580411365e-01)*qr + -2.400758277161838e+00)*qr
+                     + -2.549732539343734e+00)*qr + 4.374664141464968e+00)*qr + 2.938163982698783e+00) /
+                  (((( 7.784695709041462e-03*qr + 3.224671290700398e-01)*qr + 2.445134137142996e+00)*qr
+                     + 3.754408661907416e+00)*qr + 1.0) )
+             ELSE
+               ( ((((( -3.969683028665376e+01*r + 2.209460984245205e+02)*r + -2.759285104469687e+02)*r
+                    + 1.383577518672690e+02)*r + -3.066479806614716e+01)*r + 2.506628277459239e+00)*qc /
+                 ((((( -5.447609879822406e+01*r + 1.615858368580409e+02)*r + -1.556989798598866e+02)*r
+                    + 6.680131188771972e+01)*r + -1.328068155288572e+01)*r + 1.0) )
+             END) AS z
+           FROM (
+             SELECT gene, study, fc, pq,
+                    sqrt(-2.0*ln(greatest(1.0 - pq, 1e-300))) AS qr,
+                    sqrt(-2.0*ln(greatest(pq, 1e-300))) AS q,
+                    pq - 0.5 AS qc, (pq-0.5)*(pq-0.5) AS r
+             FROM (SELECT gene, study, fc, least(greatest(1.0 - 0.5*ix, 0.0), 1.0) AS pq FROM ibeta)
+           )
+         ), comb AS (
+           SELECT z.gene, count(*) AS n_platforms,
+                  sum(sqrt(abs(z.fc)) * z.z) AS num,
+                  sum(abs(z.fc) + abs(z.fc)*i.icc*i.icc) AS den,
+                  avg(z.fc) AS avg_fc
+           FROM zfinal z JOIN icck i ON i.g = z.gene
+           GROUP BY 1 HAVING count(*) >= 2
+         )
+         SELECT gene AS l_partkey, n_platforms,
+                round(avg_fc + 1e-5, 2) + 0.0 AS avg_log2fc,
+                round(num/sqrt(den) + 1e-7, 4) + 0.0 AS z_comb
+         FROM comb ORDER BY 1""",
 
     // ComBat covariate path: the shared-design OLS replayed exactly —
     // XᵀX entries are integer contingency counts; the inverse is the
