@@ -37,14 +37,17 @@ object Pipelines {
     }
     val bound = ExpressionMatrix(SetOps.bindDatasets(perDataset)
       .select("gene_id", "sample_id", "value", "dataset"))
-    val adjusted = Batch.combat(
-      ExpressionMatrix(bound.df.select("gene_id", "sample_id", "value")),
-      bound.df.select(col("sample_id"), col("dataset").as("batch")).distinct())
     // Stage-file boundary (the reference writes Comb_*.exp here):
-    // eagerly materialize the adjusted+filtered matrix — the REML
-    // sweeps and the DE fit below each trigger several actions, and
-    // without the checkpoint every one re-executes the whole
-    // dedup→bind→ComBat lineage.
+    // eagerly materialize the ComBat output BEFORE the SD filters —
+    // the zero-variance and top-SD filters are multi-branch plans
+    // (aggregate + semi-join), and without the checkpoint each branch
+    // re-executes the whole dedup→bind→ComBat lineage inside one
+    // action. A second checkpoint freezes the filtered matrix that the
+    // REML sweeps and the DE fit then hit with several actions each.
+    val adjusted = ExpressionMatrix(Batch.combat(
+        ExpressionMatrix(bound.df.select("gene_id", "sample_id", "value")),
+        bound.df.select(col("sample_id"), col("dataset").as("batch")).distinct())
+      .canonical.df.localCheckpoint(true))
     val filtered = ExpressionMatrix(
       Filters.topFracBySd(Filters.dropZeroVariance(adjusted), sdFrac)
         .canonical.df.localCheckpoint(true))
@@ -81,11 +84,16 @@ object Pipelines {
     // with (gc, length) gene info the full conditional quantile
     // normalisation runs (the reference always has GenesInfo); the
     // quantile-only cqnLite is the fallback
-    val normalized = geneInfo match {
+    // Stage-file boundaries (the reference writes RNAseq_cqn.exp and
+    // Comb_*.exp here): checkpoint after normalisation and after
+    // ComBat so the SD-filter branches and the DE actions don't
+    // re-execute the count→CQN→ComBat lineage per plan branch.
+    val normalized = ExpressionMatrix((geneInfo match {
       case Some(gi) => Normalize.cqn(nonzero, gi)
       case None => Normalize.cqnLite(nonzero)
-    }
-    val adjusted = Batch.combat(normalized, batches)
+    }).canonical.df.localCheckpoint(true))
+    val adjusted = ExpressionMatrix(
+      Batch.combat(normalized, batches).canonical.df.localCheckpoint(true))
     val filtered = Filters.topFracBySd(Filters.dropZeroVariance(adjusted), sdFrac)
     val stats = DiffExpr.groupStats(filtered, groups)
     DiffExpr.topTable(DiffExpr.welchT(stats, "group", groupA, groupB))

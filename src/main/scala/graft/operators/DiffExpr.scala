@@ -221,9 +221,16 @@ object DiffExpr {
     * estimate is squeezed toward equality as if by n₀ unit-weight
     * pseudo-genes — without it, an array observed in very few genes
     * gets a self-referential one-observation weight whose fixed point
-    * amplifies float noise without bound. Each sweep is two keyed
-    * aggregations over the persisted (gene, sample) relation; only the
-    * array-bounded weight vector reaches the driver. */
+    * amplifies float noise without bound.
+    *
+    * Execution shape: the (gene, sample) relation shuffles ONCE into a
+    * compact per-gene column triplet (sample idx, group idx, value) —
+    * per-gene rows are cohort-bounded, the same contract as the ICC
+    * and logistic kernels — and every sweep is then a single
+    * shuffle-free job: broadcast the array-bounded weight vector, map
+    * each gene's score contributions, `treeAggregate` two
+    * samples-sized vectors to the driver. 5 sweeps = 5 jobs with zero
+    * exchanges, instead of 4 shuffle rounds per sweep. */
   def arrayWeightsReml(m: ExpressionMatrix, groups: DataFrame,
       groupCol: String = "group", maxIter: Int = 50, tol: Double = 1e-8,
       priorN: Double = 10.0): DataFrame = {
@@ -231,36 +238,70 @@ object DiffExpr {
     import spark.implicits._
     val base = m.canonical.df.join(broadcast(groups), Seq("sample_id"))
       .select(col("gene_id"), col("sample_id"), col(groupCol).as("__grp"), col("value"))
+    val keys = base.groupBy("sample_id", "__grp").count()
+      .select("sample_id", "__grp").collect()
+    val sampleIds = keys.map(_.getString(0)).distinct.sorted
+    val grpIds = keys.map(_.getString(1)).distinct.sorted
+    val nS = sampleIds.length
+    val bcIdx = spark.sparkContext.broadcast(
+      (sampleIds.zipWithIndex.toMap, grpIds.zipWithIndex.toMap))
+    // one shuffle: gene-keyed compact arrays, then every sweep is local
+    val compact = base.as[(String, String, String, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (_, it) =>
+        val (sIdx, gIdx) = bcIdx.value
+        val rows = it.toArray
+        (rows.map(r => sIdx(r._2)), rows.map(r => gIdx(r._3)), rows.map(_._4))
+      }
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sampleIds = base.select("sample_id").distinct()
-      .collect().map(_.getString(0)).sorted
+    val nG = grpIds.length
     var w = sampleIds.map(_ -> 1.0).toMap
     var iter = 0
     var delta = Double.MaxValue
     while (iter < maxIter && delta > tol) {
-      val wDf = broadcast(sampleIds.map(s => (s, w(s))).toSeq.toDF("sample_id", "__w"))
-      val joined = base.join(wDf, Seq("sample_id"))
-      val cell = joined.groupBy("gene_id", "__grp")
-        .agg(sum(col("__w") * col("value")).as("__swy"), sum("__w").as("__sw"))
-      val res = joined.join(cell, Seq("gene_id", "__grp"))
-        .withColumn("__e2",
-          (col("value") - col("__swy") / col("__sw")) *
-            (col("value") - col("__swy") / col("__sw")))
-        .withColumn("__h", col("__w") / col("__sw"))
-      val geneStats = res.groupBy("gene_id")
-        .agg(sum(col("__w") * col("__e2")).as("__swe2"),
-             count(lit(1)).as("__n"), countDistinct("__grp").as("__p"))
-        .withColumn("__d", col("__n") - col("__p"))
-        .filter(col("__d") > 0)
-        .withColumn("__s2", col("__swe2") / col("__d"))
-        .filter(col("__s2") > 0)
-      val arr = res.join(geneStats.select("gene_id", "__s2"), Seq("gene_id"))
-        .groupBy("sample_id")
-        .agg(sum(col("__e2") / col("__s2")).as("__a"),
-             sum(lit(1.0) - col("__h")).as("__b"))
-        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-      val wRaw = sampleIds.map { s =>
-        val (a, b) = arr.getOrElse(s, (0.0, 0.0))
+      val bcW = spark.sparkContext.broadcast(sampleIds.map(w))
+      val ab = compact.rdd.treeAggregate(null: Array[Double])(
+        (acc0, g) => {
+          val acc = if (acc0 == null) new Array[Double](2 * nS) else acc0
+          val (ss, gg, vv) = g
+          val wv = bcW.value
+          val sw = new Array[Double](nG)
+          val swy = new Array[Double](nG)
+          var i = 0
+          while (i < ss.length) {
+            sw(gg(i)) += wv(ss(i)); swy(gg(i)) += wv(ss(i)) * vv(i); i += 1
+          }
+          var p = 0
+          var k = 0
+          while (k < nG) { if (sw(k) > 0) p += 1; k += 1 }
+          val d = ss.length - p
+          if (d > 0) {
+            var swe2 = 0.0
+            i = 0
+            while (i < ss.length) {
+              val e = vv(i) - swy(gg(i)) / sw(gg(i))
+              swe2 += wv(ss(i)) * e * e
+              i += 1
+            }
+            val s2 = swe2 / d
+            if (s2 > 0) {
+              i = 0
+              while (i < ss.length) {
+                val e = vv(i) - swy(gg(i)) / sw(gg(i))
+                acc(ss(i)) += e * e / s2
+                acc(nS + ss(i)) += 1.0 - wv(ss(i)) / sw(gg(i))
+                i += 1
+              }
+            }
+          }
+          acc
+        },
+        (a, b) =>
+          if (a == null) b else if (b == null) a
+          else { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a })
+      bcW.destroy()
+      val wRaw = sampleIds.zipWithIndex.map { case (s, i) =>
+        val (a, b) = if (ab == null) (0.0, 0.0) else (ab(i), ab(nS + i))
         s -> (if (a + priorN > 1e-300 && b + priorN > 0)
           math.max((b + priorN) / (a + priorN), 1e-6) else w(s))
       }.toMap
@@ -270,7 +311,7 @@ object DiffExpr {
       w = wNew
       iter += 1
     }
-    base.unpersist(blocking = false)
+    compact.unpersist(blocking = false)
     sampleIds.map(s => (s, w(s))).toSeq.toDF("sample_id", "weight")
   }
 
