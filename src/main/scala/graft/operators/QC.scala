@@ -168,27 +168,50 @@ object QC {
       case Some(acc) => expr(s"approx_percentile($c, $p, $acc)")
       case None      => expr(s"percentile($c, $p)")
     }
+    val spark = probes.df.sparkSession
+    import spark.implicits._
     val mapped = probes.canonical.df.join(
       broadcast(annot.select(col(probeCol).as("gene_id"), col(probesetCol).as("__ps"))),
       Seq("gene_id"))
-    val pre = mapped.repartition(col("__ps"))
-    val summary = pre.groupBy("__ps", "sample_id")
-      .agg(pct("value", 0.5).as("__sum"))
-    // persisted: the residual relation feeds both the probe-effect
-    // aggregation and the SE pass — its lineage re-runs the summary
-    // aggregation otherwise (the repartition exchange itself is
-    // deduplicated by ReuseExchange)
-    val withRes = pre.join(summary, Seq("__ps", "sample_id"))
-      .withColumn("__r0", col("value") - col("__sum"))
+    // One shuffle: a probeset is ≤ ~70 probes × samples (the
+    // medianPolish group contract), so the whole PLM inner loop —
+    // per-sample summary median, per-probe effect median, residual
+    // SE — runs group-local in a single `groupByKey(probeset)` pass
+    // instead of two full-relation exact-percentile aggregations plus
+    // a persisted residual join. Medians use Spark's exact-Percentile
+    // interpolation formula verbatim so results are bit-identical to
+    // the former SQL passes.
+    val se = mapped.select(col("__ps"), col("gene_id"), col("sample_id"), col("value"))
+      .as[(String, String, String, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (ps, it) =>
+        def median(vals: Array[Double]): Double = {
+          java.util.Arrays.sort(vals)
+          val pos = 0.5 * (vals.length - 1)
+          val lo = math.floor(pos).toInt
+          val hi = math.ceil(pos).toInt
+          if (lo == hi) vals(lo)
+          else (hi - pos) * vals(lo) + (pos - lo) * vals(hi)
+        }
+        val rows = it.toArray
+        val summary = rows.groupBy(_._3).map { case (s, rs) =>
+          s -> median(rs.map(_._4))
+        }
+        val r0 = rows.map(r => (r._2, r._3, r._4 - summary(r._3)))
+        val probeEff = r0.groupBy(_._1).map { case (p, rs) =>
+          p -> median(rs.map(_._3))
+        }
+        val acc = scala.collection.mutable.HashMap.empty[String, (Long, Double)]
+        r0.foreach { case (p, s, v0) =>
+          val r = v0 - probeEff(p)
+          val (n, ss) = acc.getOrElse(s, (0L, 0.0))
+          acc(s) = (n + 1, ss + r * r)
+        }
+        acc.iterator.collect { case (s, (n, ss)) if n > 1 =>
+          (ps, s, math.sqrt(ss / (n.toDouble * (n - 1))))
+        }
+      }.toDF("__ps", "sample_id", "__se")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val probeEff = withRes.groupBy("__ps", "gene_id")
-      .agg(pct("__r0", 0.5).as("__pe"))
-    val se = withRes.join(probeEff, Seq("__ps", "gene_id"))
-      .withColumn("__r", col("__r0") - col("__pe"))
-      .groupBy("__ps", "sample_id")
-      .agg(count(lit(1)).as("__np"), sum(col("__r") * col("__r")).as("__ssr"))
-      .filter(col("__np") > 1)
-      .withColumn("__se", sqrt(col("__ssr") / (col("__np") * (col("__np") - 1))))
     val medSe = se.groupBy("__ps")
       .agg(pct("__se", 0.5).as("__medse"))
       .filter(col("__medse") > 0)
