@@ -138,8 +138,15 @@ object Pipelines {
     * F7), FEM/REM combine, weighted Stouffer over per-platform DE
     * results with mean-ICC weights. Returns the `Meta_<AvsB>`-shaped
     * relation: gene, platforms, avg log2FC, combined z, combined p. */
-  def metaAnalysis(platforms: Seq[(String, ExpressionMatrix)], groups: DataFrame,
+  def metaAnalysis(platforms0: Seq[(String, ExpressionMatrix)], groups: DataFrame,
       groupA: String, groupB: String): DataFrame = {
+    // Stage boundary: each platform matrix is hit by many actions
+    // below (ICC standardize collects + treeAggregates, the per-
+    // platform DE) — materialize once so upstream lineage doesn't
+    // re-execute per action.
+    val platforms = platforms0.map { case (name, m) =>
+      name -> ExpressionMatrix(m.canonical.df.localCheckpoint(true))
+    }
     // ICC per platform pair (standardized once per platform, reused
     // across pairs) -> mean per gene; genes with negative mean ICC are
     // dropped (Meta_analysis.R:620-645)

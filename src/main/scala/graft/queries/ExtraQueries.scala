@@ -429,12 +429,16 @@ object ExtraQueries {
     // IndexedRow vectors do) and takes corr of correlation vectors. ----
     "q46_icc" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").filter(col("l_partkey") <= 100)
+      // checkpointed: the ICC kernel's standardize collects and
+      // gramian treeAggregates each act on both matrices several
+      // times — without it every action re-runs the lineitem scan+agg
       def mat(status: String) = ExpressionMatrix(
         li.filter(col("l_linestatus") === status)
           .groupBy(col("l_partkey"), col("l_suppkey"))
           .agg(avg("l_extendedprice").as("value"))
           .select(col("l_partkey").cast("string").as("gene_id"),
-            col("l_suppkey").cast("string").as("sample_id"), col("value")))
+            col("l_suppkey").cast("string").as("sample_id"), col("value"))
+          .localCheckpoint(true))
       Meta.icc(mat("O"), mat("F"))
         .select(col("gene_id").cast("long").as("l_partkey"),
           round(col("icc") + 1e-7, 4).as("icc"))
