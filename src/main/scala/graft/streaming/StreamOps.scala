@@ -75,6 +75,22 @@ object StreamOps {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming exact dedup — the E4 curation chain's first stage in
+    * incremental form: corpus shards arrive as a stream and only the
+    * first document per content fingerprint passes. State is one row
+    * per distinct fingerprint and `dropDuplicatesWithinWatermark`
+    * evicts it once the watermark passes, so the state store stays
+    * bounded no matter how long the stream runs — the batch
+    * `TextDedup.exactDedup` semantics, minus duplicates that recur
+    * beyond the watermark horizon (a documented streaming trade-off,
+    * same as any windowed exactly-once dedup). */
+  def streamingDedup(docs: DataFrame, ts: String = "ts", text: String = "text",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("fp", graft.functions.TextFunctions.fingerprint(col(text)))
+      .withWatermark(ts, watermarkDelay)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Checkpointed parquet file sink — the production shape for a
     * streaming ETL leg: append mode, exactly-once via the checkpoint
     * WAL + the file-sink manifest, partitioned output directory. The

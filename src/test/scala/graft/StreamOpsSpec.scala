@@ -59,6 +59,30 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streamingDedup keeps one document per fingerprint within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val deduped = StreamOps.streamingDedup(
+      input.toDS().toDF("ts", "doc_id", "text"))
+    val query = deduped.writeStream.format("memory")
+      .queryName("dedup_out").outputMode("append").start()
+    try {
+      val t0 = 1700000000000L
+      input.addData(
+        (new Timestamp(t0), 1L, "the quick brown fox"),
+        (new Timestamp(t0 + 1000), 2L, "The  quick   brown FOX"), // same normalised stream
+        (new Timestamp(t0 + 2000), 3L, "a different document"))
+      query.processAllAvailable()
+      // duplicate arriving in a later batch, still inside the watermark
+      input.addData((new Timestamp(t0 + 3000), 4L, "the quick brown fox"))
+      query.processAllAvailable()
+      val out = spark.table("dedup_out").select("doc_id").as[Long].collect().sorted
+      assert(out.toSeq == Seq(1L, 3L),
+        s"expected first-per-fingerprint docs 1 and 3, got ${out.toSeq}")
+    } finally query.stop()
+  }
+
   test("readRsemResults maps symbols to Ensembl ids and drops unmapped rows") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_rsem").toString
