@@ -19,7 +19,8 @@ object Plans {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q01_pricing_summary", "q04_outlier_antijoin", "q05_semijoin_reliable",
-        "q20_log2_cpm", "q26_sessionize", "q37_cosine_topk")
+        "q09_quantile_norm", "q10_bh_adjust", "q20_log2_cpm", "q26_sessionize",
+        "q35_minhash_lsh", "q37_cosine_topk", "q47_perm_fdr", "q60_nuse", "q64_cqn")
     names.foreach { name =>
       if (name == "bucketed_demo") bucketedDemo(spark, dir)
       else {
@@ -28,18 +29,36 @@ object Plans {
           org.apache.spark.sql.execution.FormattedMode)
         println(s"\n========== $name ==========")
         println(plan)
+        val smjIntended = intendedSmj.contains(name)
         val smells = Seq(
           "no parquet filter pushdown" ->
             (plan.contains("PushedFilters: []") && plan.contains("Filter (")),
           "cartesian product" -> plan.contains("CartesianProduct"),
-          "sort-merge join" -> plan.contains("SortMergeJoin"))
+          "sort-merge join" -> (plan.contains("SortMergeJoin") && !smjIntended))
           .collect { case (s, true) => s }
+        val note = if (smjIntended && plan.contains("SortMergeJoin"))
+          s" (intended SMJ: ${intendedSmj(name)})" else ""
         println(s"[audit] $name: " +
-          (if (smells.isEmpty) "clean" else s"SMELLS: ${smells.mkString(", ")}"))
+          (if (smells.isEmpty) s"clean$note" else s"SMELLS: ${smells.mkString(", ")}"))
       }
     }
     spark.stop()
   }
+
+  /** SMJs that are the intended plan (docs/SCALING.md): both sides are
+    * data- or gene-grain on matching keys, so forcing broadcast would
+    * be wrong at cluster scale — AQE demotes them to broadcast at
+    * runtime whenever the built side turns out small. Any OTHER query
+    * growing an SMJ still gets flagged. */
+  private val intendedSmj = Map(
+    "q35_minhash_lsh" ->
+      "shingle/candidate joins keyed on (shingle|band|pair) — both sides corpus-grain",
+    "q47_perm_fdr" ->
+      "per-(gene,perm) stat join against observed stats — both sides gene-grain",
+    "q60_nuse" ->
+      "SE relation joined with its probeset-grain median — AQE broadcasts when small",
+    "q64_cqn" ->
+      "cell relation joined with gene-grain spline/offset relations on gene")
 
   /** The bucketed-workspace co-location demo (SCALING.md / ROADMAP):
     * checkpoint the expression matrix bucketed on gene_id, then run a
