@@ -409,6 +409,94 @@ object ExtraQueries {
         .orderBy("l_partkey")
     }),
 
+    // ---- J6: annotated topTable — the frozen 8+4 positional
+    // contract. Unannotated genes get NA rows (every third gene is
+    // left out of the annotation relation); the three annotation
+    // columns absent from the relation (strand, start/end position)
+    // are null-filled by the operator. The p column is the pure-
+    // arithmetic monotone surrogate x0 = df/(df+t²) (the exact ibeta
+    // argument of the t CDF), so the oracle stays transcendental-free;
+    // the real t-CDF p is separately gated by q14/q45. NA cells encode
+    // as the literal 'NA' on both engines. ----
+    "q71_annotated_toptable" -> ((s, dir) => {
+      val stats = t(s, dir, "lineitem").filter(col("l_partkey") <= 300)
+        .groupBy(col("l_partkey"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), avg("l_extendedprice").as("mean"),
+             var_samp("l_extendedprice").as("var"))
+        .select(col("l_partkey").cast("string").as("gene_id"),
+          col("l_linestatus").as("group"), col("n"), col("mean"), col("var"))
+      val de = DiffExpr.welchT(stats, "group", "O", "F")
+        .withColumn("p", col("df") / (col("df") + col("t") * col("t")))
+      val annot = t(s, dir, "part")
+        .filter(col("p_partkey") <= 300 && col("p_partkey") % 3 =!= 0)
+        .select(col("p_partkey").cast("string").as("gene_id"),
+          col("p_brand").as("hgnc_symbol"), col("p_type").as("description"),
+          col("p_name").as("chromosome_name"),
+          col("p_size").cast("string").as("band"))
+      Bind.annotatedTopTable(DiffExpr.topTable(de), annot)
+        .select(col("gene").cast("long").as("l_partkey"),
+          coalesce(col("hgnc_symbol"), lit("NA")).as("hgnc_symbol"),
+          coalesce(col("description"), lit("NA")).as("description"),
+          coalesce(col("chromosome_name"), lit("NA")).as("chromosome_name"),
+          coalesce(col("band"), lit("NA")).as("band"),
+          coalesce(col("strand"), lit("NA")).as("strand"),
+          coalesce(col("start_position"), lit("NA")).as("start_position"),
+          coalesce(col("end_position"), lit("NA")).as("end_position"),
+          round(col("log2FC") + 1e-5, 2).as("log2fc"),
+          round(col("t_statistic") + 1e-7, 4).as("t_stat"),
+          round(col("p_value") + 1e-9, 6).as("p_value"),
+          round(col("adj_p_value") + 1e-9, 6).as("adj_p"))
+        .orderBy("l_partkey")
+    }),
+
+    // ---- J7: meta↔DE bind — per-study (log2FC, adj p) pairs joined
+    // onto the meta relation (NA when a study lacks the gene; study F
+    // is truncated to gene ≤ 150 to force them), `known` yes/No flag,
+    // mark-prefixed gene ids, and `_excluded` ROUTING (excluded rows
+    // are reported in a separate relation, not dropped — both
+    // relations surface here under a `routed` flag). Missing numeric
+    // study cells encode as the -999999 sentinel on both engines
+    // (the reference writes literal NA). ----
+    "q72_bind_meta_de" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").filter(col("l_partkey") <= 200)
+      def study(status: String) = {
+        val stats = li.filter(col("l_linestatus") === status)
+          .groupBy(col("l_partkey"), col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), avg("l_extendedprice").as("mean"),
+               var_samp("l_extendedprice").as("var"))
+          .select(col("l_partkey").cast("string").as("gene_id"),
+            col("l_returnflag").as("group"), col("n"), col("mean"), col("var"))
+        DiffExpr.welchT(stats, "group", "A", "N")
+          .withColumn("p", col("df") / (col("df") + col("t") * col("t")))
+      }
+      val ttO = DiffExpr.topTable(study("O"))
+        .withColumnRenamed("log2fc", "log2FC").withColumnRenamed("p_bh", "adj_p_value")
+      val ttF = DiffExpr.topTable(study("F"))
+        .filter(col("gene_id").cast("long") <= 150)
+        .withColumnRenamed("log2fc", "log2FC").withColumnRenamed("p_bh", "adj_p_value")
+      val meta = ttO.select("gene_id", "log2FC").unionByName(ttF.select("gene_id", "log2FC"))
+        .groupBy("gene_id")
+        .agg(avg("log2FC").as("meta_log2fc"), count(lit(1)).as("k"))
+      val part = t(s, dir, "part").filter(col("p_partkey") <= 200)
+      val known = part.filter(col("p_partkey") <= 100)
+        .select(col("p_partkey").cast("string").as("gene_id"))
+      val excl = part.filter(col("p_size") > 40)
+        .select(col("p_partkey").cast("string").as("gene_id"))
+      val marks = part.filter(col("p_partkey") % 7 === 0)
+        .select(col("p_partkey").cast("string").as("gene_id"), lit("M").as("mark"))
+      val (bound, excluded) = Bind.bindMetaToDE(meta,
+        Seq("O" -> ttO, "F" -> ttF), Some(known), Some(excl), Some(marks))
+      bound.withColumn("routed", lit("kept"))
+        .unionByName(excluded.withColumn("routed", lit("excluded")))
+        .select(col("gene_id"), col("routed"), col("k"), col("known"),
+          round(col("meta_log2fc") + 1e-5, 2).as("meta_log2fc"),
+          coalesce(round(col("O_log2FC") + 1e-5, 2), lit(-999999.0)).as("o_log2fc"),
+          coalesce(round(col("O_adj_p") + 1e-9, 6), lit(-999999.0)).as("o_adj_p"),
+          coalesce(round(col("F_log2FC") + 1e-5, 2), lit(-999999.0)).as("f_log2fc"),
+          coalesce(round(col("F_adj_p") + 1e-9, 6), lit(-999999.0)).as("f_adj_p"))
+        .orderBy("gene_id", "routed")
+    }),
+
     // ---- A12: eBayes moderated t. Hash-checked: the (d0, s0²)
     // hyperparameters from the trigamma-inverse moment fit are inlined
     // into the oracle as literals (deterministic at the gate's SF);
@@ -1072,6 +1160,131 @@ object ExtraQueries {
                 round(avg_fc + 1e-5, 2) + 0.0 AS avg_log2fc,
                 round(num/sqrt(den) + 1e-7, 4) + 0.0 AS z_comb
          FROM comb ORDER BY 1""",
+
+    // J6 replay: Welch stats → surrogate p → BH with the string-gene
+    // tie-break → left join onto the annotation relation (every third
+    // gene absent → NA row; strand/start/end never present → NA).
+    "q71_annotated_toptable" ->
+      """WITH stats AS (
+           SELECT l_partkey AS gene, l_linestatus AS grp, count(*) AS n,
+                  avg(l_extendedprice) AS mean, var_samp(l_extendedprice) AS var
+           FROM lineitem WHERE l_partkey <= 300 GROUP BY 1,2
+         ), wide AS (
+           SELECT gene,
+                  max(CASE WHEN grp='O' THEN n END) AS na, max(CASE WHEN grp='O' THEN mean END) AS ma,
+                  max(CASE WHEN grp='O' THEN var END) AS va,
+                  max(CASE WHEN grp='F' THEN n END) AS nb, max(CASE WHEN grp='F' THEN mean END) AS mb,
+                  max(CASE WHEN grp='F' THEN var END) AS vb
+           FROM stats GROUP BY 1
+         ), welch AS (
+           SELECT gene, CAST(ma - mb AS DOUBLE) AS fc,
+                  CAST((ma - mb)/sqrt(va/na + vb/nb) AS DOUBLE) AS t,
+                  CAST(pow(va/na + vb/nb, 2)/(pow(va/na,2)/(na-1) + pow(vb/nb,2)/(nb-1)) AS DOUBLE) AS df
+           FROM wide
+           WHERE na IS NOT NULL AND nb IS NOT NULL AND na > 1 AND nb > 1 AND (va + vb) > 0
+         ), pp AS (
+           SELECT gene, fc, t, df/(df + t*t) AS p FROM welch
+         ), bh AS (
+           SELECT *, count(*) OVER () AS nn,
+                  row_number() OVER (ORDER BY p ASC, CAST(gene AS VARCHAR) ASC) AS rk
+           FROM pp
+         ), adj AS (
+           SELECT gene, fc, t, p,
+                  least(1.0, min(p * nn / rk) OVER (ORDER BY p ASC, CAST(gene AS VARCHAR) ASC
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS p_bh
+           FROM bh
+         ), annot AS (
+           SELECT p_partkey AS gene, p_brand AS hgnc, p_type AS descr,
+                  p_name AS chrom, CAST(p_size AS VARCHAR) AS band
+           FROM part WHERE p_partkey <= 300 AND p_partkey % 3 <> 0
+         )
+         SELECT a.gene AS l_partkey,
+                coalesce(an.hgnc, 'NA') AS hgnc_symbol,
+                coalesce(an.descr, 'NA') AS description,
+                coalesce(an.chrom, 'NA') AS chromosome_name,
+                coalesce(an.band, 'NA') AS band,
+                'NA' AS strand, 'NA' AS start_position, 'NA' AS end_position,
+                round(a.fc + 1e-5, 2) + 0.0 AS log2fc,
+                round(a.t + 1e-7, 4) + 0.0 AS t_stat,
+                round(a.p + 1e-9, 6) + 0.0 AS p_value,
+                round(a.p_bh + 1e-9, 6) + 0.0 AS adj_p
+         FROM adj a LEFT JOIN annot an ON an.gene = a.gene
+         ORDER BY 1""",
+
+    // J7 replay: two per-study Welch+BH chains (study F's BH runs over
+    // ALL its genes, the ≤150 truncation applies after, exactly as the
+    // Spark query filters the finished topTable), meta = union-avg,
+    // then the known/exclude/mark joins with the excluded rows routed
+    // (not dropped) under the `routed` flag.
+    "q72_bind_meta_de" ->
+      """WITH li AS (SELECT * FROM lineitem WHERE l_partkey <= 200),
+         sO AS (SELECT l_partkey AS gene, l_returnflag AS grp, count(*) AS n,
+                       avg(l_extendedprice) AS mean, var_samp(l_extendedprice) AS var
+                FROM li WHERE l_linestatus = 'O' GROUP BY 1,2),
+         sF AS (SELECT l_partkey AS gene, l_returnflag AS grp, count(*) AS n,
+                       avg(l_extendedprice) AS mean, var_samp(l_extendedprice) AS var
+                FROM li WHERE l_linestatus = 'F' GROUP BY 1,2),
+         wO AS (SELECT gene,
+                  max(CASE WHEN grp='A' THEN n END) AS na, max(CASE WHEN grp='A' THEN mean END) AS ma,
+                  max(CASE WHEN grp='A' THEN var END) AS va,
+                  max(CASE WHEN grp='N' THEN n END) AS nb, max(CASE WHEN grp='N' THEN mean END) AS mb,
+                  max(CASE WHEN grp='N' THEN var END) AS vb
+                FROM sO GROUP BY 1),
+         wF AS (SELECT gene,
+                  max(CASE WHEN grp='A' THEN n END) AS na, max(CASE WHEN grp='A' THEN mean END) AS ma,
+                  max(CASE WHEN grp='A' THEN var END) AS va,
+                  max(CASE WHEN grp='N' THEN n END) AS nb, max(CASE WHEN grp='N' THEN mean END) AS mb,
+                  max(CASE WHEN grp='N' THEN var END) AS vb
+                FROM sF GROUP BY 1),
+         welO AS (SELECT gene, CAST(ma - mb AS DOUBLE) AS fc,
+                         df/(df + t*t) AS p FROM (
+                    SELECT gene, ma, mb,
+                           CAST((ma - mb)/sqrt(va/na + vb/nb) AS DOUBLE) AS t,
+                           CAST(pow(va/na + vb/nb, 2)/(pow(va/na,2)/(na-1) + pow(vb/nb,2)/(nb-1)) AS DOUBLE) AS df
+                    FROM wO
+                    WHERE na IS NOT NULL AND nb IS NOT NULL AND na > 1 AND nb > 1 AND (va + vb) > 0)),
+         welF AS (SELECT gene, CAST(ma - mb AS DOUBLE) AS fc,
+                         df/(df + t*t) AS p FROM (
+                    SELECT gene, ma, mb,
+                           CAST((ma - mb)/sqrt(va/na + vb/nb) AS DOUBLE) AS t,
+                           CAST(pow(va/na + vb/nb, 2)/(pow(va/na,2)/(na-1) + pow(vb/nb,2)/(nb-1)) AS DOUBLE) AS df
+                    FROM wF
+                    WHERE na IS NOT NULL AND nb IS NOT NULL AND na > 1 AND nb > 1 AND (va + vb) > 0)),
+         bhO AS (SELECT gene, fc,
+                        least(1.0, min(p * nn / rk) OVER (ORDER BY p ASC, CAST(gene AS VARCHAR) ASC
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS p_bh
+                 FROM (SELECT *, count(*) OVER () AS nn,
+                              row_number() OVER (ORDER BY p ASC, CAST(gene AS VARCHAR) ASC) AS rk
+                       FROM welO)),
+         bhF AS (SELECT gene, fc,
+                        least(1.0, min(p * nn / rk) OVER (ORDER BY p ASC, CAST(gene AS VARCHAR) ASC
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS p_bh
+                 FROM (SELECT *, count(*) OVER () AS nn,
+                              row_number() OVER (ORDER BY p ASC, CAST(gene AS VARCHAR) ASC) AS rk
+                       FROM welF)),
+         bhFt AS (SELECT * FROM bhF WHERE gene <= 150),
+         meta AS (SELECT gene, avg(fc) AS fc, count(*) AS k FROM (
+                    SELECT gene, fc FROM bhO
+                    UNION ALL SELECT gene, fc FROM bhFt) GROUP BY 1),
+         kn AS (SELECT p_partkey AS gene FROM part WHERE p_partkey <= 100),
+         ex AS (SELECT p_partkey AS gene FROM part WHERE p_partkey <= 200 AND p_size > 40),
+         mk AS (SELECT p_partkey AS gene FROM part WHERE p_partkey <= 200 AND p_partkey % 7 = 0)
+         SELECT CASE WHEN mk.gene IS NOT NULL THEN 'M_' || CAST(m.gene AS VARCHAR)
+                     ELSE CAST(m.gene AS VARCHAR) END AS gene_id,
+                CASE WHEN ex.gene IS NOT NULL THEN 'excluded' ELSE 'kept' END AS routed,
+                m.k, CASE WHEN kn.gene IS NOT NULL THEN 'yes' ELSE 'No' END AS known,
+                round(m.fc + 1e-5, 2) + 0.0 AS meta_log2fc,
+                coalesce(round(o.fc + 1e-5, 2) + 0.0, -999999e0) AS o_log2fc,
+                coalesce(round(o.p_bh + 1e-9, 6) + 0.0, -999999e0) AS o_adj_p,
+                coalesce(round(f.fc + 1e-5, 2) + 0.0, -999999e0) AS f_log2fc,
+                coalesce(round(f.p_bh + 1e-9, 6) + 0.0, -999999e0) AS f_adj_p
+         FROM meta m
+         LEFT JOIN bhO o ON o.gene = m.gene
+         LEFT JOIN bhFt f ON f.gene = m.gene
+         LEFT JOIN kn ON kn.gene = m.gene
+         LEFT JOIN ex ON ex.gene = m.gene
+         LEFT JOIN mk ON mk.gene = m.gene
+         ORDER BY 1, 2""",
 
     // ComBat covariate path: the shared-design OLS replayed exactly —
     // XᵀX entries are integer contingency counts; the inverse is the
