@@ -49,7 +49,7 @@ object Pipelines {
         bound.df.select(col("sample_id"), col("dataset").as("batch")).distinct())
       .canonical.df.localCheckpoint(true))
     val filtered = ExpressionMatrix(
-      Filters.topFracBySd(Filters.dropZeroVariance(adjusted), sdFrac)
+      Filters.topFracBySdNonZero(adjusted, sdFrac)
         .canonical.df.localCheckpoint(true))
     // REML arrayWeights enter the fit as WLS sufficient statistics;
     // with technical replicates declared, the REML
@@ -94,7 +94,7 @@ object Pipelines {
     }).canonical.df.localCheckpoint(true))
     val adjusted = ExpressionMatrix(
       Batch.combat(normalized, batches).canonical.df.localCheckpoint(true))
-    val filtered = Filters.topFracBySd(Filters.dropZeroVariance(adjusted), sdFrac)
+    val filtered = Filters.topFracBySdNonZero(adjusted, sdFrac)
     val stats = DiffExpr.groupStats(filtered, groups)
     DiffExpr.topTable(DiffExpr.welchT(stats, "group", groupA, groupB))
   }

@@ -59,6 +59,20 @@ object Filters {
     m.copy(df = m.df.join(keep, Seq(m.gene), "left_semi"))
   }
 
+  /** F4+F5 fused — the E1/E2 chain stage "drop zero-variance genes,
+    * then keep the top `frac` by SD". Identical results to
+    * `topFracBySd(dropZeroVariance(m), frac)` (the rank set is the
+    * sd > 0 genes either way), but the per-gene SD aggregates once and
+    * the data-sized relation is semi-joined once — half the shuffle
+    * rounds of the composition. */
+  def topFracBySdNonZero(m: ExpressionMatrix, frac: Double): ExpressionMatrix = {
+    val sd = m.df.groupBy(m.geneCol).agg(stddev_samp(m.valueCol).as("sd"))
+      .filter(col("sd") > 0)
+    val keep = sd.withColumn("pr", percent_rank().over(Window.orderBy(col("sd").asc, m.geneCol.asc)))
+      .filter(col("pr") >= 1.0 - frac).select(m.geneCol)
+    m.copy(df = m.df.join(keep, Seq(m.gene), "left_semi"))
+  }
+
   /** F6 — gene exclusion list (`DiffExpression_closedPlatform.R:340-344`). */
   def excludeGenes(m: ExpressionMatrix, genes: DataFrame, geneCol: String = "gene_id"): ExpressionMatrix =
     m.copy(df = m.df.join(broadcast(genes.select(col(geneCol).as(m.gene)).distinct()),
