@@ -1,7 +1,7 @@
 package graft
 
 import graft.model.ExpressionMatrix
-import graft.operators.{DiffExpr, Meta, Normalize, TextDedup}
+import graft.operators.{DiffExpr, Filters, Meta, Normalize, TextDedup}
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
@@ -16,6 +16,23 @@ class PropertySpec extends SparkSpec {
 
   private def cases[A](g: Gen[A], n: Int = 5): Seq[A] =
     (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("topFracBySdNonZero equals dropZeroVariance then topFracBySd") {
+    val gen = Gen.listOfN(30, Gen.choose(0.0, 50.0))
+    for ((vals, fracRaw) <- cases(Gen.zip(gen, Gen.choose(0.1, 0.9)))) {
+      // 10 genes x 3 samples; every third gene constant (sd == 0)
+      val rows = vals.zipWithIndex.map { case (v, i) =>
+        val g = i % 10
+        (s"g$g", s"s${i / 10}", if (g % 3 == 0) 7.0 else v)
+      }
+      val m = ExpressionMatrix(rows.toDF("gene_id", "sample_id", "value"))
+      def rowSet(mx: ExpressionMatrix) =
+        mx.df.collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+      assert(rowSet(Filters.topFracBySdNonZero(m, fracRaw)) ==
+        rowSet(Filters.topFracBySd(Filters.dropZeroVariance(m), fracRaw)),
+        s"fused SD filter diverged at frac=$fracRaw")
+    }
+  }
 
   test("quantile normalisation preserves within-sample rank order") {
     val gen = Gen.listOfN(12, Gen.choose(0.0, 100.0))
