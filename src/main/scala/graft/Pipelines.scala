@@ -161,8 +161,9 @@ object Pipelines {
         .withColumn("platform", lit(name))
     }.reduce(_ unionByName _)
 
+    // the inner join below already restricts to meanIcc's gene set —
+    // no separate semi-join needed
     val withIcc = perPlatform
-      .join(meanIcc.withColumnRenamed("mean_icc", "icc"), Seq("gene_id"), "left_semi")
       .join(meanIcc.withColumnRenamed("mean_icc", "icc"), Seq("gene_id"))
     Meta.weightedStouffer(withIcc)
   }

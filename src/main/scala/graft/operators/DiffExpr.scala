@@ -408,7 +408,12 @@ object DiffExpr {
         .otherwise(lit(0)))
 
   /** A13 — topTable: ranked DE table sorted by p (reference
-    * `sort.by="p"`, `DiffExpression_closedPlatform.R:600`). */
+    * `sort.by="p"`, `DiffExpression_closedPlatform.R:600`).
+    *
+    * BH runs through [[bhAdjustScalable]] (numerically identical to
+    * [[bhAdjust]], proven by spec) so the one operator users point
+    * data-sized p-relations at never hits a single-partition global
+    * window. */
   def topTable(de: DataFrame, p: String = "p", gene: String = "gene_id"): DataFrame =
-    bhAdjust(de, p, Seq(col(gene))).orderBy(col(p).asc, col(gene).asc)
+    bhAdjustScalable(de, p, Seq(col(gene))).orderBy(col(p).asc, col(gene).asc)
 }

@@ -323,7 +323,12 @@ object Meta {
     val obsStats = m.canonical.df.join(broadcast(groups), Seq("sample_id"))
       .groupBy("gene_id", "group")
       .agg(count(lit(1)).as("n"), avg("value").as("mean"), var_samp("value").as("var"))
+    // obs is gene-sized and consumed by three actions below (the
+    // count, the exceedance join, and the ranked final join) —
+    // materialize it once so the matrix aggregation doesn't
+    // re-execute per consumer.
     val obs = zOf(obsStats, Nil).select(col("gene_id"), abs(col("z")).as("z_obs"))
+      .localCheckpoint(true)
 
     val permLabels = permutationLabels(groups.select(col("sample_id"), col("group")),
       "sample_id", "group", nperm, md5Hashes)
