@@ -75,10 +75,18 @@ object Pipelines {
     * (`GenExpressionComb_RNAseq.R` + `DiffExpression_openPlatform.R`):
     * special-counter filter, outlier removal, zero-count partition,
     * CQN-lite normalisation with the <2→0 floor, ComBat, top-SD
-    * filter, Welch DE. */
+    * filter, then the reference's voom fit
+    * (`DiffExpression_openPlatform.R:423-515`): de-log back to
+    * normalised read counts (`2^x`, `x==1 → 0`), voom log2-CPM +
+    * per-observation precision weights, weighted cell-means lmFit,
+    * eBayes moderated t. With `replicates` declared, the REML
+    * duplicateCorrelation consensus deflates effective n (the
+    * reference's `lmFit(..., block=biolrep, cor=corfit$consensus)`
+    * branch at :457-475). */
   def openPlatformDE(counts: ExpressionMatrix, outliers: DataFrame,
       batches: DataFrame, groups: DataFrame, groupA: String, groupB: String,
-      sdFrac: Double = 0.5, geneInfo: Option[DataFrame] = None): DataFrame = {
+      sdFrac: Double = 0.5, geneInfo: Option[DataFrame] = None,
+      replicates: Option[DataFrame] = None, voomBins: Int = 20): DataFrame = {
     val cleaned = Filters.removeOutliers(Filters.dropSpecialCounters(counts), outliers)
     val (nonzero, _) = Filters.partitionZeroCounts(cleaned)
     // with (gc, length) gene info the full conditional quantile
@@ -94,9 +102,28 @@ object Pipelines {
     }).canonical.df.localCheckpoint(true))
     val adjusted = ExpressionMatrix(
       Batch.combat(normalized, batches).canonical.df.localCheckpoint(true))
-    val filtered = Filters.topFracBySdNonZero(adjusted, sdFrac)
-    val stats = DiffExpr.groupStats(filtered, groups)
-    DiffExpr.topTable(DiffExpr.welchT(stats, "group", groupA, groupB))
+    // checkpoint ahead of voom: the trend fit hits the filtered matrix
+    // with several actions (library scalar, anchor collect, the fit)
+    val filtered = ExpressionMatrix(
+      Filters.topFracBySdNonZero(adjusted, sdFrac).canonical.df.localCheckpoint(true))
+    // de-log to normalised read counts (R:423-425: `data_combat <-
+    // 2^data_combat; data_combat[data_combat == 1] <- 0` — restores
+    // the exact zeros the <2→0 floor produced)
+    val delogged = ExpressionMatrix(filtered.df.withColumn("value",
+      when(col("value") === 1.0, 0.0).otherwise(pow(lit(2.0), col("value")))))
+    val vw = Normalize.voom(delogged, groups, bins = voomBins)
+    val stats0 = DiffExpr.groupStatsObsWeighted(vw, groups)
+    val stats = replicates match {
+      case Some(reps) =>
+        val (_, rho) = DiffExpr.duplicateCorrelationReml(
+          ExpressionMatrix(vw.select("gene_id", "sample_id", "value")), reps, groups)
+        val avgReps = reps.groupBy("unit").agg(count(lit(1)).as("m"))
+          .agg(avg("m")).head().getDouble(0)
+        DiffExpr.deflateForBlocking(stats0, rho, avgReps)
+      case None => stats0
+    }
+    DiffExpr.topTable(
+      DiffExpr.moderatedT(stats, "group", groupA, groupB).withColumnRenamed("p_mod", "p"))
   }
 
   /** E4 — training-data text curation (the brief's LLM-pipeline

@@ -51,6 +51,42 @@ object DiffExpr {
       .withColumn("n", col("__sw") * col("__sw") / col("__sw2"))
       .select(col("gene_id"), col(groupCol), col("n"), col("mean"), col("var"))
 
+  /** A15 wiring — per-(gene, group) sufficient statistics under
+    * per-OBSERVATION precision weights (limma voom: `lmFit(v$E,
+    * design, weights = v$weights)`,
+    * `DiffExpression_openPlatform.R:442-457`). Same Kish effective-n
+    * algebra as [[groupStatsWeighted]] with the weight varying per
+    * cell. Input `vw` is the [[graft.operators.Normalize.voom]] output
+    * (gene_id, sample_id, value, weight); output is schema-compatible
+    * with [[groupStats]] — drop-in for [[welchT]]/[[moderatedT]]. */
+  def groupStatsObsWeighted(vw: DataFrame, groups: DataFrame,
+      groupCol: String = "group"): DataFrame =
+    vw.join(broadcast(groups), Seq("sample_id"))
+      .groupBy(col("gene_id"), col(groupCol))
+      .agg(sum("weight").as("__sw"), sum(col("weight") * col("weight")).as("__sw2"),
+           sum(col("weight") * col("value")).as("__swx"),
+           sum(col("weight") * col("value") * col("value")).as("__swx2"))
+      .withColumn("mean", col("__swx") / col("__sw"))
+      .withColumn("var",
+        (col("__swx2") - col("__swx") * col("__swx") / col("__sw")) /
+          (col("__sw") - col("__sw2") / col("__sw")))
+      .withColumn("n", col("__sw") * col("__sw") / col("__sw2"))
+      .select(col("gene_id"), col(groupCol), col("n"), col("mean"), col("var"))
+
+  /** A14×A15 — combined precision weights. When limma gets both
+    * `arrayWeights` and voom weights it multiplies them per
+    * observation (`lmFit(..., weights = w)` with
+    * `w = voom$weights * matrix(arrayw, nrow=G, ncol=n, byrow=TRUE)`):
+    * w_gj = obsW_gj · arrayW_j. Either side at unit weight degrades to
+    * the other (KernelSpec property). `obsW` is a voom-shaped relation
+    * (gene_id, sample_id, value, weight); `arrayW` is sample-keyed
+    * (sample_id, weight). Output is voom-shaped — drop-in for
+    * [[groupStatsObsWeighted]]. */
+  def combineObsWeights(obsW: DataFrame, arrayW: DataFrame): DataFrame =
+    obsW.join(broadcast(arrayW.withColumnRenamed("weight", "__aw")), Seq("sample_id"))
+      .withColumn("weight", col("weight") * col("__aw"))
+      .drop("__aw")
+
   /** A11 blocking wiring — the duplicateCorrelation consensus ρ enters
     * the fit as a design effect (`DiffExpression_closedPlatform.R:
     * 489-507`: limma passes `correlation=corfit$consensus` into lmFit

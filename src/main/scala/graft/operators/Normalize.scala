@@ -68,6 +68,94 @@ object Normalize {
         (lit(1.0) / (col("trend_sqrt_sd") * col("trend_sqrt_sd") * col("trend_sqrt_sd") * col("trend_sqrt_sd"))).as("weight"))
   }
 
+  /** A15 — voom (limma `voom`; the reference's open-platform DE fit,
+    * `DiffExpression_openPlatform.R:427-445`: `DGEList` → `voom(DGEdata,
+    * mod)` whose `$E`/`$weights` feed `lmFit`): log2-CPM with
+    * per-OBSERVATION precision weights from the mean–variance trend.
+    *
+    * Mirrors limma's structure with the lowess replaced by a
+    * deterministic binned piecewise-linear trend:
+    *  1. y = log2((count+0.5)/(lib+1)·1e6); first-pass UNWEIGHTED
+    *     cell-means fit, so each observation's fitted value is its
+    *     (gene, group) mean of y;
+    *  2. per-gene trend point: sx = Amean + mean(log2(lib+1)) −
+    *     log2 1e6 (the mean log2-count), sy = sqrt(residual sd)
+    *     (quarter-root variance), exactly voom's (sx, sy);
+    *  3. trend = piecewise-linear through `bins` anchor points (per-bin
+    *     means of sx and sy over genes ranked by sx), flat beyond the
+    *     end anchors — limma's `approxfun(lowess(sx,sy), rule=2)` with
+    *     the smoother swapped for the binned fit;
+    *  4. per observation: fitted log2-count x = fitted + log2(lib_s+1)
+    *     − log2 1e6, weight = 1/trend(x)⁴.
+    *
+    * Rank/comparison-sensitive quantities (sx, anchors, x) round at
+    * 1e-6 with the catalog's +1e-9 jitter so binning and segment
+    * choice reproduce across engines. Anchors are gene-grain-bounded
+    * (≤ bins rows, collected and folded into the plan as literals);
+    * everything else is keyed aggregation — one shuffle per step.
+    *
+    * Returns (gene_id, sample_id, value = log2-CPM, weight) for the
+    * samples present in `groups` (the design voom fits against). */
+  def voom(counts: ExpressionMatrix, groups: DataFrame, bins: Int = 20,
+      groupCol: String = "group"): DataFrame = {
+    val spark = counts.df.sparkSession
+    import spark.implicits._
+    val c = counts.canonical.df
+    val libs = c.groupBy("sample_id").agg(sum("value").as("__lib"))
+    val meanLogLib = libs.agg(avg(log2(col("__lib") + 1.0))).head().getDouble(0)
+    val log2e6 = math.log(1e6) / math.log(2.0)
+    val y = c.join(libs, Seq("sample_id"))
+      .withColumn("__loglib", log2(col("__lib") + 1.0))
+      .withColumn("value", log2((col("value") + 0.5) / (col("__lib") + 1.0) * 1e6))
+      .join(broadcast(groups.select(col("sample_id"), col(groupCol))), Seq("sample_id"))
+    val cells = y.groupBy(col("gene_id"), col(groupCol)).agg(avg("value").as("__mu"))
+    val obs = y.join(cells, Seq("gene_id", groupCol))
+      .select(col("gene_id"), col("sample_id"), col(groupCol), col("value"),
+        col("__loglib"), col("__mu"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-gene trend points (genes with residual df and nonzero SS)
+    val perGene = obs.groupBy("gene_id")
+      .agg(avg("value").as("__amean"),
+           sum((col("value") - col("__mu")) * (col("value") - col("__mu"))).as("__ss"),
+           count(lit(1)).as("__n"), countDistinct(col(groupCol)).as("__k"))
+      .filter(col("__n") > col("__k") && col("__ss") > 0)
+      .select(col("gene_id"),
+        round(col("__amean") + lit(meanLogLib - log2e6) + lit(1e-9), 6).as("__sx"),
+        sqrt(sqrt(col("__ss") / (col("__n") - col("__k")))).as("__sy"))
+    val wBin = Window.orderBy(col("__sx").asc, col("gene_id").asc)
+    val anch: Array[(Double, Double)] = perGene
+      .withColumn("__b", ntile(bins).over(wBin))
+      .groupBy("__b")
+      .agg(round(avg("__sx") + lit(1e-9), 6).as("ax"),
+           round(avg("__sy") + lit(1e-9), 6).as("ay"))
+      .orderBy("__b")
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    val xObs = round(col("__mu") + col("__loglib") - lit(log2e6) + lit(1e-9), 6)
+    if (anch.length < 2) {
+      // degenerate trend (≤1 anchor): constant weight
+      val t = anch.headOption.map(_._2).getOrElse(1.0)
+      return obs.select(col("gene_id"), col("sample_id"), col("value"),
+        lit(1.0 / ((t * t) * (t * t))).as("weight"))
+    }
+    val segs = anch.sliding(2).zipWithIndex.map {
+      case (Array((x0, y0), (x1, y1)), k) => (k, x0, x1, y0, y1)
+    }.toSeq
+    val segsDf = broadcast(segs.toDF("__seg", "x0", "x1", "y0", "y1"))
+    // segment index = count of interior anchors strictly below x
+    val segExpr = anch.map(_._1).drop(1).dropRight(1)
+      .foldLeft(lit(0)) { (acc, ax) => acc + (col("__x") > ax).cast("int") }
+    val xc = least(greatest(col("__x"), col("x0")), col("x1"))
+    val tt = when(col("x1") > col("x0"),
+        col("y0") + (col("y1") - col("y0")) * (xc - col("x0")) / (col("x1") - col("x0")))
+      .otherwise(col("y0"))
+    obs.withColumn("__x", xObs)
+      .withColumn("__seg", segExpr)
+      .join(segsDf, Seq("__seg"))
+      .withColumn("__t", tt)
+      .select(col("gene_id"), col("sample_id"), col("value"),
+        (lit(1.0) / ((col("__t") * col("__t")) * (col("__t") * col("__t")))).as("weight"))
+  }
+
   /** A16 — CQN-lite: per-dataset quantile normalisation plus the
     * reference's post-CQN floor (`GenExpressionComb_RNAseq.R:183-201`:
     * spline-based conditional quantile normalisation; v1 implements

@@ -359,8 +359,11 @@ object ExtraQueries {
     // (Pipelines.openPlatformDE): special-counter filter → outlier
     // removal → zero-count partition → cqnLite (log2-CPM → quantile
     // normalisation → <2→0 floor) → ComBat → zero-var + top-50%-SD
-    // filters → Welch DE. Output stops at (log2fc, t, df) — the t-CDF
-    // and BH tails are separately gated by q14/q10. ----
+    // filters → de-log (2^x, x==1→0) → voom (log2-CPM +
+    // per-observation precision weights from the binned mean-variance
+    // trend) → weighted cell-means fit → eBayes moderated t. Output
+    // stops at (log2fc, t_mod, df_total) — the t-CDF and BH tails are
+    // separately gated by q14/q10. ----
     "q69_e2_chain" -> ((s, dir) => {
       val counts = ExpressionMatrix(t(s, dir, "lineitem")
         .filter(col("l_partkey") <= 400)
@@ -379,8 +382,8 @@ object ExtraQueries {
       graft.Pipelines.openPlatformDE(counts, outliers, batches, groups, "A", "B")
         .select(col("gene_id").cast("long").as("l_partkey"),
           round(col("log2fc") + 1e-5, 2).as("log2fc"),
-          round(col("t") + 1e-7, 4).as("t_stat"),
-          round(col("df") + 1e-5, 2).as("df"))
+          round(col("t_mod") + 1e-7, 4).as("t_mod"),
+          round(col("df_total") + 1e-5, 2).as("df_total"))
         .orderBy("l_partkey")
     }),
 
@@ -946,10 +949,19 @@ object ExtraQueries {
     // inputs, so cross-engine log2 noise cannot flip the QN ranks),
     // per-sample quantile normalisation with the string-gene
     // tie-break, the <2→0 floor, the q44 ComBat recursion, zero-var +
-    // percent_rank top-50%-SD filters, and the Welch fit written with
-    // explicit products (the Scala op order).
+    // percent_rank top-50%-SD filters, then the voom fit: de-log
+    // (2^x, x==1→0), library sizes, log2-CPM, unweighted cell means,
+    // per-gene (sx, sy) trend points, ntile-binned piecewise-linear
+    // trend anchors (rank-sensitive quantities rounded at 1e-6 with
+    // the +1e-9 jitter, exactly the Scala op order), per-observation
+    // fitted-log-count weights 1/t⁴, Kish-weighted group stats, and
+    // the q68 eBayes tail. The d0 prior is pinned at the estimator's
+    // degenerate branch (1e6): on this fixture var(log s²) <
+    // trigamma(dbar/2) at every SF (measured −0.130/−0.047/−0.002 at
+    // sf0.001/0.01/0.1), so the method-of-moments evar is negative and
+    // the Scala path takes d0 = 1e6 deterministically.
     "q69_e2_chain" ->
-      """WITH RECURSIVE cnt AS MATERIALIZED (
+      s"""WITH RECURSIVE cnt AS MATERIALIZED (
            SELECT l_partkey AS gene, l_suppkey AS samp, CAST(sum(l_quantity) AS DOUBLE) AS value
            FROM lineitem WHERE l_partkey <= 400 GROUP BY 1,2),
          outl AS (SELECT s_suppkey AS samp FROM supplier WHERE s_acctbal < 0),
@@ -1017,22 +1029,76 @@ object ExtraQueries {
          fm AS MATERIALIZED (SELECT m1.gene, m1.samp, m1.value FROM m1 JOIN keep2 USING (gene)),
          grp AS (SELECT s_suppkey AS samp,
                         CASE WHEN s_nationkey % 2 = 0 THEN 'A' ELSE 'B' END AS g FROM supplier),
-         st AS (SELECT f.gene, g.g, count(*) AS n, avg(f.value) AS mean, var_samp(f.value) AS var
-                FROM fm f JOIN grp g ON g.samp = f.samp GROUP BY 1,2),
-         wide AS (SELECT gene,
-                         max(CASE WHEN g='A' THEN n END) AS na, max(CASE WHEN g='A' THEN mean END) AS ma,
-                         max(CASE WHEN g='A' THEN var END) AS va,
-                         max(CASE WHEN g='B' THEN n END) AS nb, max(CASE WHEN g='B' THEN mean END) AS mb,
-                         max(CASE WHEN g='B' THEN var END) AS vb
-                  FROM st GROUP BY 1)
+         dl AS MATERIALIZED (
+           SELECT gene, samp, CASE WHEN value = 1.0 THEN 0e0 ELSE pow(2.0, value) END AS c
+           FROM fm),
+         vlib AS (SELECT samp, sum(c) AS lib FROM dl GROUP BY 1),
+         voff AS (SELECT avg(log2(lib + 1.0)) - log2(1e6) AS off FROM vlib),
+         vy AS MATERIALIZED (
+           SELECT dl.gene, dl.samp, log2((dl.c + 0.5)/(l.lib + 1.0) * 1e6) AS y,
+                  log2(l.lib + 1.0) AS loglib
+           FROM dl JOIN vlib l USING (samp)),
+         vg AS MATERIALIZED (
+           SELECT v.gene, v.samp, v.y, v.loglib, g.g FROM vy v JOIN grp g ON g.samp = v.samp),
+         vc AS (SELECT gene, g, avg(y) AS mu FROM vg GROUP BY 1,2),
+         vo AS MATERIALIZED (
+           SELECT vg.gene, vg.samp, vg.y, vg.g, c.mu,
+                  round(c.mu + vg.loglib - log2(1e6) + 1e-9, 6) AS x
+           FROM vg JOIN vc c ON c.gene = vg.gene AND c.g = vg.g),
+         vp AS (SELECT gene, avg(y) AS amean, sum((y - mu)*(y - mu)) AS ss,
+                       count(*) AS n, count(DISTINCT g) AS k
+                FROM vo GROUP BY 1
+                HAVING count(*) > count(DISTINCT g) AND sum((y - mu)*(y - mu)) > 0),
+         vt AS (SELECT gene, round(amean + (SELECT off FROM voff) + 1e-9, 6) AS sx,
+                       sqrt(sqrt(ss/(n - k))) AS sy FROM vp),
+         va AS MATERIALIZED (
+           SELECT b, round(avg(sx) + 1e-9, 6) AS ax, round(avg(sy) + 1e-9, 6) AS ay
+           FROM (SELECT ntile(20) OVER (ORDER BY sx ASC, CAST(gene AS VARCHAR) ASC) AS b,
+                        sx, sy FROM vt)
+           GROUP BY 1),
+         vord AS (SELECT row_number() OVER (ORDER BY b ASC) AS i, ax, ay FROM va),
+         vsegs AS (SELECT i - 1 AS seg, ax AS x0, ay AS y0,
+                          lead(ax) OVER (ORDER BY i ASC) AS x1,
+                          lead(ay) OVER (ORDER BY i ASC) AS y1
+                   FROM vord QUALIFY lead(ax) OVER (ORDER BY i ASC) IS NOT NULL),
+         vsi AS MATERIALIZED (
+           SELECT o.gene, o.samp, o.y, o.g, o.x,
+                  coalesce(sum(CASE WHEN a.i > 1 AND a.i < (SELECT max(i) FROM vord)
+                                    AND o.x > a.ax THEN 1 ELSE 0 END), 0) AS seg
+           FROM vo o CROSS JOIN vord a GROUP BY 1,2,3,4,5),
+         vtt AS (SELECT s.gene, s.samp, s.y, s.g,
+                        CASE WHEN sg.x1 > sg.x0
+                             THEN sg.y0 + (sg.y1 - sg.y0)
+                                  * (least(greatest(s.x, sg.x0), sg.x1) - sg.x0)/(sg.x1 - sg.x0)
+                             ELSE sg.y0 END AS t
+                 FROM vsi s JOIN vsegs sg ON sg.seg = s.seg),
+         vwt AS MATERIALIZED (
+           SELECT gene, samp, y, g, 1.0/((t*t)*(t*t)) AS w FROM vtt),
+         vws AS (SELECT gene, g AS grp, sum(w) AS sw, sum(w*w) AS sw2,
+                        sum(w*y) AS swx, sum(w*y*y) AS swx2 FROM vwt GROUP BY 1,2),
+         vst AS (SELECT gene, grp, sw*sw/sw2 AS n, swx/sw AS mean,
+                        (swx2 - swx*swx/sw)/(sw - sw2/sw) AS var FROM vws),
+         vper AS (SELECT gene, sum(n) AS n_tot, count(*) AS kk, sum((n-1)*var) AS ss_resid,
+                         max(CASE WHEN grp='A' THEN mean END) AS ma,
+                         max(CASE WHEN grp='B' THEN mean END) AS mb,
+                         max(CASE WHEN grp='A' THEN n END) AS na,
+                         max(CASE WHEN grp='B' THEN n END) AS nb
+                  FROM vst GROUP BY 1),
+         vf AS MATERIALIZED (
+                SELECT gene, ma - mb AS log2fc, na, nb, n_tot - 2 AS df_resid,
+                       ss_resid/(n_tot-2) AS s2 FROM vper
+                WHERE kk = 2 AND n_tot > 2 AND ma IS NOT NULL AND mb IS NOT NULL
+                  AND ss_resid/(n_tot-2) > 0),
+         vmo AS (SELECT avg(ln(s2)) AS zbar, avg(df_resid) AS dbar, avg(df_resid)/2.0 AS dh FROM vf),
+         vs0 AS (SELECT exp(zbar + 13.122362377403995
+                   - ($digammaShifted45 - ($digammaRecurrence45))
+                   + ln(dbar/1e6)) AS s02 FROM vmo)
          SELECT gene AS l_partkey,
-                round(ma - mb + 1e-5, 2) + 0.0 AS log2fc,
-                round((ma - mb) / sqrt(va/na + vb/nb) + 1e-7, 4) + 0.0 AS t_stat,
-                round((va/na + vb/nb)*(va/na + vb/nb)
-                      / ((va/na)*(va/na)/(na-1) + (vb/nb)*(vb/nb)/(nb-1)) + 1e-5, 2) + 0.0 AS df
-         FROM wide
-         WHERE na IS NOT NULL AND nb IS NOT NULL AND na > 1 AND nb > 1 AND (va + vb) > 0
-         ORDER BY 1""",
+                round(log2fc + 1e-5, 2) + 0.0 AS log2fc,
+                round(log2fc / sqrt(((1e6 * s02 + df_resid*s2)/(1e6 + df_resid))
+                      * (1.0/na + 1.0/nb)) + 1e-7, 4) + 0.0 AS t_mod,
+                round(df_resid + 1e6 + 1e-5, 2) + 0.0 AS df_total
+         FROM vf CROSS JOIN vs0 ORDER BY 1""",
 
     // E3 chain replay: the q46 ICC stack (dense grids → gramian-row
     // correlation vectors → corr of corr) gates which genes survive

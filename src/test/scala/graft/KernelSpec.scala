@@ -334,4 +334,59 @@ class KernelSpec extends SparkSpec {
       assert(math.abs(out(("ps1", s)) - (5.0 + e)) < 1e-9,
         s"sample $s: got ${out(("ps1", s))}")
   }
+
+  test("voom: positive per-observation weights, log2-CPM values exact") {
+    val rows = for { g <- 1 to 30; i <- 1 to 8 } yield
+      (s"g$g", s"s$i", ((g * 13 + i * 7) % 50 + 1).toDouble * (if (i % 2 == 0) 1.5 else 1.0))
+    val m = ExpressionMatrix(rows.toDF("gene_id", "sample_id", "value"))
+    val groups = (1 to 8).map(i => (s"s$i", if (i % 2 == 0) "A" else "B"))
+      .toDF("sample_id", "group")
+    val out = Normalize.voom(m, groups, bins = 5)
+    assert(out.count() == 30L * 8)
+    assert(out.filter(col("weight") <= 0 || col("weight").isNull).count() == 0)
+    // values are the plain log2-CPM of the input counts
+    val libs = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val got = out.select("gene_id", "sample_id", "value").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    for ((g, s, c) <- rows.take(20)) {
+      val expect = math.log((c + 0.5) / (libs(s) + 1.0) * 1e6) / math.log(2.0)
+      assert(math.abs(got((g, s)) - expect) < 1e-9)
+    }
+  }
+
+  test("combined voom x array weights degrade to each side at unit weight") {
+    import graft.operators.DiffExpr
+    val rows = for { g <- 1 to 30; i <- 1 to 8 } yield
+      (s"g$g", s"s$i", ((g * 13 + i * 7) % 50 + 1).toDouble * (if (i % 2 == 0) 1.5 else 1.0))
+    val m = ExpressionMatrix(rows.toDF("gene_id", "sample_id", "value"))
+    val groups = (1 to 8).map(i => (s"s$i", if (i % 2 == 0) "A" else "B"))
+      .toDF("sample_id", "group")
+    val vw = Normalize.voom(m, groups, bins = 5)
+    def statsMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    def assertSame(a: Map[(String, String), (Double, Double, Double)],
+        b: Map[(String, String), (Double, Double, Double)]): Unit = {
+      assert(a.keySet == b.keySet)
+      for (k <- a.keySet) {
+        val ((n1, m1, v1), (n2, m2, v2)) = (a(k), b(k))
+        assert(math.abs(n1 - n2) < 1e-9 && math.abs(m1 - m2) < 1e-9 &&
+          math.abs(v1 - v2) < 1e-9, s"$k: ${a(k)} vs ${b(k)}")
+      }
+    }
+    // unit ARRAY weights: combined == plain voom observation weights
+    val unitArray = (1 to 8).map(i => (s"s$i", 1.0)).toDF("sample_id", "weight")
+    assertSame(
+      statsMap(DiffExpr.groupStatsObsWeighted(vw, groups)),
+      statsMap(DiffExpr.groupStatsObsWeighted(
+        DiffExpr.combineObsWeights(vw, unitArray), groups)))
+    // unit OBSERVATION weights: combined == sample-grain arrayWeights path
+    val someArray = (1 to 8).map(i => (s"s$i", 0.5 + (i % 3) * 0.5)).toDF("sample_id", "weight")
+    val unitObs = vw.withColumn("weight", lit(1.0))
+    assertSame(
+      statsMap(DiffExpr.groupStatsObsWeighted(
+        DiffExpr.combineObsWeights(unitObs, someArray), groups)),
+      statsMap(DiffExpr.groupStatsWeighted(
+        ExpressionMatrix(vw.select("gene_id", "sample_id", "value")), groups, someArray)))
+  }
 }
