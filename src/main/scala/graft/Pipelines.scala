@@ -71,6 +71,54 @@ object Pipelines {
       DiffExpr.moderatedT(stats, "group", groupA, groupB).withColumnRenamed("p_mod", "p"))
   }
 
+  /** E1 multi-contrast — the reference's actual invocation shape: with
+    * k ≥ 2 groups declared, ONE run fits all C(k,2) pairwise contrasts
+    * against a single cell-means model and moderates them with one
+    * shared eBayes fit (`combn` + `makeContrasts` + `contrasts.fit` +
+    * `eBayes`, `DiffExpression_closedPlatform.R:511-556`), then calls
+    * significance per contrast (`decideTests`, :580) — the input to
+    * the venn over the contrast matrix (:588-594, [[SetOps]] Venn
+    * family). Same front end as [[closedPlatformDE]] (probe filter →
+    * dedup → bind → ComBat → fused SD filter → REML arrayWeights);
+    * returns the long contrast table (gene_id, contrast, log2fc,
+    * t_mod, df_total, p_mod, p_bh, sig) with BH adjusted separately
+    * per contrast (limma `decideTests(method="separate")`). */
+  def closedPlatformDEMulti(datasets: Seq[(String, ExpressionMatrix)],
+      annot: DataFrame, flat: DataFrame, outliers: DataFrame, groups: DataFrame,
+      sdFrac: Double = 0.6, replicates: Option[DataFrame] = None,
+      remlIters: Int = 50, remlTol: Double = 1e-8, alpha: Double = 0.05,
+      minLfc: Double = 0.0): DataFrame = {
+    val perDataset = datasets.map { case (name, probes) =>
+      val cleaned = Filters.keepReliableProbes(
+        Filters.removeOutliers(probes, outliers), flat, "probe")
+      name -> Dedup.maxVarianceDedup(cleaned, annot, "probe", "gene_id")
+    }
+    val bound = ExpressionMatrix(SetOps.bindDatasets(perDataset)
+      .select("gene_id", "sample_id", "value", "dataset"))
+    val adjusted = ExpressionMatrix(Batch.combat(
+        ExpressionMatrix(bound.df.select("gene_id", "sample_id", "value")),
+        bound.df.select(col("sample_id"), col("dataset").as("batch")).distinct())
+      .canonical.df.localCheckpoint(true))
+    val filtered = ExpressionMatrix(
+      Filters.topFracBySdNonZero(adjusted, sdFrac)
+        .canonical.df.localCheckpoint(true))
+    val weights = DiffExpr.arrayWeightsReml(filtered, groups,
+      maxIter = remlIters, tol = remlTol)
+    val stats0 = DiffExpr.groupStatsWeighted(filtered, groups, weights)
+    val stats = replicates match {
+      case Some(reps) =>
+        val (_, rho) = DiffExpr.duplicateCorrelationReml(filtered, reps, groups)
+        val avgReps = reps.groupBy("unit").agg(count(lit(1)).as("m"))
+          .agg(avg("m")).head().getDouble(0)
+        DiffExpr.deflateForBlocking(stats0, rho, avgReps)
+      case None => stats0
+    }
+    val de = DiffExpr.moderatedTAll(stats)
+    DiffExpr.decideTests(
+      DiffExpr.bhAdjustGrouped(de, "p_mod", Seq(col("contrast")), Seq(col("gene_id"))),
+      pAdj = "p_bh", lfc = "log2fc", alpha = alpha, minLfc = minLfc)
+  }
+
   /** E2 — open-platform (RNA-seq) differential expression
     * (`GenExpressionComb_RNAseq.R` + `DiffExpression_openPlatform.R`):
     * special-counter filter, outlier removal, zero-count partition,

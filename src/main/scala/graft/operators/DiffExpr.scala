@@ -45,9 +45,12 @@ object DiffExpr {
            sum(col("weight") * col("value")).as("__swx"),
            sum(col("weight") * col("value") * col("value")).as("__swx2"))
       .withColumn("mean", col("__swx") / col("__sw"))
+      // single-observation cells have zero weighted-variance df
+      // (Σw − Σw²/Σw = 0): NULL, matching var_samp's n=1 semantics
       .withColumn("var",
-        (col("__swx2") - col("__swx") * col("__swx") / col("__sw")) /
-          (col("__sw") - col("__sw2") / col("__sw")))
+        when(col("__sw") - col("__sw2") / col("__sw") > 0,
+          (col("__swx2") - col("__swx") * col("__swx") / col("__sw")) /
+            (col("__sw") - col("__sw2") / col("__sw"))))
       .withColumn("n", col("__sw") * col("__sw") / col("__sw2"))
       .select(col("gene_id"), col(groupCol), col("n"), col("mean"), col("var"))
 
@@ -67,9 +70,11 @@ object DiffExpr {
            sum(col("weight") * col("value")).as("__swx"),
            sum(col("weight") * col("value") * col("value")).as("__swx2"))
       .withColumn("mean", col("__swx") / col("__sw"))
+      // single-observation cells: NULL var (see groupStatsWeighted)
       .withColumn("var",
-        (col("__swx2") - col("__swx") * col("__swx") / col("__sw")) /
-          (col("__sw") - col("__sw2") / col("__sw")))
+        when(col("__sw") - col("__sw2") / col("__sw") > 0,
+          (col("__swx2") - col("__swx") * col("__swx") / col("__sw")) /
+            (col("__sw") - col("__sw2") / col("__sw"))))
       .withColumn("n", col("__sw") * col("__sw") / col("__sw2"))
       .select(col("gene_id"), col(groupCol), col("n"), col("mean"), col("var"))
 
@@ -168,6 +173,66 @@ object DiffExpr {
       .withColumn("df_total", col("df_resid") + lit(d0))
       .withColumn("p_mod", graft.functions.StatFunctions.tP2(col("t_mod"), col("df_total")))
       .select(col(gene), col("log2fc"), col("t_mod"), col("df_total"), col("p_mod"))
+  }
+
+  /** A12 multi-contrast — the reference fits ALL C(k,2) pairwise
+    * contrasts per invocation (`combn` + `makeContrasts` +
+    * `contrasts.fit` + `eBayes`,
+    * `DiffExpression_closedPlatform.R:511-556` and the identical block
+    * in `DiffExpression_openPlatform.R:485-515`): ONE cell-means fit
+    * over all k groups (per-gene residual df = n − k pooled across
+    * every group), ONE eBayes method-of-moments fit, and every
+    * pairwise contrast shares the same posterior variance s²_post.
+    * Contrast names follow the reference's `paste(a, b, sep="vs")`
+    * over the sorted group levels (R factor level order).
+    *
+    * Output: (gene, contrast, log2fc, t_mod, df_total, p_mod) — one
+    * row per gene per contrast. The group-label set is
+    * reference-bounded, so the pair relation broadcasts; everything
+    * else is the same keyed aggregation as [[moderatedT]]. */
+  def moderatedTAll(stats: DataFrame, groupCol: String = "group",
+      gene: String = "gene_id"): DataFrame = {
+    val spark = stats.sparkSession
+    import spark.implicits._
+    val perGene = stats
+      .groupBy(col(gene))
+      .agg(sum(col("n")).as("n_tot"), count(lit(1)).as("k"),
+           sum((col("n") - 1) * col("var")).as("ss_resid"))
+      .filter(col("n_tot") > col("k"))
+      .withColumn("df_resid", col("n_tot") - col("k"))
+      .withColumn("s2", col("ss_resid") / col("df_resid"))
+      .filter(col("s2") > 0)
+    val moments = perGene
+      .select(avg(log(col("s2"))).as("zbar"), var_samp(log(col("s2"))).as("zvar"),
+              avg(col("df_resid").cast("double")).as("dbar"))
+      .collect()(0)
+    val (zbar, zvar, dbar) = (moments.getDouble(0), moments.getDouble(1), moments.getDouble(2))
+    val evar = zvar - StatKernels.trigamma(dbar / 2.0)
+    val d0 = if (evar > 0) 2.0 * StatKernels.trigammaInverse(evar) else 1e6
+    val s02 = math.exp(zbar + StatKernels.digamma(d0 / 2.0) - StatKernels.digamma(dbar / 2.0) +
+      math.log(dbar / d0))
+    val labels = stats.select(col(groupCol)).distinct()
+      .collect().map(_.getString(0)).sorted
+    val pairs = labels.combinations(2).collect { case Array(a, b) => (a, b, s"${a}vs$b") }.toSeq
+    val pairsDf = broadcast(pairs.toDF("__ga", "__gb", "contrast"))
+    val sa = stats.select(col(gene), col(groupCol).as("__ga"),
+      col("n").as("na"), col("mean").as("ma"))
+    val sb = stats.select(col(gene), col(groupCol).as("__gb"),
+      col("n").as("nb"), col("mean").as("mb"))
+    perGene
+      .withColumn("s2_post",
+        (lit(d0) * lit(s02) + col("df_resid") * col("s2")) / (lit(d0) + col("df_resid")))
+      .crossJoin(pairsDf)
+      .join(sa, Seq(gene, "__ga"))
+      .join(sb, Seq(gene, "__gb"))
+      .filter(col("na") > 0 && col("nb") > 0)
+      .withColumn("log2fc", col("ma") - col("mb"))
+      .withColumn("t_mod", col("log2fc") /
+        sqrt(col("s2_post") * (lit(1.0) / col("na") + lit(1.0) / col("nb"))))
+      .withColumn("df_total", col("df_resid") + lit(d0))
+      .withColumn("p_mod", graft.functions.StatFunctions.tP2(col("t_mod"), col("df_total")))
+      .select(col(gene), col("contrast"), col("log2fc"), col("t_mod"),
+        col("df_total"), col("p_mod"))
   }
 
   /** A11 blocking — duplicateCorrelation, exact REML estimator
@@ -434,6 +499,26 @@ object DiffExpr {
       .withColumn(out, least(lit(1.0),
         least(col("__lmin"), coalesce(col("__sufmin"), lit(Double.MaxValue)))))
       .drop("__pid", "__lrk", "__off", "__n", "__rk", "__cand", "__lmin", "__sufmin")
+  }
+
+  /** W5/A13 — BH within groups (limma `decideTests(method="separate")`
+    * adjusts each contrast's p column independently): the [[bhAdjust]]
+    * window program with every window additionally partitioned by
+    * `partCols`. Each partition holds one test set (≤ genes rows per
+    * contrast), so the windows are gene-grain bounded — the shape the
+    * multi-contrast chain needs at scale. */
+  def bhAdjustGrouped(df: DataFrame, p: String, partCols: Seq[Column],
+      tiebreak: Seq[Column], out: String = "p_bh"): DataFrame = {
+    val n = count(lit(1)).over(Window.partitionBy(partCols: _*))
+    val wRank = Window.partitionBy(partCols: _*)
+      .orderBy(col(p).asc +: tiebreak.map(_.asc): _*)
+    val wRevCum = Window.partitionBy(partCols: _*)
+      .orderBy(col(p).desc +: tiebreak.map(_.desc) :+ col("__rk").desc: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__n", n)
+      .withColumn("__rk", row_number().over(wRank))
+      .withColumn(out, least(lit(1.0), min(col(p) * col("__n") / col("__rk")).over(wRevCum)))
+      .drop("__n", "__rk")
   }
 
   /** A13 — decideTests: significance call at (α, lfc) thresholds. */

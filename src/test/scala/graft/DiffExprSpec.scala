@@ -100,4 +100,51 @@ class DiffExprSpec extends SparkSpec {
       .as[String].collect().sorted
     assert(kept.toSeq == Seq("mid", "wild"))
   }
+
+  test("moderatedTAll with two groups equals moderatedT; three groups share one posterior") {
+    val rows = for { g <- 1 to 25; grp <- Seq("A", "B"); i <- 1 to 5 } yield
+      (s"g$g", s"s$grp$i", grp,
+        g.toDouble + (if (grp == "A") 0.5 else 0.0) + ((g * 7 + i * 3) % 11) * 0.1)
+    val stats = rows.toDF("gene_id", "sample_id", "group", "value")
+      .groupBy("gene_id", "group")
+      .agg(count(lit(1)).cast("double").as("n"), avg("value").as("mean"),
+           var_samp("value").as("var"))
+    val two = DiffExpr.moderatedT(stats, "group", "A", "B").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val all = DiffExpr.moderatedTAll(stats).filter(col("contrast") === "AvsB").collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(two.keySet == all.keySet && two.nonEmpty)
+    for (k <- two.keySet) {
+      val ((f1, t1, d1), (f2, t2, d2)) = (two(k), all(k))
+      assert(math.abs(f1 - f2) < 1e-9 && math.abs(t1 - t2) < 1e-9 && math.abs(d1 - d2) < 1e-9)
+    }
+    // three groups: C(3,2) contrasts, one shared residual pooling
+    val rows3 = for { g <- 1 to 25; grp <- Seq("A", "B", "C"); i <- 1 to 5 } yield
+      (s"g$g", s"s$grp$i", grp, g.toDouble + ((g * 7 + i * 3 + grp.hashCode % 5) % 11) * 0.1)
+    val stats3 = rows3.toDF("gene_id", "sample_id", "group", "value")
+      .groupBy("gene_id", "group")
+      .agg(count(lit(1)).cast("double").as("n"), avg("value").as("mean"),
+           var_samp("value").as("var"))
+    val all3 = DiffExpr.moderatedTAll(stats3)
+    assert(all3.select("contrast").distinct().as[String].collect().sorted.toSeq ==
+      Seq("AvsB", "AvsC", "BvsC"))
+    // df_total identical across contrasts of one gene (shared pooling)
+    val spread = all3.groupBy("gene_id")
+      .agg((max("df_total") - min("df_total")).as("d")).agg(max("d")).head().getDouble(0)
+    assert(spread < 1e-9)
+  }
+
+  test("bhAdjustGrouped equals bhAdjust applied within each group") {
+    val rows = for { c <- Seq("x", "y"); g <- 1 to 40 } yield
+      (s"g$g", c, ((g * 17 + c.hashCode) % 100 + 1) / 100.0)
+    val df = rows.toDF("gene_id", "contrast", "p")
+    val grouped = DiffExpr.bhAdjustGrouped(df, "p", Seq(col("contrast")), Seq(col("gene_id")))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    for (c <- Seq("x", "y")) {
+      val single = DiffExpr.bhAdjust(df.filter(col("contrast") === c), "p", Seq(col("gene_id")))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+      for ((k, v) <- single)
+        assert(math.abs(grouped(k) - v) < 1e-12, s"$k: ${grouped(k)} vs $v")
+    }
+  }
 }
