@@ -135,6 +135,37 @@ object Pipelines {
       batches: DataFrame, groups: DataFrame, groupA: String, groupB: String,
       sdFrac: Double = 0.5, geneInfo: Option[DataFrame] = None,
       replicates: Option[DataFrame] = None, voomBins: Int = 20): DataFrame = {
+    val stats = openPlatformStats(counts, outliers, batches, groups, sdFrac,
+      geneInfo, replicates, voomBins)
+    DiffExpr.topTable(
+      DiffExpr.moderatedT(stats, "group", groupA, groupB).withColumnRenamed("p_mod", "p"))
+  }
+
+  /** E2 multi-contrast — the open-platform script runs the identical
+    * all-pairs contrast block as E1 (`combn` + `makeContrasts` +
+    * `contrasts.fit` + `eBayes`,
+    * `DiffExpression_openPlatform.R:485-515`) on the voom-weighted
+    * fit. Returns the long contrast table with per-contrast BH + sig
+    * calls, like [[closedPlatformDEMulti]]. */
+  def openPlatformDEMulti(counts: ExpressionMatrix, outliers: DataFrame,
+      batches: DataFrame, groups: DataFrame, sdFrac: Double = 0.5,
+      geneInfo: Option[DataFrame] = None, replicates: Option[DataFrame] = None,
+      voomBins: Int = 20, alpha: Double = 0.05, minLfc: Double = 0.0): DataFrame = {
+    val stats = openPlatformStats(counts, outliers, batches, groups, sdFrac,
+      geneInfo, replicates, voomBins)
+    val de = DiffExpr.moderatedTAll(stats)
+    DiffExpr.decideTests(
+      DiffExpr.bhAdjustGrouped(de, "p_mod", Seq(col("contrast")), Seq(col("gene_id"))),
+      pAdj = "p_bh", lfc = "log2fc", alpha = alpha, minLfc = minLfc)
+  }
+
+  /** Shared E2 front end up to the voom-weighted per-(gene, group)
+    * sufficient statistics — everything before the contrast shape
+    * diverges. */
+  private def openPlatformStats(counts: ExpressionMatrix, outliers: DataFrame,
+      batches: DataFrame, groups: DataFrame, sdFrac: Double,
+      geneInfo: Option[DataFrame], replicates: Option[DataFrame],
+      voomBins: Int): DataFrame = {
     val cleaned = Filters.removeOutliers(Filters.dropSpecialCounters(counts), outliers)
     val (nonzero, _) = Filters.partitionZeroCounts(cleaned)
     // with (gc, length) gene info the full conditional quantile
@@ -161,7 +192,7 @@ object Pipelines {
       when(col("value") === 1.0, 0.0).otherwise(pow(lit(2.0), col("value")))))
     val vw = Normalize.voom(delogged, groups, bins = voomBins)
     val stats0 = DiffExpr.groupStatsObsWeighted(vw, groups)
-    val stats = replicates match {
+    replicates match {
       case Some(reps) =>
         val (_, rho) = DiffExpr.duplicateCorrelationReml(
           ExpressionMatrix(vw.select("gene_id", "sample_id", "value")), reps, groups)
@@ -170,8 +201,6 @@ object Pipelines {
         DiffExpr.deflateForBlocking(stats0, rho, avgReps)
       case None => stats0
     }
-    DiffExpr.topTable(
-      DiffExpr.moderatedT(stats, "group", groupA, groupB).withColumnRenamed("p_mod", "p"))
   }
 
   /** E4 — training-data text curation (the brief's LLM-pipeline

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale spot-proof (docs/SCALING.md): derive a 10× dataset from
+  * sf0.1 — no sf1.0 parquet exists in the container — and wall-clock
+  * the headline queries at both sizes.
+  *
+  * Derivation mirrors how TPC-H itself scales (suppliers / lineitems /
+  * documents grow with SF, the fixtures' gene caps hold the gene axis
+  * fixed): 10 copies of each fact table with the supplier / document
+  * key axis shifted per copy. Document text is perturbed per copy
+  * (`e` → `e<c>`) so the corpus gains genuinely distinct documents —
+  * plain replication would collapse in the exact-dedup stage and
+  * near-identical perturbations would explode the near-dup pair
+  * relation instead of scaling it.
+  *
+  * Usage: runMain graft.ScaleProbe [q46_icc,q47_perm_fdr,...]
+  */
+object ScaleProbe {
+  // q46 is NOT in this list: the ICC kernel's scaling axis is the GENE
+  // dimension (O(G·s²) with the cohort s contract-bounded — see
+  // docs/SCALING.md); scaling the supplier axis 10× would probe a
+  // shape the operator explicitly excludes (and allocates s² moment
+  // matrices for). It gets its own gene-axis probe below.
+  private val headline = Seq("q47_perm_fdr", "q65_text_curation",
+    "q68_e1_chain", "q35_minhash_lsh")
+
+  def main(args: Array[String]): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val dst = "target/scale/sf1x"
+    val copies = 10
+    val queries = if (args.nonEmpty) args(0).split(",").toSeq else headline
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val keyShift = 10000000L
+    def replicate(table: String, derive: (DataFrame, Int) => DataFrame): Unit = {
+      val out = s"$dst/$table.parquet"
+      if (!new java.io.File(out).exists()) {
+        val base = spark.read.parquet(s"$src/$table.parquet")
+        (0 until copies).map(c => derive(base, c)).reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(out)
+      }
+    }
+    replicate("supplier", (df, c) =>
+      df.withColumn("s_suppkey", col("s_suppkey") + c * keyShift))
+    replicate("lineitem", (df, c) =>
+      df.withColumn("l_suppkey", col("l_suppkey") + c * keyShift)
+        .withColumn("l_orderkey", col("l_orderkey") + c * keyShift))
+    replicate("part", (df, c) =>
+      if (c == 0) df
+      else df.withColumn("p_partkey", col("p_partkey") + c * keyShift))
+    replicate("documents", (df, c) =>
+      if (c == 0) df
+      else df.withColumn("doc_id", col("doc_id") + c * keyShift)
+        .withColumn("text", regexp_replace(col("text"), "e", "e" + c.toString)))
+
+    // best of two runs: the first run pays codegen/JIT/footer costs
+    // that would otherwise inflate the small side (it runs first) and
+    // flatter the ratio
+    def time(dir: String, name: String): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      math.min(once(), once())
+    }
+    // warm the JVM/codegen once
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    val rows = queries.map { q =>
+      val small = time(src, q)
+      val big = time(dst, q)
+      println(f"[scale] $q%-20s sf0.1=$small%8.2fs 10x=$big%8.2fs ratio=${big / small}%6.2f")
+      (q, small, big)
+    }
+    // ICC gene-axis probe: same sf0.1 data, gene cap 100 (the q46
+    // fixture) vs 1000 — 10× along the dimension that actually grows
+    // at corpus scale. O(G·s²) predicts a ~10× ratio.
+    def iccAt(cap: Int): Double = {
+      import graft.model.ExpressionMatrix
+      val li = spark.read.parquet(s"$src/lineitem.parquet")
+        .filter(col("l_partkey") <= cap)
+      def mat(status: String) = ExpressionMatrix(
+        li.filter(col("l_linestatus") === status)
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(avg("l_extendedprice").as("value"))
+          .select(col("l_partkey").cast("string").as("gene_id"),
+            col("l_suppkey").cast("string").as("sample_id"), col("value"))
+          .localCheckpoint(true))
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        graft.operators.Meta.icc(mat("O"), mat("F")).queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      math.min(once(), once())
+    }
+    val (iccSmall, iccBig) = (iccAt(100), iccAt(1000))
+    println(f"[scale] q46_icc(gene-axis)   G=100=$iccSmall%8.2fs G=1000=$iccBig%8.2fs ratio=${iccBig / iccSmall}%6.2f")
+    val js = (rows.map { case (q, s, b) =>
+      f"""\"$q\":{\"sf01\":$s%.3f,\"x10\":$b%.3f,\"ratio\":${b / s}%.3f}""" } :+
+      f"""\"q46_icc_gene_axis\":{\"sf01\":$iccSmall%.3f,\"x10\":$iccBig%.3f,\"ratio\":${iccBig / iccSmall}%.3f}""")
+      .mkString("{", ",", "}")
+    println(s"""[scale-json] {"copies":$copies,"queries":$js}""")
+    spark.stop()
+  }
+}

@@ -49,25 +49,6 @@ object Normalize {
       .drop("lib_size"))
   }
 
-  /** A15 — voom precision weights. The mean–variance trend is fitted
-    * driver-side (lowess on one point per gene — bounded by gene
-    * count, not data size) and broadcast back as a piecewise-linear
-    * lookup, mirroring limma's `voom` structure. The trend fit here is
-    * a simple monotone binned regression: deterministic, no RNG. */
-  def voomWeights(logCpm: ExpressionMatrix, bins: Int = 100): DataFrame = {
-    val perGene = logCpm.df.groupBy(logCpm.geneCol)
-      .agg(avg(logCpm.valueCol).as("mean_lcpm"),
-           sqrt(stddev_samp(logCpm.valueCol)).as("sqrt_sd"))
-      .filter(col("sqrt_sd").isNotNull)
-    // bin by mean, average sqrt-sd per bin -> piecewise-constant trend
-    val binned = perGene
-      .withColumn("__bin", ntile(bins).over(Window.orderBy(col("mean_lcpm").asc, logCpm.geneCol.asc)))
-    val trend = binned.groupBy(col("__bin")).agg(avg(col("sqrt_sd")).as("trend_sqrt_sd"))
-    binned.join(trend, Seq("__bin"))
-      .select(logCpm.geneCol, col("mean_lcpm"),
-        (lit(1.0) / (col("trend_sqrt_sd") * col("trend_sqrt_sd") * col("trend_sqrt_sd") * col("trend_sqrt_sd"))).as("weight"))
-  }
-
   /** A15 — voom (limma `voom`; the reference's open-platform DE fit,
     * `DiffExpression_openPlatform.R:427-445`: `DGEList` → `voom(DGEdata,
     * mod)` whose `$E`/`$weights` feed `lmFit`): log2-CPM with

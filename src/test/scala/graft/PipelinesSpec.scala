@@ -68,6 +68,38 @@ class PipelinesSpec extends SparkSpec {
     assert(!genes.contains("__no_feature") && !genes.contains("gz"))
   }
 
+  test("multi-contrast chains emit all C(3,2) contrasts with per-contrast BH + sig") {
+    val rows = for {
+      g <- 1 to 8; grp <- Seq("A", "B", "C"); i <- 1 to 4
+    } yield {
+      val base = 50 + g * 10 + ((g * 13 + i * 7 + grp.hashCode % 3) % 9) * 8
+      val bump = if (g == 1 && grp == "A") 200 else 0
+      (s"g$g", s"s$grp$i", (base + bump).toDouble, grp)
+    }
+    val counts = ExpressionMatrix(rows.map(r => (r._1, r._2, r._3))
+      .toDF("gene_id", "sample_id", "value"))
+    val outliers = Seq.empty[String].toDF("sample_id")
+    val batches = rows.map(r => (r._2, if (r._2.hashCode % 2 == 0) "b1" else "b2"))
+      .distinct.toDF("sample_id", "batch")
+    val groups = rows.map(r => (r._2, r._4)).distinct.toDF("sample_id", "group")
+    val out = Pipelines.openPlatformDEMulti(counts, outliers, batches, groups,
+      sdFrac = 1.0).collect()
+    assert(out.nonEmpty)
+    val contrasts = out.map(_.getAs[String]("contrast")).toSet
+    assert(contrasts == Set("AvsB", "AvsC", "BvsC"))
+    // per-gene shared pooling: df_total equal across a gene's contrasts
+    val byGene = out.groupBy(_.getAs[String]("gene_id"))
+    for ((_, rs) <- byGene if rs.length > 1) {
+      val dfs = rs.map(_.getAs[Double]("df_total")).distinct
+      assert(dfs.length == 1, s"df_total differs across contrasts: ${dfs.toSeq}")
+    }
+    // sig ∈ {-1, 0, 1} and p_bh within [0, 1]
+    assert(out.forall(r => Set(-1, 0, 1).contains(r.getAs[Int]("sig"))))
+    assert(out.forall { r =>
+      val p = r.getAs[Double]("p_bh"); p >= 0.0 && p <= 1.0
+    })
+  }
+
   test("metaAnalysis combines platforms and requires >=2-platform support") {
     val rows = for {
       plat <- Seq("P1", "P2"); g <- 1 to 12; i <- 1 to 6
