@@ -490,6 +490,34 @@ object ExtraQueries {
         .orderBy("mask")
     }),
 
+    // ---- E2 multi-contrast: the open-platform chain with a 3-level
+    // group factor through voom → ONE pooled weighted fit → all
+    // C(3,2) contrasts (DiffExpression_openPlatform.R:485-515 runs
+    // the identical combn/makeContrasts/eBayes block as E1). ----
+    "q75_e2_multi_contrast" -> ((s, dir) => {
+      val counts = ExpressionMatrix(t(s, dir, "lineitem")
+        .filter(col("l_partkey") <= 400)
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum("l_quantity").as("value"))
+        .select(col("l_partkey").cast("string").as("gene_id"),
+          col("l_suppkey").cast("string").as("sample_id"),
+          col("value").cast("double").as("value")))
+      val sup = t(s, dir, "supplier")
+      val outliers = sup.filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey").cast("string").as("sample_id"))
+      val batches = sup.select(col("s_suppkey").cast("string").as("sample_id"),
+        when(col("s_nationkey") % 3 === 0, "b0").otherwise("b1").as("batch"))
+      val groups = sup.select(col("s_suppkey").cast("string").as("sample_id"),
+        when(col("s_nationkey") % 3 === 0, "A")
+          .when(col("s_nationkey") % 3 === 1, "B").otherwise("C").as("group"))
+      graft.Pipelines.openPlatformDEMulti(counts, outliers, batches, groups)
+        .select(col("gene_id").cast("long").as("l_partkey"), col("contrast"),
+          round(col("log2fc") + 1e-5, 2).as("log2fc"),
+          round(col("t_mod") + 1e-7, 4).as("t_mod"),
+          round(col("df_total") + 1e-5, 2).as("df_total"))
+        .orderBy("l_partkey", "contrast")
+    }),
+
     // ---- J6: annotated topTable — the frozen 8+4 positional
     // contract. Unannotated genes get NA rows (every third gene is
     // left out of the annotation relation); the three annotation
@@ -937,6 +965,134 @@ object ExtraQueries {
            JOIN st b ON b.gene = f.gene AND b.grp = p.gb
            WHERE a.n > 0 AND b.n > 0)"""
 
+  /** Shared E2-chain replay core (q69/q75 oracles): count scan →
+    * special-counter/outlier/zero filters → log2-CPM → quantile
+    * normalisation → <2→0 floor → ComBat recursion → zero-var +
+    * top-50%-SD filters → de-log → voom (binned trend, segment
+    * interpolation, per-observation 1/t⁴ weights) → Kish-weighted
+    * per-(gene, group) sufficient statistics `vst` (single-observation
+    * cells guarded to NULL var, the Scala convention). The group
+    * factor CASE is spliced so the 2-group chain (q69) and the
+    * 3-group multi-contrast chain (q75) replay the same text. */
+  private def e2CoreSql(grpCase: String): String = s"""WITH RECURSIVE cnt AS MATERIALIZED (
+           SELECT l_partkey AS gene, l_suppkey AS samp, CAST(sum(l_quantity) AS DOUBLE) AS value
+           FROM lineitem WHERE l_partkey <= 400 GROUP BY 1,2),
+         outl AS (SELECT s_suppkey AS samp FROM supplier WHERE s_acctbal < 0),
+         cl AS (SELECT cnt.* FROM cnt
+                WHERE NOT EXISTS (SELECT 1 FROM outl WHERE outl.samp = cnt.samp)),
+         zg AS (SELECT gene FROM (SELECT gene, sum(abs(value)) AS s FROM cl GROUP BY 1)
+                WHERE s = 0),
+         nz AS MATERIALIZED (SELECT cl.* FROM cl
+                WHERE NOT EXISTS (SELECT 1 FROM zg WHERE zg.gene = cl.gene)),
+         libs AS (SELECT samp, sum(value) AS lib FROM nz GROUP BY 1),
+         lcpm AS MATERIALIZED (
+           SELECT nz.gene, nz.samp, log2((nz.value + 0.5)/(l.lib + 1.0) * 1e6) AS value
+           FROM nz JOIN libs l USING (samp)),
+         rnk AS MATERIALIZED (
+           SELECT gene, samp, value,
+                  row_number() OVER (PARTITION BY samp
+                    ORDER BY value ASC, CAST(gene AS VARCHAR) ASC) AS rk
+           FROM lcpm),
+         rkm AS (SELECT rk, avg(value) AS rkmean FROM rnk GROUP BY 1),
+         qn AS MATERIALIZED (
+           SELECT r.gene, r.samp, m.rkmean AS value FROM rnk r JOIN rkm m USING (rk)),
+         cla AS MATERIALIZED (
+           SELECT gene, samp, CASE WHEN value < 2.0 THEN 0e0 ELSE value END AS value FROM qn),
+         b AS (SELECT s_suppkey AS samp,
+                      CASE WHEN s_nationkey % 3 = 0 THEN 'b0' ELSE 'b1' END AS batch FROM supplier),
+         mb AS MATERIALIZED (SELECT cla.gene, cla.samp, cla.value, b.batch
+                             FROM cla JOIN b USING (samp)),
+         grand AS (SELECT gene, avg(value) AS alpha, var_samp(value) AS sigma2
+                   FROM mb GROUP BY 1 HAVING var_samp(value) > 0),
+         z AS MATERIALIZED (
+           SELECT mb.gene, mb.samp, mb.batch, (mb.value - g.alpha)/sqrt(g.sigma2) AS z,
+                  g.alpha, g.sigma2
+           FROM mb JOIN grand g USING (gene)),
+         gb AS (SELECT gene, batch, count(*) AS n_b, avg(z) AS gamma_hat, var_samp(z) AS delta2_hat
+                FROM z GROUP BY 1,2 HAVING var_samp(z) IS NOT NULL),
+         hp AS (SELECT batch, avg(gamma_hat) AS gamma_bar, var_samp(gamma_hat) AS tau2,
+                       (2*var_samp(delta2_hat) + avg(delta2_hat)*avg(delta2_hat))/var_samp(delta2_hat) AS a_prior,
+                       (avg(delta2_hat)*var_samp(delta2_hat) + pow(avg(delta2_hat), 3))/var_samp(delta2_hat) AS b_prior
+                FROM gb GROUP BY 1),
+         base AS (SELECT gb.gene, gb.batch, CAST(gb.n_b AS DOUBLE) AS n, gb.gamma_hat, gb.delta2_hat,
+                         hp.gamma_bar, hp.tau2, hp.a_prior, hp.b_prior
+                  FROM gb JOIN hp USING (batch)),
+         it AS (
+           SELECT 0 AS iter, gene, batch, gamma_hat AS g_star, delta2_hat AS d_star,
+                  n, gamma_hat, delta2_hat, gamma_bar, tau2, a_prior, b_prior FROM base
+           UNION ALL
+           SELECT iter+1, gene, batch,
+                  (n*tau2*gamma_hat + d_star*gamma_bar)/(n*tau2 + d_star),
+                  (b_prior + 0.5*((n-1)*delta2_hat
+                     + n*pow(gamma_hat - (n*tau2*gamma_hat + d_star*gamma_bar)/(n*tau2 + d_star), 2)))
+                    / (n/2 + a_prior - 1),
+                  n, gamma_hat, delta2_hat, gamma_bar, tau2, a_prior, b_prior
+           FROM it WHERE iter < 30),
+         post AS MATERIALIZED (SELECT gene, batch, g_star, d_star FROM it WHERE iter = 30),
+         adj AS MATERIALIZED (
+           SELECT z.gene, z.samp, sqrt(z.sigma2)*(z.z - p.g_star)/sqrt(p.d_star) + z.alpha AS value
+           FROM z JOIN post p ON z.gene = p.gene AND z.batch = p.batch),
+         keep1 AS (SELECT gene FROM (SELECT gene, stddev_samp(value) AS sd FROM adj GROUP BY 1)
+                   WHERE sd > 0),
+         m1 AS MATERIALIZED (SELECT adj.* FROM adj JOIN keep1 USING (gene)),
+         keep2 AS (SELECT gene FROM (
+                     SELECT gene, percent_rank() OVER (ORDER BY sd ASC, CAST(gene AS VARCHAR) ASC) AS pr
+                     FROM (SELECT gene, stddev_samp(value) AS sd FROM m1 GROUP BY 1))
+                   WHERE pr >= 0.5),
+         fm AS MATERIALIZED (SELECT m1.gene, m1.samp, m1.value FROM m1 JOIN keep2 USING (gene)),
+         grp AS (SELECT s_suppkey AS samp,
+                        $grpCase AS g FROM supplier),
+         dl AS MATERIALIZED (
+           SELECT gene, samp, CASE WHEN value = 1.0 THEN 0e0 ELSE pow(2.0, value) END AS c
+           FROM fm),
+         vlib AS (SELECT samp, sum(c) AS lib FROM dl GROUP BY 1),
+         voff AS (SELECT avg(log2(lib + 1.0)) - log2(1e6) AS off FROM vlib),
+         vy AS MATERIALIZED (
+           SELECT dl.gene, dl.samp, log2((dl.c + 0.5)/(l.lib + 1.0) * 1e6) AS y,
+                  log2(l.lib + 1.0) AS loglib
+           FROM dl JOIN vlib l USING (samp)),
+         vg AS MATERIALIZED (
+           SELECT v.gene, v.samp, v.y, v.loglib, g.g FROM vy v JOIN grp g ON g.samp = v.samp),
+         vc AS (SELECT gene, g, avg(y) AS mu FROM vg GROUP BY 1,2),
+         vo AS MATERIALIZED (
+           SELECT vg.gene, vg.samp, vg.y, vg.g, c.mu,
+                  round(c.mu + vg.loglib - log2(1e6) + 1e-9, 6) AS x
+           FROM vg JOIN vc c ON c.gene = vg.gene AND c.g = vg.g),
+         vp AS (SELECT gene, avg(y) AS amean, sum((y - mu)*(y - mu)) AS ss,
+                       count(*) AS n, count(DISTINCT g) AS k
+                FROM vo GROUP BY 1
+                HAVING count(*) > count(DISTINCT g) AND sum((y - mu)*(y - mu)) > 0),
+         vt AS (SELECT gene, round(amean + (SELECT off FROM voff) + 1e-9, 6) AS sx,
+                       sqrt(sqrt(ss/(n - k))) AS sy FROM vp),
+         va AS MATERIALIZED (
+           SELECT b, round(avg(sx) + 1e-9, 6) AS ax, round(avg(sy) + 1e-9, 6) AS ay
+           FROM (SELECT ntile(20) OVER (ORDER BY sx ASC, CAST(gene AS VARCHAR) ASC) AS b,
+                        sx, sy FROM vt)
+           GROUP BY 1),
+         vord AS (SELECT row_number() OVER (ORDER BY b ASC) AS i, ax, ay FROM va),
+         vsegs AS (SELECT i - 1 AS seg, ax AS x0, ay AS y0,
+                          lead(ax) OVER (ORDER BY i ASC) AS x1,
+                          lead(ay) OVER (ORDER BY i ASC) AS y1
+                   FROM vord QUALIFY lead(ax) OVER (ORDER BY i ASC) IS NOT NULL),
+         vsi AS MATERIALIZED (
+           SELECT o.gene, o.samp, o.y, o.g, o.x,
+                  coalesce(sum(CASE WHEN a.i > 1 AND a.i < (SELECT max(i) FROM vord)
+                                    AND o.x > a.ax THEN 1 ELSE 0 END), 0) AS seg
+           FROM vo o CROSS JOIN vord a GROUP BY 1,2,3,4,5),
+         vtt AS (SELECT s.gene, s.samp, s.y, s.g,
+                        CASE WHEN sg.x1 > sg.x0
+                             THEN sg.y0 + (sg.y1 - sg.y0)
+                                  * (least(greatest(s.x, sg.x0), sg.x1) - sg.x0)/(sg.x1 - sg.x0)
+                             ELSE sg.y0 END AS t
+                 FROM vsi s JOIN vsegs sg ON sg.seg = s.seg),
+         vwt AS MATERIALIZED (
+           SELECT gene, samp, y, g, 1.0/((t*t)*(t*t)) AS w FROM vtt),
+         vws AS (SELECT gene, g AS grp, sum(w) AS sw, sum(w*w) AS sw2,
+                        sum(w*y) AS swx, sum(w*y*y) AS swx2 FROM vwt GROUP BY 1,2),
+         vst AS (SELECT gene, grp, sw*sw/sw2 AS n, swx/sw AS mean,
+                        CASE WHEN sw - sw2/sw > 0
+                             THEN (swx2 - swx*swx/sw)/(sw - sw2/sw) END AS var FROM vws)"""
+
   val oracleSql: Map[String, String] = Map(
     "q59_ma_stats" ->
       """WITH ref AS (
@@ -1094,123 +1250,7 @@ object ExtraQueries {
     // sf0.001/0.01/0.1), so the method-of-moments evar is negative and
     // the Scala path takes d0 = 1e6 deterministically.
     "q69_e2_chain" ->
-      s"""WITH RECURSIVE cnt AS MATERIALIZED (
-           SELECT l_partkey AS gene, l_suppkey AS samp, CAST(sum(l_quantity) AS DOUBLE) AS value
-           FROM lineitem WHERE l_partkey <= 400 GROUP BY 1,2),
-         outl AS (SELECT s_suppkey AS samp FROM supplier WHERE s_acctbal < 0),
-         cl AS (SELECT cnt.* FROM cnt
-                WHERE NOT EXISTS (SELECT 1 FROM outl WHERE outl.samp = cnt.samp)),
-         zg AS (SELECT gene FROM (SELECT gene, sum(abs(value)) AS s FROM cl GROUP BY 1)
-                WHERE s = 0),
-         nz AS MATERIALIZED (SELECT cl.* FROM cl
-                WHERE NOT EXISTS (SELECT 1 FROM zg WHERE zg.gene = cl.gene)),
-         libs AS (SELECT samp, sum(value) AS lib FROM nz GROUP BY 1),
-         lcpm AS MATERIALIZED (
-           SELECT nz.gene, nz.samp, log2((nz.value + 0.5)/(l.lib + 1.0) * 1e6) AS value
-           FROM nz JOIN libs l USING (samp)),
-         rnk AS MATERIALIZED (
-           SELECT gene, samp, value,
-                  row_number() OVER (PARTITION BY samp
-                    ORDER BY value ASC, CAST(gene AS VARCHAR) ASC) AS rk
-           FROM lcpm),
-         rkm AS (SELECT rk, avg(value) AS rkmean FROM rnk GROUP BY 1),
-         qn AS MATERIALIZED (
-           SELECT r.gene, r.samp, m.rkmean AS value FROM rnk r JOIN rkm m USING (rk)),
-         cla AS MATERIALIZED (
-           SELECT gene, samp, CASE WHEN value < 2.0 THEN 0e0 ELSE value END AS value FROM qn),
-         b AS (SELECT s_suppkey AS samp,
-                      CASE WHEN s_nationkey % 3 = 0 THEN 'b0' ELSE 'b1' END AS batch FROM supplier),
-         mb AS MATERIALIZED (SELECT cla.gene, cla.samp, cla.value, b.batch
-                             FROM cla JOIN b USING (samp)),
-         grand AS (SELECT gene, avg(value) AS alpha, var_samp(value) AS sigma2
-                   FROM mb GROUP BY 1 HAVING var_samp(value) > 0),
-         z AS MATERIALIZED (
-           SELECT mb.gene, mb.samp, mb.batch, (mb.value - g.alpha)/sqrt(g.sigma2) AS z,
-                  g.alpha, g.sigma2
-           FROM mb JOIN grand g USING (gene)),
-         gb AS (SELECT gene, batch, count(*) AS n_b, avg(z) AS gamma_hat, var_samp(z) AS delta2_hat
-                FROM z GROUP BY 1,2 HAVING var_samp(z) IS NOT NULL),
-         hp AS (SELECT batch, avg(gamma_hat) AS gamma_bar, var_samp(gamma_hat) AS tau2,
-                       (2*var_samp(delta2_hat) + avg(delta2_hat)*avg(delta2_hat))/var_samp(delta2_hat) AS a_prior,
-                       (avg(delta2_hat)*var_samp(delta2_hat) + pow(avg(delta2_hat), 3))/var_samp(delta2_hat) AS b_prior
-                FROM gb GROUP BY 1),
-         base AS (SELECT gb.gene, gb.batch, CAST(gb.n_b AS DOUBLE) AS n, gb.gamma_hat, gb.delta2_hat,
-                         hp.gamma_bar, hp.tau2, hp.a_prior, hp.b_prior
-                  FROM gb JOIN hp USING (batch)),
-         it AS (
-           SELECT 0 AS iter, gene, batch, gamma_hat AS g_star, delta2_hat AS d_star,
-                  n, gamma_hat, delta2_hat, gamma_bar, tau2, a_prior, b_prior FROM base
-           UNION ALL
-           SELECT iter+1, gene, batch,
-                  (n*tau2*gamma_hat + d_star*gamma_bar)/(n*tau2 + d_star),
-                  (b_prior + 0.5*((n-1)*delta2_hat
-                     + n*pow(gamma_hat - (n*tau2*gamma_hat + d_star*gamma_bar)/(n*tau2 + d_star), 2)))
-                    / (n/2 + a_prior - 1),
-                  n, gamma_hat, delta2_hat, gamma_bar, tau2, a_prior, b_prior
-           FROM it WHERE iter < 30),
-         post AS MATERIALIZED (SELECT gene, batch, g_star, d_star FROM it WHERE iter = 30),
-         adj AS MATERIALIZED (
-           SELECT z.gene, z.samp, sqrt(z.sigma2)*(z.z - p.g_star)/sqrt(p.d_star) + z.alpha AS value
-           FROM z JOIN post p ON z.gene = p.gene AND z.batch = p.batch),
-         keep1 AS (SELECT gene FROM (SELECT gene, stddev_samp(value) AS sd FROM adj GROUP BY 1)
-                   WHERE sd > 0),
-         m1 AS MATERIALIZED (SELECT adj.* FROM adj JOIN keep1 USING (gene)),
-         keep2 AS (SELECT gene FROM (
-                     SELECT gene, percent_rank() OVER (ORDER BY sd ASC, CAST(gene AS VARCHAR) ASC) AS pr
-                     FROM (SELECT gene, stddev_samp(value) AS sd FROM m1 GROUP BY 1))
-                   WHERE pr >= 0.5),
-         fm AS MATERIALIZED (SELECT m1.gene, m1.samp, m1.value FROM m1 JOIN keep2 USING (gene)),
-         grp AS (SELECT s_suppkey AS samp,
-                        CASE WHEN s_nationkey % 2 = 0 THEN 'A' ELSE 'B' END AS g FROM supplier),
-         dl AS MATERIALIZED (
-           SELECT gene, samp, CASE WHEN value = 1.0 THEN 0e0 ELSE pow(2.0, value) END AS c
-           FROM fm),
-         vlib AS (SELECT samp, sum(c) AS lib FROM dl GROUP BY 1),
-         voff AS (SELECT avg(log2(lib + 1.0)) - log2(1e6) AS off FROM vlib),
-         vy AS MATERIALIZED (
-           SELECT dl.gene, dl.samp, log2((dl.c + 0.5)/(l.lib + 1.0) * 1e6) AS y,
-                  log2(l.lib + 1.0) AS loglib
-           FROM dl JOIN vlib l USING (samp)),
-         vg AS MATERIALIZED (
-           SELECT v.gene, v.samp, v.y, v.loglib, g.g FROM vy v JOIN grp g ON g.samp = v.samp),
-         vc AS (SELECT gene, g, avg(y) AS mu FROM vg GROUP BY 1,2),
-         vo AS MATERIALIZED (
-           SELECT vg.gene, vg.samp, vg.y, vg.g, c.mu,
-                  round(c.mu + vg.loglib - log2(1e6) + 1e-9, 6) AS x
-           FROM vg JOIN vc c ON c.gene = vg.gene AND c.g = vg.g),
-         vp AS (SELECT gene, avg(y) AS amean, sum((y - mu)*(y - mu)) AS ss,
-                       count(*) AS n, count(DISTINCT g) AS k
-                FROM vo GROUP BY 1
-                HAVING count(*) > count(DISTINCT g) AND sum((y - mu)*(y - mu)) > 0),
-         vt AS (SELECT gene, round(amean + (SELECT off FROM voff) + 1e-9, 6) AS sx,
-                       sqrt(sqrt(ss/(n - k))) AS sy FROM vp),
-         va AS MATERIALIZED (
-           SELECT b, round(avg(sx) + 1e-9, 6) AS ax, round(avg(sy) + 1e-9, 6) AS ay
-           FROM (SELECT ntile(20) OVER (ORDER BY sx ASC, CAST(gene AS VARCHAR) ASC) AS b,
-                        sx, sy FROM vt)
-           GROUP BY 1),
-         vord AS (SELECT row_number() OVER (ORDER BY b ASC) AS i, ax, ay FROM va),
-         vsegs AS (SELECT i - 1 AS seg, ax AS x0, ay AS y0,
-                          lead(ax) OVER (ORDER BY i ASC) AS x1,
-                          lead(ay) OVER (ORDER BY i ASC) AS y1
-                   FROM vord QUALIFY lead(ax) OVER (ORDER BY i ASC) IS NOT NULL),
-         vsi AS MATERIALIZED (
-           SELECT o.gene, o.samp, o.y, o.g, o.x,
-                  coalesce(sum(CASE WHEN a.i > 1 AND a.i < (SELECT max(i) FROM vord)
-                                    AND o.x > a.ax THEN 1 ELSE 0 END), 0) AS seg
-           FROM vo o CROSS JOIN vord a GROUP BY 1,2,3,4,5),
-         vtt AS (SELECT s.gene, s.samp, s.y, s.g,
-                        CASE WHEN sg.x1 > sg.x0
-                             THEN sg.y0 + (sg.y1 - sg.y0)
-                                  * (least(greatest(s.x, sg.x0), sg.x1) - sg.x0)/(sg.x1 - sg.x0)
-                             ELSE sg.y0 END AS t
-                 FROM vsi s JOIN vsegs sg ON sg.seg = s.seg),
-         vwt AS MATERIALIZED (
-           SELECT gene, samp, y, g, 1.0/((t*t)*(t*t)) AS w FROM vtt),
-         vws AS (SELECT gene, g AS grp, sum(w) AS sw, sum(w*w) AS sw2,
-                        sum(w*y) AS swx, sum(w*y*y) AS swx2 FROM vwt GROUP BY 1,2),
-         vst AS (SELECT gene, grp, sw*sw/sw2 AS n, swx/sw AS mean,
-                        (swx2 - swx*swx/sw)/(sw - sw2/sw) AS var FROM vws),
+      s"""${e2CoreSql("CASE WHEN s_nationkey % 2 = 0 THEN 'A' ELSE 'B' END")},
          vper AS (SELECT gene, sum(n) AS n_tot, count(*) AS kk, sum((n-1)*var) AS ss_resid,
                          max(CASE WHEN grp='A' THEN mean END) AS ma,
                          max(CASE WHEN grp='B' THEN mean END) AS mb,
@@ -1260,6 +1300,39 @@ object ExtraQueries {
                    FROM vsig GROUP BY 1)
          SELECT CAST(mask AS BIGINT) AS mask, count(*) AS n_genes
          FROM vmask GROUP BY 1 ORDER BY 1"""),
+
+    // E2 multi-contrast replay: the shared E2 core with the 3-level
+    // factor, then the k-group pooled fit and all C(3,2) contrasts
+    // (the q73 tail shape over the voom-weighted stats). d0 pins at
+    // the degenerate 1e6 branch here too (measured evar
+    // −0.105/−0.050/−0.003 at sf0.001/0.01/0.1).
+    "q75_e2_multi_contrast" ->
+      (s"""${e2CoreSql("CASE WHEN s_nationkey % 3 = 0 THEN 'A' WHEN s_nationkey % 3 = 1 THEN 'B' ELSE 'C' END")},
+         vper AS (SELECT gene, sum(n) AS n_tot, count(*) AS k, sum((n-1)*var) AS ss_resid
+                  FROM vst GROUP BY 1),
+         vf AS MATERIALIZED (
+               SELECT gene, n_tot - k AS df_resid, ss_resid/(n_tot - k) AS s2 FROM vper
+               WHERE n_tot > k AND ss_resid/(n_tot - k) > 0),
+         vmo AS (SELECT avg(ln(s2)) AS zbar, avg(df_resid) AS dbar, avg(df_resid)/2.0 AS dh FROM vf),
+         vs0 AS (SELECT exp(zbar + 13.122362377403995
+                   - ($digammaShifted45 - ($digammaRecurrence45))
+                   + ln(dbar/1e6)) AS s02 FROM vmo),
+         pairs AS (SELECT * FROM (VALUES ('AvsB','A','B'), ('AvsC','A','C'), ('BvsC','B','C'))
+                   AS pc(contrast, ga, gb)),
+         tbl AS MATERIALIZED (
+           SELECT f.gene, p.contrast, a.mean - b.mean AS log2fc,
+                  (a.mean - b.mean) / sqrt(((1e6 * s02 + f.df_resid*f.s2)/(1e6 + f.df_resid))
+                    * (1.0/a.n + 1.0/b.n)) AS t_mod,
+                  f.df_resid + 1e6 AS df_total
+           FROM vf f CROSS JOIN vs0 CROSS JOIN pairs p
+           JOIN vst a ON a.gene = f.gene AND a.grp = p.ga
+           JOIN vst b ON b.gene = f.gene AND b.grp = p.gb
+           WHERE a.n > 0 AND b.n > 0)
+         SELECT gene AS l_partkey, contrast,
+                round(log2fc + 1e-5, 2) + 0.0 AS log2fc,
+                round(t_mod + 1e-7, 4) + 0.0 AS t_mod,
+                round(df_total + 1e-5, 2) + 0.0 AS df_total
+         FROM tbl ORDER BY 1, 2"""),
 
     // E3 chain replay: the q46 ICC stack (dense grids → gramian-row
     // correlation vectors → corr of corr) gates which genes survive
