@@ -220,7 +220,10 @@ object Pipelines {
     * `dfCap = Long.MaxValue` for the exact semantics. */
   def textCuration(docs: DataFrame, langs: Seq[String] = Seq("en"),
       minQuality: Double = 0.3, nearDupJaccard: Double = 0.8,
-      dfCap: Long = 100000L, md5Hashes: Boolean = false): DataFrame = {
+      dfCap: Long = 100000L, md5Hashes: Boolean = false,
+      repGramN: Int = 2, maxTopGramFrac: Double = 1.0, maxDupGramFrac: Double = 1.0,
+      benchmark: Option[DataFrame] = None, decontamN: Int = 8,
+      maxBenchOverlap: Double = 0.0, scrubPii: Boolean = false): DataFrame = {
     import graft.functions.TextFunctions._
     val exact = TextDedup.exactDedup(docs)
     val nearDupLosers = TextDedup
@@ -228,11 +231,38 @@ object Pipelines {
         minJaccard = nearDupJaccard, md5Hashes = md5Hashes, dfCap = dfCap)
       .select(greatest(col("id_a"), col("id_b")).as("doc_id")).distinct()
     val kept = exact.join(nearDupLosers, Seq("doc_id"), "left_anti")
-    kept
+    val scored = kept
       .withColumn("lang", langId(tokens(col("text"))))
       .filter(col("lang").isin(langs: _*))
       .withColumn("quality", qualityScore(col("text")))
       .filter(col("quality") >= minQuality)
+    // Gopher repetition rules (thresholds default to off): drop
+    // documents whose n-gram mass concentrates in repeats
+    val repFiltered =
+      if (maxTopGramFrac >= 1.0 && maxDupGramFrac >= 1.0) scored
+      else scored.join(
+        TextDedup.repetitionStats(scored, repGramN)
+          .filter(col("top_gram_frac") <= maxTopGramFrac &&
+            col("dup_gram_frac") <= maxDupGramFrac)
+          .select("doc_id"),
+        Seq("doc_id"), "left_semi")
+    // benchmark decontamination (off unless a benchmark is supplied):
+    // drop documents whose distinct-n-gram collision fraction against
+    // the held-out set exceeds the budget
+    val decontaminated = benchmark match {
+      case Some(b) => repFiltered.join(
+        TextDedup.contaminationOverlap(repFiltered, b, decontamN)
+          .filter(col("overlap_frac") > maxBenchOverlap)
+          .select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      case None => repFiltered
+    }
+    // PII scrub LAST, so token statistics describe the text that
+    // actually ships to training
+    val scrubbed =
+      if (scrubPii) decontaminated.withColumn("text", piiScrub(col("text")))
+      else decontaminated
+    scrubbed
       .withColumn("ws_tokens", wsTokenCount(col("text")))
       .withColumn("bpeish_tokens", bpeishTokenCount(col("text")))
   }

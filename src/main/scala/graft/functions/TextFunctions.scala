@@ -143,4 +143,24 @@ object TextFunctions {
   /** Content fingerprint: md5 of the normalised token stream —
     * whitespace/punctuation-insensitive exact-dup key. */
   def fingerprint(text: Column): Column = md5(concat_ws(" ", tokens(text)))
+
+  /** PII patterns for corpus scrubbing. Deliberately simple regexes
+    * that mean the same thing to Java regex (Spark codegen) and RE2
+    * (DuckDB), so the scrub is oracle-checkable: emails, and
+    * international-ish phone numbers (leading + optional, ≥ 9 chars
+    * of digits/space/()-, digit at both ends). */
+  val emailPattern: String = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val phonePattern: String = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
+
+  /** Count of email / phone matches in a document. */
+  def piiEmailCount(text: Column): Column = regexp_count(text, lit(emailPattern))
+  def piiPhoneCount(text: Column): Column = regexp_count(text, lit(phonePattern))
+
+  /** Masked text: emails → `<EMAIL>`, then phones → `<PHONE>` (email
+    * first so local parts containing digits can't half-match as
+    * phones). Pure codegen regexp_replace — the scrub streams. */
+  def piiScrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailPattern, "<EMAIL>"),
+      phonePattern, "<PHONE>")
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -200,5 +200,58 @@ object TextDedup {
       .select(col("id_a"), col("id_b"),
         Similarity.cosine(col("v_a"), col("v_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
+  }
+
+  /** Within-document repetition metrics (the Gopher repetition rules,
+    * Rae 2021 §A1.1: documents dominated by a few repeated n-grams are
+    * low-quality): per document, the fraction of n-gram mass taken by
+    * the single most frequent n-gram (`top_gram_frac`) and by all
+    * n-grams occurring more than once (`dup_gram_frac`).
+    *
+    * Relational — explode n-grams, count per (doc, gram), aggregate
+    * per doc — so the per-doc work is two keyed shuffles regardless of
+    * document length (an array-local formulation would be O(len²) per
+    * document in codegen). */
+  def repetitionStats(docs: DataFrame, n: Int = 2,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val grams = docs
+      .select(col(id), explode(shingles(tokens(col(text)), n)).as("__g"))
+      .filter(col("__g") =!= "")
+    val counts = grams.groupBy(col(id), col("__g")).agg(count(lit(1)).as("__c"))
+    counts.groupBy(col(id))
+      .agg(sum("__c").as("n_grams"),
+           max("__c").as("__top"),
+           coalesce(sum(when(col("__c") > 1, col("__c"))), lit(0L)).as("__dup"))
+      .select(col(id), col("n_grams"),
+        (col("__top").cast("double") / col("n_grams")).as("top_gram_frac"),
+        (col("__dup").cast("double") / col("n_grams")).as("dup_gram_frac"))
+  }
+
+  /** Benchmark decontamination overlap (the GPT-3/Gopher n-gram
+    * collision check: a training document sharing long n-grams with an
+    * evaluation set is contaminated): per document, how many of its
+    * distinct n-grams appear anywhere in `benchmark`. Grams are
+    * md5-compressed before the join so the shuffle carries fixed-width
+    * keys, not raw n-gram text; the benchmark side is distinct-reduced
+    * (evaluation sets are corpus-small) and the join is a plain keyed
+    * equi-join — at corpus scale this is one shuffle of the document
+    * gram relation. Returns (id, n_grams, n_overlap, overlap_frac)
+    * for documents with at least one collision. */
+  def contaminationOverlap(docs: DataFrame, benchmark: DataFrame, n: Int = 8,
+      id: String = "doc_id", text: String = "text",
+      benchText: String = "text"): DataFrame = {
+    def gramRows(df: DataFrame, keep: Seq[Column], textCol: String) =
+      df.select(keep :+ explode(shingles(tokens(col(textCol)), n)).as("__g"): _*)
+        .filter(col("__g") =!= "")
+        .withColumn("__h", md5(col("__g"))).drop("__g")
+    val docGrams = gramRows(docs, Seq(col(id)), text).distinct()
+    val benchGrams = gramRows(benchmark, Seq.empty, benchText)
+      .select("__h").distinct()
+    val perDoc = docGrams.groupBy(col(id)).agg(count(lit(1)).as("n_grams"))
+    docGrams.join(benchGrams, Seq("__h"))
+      .groupBy(col(id)).agg(count(lit(1)).as("n_overlap"))
+      .join(perDoc, Seq(id))
+      .select(col(id), col("n_grams"), col("n_overlap"),
+        (col("n_overlap").cast("double") / col("n_grams")).as("overlap_frac"))
   }
 }

@@ -26,6 +26,80 @@ object TextQueries {
        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
        FROM documents"""
 
+  /** q65/q79 shared curation-chain replay over a parameterized
+    * document source: exact dedup (md5 token-stream keeper), banded
+    * MinHash near-dup (Jaccard ≥ 0.5 losers), language scoring,
+    * quality scoring. Ends at the `quality` CTE (doc_id, text, toks,
+    * lang, q). */
+  private def curationCoreSql(srcSql: String): String = s"""WITH tk AS (
+            SELECT doc_id, text,
+                   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+            FROM ($srcSql)
+          ), keep0 AS (
+            SELECT *, row_number() OVER (PARTITION BY md5(array_to_string(toks, ' '))
+                        ORDER BY doc_id) AS rn
+            FROM tk
+          ), keepers AS (SELECT doc_id, text, toks FROM keep0 WHERE rn = 1),
+          sh AS (
+            SELECT doc_id, list_distinct(list_transform(
+                     generate_series(1, greatest(len(toks) - 2, 1)),
+                     i -> array_to_string(toks[i:i+2], ' '))) AS sh
+            FROM keepers
+          ), hashed AS (SELECT doc_id, md5(unnest(sh)) AS h FROM sh),
+          sig AS (
+            SELECT doc_id,
+                   [min(substr(h, 1, 4)), min(substr(h, 5, 4)),
+                    min(substr(h, 9, 4)), min(substr(h, 13, 4)),
+                    min(substr(h, 17, 4)), min(substr(h, 21, 4)),
+                    min(substr(h, 25, 4)), min(substr(h, 29, 4))] AS s
+            FROM hashed GROUP BY doc_id
+          ), banded AS (
+            SELECT doc_id,
+                   unnest(['0#' || s[1] || '#' || s[2], '1#' || s[3] || '#' || s[4],
+                           '2#' || s[5] || '#' || s[6], '3#' || s[7] || '#' || s[8]]) AS band
+            FROM sig
+          ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+          ), verified AS (
+            SELECT id_a, id_b,
+                   len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) * 1.0 /
+                   (len(sa.sh) + len(sb.sh)
+                    - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))) AS j
+            FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+          ), losers AS (
+            SELECT DISTINCT greatest(id_a, id_b) AS doc_id FROM verified WHERE j >= 0.5
+          ), kept AS (
+            SELECT k.* FROM keepers k LEFT JOIN losers l USING (doc_id) WHERE l.doc_id IS NULL
+          ), scored AS (
+            SELECT doc_id, text, toks,
+                   len(list_filter(toks, w -> list_contains(${langListSql("en")}, w))) AS s_en,
+                   len(list_filter(toks, w -> list_contains(${langListSql("de")}, w))) AS s_de,
+                   len(list_filter(toks, w -> list_contains(${langListSql("es")}, w))) AS s_es,
+                   len(list_filter(toks, w -> list_contains(${langListSql("fr")}, w))) AS s_fr
+            FROM kept
+          ), lang AS (
+            SELECT *, CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+                           WHEN s_fr = greatest(s_en, s_de, s_es, s_fr) THEN 'fr'
+                           WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+                           WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+                           ELSE 'de' END AS lang
+            FROM scored
+          ), quality AS (
+            SELECT *,
+                   least(1.0, len(toks) / 100.0) * 0.3
+                 + (1.0 - least(1.0, abs(CASE WHEN len(toks) > 0
+                       THEN coalesce(list_sum(list_transform(toks, w -> length(w))), 0) * 1.0 / len(toks)
+                       ELSE 0.0 END - 5.0) / 5.0)) * 0.3
+                 + (1.0 - least(1.0, (CASE WHEN length(text) > 0
+                       THEN length(regexp_replace(text, '[^.,!?;:]', '', 'g')) * 1.0 / length(text)
+                       ELSE 0.0 END) * 10.0)) * 0.2
+                 + least(1.0, (CASE WHEN len(toks) > 0
+                       THEN len(list_filter(toks, w -> list_contains($stoplistSql, w))) * 1.0 / len(toks)
+                       ELSE 0.0 END) * 3.0) * 0.2 AS q
+            FROM lang
+          )"""
+
   /** Shared SQL fragment: distinct 3-shingle sets per document. */
   private val shinglesSql =
     s"""WITH tk AS ($toksSql)
@@ -45,6 +119,75 @@ object TextQueries {
         .select(col("doc_id"), col("lang"),
           round(col("quality") + 1e-9, 6).as("quality"),
           col("ws_tokens"), col("bpeish_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- E4 full curation: the text-curation chain with EVERY stage
+    // on — exact dedup → near-dup → lang → quality → Gopher
+    // repetition filter → 3-gram benchmark decontamination → PII
+    // scrub → token stats on the scrubbed text. PII is planted on
+    // doc_id % 3 (so the dedup stages still see the unplanted
+    // duplicates); the held-out benchmark is doc_id % 17. ----
+    "q79_full_curation" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").withColumn("text",
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" contact "), col("source"),
+            lit("@example.org call +"), (col("doc_id") % 90 + 10).cast("string"),
+            lit(" ("), (col("doc_id") % 900 + 100).cast("string"),
+            lit(") 555-"), (col("doc_id") % 9000 + 1000).cast("string")))
+          .otherwise(col("text")))
+      val bench = planted.filter(col("doc_id") % 17 === 0)
+      val train = planted.filter(col("doc_id") % 17 =!= 0)
+      graft.Pipelines.textCuration(train, langs = Seq("en"), minQuality = 0.3,
+          nearDupJaccard = 0.5, md5Hashes = true,
+          maxTopGramFrac = 0.06, maxDupGramFrac = 0.12,
+          benchmark = Some(bench), decontamN = 3, maxBenchOverlap = 0.05,
+          scrubPii = true)
+        .select(col("doc_id"), col("lang"),
+          round(col("quality") + 1e-9, 6).as("quality"),
+          col("ws_tokens"), col("bpeish_tokens"), md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- PII scrub: count + mask emails/phones. The corpus carries
+    // no PII, so the fixture plants it deterministically from
+    // (source, doc_id) before scrubbing; the gate hashes the scrubbed
+    // text, so both engines must agree on every replacement. ----
+    "q76_pii_scrub" -> ((s, dir) => {
+      val aug = t(s, dir, "documents").withColumn("text2",
+        concat(col("text"), lit(" contact "), col("source"),
+          lit("@example.org call +"), (col("doc_id") % 90 + 10).cast("string"),
+          lit(" ("), (col("doc_id") % 900 + 100).cast("string"),
+          lit(") 555-"), (col("doc_id") % 9000 + 1000).cast("string")))
+      aug.select(col("doc_id"),
+          piiEmailCount(col("text2")).as("n_email"),
+          piiPhoneCount(col("text2")).as("n_phone"),
+          md5(piiScrub(col("text2"))).as("scrub_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- Gopher repetition rules: per-doc top/duplicate 2-gram
+    // mass fractions (relational — two keyed shuffles regardless of
+    // document length). ----
+    "q77_repetition" -> ((s, dir) =>
+      TextDedup.repetitionStats(t(s, dir, "documents"), n = 2)
+        .select(col("doc_id"), col("n_grams"),
+          round(col("top_gram_frac") + 1e-9, 6).as("top_gram_frac"),
+          round(col("dup_gram_frac") + 1e-9, 6).as("dup_gram_frac"))
+        .orderBy("doc_id")),
+
+    // ---- benchmark decontamination: distinct-3-gram collisions of
+    // training docs against the held-out set (doc_id % 17). The
+    // operator defaults to 8-grams (the GPT-3 width); the fixture's
+    // template vocabulary needs 3 for a non-trivial collision
+    // distribution. ----
+    "q78_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 17 === 0)
+      val train = docs.filter(col("doc_id") % 17 =!= 0)
+      TextDedup.contaminationOverlap(train, bench, n = 3)
+        .select(col("doc_id"), col("n_grams"), col("n_overlap"),
+          round(col("overlap_frac") + 1e-9, 6).as("overlap_frac"))
         .orderBy("doc_id")
     }),
 
@@ -297,6 +440,66 @@ object TextQueries {
     TextFunctions.stopwords(l).map(w => s"'$w'").mkString("[", ", ", "]")
 
   val oracleSql: Map[String, String] = Map(
+    // PII scrub replay: the identical planted fixture, RE2-side
+    // counts via regexp_extract_all and a global regexp_replace
+    // (DuckDB needs the explicit 'g' flag to match Spark's
+    // replace-all semantics); patterns spliced from TextFunctions so
+    // both engines compile the same source text.
+    "q76_pii_scrub" -> {
+      val em = TextFunctions.emailPattern
+      val ph = TextFunctions.phonePattern
+      s"""WITH aug AS (
+           SELECT doc_id,
+                  text || ' contact ' || source || '@example.org call +' ||
+                  CAST(doc_id % 90 + 10 AS VARCHAR) || ' (' ||
+                  CAST(doc_id % 900 + 100 AS VARCHAR) || ') 555-' ||
+                  CAST(doc_id % 9000 + 1000 AS VARCHAR) AS text2
+           FROM documents)
+         SELECT doc_id,
+                CAST(len(regexp_extract_all(text2, '$em')) AS BIGINT) AS n_email,
+                CAST(len(regexp_extract_all(text2, '$ph')) AS BIGINT) AS n_phone,
+                md5(regexp_replace(regexp_replace(text2, '$em', '<EMAIL>', 'g'),
+                                   '$ph', '<PHONE>', 'g')) AS scrub_md5
+         FROM aug ORDER BY 1"""
+    },
+
+    // repetition replay: explode 2-grams (whole-token-stream fallback
+    // for sub-width docs, the shingles() contract), count per
+    // (doc, gram), aggregate mass fractions.
+    "q77_repetition" ->
+      (s"""WITH tk AS ($toksSql),
+         g0 AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+                  THEN list_transform(generate_series(1, len(toks) - 1),
+                         i -> array_to_string(toks[i:i+1], ' '))
+                  ELSE [array_to_string(toks, ' ')] END) AS g
+                FROM tk),
+         g1 AS (SELECT doc_id, g FROM g0 WHERE g <> ''),
+         c AS (SELECT doc_id, g, count(*) AS c FROM g1 GROUP BY 1, 2)
+         SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+                round(max(c)/CAST(sum(c) AS DOUBLE) + 1e-9, 6) + 0.0 AS top_gram_frac,
+                round(coalesce(sum(CASE WHEN c > 1 THEN c END), 0)
+                      / CAST(sum(c) AS DOUBLE) + 1e-9, 6) + 0.0 AS dup_gram_frac
+         FROM c GROUP BY 1 ORDER BY 1"""),
+
+    // decontamination replay: distinct md5'd 3-grams per doc, held-out
+    // set = doc_id % 17, keyed overlap counts.
+    "q78_decontaminate" ->
+      (s"""WITH tk AS ($toksSql),
+         g0 AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
+                  THEN list_transform(generate_series(1, len(toks) - 2),
+                         i -> array_to_string(toks[i:i+2], ' '))
+                  ELSE [array_to_string(toks, ' ')] END) AS g
+                FROM tk),
+         h AS (SELECT DISTINCT doc_id, md5(g) AS h FROM g0 WHERE g <> ''),
+         bench AS (SELECT DISTINCT h FROM h WHERE doc_id % 17 = 0),
+         tr AS (SELECT doc_id, h FROM h WHERE doc_id % 17 <> 0),
+         pd AS (SELECT doc_id, count(*) AS n_grams FROM tr GROUP BY 1),
+         ov AS (SELECT tr.doc_id, count(*) AS n_overlap
+                FROM tr JOIN bench USING (h) GROUP BY 1)
+         SELECT ov.doc_id, pd.n_grams, ov.n_overlap,
+                round(ov.n_overlap/CAST(pd.n_grams AS DOUBLE) + 1e-9, 6) + 0.0 AS overlap_frac
+         FROM ov JOIN pd USING (doc_id) ORDER BY 1"""),
+
     // multi-band hyperplane-LSH ANN, replayed exactly: baked ±1
     // hyperplane chains → identical sketch bits → identical buckets,
     // candidates, cosines (bit-for-bit) and (score desc, id asc) ranks
@@ -381,74 +584,7 @@ object TextQueries {
     // keepers, md5 MinHash bands + Jaccard verify for near-dup losers,
     // stopword lang-id, quality score, token counts
     "q65_text_curation" ->
-      (s"""WITH tk AS (
-            SELECT doc_id, text,
-                   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
-            FROM documents
-          ), keep0 AS (
-            SELECT *, row_number() OVER (PARTITION BY md5(array_to_string(toks, ' '))
-                        ORDER BY doc_id) AS rn
-            FROM tk
-          ), keepers AS (SELECT doc_id, text, toks FROM keep0 WHERE rn = 1),
-          sh AS (
-            SELECT doc_id, list_distinct(list_transform(
-                     generate_series(1, greatest(len(toks) - 2, 1)),
-                     i -> array_to_string(toks[i:i+2], ' '))) AS sh
-            FROM keepers
-          ), hashed AS (SELECT doc_id, md5(unnest(sh)) AS h FROM sh),
-          sig AS (
-            SELECT doc_id,
-                   [min(substr(h, 1, 4)), min(substr(h, 5, 4)),
-                    min(substr(h, 9, 4)), min(substr(h, 13, 4)),
-                    min(substr(h, 17, 4)), min(substr(h, 21, 4)),
-                    min(substr(h, 25, 4)), min(substr(h, 29, 4))] AS s
-            FROM hashed GROUP BY doc_id
-          ), banded AS (
-            SELECT doc_id,
-                   unnest(['0#' || s[1] || '#' || s[2], '1#' || s[3] || '#' || s[4],
-                           '2#' || s[5] || '#' || s[6], '3#' || s[7] || '#' || s[8]]) AS band
-            FROM sig
-          ), cand AS (
-            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
-          ), verified AS (
-            SELECT id_a, id_b,
-                   len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) * 1.0 /
-                   (len(sa.sh) + len(sb.sh)
-                    - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))) AS j
-            FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
-          ), losers AS (
-            SELECT DISTINCT greatest(id_a, id_b) AS doc_id FROM verified WHERE j >= 0.5
-          ), kept AS (
-            SELECT k.* FROM keepers k LEFT JOIN losers l USING (doc_id) WHERE l.doc_id IS NULL
-          ), scored AS (
-            SELECT doc_id, text, toks,
-                   len(list_filter(toks, w -> list_contains(${langListSql("en")}, w))) AS s_en,
-                   len(list_filter(toks, w -> list_contains(${langListSql("de")}, w))) AS s_de,
-                   len(list_filter(toks, w -> list_contains(${langListSql("es")}, w))) AS s_es,
-                   len(list_filter(toks, w -> list_contains(${langListSql("fr")}, w))) AS s_fr
-            FROM kept
-          ), lang AS (
-            SELECT *, CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
-                           WHEN s_fr = greatest(s_en, s_de, s_es, s_fr) THEN 'fr'
-                           WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
-                           WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
-                           ELSE 'de' END AS lang
-            FROM scored
-          ), quality AS (
-            SELECT *,
-                   least(1.0, len(toks) / 100.0) * 0.3
-                 + (1.0 - least(1.0, abs(CASE WHEN len(toks) > 0
-                       THEN coalesce(list_sum(list_transform(toks, w -> length(w))), 0) * 1.0 / len(toks)
-                       ELSE 0.0 END - 5.0) / 5.0)) * 0.3
-                 + (1.0 - least(1.0, (CASE WHEN length(text) > 0
-                       THEN length(regexp_replace(text, '[^.,!?;:]', '', 'g')) * 1.0 / length(text)
-                       ELSE 0.0 END) * 10.0)) * 0.2
-                 + least(1.0, (CASE WHEN len(toks) > 0
-                       THEN len(list_filter(toks, w -> list_contains($stoplistSql, w))) * 1.0 / len(toks)
-                       ELSE 0.0 END) * 3.0) * 0.2 AS q
-            FROM lang
-          )
+      (s"""${curationCoreSql("SELECT doc_id, text FROM documents")}
           SELECT doc_id, lang, round(q + 1e-9, 6) + 0.0 AS quality,
                  CAST(len(toks) AS INT) AS ws_tokens,
                  CAST(coalesce(list_sum(list_transform(toks,
@@ -457,6 +593,76 @@ object TextQueries {
           FROM quality
           WHERE lang = 'en' AND q >= 0.3
           ORDER BY doc_id"""),
+
+    // full-curation chain replay (q79): the q65 core over the planted
+    // train split, then the repetition filter, the 3-gram benchmark
+    // decontamination, the PII scrub, and token stats on the SCRUBBED
+    // text (the chain's operational order).
+    "q79_full_curation" -> {
+      val em = TextFunctions.emailPattern
+      val ph = TextFunctions.phonePattern
+      val aug = """SELECT doc_id,
+                  CASE WHEN doc_id % 3 = 0
+                       THEN text || ' contact ' || source || '@example.org call +' ||
+                            CAST(doc_id % 90 + 10 AS VARCHAR) || ' (' ||
+                            CAST(doc_id % 900 + 100 AS VARCHAR) || ') 555-' ||
+                            CAST(doc_id % 9000 + 1000 AS VARCHAR)
+                       ELSE text END AS text
+           FROM documents"""
+      s"""${curationCoreSql(s"SELECT doc_id, text FROM ($aug) WHERE doc_id % 17 <> 0")},
+          qk AS (SELECT * FROM quality WHERE lang = 'en' AND q >= 0.3),
+          rg0 AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+                    THEN list_transform(generate_series(1, len(toks) - 1),
+                           i -> array_to_string(toks[i:i+1], ' '))
+                    ELSE [array_to_string(toks, ' ')] END) AS g
+                  FROM qk),
+          rc AS (SELECT doc_id, g, count(*) AS c FROM rg0 WHERE g <> '' GROUP BY 1, 2),
+          rs AS (SELECT doc_id FROM (
+                   SELECT doc_id, max(c)/CAST(sum(c) AS DOUBLE) AS tf,
+                          coalesce(sum(CASE WHEN c > 1 THEN c END), 0)
+                            / CAST(sum(c) AS DOUBLE) AS df
+                   FROM rc GROUP BY 1)
+                 WHERE tf <= 0.06 AND df <= 0.12),
+          rk AS (SELECT qk.* FROM qk JOIN rs USING (doc_id)),
+          bg0 AS (SELECT doc_id,
+                         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS toks
+                  FROM ($aug) WHERE doc_id % 17 = 0),
+          bg1 AS (SELECT unnest(CASE WHEN len(toks) >= 3
+                    THEN list_transform(generate_series(1, len(toks) - 2),
+                           i -> array_to_string(toks[i:i+2], ' '))
+                    ELSE [array_to_string(toks, ' ')] END) AS g
+                  FROM bg0),
+          bg AS (SELECT DISTINCT md5(g) AS h FROM bg1 WHERE g <> ''),
+          tg0 AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
+                    THEN list_transform(generate_series(1, len(toks) - 2),
+                           i -> array_to_string(toks[i:i+2], ' '))
+                    ELSE [array_to_string(toks, ' ')] END) AS g
+                  FROM rk),
+          tg AS (SELECT DISTINCT doc_id, md5(g) AS h FROM tg0 WHERE g <> ''),
+          pd AS (SELECT doc_id, count(*) AS ng FROM tg GROUP BY 1),
+          ovr AS (SELECT tg.doc_id, count(*) AS no FROM tg JOIN bg USING (h) GROUP BY 1),
+          bad AS (SELECT pd.doc_id FROM pd JOIN ovr USING (doc_id)
+                  WHERE no/CAST(ng AS DOUBLE) > 0.05),
+          fin AS (SELECT rk.* FROM rk LEFT JOIN bad USING (doc_id)
+                  WHERE bad.doc_id IS NULL),
+          sc AS (SELECT doc_id, lang, q,
+                        regexp_replace(regexp_replace(text, '$em', '<EMAIL>', 'g'),
+                                       '$ph', '<PHONE>', 'g') AS stext
+                 FROM fin),
+          sct AS (SELECT doc_id, lang, q, stext,
+                         list_filter(string_split_regex(lower(stext), '[^a-z0-9]+'),
+                           x -> x <> '') AS stoks
+                  FROM sc)
+          SELECT doc_id, lang, round(q + 1e-9, 6) + 0.0 AS quality,
+                 CAST(len(stoks) AS INT) AS ws_tokens,
+                 CAST(coalesce(list_sum(list_transform(stoks,
+                        w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0)
+                      + length(regexp_replace(stext, '[a-zA-Z0-9\\s]', '', 'g')) AS INT) AS bpeish_tokens,
+                 md5(stext) AS text_md5
+          FROM sct ORDER BY doc_id"""
+    },
+
 
     "q30_exact_dedup" ->
       """SELECT md5(array_to_string(

@@ -82,4 +82,47 @@ class TextFunctionsSpec extends SparkSpec {
       .select(TextFunctions.fingerprint(col("text"))).as[String].collect()
     assert(fp(0) == fp(1))
   }
+
+  test("piiScrub masks emails and phones, counts match") {
+    val df = Seq(
+      "mail me at jane.doe+x@sub.example.org or call +1 (415) 555-2671 today",
+      "no pii here at all").toDF("text")
+      .select(TextFunctions.piiEmailCount(col("text")).as("e"),
+        TextFunctions.piiPhoneCount(col("text")).as("p"),
+        TextFunctions.piiScrub(col("text")).as("s"))
+      .collect()
+    assert(df(0).getAs[Int]("e") == 1 && df(0).getAs[Int]("p") == 1)
+    val scrubbed = df(0).getAs[String]("s")
+    assert(scrubbed.contains("<EMAIL>") && scrubbed.contains("<PHONE>"))
+    assert(!scrubbed.contains("example.org") && !scrubbed.contains("555"))
+    assert(df(1).getAs[Int]("e") == 0 && df(1).getAs[Int]("p") == 0)
+    assert(df(1).getAs[String]("s") == "no pii here at all")
+  }
+
+  test("repetitionStats: repeated 2-grams dominate a degenerate doc") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam"),          // one 2-gram repeated 4x
+      (2L, "the quick brown fox jumps high")     // all 2-grams unique
+    ).toDF("doc_id", "text")
+    val out = TextDedup.repetitionStats(docs, n = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((4L, 1.0, 1.0)))
+    val (n2, top2, dup2) = out(2L)
+    assert(n2 == 5L && math.abs(top2 - 0.2) < 1e-12 && dup2 == 0.0)
+  }
+
+  test("contaminationOverlap finds shared n-grams against a benchmark") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),    // shares a 3-gram run
+      (2L, "zeta eta theta iota kappa")          // disjoint
+    ).toDF("doc_id", "text")
+    val bench = Seq((99L, "intro alpha beta gamma delta outro"))
+      .toDF("doc_id", "text")
+    val out = TextDedup.contaminationOverlap(docs, bench, n = 3).collect()
+    assert(out.length == 1)
+    val r = out.head
+    // doc 1 has 3 distinct 3-grams; "alpha beta gamma" and
+    // "beta gamma delta" collide with the benchmark
+    assert(r.getLong(0) == 1L && r.getLong(1) == 3L && r.getLong(2) == 2L)
+  }
 }
