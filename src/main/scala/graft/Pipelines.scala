@@ -231,21 +231,31 @@ object Pipelines {
         minJaccard = nearDupJaccard, md5Hashes = md5Hashes, dfCap = dfCap)
       .select(greatest(col("id_a"), col("id_b")).as("doc_id")).distinct()
     val kept = exact.join(nearDupLosers, Seq("doc_id"), "left_anti")
-    val scored = kept
+    val scored0 = kept
       .withColumn("lang", langId(tokens(col("text"))))
       .filter(col("lang").isin(langs: _*))
       .withColumn("quality", qualityScore(col("text")))
       .filter(col("quality") >= minQuality)
+    val repOn = maxTopGramFrac < 1.0 || maxDupGramFrac < 1.0
+    val deconOn = benchmark.isDefined
+    // Stage boundary: the repetition and decontamination stages each
+    // BRANCH over their input (metrics pass + join-back) — without a
+    // checkpoint every branch re-executes the dedup → near-dup →
+    // scoring lineage. Only materialized when those stages are on, so
+    // the base chain's plan is unchanged.
+    val scored = if (repOn || deconOn) scored0.localCheckpoint(true) else scored0
     // Gopher repetition rules (thresholds default to off): drop
     // documents whose n-gram mass concentrates in repeats
-    val repFiltered =
-      if (maxTopGramFrac >= 1.0 && maxDupGramFrac >= 1.0) scored
+    val repFiltered0 =
+      if (!repOn) scored
       else scored.join(
         TextDedup.repetitionStats(scored, repGramN)
           .filter(col("top_gram_frac") <= maxTopGramFrac &&
             col("dup_gram_frac") <= maxDupGramFrac)
           .select("doc_id"),
         Seq("doc_id"), "left_semi")
+    val repFiltered = if (repOn && deconOn) repFiltered0.localCheckpoint(true)
+      else repFiltered0
     // benchmark decontamination (off unless a benchmark is supplied):
     // drop documents whose distinct-n-gram collision fraction against
     // the held-out set exceeds the budget

@@ -20,7 +20,8 @@ object Plans {
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q01_pricing_summary", "q04_outlier_antijoin", "q05_semijoin_reliable",
         "q09_quantile_norm", "q10_bh_adjust", "q20_log2_cpm", "q26_sessionize",
-        "q35_minhash_lsh", "q37_cosine_topk", "q47_perm_fdr", "q60_nuse", "q64_cqn")
+        "q35_minhash_lsh", "q37_cosine_topk", "q47_perm_fdr", "q60_nuse", "q64_cqn",
+        "q69_e2_chain", "q73_e1_multi_contrast", "q79_full_curation")
     names.foreach { name =>
       if (name == "bucketed_demo") bucketedDemo(spark, dir)
       else {
@@ -58,7 +59,11 @@ object Plans {
     "q60_nuse" ->
       "SE relation joined with its probeset-grain median — AQE broadcasts when small",
     "q64_cqn" ->
-      "cell relation joined with gene-grain spline/offset relations on gene")
+      "cell relation joined with gene-grain spline/offset relations on gene",
+    "q69_e2_chain" ->
+      "voom observation relation joined with its (gene,group) cell means and QN rank means — both sides data-grain keyed; AQE broadcasts the small side at runtime (final plans show BroadcastQueryStage)",
+    "q79_full_curation" ->
+      "curation keep-set joins (repetition/decontamination ids against the doc relation) — both sides corpus-grain keyed; AQE demotes at runtime")
 
   /** The bucketed-workspace co-location demo (SCALING.md / ROADMAP):
     * checkpoint the expression matrix bucketed on gene_id, then run a

@@ -91,6 +91,29 @@ object StreamOps {
       .withWatermark(ts, watermarkDelay)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming NEAR-dup suppression — the incremental form of the E4
+    * chain's MinHash stage. True pairwise near-dup needs a pair join,
+    * which unbounded streams can't afford; the streaming-practical
+    * design is signature-identity dedup: documents whose full k-value
+    * MinHash signature coincides are near-duplicates with high
+    * probability (P[sig match] = J^k, so a full match at k=8 implies
+    * J ≳ 0.9 w.h.p.), and `dropDuplicatesWithinWatermark` on the
+    * signature keeps exactly the first arrival per signature with one
+    * state row per distinct signature, evicted at the watermark.
+    * Recall is tunable: lower k → looser matches. Batch-side recall
+    * beyond signature identity still belongs to
+    * `TextDedup.minhashLshPairs` (band collisions + verify). */
+  def streamingNearDup(docs: DataFrame, ts: String = "ts", text: String = "text",
+      k: Int = 8, shingleWidth: Int = 3,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    import graft.functions.TextFunctions._
+    docs
+      .withColumn("sig", concat_ws("|",
+        minhashXx(array_distinct(shingles(tokens(col(text)), shingleWidth)), k)))
+      .withWatermark(ts, watermarkDelay)
+      .dropDuplicatesWithinWatermark("sig")
+  }
+
   /** Checkpointed parquet file sink — the production shape for a
     * streaming ETL leg: append mode, exactly-once via the checkpoint
     * WAL + the file-sink manifest, partitioned output directory. The

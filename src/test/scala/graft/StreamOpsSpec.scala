@@ -83,6 +83,30 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streamingNearDup suppresses signature-identical near-duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val deduped = StreamOps.streamingNearDup(
+      input.toDS().toDF("ts", "doc_id", "text"), k = 4)
+    val query = deduped.writeStream.format("memory")
+      .queryName("neardup_out").outputMode("append").start()
+    try {
+      val t0 = 1700000000000L
+      val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+      input.addData(
+        (new Timestamp(t0), 1L, base),
+        // identical token stream, different punctuation/case: same
+        // shingle set, same signature
+        (new Timestamp(t0 + 1000), 2L, base.toUpperCase + "."),
+        (new Timestamp(t0 + 2000), 3L, "a completely different document body"))
+      query.processAllAvailable()
+      val out = spark.table("neardup_out").select("doc_id").as[Long].collect().sorted
+      assert(out.toSeq == Seq(1L, 3L),
+        s"expected signature-dedup to keep 1 and 3, got ${out.toSeq}")
+    } finally query.stop()
+  }
+
   test("readRsemResults maps symbols to Ensembl ids and drops unmapped rows") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_rsem").toString
