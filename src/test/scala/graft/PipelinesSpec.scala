@@ -68,6 +68,37 @@ class PipelinesSpec extends SparkSpec {
     assert(!genes.contains("__no_feature") && !genes.contains("gz"))
   }
 
+  test("openPlatformDE with technical replicates deflates evidence (wider moderated t)") {
+    val rows = for {
+      g <- 1 to 10; i <- 1 to 8
+    } yield {
+      val grp = if (i <= 4) "A" else "B"
+      val base = 50 + g * 10 + ((g * 13 + i * 7) % 9) * 8
+      val bump = if (g == 1 && grp == "A") 200 else 0
+      // technical replicate pairs (1,2),(3,4),... get near-identical
+      // values so the intra-unit correlation is high
+      val repTweak = if (i % 2 == 0) 1 else 0
+      (s"g$g", s"s$i", (base + bump + repTweak).toDouble, grp, s"u${(i + 1) / 2}")
+    }
+    val counts = ExpressionMatrix(rows.map(r => (r._1, r._2, r._3))
+      .toDF("gene_id", "sample_id", "value"))
+    val outliers = Seq.empty[String].toDF("sample_id")
+    val batches = (1 to 8).map(i => (s"s$i", if (i % 2 == 0) "b1" else "b2"))
+      .toDF("sample_id", "batch")
+    val groups = rows.map(r => (r._2, r._4)).distinct.toDF("sample_id", "group")
+    val reps = rows.map(r => (r._2, r._5, if (r._2.drop(1).toInt % 2 == 0) 2 else 1))
+      .distinct.toDF("sample_id", "unit", "rep")
+    def tAbsSum(replicates: Option[org.apache.spark.sql.DataFrame]): Double =
+      Pipelines.openPlatformDE(counts, outliers, batches, groups, "A", "B",
+          sdFrac = 1.0, replicates = replicates)
+        .agg(sum(abs(col("t_mod")))).head().getDouble(0)
+    val unblocked = tAbsSum(None)
+    val blocked = tAbsSum(Some(reps))
+    // correlated replicates shrink effective n -> |t| falls overall
+    assert(blocked < unblocked,
+      s"expected deflated |t| with blocking: blocked=$blocked unblocked=$unblocked")
+  }
+
   test("multi-contrast chains emit all C(3,2) contrasts with per-contrast BH + sig") {
     val rows = for {
       g <- 1 to 8; grp <- Seq("A", "B", "C"); i <- 1 to 4
