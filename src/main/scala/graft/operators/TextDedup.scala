@@ -214,8 +214,8 @@ object TextDedup {
     * document in codegen). */
   def repetitionStats(docs: DataFrame, n: Int = 2,
       id: String = "doc_id", text: String = "text"): DataFrame = {
-    val grams = docs
-      .select(col(id), explode(shingles(tokens(col(text)), n)).as("__g"))
+    val grams = gramRowsAll(docs, n, id, text)
+      .withColumnRenamed("s", "__g")
       .filter(col("__g") =!= "")
     val counts = grams.groupBy(col(id), col("__g")).agg(count(lit(1)).as("__c"))
     counts.groupBy(col(id))
@@ -239,19 +239,35 @@ object TextDedup {
     * for documents with at least one collision. */
   def contaminationOverlap(docs: DataFrame, benchmark: DataFrame, n: Int = 8,
       id: String = "doc_id", text: String = "text",
-      benchText: String = "text"): DataFrame = {
-    def gramRows(df: DataFrame, keep: Seq[Column], textCol: String) =
-      df.select(keep :+ explode(shingles(tokens(col(textCol)), n)).as("__g"): _*)
-        .filter(col("__g") =!= "")
-        .withColumn("__h", md5(col("__g"))).drop("__g")
-    val docGrams = gramRows(docs, Seq(col(id)), text).distinct()
-    val benchGrams = gramRows(benchmark, Seq.empty, benchText)
-      .select("__h").distinct()
+      benchId: String = "doc_id", benchText: String = "text"): DataFrame = {
+    val docGrams = shingleRows(docs, n, id, text)
+      .filter(col("s") =!= "")
+      .select(col(id), md5(col("s")).as("__h"))
+    val benchGrams = shingleRows(benchmark, n, benchId, benchText)
+      .filter(col("s") =!= "")
+      .select(md5(col("s")).as("__h")).distinct()
     val perDoc = docGrams.groupBy(col(id)).agg(count(lit(1)).as("n_grams"))
     docGrams.join(benchGrams, Seq("__h"))
       .groupBy(col(id)).agg(count(lit(1)).as("n_overlap"))
       .join(perDoc, Seq(id))
       .select(col(id), col("n_grams"), col("n_overlap"),
         (col("n_overlap").cast("double") / col("n_grams")).as("overlap_frac"))
+  }
+
+  /** Non-distinct relational gram rows `(id, s)` — the COUNTING shape
+    * [[repetitionStats]] needs ([[shingleRows]] distinct-reduces).
+    * Same gram semantics: full lead windows, plus the all-tokens
+    * shingle at pos 0 for documents shorter than the width. */
+  private def gramRowsAll(docs: DataFrame, n: Int, id: String,
+      text: String): DataFrame = {
+    val tok = docs.select(col(id), posexplode(tokens(col(text))).as(Seq("pos", "tk")))
+    val wDoc = Window.partitionBy(col(id)).orderBy(col("pos"))
+    val leads = (1 until n).map(o => lead(col("tk"), o).over(wDoc))
+    val full = if (leads.isEmpty) lit(true) else leads.last.isNotNull
+    tok
+      .withColumn("s", concat_ws(" ", (col("tk") +: leads): _*))
+      .withColumn("full", full)
+      .filter(col("full") || col("pos") === 0)
+      .select(col(id), col("s"))
   }
 }
