@@ -4,6 +4,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Each query is timed `reps` times and the BEST is reported (the
+    // ScaleProbe convention): a single-sample bench let one burst of
+    // machine contention forge a >2× "regression" on unchanged code in
+    // round 4 (19 phantom slowdowns, none reproducible). The minimum of
+    // two runs only lies if BOTH samples were contended; raw samples
+    // are emitted alongside so any contention is visible in the
+    // artifact itself.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -18,22 +26,30 @@ object Bench {
     Seq("lineitem", "documents", "embeddings", "events")
       .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // toRdd.count() materializes every output column — a plain
-      // Dataset.count() would let Catalyst prune the expensive
-      // projections and under-measure the query.
-      val err =
-        try { fn(spark, sfDir).queryExecution.toRdd.count(); None }
-        catch { case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(200)) }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      def once(): (Double, Option[String]) = {
+        val t0 = System.nanoTime()
+        // toRdd.count() materializes every output column — a plain
+        // Dataset.count() would let Catalyst prune the expensive
+        // projections and under-measure the query.
+        val err =
+          try { fn(spark, sfDir).queryExecution.toRdd.count(); None }
+          catch { case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(200)) }
+        ((System.nanoTime() - t0) / 1e9, err)
+      }
+      val samples = (1 to reps).map(_ => once())
+      val err = samples.collectFirst { case (_, Some(e)) => e }
+      (name, samples.map(_._1), err)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, ss, _) => s"\"" + k + "\":" + ss.min }
+      .mkString("{", ",", "}")
+    val raw = results.map { case (k, ss, _) =>
+      s"\"" + k + "\":" + ss.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val failures = results.collect { case (k, _, Some(e)) =>
       "\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\"" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}"""
+    val total = results.map(_._2.min).sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"samples":$raw,"failures":$failures,"sf":"$sfDir"}"""
     println(json)
     // Also persist to a file: captured stdout tails get truncated and
     // drop the head of the per-query map.

@@ -125,7 +125,7 @@ object Pipelines {
     * CQN-lite normalisation with the <2→0 floor, ComBat, top-SD
     * filter, then the reference's voom fit
     * (`DiffExpression_openPlatform.R:423-515`): de-log back to
-    * normalised read counts (`2^x`, `x==1 → 0`), voom log2-CPM +
+    * normalised read counts (`2^x`, then `2^x == 1 → 0`), voom log2-CPM +
     * per-observation precision weights, weighted cell-means lmFit,
     * eBayes moderated t. With `replicates` declared, the REML
     * duplicateCorrelation consensus deflates effective n (the
@@ -186,10 +186,12 @@ object Pipelines {
     val filtered = ExpressionMatrix(
       Filters.topFracBySdNonZero(adjusted, sdFrac).canonical.df.localCheckpoint(true))
     // de-log to normalised read counts (R:423-425: `data_combat <-
-    // 2^data_combat; data_combat[data_combat == 1] <- 0` — restores
-    // the exact zeros the <2→0 floor produced)
+    // 2^data_combat; data_combat[data_combat == 1] <- 0` — the
+    // de-logged value 2^x == 1, i.e. LOG value x == 0, is zeroed:
+    // the exact zeros the <2→0 floor produced de-log to 1 and are
+    // restored to 0)
     val delogged = ExpressionMatrix(filtered.df.withColumn("value",
-      when(col("value") === 1.0, 0.0).otherwise(pow(lit(2.0), col("value")))))
+      when(col("value") === 0.0, 0.0).otherwise(pow(lit(2.0), col("value")))))
     val vw = Normalize.voom(delogged, groups, bins = voomBins)
     val stats0 = DiffExpr.groupStatsObsWeighted(vw, groups)
     replicates match {
@@ -281,7 +283,16 @@ object Pipelines {
     * sizes, ICC between platform pairs (negative-ICC genes dropped,
     * F7), FEM/REM combine, weighted Stouffer over per-platform DE
     * results with mean-ICC weights. Returns the `Meta_<AvsB>`-shaped
-    * relation: gene, platforms, avg log2FC, combined z, combined p. */
+    * relation: gene, platforms, avg log2FC, combined z, combined p.
+    *
+    * The per-platform DE is the limma fit the reference's meta
+    * actually consumes: `Meta_analysis.R:1035-1048` reads each
+    * platform's `*_topTable.txt` — written by the DE scripts' eBayes
+    * fits (`DiffExpression_closedPlatform.R:546,598-633`) — and feeds
+    * its col-8 (log2FC) and col-11 (BH-ADJUSTED moderated p) into the
+    * ICC-weighted Stouffer (`:1068-1228`). So each platform runs
+    * [[DiffExpr.moderatedT]] + [[DiffExpr.topTable]] (its own eBayes
+    * hyperparameters, its own BH), not a Welch test. */
   def metaAnalysis(platforms0: Seq[(String, ExpressionMatrix)], groups: DataFrame,
       groupA: String, groupB: String): DataFrame = {
     // Stage boundary: each platform matrix is hit by many actions
@@ -297,14 +308,37 @@ object Pipelines {
     val iccPairs = Meta.iccMulti(platforms).select("gene_id", "icc")
     val meanIcc = Meta.meanIcc(iccPairs).filter(col("mean_icc") >= 0)
 
-    // per-platform DE (log2fc + p via Welch)
-    val perPlatform = platforms.map { case (name, m) =>
+    // per-platform DE at the reference's file contract: eBayes
+    // moderated t + BH topTable per platform
+    val topTables = platforms.map { case (name, m) =>
       val stats = DiffExpr.groupStats(m, groups)
-      DiffExpr.welchT(stats, "group", groupA, groupB)
-        .select(col("gene_id"), col("log2fc"), col("p"))
+      name -> DiffExpr.topTable(
+        DiffExpr.moderatedT(stats, "group", groupA, groupB)
+          .withColumnRenamed("p_mod", "p"))
+    }
+    metaAnalysisFromTopTables(topTables, meanIcc)
+  }
+
+  /** E3 composition point at the reference's file contract: the meta
+    * stage consumes per-platform topTable RELATIONS — col-8 log2FC and
+    * col-11 BH-adjusted p of the J6 layout (`Meta_analysis.R:
+    * 1082-1087` reads `DEresults[[k]][gene, 8]` and `[gene, 11]`) —
+    * plus the mean-ICC weights. Accepts either the bare
+    * [[DiffExpr.topTable]] columns (log2fc, p_bh) or the annotated
+    * [[graft.operators.Bind.annotatedTopTable]] names (log2FC,
+    * adj_p_value), so a chain that checkpoints topTables to parquet at
+    * the reference's file boundary re-reads them straight into the
+    * meta stage. `meanIcc` carries (gene_id, mean_icc), already
+    * restricted to the non-negative-ICC gene set (F7). */
+  def metaAnalysisFromTopTables(topTables: Seq[(String, DataFrame)],
+      meanIcc: DataFrame, gene: String = "gene_id"): DataFrame = {
+    val perPlatform = topTables.map { case (name, tt) =>
+      val fc = if (tt.columns.contains("log2FC")) "log2FC" else "log2fc"
+      val p = if (tt.columns.contains("adj_p_value")) "adj_p_value" else "p_bh"
+      val g = if (tt.columns.contains(gene)) gene else "gene"
+      tt.select(col(g).as("gene_id"), col(fc).as("log2fc"), col(p).as("p"))
         .withColumn("platform", lit(name))
     }.reduce(_ unionByName _)
-
     // the inner join below already restricts to meanIcc's gene set —
     // no separate semi-join needed
     val withIcc = perPlatform

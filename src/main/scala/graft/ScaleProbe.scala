@@ -29,8 +29,12 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val dst = "target/scale/sf1x"
     val copies = 10
+    // The derivation version + copies count are part of the output
+    // path: any change to the replicate() logic must bump the version,
+    // or the probe would silently reuse stale derived parquet.
+    val derivationVersion = 2
+    val dst = s"target/scale/sf1x-v$derivationVersion-c$copies"
     val queries = if (args.nonEmpty) args(0).split(",").toSeq else headline
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

@@ -151,12 +151,18 @@ object DiffExpr {
       .withColumn("df_resid", col("n_tot") - 2)
       .withColumn("s2", col("ss_resid") / col("df_resid"))
       .filter(col("s2") > 0)
-    // method-of-moments on z = log(s2): E[z] and Var[z] give (d0, s0)
+    // method-of-moments on z = log(s2): E[z] and Var[z] give (d0, s0).
+    // Null-guarded: an empty perGene (every gene filtered) leaves all
+    // three moments NULL, and a single gene leaves zvar NULL — both
+    // degrade to the d0 = 1e6 branch over however many rows remain
+    // instead of an opaque NPE.
     val moments = perGene
       .select(avg(log(col("s2"))).as("zbar"), var_samp(log(col("s2"))).as("zvar"),
               avg(col("df_resid").cast("double")).as("dbar"))
       .collect()(0)
-    val (zbar, zvar, dbar) = (moments.getDouble(0), moments.getDouble(1), moments.getDouble(2))
+    val zbar = if (moments.isNullAt(0)) 0.0 else moments.getDouble(0)
+    val zvar = if (moments.isNullAt(1)) 0.0 else moments.getDouble(1)
+    val dbar = if (moments.isNullAt(2)) 1.0 else moments.getDouble(2)
     // Var[log s2] = trigamma(d/2) + trigamma(d0/2) => d0 via trigamma inverse
     val evar = zvar - StatKernels.trigamma(dbar / 2.0)
     val d0 = if (evar > 0) 2.0 * StatKernels.trigammaInverse(evar) else 1e6
@@ -202,11 +208,15 @@ object DiffExpr {
       .withColumn("df_resid", col("n_tot") - col("k"))
       .withColumn("s2", col("ss_resid") / col("df_resid"))
       .filter(col("s2") > 0)
+    // null-guarded like moderatedT: empty/single-gene moment rows
+    // degrade to the d0 = 1e6 branch instead of an NPE
     val moments = perGene
       .select(avg(log(col("s2"))).as("zbar"), var_samp(log(col("s2"))).as("zvar"),
               avg(col("df_resid").cast("double")).as("dbar"))
       .collect()(0)
-    val (zbar, zvar, dbar) = (moments.getDouble(0), moments.getDouble(1), moments.getDouble(2))
+    val zbar = if (moments.isNullAt(0)) 0.0 else moments.getDouble(0)
+    val zvar = if (moments.isNullAt(1)) 0.0 else moments.getDouble(1)
+    val dbar = if (moments.isNullAt(2)) 1.0 else moments.getDouble(2)
     val evar = zvar - StatKernels.trigamma(dbar / 2.0)
     val d0 = if (evar > 0) 2.0 * StatKernels.trigammaInverse(evar) else 1e6
     val s02 = math.exp(zbar + StatKernels.digamma(d0 / 2.0) - StatKernels.digamma(dbar / 2.0) +

@@ -54,9 +54,12 @@ object TextDedup {
       posexplode(tokens(col(text))).as(Seq("pos", "tk")): _*)
     val wDoc = Window.partitionBy(col(id)).orderBy(col("pos"))
     val leads = (1 until shingleWidth).map(o => lead(col("tk"), o).over(wDoc))
+    // width 1 = unigrams: every token row is already a full shingle
+    // (leads is empty — guard, or `leads.last` throws)
+    val full = if (leads.isEmpty) lit(true) else leads.last.isNotNull
     tok
       .withColumn("s", concat_ws(" ", (col("tk") +: leads): _*))
-      .withColumn("full", leads.last.isNotNull)
+      .withColumn("full", full)
       .filter(col("full") || col("pos") === 0)
       .select((col(id) +: extras.map(col)) :+ col("s"): _*).distinct()
   }

@@ -428,9 +428,12 @@ object ExtraQueries {
     // ---- E3: the meta-analysis chain end-to-end
     // (Pipelines.metaAnalysis): pair ICC over standardized dense
     // platform grids → negative-mean-ICC gene drop (F7) → per-platform
-    // Welch DE → ICC-weighted Stouffer combine. Two platforms (O/F
-    // linestatus), so mean ICC = the pair ICC. p_comb is a bijection
-    // of z_comb through pnorm and is omitted, as in q14. ----
+    // eBayes moderated-t topTable (the reference's meta reads each
+    // platform's limma topTable col-8 log2FC / col-11 BH-adjusted p,
+    // Meta_analysis.R:1035-1087) → ICC-weighted Stouffer combine over
+    // the ADJUSTED p. Two platforms (O/F linestatus), so mean ICC =
+    // the pair ICC. p_comb is a bijection of z_comb through pnorm and
+    // is omitted, as in q14. ----
     "q70_e3_chain" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").filter(col("l_partkey") <= 100)
       def mat(status: String) = ExpressionMatrix(
@@ -802,6 +805,31 @@ object ExtraQueries {
   private val digammaRecurrence45 =
     (0 until 45).map(j => s"1.0/(dh + $j)").mkString(" + ")
 
+  /** commons-math3 `Gamma.digamma` replay for ANY y > 0 (the q68
+    * 45-term splice needs dh ≥ 4): fixed 49-step recurrence ψ(y) =
+    * ψ(y+49) − Σ_{j<49} 1/(y+j) + the same asymptotic tail commons
+    * evaluates, accumulated in the recursion's float order
+    * (asymptotic first, then j = 48 … 0). `y` must be a simple
+    * column/parenthesised expression. */
+  private def digammaSql(y: String): String = {
+    val a = s"(($y) + 49.0)"
+    val asym = s"(ln($a) - 0.5/$a - (1.0/($a*$a))*(1.0/12.0" +
+      s" - (1.0/($a*$a))*(1.0/120.0 - (1.0/($a*$a))/252.0)))"
+    (48 to 0 by -1).map(j => s"1.0/(($y)+$j.0)")
+      .foldLeft(asym)((acc, t) => s"($acc - $t)")
+  }
+
+  /** commons-math3 `Gamma.trigamma` replay for ANY y > 0: fixed
+    * 49-step recurrence ψ'(y) = ψ'(y+49) + Σ_{j<49} 1/(y+j)² + the
+    * commons asymptotic tail, in the recursion's float order. */
+  private def trigammaSql(y: String): String = {
+    val a = s"(($y) + 49.0)"
+    val asym = s"(1.0/$a + (1.0/($a*$a))/2.0 + (1.0/($a*$a))/$a" +
+      s" * (1.0/6.0 - (1.0/($a*$a))*(1.0/30.0 - (1.0/($a*$a))/42.0)))"
+    (48 to 0 by -1).map(j => s"1.0/((($y)+$j.0)*(($y)+$j.0))")
+      .foldLeft(asym)((acc, t) => s"($acc + $t)")
+  }
+
   /** Shared E1-chain stage replay (q68/q73/q74 oracles): probe scan →
     * outlier/reliable-probe filters → max-variance dedup → bind on
     * common genes → ComBat recursion → zero-var + top-60%-SD filters.
@@ -1043,7 +1071,7 @@ object ExtraQueries {
          grp AS (SELECT s_suppkey AS samp,
                         $grpCase AS g FROM supplier),
          dl AS MATERIALIZED (
-           SELECT gene, samp, CASE WHEN value = 1.0 THEN 0e0 ELSE pow(2.0, value) END AS c
+           SELECT gene, samp, CASE WHEN value = 0.0 THEN 0e0 ELSE pow(2.0, value) END AS c
            FROM fm),
          vlib AS (SELECT samp, sum(c) AS lib FROM dl GROUP BY 1),
          voff AS (SELECT avg(log2(lib + 1.0)) - log2(1e6) AS off FROM vlib),
@@ -1239,7 +1267,8 @@ object ExtraQueries {
     // per-sample quantile normalisation with the string-gene
     // tie-break, the <2→0 floor, the q44 ComBat recursion, zero-var +
     // percent_rank top-50%-SD filters, then the voom fit: de-log
-    // (2^x, x==1→0), library sizes, log2-CPM, unweighted cell means,
+    // (2^x, with 2^x == 1 i.e. x == 0 → 0), library sizes, log2-CPM,
+    // unweighted cell means,
     // per-gene (sx, sy) trend points, ntile-binned piecewise-linear
     // trend anchors (rank-sensitive quantities rounded at 1e-6 with
     // the +1e-9 jitter, exactly the Scala op order), per-observation
@@ -1336,11 +1365,22 @@ object ExtraQueries {
 
     // E3 chain replay: the q46 ICC stack (dense grids → gramian-row
     // correlation vectors → corr of corr) gates which genes survive
-    // the negative-ICC drop and supplies the Stouffer weight; the q14
-    // Welch → Lentz-CF t-CDF → Acklam qnorm tail is reused verbatim
-    // with the per-gene icc replacing the constant 0.5 weight.
+    // the negative-ICC drop and supplies the Stouffer weight. The
+    // per-platform DE is the limma fit the reference's meta consumes
+    // (topTable col-8/col-11): the FULL eBayes estimator replays per
+    // study — method-of-moments on ln s², evar = zvar − trigamma(dbar/2)
+    // via the commons-math3 trigamma replay, d0 from BOTH branches
+    // (trigammaInverse by the 50-step Newton recursion with limma's
+    // −dif/y < 1e-8 freeze when evar > 0, the 1e6 pin otherwise — this
+    // fixture takes the pin at sf0.01/0.1 and the Newton branch on
+    // study F at sf0.001, so the oracle replays the estimator, not a
+    // pinned literal), s0² through the 49-step digamma replay — then
+    // the Lentz-CF t-CDF (converges ≤100 iters even at df ≈ 1e6;
+    // measured ≤5e-11 rel), per-study BH with the string-gene
+    // tie-break (the meta consumes col-11 = ADJUSTED p,
+    // Meta_analysis.R:1082-1087), and the Acklam qnorm Stouffer tail.
     "q70_e3_chain" ->
-      """WITH RECURSIVE cells AS MATERIALIZED (
+      s"""WITH RECURSIVE cells AS MATERIALIZED (
            SELECT l_linestatus AS st, l_partkey AS g, l_suppkey AS s, avg(l_extendedprice) AS v
            FROM lineitem WHERE l_partkey <= 100 AND l_linestatus IN ('O','F') GROUP BY 1,2,3
          ), common AS (
@@ -1369,24 +1409,71 @@ object ExtraQueries {
            SELECT c.st AS study, c.g AS gene, gr.label AS lbl,
                   count(*) AS n, avg(c.v) AS mean, var_samp(c.v) AS var
            FROM cells c JOIN grp gr ON gr.samp = c.s GROUP BY 1,2,3
-         ), wide AS (
-           SELECT gene, study,
-                  max(CASE WHEN lbl='A' THEN n END) AS na, max(CASE WHEN lbl='A' THEN mean END) AS ma,
-                  max(CASE WHEN lbl='A' THEN var END) AS va,
-                  max(CASE WHEN lbl='B' THEN n END) AS nb, max(CASE WHEN lbl='B' THEN mean END) AS mb,
-                  max(CASE WHEN lbl='B' THEN var END) AS vb
+         ), mper AS (
+           SELECT study, gene, sum(n) AS n_tot, count(*) AS kk,
+                  sum((n - 1) * var) AS ss_resid,
+                  max(CASE WHEN lbl='A' THEN mean END) AS ma,
+                  max(CASE WHEN lbl='B' THEN mean END) AS mb,
+                  max(CASE WHEN lbl='A' THEN n END) AS na,
+                  max(CASE WHEN lbl='B' THEN n END) AS nb
            FROM stats GROUP BY 1,2
-         ), welch AS (
-           SELECT gene, study, CAST(ma - mb AS DOUBLE) AS fc,
-                  CAST((ma - mb) / sqrt(va/na + vb/nb) AS DOUBLE) AS t,
-                  CAST(pow(va/na + vb/nb, 2) / (pow(va/na, 2)/(na-1) + pow(vb/nb, 2)/(nb-1)) AS DOUBLE) AS df
-           FROM wide
-           WHERE na > 1 AND nb > 1 AND ma IS NOT NULL AND mb IS NOT NULL AND (va + vb) > 0
+         ), mf AS MATERIALIZED (
+           SELECT study, gene, CAST(ma - mb AS DOUBLE) AS fc, na, nb,
+                  CAST(n_tot - 2 AS DOUBLE) AS df_resid,
+                  ss_resid/(n_tot - 2) AS s2
+           FROM mper
+           WHERE kk = 2 AND n_tot > 2 AND ma IS NOT NULL AND mb IS NOT NULL
+             AND ss_resid/(n_tot - 2) > 0
+         ), mmo AS (
+           SELECT study, avg(ln(s2)) AS zbar, var_samp(ln(s2)) AS zvar,
+                  avg(df_resid) AS dbar
+           FROM mf GROUP BY 1
+         ), mev AS MATERIALIZED (
+           SELECT study, zbar, dbar, zvar - ${trigammaSql("dbar/2.0")} AS evar FROM mmo
+         ), nt AS (
+           SELECT 0 AS i, study,
+                  CASE WHEN evar > 1e-6 AND evar <= 1e7 THEN evar ELSE 1.0 END AS x,
+                  0.5 + 1.0/(CASE WHEN evar > 1e-6 AND evar <= 1e7 THEN evar ELSE 1.0 END) AS y,
+                  FALSE AS done
+           FROM mev
+           UNION ALL
+           SELECT i + 1, study, x,
+                  CASE WHEN done THEN y ELSE y + dif END,
+                  done OR (0.0 - dif)/(y + dif) < 1e-8
+           FROM (
+             SELECT i, study, x, y, done,
+                    tri*(1.0 - tri/x)/((trip - trim)/(2.0*h)) AS dif
+             FROM (
+               SELECT i, study, x, y, done, h,
+                      ${trigammaSql("y")} AS tri,
+                      ${trigammaSql("y + h")} AS trip,
+                      ${trigammaSql("y - h")} AS trim
+               FROM (SELECT *, 1e-4*greatest(1.0, abs(y)) AS h FROM nt WHERE i < 50)
+             )
+           )
+         ), d0s AS MATERIALIZED (
+           SELECT m.study, m.zbar, m.dbar,
+                  CASE WHEN m.evar <= 0 THEN 1e6
+                       WHEN m.evar > 1e7 THEN 2.0/sqrt(m.evar)
+                       WHEN m.evar < 1e-6 THEN 2.0/m.evar
+                       ELSE 2.0*n.y END AS d0
+           FROM mev m JOIN (SELECT study, y FROM nt WHERE i = 50) n USING (study)
+         ), s0s AS MATERIALIZED (
+           SELECT study, d0,
+                  exp(zbar + ${digammaSql("d0/2.0")} - ${digammaSql("dbar/2.0")}
+                      + ln(dbar/d0)) AS s02
+           FROM d0s
+         ), modt AS (
+           SELECT f.gene, f.study, f.fc,
+                  f.fc / sqrt(((s.d0*s.s02 + f.df_resid*f.s2)/(s.d0 + f.df_resid))
+                    * (1.0/f.na + 1.0/f.nb)) AS t,
+                  f.df_resid + s.d0 AS df
+           FROM mf f JOIN s0s s USING (study)
          ), prep AS MATERIALIZED (
            SELECT gene, study, fc, t, df,
                   df/(df + t*t) AS x0, df/2.0 AS ba, CAST(0.5 AS DOUBLE) AS bb,
                   (df/(df + t*t)) >= (df/2.0 + 1.0)/(df/2.0 + 0.5 + 2.0) AS flip
-           FROM welch
+           FROM modt
          ), cfin AS MATERIALIZED (
            SELECT *, CASE WHEN flip THEN 1.0 - x0 ELSE x0 END AS xx,
                   CASE WHEN flip THEN bb ELSE ba END AS ca,
@@ -1423,6 +1510,19 @@ object ExtraQueries {
                              + lgamma(cf.ca+cf.cb) - lgamma(cf.ca) - lgamma(cf.cb))*cf.h/cf.ca END AS ix
            FROM cf JOIN prep p USING (gene, study)
            WHERE cf.m = 100
+         ), pcl AS (
+           SELECT gene, study, fc, least(greatest(ix, 0.0), 1.0) AS p FROM ibeta
+         ), bh AS (
+           SELECT *, count(*) OVER (PARTITION BY study) AS nn,
+                  row_number() OVER (PARTITION BY study
+                    ORDER BY p ASC, CAST(gene AS VARCHAR) ASC) AS rk
+           FROM pcl
+         ), padj AS MATERIALIZED (
+           SELECT gene, study, fc,
+                  least(1.0, min(p*nn/rk) OVER (PARTITION BY study
+                    ORDER BY p ASC, CAST(gene AS VARCHAR) ASC
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS p_bh
+           FROM bh
          ), zfinal AS (
            SELECT gene, study, fc, sign(fc) * (
              CASE WHEN pq < 0.02425 THEN
@@ -1446,7 +1546,8 @@ object ExtraQueries {
                     sqrt(-2.0*ln(greatest(1.0 - pq, 1e-300))) AS qr,
                     sqrt(-2.0*ln(greatest(pq, 1e-300))) AS q,
                     pq - 0.5 AS qc, (pq-0.5)*(pq-0.5) AS r
-             FROM (SELECT gene, study, fc, least(greatest(1.0 - 0.5*ix, 0.0), 1.0) AS pq FROM ibeta)
+             FROM (SELECT gene, study, fc,
+                          least(greatest(1.0 - 0.5*p_bh, 0.0), 1.0) AS pq FROM padj)
            )
          ), comb AS (
            SELECT z.gene, count(*) AS n_platforms,
