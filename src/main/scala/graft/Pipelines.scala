@@ -134,9 +134,9 @@ object Pipelines {
   def openPlatformDE(counts: ExpressionMatrix, outliers: DataFrame,
       batches: DataFrame, groups: DataFrame, groupA: String, groupB: String,
       sdFrac: Double = 0.5, geneInfo: Option[DataFrame] = None,
-      replicates: Option[DataFrame] = None, voomBins: Int = 20): DataFrame = {
+      replicates: Option[DataFrame] = None, voomSpan: Double = 0.5): DataFrame = {
     val stats = openPlatformStats(counts, outliers, batches, groups, sdFrac,
-      geneInfo, replicates, voomBins)
+      geneInfo, replicates, voomSpan)
     DiffExpr.topTable(
       DiffExpr.moderatedT(stats, "group", groupA, groupB).withColumnRenamed("p_mod", "p"))
   }
@@ -150,9 +150,9 @@ object Pipelines {
   def openPlatformDEMulti(counts: ExpressionMatrix, outliers: DataFrame,
       batches: DataFrame, groups: DataFrame, sdFrac: Double = 0.5,
       geneInfo: Option[DataFrame] = None, replicates: Option[DataFrame] = None,
-      voomBins: Int = 20, alpha: Double = 0.05, minLfc: Double = 0.0): DataFrame = {
+      voomSpan: Double = 0.5, alpha: Double = 0.05, minLfc: Double = 0.0): DataFrame = {
     val stats = openPlatformStats(counts, outliers, batches, groups, sdFrac,
-      geneInfo, replicates, voomBins)
+      geneInfo, replicates, voomSpan)
     val de = DiffExpr.moderatedTAll(stats)
     DiffExpr.decideTests(
       DiffExpr.bhAdjustGrouped(de, "p_mod", Seq(col("contrast")), Seq(col("gene_id"))),
@@ -165,7 +165,7 @@ object Pipelines {
   private def openPlatformStats(counts: ExpressionMatrix, outliers: DataFrame,
       batches: DataFrame, groups: DataFrame, sdFrac: Double,
       geneInfo: Option[DataFrame], replicates: Option[DataFrame],
-      voomBins: Int): DataFrame = {
+      voomSpan: Double): DataFrame = {
     val cleaned = Filters.removeOutliers(Filters.dropSpecialCounters(counts), outliers)
     val (nonzero, _) = Filters.partitionZeroCounts(cleaned)
     // with (gc, length) gene info the full conditional quantile
@@ -192,7 +192,7 @@ object Pipelines {
     // restored to 0)
     val delogged = ExpressionMatrix(filtered.df.withColumn("value",
       when(col("value") === 0.0, 0.0).otherwise(pow(lit(2.0), col("value")))))
-    val vw = Normalize.voom(delogged, groups, bins = voomBins)
+    val vw = Normalize.voom(delogged, groups, f = voomSpan)
     val stats0 = DiffExpr.groupStatsObsWeighted(vw, groups)
     replicates match {
       case Some(reps) =>

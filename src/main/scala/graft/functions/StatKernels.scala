@@ -100,6 +100,24 @@ object StatKernels {
     tail / total
   }
 
+  /** Piecewise-linear interpolation (R `approx(..., rule = 2)`):
+    * binary search for the bracketing knots, linear blend inside the
+    * span, end values held outside. `xs` strictly increasing. Called
+    * from [[Interp1]]'s generated code — keep the arithmetic in this
+    * exact form; the DuckDB oracles replay it term for term. */
+  def interp1(x: Double, xs: Array[Double], ys: Array[Double]): Double = {
+    val n = xs.length
+    if (n == 1 || x <= xs(0)) return ys(0)
+    if (x >= xs(n - 1)) return ys(n - 1)
+    var lo = 0
+    var hi = n - 1
+    while (hi - lo > 1) {
+      val mid = (lo + hi) >>> 1
+      if (xs(mid) <= x) lo = mid else hi = mid
+    }
+    ys(lo) + (ys(hi) - ys(lo)) * (x - xs(lo)) / (xs(hi) - xs(lo))
+  }
+
   def digamma(x: Double): Double = Gamma.digamma(x)
   def trigamma(x: Double): Double = Gamma.trigamma(x)
 

@@ -54,33 +54,38 @@ object Normalize {
     * mod)` whose `$E`/`$weights` feed `lmFit`): log2-CPM with
     * per-OBSERVATION precision weights from the mean–variance trend.
     *
-    * Mirrors limma's structure with the lowess replaced by a
-    * deterministic binned piecewise-linear trend:
     *  1. y = log2((count+0.5)/(lib+1)·1e6); first-pass UNWEIGHTED
     *     cell-means fit, so each observation's fitted value is its
     *     (gene, group) mean of y;
     *  2. per-gene trend point: sx = Amean + mean(log2(lib+1)) −
     *     log2 1e6 (the mean log2-count), sy = sqrt(residual sd)
     *     (quarter-root variance), exactly voom's (sx, sy);
-    *  3. trend = piecewise-linear through `bins` anchor points (per-bin
-    *     means of sx and sy over genes ranked by sx), flat beyond the
-    *     end anchors — limma's `approxfun(lowess(sx,sy), rule=2)` with
-    *     the smoother swapped for the binned fit;
+    *  3. trend = DETERMINISTIC LOWESS through the per-gene points —
+    *     R `lowess(sx, sy, f = 0.5)` semantics (tricube local linear
+    *     fit over the sliding nearest-`f·n` window, 3 bisquare
+    *     robustness iterations), see [[lowessFit]] for the two
+    *     documented divergences (delta = 0, cmad ≤ 0 freeze). The fit
+    *     runs driver-side over the gene-grain (sx, sy) relation — the
+    *     same ≤-genes-rows contract as the CQN spline — and the
+    *     fitted curve re-enters the plan as [[graft.functions.Interp1]]
+    *     knot literals (binary-search codegen, no join, no window);
     *  4. per observation: fitted log2-count x = fitted + log2(lib_s+1)
-    *     − log2 1e6, weight = 1/trend(x)⁴.
+    *     − log2 1e6, weight = 1/trend(x)⁴ — limma's
+    *     `approxfun(lowess(sx, sy), rule = 2)` evaluation.
     *
-    * Rank/comparison-sensitive quantities (sx, anchors, x) round at
-    * 1e-6 with the catalog's +1e-9 jitter so binning and segment
-    * choice reproduce across engines. Anchors are gene-grain-bounded
-    * (≤ bins rows, collected and folded into the plan as literals);
-    * everything else is keyed aggregation — one shuffle per step.
+    * Rank/comparison-sensitive quantities (sx, the interpolation
+    * knots, x) round at 1e-6 with the catalog's +1e-9 jitter so the
+    * window selection and knot bracketing reproduce across engines;
+    * the fitted knot values round the same way so cross-engine float
+    * noise in the fit cannot leak into the weights. The trend floors
+    * at 1e-6 (an overshooting robust fit could cross zero on a
+    * pathological fixture; 1/t⁴ must stay finite).
     *
     * Returns (gene_id, sample_id, value = log2-CPM, weight) for the
     * samples present in `groups` (the design voom fits against). */
-  def voom(counts: ExpressionMatrix, groups: DataFrame, bins: Int = 20,
-      groupCol: String = "group"): DataFrame = {
+  def voom(counts: ExpressionMatrix, groups: DataFrame, f: Double = 0.5,
+      robustIters: Int = 3, groupCol: String = "group"): DataFrame = {
     val spark = counts.df.sparkSession
-    import spark.implicits._
     val c = counts.canonical.df
     val libs = c.groupBy("sample_id").agg(sum("value").as("__lib"))
     val meanLogLib = libs.agg(avg(log2(col("__lib") + 1.0))).head().getDouble(0)
@@ -94,8 +99,9 @@ object Normalize {
       .select(col("gene_id"), col("sample_id"), col(groupCol), col("value"),
         col("__loglib"), col("__mu"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // per-gene trend points (genes with residual df and nonzero SS)
-    val perGene = obs.groupBy("gene_id")
+    // per-gene trend points (genes with residual df and nonzero SS),
+    // collected in the fit's ordering (sx, gene) — gene-grain bounded
+    val pts = obs.groupBy("gene_id")
       .agg(avg("value").as("__amean"),
            sum((col("value") - col("__mu")) * (col("value") - col("__mu"))).as("__ss"),
            count(lit(1)).as("__n"), countDistinct(col(groupCol)).as("__k"))
@@ -103,38 +109,152 @@ object Normalize {
       .select(col("gene_id"),
         round(col("__amean") + lit(meanLogLib - log2e6) + lit(1e-9), 6).as("__sx"),
         sqrt(sqrt(col("__ss") / (col("__n") - col("__k")))).as("__sy"))
-    val wBin = Window.orderBy(col("__sx").asc, col("gene_id").asc)
-    val anch: Array[(Double, Double)] = perGene
-      .withColumn("__b", ntile(bins).over(wBin))
-      .groupBy("__b")
-      .agg(round(avg("__sx") + lit(1e-9), 6).as("ax"),
-           round(avg("__sy") + lit(1e-9), 6).as("ay"))
-      .orderBy("__b")
-      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+      .orderBy(col("__sx").asc, col("gene_id").asc)
+      .select("__sx", "__sy")
+      .collect()
     val xObs = round(col("__mu") + col("__loglib") - lit(log2e6) + lit(1e-9), 6)
-    if (anch.length < 2) {
-      // degenerate trend (≤1 anchor): constant weight
-      val t = anch.headOption.map(_._2).getOrElse(1.0)
+    if (pts.isEmpty) {
       return obs.select(col("gene_id"), col("sample_id"), col("value"),
-        lit(1.0 / ((t * t) * (t * t))).as("weight"))
+        lit(1.0).as("weight"))
     }
-    val segs = anch.sliding(2).zipWithIndex.map {
-      case (Array((x0, y0), (x1, y1)), k) => (k, x0, x1, y0, y1)
-    }.toSeq
-    val segsDf = broadcast(segs.toDF("__seg", "x0", "x1", "y0", "y1"))
-    // segment index = count of interior anchors strictly below x
-    val segExpr = anch.map(_._1).drop(1).dropRight(1)
-      .foldLeft(lit(0)) { (acc, ax) => acc + (col("__x") > ax).cast("int") }
-    val xc = least(greatest(col("__x"), col("x0")), col("x1"))
-    val tt = when(col("x1") > col("x0"),
-        col("y0") + (col("y1") - col("y0")) * (xc - col("x0")) / (col("x1") - col("x0")))
-      .otherwise(col("y0"))
+    val sx = pts.map(_.getDouble(0))
+    val sy = pts.map(_.getDouble(1))
+    val fitted = lowessFit(sx, sy, f, robustIters)
+    // knots: ties on sx collapse to the MIN fitted value (tied points
+    // share the same window, so their fits agree up to summation
+    // order; min is the deterministic pick on both engines), then the
+    // knot values round like every other rank-sensitive quantity
+    val knots = sx.indices.foldLeft(Vector.empty[(Double, Double)]) { (acc, i) =>
+      if (acc.nonEmpty && acc.last._1 == sx(i))
+        acc.init :+ ((acc.last._1, math.min(acc.last._2, fitted(i))))
+      else acc :+ ((sx(i), fitted(i)))
+    }
+    val kx = knots.map(_._1).toArray
+    // same rounding semantics as Spark/DuckDB round(x, 6) (HALF_UP on
+    // the positive trend) — math.rint would be HALF_EVEN
+    val ky = knots.map(t => BigDecimal(t._2 + 1e-9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toArray
+    val trend = greatest(
+      graft.functions.Interp1.interp1(col("__x"), kx, ky), lit(1e-6))
     obs.withColumn("__x", xObs)
-      .withColumn("__seg", segExpr)
-      .join(segsDf, Seq("__seg"))
-      .withColumn("__t", tt)
+      .withColumn("__t", trend)
       .select(col("gene_id"), col("sample_id"), col("value"),
         (lit(1.0) / ((col("__t") * col("__t")) * (col("__t") * col("__t")))).as("weight"))
+  }
+
+  /** Deterministic LOWESS (Cleveland 1979, the exact R `lowess`
+    * algorithm shape): for each point, a tricube-weighted linear fit
+    * over the sliding window of the `max(2, ⌊f·n + 1e-7⌋)` nearest
+    * neighbours (contiguous in sorted x; on distance ties the window
+    * keeps the left point, R's `d1 > d2` advance rule), then
+    * `robustIters` bisquare reweighting passes with the 6·median
+    * |residual| scale. Two documented divergences from R's C
+    * implementation, both deterministic:
+    *   - delta = 0: R interpolates across points within
+    *     `0.01·range(x)` of the last fit as a SPEED approximation; we
+    *     evaluate the local fit at every point (pure accuracy win);
+    *   - the "effectively zero" scale guard: when ≥ half the
+    *     residuals are (float-noise) zero the 6·median scale
+    *     collapses and the bisquare would zero every point with a
+    *     genuine residual — R breaks out of the robustness loop on
+    *     `cmad < 1e-7 · scale`; we freeze the robustness weights when
+    *     cmad ≤ 1e-7 · mean|res| (the mean keeps the outliers the
+    *     median ignores, so it is a sound degenerate-scale detector),
+    *     which makes the remaining passes reproduce the same fit —
+    *     break semantics in unrolled-SQL-replayable form.
+    * `x` must be sorted ascending (ties allowed). O(f·n²) driver-side
+    * — seconds at the reference's ≤60k gene grain. */
+  private[graft] def lowessFit(x: Array[Double], y: Array[Double], f: Double = 0.5,
+      robustIters: Int = 3): Array[Double] = {
+    val n = x.length
+    val fit = new Array[Double](n)
+    if (n == 0) return fit
+    if (n == 1) { fit(0) = y(0); return fit }
+    val ns = math.max(2, math.min(n, (f * n + 1e-7).toInt))
+    val range = x(n - 1) - x(0)
+    val rw = Array.fill(n)(1.0)
+    var frozen = false
+    var iter = 1
+    while (iter <= robustIters + 1) {
+      // sliding window: nleft advances while the left edge is farther
+      // than the next right point (ties keep left) — equivalently the
+      // minimal L with x(i) − x(L) ≤ x(L+ns) − x(i), which is what the
+      // oracle SQL computes (KernelSpec asserts the equivalence)
+      var nleft = 0
+      var i = 0
+      while (i < n) {
+        while (nleft + ns < n &&
+            x(i) - x(nleft) > x(nleft + ns) - x(i)) nleft += 1
+        val nright = nleft + ns - 1
+        var h = math.max(x(i) - x(nleft), x(nright) - x(i))
+        val h9 = 0.999 * h
+        val h1 = 0.001 * h
+        val w = new Array[Double](ns)
+        var a = 0.0
+        var k = 0
+        while (k < ns) {
+          val j = nleft + k
+          val r = math.abs(x(j) - x(i))
+          var wk = 0.0
+          if (r <= h1) wk = 1.0
+          else if (r <= h9) {
+            val u = r / h
+            val t = 1.0 - u * u * u
+            wk = t * t * t
+          }
+          if (iter > 1) wk *= rw(j)
+          w(k) = wk
+          a += wk
+          k += 1
+        }
+        if (a <= 0) fit(i) = y(i)
+        else {
+          k = 0
+          while (k < ns) { w(k) /= a; k += 1 }
+          if (h > 0) {
+            var xm = 0.0
+            k = 0
+            while (k < ns) { xm += w(k) * x(nleft + k); k += 1 }
+            var cc = 0.0
+            k = 0
+            while (k < ns) { val d = x(nleft + k) - xm; cc += w(k) * d * d; k += 1 }
+            if (math.sqrt(cc) > 0.001 * range) {
+              val b = (x(i) - xm) / cc
+              k = 0
+              while (k < ns) { w(k) *= b * (x(nleft + k) - xm) + 1.0; k += 1 }
+            }
+          }
+          var s = 0.0
+          k = 0
+          while (k < ns) { s += w(k) * y(nleft + k); k += 1 }
+          fit(i) = s
+        }
+        i += 1
+      }
+      if (iter <= robustIters && !frozen) {
+        val absRes = Array.tabulate(n)(j => math.abs(y(j) - fit(j)))
+        val sorted = absRes.sorted
+        val cmad =
+          if (n % 2 == 0) 3.0 * (sorted(n / 2 - 1) + sorted(n / 2))
+          else 6.0 * sorted(n / 2)
+        if (cmad <= 1e-7 * (absRes.sum / n)) frozen = true
+        else {
+          val c9 = 0.999 * cmad
+          val c1 = 0.001 * cmad
+          var j = 0
+          while (j < n) {
+            val r = absRes(j)
+            rw(j) =
+              if (r <= c1) 1.0
+              else if (r <= c9) { val u = 1.0 - (r / cmad) * (r / cmad); u * u }
+              else 0.0
+            j += 1
+          }
+        }
+      }
+      iter += 1
+    }
+    fit
   }
 
   /** A16 — CQN-lite: per-dataset quantile normalisation plus the

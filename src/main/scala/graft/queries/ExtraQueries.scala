@@ -993,15 +993,80 @@ object ExtraQueries {
            JOIN st b ON b.gene = f.gene AND b.grp = p.gb
            WHERE a.n > 0 AND b.n > 0)"""
 
+  /** One lowess fit pass as CTE text (the exact arithmetic of
+    * `Normalize.lowessFit`): tricube window weights × the previous
+    * robustness weights `vrw{k-1}`, normalisation, the centered
+    * linear-correction factor (guarded by h > 0 and
+    * √c > 0.001·range exactly like R's `lowest`), and the a ≤ 0
+    * fallback to the point's own y. Reads the shared window relation
+    * `vwin`/`vh`; defines `vf$k` (i → fitted ys). */
+  private def lowessPassSql(k: Int): String = {
+    val u = "(1.0 - (w.d/h.h)*(w.d/h.h)*(w.d/h.h))"
+    s"""vw$k AS MATERIALIZED (
+           SELECT w.i, w.xi, w.yi, w.j, w.xj, w.yj, w.d, h.h,
+                  (CASE WHEN w.d <= 0.001*h.h THEN 1.0
+                        WHEN w.d <= 0.999*h.h THEN $u * $u * $u
+                        ELSE 0.0 END) * r.w AS w0
+           FROM vwin w JOIN vh h USING (i) JOIN vrw${k - 1} r ON r.rn = w.j),
+         va$k AS (SELECT i, sum(w0) AS a FROM vw$k GROUP BY 1),
+         vm$k AS (SELECT w.i, sum(w.w0/a.a*w.xj) AS xm
+                  FROM vw$k w JOIN va$k a USING (i) WHERE a.a > 0 GROUP BY 1),
+         vc$k AS (SELECT w.i, sum(w.w0/a.a*(w.xj - m.xm)*(w.xj - m.xm)) AS c
+                  FROM vw$k w JOIN va$k a USING (i) JOIN vm$k m USING (i) GROUP BY 1),
+         vf$k AS MATERIALIZED (
+           SELECT w.i,
+                  CASE WHEN min(a.a) <= 0 THEN min(w.yi)
+                       ELSE sum((w.w0/a.a)
+                            * (CASE WHEN h.h > 0 AND sqrt(c.c) > 0.001*(SELECT rng FROM vn)
+                                    THEN ((w.xi - m.xm)/c.c)*(w.xj - m.xm) + 1.0
+                                    ELSE 1.0 END)
+                            * w.yj) END AS ys
+           FROM vw$k w JOIN va$k a USING (i) JOIN vh h USING (i)
+           LEFT JOIN vm$k m USING (i) LEFT JOIN vc$k c USING (i)
+           GROUP BY 1)"""
+  }
+
+  /** One bisquare robustness update as CTE text (`lowessFit`'s
+    * residual → 6·median scale → bisquare weights, with the
+    * effectively-zero-scale freeze (cmad ≤ 1e-7·mean|res|) carrying
+    * the previous weights — which makes the next pass reproduce this
+    * one, R's break semantics in unrolled form). Reads `vf$k`;
+    * defines `vrw$k`. */
+  private def lowessRobustSql(k: Int): String =
+    s"""vr$k AS (SELECT v.rn, abs(v.sy - f.ys) AS ar
+                 FROM vrn v JOIN vf$k f ON f.i = v.rn),
+         vord$k AS (SELECT ar, row_number() OVER (ORDER BY ar ASC) AS rr FROM vr$k),
+         vcm$k AS (SELECT CASE WHEN vn.n % 2 = 0
+                          THEN 3.0*(max(CASE WHEN o.rr = CAST(floor(vn.n/2.0) AS BIGINT) THEN o.ar END)
+                                  + max(CASE WHEN o.rr = CAST(floor(vn.n/2.0) AS BIGINT) + 1 THEN o.ar END))
+                          ELSE 6.0*max(CASE WHEN o.rr = CAST(floor((vn.n + 1)/2.0) AS BIGINT) THEN o.ar END)
+                          END AS cmad,
+                          sum(o.ar)/vn.n AS aar
+                   FROM vord$k o CROSS JOIN vn GROUP BY vn.n),
+         vrw$k AS MATERIALIZED (
+           SELECT r.rn,
+                  CASE WHEN c.cmad <= 1e-7*c.aar THEN p.w
+                       WHEN r.ar <= 0.001*c.cmad THEN 1.0
+                       WHEN r.ar <= 0.999*c.cmad THEN
+                         (1.0 - (r.ar/c.cmad)*(r.ar/c.cmad))*(1.0 - (r.ar/c.cmad)*(r.ar/c.cmad))
+                       ELSE 0.0 END AS w
+           FROM vr$k r CROSS JOIN vcm$k c JOIN vrw${k - 1} p ON p.rn = r.rn)"""
+
   /** Shared E2-chain replay core (q69/q75 oracles): count scan →
     * special-counter/outlier/zero filters → log2-CPM → quantile
     * normalisation → <2→0 floor → ComBat recursion → zero-var +
-    * top-50%-SD filters → de-log → voom (binned trend, segment
-    * interpolation, per-observation 1/t⁴ weights) → Kish-weighted
-    * per-(gene, group) sufficient statistics `vst` (single-observation
-    * cells guarded to NULL var, the Scala convention). The group
-    * factor CASE is spliced so the 2-group chain (q69) and the
-    * 3-group multi-contrast chain (q75) replay the same text. */
+    * top-50%-SD filters → de-log → voom — the full deterministic
+    * LOWESS trend (4 tricube local-linear passes over the sliding
+    * nearest-half window via the minimal-left-edge relation `vwl`,
+    * 3 bisquare robustness updates with the 6·median scale and the
+    * cmad ≤ 0 freeze), knots collapsed on tied sx (min) and rounded
+    * at 1e-6, piecewise-linear interpolation with flat rule-2 ends
+    * and the 1e-6 trend floor, per-observation 1/t⁴ weights — then
+    * Kish-weighted per-(gene, group) sufficient statistics `vst`
+    * (single-observation cells guarded to NULL var, the Scala
+    * convention). The group factor CASE is spliced so the 2-group
+    * chain (q69) and the 3-group multi-contrast chain (q75) replay
+    * the same text. */
   private def e2CoreSql(grpCase: String): String = s"""WITH RECURSIVE cnt AS MATERIALIZED (
            SELECT l_partkey AS gene, l_suppkey AS samp, CAST(sum(l_quantity) AS DOUBLE) AS value
            FROM lineitem WHERE l_partkey <= 400 GROUP BY 1,2),
@@ -1092,27 +1157,57 @@ object ExtraQueries {
                 HAVING count(*) > count(DISTINCT g) AND sum((y - mu)*(y - mu)) > 0),
          vt AS (SELECT gene, round(amean + (SELECT off FROM voff) + 1e-9, 6) AS sx,
                        sqrt(sqrt(ss/(n - k))) AS sy FROM vp),
-         va AS MATERIALIZED (
-           SELECT b, round(avg(sx) + 1e-9, 6) AS ax, round(avg(sy) + 1e-9, 6) AS ay
-           FROM (SELECT ntile(20) OVER (ORDER BY sx ASC, CAST(gene AS VARCHAR) ASC) AS b,
-                        sx, sy FROM vt)
+         vrn AS MATERIALIZED (
+           SELECT sx, sy,
+                  row_number() OVER (ORDER BY sx ASC, CAST(gene AS VARCHAR) ASC) AS rn
+           FROM vt),
+         vn AS (SELECT count(*) AS n,
+                       greatest(2, least(count(*),
+                         CAST(floor(0.5*count(*) + 1e-7) AS BIGINT))) AS ns,
+                       max(sx) - min(sx) AS rng
+                FROM vrn),
+         vledg AS (SELECT L.rn AS l, L.sx AS xl, R.sx AS xr
+                   FROM vrn L CROSS JOIN vn
+                   LEFT JOIN vrn R ON R.rn = L.rn + vn.ns
+                   WHERE L.rn <= vn.n - vn.ns + 1),
+         vwl AS MATERIALIZED (
+           SELECT i.rn AS i, min(e.l) AS lft
+           FROM vrn i CROSS JOIN vledg e
+           WHERE e.xr IS NULL OR i.sx - e.xl <= e.xr - i.sx
            GROUP BY 1),
-         vord AS (SELECT row_number() OVER (ORDER BY b ASC) AS i, ax, ay FROM va),
-         vsegs AS (SELECT i - 1 AS seg, ax AS x0, ay AS y0,
-                          lead(ax) OVER (ORDER BY i ASC) AS x1,
-                          lead(ay) OVER (ORDER BY i ASC) AS y1
-                   FROM vord QUALIFY lead(ax) OVER (ORDER BY i ASC) IS NOT NULL),
-         vsi AS MATERIALIZED (
-           SELECT o.gene, o.samp, o.y, o.g, o.x,
-                  coalesce(sum(CASE WHEN a.i > 1 AND a.i < (SELECT max(i) FROM vord)
-                                    AND o.x > a.ax THEN 1 ELSE 0 END), 0) AS seg
-           FROM vo o CROSS JOIN vord a GROUP BY 1,2,3,4,5),
-         vtt AS (SELECT s.gene, s.samp, s.y, s.g,
-                        CASE WHEN sg.x1 > sg.x0
-                             THEN sg.y0 + (sg.y1 - sg.y0)
-                                  * (least(greatest(s.x, sg.x0), sg.x1) - sg.x0)/(sg.x1 - sg.x0)
-                             ELSE sg.y0 END AS t
-                 FROM vsi s JOIN vsegs sg ON sg.seg = s.seg),
+         vwin AS MATERIALIZED (
+           SELECT w.i, i.sx AS xi, i.sy AS yi, j.rn AS j, j.sx AS xj, j.sy AS yj,
+                  abs(j.sx - i.sx) AS d
+           FROM vwl w CROSS JOIN vn
+           JOIN vrn i ON i.rn = w.i
+           JOIN vrn j ON j.rn BETWEEN w.lft AND w.lft + vn.ns - 1),
+         vh AS (SELECT i, max(d) AS h FROM vwin GROUP BY 1),
+         vrw0 AS (SELECT rn, CAST(1.0 AS DOUBLE) AS w FROM vrn),
+         ${lowessPassSql(1)},
+         ${lowessRobustSql(1)},
+         ${lowessPassSql(2)},
+         ${lowessRobustSql(2)},
+         ${lowessPassSql(3)},
+         ${lowessRobustSql(3)},
+         ${lowessPassSql(4)},
+         vkn AS MATERIALIZED (
+           SELECT sx, round(min(ys) + 1e-9, 6) AS ys
+           FROM (SELECT v.sx, f.ys FROM vrn v JOIN vf4 f ON f.i = v.rn)
+           GROUP BY 1),
+         vkm AS (SELECT min(sx) AS xmin, max(sx) AS xmax,
+                        arg_min(ys, sx) AS yfirst, arg_max(ys, sx) AS ylast
+                 FROM vkn),
+         vseg AS (SELECT sx AS x0, ys AS y0,
+                         lead(sx) OVER (ORDER BY sx ASC) AS x1,
+                         lead(ys) OVER (ORDER BY sx ASC) AS y1
+                  FROM vkn),
+         vtt AS (SELECT o.gene, o.samp, o.y, o.g,
+                        greatest(CASE WHEN o.x <= k.xmin THEN k.yfirst
+                                      WHEN o.x >= k.xmax THEN k.ylast
+                                      ELSE s.y0 + (s.y1 - s.y0)*(o.x - s.x0)/(s.x1 - s.x0)
+                                 END, 1e-6) AS t
+                 FROM vo o CROSS JOIN vkm k
+                 LEFT JOIN vseg s ON s.x0 <= o.x AND o.x < s.x1),
          vwt AS MATERIALIZED (
            SELECT gene, samp, y, g, 1.0/((t*t)*(t*t)) AS w FROM vtt),
          vws AS (SELECT gene, g AS grp, sum(w) AS sw, sum(w*w) AS sw2,
@@ -1268,16 +1363,16 @@ object ExtraQueries {
     // tie-break, the <2→0 floor, the q44 ComBat recursion, zero-var +
     // percent_rank top-50%-SD filters, then the voom fit: de-log
     // (2^x, with 2^x == 1 i.e. x == 0 → 0), library sizes, log2-CPM,
-    // unweighted cell means,
-    // per-gene (sx, sy) trend points, ntile-binned piecewise-linear
-    // trend anchors (rank-sensitive quantities rounded at 1e-6 with
-    // the +1e-9 jitter, exactly the Scala op order), per-observation
-    // fitted-log-count weights 1/t⁴, Kish-weighted group stats, and
-    // the q68 eBayes tail. The d0 prior is pinned at the estimator's
-    // degenerate branch (1e6): on this fixture var(log s²) <
-    // trigamma(dbar/2) at every SF (measured −0.130/−0.047/−0.002 at
-    // sf0.001/0.01/0.1), so the method-of-moments evar is negative and
-    // the Scala path takes d0 = 1e6 deterministically.
+    // unweighted cell means, per-gene (sx, sy) trend points, the
+    // DETERMINISTIC LOWESS trend (rank-sensitive quantities rounded
+    // at 1e-6 with the +1e-9 jitter, exactly the Scala op order),
+    // per-observation fitted-log-count weights 1/t⁴, Kish-weighted
+    // group stats, and the q68 eBayes tail. The d0 prior is pinned at
+    // the estimator's degenerate branch (1e6): on this fixture
+    // var(log s²) < trigamma(dbar/2) at every SF (measured with the
+    // lowess voom: evar −0.125/−0.047/−0.003 at sf0.001/0.01/0.1), so
+    // the method-of-moments evar is negative and the Scala path takes
+    // d0 = 1e6 deterministically.
     "q69_e2_chain" ->
       s"""${e2CoreSql("CASE WHEN s_nationkey % 2 = 0 THEN 'A' ELSE 'B' END")},
          vper AS (SELECT gene, sum(n) AS n_tot, count(*) AS kk, sum((n-1)*var) AS ss_resid,
@@ -1333,8 +1428,8 @@ object ExtraQueries {
     // E2 multi-contrast replay: the shared E2 core with the 3-level
     // factor, then the k-group pooled fit and all C(3,2) contrasts
     // (the q73 tail shape over the voom-weighted stats). d0 pins at
-    // the degenerate 1e6 branch here too (measured evar
-    // −0.105/−0.050/−0.003 at sf0.001/0.01/0.1).
+    // the degenerate 1e6 branch here too (measured with the lowess
+    // voom: evar −0.100/−0.049/−0.005 at sf0.001/0.01/0.1).
     "q75_e2_multi_contrast" ->
       (s"""${e2CoreSql("CASE WHEN s_nationkey % 3 = 0 THEN 'A' WHEN s_nationkey % 3 = 1 THEN 'B' ELSE 'C' END")},
          vper AS (SELECT gene, sum(n) AS n_tot, count(*) AS k, sum((n-1)*var) AS ss_resid

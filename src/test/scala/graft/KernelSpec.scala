@@ -335,13 +335,108 @@ class KernelSpec extends SparkSpec {
         s"sample $s: got ${out(("ps1", s))}")
   }
 
+  test("lowessFit is exact on collinear points, robust to a gross outlier") {
+    // local LINEAR fit on collinear points reproduces the line exactly
+    val x = (0 until 60).map(i => i * 0.25).toArray
+    val line = x.map(v => 2.0 * v + 1.0)
+    val fit = Normalize.lowessFit(x, line)
+    for (i <- x.indices)
+      assert(math.abs(fit(i) - line(i)) < 1e-9, s"i=$i: ${fit(i)} vs ${line(i)}")
+    // one gross outlier in NOISY data (exact-fit data degenerates the
+    // 6·median scale — the effectively-zero freeze keeps the pass-1
+    // fit there, matching R's break): the bisquare iterations zero
+    // the outlier's weight, so the fit matches the outlier-free fit
+    val noisy = x.indices.map(i => line(i) + 0.1 * math.sin(i * 2.7)).toArray
+    val dirty = noisy.clone(); dirty(30) += 100.0
+    val clean = Normalize.lowessFit(x, noisy)
+    val robust = Normalize.lowessFit(x, dirty)
+    for (i <- x.indices)
+      assert(math.abs(robust(i) - clean(i)) < 0.05,
+        s"i=$i: with-outlier ${robust(i)} vs clean ${clean(i)}")
+  }
+
+  test("lowessFit sliding window equals the minimal-left-edge specification") {
+    // the Scala kernel slides the window greedily (R's d1 > d2 rule);
+    // the DuckDB oracle computes the minimal L with
+    // x(i) - x(L) <= x(L+ns) - x(i). This re-implements the fit with
+    // the brute-force minimal-L selection and asserts bit-identical
+    // output on pseudo-random data with ties.
+    def lowessMinL(x: Array[Double], y: Array[Double], f: Double, iters: Int): Array[Double] = {
+      val n = x.length
+      val ns = math.max(2, math.min(n, (f * n + 1e-7).toInt))
+      val range = x(n - 1) - x(0)
+      val rw = Array.fill(n)(1.0)
+      val fit = new Array[Double](n)
+      var frozen = false
+      for (iter <- 1 to iters + 1) {
+        for (i <- 0 until n) {
+          val lcap = n - ns
+          val nleft = (0 to lcap).find(l =>
+            l == lcap || x(i) - x(l) <= x(l + ns) - x(i)).get
+          val h = math.max(x(i) - x(nleft), x(nleft + ns - 1) - x(i))
+          val w = new Array[Double](ns)
+          var a = 0.0
+          for (k <- 0 until ns) {
+            val r = math.abs(x(nleft + k) - x(i))
+            var wk = 0.0
+            if (r <= 0.001 * h) wk = 1.0
+            else if (r <= 0.999 * h) { val u = r / h; val t = 1.0 - u * u * u; wk = t * t * t }
+            if (iter > 1) wk *= rw(nleft + k)
+            w(k) = wk; a += wk
+          }
+          if (a <= 0) fit(i) = y(i)
+          else {
+            for (k <- 0 until ns) w(k) /= a
+            if (h > 0) {
+              var xm = 0.0
+              for (k <- 0 until ns) xm += w(k) * x(nleft + k)
+              var cc = 0.0
+              for (k <- 0 until ns) { val d = x(nleft + k) - xm; cc += w(k) * d * d }
+              if (math.sqrt(cc) > 0.001 * range) {
+                val b = (x(i) - xm) / cc
+                for (k <- 0 until ns) w(k) *= b * (x(nleft + k) - xm) + 1.0
+              }
+            }
+            var s = 0.0
+            for (k <- 0 until ns) s += w(k) * y(nleft + k)
+            fit(i) = s
+          }
+        }
+        if (iter <= iters && !frozen) {
+          val ar = Array.tabulate(n)(j => math.abs(y(j) - fit(j)))
+          val sorted = ar.sorted
+          val cmad = if (n % 2 == 0) 3.0 * (sorted(n / 2 - 1) + sorted(n / 2))
+            else 6.0 * sorted(n / 2)
+          if (cmad <= 1e-7 * (ar.sum / n)) frozen = true
+          else for (j <- 0 until n) {
+            val r = ar(j)
+            rw(j) = if (r <= 0.001 * cmad) 1.0
+              else if (r <= 0.999 * cmad) { val u = 1.0 - (r / cmad) * (r / cmad); u * u }
+              else 0.0
+          }
+        }
+      }
+      fit
+    }
+    // deterministic pseudo-random data with tie runs
+    var seed = 12345L
+    def next(): Double = { seed = seed * 6364136223846793005L + 1442695040888963407L
+      ((seed >>> 24) % 1000000L).toDouble / 1000000.0 }
+    val xs = Array.tabulate(137)(i => math.floor(next() * 40.0) / 4.0).sorted
+    val ys = xs.map(v => math.sin(v) + next() * 0.4)
+    val a = Normalize.lowessFit(xs, ys)
+    val b = lowessMinL(xs, ys, 0.5, 3)
+    for (i <- xs.indices)
+      assert(a(i) == b(i), s"i=$i: greedy ${a(i)} vs minimal-L ${b(i)}")
+  }
+
   test("voom: positive per-observation weights, log2-CPM values exact") {
     val rows = for { g <- 1 to 30; i <- 1 to 8 } yield
       (s"g$g", s"s$i", ((g * 13 + i * 7) % 50 + 1).toDouble * (if (i % 2 == 0) 1.5 else 1.0))
     val m = ExpressionMatrix(rows.toDF("gene_id", "sample_id", "value"))
     val groups = (1 to 8).map(i => (s"s$i", if (i % 2 == 0) "A" else "B"))
       .toDF("sample_id", "group")
-    val out = Normalize.voom(m, groups, bins = 5)
+    val out = Normalize.voom(m, groups)
     assert(out.count() == 30L * 8)
     assert(out.filter(col("weight") <= 0 || col("weight").isNull).count() == 0)
     // values are the plain log2-CPM of the input counts
@@ -361,7 +456,7 @@ class KernelSpec extends SparkSpec {
     val m = ExpressionMatrix(rows.toDF("gene_id", "sample_id", "value"))
     val groups = (1 to 8).map(i => (s"s$i", if (i % 2 == 0) "A" else "B"))
       .toDF("sample_id", "group")
-    val vw = Normalize.voom(m, groups, bins = 5)
+    val vw = Normalize.voom(m, groups)
     def statsMap(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getString(0), r.getString(1)) ->
         (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
