@@ -52,20 +52,20 @@ object Pipelines {
       Filters.topFracBySdNonZero(adjusted, sdFrac)
         .canonical.df.localCheckpoint(true))
     // REML arrayWeights enter the fit as WLS sufficient statistics;
-    // with technical replicates declared, the REML
-    // duplicateCorrelation consensus deflates effective n
-    // (DiffExpression_closedPlatform.R:456-507: lmFit(eset, design,
-    // weights=arrayw, block=..., correlation=corfit$consensus))
+    // with technical replicates declared, the fit is the exact GLS
+    // with the REML duplicateCorrelation consensus — limma's
+    // `lmFit(eset, design, weights=arrayw, block=...,
+    // correlation=corfit$consensus)` gls.series branch
+    // (DiffExpression_closedPlatform.R:456-507)
     val weights = DiffExpr.arrayWeightsReml(filtered, groups,
       maxIter = remlIters, tol = remlTol)
-    val stats0 = DiffExpr.groupStatsWeighted(filtered, groups, weights)
     val stats = replicates match {
       case Some(reps) =>
         val (_, rho) = DiffExpr.duplicateCorrelationReml(filtered, reps, groups)
-        val avgReps = reps.groupBy("unit").agg(count(lit(1)).as("m"))
-          .agg(avg("m")).head().getDouble(0)
-        DiffExpr.deflateForBlocking(stats0, rho, avgReps)
-      case None => stats0
+        val obsW = filtered.canonical.df
+          .join(broadcast(weights), Seq("sample_id"))
+        DiffExpr.groupStatsGlsObs(obsW, groups, reps, rho)
+      case None => DiffExpr.groupStatsWeighted(filtered, groups, weights)
     }
     DiffExpr.topTable(
       DiffExpr.moderatedT(stats, "group", groupA, groupB).withColumnRenamed("p_mod", "p"))
@@ -104,14 +104,13 @@ object Pipelines {
         .canonical.df.localCheckpoint(true))
     val weights = DiffExpr.arrayWeightsReml(filtered, groups,
       maxIter = remlIters, tol = remlTol)
-    val stats0 = DiffExpr.groupStatsWeighted(filtered, groups, weights)
     val stats = replicates match {
       case Some(reps) =>
         val (_, rho) = DiffExpr.duplicateCorrelationReml(filtered, reps, groups)
-        val avgReps = reps.groupBy("unit").agg(count(lit(1)).as("m"))
-          .agg(avg("m")).head().getDouble(0)
-        DiffExpr.deflateForBlocking(stats0, rho, avgReps)
-      case None => stats0
+        val obsW = filtered.canonical.df
+          .join(broadcast(weights), Seq("sample_id"))
+        DiffExpr.groupStatsGlsObs(obsW, groups, reps, rho)
+      case None => DiffExpr.groupStatsWeighted(filtered, groups, weights)
     }
     val de = DiffExpr.moderatedTAll(stats)
     DiffExpr.decideTests(
@@ -127,10 +126,10 @@ object Pipelines {
     * (`DiffExpression_openPlatform.R:423-515`): de-log back to
     * normalised read counts (`2^x`, then `2^x == 1 → 0`), voom log2-CPM +
     * per-observation precision weights, weighted cell-means lmFit,
-    * eBayes moderated t. With `replicates` declared, the REML
-    * duplicateCorrelation consensus deflates effective n (the
+    * eBayes moderated t. With `replicates` declared, the fit is the
+    * exact GLS with the REML duplicateCorrelation consensus — the
     * reference's `lmFit(..., block=biolrep, cor=corfit$consensus)`
-    * branch at :457-475). */
+    * gls.series branch at :457-475 ([[DiffExpr.groupStatsGlsObs]]). */
   def openPlatformDE(counts: ExpressionMatrix, outliers: DataFrame,
       batches: DataFrame, groups: DataFrame, groupA: String, groupB: String,
       sdFrac: Double = 0.5, geneInfo: Option[DataFrame] = None,
@@ -193,15 +192,15 @@ object Pipelines {
     val delogged = ExpressionMatrix(filtered.df.withColumn("value",
       when(col("value") === 0.0, 0.0).otherwise(pow(lit(2.0), col("value")))))
     val vw = Normalize.voom(delogged, groups, f = voomSpan)
-    val stats0 = DiffExpr.groupStatsObsWeighted(vw, groups)
     replicates match {
       case Some(reps) =>
+        // the reference's `lmFit(v, design, block=biolrep,
+        // correlation=corfit$consensus)` branch: exact GLS over the
+        // voom per-observation weights
         val (_, rho) = DiffExpr.duplicateCorrelationReml(
           ExpressionMatrix(vw.select("gene_id", "sample_id", "value")), reps, groups)
-        val avgReps = reps.groupBy("unit").agg(count(lit(1)).as("m"))
-          .agg(avg("m")).head().getDouble(0)
-        DiffExpr.deflateForBlocking(stats0, rho, avgReps)
-      case None => stats0
+        DiffExpr.groupStatsGlsObs(vw, groups, reps, rho)
+      case None => DiffExpr.groupStatsObsWeighted(vw, groups)
     }
   }
 

@@ -92,18 +92,78 @@ object DiffExpr {
       .withColumn("weight", col("weight") * col("__aw"))
       .drop("__aw")
 
-  /** A11 blocking wiring — the duplicateCorrelation consensus ρ enters
-    * the fit as a design effect (`DiffExpression_closedPlatform.R:
-    * 489-507`: limma passes `correlation=corfit$consensus` into lmFit
-    * so technical replicates stop counting as independent arrays).
-    * Simplified contract (documented, as for [[DiffExpr.duplicateCorrelation]]):
-    * each group's sample size deflates by Kish's design effect
-    * 1 + (m̄−1)ρ for m̄ technical replicates per biological unit, which
-    * widens the standard error and lowers df exactly when replicates
-    * are correlated. ρ=0 or m̄=1 degrade to the unblocked fit. */
+  /** A11 blocking wiring, fast approximation (the exact fit is
+    * [[groupStatsGlsObs]], which the chains use): each group's sample
+    * size deflates by Kish's design effect 1 + (m̄−1)ρ for m̄ technical
+    * replicates per biological unit. Kept for callers who want the
+    * one-line design-effect adjustment; diverges from limma's
+    * gls.series when block sizes are unbalanced. */
   def deflateForBlocking(stats: DataFrame, rho: Double, repsPerUnit: Double): DataFrame = {
     val deff = math.max(1.0, 1.0 + (repsPerUnit - 1.0) * rho)
     stats.withColumn("n", col("n") / lit(deff))
+  }
+
+  /** A11 blocking — EXACT GLS sufficient statistics (limma
+    * `gls.series`: `lmFit(..., block=, correlation=corfit$consensus)`,
+    * `DiffExpression_closedPlatform.R:489-507` /
+    * `DiffExpression_openPlatform.R:457-475`). The model per gene is
+    * y ~ N(Xβ, σ²V) with V_ij = R_ij/√(w_i w_j), R block-diagonal
+    * compound symmetry with the consensus ρ, and w the per-observation
+    * precision weights (array weights and/or voom weights). limma
+    * whitens by chol(V) and runs OLS; for a cell-means design with
+    * blocks NESTED IN GROUPS (technical replicates share their
+    * biological unit's group — the operator's contract) the whitened
+    * normal equations collapse to closed-form per-block algebra via
+    * CS⁻¹ = (I − ρ/(1+(m−1)ρ)·J)/(1−ρ):
+    *
+    *   A_b = uᵀR⁻¹u,  B_b = uᵀR⁻¹v,  C_b = vᵀR⁻¹v
+    *   (u = √w, v = √w·y — six sums per (gene, unit))
+    *
+    * summed per (gene, group): β̂_c = B/A (the GLS mean), the scaled
+    * information A_c (limma's 1/stdev.unscaled², exposed as `n` so the
+    * t's SE term 1/na + 1/nb is exact), the residual sum C − B²/A,
+    * and the TRUE observation count `n_obs` (limma's σ̂² divides by
+    * N − k, not by effective n — [[moderatedT]]/[[moderatedTAll]] use
+    * `n_obs` for df whenever the column is present). ρ = 0 and
+    * singleton blocks degrade to the weighted OLS fit exactly.
+    *
+    * `vw` is an observation-grain relation (gene_id, sample_id,
+    * value, weight) — join gene-constant array weights in, or pass
+    * the voom output directly; `replicates` maps sample_id → unit
+    * (samples missing from it become singleton units). Two keyed
+    * shuffles: (gene, group, unit) then (gene, group). */
+  def groupStatsGlsObs(vw: DataFrame, groups: DataFrame, replicates: DataFrame,
+      rho: Double, groupCol: String = "group"): DataFrame = {
+    require(rho > -1.0 && rho < 1.0, s"consensus rho must be in (-1, 1), got $rho")
+    val withUnit = vw.join(broadcast(groups.select(col("sample_id"), col(groupCol))),
+        Seq("sample_id"))
+      .join(broadcast(replicates.select(col("sample_id"), col("unit"))),
+        Seq("sample_id"), "left")
+      .withColumn("unit", coalesce(col("unit"), concat(lit("__self_"), col("sample_id"))))
+    val perUnit = withUnit.groupBy(col("gene_id"), col(groupCol), col("unit"))
+      .agg(count(lit(1)).as("__m"),
+           sum("weight").as("__sw"),
+           sum(sqrt(col("weight"))).as("__su"),
+           sum(col("weight") * col("value")).as("__swy"),
+           sum(sqrt(col("weight")) * col("value")).as("__suy"),
+           sum(col("weight") * col("value") * col("value")).as("__swyy"))
+      .withColumn("__kb", lit(1.0) + (col("__m") - 1) * lit(rho))
+      .withColumn("__ab",
+        (col("__sw") - lit(rho) * col("__su") * col("__su") / col("__kb")) / lit(1.0 - rho))
+      .withColumn("__bb",
+        (col("__swy") - lit(rho) * col("__su") * col("__suy") / col("__kb")) / lit(1.0 - rho))
+      .withColumn("__cb",
+        (col("__swyy") - lit(rho) * col("__suy") * col("__suy") / col("__kb")) / lit(1.0 - rho))
+    perUnit.groupBy(col("gene_id"), col(groupCol))
+      .agg(sum("__m").as("n_obs"), sum("__ab").as("__a"),
+           sum("__bb").as("__b"), sum("__cb").as("__c"))
+      .withColumn("mean", col("__b") / col("__a"))
+      // a single-observation group has no residual df: NULL var, the
+      // groupStatsWeighted convention
+      .withColumn("var", when(col("n_obs") > 1,
+        (col("__c") - col("__b") * col("__b") / col("__a")) / (col("n_obs") - 1)))
+      .select(col("gene_id"), col(groupCol), col("__a").as("n"), col("n_obs"),
+        col("mean"), col("var"))
   }
 
   /** A11+A12-lite — two-group contrast via Welch's t-test: log2FC =
@@ -139,10 +199,14 @@ object DiffExpr {
     * no per-gene collect. */
   def moderatedT(stats: DataFrame, groupCol: String, groupA: String, groupB: String,
       gene: String = "gene_id"): DataFrame = {
+    // GLS stats ([[groupStatsGlsObs]]) carry the true observation
+    // count separately from the effective information `n`: df comes
+    // from observations (limma's N − k), the SE term from `n`
+    val nDf = if (stats.columns.contains("n_obs")) col("n_obs") else col("n")
     val perGene = stats.filter(col(groupCol).isin(groupA, groupB))
       .groupBy(col(gene))
-      .agg(sum(col("n")).as("n_tot"), count(lit(1)).as("k"),
-           sum((col("n") - 1) * col("var")).as("ss_resid"),
+      .agg(sum(nDf).as("n_tot"), count(lit(1)).as("k"),
+           sum((nDf - 1) * col("var")).as("ss_resid"),
            max(when(col(groupCol) === groupA, col("mean"))).as("ma"),
            max(when(col(groupCol) === groupB, col("mean"))).as("mb"),
            max(when(col(groupCol) === groupA, col("n"))).as("na"),
@@ -200,10 +264,12 @@ object DiffExpr {
       gene: String = "gene_id"): DataFrame = {
     val spark = stats.sparkSession
     import spark.implicits._
+    // see moderatedT: GLS stats split df (n_obs) from information (n)
+    val nDf = if (stats.columns.contains("n_obs")) col("n_obs") else col("n")
     val perGene = stats
       .groupBy(col(gene))
-      .agg(sum(col("n")).as("n_tot"), count(lit(1)).as("k"),
-           sum((col("n") - 1) * col("var")).as("ss_resid"))
+      .agg(sum(nDf).as("n_tot"), count(lit(1)).as("k"),
+           sum((nDf - 1) * col("var")).as("ss_resid"))
       .filter(col("n_tot") > col("k"))
       .withColumn("df_resid", col("n_tot") - col("k"))
       .withColumn("s2", col("ss_resid") / col("df_resid"))

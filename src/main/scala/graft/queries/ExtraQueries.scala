@@ -521,6 +521,87 @@ object ExtraQueries {
         .orderBy("l_partkey", "contrast")
     }),
 
+    // ---- A11 GLS: the E1 chain's technical-replicate branch — the
+    // q68 fixture with every sample assigned to a ≤2-sample block
+    // (unit = dataset-parity-⌊suppkey/2⌋, nested in the group by
+    // construction; pair blocks keep compound symmetry positive
+    // definite for any consensus ρ ∈ (−1,1), and the parity split
+    // leaves sizes 1 AND 2 — the unbalanced case where the old
+    // design-effect deflation diverged from limma's gls.series).
+    // Exercises duplicateCorrelationReml → groupStatsGlsObs with the
+    // REML array weights. Output = the q68 convention. ----
+    "q81_e1_blocked" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_partkey") <= 200 && col("l_linestatus").isin("O", "F"))
+      def ds(status: String) = ExpressionMatrix(
+        li.filter(col("l_linestatus") === status)
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(avg("l_extendedprice").as("value"))
+          .select(col("l_partkey").cast("string").as("gene_id"),
+            concat_ws("-", lit(status), col("l_suppkey")).as("sample_id"),
+            col("value")))
+      val part = t(s, dir, "part").filter(col("p_partkey") <= 200)
+      val annot = part.select(col("p_partkey").cast("string").as("probe"),
+        concat(lit("G"), (col("p_partkey") % 97).cast("string")).as("gene_id"))
+      val flat = part.filter(col("p_size") > 15)
+        .select(col("p_partkey").cast("string").as("probe"))
+      val sup = t(s, dir, "supplier")
+      val outliers = Seq("O", "F").map(st => sup.filter(col("s_acctbal") < 0)
+          .select(concat_ws("-", lit(st), col("s_suppkey")).as("sample_id")))
+        .reduce(_ unionByName _)
+      val groups = Seq("O", "F").map(st => sup.select(
+          concat_ws("-", lit(st), col("s_suppkey")).as("sample_id"),
+          when(col("s_nationkey") % 2 === 0, "A").otherwise("B").as("group")))
+        .reduce(_ unionByName _)
+      val reps = Seq("O", "F").map(st => sup.select(
+          concat_ws("-", lit(st), col("s_suppkey")).as("sample_id"),
+          concat_ws("-", lit(st), (col("s_nationkey") % 2).cast("string"),
+            floor(col("s_suppkey") / 2).cast("string")).as("unit"),
+          (col("s_suppkey") % 2).cast("int").as("rep")))
+        .reduce(_ unionByName _)
+      graft.Pipelines.closedPlatformDE(Seq("O" -> ds("O"), "F" -> ds("F")), annot, flat,
+          outliers, groups, "A", "B", sdFrac = 0.6, replicates = Some(reps),
+          remlIters = 5, remlTol = 0.0)
+        .select(col("gene_id"),
+          round(col("log2fc") + 1e-5, 2).as("log2fc"),
+          round(col("t_mod") + 1e-7, 4).as("t_mod"),
+          round(col("df_total") + 1e-5, 2).as("df_total"))
+        .orderBy("gene_id")
+    }),
+
+    // ---- A11 GLS: the E2 chain's technical-replicate branch — the
+    // q69 fixture with pair blocks (unit = parity-⌊suppkey/2⌋) through
+    // voom → duplicateCorrelationReml on the voom values →
+    // groupStatsGlsObs over the PER-OBSERVATION voom weights (limma's
+    // gls.series with a voom weight matrix). ----
+    "q82_e2_blocked" -> ((s, dir) => {
+      val counts = ExpressionMatrix(t(s, dir, "lineitem")
+        .filter(col("l_partkey") <= 400)
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum("l_quantity").as("value"))
+        .select(col("l_partkey").cast("string").as("gene_id"),
+          col("l_suppkey").cast("string").as("sample_id"),
+          col("value").cast("double").as("value")))
+      val sup = t(s, dir, "supplier")
+      val outliers = sup.filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey").cast("string").as("sample_id"))
+      val batches = sup.select(col("s_suppkey").cast("string").as("sample_id"),
+        when(col("s_nationkey") % 3 === 0, "b0").otherwise("b1").as("batch"))
+      val groups = sup.select(col("s_suppkey").cast("string").as("sample_id"),
+        when(col("s_nationkey") % 2 === 0, "A").otherwise("B").as("group"))
+      val reps = sup.select(col("s_suppkey").cast("string").as("sample_id"),
+        concat_ws("-", (col("s_nationkey") % 2).cast("string"),
+          floor(col("s_suppkey") / 2).cast("string")).as("unit"),
+        (col("s_suppkey") % 2).cast("int").as("rep"))
+      graft.Pipelines.openPlatformDE(counts, outliers, batches, groups, "A", "B",
+          replicates = Some(reps))
+        .select(col("gene_id").cast("long").as("l_partkey"),
+          round(col("log2fc") + 1e-5, 2).as("log2fc"),
+          round(col("t_mod") + 1e-7, 4).as("t_mod"),
+          round(col("df_total") + 1e-5, 2).as("df_total"))
+        .orderBy("l_partkey")
+    }),
+
     // ---- J6: annotated topTable — the frozen 8+4 positional
     // contract. Unannotated genes get NA rows (every third gene is
     // left out of the annotation relation); the three annotation
@@ -992,6 +1073,93 @@ object ExtraQueries {
            JOIN st a ON a.gene = f.gene AND a.grp = p.ga
            JOIN st b ON b.gene = f.gene AND b.grp = p.gb
            WHERE a.n > 0 AND b.n > 0)"""
+
+  /** duplicateCorrelationReml replay as CTE text (the exact
+    * `DiffExpr.duplicateCorrelationReml` arithmetic): per-(gene,
+    * group) cell means over the replicate-covered samples →
+    * fixed-effect residuals → per-(gene, unit) ANOVA decomposition →
+    * per-gene clamped ICC → consensus = tanh of the mean Fisher z
+    * (this DuckDB lacks `tanh`; (e^{2z}−1)/(e^{2z}+1) replays it).
+    * Expects CTEs `grp` (samp, g) and `blk` (samp, unit); `$src` must
+    * provide (gene, samp, $valCol). Defines `drho` (one row, rho). */
+  private def dupCorrSql(src: String, valCol: String): String =
+    s"""dcell AS (SELECT f.gene, g.g, avg(f.$valCol) AS mu
+                  FROM $src f JOIN blk b ON b.samp = f.samp
+                  JOIN grp g ON g.samp = f.samp
+                  GROUP BY 1,2),
+         dres AS MATERIALIZED (
+           SELECT f.gene, f.samp, g.g, b.unit, f.$valCol - c.mu AS e
+           FROM $src f JOIN blk b ON b.samp = f.samp
+           JOIN grp g ON g.samp = f.samp
+           JOIN dcell c ON c.gene = f.gene AND c.g = g.g),
+         dunit AS (SELECT gene, unit, avg(e) AS eu, count(*) AS m, sum(e*e) AS se2
+                   FROM dres GROUP BY 1,2),
+         dper AS (SELECT gene, count(*) AS nu, sum(m) AS n, avg(CAST(m AS DOUBLE)) AS mbar,
+                         sum(m*eu*eu) AS ssb, sum(se2) - sum(m*eu*eu) AS ssw
+                  FROM dunit GROUP BY 1),
+         dgp AS (SELECT gene, count(DISTINCT g) AS p FROM dres GROUP BY 1),
+         dr AS (SELECT gene,
+                       greatest(-0.999, least(0.999, su2/(su2 + msw))) AS r
+                FROM (SELECT d.gene, d.ssw/(d.n - d.nu) AS msw,
+                             (d.ssb/(d.nu - q.p) - d.ssw/(d.n - d.nu))/d.mbar AS su2
+                      FROM dper d JOIN dgp q USING (gene)
+                      WHERE d.n - d.nu > 0 AND d.nu - q.p > 0
+                        AND d.ssw/(d.n - d.nu) > 0)),
+         drho AS MATERIALIZED (
+           SELECT (exp(2.0*z) - 1.0)/(exp(2.0*z) + 1.0) AS rho
+           FROM (SELECT avg(0.5*ln((1.0 + r)/(1.0 - r))) AS z FROM dr))"""
+
+  /** GLS sufficient statistics + two-group eBayes tail replay (the
+    * exact `DiffExpr.groupStatsGlsObs` + `moderatedT` with `n_obs`
+    * arithmetic). Expects `gobs` (gene, samp, v, w), `grp`, `blk`,
+    * `drho`; d0 is pinned at the degenerate 1e6 branch (measured
+    * negative evar on both blocked fixtures at every SF). Ends with
+    * the SELECT (gene, log2fc, t_mod, df_total). */
+  private def glsTailSql(geneOut: String): String =
+    s"""gpu AS MATERIALIZED (
+           SELECT o.gene, g.g AS grp2,
+                  coalesce(b.unit, '__self_' || CAST(o.samp AS VARCHAR)) AS unit,
+                  count(*) AS m, sum(o.w) AS sw, sum(sqrt(o.w)) AS su,
+                  sum(o.w*o.v) AS swy, sum(sqrt(o.w)*o.v) AS suy,
+                  sum(o.w*o.v*o.v) AS swyy
+           FROM gobs o JOIN grp g ON g.samp = o.samp
+           LEFT JOIN blk b ON b.samp = o.samp
+           GROUP BY 1,2,3),
+         gst AS (SELECT gene, grp2, sum(m) AS n_obs, sum(ab) AS a,
+                        sum(bb) AS bsum, sum(cb) AS c
+                 FROM (SELECT gene, grp2, m,
+                              (sw - rho*su*su/(1.0 + (m-1)*rho))/(1.0 - rho) AS ab,
+                              (swy - rho*su*suy/(1.0 + (m-1)*rho))/(1.0 - rho) AS bb,
+                              (swyy - rho*suy*suy/(1.0 + (m-1)*rho))/(1.0 - rho) AS cb
+                       FROM gpu CROSS JOIN drho)
+                 GROUP BY 1,2),
+         gw AS MATERIALIZED (
+           SELECT gene, grp2, a AS n, n_obs, bsum/a AS mean,
+                  CASE WHEN n_obs > 1 THEN (c - bsum*bsum/a)/(n_obs - 1) END AS var
+           FROM gst),
+         gper AS (SELECT gene, sum(n_obs) AS n_tot, count(*) AS k,
+                         sum((n_obs - 1)*var) AS ss_resid,
+                         max(CASE WHEN grp2='A' THEN mean END) AS ma,
+                         max(CASE WHEN grp2='B' THEN mean END) AS mb,
+                         max(CASE WHEN grp2='A' THEN n END) AS na,
+                         max(CASE WHEN grp2='B' THEN n END) AS nb
+                  FROM gw GROUP BY 1),
+         gf AS MATERIALIZED (
+           SELECT gene, ma - mb AS log2fc, na, nb,
+                  CAST(n_tot - 2 AS DOUBLE) AS df_resid,
+                  ss_resid/(n_tot - 2) AS s2
+           FROM gper
+           WHERE k = 2 AND n_tot > 2 AND ma IS NOT NULL AND mb IS NOT NULL
+             AND ss_resid/(n_tot - 2) > 0),
+         gmo AS (SELECT avg(ln(s2)) AS zbar, avg(df_resid) AS dbar FROM gf),
+         gs0 AS (SELECT exp(zbar + 13.122362377403995 - ${digammaSql("dbar/2.0")}
+                     + ln(dbar/1e6)) AS s02 FROM gmo)
+         SELECT gene AS $geneOut,
+                round(log2fc + 1e-5, 2) + 0.0 AS log2fc,
+                round(log2fc / sqrt(((1e6*s02 + df_resid*s2)/(1e6 + df_resid))
+                      * (1.0/na + 1.0/nb)) + 1e-7, 4) + 0.0 AS t_mod,
+                round(df_resid + 1e6 + 1e-5, 2) + 0.0 AS df_total
+         FROM gf CROSS JOIN gs0 ORDER BY 1"""
 
   /** One lowess fit pass as CTE text (the exact arithmetic of
     * `Normalize.lowessFit`): tricube window weights × the previous
@@ -1656,6 +1824,54 @@ object ExtraQueries {
                 round(avg_fc + 1e-5, 2) + 0.0 AS avg_log2fc,
                 round(num/sqrt(den) + 1e-7, 4) + 0.0 AS z_comb
          FROM comb ORDER BY 1""",
+
+    // E1 blocked replay: the q68 stage core + 5 REML sweeps, then the
+    // duplicateCorrelationReml consensus (ANOVA decomposition per
+    // gene, Fisher-z mean, tanh via exp — this DuckDB lacks tanh) and
+    // the exact GLS stats over pair blocks (compound-symmetry inverse
+    // per unit: six sums, A/B/C quadratic forms), eBayes tail with df
+    // from TRUE observation counts and SE from the GLS information.
+    "q81_e1_blocked" ->
+      (s"""$e1StagesSql,
+         grp AS MATERIALIZED (
+           SELECT 'O-' || CAST(s_suppkey AS VARCHAR) AS samp,
+                  CASE WHEN s_nationkey % 2 = 0 THEN 'A' ELSE 'B' END AS g
+           FROM supplier
+           UNION ALL
+           SELECT 'F-' || CAST(s_suppkey AS VARCHAR),
+                  CASE WHEN s_nationkey % 2 = 0 THEN 'A' ELSE 'B' END
+           FROM supplier),
+         blk AS MATERIALIZED (
+           SELECT 'O-' || CAST(s_suppkey AS VARCHAR) AS samp,
+                  'O-' || CAST(s_nationkey % 2 AS VARCHAR) || '-' ||
+                    CAST(CAST(floor(s_suppkey/2.0) AS BIGINT) AS VARCHAR) AS unit
+           FROM supplier
+           UNION ALL
+           SELECT 'F-' || CAST(s_suppkey AS VARCHAR),
+                  'F-' || CAST(s_nationkey % 2 AS VARCHAR) || '-' ||
+                    CAST(CAST(floor(s_suppkey/2.0) AS BIGINT) AS VARCHAR)
+           FROM supplier),
+         w0 AS MATERIALIZED (SELECT DISTINCT samp, CAST(1.0 AS DOUBLE) AS w FROM fm),
+         ${(0 until 5).map(remlSweepSql).mkString(",\n         ")},
+         ${dupCorrSql("fm", "value")},
+         gobs AS (SELECT f.gene, f.samp, f.value AS v, w.w
+                  FROM fm f JOIN w5 w ON w.samp = f.samp),
+         ${glsTailSql("gene_id")}"""),
+
+    // E2 blocked replay: the shared E2 core (through the lowess voom
+    // weights relation vwt), pair blocks on the supplier axis, the
+    // REML consensus on the voom log2-CPM values, and the GLS stats
+    // over the PER-OBSERVATION voom weights.
+    "q82_e2_blocked" ->
+      (s"""${e2CoreSql("CASE WHEN s_nationkey % 2 = 0 THEN 'A' ELSE 'B' END")},
+         blk AS MATERIALIZED (
+           SELECT s_suppkey AS samp,
+                  CAST(s_nationkey % 2 AS VARCHAR) || '-' ||
+                    CAST(CAST(floor(s_suppkey/2.0) AS BIGINT) AS VARCHAR) AS unit
+           FROM supplier),
+         ${dupCorrSql("vwt", "y")},
+         gobs AS (SELECT gene, samp, y AS v, w FROM vwt),
+         ${glsTailSql("l_partkey")}"""),
 
     // J6 replay: Welch stats → surrogate p → BH with the string-gene
     // tie-break → left join onto the annotation relation (every third

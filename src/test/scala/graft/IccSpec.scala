@@ -215,6 +215,75 @@ class IccSpec extends SparkSpec {
     assert(consensus > 0.5, s"unit effects present but consensus=$consensus")
   }
 
+  test("groupStatsGlsObs equals dense-matrix GLS (V inverse by elimination)") {
+    // 8 samples, 2 groups, blocks nested in groups (sizes 2/2 in A,
+    // 3/1 in B — UNBALANCED, where the design-effect approximation
+    // diverges), per-observation weights varying by gene
+    val rho = 0.45
+    val units = Map("s1" -> "u1", "s2" -> "u1", "s3" -> "u2", "s4" -> "u2",
+      "s5" -> "u3", "s6" -> "u3", "s7" -> "u3", "s8" -> "u4")
+    val grp = (i: Int) => if (i <= 4) "A" else "B"
+    val samples = (1 to 8).map(i => s"s$i")
+    val rows = for (g <- 1 to 12; i <- 1 to 8) yield {
+      val w = 0.5 + ((g * 7 + i * 3) % 5) * 0.3
+      val y = 10.0 + g * 0.1 + (if (grp(i) == "A") 1.2 else 0.0) +
+        ((g * 11 + i * 5) % 7 - 3) * 0.4
+      (s"g$g", s"s$i", y, w)
+    }
+    val spark0 = spark
+    import spark0.implicits._
+    val vw = rows.toDF("gene_id", "sample_id", "value", "weight")
+    val groups = samples.map(s => (s, grp(s.drop(1).toInt))).toDF("sample_id", "group")
+    val reps = units.toSeq.map { case (s, u) => (s, u, 1) }.toDF("sample_id", "unit", "rep")
+    val got = graft.operators.DiffExpr.groupStatsGlsObs(vw, groups, reps, rho)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getLong(3), r.getDouble(4), Option(r.get(5)).map(_.asInstanceOf[Double])))
+      .toMap
+
+    def invert(a: Array[Array[Double]]): Array[Array[Double]] = {
+      val n = a.length
+      val m = Array.tabulate(n, 2 * n)((i, j) => if (j < n) a(i)(j) else if (j - n == i) 1.0 else 0.0)
+      for (col <- 0 until n) {
+        val piv = (col until n).maxBy(r => math.abs(m(r)(col)))
+        val t = m(piv); m(piv) = m(col); m(col) = t
+        val p = m(col)(col)
+        for (j <- 0 until 2 * n) m(col)(j) /= p
+        for (r <- 0 until n if r != col) {
+          val f = m(r)(col)
+          for (j <- 0 until 2 * n) m(r)(j) -= f * m(col)(j)
+        }
+      }
+      Array.tabulate(n, n)((i, j) => m(i)(j + n))
+    }
+    for (g <- 1 to 12) {
+      val w = samples.map(s => rows.find(r => r._1 == s"g$g" && r._2 == s).get._4).toArray
+      val y = samples.map(s => rows.find(r => r._1 == s"g$g" && r._2 == s).get._3).toArray
+      val v = Array.tabulate(8, 8) { (i, j) =>
+        val r = if (i == j) 1.0 else if (units(samples(i)) == units(samples(j))) rho else 0.0
+        r / math.sqrt(w(i) * w(j))
+      }
+      val vi = invert(v)
+      val x = Array.tabulate(8, 2)((i, c) => if ((grp(i + 1) == "A") == (c == 0)) 1.0 else 0.0)
+      val xtvx = Array.tabulate(2, 2)((a, b) =>
+        (for (i <- 0 until 8; j <- 0 until 8) yield x(i)(a) * vi(i)(j) * x(j)(b)).sum)
+      val xtvy = Array.tabulate(2)(a =>
+        (for (i <- 0 until 8; j <- 0 until 8) yield x(i)(a) * vi(i)(j) * y(j)).sum)
+      assert(math.abs(xtvx(0)(1)) < 1e-9, "nested blocks => diagonal information")
+      val beta = Array(xtvy(0) / xtvx(0)(0), xtvy(1) / xtvx(1)(1))
+      val ytvy = (for (i <- 0 until 8; j <- 0 until 8) yield y(i) * vi(i)(j) * y(j)).sum
+      val rss = ytvy - beta(0) * xtvy(0) - beta(1) * xtvy(1)
+      val (nA, nObsA, meanA, varA) = got((s"g$g", "A"))
+      val (nB, nObsB, meanB, varB) = got((s"g$g", "B"))
+      assert(math.abs(nA - xtvx(0)(0)) < 1e-9 && math.abs(nB - xtvx(1)(1)) < 1e-9,
+        s"g$g info: ($nA, $nB) vs (${xtvx(0)(0)}, ${xtvx(1)(1)})")
+      assert(math.abs(meanA - beta(0)) < 1e-9 && math.abs(meanB - beta(1)) < 1e-9,
+        s"g$g beta: ($meanA, $meanB) vs (${beta(0)}, ${beta(1)})")
+      assert(nObsA == 4L && nObsB == 4L)
+      val rssOp = (nObsA - 1) * varA.get + (nObsB - 1) * varB.get
+      assert(math.abs(rssOp - rss) < 1e-9, s"g$g rss: $rssOp vs $rss")
+    }
+  }
+
   test("blocking deflation widens the moderated-t confidence exactly when rho > 0") {
     val rows = for (g <- 1 to 30; s <- 1 to 12) yield {
       val grp = if (s <= 6) "A" else "B"
