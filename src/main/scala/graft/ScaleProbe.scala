@@ -35,7 +35,10 @@ object ScaleProbe {
     // or the probe would silently reuse stale derived parquet.
     val derivationVersion = 2
     val dst = s"target/scale/sf1x-v$derivationVersion-c$copies"
-    val queries = if (args.nonEmpty) args(0).split(",").toSeq else headline
+    // `none` runs only the ICC axis probes
+    val queries =
+      if (args.nonEmpty) args(0).split(",").toSeq.filter(q => q.nonEmpty && q != "none")
+      else headline
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -110,9 +113,35 @@ object ScaleProbe {
     }
     val (iccSmall, iccBig) = (iccAt(100), iccAt(1000))
     println(f"[scale] q46_icc(gene-axis)   G=100=$iccSmall%8.2fs G=1000=$iccBig%8.2fs ratio=${iccBig / iccSmall}%6.2f")
+    // ICC supplier-axis probe: the q46 fixture on the 10× supplier
+    // data — the axis that OOM'd in round 4 (s² moment matrices per
+    // task). The tiled gramian (spark.graft.icc.tileBytes) degrades it
+    // to more treeAggregate passes; this records that it now COMPLETES
+    // and at what cost.
+    def iccSupplier(fromDir: String): Double = {
+      import graft.model.ExpressionMatrix
+      val li = spark.read.parquet(s"$fromDir/lineitem.parquet")
+        .filter(col("l_partkey") <= 100)
+      def mat(status: String) = ExpressionMatrix(
+        li.filter(col("l_linestatus") === status)
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(avg("l_extendedprice").as("value"))
+          .select(col("l_partkey").cast("string").as("gene_id"),
+            col("l_suppkey").cast("string").as("sample_id"), col("value"))
+          .localCheckpoint(true))
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        graft.operators.Meta.icc(mat("O"), mat("F")).queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      math.min(once(), once())
+    }
+    val (iccSupSmall, iccSupBig) = (iccSupplier(src), iccSupplier(dst))
+    println(f"[scale] q46_icc(supplier-axis) s=1x=$iccSupSmall%8.2fs s=10x=$iccSupBig%8.2fs ratio=${iccSupBig / iccSupSmall}%6.2f")
     val js = (rows.map { case (q, s, b) =>
       f"""\"$q\":{\"sf01\":$s%.3f,\"x10\":$b%.3f,\"ratio\":${b / s}%.3f}""" } :+
-      f"""\"q46_icc_gene_axis\":{\"sf01\":$iccSmall%.3f,\"x10\":$iccBig%.3f,\"ratio\":${iccBig / iccSmall}%.3f}""")
+      f"""\"q46_icc_gene_axis\":{\"sf01\":$iccSmall%.3f,\"x10\":$iccBig%.3f,\"ratio\":${iccBig / iccSmall}%.3f}""" :+
+      f"""\"q46_icc_supplier_axis\":{\"sf01\":$iccSupSmall%.3f,\"x10\":$iccSupBig%.3f,\"ratio\":${iccSupBig / iccSupSmall}%.3f}""")
       .mkString("{", ",", "}")
     println(s"""[scale-json] {"copies":$copies,"queries":$js}""")
     spark.stop()

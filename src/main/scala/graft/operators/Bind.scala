@@ -39,6 +39,15 @@ object Bind {
     * (`topGenes[, c("logFC","t","P.Value","adj.P.Val")]`, renamed). */
   val statCols: Seq[String] = Seq("log2FC", "t_statistic", "p_value", "adj_p_value")
 
+  /** Annotation relation normalised to the J6 column set: extra
+    * columns dropped, missing ones null-filled. */
+  private def annotFilled(annot: DataFrame, gene: String): DataFrame =
+    annotationCols.foldLeft(
+        annot.select(col(gene) +: annot.columns.filter(annotationCols.contains)
+          .map(col).toSeq: _*)) {
+      (d, c) => if (d.columns.contains(c)) d else d.withColumn(c, lit(null).cast("string"))
+    }
+
   /** J6 — annotated topTable. `topTable` needs (gene, log2fc, t, p,
     * p_bh); `annot` carries (gene, [[annotationCols]]...) — extra
     * columns are ignored, missing ones filled with null. Left join:
@@ -48,11 +57,7 @@ object Bind {
     * annotation relation; writers re-impose the p ranking on output. */
   def annotatedTopTable(topTable: DataFrame, annot: DataFrame,
       gene: String = "gene_id"): DataFrame = {
-    val a = annotationCols.foldLeft(
-        annot.select(col(gene) +: annot.columns.filter(annotationCols.contains)
-          .map(col).toSeq: _*)) {
-      (d, c) => if (d.columns.contains(c)) d else d.withColumn(c, lit(null).cast("string"))
-    }
+    val a = annotFilled(annot, gene)
     val renamed = topTable
       .withColumnRenamed("log2fc", "log2FC")
       .withColumnRenamed("t", "t_statistic")
@@ -60,6 +65,30 @@ object Bind {
       .withColumnRenamed("p_bh", "adj_p_value")
     renamed.join(broadcast(a), Seq(gene), "left")
       .select((col(gene).as("gene") +: annotationCols.map(col)) ++ statCols.map(col): _*)
+  }
+
+  /** J6 × contrasts — the reference writes ONE annotated topTable per
+    * contrast (`DiffExpression_closedPlatform.R:598-633` loops the
+    * contrast matrix, calling `annotGenes` + `prepare2write` per
+    * column), and the meta stage later reads each file's col-8/col-11.
+    * This is that composition as a single long relation: the
+    * multi-contrast table ([[graft.operators.DiffExpr.moderatedTAll]]
+    * + per-contrast BH — columns gene, contrast, log2fc, t_mod, p_mod,
+    * p_bh) annotated ONCE with a broadcast join (not once per
+    * contrast), keyed (contrast, gene) with the frozen positional
+    * layout per contrast. A writer partitioning by `contrast` emits
+    * exactly the reference's per-contrast files. */
+  def annotatedTopTablesByContrast(contrastTable: DataFrame, annot: DataFrame,
+      gene: String = "gene_id"): DataFrame = {
+    val a = annotFilled(annot, gene)
+    val renamed = contrastTable
+      .withColumnRenamed("log2fc", "log2FC")
+      .withColumnRenamed("t_mod", "t_statistic")
+      .withColumnRenamed("p_mod", "p_value")
+      .withColumnRenamed("p_bh", "adj_p_value")
+    renamed.join(broadcast(a), Seq(gene), "left")
+      .select((col("contrast") +: col(gene).as("gene") +: annotationCols.map(col)) ++
+        statCols.map(col): _*)
   }
 
   /** J7 — bind meta results with per-study DE statistics. Returns

@@ -120,10 +120,13 @@ object Meta {
     *   Σ_o r1[g,o]·r2[g,o]  = x1_gᵀ(X1ᵀX2)x2_g
     *
     * (self term o = g subtracted exactly). X1ᵀX1, X2ᵀX2, X1ᵀX2 and the
-    * s-vectors are samples×samples — bounded at reference scale —
-    * accumulated in one `treeAggregate` pass and broadcast; the final
-    * map touches each gene once. Total work O(G·s²) instead of
-    * O(G²·s), shuffle O(G·s) instead of two G² block products. */
+    * s-vectors are samples×samples — accumulated in sample-row TILES
+    * sized by `spark.graft.icc.tileBytes` (one `treeAggregate` pass
+    * per tile; one pass total at reference cohort scale), so cohorts
+    * past the per-task memory envelope cost more passes, not an OOM —
+    * then broadcast; the final map touches each gene once. Total work
+    * O(G·s²) instead of O(G²·s), shuffle O(G·s) instead of two G²
+    * block products. */
   def icc(m1: ExpressionMatrix, m2: ExpressionMatrix): DataFrame =
     iccMulti(Seq("p1" -> m1, "p2" -> m2)).select("gene_id", "icc")
 
@@ -142,6 +145,8 @@ object Meta {
     // per-platform standardized dense per-gene vectors over the
     // platform's own sample universe (missing cells = 0 before
     // centering — the dense-matrix semantics of the reference)
+    def sampleCount(m: ExpressionMatrix): Int =
+      m.canonical.df.select(col("sample_id")).distinct().count().toInt
     def standardize(m: ExpressionMatrix): Dataset[(String, Array[Double])] = {
       val sampleIds = m.canonical.df.select(col("sample_id")).distinct()
         .orderBy("sample_id").collect().map(_.getString(0))
@@ -163,32 +168,64 @@ object Meta {
         }
     }
 
-    def outerAgg(ds: Dataset[(Array[Double], Array[Double])]): Array[Array[Double]] =
-      ds.rdd.treeAggregate(null: Array[Array[Double]])(
-        (acc, xy) => {
-          val (x, y2) = xy
-          val m = if (acc == null) Array.ofDim[Double](x.length, y2.length) else acc
-          var i = 0
-          while (i < x.length) {
-            if (x(i) != 0.0) {
-              var j = 0
-              while (j < y2.length) { m(i)(j) += x(i) * y2(j); j += 1 }
+    // The gramian accumulates in SAMPLE-ROW TILES: each treeAggregate
+    // pass holds only tileRows × nCols doubles per task, so a cohort
+    // beyond the per-task memory envelope degrades to MORE PASSES over
+    // the persisted vectors instead of an OOM (the round-4 10× probe
+    // measured exactly that failure). Tile size is governed by
+    // spark.graft.icc.tileBytes (default 64 MiB); at reference cohort
+    // scale one tile covers every row, so the plan (and the q46 hash)
+    // is unchanged. Per-entry float accumulation order is identical
+    // across tilings — each entry sees the same per-partition gene
+    // sequence and the same combine topology.
+    val tileBytes = spark.conf.getOption("spark.graft.icc.tileBytes")
+      .map(_.toLong).getOrElse(64L * 1024 * 1024)
+    def outerAgg(ds: Dataset[(Array[Double], Array[Double])],
+        nRows: Int, nCols: Int): Array[Array[Double]] = {
+      val tileRows = math.max(1, (tileBytes / 8 / math.max(1, nCols)).toInt)
+      val rdd = ds.rdd
+      val out = new Array[Array[Double]](nRows)
+      var r0 = 0
+      while (r0 < nRows) {
+        val r1 = math.min(nRows, r0 + tileRows)
+        val lo = r0
+        val hi = r1
+        val part = rdd.treeAggregate(null: Array[Array[Double]])(
+          (acc, xy) => {
+            val (x, y2) = xy
+            val m = if (acc == null) Array.ofDim[Double](hi - lo, y2.length) else acc
+            var i = lo
+            while (i < hi) {
+              if (x(i) != 0.0) {
+                val row = m(i - lo)
+                var j = 0
+                while (j < y2.length) { row(j) += x(i) * y2(j); j += 1 }
+              }
+              i += 1
             }
-            i += 1
-          }
-          m
-        },
-        (a, b) =>
-          if (a == null) b else if (b == null) a
-          else {
-            for (i <- a.indices; j <- a(i).indices) a(i)(j) += b(i)(j); a
-          })
+            m
+          },
+          (a, b) =>
+            if (a == null) b else if (b == null) a
+            else {
+              for (i <- a.indices; j <- a(i).indices) a(i)(j) += b(i)(j); a
+            })
+        var i = lo
+        while (i < hi) {
+          out(i) = if (part == null) new Array[Double](nCols) else part(i - lo)
+          i += 1
+        }
+        r0 = r1
+      }
+      out
+    }
 
+    val sizes = platforms.map { case (name, m) => name -> sampleCount(m) }.toMap
     val std = platforms.map { case (name, m) =>
       name -> standardize(m).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
     val grams = std.map { case (name, v) =>
-      name -> outerAgg(v.map(t => (t._2, t._2)))
+      name -> outerAgg(v.map(t => (t._2, t._2)), sizes(name), sizes(name))
     }.toMap
     val svecs = std.map { case (name, v) =>
       name -> v.rdd.map(_._2).treeAggregate(null: Array[Double])(
@@ -226,7 +263,7 @@ object Meta {
       val joined = v1.joinWith(v2, v1("_1") === v2("_1"))
         .map { case ((g, x1), (_, x2)) => (g, x1, x2) }
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cross = outerAgg(joined.map(t => (t._2, t._3)))
+      val cross = outerAgg(joined.map(t => (t._2, t._3)), sizes(n1), sizes(n2))
       val bcAll = spark.sparkContext.broadcast(
         (grams(n1), grams(n2), cross, svecs(n1), svecs(n2), nGenes))
       joined.map { case (g, x1, x2) =>

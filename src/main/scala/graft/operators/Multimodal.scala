@@ -9,12 +9,13 @@ import org.apache.spark.sql.types._
   * Design per the brief: media is carried as opaque `binary` columns
   * plus typed metadata; decode/feature steps run per-partition in
   * batches (the Scala analogue of `mapInPandas` — one iterator pass,
-  * no per-row task overhead) so a real decoder drops in without
-  * changing the plan shape. The actual codec is STUBBED — this
-  * container has no image/audio libraries — with a deterministic fake
-  * that derives pseudo-dimensions/features from the bytes, clearly
-  * marked below. Everything around the stub (schema, batching,
-  * partitioning, null handling) is real and tested.
+  * no per-row task overhead). IMAGE decoding is REAL — the JDK ships
+  * `javax.imageio` (PNG/JPEG/BMP/GIF), no external libraries needed.
+  * Audio/video codecs remain STUBBED (this container has no media
+  * libraries) with a deterministic fake that derives
+  * pseudo-dimensions/features from the bytes, clearly marked below;
+  * the plumbing (schema, batching, partitioning, null handling) is
+  * identical for both paths.
   */
 object Multimodal {
 
@@ -27,8 +28,22 @@ object Multimodal {
 
   case class DecodedImage(width: Int, height: Int, channels: Int)
 
-  /** STUB decoder. A production build replaces this with an actual
-    * codec (e.g. javax.imageio / ffmpeg bindings); the deterministic
+  /** REAL image decoder: `javax.imageio.ImageIO` (PNG/JPEG/BMP/GIF
+    * readers ship in the JDK). Null, empty, or undecodable payloads
+    * come back as (0, 0, 0) — per-row decode failures must not kill a
+    * 100 TB scan. Channels = the raster band count (3 for RGB PNG,
+    * 4 with alpha, 1 for grayscale). */
+  private[graft] def decodeImageReal(bytes: Array[Byte]): DecodedImage = {
+    if (bytes == null || bytes.isEmpty) return DecodedImage(0, 0, 0)
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Throwable => null }
+    if (img == null) DecodedImage(0, 0, 0)
+    else DecodedImage(img.getWidth, img.getHeight, img.getRaster.getNumBands)
+  }
+
+  /** STUB decoder for the non-image kinds. A production build replaces
+    * this with an actual codec (ffmpeg bindings); the deterministic
     * fake keeps the pipeline testable and reproducible: dimensions are
     * derived from a stable hash of the payload. */
   private[graft] def decodeImageStub(bytes: Array[Byte]): DecodedImage = {
@@ -38,7 +53,8 @@ object Multimodal {
   }
 
   /** Decode + attach dimensions, batched per partition. Output adds
-    * (width, height, channels) columns. */
+    * (width, height, channels) columns. `kind = image` rows go through
+    * the real ImageIO decoder; other kinds keep the declared stub. */
   def decodeImages(media: DataFrame): DataFrame = {
     val schema = StructType(media.schema.fields ++ Seq(
       StructField("width", IntegerType), StructField("height", IntegerType),
@@ -46,7 +62,10 @@ object Multimodal {
     val enc = org.apache.spark.sql.Encoders.row(schema)
     media.mapPartitions { rows =>
       rows.map { r =>
-        val d = decodeImageStub(r.getAs[Array[Byte]]("content"))
+        val bytes = r.getAs[Array[Byte]]("content")
+        val d =
+          if (r.getAs[String]("kind") == "image") decodeImageReal(bytes)
+          else decodeImageStub(bytes)
         Row.fromSeq(r.toSeq ++ Seq(d.width, d.height, d.channels))
       }
     }(enc)

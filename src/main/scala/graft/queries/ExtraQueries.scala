@@ -521,6 +521,70 @@ object ExtraQueries {
         .orderBy("l_partkey", "contrast")
     }),
 
+    // ---- Multimodal: REAL image decode through the batched media
+    // plumbing. The fixture plants deterministic PNGs whose dimensions
+    // derive from p_partkey (width = 1 + k % 37, height = 1 + k % 23,
+    // 3-band BGR), encoded with the JDK's ImageIO driver-side (the
+    // media relation is metadata-grain here); decodeImages then
+    // actually parses the PNG headers on executors — the hash only
+    // matches if the encode→decode roundtrip recovers every planted
+    // dimension. The oracle recomputes the dims from `part`. ----
+    "q83_image_decode" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val ids = t(s, dir, "part").filter(col("p_partkey") <= 200)
+        .select(col("p_partkey").cast("long")).collect().map(_.getLong(0))
+      val rows = ids.toSeq.map { k =>
+        val w = (1 + k % 37).toInt
+        val h = (1 + k % 23).toInt
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        var x = 0
+        while (x < w) {
+          var y = 0
+          while (y < h) { img.setRGB(x, y, ((k * 31 + x * 7 + y) % 0xFFFFFF).toInt); y += 1 }
+          x += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (k, "image", bos.toByteArray)
+      }
+      Multimodal.decodeImages(rows.toDF("media_id", "kind", "content"))
+        .select(col("media_id").as("p_partkey"), col("width"), col("height"),
+          col("channels"))
+        .orderBy("p_partkey")
+    }),
+
+    // ---- J6 × contrasts: the reference's per-contrast annotated
+    // topTable files (DiffExpression_closedPlatform.R:598-633 writes
+    // annotGenes + prepare2write once per contrast; Meta_analysis.R
+    // later reads each file's col-8/col-11) as one long relation over
+    // the q73 multi-contrast chain. True moderated p (t-CDF) and its
+    // per-contrast BH ride through — the oracle replays them with the
+    // Lentz CF (converges at df ≈ 1e6, the q70 measurement). Genes
+    // with k % 3 == 0 are absent from the annotation → NA rows. ----
+    "q80_contrast_toptables" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val annot = (0 until 97).filter(_ % 3 != 0).map(k =>
+          (s"G$k", s"HGNC$k", s"type-${k % 5}", s"chr${k % 22}", s"b${k % 7}"))
+        .toDF("gene_id", "hgnc_symbol", "description", "chromosome_name", "band")
+      Bind.annotatedTopTablesByContrast(e1MultiTable(s, dir), annot)
+        .select(col("contrast"), col("gene").as("gene_id"),
+          coalesce(col("hgnc_symbol"), lit("NA")).as("hgnc_symbol"),
+          coalesce(col("description"), lit("NA")).as("description"),
+          coalesce(col("chromosome_name"), lit("NA")).as("chromosome_name"),
+          coalesce(col("band"), lit("NA")).as("band"),
+          coalesce(col("strand"), lit("NA")).as("strand"),
+          coalesce(col("start_position"), lit("NA")).as("start_position"),
+          coalesce(col("end_position"), lit("NA")).as("end_position"),
+          round(col("log2FC") + 1e-5, 2).as("log2fc"),
+          round(col("t_statistic") + 1e-7, 4).as("t_stat"),
+          round(col("p_value") + 1e-9, 6).as("p_value"),
+          round(col("adj_p_value") + 1e-9, 6).as("adj_p"))
+        .orderBy("gene_id", "contrast")
+    }),
+
     // ---- A11 GLS: the E1 chain's technical-replicate branch — the
     // q68 fixture with every sample assigned to a ≤2-sample block
     // (unit = dataset-parity-⌊suppkey/2⌋, nested in the group by
@@ -1824,6 +1888,97 @@ object ExtraQueries {
                 round(avg_fc + 1e-5, 2) + 0.0 AS avg_log2fc,
                 round(num/sqrt(den) + 1e-7, 4) + 0.0 AS z_comb
          FROM comb ORDER BY 1""",
+
+    // image-decode replay: the planted dimensions are pure functions
+    // of p_partkey, so the oracle recomputes them relationally — the
+    // Spark side only matches if ImageIO's encode→decode roundtrip
+    // recovered them all.
+    "q83_image_decode" ->
+      """SELECT p_partkey, CAST(1 + p_partkey % 37 AS INT) AS width,
+                CAST(1 + p_partkey % 23 AS INT) AS height, 3 AS channels
+         FROM part WHERE p_partkey <= 200 ORDER BY 1""",
+
+    // J6 × contrasts replay: the e1 multi-contrast core, the true
+    // moderated p via the Lentz-CF t-CDF per (gene, contrast), BH per
+    // contrast with the string-gene tie-break, and the annotation
+    // left-join (every third gene index absent → NA rows).
+    "q80_contrast_toptables" ->
+      (s"""$e1MultiCoreSql,
+         prep AS MATERIALIZED (
+           SELECT gene, contrast, log2fc, t_mod AS t, df_total AS df,
+                  df_total/(df_total + t_mod*t_mod) AS x0,
+                  df_total/2.0 AS ba, CAST(0.5 AS DOUBLE) AS bb,
+                  (df_total/(df_total + t_mod*t_mod))
+                    >= (df_total/2.0 + 1.0)/(df_total/2.0 + 0.5 + 2.0) AS flip
+           FROM tbl),
+         cfin AS MATERIALIZED (
+           SELECT *, CASE WHEN flip THEN 1.0 - x0 ELSE x0 END AS xx,
+                  CASE WHEN flip THEN bb ELSE ba END AS ca,
+                  CASE WHEN flip THEN ba ELSE bb END AS cb
+           FROM prep),
+         cf AS (
+           SELECT 0 AS mm, gene, contrast, xx, ca, cb,
+                  CAST(1.0 AS DOUBLE) AS c,
+                  1.0 / (CASE WHEN abs(1.0 - (ca+cb)*xx/(ca+1.0)) < 1e-300
+                              THEN 1e-300 ELSE 1.0 - (ca+cb)*xx/(ca+1.0) END) AS d,
+                  1.0 / (CASE WHEN abs(1.0 - (ca+cb)*xx/(ca+1.0)) < 1e-300
+                              THEN 1e-300 ELSE 1.0 - (ca+cb)*xx/(ca+1.0) END) AS h
+           FROM cfin
+           UNION ALL
+           SELECT mm + 1, gene, contrast, xx, ca, cb, c2, d2, h * d1*c1 * d2*c2
+           FROM (
+             SELECT *,
+                    1.0/(1.0 + aa2*(1.0/(1.0 + aa1*d))) AS d2,
+                    1.0 + aa2/(1.0 + aa1/c) AS c2,
+                    1.0/(1.0 + aa1*d) AS d1,
+                    1.0 + aa1/c AS c1
+             FROM (
+               SELECT *, (mm+1)*(cb-(mm+1))*xx/((ca+2*(mm+1)-1.0)*(ca+2*(mm+1))) AS aa1,
+                      -(ca+(mm+1))*(ca+cb+(mm+1))*xx/((ca+2*(mm+1))*(ca+2*(mm+1)+1.0)) AS aa2
+               FROM cf WHERE mm < 100
+             ) s1
+           ) s2
+         ),
+         ibeta AS (
+           SELECT p.gene, p.contrast, p.log2fc, p.t,
+                  CASE WHEN p.flip
+                       THEN 1.0 - exp(cf.ca*ln(cf.xx) + cf.cb*ln(1.0-cf.xx)
+                             + lgamma(cf.ca+cf.cb) - lgamma(cf.ca) - lgamma(cf.cb))*cf.h/cf.ca
+                       ELSE exp(cf.ca*ln(cf.xx) + cf.cb*ln(1.0-cf.xx)
+                             + lgamma(cf.ca+cf.cb) - lgamma(cf.ca) - lgamma(cf.cb))*cf.h/cf.ca END AS ix
+           FROM cf JOIN prep p USING (gene, contrast)
+           WHERE cf.mm = 100
+         ),
+         pcl AS (SELECT gene, contrast, log2fc, t,
+                        least(greatest(ix, 0.0), 1.0) AS p FROM ibeta),
+         bhx AS (SELECT *, count(*) OVER (PARTITION BY contrast) AS nn,
+                        row_number() OVER (PARTITION BY contrast
+                          ORDER BY p ASC, CAST(gene AS VARCHAR) ASC) AS rk
+                 FROM pcl),
+         padj AS MATERIALIZED (
+           SELECT gene, contrast, log2fc, t, p,
+                  least(1.0, min(p*nn/rk) OVER (PARTITION BY contrast
+                    ORDER BY p ASC, CAST(gene AS VARCHAR) ASC
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS p_bh
+           FROM bhx),
+         ann2 AS (SELECT 'G' || CAST(k AS VARCHAR) AS gene,
+                       'HGNC' || CAST(k AS VARCHAR) AS hgnc,
+                       'type-' || CAST(k % 5 AS VARCHAR) AS descr,
+                       'chr' || CAST(k % 22 AS VARCHAR) AS chrom,
+                       'b' || CAST(k % 7 AS VARCHAR) AS band
+                FROM range(0, 97) rt(k) WHERE k % 3 <> 0)
+         SELECT a.contrast, a.gene AS gene_id,
+                coalesce(ann2.hgnc, 'NA') AS hgnc_symbol,
+                coalesce(ann2.descr, 'NA') AS description,
+                coalesce(ann2.chrom, 'NA') AS chromosome_name,
+                coalesce(ann2.band, 'NA') AS band,
+                'NA' AS strand, 'NA' AS start_position, 'NA' AS end_position,
+                round(a.log2fc + 1e-5, 2) + 0.0 AS log2fc,
+                round(a.t + 1e-7, 4) + 0.0 AS t_stat,
+                round(a.p + 1e-9, 6) + 0.0 AS p_value,
+                round(a.p_bh + 1e-9, 6) + 0.0 AS adj_p
+         FROM padj a LEFT JOIN ann2 ON ann2.gene = a.gene
+         ORDER BY 2, 1"""),
 
     // E1 blocked replay: the q68 stage core + 5 REML sweeps, then the
     // duplicateCorrelationReml consensus (ANOVA decomposition per

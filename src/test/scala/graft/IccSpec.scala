@@ -215,6 +215,23 @@ class IccSpec extends SparkSpec {
     assert(consensus > 0.5, s"unit effects present but consensus=$consensus")
   }
 
+  test("icc gramian tiling: 1-row tiles reproduce the single-pass result exactly") {
+    val rows = for (g <- 1 to 40; s <- 1 to 9) yield
+      (s"g$g", s"s$s", ((g * 13 + s * 7) % 23).toDouble + (if (s % 2 == 0) g * 0.1 else 0.0))
+    val m1 = ExpressionMatrix(rows.toDF("gene_id", "sample_id", "value"))
+    val m2 = ExpressionMatrix(rows.map(r => (r._1, r._2, r._3 * 1.1 + ((r._1.length * 3) % 5)))
+      .toDF("gene_id", "sample_id", "value"))
+    def run(): Map[String, Double] = Meta.icc(m1, m2).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val single = run()
+    spark.conf.set("spark.graft.icc.tileBytes", "64")   // 8 doubles -> 1-row tiles at 9 cols
+    val tiled = try run() finally spark.conf.unset("spark.graft.icc.tileBytes")
+    assert(single.keySet == tiled.keySet && single.nonEmpty)
+    for (k <- single.keySet)
+      assert(java.lang.Double.compare(single(k), tiled(k)) == 0,
+        s"$k: ${single(k)} vs ${tiled(k)}")
+  }
+
   test("groupStatsGlsObs equals dense-matrix GLS (V inverse by elimination)") {
     // 8 samples, 2 groups, blocks nested in groups (sizes 2/2 in A,
     // 3/1 in B — UNBALANCED, where the design-effect approximation

@@ -5,24 +5,35 @@ import org.apache.spark.sql.Row
 
 class MultimodalSpec extends SparkSpec {
 
+  private def png(w: Int, h: Int, tpe: Int = java.awt.image.BufferedImage.TYPE_3BYTE_BGR): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, tpe)
+    for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, (x * 7 + y * 131) % 0xFFFFFF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   private def mediaDf = {
     val rows = Seq(
-      Row(1L, "image", Array[Byte](1, 2, 3, 4), Map("src" -> "cam0")),
+      Row(1L, "image", png(17, 9), Map("src" -> "cam0")),
       Row(2L, "image", null, Map.empty[String, String]),
-      Row(3L, "video", Array.tabulate(30)(_.toByte), Map("fps" -> "24")))
+      Row(3L, "video", Array.tabulate(30)(_.toByte), Map("fps" -> "24")),
+      Row(4L, "image", Array[Byte](1, 2, 3, 4), Map.empty[String, String]),
+      Row(5L, "image", png(5, 31, java.awt.image.BufferedImage.TYPE_4BYTE_ABGR),
+        Map.empty[String, String]))
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows), Multimodal.mediaSchema)
   }
 
-  test("decodeImages adds deterministic dimensions and handles null payloads") {
+  test("decodeImages: REAL ImageIO dims for images, zeros for null/undecodable") {
     val out = Multimodal.decodeImages(mediaDf).collect()
-      .map(r => r.getAs[Long]("media_id") -> (r.getAs[Int]("width"), r.getAs[Int]("channels"))).toMap
-    assert(out(2L) == (0, 0))            // null payload -> zero dims
-    assert(out(1L)._1 >= 64 && out(1L)._2 == 3)
-    // determinism: same bytes, same dims on re-run
-    val again = Multimodal.decodeImages(mediaDf).collect()
-      .map(r => r.getAs[Long]("media_id") -> r.getAs[Int]("width")).toMap
-    assert(again(1L) == out(1L)._1)
+      .map(r => r.getAs[Long]("media_id") ->
+        ((r.getAs[Int]("width"), r.getAs[Int]("height"), r.getAs[Int]("channels")))).toMap
+    assert(out(1L) == ((17, 9, 3)), s"png roundtrip: ${out(1L)}")
+    assert(out(2L) == ((0, 0, 0)))       // null payload -> zero dims
+    assert(out(4L) == ((0, 0, 0)))       // garbage bytes -> zero dims, no crash
+    assert(out(5L) == ((5, 31, 4)), s"alpha png: ${out(5L)}")    // 4 bands with alpha
+    assert(out(3L)._1 >= 64)             // video keeps the declared stub path
   }
 
   test("extractFeatures emits fixed-dim float vectors") {
