@@ -10,12 +10,13 @@ import org.apache.spark.sql.types._
   * plus typed metadata; decode/feature steps run per-partition in
   * batches (the Scala analogue of `mapInPandas` — one iterator pass,
   * no per-row task overhead). IMAGE decoding is REAL — the JDK ships
-  * `javax.imageio` (PNG/JPEG/BMP/GIF), no external libraries needed.
-  * Audio/video codecs remain STUBBED (this container has no media
-  * libraries) with a deterministic fake that derives
-  * pseudo-dimensions/features from the bytes, clearly marked below;
-  * the plumbing (schema, batching, partitioning, null handling) is
-  * identical for both paths.
+  * `javax.imageio` (PNG/JPEG/BMP/GIF) — and so is AUDIO header
+  * decoding (`javax.sound.sampled`, WAV/AIFF/AU), no external
+  * libraries needed for either. Only the VIDEO codec remains STUBBED
+  * (no media libraries in this container) with a deterministic fake
+  * that derives pseudo-dimensions/features from the bytes, clearly
+  * marked below; the plumbing (schema, batching, partitioning, null
+  * handling) is identical for every path.
   */
 object Multimodal {
 
@@ -40,6 +41,42 @@ object Multimodal {
       catch { case _: Throwable => null }
     if (img == null) DecodedImage(0, 0, 0)
     else DecodedImage(img.getWidth, img.getHeight, img.getRaster.getNumBands)
+  }
+
+  case class DecodedAudio(sampleRate: Int, channels: Int, frames: Long)
+
+  /** REAL audio header decoder: `javax.sound.sampled.AudioSystem`
+    * (WAV/AIFF/AU parsers ship in the JDK). Returns the sample rate,
+    * channel count, and frame count from the container header —
+    * payloads that aren't a supported audio container come back as
+    * (0, 0, 0), like [[decodeImageReal]]'s failure contract. */
+  private[graft] def decodeAudioReal(bytes: Array[Byte]): DecodedAudio = {
+    if (bytes == null || bytes.isEmpty) return DecodedAudio(0, 0, 0L)
+    try {
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(bytes))
+      DecodedAudio(aff.getFormat.getSampleRate.toInt, aff.getFormat.getChannels,
+        aff.getFrameLength.toLong)
+    } catch { case _: Throwable => DecodedAudio(0, 0, 0L) }
+  }
+
+  /** Decode + attach audio header fields, batched per partition.
+    * Output adds (sample_rate, channels, frames); non-audio kinds get
+    * zeros (a mixed-media relation routes by `kind`). */
+  def decodeAudio(media: DataFrame): DataFrame = {
+    val schema = StructType(media.schema.fields ++ Seq(
+      StructField("sample_rate", IntegerType), StructField("channels", IntegerType),
+      StructField("frames", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val d =
+          if (r.getAs[String]("kind") == "audio")
+            decodeAudioReal(r.getAs[Array[Byte]]("content"))
+          else DecodedAudio(0, 0, 0L)
+        Row.fromSeq(r.toSeq ++ Seq[Any](d.sampleRate, d.channels, d.frames))
+      }
+    }(enc)
   }
 
   /** STUB decoder for the non-image kinds. A production build replaces

@@ -555,6 +555,36 @@ object ExtraQueries {
         .orderBy("p_partkey")
     }),
 
+    // ---- Multimodal: REAL audio header decode (javax.sound.sampled
+    // ships in the JDK — WAV needs no external libs). Deterministic
+    // 16-bit PCM WAVs with p_partkey-derived (rate, channels, frames)
+    // are encoded driver-side; decodeAudio parses the RIFF headers on
+    // executors; the oracle recomputes the planted values from
+    // `part`. ----
+    "q84_audio_decode" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val ids = t(s, dir, "part").filter(col("p_partkey") <= 200)
+        .select(col("p_partkey").cast("long")).collect().map(_.getLong(0))
+      val rows = ids.toSeq.map { k =>
+        val rate = (8000 * (1 + k % 3)).toInt
+        val ch = (1 + k % 2).toInt
+        val frames = (50 + k % 97).toInt
+        val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, ch, true, false)
+        val pcm = Array.tabulate(frames * 2 * ch)(i => ((k * 31 + i * 7) % 251).toByte)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        (k, "audio", bos.toByteArray)
+      }
+      Multimodal.decodeAudio(rows.toDF("media_id", "kind", "content"))
+        .select(col("media_id").as("p_partkey"), col("sample_rate"),
+          col("channels"), col("frames"))
+        .orderBy("p_partkey")
+    }),
+
     // ---- J6 × contrasts: the reference's per-contrast annotated
     // topTable files (DiffExpression_closedPlatform.R:598-633 writes
     // annotGenes + prepare2write once per contrast; Meta_analysis.R
@@ -1896,6 +1926,14 @@ object ExtraQueries {
     "q83_image_decode" ->
       """SELECT p_partkey, CAST(1 + p_partkey % 37 AS INT) AS width,
                 CAST(1 + p_partkey % 23 AS INT) AS height, 3 AS channels
+         FROM part WHERE p_partkey <= 200 ORDER BY 1""",
+
+    // audio-decode replay: planted WAV header fields are pure
+    // functions of p_partkey.
+    "q84_audio_decode" ->
+      """SELECT p_partkey, CAST(8000*(1 + p_partkey % 3) AS INT) AS sample_rate,
+                CAST(1 + p_partkey % 2 AS INT) AS channels,
+                CAST(50 + p_partkey % 97 AS BIGINT) AS frames
          FROM part WHERE p_partkey <= 200 ORDER BY 1""",
 
     // J6 × contrasts replay: the e1 multi-contrast core, the true

@@ -36,6 +36,28 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L)._1 >= 64)             // video keeps the declared stub path
   }
 
+  test("decodeAudio: REAL WAV header fields, zeros for non-audio kinds") {
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 2, true, false)
+    val pcm = Array.tabulate(120 * 2 * 2)(i => (i % 113).toByte)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 120L)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val rows = Seq(
+      Row(1L, "audio", bos.toByteArray, Map.empty[String, String]),
+      Row(2L, "audio", Array[Byte](9, 9, 9), Map.empty[String, String]),
+      Row(3L, "image", Array[Byte](1, 2), Map.empty[String, String]))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows),
+      Multimodal.mediaSchema)
+    val out = Multimodal.decodeAudio(df).collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        ((r.getAs[Int]("sample_rate"), r.getAs[Int]("channels"), r.getAs[Long]("frames")))).toMap
+    assert(out(1L) == ((16000, 2, 120L)), s"wav roundtrip: ${out(1L)}")
+    assert(out(2L) == ((0, 0, 0L)))   // garbage bytes -> zeros, no crash
+    assert(out(3L) == ((0, 0, 0L)))   // non-audio kind routed to zeros
+  }
+
   test("extractFeatures emits fixed-dim float vectors") {
     val out = Multimodal.extractFeatures(mediaDf, dim = 8).collect()
     out.foreach { r =>
