@@ -206,7 +206,9 @@ object Pipelines {
 
   /** E4 — training-data text curation (the brief's LLM-pipeline
     * operators chained the way a production corpus pass runs them):
-    * exact dedup (cheapest first) → MinHash near-dup removal (keep
+    * exact dedup (cheapest first) → optional paragraph-grain
+    * boilerplate removal (`paragraphSep`, the Dolma/RefinedWeb stage —
+    * [[TextDedup.paragraphDedup]]) → MinHash near-dup removal (keep
     * the lowest id of each candidate pair above the Jaccard
     * threshold) → language filter → quality floor → per-document
     * token statistics. Every stage is the bucketed/df-capped scale
@@ -224,9 +226,18 @@ object Pipelines {
       dfCap: Long = 100000L, md5Hashes: Boolean = false,
       repGramN: Int = 2, maxTopGramFrac: Double = 1.0, maxDupGramFrac: Double = 1.0,
       benchmark: Option[DataFrame] = None, decontamN: Int = 8,
-      maxBenchOverlap: Double = 0.0, scrubPii: Boolean = false): DataFrame = {
+      maxBenchOverlap: Double = 0.0, scrubPii: Boolean = false,
+      paragraphSep: Option[String] = None): DataFrame = {
     import graft.functions.TextFunctions._
-    val exact = TextDedup.exactDedup(docs)
+    val exact0 = TextDedup.exactDedup(docs)
+    // optional paragraph-grain boilerplate removal (Dolma-style) runs
+    // between whole-document dedup and near-dup: docs stripped to
+    // empty text fall out at the quality floor below, the same
+    // drop-by-downstream-filter contract the operator documents
+    val exact = paragraphSep match {
+      case Some(sep) => TextDedup.paragraphDedup(exact0, sep)
+      case None => exact0
+    }
     val nearDupLosers = TextDedup
       .minhashLshPairs(exact, k = 8, bands = 4, shingleWidth = 3,
         minJaccard = nearDupJaccard, md5Hashes = md5Hashes, dfCap = dfCap)

@@ -26,6 +26,41 @@ object TextDedup {
       .filter(col("__rn") === 1).drop("__rn", "__fp")
   }
 
+  /** PARAGRAPH-grain exact dedup — the Dolma/RefinedWeb curation stage
+    * between whole-document dedup and near-dup: boilerplate paragraphs
+    * (headers, licence blocks, navigation) repeat across millions of
+    * otherwise-distinct pages. Documents split on `sep`; every
+    * occurrence of a paragraph except the FIRST (ordered by (doc id,
+    * position) — deterministic keep-first) is dropped; survivors
+    * reassemble in original order. Documents that lose every paragraph
+    * survive with empty text — the length/quality stage downstream
+    * owns the drop decision.
+    *
+    * Scale shape: ONE shuffle keyed on the paragraph text for the
+    * keep-first window (the same key the dedup decision needs — no
+    * pairwise comparisons), one keyed reassembly per document. The
+    * reassembly's array transform is one interpreted call per DOC row
+    * (not per token) — far off the gram-fan-out hot path where HOFs
+    * are banned. Empty paragraphs (consecutive separators) are dropped
+    * before the window so they cannot become a viral dedup key. */
+  def paragraphDedup(docs: DataFrame, sep: String = "\n", id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val paras = docs
+      .select(col(id), posexplode(split(col(text),
+        java.util.regex.Pattern.quote(sep))).as(Seq("pos", "para")))
+      .filter(length(col("para")) > 0)
+    val w = Window.partitionBy(col("para")).orderBy(col(id).asc, col("pos").asc)
+    val keep = paras.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    val rebuilt = keep.groupBy(col(id))
+      .agg(array_join(
+        expr("transform(array_sort(collect_list(struct(pos, para))), x -> x.para)"),
+        sep).as(text))
+    // column-preserving: everything except the text column rides along
+    docs.drop(text).join(rebuilt, Seq(id), "left")
+      .withColumn(text, coalesce(col(text), lit("")))
+  }
+
   /** MinHash + LSH candidate pairs with exact-Jaccard verification.
     * k = signature length, bands × rowsPerBand = k. Returns
     * (id_a, id_b, jaccard) for candidates above `minJaccard`.

@@ -555,6 +555,31 @@ object ExtraQueries {
         .orderBy("p_partkey")
     }),
 
+    // ---- Paragraph-grain exact dedup (the Dolma/RefinedWeb
+    // boilerplate-removal stage): the corpus text is single-line, so
+    // the fixture synthesizes 3-paragraph documents from corpus
+    // substrings with modular cross-references — every paragraph is
+    // shared by ~3 documents, so keep-first drops ~2/3 of all
+    // occurrences and some documents keep only their own lead
+    // paragraph. Output = the reassembled surviving text. ----
+    "q85_paragraph_dedup" -> ((s, dir) => {
+      val pool = t(s, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 60).as("para"))
+      val n = t(s, dir, "documents").count()
+      def p(alias: String, key: String) =
+        pool.select(col("doc_id").as(key), col("para").as(alias))
+      val synth = t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("p1", col("doc_id"))
+        .withColumn("p2", (col("doc_id") * 7 + 13) % n)
+        .withColumn("p3", (col("doc_id") * 3 + 5) % n)
+        .join(p("a", "p1"), Seq("p1")).join(p("b", "p2"), Seq("p2"))
+        .join(p("c", "p3"), Seq("p3"))
+        .select(col("doc_id"), concat_ws("\n", col("a"), col("b"), col("c")).as("text"))
+      TextDedup.paragraphDedup(synth)
+        .select(col("doc_id"), col("text"))
+        .orderBy("doc_id")
+    }),
+
     // ---- Multimodal: REAL audio header decode (javax.sound.sampled
     // ships in the JDK — WAV needs no external libs). Deterministic
     // 16-bit PCM WAVs with p_partkey-derived (rate, channels, frames)
@@ -1927,6 +1952,37 @@ object ExtraQueries {
       """SELECT p_partkey, CAST(1 + p_partkey % 37 AS INT) AS width,
                 CAST(1 + p_partkey % 23 AS INT) AS height, 3 AS channels
          FROM part WHERE p_partkey <= 200 ORDER BY 1""",
+
+    // paragraph-dedup replay: same synthetic 3-paragraph docs, the
+    // keep-first window per paragraph, ordered string_agg reassembly.
+    "q85_paragraph_dedup" ->
+      """WITH pool AS (SELECT doc_id AS pid, substr(text, 1, 60) AS para FROM documents),
+         nn AS (SELECT count(*) AS n FROM documents),
+         sids AS MATERIALIZED (
+           SELECT d.doc_id,
+                  (d.doc_id * 7 + 13) % nn.n AS i2,
+                  (d.doc_id * 3 + 5) % nn.n AS i3
+           FROM documents d CROSS JOIN nn),
+         synth AS MATERIALIZED (
+           SELECT s.doc_id,
+                  a.para || chr(10) || b.para || chr(10) || c.para AS text
+           FROM sids s
+           JOIN pool a ON a.pid = s.doc_id
+           JOIN pool b ON b.pid = s.i2
+           JOIN pool c ON c.pid = s.i3),
+         paras AS (SELECT doc_id,
+                          unnest(string_split(text, chr(10))) AS para,
+                          generate_subscripts(string_split(text, chr(10)), 1) AS pos
+                   FROM synth),
+         keep AS (SELECT doc_id, pos, para,
+                         row_number() OVER (PARTITION BY para
+                           ORDER BY doc_id ASC, pos ASC) AS rn
+                  FROM paras WHERE len(para) > 0),
+         rebuilt AS (SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text
+                     FROM keep WHERE rn = 1 GROUP BY 1)
+         SELECT s.doc_id, coalesce(r.text, '') AS text
+         FROM synth s LEFT JOIN rebuilt r USING (doc_id)
+         ORDER BY 1""",
 
     // audio-decode replay: planted WAV header fields are pure
     // functions of p_partkey.

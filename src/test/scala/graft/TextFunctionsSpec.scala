@@ -5,6 +5,28 @@ import graft.operators.TextDedup
 import org.apache.spark.sql.functions._
 
 class TextFunctionsSpec extends SparkSpec {
+
+  test("paragraphDedup keeps first occurrence, reassembles order, empties survive") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha\nshared one\nbeta"),
+      (2L, "shared one\ngamma\nshared two"),
+      (3L, "shared one\nshared two"),
+      (4L, "alpha")).toDF("doc_id", "text")
+    val out = TextDedup.paragraphDedup(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 1 owns alpha + "shared one" (first by doc_id); doc 2 keeps
+    // gamma + first "shared two"; doc 3 loses everything; doc 4 loses
+    // alpha to doc 1 and survives empty
+    assert(out(1L) == "alpha\nshared one\nbeta", out(1L))
+    assert(out(2L) == "gamma\nshared two", out(2L))
+    assert(out(3L) == "", out(3L))
+    assert(out(4L) == "", out(4L))
+    // a doc repeating its own paragraph keeps only the first copy
+    val self = Seq((9L, "x\nx\ny")).toDF("doc_id", "text")
+    val o2 = TextDedup.paragraphDedup(self).collect().head.getString(1)
+    assert(o2 == "x\ny", o2)
+  }
   import spark.implicits._
 
   test("tokens lowercases and splits on non-alphanumerics") {
