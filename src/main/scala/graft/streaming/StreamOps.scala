@@ -114,6 +114,48 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("sig")
   }
 
+  /** Streaming E4 curation leg — the full incremental corpus pass:
+    * exact dedup ([[streamingDedup]]) → signature near-dup
+    * ([[streamingNearDup]]) → language filter → quality floor →
+    * optional PII scrub → per-document token statistics. The two
+    * stateful stages keep one watermark-evicted row per distinct
+    * fingerprint/signature; everything after them is a STATELESS
+    * codegen projection ([[graft.functions.TextFunctions]] — langId,
+    * qualityScore, piiScrub, token counts are pure column algebra), so
+    * the leg adds no state beyond the dedup stores and no shuffle at
+    * all past the dedup keys. Same output contract as the batch
+    * `Pipelines.textCuration` (lang, quality, ws_tokens,
+    * bpeish_tokens on the shipped text); batch-grade pairwise
+    * near-dup recall stays a batch job, as [[streamingNearDup]]
+    * documents. */
+  def streamingCuration(docs: DataFrame, ts: String = "ts", text: String = "text",
+      langs: Seq[String] = Seq("en"), minQuality: Double = 0.3,
+      k: Int = 8, shingleWidth: Int = 3, scrubPii: Boolean = false,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    import graft.functions.TextFunctions._
+    // ONE watermark declaration for the whole leg (redefining it
+    // mid-stream is disallowed); the two stateful dedup stages chain
+    // under it — Spark 4 allows multiple stateful operators per query
+    val deduped = docs
+      .withWatermark(ts, watermarkDelay)
+      .withColumn("fp", fingerprint(col(text)))
+      .dropDuplicatesWithinWatermark("fp").drop("fp")
+      .withColumn("sig", concat_ws("|",
+        minhashXx(array_distinct(shingles(tokens(col(text)), shingleWidth)), k)))
+      .dropDuplicatesWithinWatermark("sig").drop("sig")
+    val scored = deduped
+      .withColumn("lang", langId(tokens(col(text))))
+      .filter(col("lang").isin(langs: _*))
+      .withColumn("quality", qualityScore(col(text)))
+      .filter(col("quality") >= minQuality)
+    val scrubbed =
+      if (scrubPii) scored.withColumn(text, piiScrub(col(text)))
+      else scored
+    scrubbed
+      .withColumn("ws_tokens", wsTokenCount(col(text)))
+      .withColumn("bpeish_tokens", bpeishTokenCount(col(text)))
+  }
+
   /** Checkpointed parquet file sink — the production shape for a
     * streaming ETL leg: append mode, exactly-once via the checkpoint
     * WAL + the file-sink manifest, partitioned output directory. The

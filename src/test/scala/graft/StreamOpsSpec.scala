@@ -107,6 +107,36 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streamingCuration: exact + signature dedup, lang/quality filter, scrub, tokens") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val curated = StreamOps.streamingCuration(
+      input.toDS().toDF("ts", "doc_id", "text"),
+      minQuality = 0.0, k = 4, scrubPii = true)
+    val query = curated.writeStream.format("memory")
+      .queryName("curation_out").outputMode("append").start()
+    try {
+      val t0 = 1700000000000L
+      val base = "the contact for this document is alice at alice@example.com thanks"
+      input.addData(
+        (new Timestamp(t0), 1L, base),
+        (new Timestamp(t0 + 1000), 2L, base),                       // exact dup
+        (new Timestamp(t0 + 2000), 3L, base.toUpperCase + "!!"),    // signature dup
+        (new Timestamp(t0 + 3000), 4L, "ein komplett anderes deutsches dokument und noch mehr worte dazu"),
+        (new Timestamp(t0 + 4000), 5L, "another english document with plenty of distinct words in it"))
+      query.processAllAvailable()
+      val out = spark.table("curation_out")
+      val ids = out.select("doc_id").as[Long].collect().sorted.toSeq
+      // 2 = exact dup, 3 = signature dup, 4 = non-English
+      assert(ids == Seq(1L, 5L), s"expected curated docs 1 and 5, got $ids")
+      val row1 = out.filter(col("doc_id") === 1L).collect().head
+      assert(!row1.getAs[String]("text").contains("alice@example.com"),
+        "PII scrub must run before token stats")
+      assert(row1.getAs[Int]("ws_tokens") > 0 && row1.getAs[String]("lang") == "en")
+    } finally query.stop()
+  }
+
   test("readRsemResults maps symbols to Ensembl ids and drops unmapped rows") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_rsem").toString
