@@ -61,6 +61,27 @@ object TextDedup {
       .withColumn(text, coalesce(col(text), lit("")))
   }
 
+  /** Deterministic per-key quota sampling — the domain/language
+    * BALANCING stage of a corpus pass (cap documents per source
+    * domain, per language, per shard …). Documents rank within their
+    * key by a seeded hash of their id (a deterministic shuffle — no
+    * RNG state, reproducible across runs and cluster sizes, the
+    * permutation-FDR idiom) and only the first `cap` survive. One
+    * shuffle keyed on the cap key; hot keys cost a per-key window
+    * sort, never a collect. */
+  def capPerKey(docs: DataFrame, keyCol: String, cap: Int, seed: Int = 0,
+      id: String = "doc_id", md5Hashes: Boolean = false): DataFrame = {
+    // md5 is the engine-portable hash family (oracle SQL reproduces
+    // it); xxhash64 is the production path — the permutationLabels
+    // convention
+    val h =
+      if (md5Hashes) md5(concat_ws("#", lit(seed), col(id)))
+      else xxhash64(col(id), lit(seed)).cast("string")
+    val w = Window.partitionBy(col(keyCol)).orderBy(h.asc, col(id).asc)
+    docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap).drop("__rn")
+  }
+
   /** MinHash + LSH candidate pairs with exact-Jaccard verification.
     * k = signature length, bands × rowsPerBand = k. Returns
     * (id_a, id_b, jaccard) for candidates above `minJaccard`.

@@ -555,6 +555,18 @@ object ExtraQueries {
         .orderBy("p_partkey")
     }),
 
+    // ---- Per-key quota sampling (domain/language balancing): cap
+    // documents per pseudo-domain (doc_id % 7) at 20, survivors picked
+    // by the seeded deterministic hash shuffle (md5 family so the
+    // oracle replays the ordering). ----
+    "q86_quota_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), (col("doc_id") % 7).as("domain"))
+      TextDedup.capPerKey(docs, "domain", cap = 20, seed = 3, md5Hashes = true)
+        .select(col("domain"), col("doc_id"))
+        .orderBy("domain", "doc_id")
+    }),
+
     // ---- Paragraph-grain exact dedup (the Dolma/RefinedWeb
     // boilerplate-removal stage): the corpus text is single-line, so
     // the fixture synthesizes 3-paragraph documents from corpus
@@ -1952,6 +1964,16 @@ object ExtraQueries {
       """SELECT p_partkey, CAST(1 + p_partkey % 37 AS INT) AS width,
                 CAST(1 + p_partkey % 23 AS INT) AS height, 3 AS channels
          FROM part WHERE p_partkey <= 200 ORDER BY 1""",
+
+    // quota-sample replay: the same md5-ordered window per domain.
+    "q86_quota_sample" ->
+      """WITH d AS (SELECT doc_id, doc_id % 7 AS domain FROM documents),
+         r AS (SELECT domain, doc_id,
+                      row_number() OVER (PARTITION BY domain
+                        ORDER BY md5('3#' || CAST(doc_id AS VARCHAR)) ASC,
+                                 doc_id ASC) AS rn
+               FROM d)
+         SELECT domain, doc_id FROM r WHERE rn <= 20 ORDER BY 1, 2""",
 
     // paragraph-dedup replay: same synthetic 3-paragraph docs, the
     // keep-first window per paragraph, ordered string_agg reassembly.
