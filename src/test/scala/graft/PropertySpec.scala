@@ -17,6 +17,25 @@ class PropertySpec extends SparkSpec {
   private def cases[A](g: Gen[A], n: Int = 5): Seq[A] =
     (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
 
+  test("paragraphDedup is idempotent; capPerKey bounds every key group") {
+    val wordG = Gen.oneOf("alpha", "beta", "gamma", "delta", "shared", "common")
+    val paraG = Gen.listOfN(3, wordG).map(_.mkString(" "))
+    val docG = Gen.listOfN(4, paraG).map(_.mkString("\n"))
+    val docs = cases(Gen.listOfN(30, docG), n = 3).flatten.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val once = TextDedup.paragraphDedup(docs)
+    val twice = TextDedup.paragraphDedup(once)
+    val a = once.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val b = twice.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(a.toSeq == b.toSeq, "second pass must be a no-op")
+    // capPerKey: at most `cap` survivors per key, survivors are a subset
+    val keyed = docs.withColumn("k", col("doc_id") % 5)
+    val capped = TextDedup.capPerKey(keyed, "k", cap = 7)
+    val perKey = capped.groupBy("k").count().collect().map(_.getLong(1))
+    assert(perKey.forall(_ <= 7), s"cap violated: ${perKey.toSeq}")
+    assert(capped.count() <= keyed.count())
+  }
+
   test("topFracBySdNonZero equals dropZeroVariance then topFracBySd") {
     val gen = Gen.listOfN(30, Gen.choose(0.0, 50.0))
     for ((vals, fracRaw) <- cases(Gen.zip(gen, Gen.choose(0.1, 0.9)))) {
