@@ -21,8 +21,10 @@ object Plans {
       else Seq("q01_pricing_summary", "q04_outlier_antijoin", "q05_semijoin_reliable",
         "q09_quantile_norm", "q10_bh_adjust", "q20_log2_cpm", "q26_sessionize",
         "q35_minhash_lsh", "q37_cosine_topk", "q47_perm_fdr", "q60_nuse", "q64_cqn",
-        "q69_e2_chain", "q73_e1_multi_contrast", "q79_full_curation",
-        "q80_contrast_toptables", "q81_e1_blocked", "q82_e2_blocked", "q83_image_decode")
+        "q69_e2_chain", "q70_e3_chain", "q73_e1_multi_contrast", "q79_full_curation",
+        "q80_contrast_toptables", "q81_e1_blocked", "q82_e2_blocked",
+        "q83_image_decode", "q84_audio_decode", "q85_paragraph_dedup",
+        "q86_quota_sample")
     names.foreach { name =>
       if (name == "bucketed_demo") bucketedDemo(spark, dir)
       else {
@@ -66,7 +68,9 @@ object Plans {
     "q82_e2_blocked" ->
       "the q69 voom observation joins plus the GLS per-(gene,unit) aggregation joined back on gene — both sides data-grain keyed; AQE demotes to broadcast at runtime (final plans show BroadcastQueryStage)",
     "q79_full_curation" ->
-      "curation keep-set joins (repetition/decontamination ids against the doc relation) — both sides corpus-grain keyed; AQE demotes at runtime")
+      "curation keep-set joins (repetition/decontamination ids against the doc relation) — both sides corpus-grain keyed; AQE demotes at runtime",
+    "q85_paragraph_dedup" ->
+      "paragraph reassembly LEFT JOIN (docs against their rebuilt text) — both sides corpus-grain keyed on doc id; broadcasting either side would be wrong at corpus scale, AQE demotes when small")
 
   /** The bucketed-workspace co-location demo (SCALING.md / ROADMAP):
     * checkpoint the expression matrix bucketed on gene_id, then run a
