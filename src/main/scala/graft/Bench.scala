@@ -36,7 +36,13 @@ object Bench {
           catch { case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(200)) }
         ((System.nanoTime() - t0) / 1e9, err)
       }
-      val samples = (1 to reps).map(_ => once())
+      val base = (1 to reps).map(_ => once())
+      // sub-second queries are scheduling-jitter-bound (measured: every
+      // >1.3x cross-run delta in round 5 was sub-second); one extra
+      // sample there costs little and tightens the artifact
+      val samples =
+        if (base.map(_._1).min < 1.0 && base.forall(_._2.isEmpty)) base :+ once()
+        else base
       val err = samples.collectFirst { case (_, Some(e)) => e }
       (name, samples.map(_._1), err)
     }
