@@ -27,6 +27,11 @@ object Bench {
       .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): (Double, Option[String]) = {
+        // drop the query-scoped memo caches (shared chain fixtures,
+        // IVF quantizer) BEFORE the clock starts: round 5's q73
+        // headline was a 0.05 s memo hit on a 4.4 s cold chain — a
+        // best-of-N sample must measure the query, not the cache
+        SparkEntry.clearQueryCaches()
         val t0 = System.nanoTime()
         // toRdd.count() materializes every output column — a plain
         // Dataset.count() would let Catalyst prune the expensive
@@ -44,17 +49,22 @@ object Bench {
         if (base.map(_._1).min < 1.0 && base.forall(_._2.isEmpty)) base :+ once()
         else base
       val err = samples.collectFirst { case (_, Some(e)) => e }
-      (name, samples.map(_._1), err)
+      // the reported min is over SUCCESSFUL samples: a fast failure
+      // must not under-report a query whose other rep succeeded (the
+      // headline and the failure set would disagree); only when every
+      // rep failed do the failed walls stand in
+      val ok = samples.collect { case (t, None) => t }
+      (name, samples.map(_._1), if (ok.nonEmpty) ok else samples.map(_._1), err)
     }
-    val qs = results.map { case (k, ss, _) => s"\"" + k + "\":" + ss.min }
+    val qs = results.map { case (k, _, ok, _) => s"\"" + k + "\":" + ok.min }
       .mkString("{", ",", "}")
-    val raw = results.map { case (k, ss, _) =>
+    val raw = results.map { case (k, ss, _, _) =>
       s"\"" + k + "\":" + ss.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    val failures = results.collect { case (k, _, Some(e)) =>
+    val failures = results.collect { case (k, _, _, Some(e)) =>
       "\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\"" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2.min).sum
+    val total = results.map(_._3.min).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"samples":$raw,"failures":$failures,"sf":"$sfDir"}"""
     println(json)
     // Also persist to a file: captured stdout tails get truncated and

@@ -55,6 +55,15 @@ object SparkEntry {
     graft.queries.MetaQueries.oracleSql ++ graft.queries.TextQueries.oracleSql ++
     graft.queries.ExtraQueries.oracleSql
 
+  /** Drop every query-scoped memo cache (shared chain fixtures, IVF
+    * quantizer). The bench calls this before each timed sample so a
+    * per-query headline is always a cold measurement; Verify leaves
+    * the caches alone (sharing across queries is the fixture design). */
+  def clearQueryCaches(): Unit = {
+    graft.queries.ExtraQueries.clearCaches()
+    graft.operators.Similarity.clearCaches()
+  }
+
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §2.4 A1 + §2.1 scan: grouped aggregation battery ----
     "q01_pricing_summary" -> ((s, dir) => {

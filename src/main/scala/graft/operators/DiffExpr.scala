@@ -135,6 +135,28 @@ object DiffExpr {
   def groupStatsGlsObs(vw: DataFrame, groups: DataFrame, replicates: DataFrame,
       rho: Double, groupCol: String = "group"): DataFrame = {
     require(rho > -1.0 && rho < 1.0, s"consensus rho must be in (-1, 1), got $rho")
+    // Fail-fast contract checks on the (sample-grain, broadcast-sized)
+    // replicates relation: a duplicate sample_id would silently
+    // MULTIPLY observations through the left join below, and a unit
+    // spanning two groups violates the nested-blocks premise the
+    // closed-form CS algebra rests on — either produces plausible but
+    // wrong sufficient statistics with no error. One tiny aggregation
+    // at plan-construction time (the relation is sample-grain).
+    locally {
+      val r = replicates.select(col("sample_id"), col("unit"))
+        .join(groups.select(col("sample_id"), col(groupCol)), Seq("sample_id"), "left")
+        .agg(count(lit(1)).as("rows"),
+             countDistinct(col("sample_id")).as("samples"),
+             countDistinct(col("unit")).as("units"),
+             countDistinct(col("unit"), col(groupCol)).as("unit_groups"))
+        .head()
+      require(r.getLong(0) == r.getLong(1),
+        s"replicates has duplicate sample_id rows (${r.getLong(0)} rows, " +
+          s"${r.getLong(1)} distinct samples) — each sample maps to one unit")
+      require(r.getLong(3) <= r.getLong(2),
+        s"a replicate unit spans more than one $groupCol (${r.getLong(2)} units, " +
+          s"${r.getLong(3)} (unit, $groupCol) pairs) — blocks must be nested in groups")
+    }
     val withUnit = vw.join(broadcast(groups.select(col("sample_id"), col(groupCol))),
         Seq("sample_id"))
       .join(broadcast(replicates.select(col("sample_id"), col("unit"))),

@@ -36,9 +36,12 @@ object Multimodal {
     * 4 with alpha, 1 for grayscale). */
   private[graft] def decodeImageReal(bytes: Array[Byte]): DecodedImage = {
     if (bytes == null || bytes.isEmpty) return DecodedImage(0, 0, 0)
+    // NonFatal only: swallowing OutOfMemoryError/InterruptedException
+    // inside an executor task would mask task cancellation or fatal
+    // memory state during a large scan
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      catch { case _: Throwable => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) DecodedImage(0, 0, 0)
     else DecodedImage(img.getWidth, img.getHeight, img.getRaster.getNumBands)
   }
@@ -57,7 +60,7 @@ object Multimodal {
         new java.io.ByteArrayInputStream(bytes))
       DecodedAudio(aff.getFormat.getSampleRate.toInt, aff.getFormat.getChannels,
         aff.getFrameLength.toLong)
-    } catch { case _: Throwable => DecodedAudio(0, 0, 0L) }
+    } catch { case scala.util.control.NonFatal(_) => DecodedAudio(0, 0, 0L) }
   }
 
   /** Decode + attach audio header fields, batched per partition.

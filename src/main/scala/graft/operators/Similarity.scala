@@ -125,6 +125,10 @@ object Similarity {
   private val quantizerCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int), org.apache.spark.ml.clustering.KMeansModel]()
 
+  /** Drop the quantizer memo — the bench clears all query-scoped
+    * caches before each timed sample so "best of N" is best-of-cold. */
+  private[graft] def clearCaches(): Unit = quantizerCache.clear()
+
   /** Fit (or fetch cached) the IVF coarse quantizer for a corpus. The
     * featurized corpus is persisted for the duration of the fit so the
     * KMeans iterations read it once, not once per step; the bridge to
