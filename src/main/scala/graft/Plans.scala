@@ -21,6 +21,7 @@ object Plans {
       else Seq("q01_pricing_summary", "q04_outlier_antijoin", "q05_semijoin_reliable",
         "q09_quantile_norm", "q10_bh_adjust", "q20_log2_cpm", "q26_sessionize",
         "q35_minhash_lsh", "q37_cosine_topk", "q47_perm_fdr", "q60_nuse", "q64_cqn",
+        "q30_exact_dedup",
         "q69_e2_chain", "q70_e3_chain", "q73_e1_multi_contrast", "q79_full_curation",
         "q80_contrast_toptables", "q81_e1_blocked", "q82_e2_blocked",
         "q83_image_decode", "q84_audio_decode", "q85_paragraph_dedup",
@@ -38,7 +39,10 @@ object Plans {
           "no parquet filter pushdown" ->
             (plan.contains("PushedFilters: []") && plan.contains("Filter (")),
           "cartesian product" -> plan.contains("CartesianProduct"),
-          "sort-merge join" -> (plan.contains("SortMergeJoin") && !smjIntended))
+          "sort-merge join" -> (plan.contains("SortMergeJoin") && !smjIntended),
+          // dedup keep-first must be min_by aggregation, never a window
+          // keyed on content (a viral key = a single-task sort)
+          "content-keyed window" -> (windowFree(name) && plan.contains("Window")))
           .collect { case (s, true) => s }
         val note = if (smjIntended && plan.contains("SortMergeJoin"))
           s" (intended SMJ: ${intendedSmj(name)})" else ""
@@ -54,6 +58,13 @@ object Plans {
     * be wrong at cluster scale — AQE demotes them to broadcast at
     * runtime whenever the built side turns out small. Any OTHER query
     * growing an SMJ still gets flagged. */
+  /** Queries whose plan must contain NO window operator at all: their
+    * keep-first decisions are partial-aggregatable `min_by`/`min(
+    * struct)` forms precisely so no content-grain key ever becomes a
+    * single-task window sort (VERDICT r5 #2). q86 keeps its windows by
+    * design — they are salted/bounded, not content-keyed. */
+  private val windowFree = Set("q30_exact_dedup", "q85_paragraph_dedup")
+
   private val intendedSmj = Map(
     "q35_minhash_lsh" ->
       "shingle/candidate joins keyed on (shingle|band|pair) — both sides corpus-grain",

@@ -138,10 +138,48 @@ object ScaleProbe {
     }
     val (iccSupSmall, iccSupBig) = (iccSupplier(src), iccSupplier(dst))
     println(f"[scale] q46_icc(supplier-axis) s=1x=$iccSupSmall%8.2fs s=10x=$iccSupBig%8.2fs ratio=${iccSupBig / iccSupSmall}%6.2f")
+    // VIRAL-KEY probes (round 6): the curation operators whose hot key
+    // IS the target data. paragraphDedup — one boilerplate paragraph
+    // with 10⁶ copies (the thing the operator exists to remove) vs
+    // all-distinct paragraphs at the same row count: the min_by
+    // aggregation keep-first must stay within ~2× of uniform (the old
+    // row_number window sorted the whole duplicate mass in one task).
+    // capPerKey — one mega-domain holding all 10⁶ docs vs 10³ uniform
+    // domains: the two-stage salted cap bounds the per-task sort.
+    def paraProbe(viral: Boolean): Double = {
+      val docs = spark.range(1000000L).select(col("id").as("doc_id"),
+        concat_ws("\n",
+          (if (viral) lit("the same viral boilerplate paragraph on every page")
+           else concat(lit("para-"), col("id"), lit("-a"))),
+          concat(lit("para-"), col("id"), lit("-b"))).as("text"))
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        graft.operators.TextDedup.paragraphDedup(docs).queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      math.min(once(), once())
+    }
+    val (paraU, paraV) = (paraProbe(viral = false), paraProbe(viral = true))
+    println(f"[scale] paragraphDedup(viral) uniform=$paraU%8.2fs viral=$paraV%8.2fs ratio=${paraV / paraU}%6.2f")
+    def capProbe(viral: Boolean): Double = {
+      val docs = spark.range(1000000L).select(col("id").as("doc_id"),
+        (if (viral) lit(0L) else col("id") % 1000).as("domain"))
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        graft.operators.TextDedup.capPerKey(docs, "domain", cap = 20, seed = 3)
+          .queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      math.min(once(), once())
+    }
+    val (capU, capV) = (capProbe(viral = false), capProbe(viral = true))
+    println(f"[scale] capPerKey(viral)      uniform=$capU%8.2fs viral=$capV%8.2fs ratio=${capV / capU}%6.2f")
     val js = (rows.map { case (q, s, b) =>
       f"""\"$q\":{\"sf01\":$s%.3f,\"x10\":$b%.3f,\"ratio\":${b / s}%.3f}""" } :+
       f"""\"q46_icc_gene_axis\":{\"sf01\":$iccSmall%.3f,\"x10\":$iccBig%.3f,\"ratio\":${iccBig / iccSmall}%.3f}""" :+
-      f"""\"q46_icc_supplier_axis\":{\"sf01\":$iccSupSmall%.3f,\"x10\":$iccSupBig%.3f,\"ratio\":${iccSupBig / iccSupSmall}%.3f}""")
+      f"""\"q46_icc_supplier_axis\":{\"sf01\":$iccSupSmall%.3f,\"x10\":$iccSupBig%.3f,\"ratio\":${iccSupBig / iccSupSmall}%.3f}""" :+
+      f"""\"paragraph_dedup_viral\":{\"uniform\":$paraU%.3f,\"viral\":$paraV%.3f,\"ratio\":${paraV / paraU}%.3f}""" :+
+      f"""\"cap_per_key_viral\":{\"uniform\":$capU%.3f,\"viral\":$capV%.3f,\"ratio\":${capV / capU}%.3f}""")
       .mkString("{", ",", "}")
     println(s"""[scale-json] {"copies":$copies,"queries":$js}""")
     spark.stop()

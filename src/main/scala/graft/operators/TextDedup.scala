@@ -18,13 +18,19 @@ import org.apache.spark.sql.functions._
 object TextDedup {
 
   /** Exact dedup on a content hash: keep the lowest id per fingerprint
-    * group. Survivors + a dup-count relation. */
-  def exactDedup(docs: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame = {
-    val fp = docs.withColumn("__fp", fingerprint(col(text)))
-    val w = Window.partitionBy(col("__fp")).orderBy(col(id).asc)
-    fp.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn", "__fp")
-  }
+    * group.
+    *
+    * Keep-first is `min_by` AGGREGATION, not a `row_number` window: a
+    * window partitioned by the fingerprint sorts every copy of a viral
+    * document in ONE task — the hot key IS the target data of a dedup
+    * pass. `min_by` partial-aggregates (map-side combine keeps one
+    * candidate row per fingerprint per partition), so a key with 10⁶
+    * copies costs each task one row, never a single-task sort. */
+  def exactDedup(docs: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame =
+    docs.withColumn("__fp", fingerprint(col(text)))
+      .groupBy(col("__fp"))
+      .agg(min_by(struct(docs.columns.map(col): _*), col(id)).as("__w"))
+      .select(col("__w.*"))
 
   /** PARAGRAPH-grain exact dedup — the Dolma/RefinedWeb curation stage
     * between whole-document dedup and near-dup: boilerplate paragraphs
@@ -36,22 +42,31 @@ object TextDedup {
     * survive with empty text — the length/quality stage downstream
     * owns the drop decision.
     *
-    * Scale shape: ONE shuffle keyed on the paragraph text for the
-    * keep-first window (the same key the dedup decision needs — no
-    * pairwise comparisons), one keyed reassembly per document. The
+    * Scale shape: the keep-first winner per paragraph is
+    * `min(struct(id, pos))` — a partial-aggregatable form (map-side
+    * combine reduces each paragraph to ONE candidate row per task), so
+    * a viral boilerplate paragraph with 10⁶ copies — the exact thing
+    * this operator exists to remove — costs each task one row instead
+    * of concentrating its whole duplicate mass in a single-task
+    * `row_number` sort. The winner row carries (id, pos, para), so no
+    * join-back is needed; reassembly is one doc-grain shuffle. The
     * reassembly's array transform is one interpreted call per DOC row
     * (not per token) — far off the gram-fan-out hot path where HOFs
     * are banned. Empty paragraphs (consecutive separators) are dropped
-    * before the window so they cannot become a viral dedup key. */
+    * before the aggregation so they cannot become a viral dedup key.
+    * This aggregation form is also the stateful-streaming shape (one
+    * state row per paragraph — [[graft.streaming.StreamOps]]). */
   def paragraphDedup(docs: DataFrame, sep: String = "\n", id: String = "doc_id",
       text: String = "text"): DataFrame = {
     val paras = docs
       .select(col(id), posexplode(split(col(text),
         java.util.regex.Pattern.quote(sep))).as(Seq("pos", "para")))
       .filter(length(col("para")) > 0)
-    val w = Window.partitionBy(col("para")).orderBy(col(id).asc, col("pos").asc)
-    val keep = paras.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+    // min over struct = lexicographic (id asc, pos asc) — the same
+    // deterministic keep-first the window form computed
+    val keep = paras.groupBy(col("para"))
+      .agg(min(struct(col(id), col("pos"))).as("__w"))
+      .select(col("__w")(id).as(id), col("__w")("pos").as("pos"), col("para"))
     val rebuilt = keep.groupBy(col(id))
       .agg(array_join(
         expr("transform(array_sort(collect_list(struct(pos, para))), x -> x.para)"),
@@ -66,19 +81,36 @@ object TextDedup {
     * domain, per language, per shard …). Documents rank within their
     * key by a seeded hash of their id (a deterministic shuffle — no
     * RNG state, reproducible across runs and cluster sizes, the
-    * permutation-FDR idiom) and only the first `cap` survive. One
-    * shuffle keyed on the cap key; hot keys cost a per-key window
-    * sort, never a collect. */
+    * permutation-FDR idiom) and only the first `cap` survive.
+    *
+    * TWO-STAGE cap, so a mega-domain key (the exact thing a balancing
+    * pass exists to cap) never sorts all its documents in one task:
+    * stage 1 windows over (key, salt) — the id-hash salt splits a hot
+    * key across `saltBuckets` bounded sorts and keeps each bucket's
+    * `cap` lowest-ranked docs, a provable superset of the global
+    * winners; stage 2 re-runs the per-key window over the ≤
+    * cap×saltBuckets survivors. Both stages order by the same (rank
+    * hash, id), so the final survivor set is IDENTICAL to the
+    * single-window form — deterministic across runs, cluster sizes,
+    * and salt bucket counts. */
   def capPerKey(docs: DataFrame, keyCol: String, cap: Int, seed: Int = 0,
-      id: String = "doc_id", md5Hashes: Boolean = false): DataFrame = {
+      id: String = "doc_id", md5Hashes: Boolean = false,
+      saltBuckets: Int = 32): DataFrame = {
     // md5 is the engine-portable hash family (oracle SQL reproduces
     // it); xxhash64 is the production path — the permutationLabels
     // convention
     val h =
       if (md5Hashes) md5(concat_ws("#", lit(seed), col(id)))
       else xxhash64(col(id), lit(seed)).cast("string")
-    val w = Window.partitionBy(col(keyCol)).orderBy(h.asc, col(id).asc)
-    docs.withColumn("__rn", row_number().over(w))
+    // salt from a DIFFERENT hash stream than the rank (seeded off-key)
+    // so bucket membership and within-bucket rank are independent
+    val salt = pmod(xxhash64(col(id), lit(seed.toLong ^ 0x5bd1e995L)),
+      lit(saltBuckets.toLong))
+    val w1 = Window.partitionBy(col(keyCol), salt).orderBy(h.asc, col(id).asc)
+    val survivors = docs.withColumn("__rn", row_number().over(w1))
+      .filter(col("__rn") <= cap).drop("__rn")
+    val w2 = Window.partitionBy(col(keyCol)).orderBy(h.asc, col(id).asc)
+    survivors.withColumn("__rn", row_number().over(w2))
       .filter(col("__rn") <= cap).drop("__rn")
   }
 

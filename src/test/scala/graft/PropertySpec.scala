@@ -34,6 +34,17 @@ class PropertySpec extends SparkSpec {
     val perKey = capped.groupBy("k").count().collect().map(_.getLong(1))
     assert(perKey.forall(_ <= 7), s"cap violated: ${perKey.toSeq}")
     assert(capped.count() <= keyed.count())
+    // the two-stage salted cap must select the IDENTICAL survivor set
+    // as the single-window form (saltBuckets = 1 degenerates to one
+    // bucket = the old single window) — for both hash families
+    for (md5 <- Seq(false, true)) {
+      def ids(salts: Int) =
+        TextDedup.capPerKey(keyed, "k", cap = 7, seed = 3, md5Hashes = md5,
+            saltBuckets = salts)
+          .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(ids(32) == ids(1),
+        s"two-stage cap diverged from single-window form (md5=$md5)")
+    }
   }
 
   test("topFracBySdNonZero equals dropZeroVariance then topFracBySd") {
