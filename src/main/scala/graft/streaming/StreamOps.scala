@@ -114,6 +114,40 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("sig")
   }
 
+  /** Streaming PARAGRAPH-grain dedup — the incremental form of
+    * [[graft.operators.TextDedup.paragraphDedup]], enabled by that
+    * operator's aggregation shape: the keep-first decision needs ONE
+    * state row per distinct paragraph (`min_by` in batch ≡
+    * `dropDuplicatesWithinWatermark` on the paragraph here — the
+    * row_number window form had no streaming analogue). Documents
+    * explode to (ts, id, pos, para) rows, the first ARRIVAL per
+    * paragraph survives (streaming keep-first is arrival order, not
+    * the batch (id, pos) order — same divergence as
+    * [[streamingDedup]]), and survivors reassemble per document in a
+    * tumbling `windowLen` window that closes — and emits — when the
+    * watermark passes. Two documented divergences from batch: the
+    * arrival-order winner, and documents losing EVERY paragraph vanish
+    * instead of surviving with empty text (there is no doc-universe
+    * relation to left-join in a stream; the downstream quality floor
+    * owned that drop anyway). Paragraph state is evicted at the
+    * watermark like every dedup store here. */
+  def streamingParagraphDedup(docs: DataFrame, ts: String = "ts", sep: String = "\n",
+      id: String = "doc_id", text: String = "text",
+      watermarkDelay: String = "10 minutes", windowLen: String = "1 minute"): DataFrame = {
+    val paras = docs
+      .withWatermark(ts, watermarkDelay)
+      .select(col(ts), col(id), posexplode(split(col(text),
+        java.util.regex.Pattern.quote(sep))).as(Seq("pos", "para")))
+      .filter(length(col("para")) > 0)
+      .dropDuplicatesWithinWatermark("para")
+    paras
+      .groupBy(window(col(ts), windowLen), col(id))
+      .agg(array_join(expr(
+        "transform(array_sort(collect_list(struct(pos, para))), x -> x.para)"),
+        sep).as(text))
+      .select(col("window").getField("end").as(ts), col(id), col(text))
+  }
+
   /** Streaming E4 curation leg — the full incremental corpus pass:
     * exact dedup ([[streamingDedup]]) → signature near-dup
     * ([[streamingNearDup]]) → language filter → quality floor →
@@ -131,15 +165,41 @@ object StreamOps {
   def streamingCuration(docs: DataFrame, ts: String = "ts", text: String = "text",
       langs: Seq[String] = Seq("en"), minQuality: Double = 0.3,
       k: Int = 8, shingleWidth: Int = 3, scrubPii: Boolean = false,
-      watermarkDelay: String = "10 minutes"): DataFrame = {
+      watermarkDelay: String = "10 minutes",
+      paragraphSep: Option[String] = None, paragraphWindow: String = "1 minute",
+      id: String = "doc_id"): DataFrame = {
     import graft.functions.TextFunctions._
     // ONE watermark declaration for the whole leg (redefining it
-    // mid-stream is disallowed); the two stateful dedup stages chain
-    // under it — Spark 4 allows multiple stateful operators per query
-    val deduped = docs
+    // mid-stream is disallowed); the stateful stages chain under it —
+    // Spark 4 allows multiple stateful operators per query
+    val exact = docs
       .withWatermark(ts, watermarkDelay)
       .withColumn("fp", fingerprint(col(text)))
       .dropDuplicatesWithinWatermark("fp").drop("fp")
+    // optional paragraph-grain boilerplate stage, mirroring the batch
+    // chain's position (between whole-document dedup and near-dup):
+    // one state row per distinct paragraph + a windowed reassembly
+    // whose window.end re-enters as the event-time column for the
+    // signature store downstream. NOTE: the reassembly aggregation
+    // narrows the relation to (ts, id, text) — the batch contract.
+    val afterPara = paragraphSep match {
+      case Some(sep) =>
+        exact
+          .select(col(ts), col(id), posexplode(split(col(text),
+            java.util.regex.Pattern.quote(sep))).as(Seq("pos", "para")))
+          .filter(length(col("para")) > 0)
+          .dropDuplicatesWithinWatermark("para")
+          .groupBy(window(col(ts), paragraphWindow), col(id))
+          .agg(array_join(expr(
+            "transform(array_sort(collect_list(struct(pos, para))), x -> x.para)"),
+            sep).as(text))
+          // window_time keeps the EVENT-TIME attribute (a bare
+          // window.end is a plain timestamp and the downstream
+          // signature store would reject the chain)
+          .select(window_time(col("window")).as(ts), col(id), col(text))
+      case None => exact
+    }
+    val deduped = afterPara
       .withColumn("sig", concat_ws("|",
         minhashXx(array_distinct(shingles(tokens(col(text)), shingleWidth)), k)))
       .dropDuplicatesWithinWatermark("sig").drop("sig")

@@ -137,6 +137,149 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streamingParagraphDedup drops recurring boilerplate across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamOps.streamingParagraphDedup(
+      input.toDS().toDF("ts", "doc_id", "text"), watermarkDelay = "1 minute")
+    val query = out.writeStream.format("memory")
+      .queryName("para_out").outputMode("append").start()
+    try {
+      val t0 = 1700000000000L
+      input.addData((new Timestamp(t0), 1L, "SHARED LICENSE BLOCK\nunique paragraph one"))
+      query.processAllAvailable()
+      // the boilerplate paragraph recurs in a LATER micro-batch — the
+      // one state row per paragraph must survive across batches
+      input.addData((new Timestamp(t0 + 1000), 2L, "SHARED LICENSE BLOCK\nunique paragraph two"))
+      query.processAllAvailable()
+      // advance the watermark far past the reassembly window so the
+      // per-document aggregation finalizes and emits
+      input.addData((new Timestamp(t0 + 3600 * 1000L), 99L, "flush"))
+      query.processAllAvailable()
+      val rows = spark.table("para_out").select("doc_id", "text")
+        .as[(Long, String)].collect().toMap
+      assert(rows.get(1L).contains("SHARED LICENSE BLOCK\nunique paragraph one"),
+        s"doc 1 must keep both paragraphs, got $rows")
+      assert(rows.get(2L).contains("unique paragraph two"),
+        s"doc 2 must lose the boilerplate paragraph, got $rows")
+    } finally query.stop()
+  }
+
+  test("streamingCuration with the paragraph stage chained between the dedup stores") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val curated = StreamOps.streamingCuration(
+      input.toDS().toDF("ts", "doc_id", "text"),
+      minQuality = 0.0, k = 4, watermarkDelay = "1 minute",
+      paragraphSep = Some("\n"))
+    val query = curated.writeStream.format("memory")
+      .queryName("para_curation_out").outputMode("append").start()
+    try {
+      val t0 = 1700000000000L
+      // SEPARATE micro-batches: arrival order across batches is
+      // deterministic (within one batch rows are unordered, so a
+      // same-batch duplicate may keep either copy)
+      input.addData((new Timestamp(t0), 1L,
+        "the quick brown fox jumps over the lazy dog\nshared navigation header and footer text"))
+      query.processAllAvailable()
+      input.addData((new Timestamp(t0 + 1000), 2L,
+        "shared navigation header and footer text\nthis is another sentence and it has the usual english words in it"))
+      query.processAllAvailable()
+      input.addData((new Timestamp(t0 + 3600 * 1000L), 99L, "flush"))
+      query.processAllAvailable()
+      val rows = spark.table("para_curation_out").select("doc_id", "text")
+        .as[(Long, String)].collect().toMap
+      assert(rows.get(1L).exists(_.contains("shared navigation header")),
+        s"doc 1 keeps the first occurrence, got $rows")
+      assert(rows.get(2L).exists(t =>
+          t == "this is another sentence and it has the usual english words in it"),
+        s"doc 2 must lose the boilerplate paragraph, got $rows")
+    } finally query.stop()
+  }
+
+  test("streamingCuration batch≡stream on the q65 fixture through parquetSink") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.functions.TextFunctions._
+    import graft.operators.TextDedup
+    val docsB = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val rows = docsB.as[(Long, String)].collect().sortBy(_._1)
+    // replay in doc_id order (ascending batches) so streaming
+    // keep-FIRST-ARRIVAL coincides with batch keep-lowest-id
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val dir = java.nio.file.Files.createTempDirectory("graft_cur_gate").toString
+    val curated = StreamOps.streamingCuration(
+      input.toDS().toDF("ts", "doc_id", "text"), minQuality = 0.3, k = 8)
+    val query = StreamOps.parquetSink(curated, s"$dir/out", s"$dir/ckpt")
+    try {
+      val t0 = 1700000000000L
+      rows.grouped(100).foreach { b =>
+        input.addData(b.map { case (id, tx) => (new Timestamp(t0 + id), id, tx) }.toSeq: _*)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    def key(r: org.apache.spark.sql.Row) = r.getAs[Long]("doc_id") ->
+      ((r.getAs[String]("lang"), math.round(r.getAs[Double]("quality") * 1e6),
+        r.getAs[Int]("ws_tokens"), r.getAs[Int]("bpeish_tokens")))
+    val streamOut = spark.read.parquet(s"$dir/out")
+      .select("doc_id", "lang", "quality", "ws_tokens", "bpeish_tokens")
+      .collect().map(key).toMap
+    // exact batch replay of the streaming semantics: min-id per
+    // fingerprint, min-id per full MinHash signature, then the same
+    // stateless codegen stages — the stream must reproduce it row-for-row
+    val fpKeep = TextDedup.exactDedup(docsB)
+    val sigged = fpKeep.withColumn("sig", concat_ws("|",
+      minhashXx(array_distinct(shingles(tokens(col("text")), 3)), 8)))
+    val sigAll = sigged.select("doc_id", "sig")
+    val sigKeep = sigged
+      .groupBy("sig")
+      .agg(min_by(struct(col("doc_id"), col("text")), col("doc_id")).as("w"))
+      .select("w.*")
+    val expected = sigKeep
+      .withColumn("lang", langId(tokens(col("text")))).filter(col("lang") === "en")
+      .withColumn("quality", qualityScore(col("text"))).filter(col("quality") >= 0.3)
+      .withColumn("ws_tokens", wsTokenCount(col("text")))
+      .withColumn("bpeish_tokens", bpeishTokenCount(col("text")))
+      .select("doc_id", "lang", "quality", "ws_tokens", "bpeish_tokens")
+      .collect().map(key).toMap
+    // exact equality up to intra-micro-batch winner swaps: rows of a
+    // micro-batch arrive unordered, so when two members of one
+    // signature class land in the SAME batch the store may keep either
+    // — every divergence must be such a swap (same signature class,
+    // one representative on each side); everything else matches
+    // row-for-row
+    val common0 = streamOut.keySet & expected.keySet
+    common0.foreach(id => assert(streamOut(id) == expected(id),
+      s"doc $id metrics diverged between stream and batch replay"))
+    val sigOf = sigAll.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val onlyS = streamOut.keySet -- expected.keySet
+    val onlyB = expected.keySet -- streamOut.keySet
+    assert(onlyS.map(sigOf) == onlyB.map(sigOf),
+      s"non-winner-swap divergence: onlyStream=$onlyS onlyBatch=$onlyB")
+    // vs the REAL batch textCuration (same hash family): identical on
+    // every doc outside the two near-dup stages' documented recall
+    // difference, and every difference attributable to it
+    val batchOut = graft.Pipelines.textCuration(docsB, langs = Seq("en"),
+        minQuality = 0.3, nearDupJaccard = 0.5)
+      .select("doc_id", "lang", "quality", "ws_tokens", "bpeish_tokens")
+      .collect().map(key).toMap
+    val common = streamOut.keySet & batchOut.keySet
+    assert(common.nonEmpty)
+    common.foreach(id => assert(streamOut(id) == batchOut(id),
+      s"doc $id diverged on the fingerprint-dedup subset"))
+    // stream-kept-but-batch-dropped = batch's pair-based near-dup
+    // recall beyond signature identity (the documented divergence)
+    val batchNearDupLosers = TextDedup
+      .minhashLshPairs(fpKeep, k = 8, bands = 4, shingleWidth = 3, minJaccard = 0.5)
+      .select(greatest(col("id_a"), col("id_b")).as("doc_id"))
+      .as[Long].collect().toSet
+    assert((streamOut.keySet -- batchOut.keySet).subsetOf(batchNearDupLosers),
+      "a stream-only doc was dropped by batch for a non-near-dup reason")
+  }
+
   test("readRsemResults maps symbols to Ensembl ids and drops unmapped rows") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_rsem").toString
