@@ -11,12 +11,13 @@ import org.apache.spark.sql.types._
   * batches (the Scala analogue of `mapInPandas` — one iterator pass,
   * no per-row task overhead). IMAGE decoding is REAL — the JDK ships
   * `javax.imageio` (PNG/JPEG/BMP/GIF) — and so is AUDIO header
-  * decoding (`javax.sound.sampled`, WAV/AIFF/AU), no external
-  * libraries needed for either. Only the VIDEO codec remains STUBBED
-  * (no media libraries in this container) with a deterministic fake
-  * that derives pseudo-dimensions/features from the bytes, clearly
-  * marked below; the plumbing (schema, batching, partitioning, null
-  * handling) is identical for every path.
+  * decoding (`javax.sound.sampled`, WAV/AIFF/AU) and VIDEO
+  * container-metadata decoding (hand-rolled ISO-BMFF box parsing —
+  * pure byte algebra), no external libraries needed for any of them.
+  * Only video FRAME decode remains STUBBED (the JDK ships no video
+  * codec) with a deterministic fake, clearly marked below; the
+  * plumbing (schema, batching, partitioning, null handling) is
+  * identical for every path.
   */
 object Multimodal {
 
@@ -78,6 +79,102 @@ object Multimodal {
             decodeAudioReal(r.getAs[Array[Byte]]("content"))
           else DecodedAudio(0, 0, 0L)
         Row.fromSeq(r.toSeq ++ Seq[Any](d.sampleRate, d.channels, d.frames))
+      }
+    }(enc)
+  }
+
+  case class VideoMeta(width: Int, height: Int, durationMs: Long, tracks: Int)
+
+  private def be32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xFFL) << 24) | ((b(o + 1) & 0xFFL) << 16) |
+      ((b(o + 2) & 0xFFL) << 8) | (b(o + 3) & 0xFFL)
+  private def be64(b: Array[Byte], o: Int): Long =
+    (be32(b, o) << 32) | be32(b, o + 4)
+
+  /** Child boxes of `[from, to)` as (type, payloadStart, payloadEnd).
+    * Handles 64-bit largesize (size == 1) and to-end boxes (size == 0);
+    * stops at the first malformed header instead of throwing. */
+  private def boxes(b: Array[Byte], from: Int, to: Int): Seq[(String, Int, Int)] = {
+    val out = Seq.newBuilder[(String, Int, Int)]
+    var off = from
+    var ok = true
+    while (ok && off + 8 <= to) {
+      var size = be32(b, off)
+      var hdr = 8
+      if (size == 1 && off + 16 <= to) { size = be64(b, off + 8); hdr = 16 }
+      else if (size == 0) size = (to - off).toLong
+      if (size < hdr || off + size > to) ok = false
+      else {
+        out += ((new String(b, off + 4, 4, java.nio.charset.StandardCharsets.US_ASCII),
+          off + hdr, off + (size.toInt)))
+        off += size.toInt
+      }
+    }
+    out.result()
+  }
+
+  /** REAL video CONTAINER-metadata decoder: ISO-BMFF (MP4/MOV) box
+    * parsing — pure byte algebra, no codec libraries, same contract as
+    * the WAV/AIFF header path. Walks ftyp/moov/trak/tkhd/mvhd:
+    * duration from mvhd (version 0 and 1 layouts, scaled to ms by the
+    * declared timescale), track count = #trak children, dimensions
+    * from the first tkhd with a nonzero 16.16 fixed-point width (audio
+    * tracks carry zeros). Anything that isn't ISO-BMFF — or a
+    * truncated/malformed container — comes back as (0, 0, 0, 0), the
+    * failure contract shared by all decoders here. FRAME decode
+    * remains the one declared stub ([[sampleFrames]]): the JDK has no
+    * video codec, and faking one would not be honest plumbing. */
+  private[graft] def decodeVideoMeta(bytes: Array[Byte]): VideoMeta = {
+    val zero = VideoMeta(0, 0, 0L, 0)
+    if (bytes == null || bytes.length < 16) return zero
+    try {
+      val top = boxes(bytes, 0, bytes.length)
+      if (!top.exists(_._1 == "ftyp")) return zero
+      top.find(_._1 == "moov") match {
+        case None => zero
+        case Some((_, ms, me)) =>
+          val kids = boxes(bytes, ms, me)
+          val durationMs = kids.find(_._1 == "mvhd").map { case (_, s, _) =>
+            val v = bytes(s) & 0xFF
+            // v0: ver/flags(4) ctime(4) mtime(4) scale(4) dur(4)
+            // v1: ver/flags(4) ctime(8) mtime(8) scale(4) dur(8)
+            val (scale, dur) =
+              if (v == 1) (be32(bytes, s + 20), be64(bytes, s + 24))
+              else (be32(bytes, s + 12), be32(bytes, s + 16))
+            if (scale == 0) 0L else dur * 1000L / scale
+          }.getOrElse(0L)
+          val traks = kids.filter(_._1 == "trak")
+          val dims = traks.iterator.flatMap { case (_, ts, te) =>
+            boxes(bytes, ts, te).find(_._1 == "tkhd").map { case (_, s, _) =>
+              val v = bytes(s) & 0xFF
+              // width/height are the last 8 payload bytes (16.16 fixed
+              // point) after the 36-byte matrix; v1 widens the three
+              // time fields by 4 bytes each (offset 76 -> 88)
+              val o = if (v == 1) s + 88 else s + 76
+              ((be32(bytes, o) >> 16).toInt, (be32(bytes, o + 4) >> 16).toInt)
+            }
+          }.find(_._1 > 0)
+          VideoMeta(dims.map(_._1).getOrElse(0), dims.map(_._2).getOrElse(0),
+            durationMs, traks.size)
+      }
+    } catch { case scala.util.control.NonFatal(_) => zero }
+  }
+
+  /** Decode + attach video container-header fields, batched per
+    * partition. Output adds (width, height, duration_ms, tracks);
+    * non-video kinds get zeros, like [[decodeAudio]]. */
+  def decodeVideo(media: DataFrame): DataFrame = {
+    val schema = StructType(media.schema.fields ++ Seq(
+      StructField("width", IntegerType), StructField("height", IntegerType),
+      StructField("duration_ms", LongType), StructField("tracks", IntegerType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val d =
+          if (r.getAs[String]("kind") == "video")
+            decodeVideoMeta(r.getAs[Array[Byte]]("content"))
+          else VideoMeta(0, 0, 0L, 0)
+        Row.fromSeq(r.toSeq ++ Seq[Any](d.width, d.height, d.durationMs, d.tracks))
       }
     }(enc)
   }

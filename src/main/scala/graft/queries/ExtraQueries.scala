@@ -632,6 +632,52 @@ object ExtraQueries {
         .orderBy("p_partkey")
     }),
 
+    // ---- Multimodal: REAL video CONTAINER-metadata decode (ISO-BMFF
+    // box parsing is pure byte algebra — no codec libs, the q84 WAV
+    // pattern). Minimal MP4s (ftyp + moov(mvhd + N×trak(tkhd))) with
+    // p_partkey-derived dims/duration/track-count are assembled
+    // driver-side; decodeVideo walks the boxes on executors; the
+    // oracle recomputes the planted values from `part`. Frame decode
+    // stays the declared stub — this gates the header path only. ----
+    "q87_video_meta" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val ids = t(s, dir, "part").filter(col("p_partkey") <= 200)
+        .select(col("p_partkey").cast("long")).collect().map(_.getLong(0))
+      def be32(v: Long) = Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+        ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+      def box(tp: String, payload: Array[Byte]): Array[Byte] =
+        be32(payload.length + 8L) ++ tp.getBytes("US-ASCII") ++ payload
+      val unityMatrix = Seq(0x00010000L, 0L, 0L, 0L, 0x00010000L, 0L, 0L, 0L,
+        0x40000000L).flatMap(be32).toArray
+      val rows = ids.toSeq.map { k =>
+        val (w, h) = (16 * (1 + k % 30), 16 * (1 + k % 17))
+        val durMs = 1000 + k % 977
+        val nTracks = (1 + k % 3).toInt
+        // tkhd v0: ver/flags ctime mtime track_id rsvd duration
+        // rsvd(8) layer altgroup volume rsvd matrix width height
+        def tkhd(trackId: Long, tw: Long, th: Long) = box("tkhd",
+          Array[Byte](0, 0, 0, 7) ++ be32(0) ++ be32(0) ++ be32(trackId) ++
+            be32(0) ++ be32(durMs) ++ be32(0) ++ be32(0) ++
+            Array[Byte](0, 0, 0, 0, 1, 0, 0, 0) ++ unityMatrix ++
+            be32(tw << 16) ++ be32(th << 16))
+        // first trak is the video track; the rest model audio tracks
+        // (tkhd width/height zero), so dims must come from trak #1
+        val traks = (0 until nTracks).map(i =>
+          box("trak", tkhd(i + 1L, if (i == 0) w else 0L, if (i == 0) h else 0L)))
+          .reduce(_ ++ _)
+        val mvhd = box("mvhd", Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+          be32(1000) ++ be32(durMs) ++ Array.fill(80)(0.toByte))
+        val mp4 = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0x200) ++
+          "isomiso2".getBytes("US-ASCII")) ++ box("moov", mvhd ++ traks)
+        (k, "video", mp4)
+      }
+      Multimodal.decodeVideo(rows.toDF("media_id", "kind", "content"))
+        .select(col("media_id").as("p_partkey"), col("width"), col("height"),
+          col("duration_ms"), col("tracks"))
+        .orderBy("p_partkey")
+    }),
+
     // ---- J6 × contrasts: the reference's per-contrast annotated
     // topTable files (DiffExpression_closedPlatform.R:598-633 writes
     // annotGenes + prepare2write once per contrast; Meta_analysis.R
@@ -2015,6 +2061,17 @@ object ExtraQueries {
          SELECT s.doc_id, coalesce(r.text, '') AS text
          FROM synth s LEFT JOIN rebuilt r USING (doc_id)
          ORDER BY 1""",
+
+    // video-container replay: the planted ISO-BMFF header fields are
+    // pure functions of p_partkey — the Spark side only matches if
+    // the box walk recovered every mvhd/tkhd field.
+    "q87_video_meta" ->
+      """SELECT p_partkey,
+                CAST(16*(1 + p_partkey % 30) AS INT) AS width,
+                CAST(16*(1 + p_partkey % 17) AS INT) AS height,
+                CAST(1000 + p_partkey % 977 AS BIGINT) AS duration_ms,
+                CAST(1 + p_partkey % 3 AS INT) AS tracks
+         FROM part WHERE p_partkey <= 200 ORDER BY 1""",
 
     // audio-decode replay: planted WAV header fields are pure
     // functions of p_partkey.

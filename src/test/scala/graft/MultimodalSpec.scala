@@ -36,6 +36,64 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L)._1 >= 64)             // video keeps the declared stub path
   }
 
+  private def be32(v: Long) = Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+    ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+  private def be64(v: Long) = be32(v >> 32) ++ be32(v & 0xFFFFFFFFL)
+  private def mp4Box(tp: String, payload: Array[Byte]): Array[Byte] =
+    be32(payload.length + 8L) ++ tp.getBytes("US-ASCII") ++ payload
+  private val unityMatrix = Seq(0x00010000L, 0L, 0L, 0L, 0x00010000L, 0L, 0L, 0L,
+    0x40000000L).flatMap(be32).toArray
+
+  test("decodeVideoMeta: ISO-BMFF v0 AND v1 layouts, zeros for malformed input") {
+    // v1 boxes widen the three time fields: mvhd ctime/mtime/duration
+    // 8 bytes (timescale stays 4), tkhd ctime/mtime/duration 8 bytes
+    val mvhdV1 = mp4Box("mvhd", Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++
+      be32(90000) ++ be64(270000) ++ Array.fill(80)(0.toByte))      // 3 s at 90 kHz
+    def tkhdV1(w: Long, h: Long) = mp4Box("tkhd",
+      Array[Byte](1, 0, 0, 7) ++ be64(0) ++ be64(0) ++ be32(1) ++ be32(0) ++
+        be64(270000) ++ be32(0) ++ be32(0) ++
+        Array[Byte](0, 0, 0, 0, 1, 0, 0, 0) ++ unityMatrix ++
+        be32(w << 16) ++ be32(h << 16))
+    val mp4 = mp4Box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0x200)) ++
+      mp4Box("moov", mvhdV1 ++ mp4Box("trak", tkhdV1(640, 360)) ++
+        mp4Box("trak", tkhdV1(0, 0)))
+    val m = Multimodal.decodeVideoMeta(mp4)
+    assert(m == Multimodal.VideoMeta(640, 360, 3000L, 2), s"v1 parse: $m")
+    // malformed payloads: truncated box, no ftyp, garbage, null, empty
+    assert(Multimodal.decodeVideoMeta(mp4.take(20)) == Multimodal.VideoMeta(0, 0, 0L, 0))
+    assert(Multimodal.decodeVideoMeta(mp4Box("moov", mvhdV1)) ==
+      Multimodal.VideoMeta(0, 0, 0L, 0), "no ftyp -> not ISO-BMFF")
+    assert(Multimodal.decodeVideoMeta(Array.tabulate(64)(_.toByte)) ==
+      Multimodal.VideoMeta(0, 0, 0L, 0))
+    assert(Multimodal.decodeVideoMeta(null) == Multimodal.VideoMeta(0, 0, 0L, 0))
+    assert(Multimodal.decodeVideoMeta(Array.emptyByteArray) ==
+      Multimodal.VideoMeta(0, 0, 0L, 0))
+  }
+
+  test("decodeVideo: header fields ride the media relation, zeros for non-video") {
+    val tkhdV0 = mp4Box("tkhd", Array[Byte](0, 0, 0, 7) ++ be32(0) ++ be32(0) ++
+      be32(1) ++ be32(0) ++ be32(2500) ++ be32(0) ++ be32(0) ++
+      Array[Byte](0, 0, 0, 0, 1, 0, 0, 0) ++ unityMatrix ++
+      be32(128L << 16) ++ be32(96L << 16))
+    val mvhdV0 = mp4Box("mvhd", Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+      be32(1000) ++ be32(2500) ++ Array.fill(80)(0.toByte))
+    val mp4 = mp4Box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0x200)) ++
+      mp4Box("moov", mvhdV0 ++ mp4Box("trak", tkhdV0))
+    val rows = Seq(
+      Row(1L, "video", mp4, Map.empty[String, String]),
+      Row(2L, "image", mp4, Map.empty[String, String]),   // wrong kind -> zeros
+      Row(3L, "video", Array[Byte](9, 9, 9), Map.empty[String, String]))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows),
+      Multimodal.mediaSchema)
+    val out = Multimodal.decodeVideo(df).collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        ((r.getAs[Int]("width"), r.getAs[Int]("height"),
+          r.getAs[Long]("duration_ms"), r.getAs[Int]("tracks")))).toMap
+    assert(out(1L) == ((128, 96, 2500L, 1)), s"v0 parse: ${out(1L)}")
+    assert(out(2L) == ((0, 0, 0L, 0)))
+    assert(out(3L) == ((0, 0, 0L, 0)))
+  }
+
   test("decodeAudio: REAL WAV header fields, zeros for non-audio kinds") {
     val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 2, true, false)
     val pcm = Array.tabulate(120 * 2 * 2)(i => (i % 113).toByte)
