@@ -44,13 +44,15 @@ object Pipelines {
     // re-executes the whole dedup→bind→ComBat lineage inside one
     // action. A second checkpoint freezes the filtered matrix that the
     // REML sweeps and the DE fit then hit with several actions each.
-    val adjusted = ExpressionMatrix(Batch.combat(
+    // ([[Workspace.stageCheckpoint]]: reliable parquet boundary tables
+    // when spark.graft.checkpoint.dir is set, localCheckpoint else.)
+    val adjusted = ExpressionMatrix(Workspace.stageCheckpoint(Batch.combat(
         ExpressionMatrix(bound.df.select("gene_id", "sample_id", "value")),
         bound.df.select(col("sample_id"), col("dataset").as("batch")).distinct())
-      .canonical.df.localCheckpoint(true))
-    val filtered = ExpressionMatrix(
+      .canonical.df, "comb_closed"))
+    val filtered = ExpressionMatrix(Workspace.stageCheckpoint(
       Filters.topFracBySdNonZero(adjusted, sdFrac)
-        .canonical.df.localCheckpoint(true))
+        .canonical.df, "comb_closed_filtered"))
     // REML arrayWeights enter the fit as WLS sufficient statistics;
     // with technical replicates declared, the fit is the exact GLS
     // with the REML duplicateCorrelation consensus — limma's
@@ -95,13 +97,13 @@ object Pipelines {
     }
     val bound = ExpressionMatrix(SetOps.bindDatasets(perDataset)
       .select("gene_id", "sample_id", "value", "dataset"))
-    val adjusted = ExpressionMatrix(Batch.combat(
+    val adjusted = ExpressionMatrix(Workspace.stageCheckpoint(Batch.combat(
         ExpressionMatrix(bound.df.select("gene_id", "sample_id", "value")),
         bound.df.select(col("sample_id"), col("dataset").as("batch")).distinct())
-      .canonical.df.localCheckpoint(true))
-    val filtered = ExpressionMatrix(
+      .canonical.df, "comb_closed_multi"))
+    val filtered = ExpressionMatrix(Workspace.stageCheckpoint(
       Filters.topFracBySdNonZero(adjusted, sdFrac)
-        .canonical.df.localCheckpoint(true))
+        .canonical.df, "comb_closed_multi_filtered"))
     val weights = DiffExpr.arrayWeightsReml(filtered, groups,
       maxIter = remlIters, tol = remlTol)
     val stats = replicates match {
@@ -174,16 +176,16 @@ object Pipelines {
     // Comb_*.exp here): checkpoint after normalisation and after
     // ComBat so the SD-filter branches and the DE actions don't
     // re-execute the count→CQN→ComBat lineage per plan branch.
-    val normalized = ExpressionMatrix((geneInfo match {
+    val normalized = ExpressionMatrix(Workspace.stageCheckpoint((geneInfo match {
       case Some(gi) => Normalize.cqn(nonzero, gi)
       case None => Normalize.cqnLite(nonzero)
-    }).canonical.df.localCheckpoint(true))
-    val adjusted = ExpressionMatrix(
-      Batch.combat(normalized, batches).canonical.df.localCheckpoint(true))
+    }).canonical.df, "rnaseq_cqn"))
+    val adjusted = ExpressionMatrix(Workspace.stageCheckpoint(
+      Batch.combat(normalized, batches).canonical.df, "comb_rnaseq"))
     // checkpoint ahead of voom: the trend fit hits the filtered matrix
     // with several actions (library scalar, anchor collect, the fit)
-    val filtered = ExpressionMatrix(
-      Filters.topFracBySdNonZero(adjusted, sdFrac).canonical.df.localCheckpoint(true))
+    val filtered = ExpressionMatrix(Workspace.stageCheckpoint(
+      Filters.topFracBySdNonZero(adjusted, sdFrac).canonical.df, "comb_rnaseq_filtered"))
     // de-log to normalised read counts (R:423-425: `data_combat <-
     // 2^data_combat; data_combat[data_combat == 1] <- 0` — the
     // de-logged value 2^x == 1, i.e. LOG value x == 0, is zeroed:
@@ -255,7 +257,8 @@ object Pipelines {
     // checkpoint every branch re-executes the dedup → near-dup →
     // scoring lineage. Only materialized when those stages are on, so
     // the base chain's plan is unchanged.
-    val scored = if (repOn || deconOn) scored0.localCheckpoint(true) else scored0
+    val scored = if (repOn || deconOn)
+      graft.model.Workspace.stageCheckpoint(scored0, "curation_scored") else scored0
     // Gopher repetition rules (thresholds default to off): drop
     // documents whose n-gram mass concentrates in repeats
     val repFiltered0 =
@@ -266,7 +269,8 @@ object Pipelines {
             col("dup_gram_frac") <= maxDupGramFrac)
           .select("doc_id"),
         Seq("doc_id"), "left_semi")
-    val repFiltered = if (repOn && deconOn) repFiltered0.localCheckpoint(true)
+    val repFiltered = if (repOn && deconOn)
+      graft.model.Workspace.stageCheckpoint(repFiltered0, "curation_repfiltered")
       else repFiltered0
     // benchmark decontamination (off unless a benchmark is supplied):
     // drop documents whose distinct-n-gram collision fraction against
@@ -310,7 +314,8 @@ object Pipelines {
     // platform DE) — materialize once so upstream lineage doesn't
     // re-execute per action.
     val platforms = platforms0.map { case (name, m) =>
-      name -> ExpressionMatrix(m.canonical.df.localCheckpoint(true))
+      name -> ExpressionMatrix(
+        Workspace.stageCheckpoint(m.canonical.df, s"meta_platform_$name"))
     }
     // ICC per platform pair (standardized once per platform, reused
     // across pairs) -> mean per gene; genes with negative mean ICC are

@@ -75,6 +75,34 @@ object Workspace {
     ExpressionMatrix(m.df.sparkSession.table(table))
   }
 
+  /** Stage-boundary checkpoint for the pipeline chains — the engine's
+    * analogue of the reference's stage files (Comb_*.exp,
+    * RNAseq_cqn.exp, topTables): eagerly materialize a DataFrame so
+    * multi-branch downstream plans don't re-execute the upstream
+    * lineage per action.
+    *
+    * Two modes, switched by `spark.graft.checkpoint.dir`:
+    *   - UNSET (default): `localCheckpoint(eager)` — blocks live on
+    *     executor block managers. Right for local[*]; on a real
+    *     cluster an executor loss discards the blocks and the lineage
+    *     is gone (localCheckpoint truncates it).
+    *   - SET: the stage is written to `<dir>/<stage>.parquet` and read
+    *     back — a RELIABLE checkpoint that survives executor loss,
+    *     and a boundary table addressable by its stage name, exactly
+    *     like the reference's per-stage files. One directory per
+    *     analysis run (the reference's project-dir convention); stage
+    *     names are the reference's file names. */
+  def stageCheckpoint(df: DataFrame, stage: String): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.getOption("spark.graft.checkpoint.dir").filter(_.nonEmpty) match {
+      case Some(dir) =>
+        val path = s"$dir/$stage.parquet"
+        df.write.mode("overwrite").parquet(path)
+        spark.read.parquet(path)
+      case None => df.localCheckpoint(true)
+    }
+  }
+
   /** Read the reference's three TSV shapes into a typed workspace. */
   def fromTsv(spark: SparkSession, registryPath: String,
       samplesPath: String, outliersPath: String): Workspace = {

@@ -42,6 +42,36 @@ class PipelinesSpec extends SparkSpec {
     assert(top.head.getAs[Double]("log2fc") > 1.0)
   }
 
+  test("reliable-checkpoint mode: same chain output, boundary tables addressable by name") {
+    val rows = probeData(Seq("ds1", "ds2"))
+    val datasets = Seq("ds1", "ds2").map { ds =>
+      ds -> ExpressionMatrix(rows.filter(_._4 == ds)
+        .map(r => (r._1, r._2, r._3)).toDF("gene_id", "sample_id", "value"))
+    }
+    val annot = Seq(("p1a", "ENSG1"), ("p1b", "ENSG1"), ("p2a", "ENSG2"),
+      ("p2b", "ENSG2"), ("p3a", "ENSG3"), ("p3b", "ENSG3")).toDF("probe", "gene_id")
+    val flat = annot.select("probe")
+    val outliers = Seq.empty[String].toDF("sample_id")
+    val groups = rows.map(r => (r._2, r._5)).distinct.toDF("sample_id", "group")
+    def run() = Pipelines.closedPlatformDE(datasets, annot, flat, outliers, groups,
+        "A", "B", sdFrac = 1.0).collect()
+      .map(r => (r.getAs[String]("gene_id"), r.getAs[Double]("log2fc"),
+        r.getAs[Double]("p"))).toSeq
+    val local = run()                         // default: localCheckpoint mode
+    val dir = java.nio.file.Files.createTempDirectory("graft_stage_ckpt").toString
+    spark.conf.set("spark.graft.checkpoint.dir", dir)
+    try {
+      assert(run() == local, "reliable-checkpoint mode changed the chain output")
+      // the stage boundaries materialized as parquet tables named after
+      // the reference's stage files, re-readable by name
+      for (stage <- Seq("comb_closed", "comb_closed_filtered")) {
+        val t = spark.read.parquet(s"$dir/$stage.parquet")
+        assert(t.count() > 0, s"boundary table $stage is empty")
+        assert(t.columns.toSet == Set("gene_id", "sample_id", "value"))
+      }
+    } finally spark.conf.unset("spark.graft.checkpoint.dir")
+  }
+
   test("openPlatformDE end-to-end runs and keeps the signal gene") {
     val rows = for {
       g <- 1 to 8; i <- 1 to 8
