@@ -114,6 +114,40 @@ object TextDedup {
       .filter(col("__rn") <= cap).drop("__rn")
   }
 
+  /** Deterministic per-key TOKEN-budget sampling — the data-MIXING
+    * stage of a corpus pass: training mixes are balanced by token
+    * count, not document count (cap each domain/language/source at a
+    * token budget). Documents rank within their key by the same
+    * seeded-hash shuffle as [[capPerKey]] and survive while the
+    * running (inclusive) token total stays within `budget` — the
+    * greedy prefix under the budget, reproducible across runs and
+    * cluster sizes.
+    *
+    * Same TWO-STAGE skew shape as [[capPerKey]]: the bucket-local
+    * running total at a document is never more than its global running
+    * total (the bucket's predecessors are a subset of the global
+    * predecessors and token counts are non-negative), so every global
+    * survivor survives its bucket — stage 1 is a provable superset and
+    * a mega-key never sorts all its documents in one task. Stage 2
+    * re-runs the exact prefix sum over the survivors. */
+  def capTokensPerKey(docs: DataFrame, keyCol: String, tokenCol: String,
+      budget: Long, seed: Int = 0, id: String = "doc_id",
+      md5Hashes: Boolean = false, saltBuckets: Int = 32): DataFrame = {
+    val h =
+      if (md5Hashes) md5(concat_ws("#", lit(seed), col(id)))
+      else xxhash64(col(id), lit(seed)).cast("string")
+    val salt = pmod(xxhash64(col(id), lit(seed.toLong ^ 0x5bd1e995L)),
+      lit(saltBuckets.toLong))
+    val w1 = Window.partitionBy(col(keyCol), salt).orderBy(h.asc, col(id).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val survivors = docs.withColumn("__ct", sum(col(tokenCol)).over(w1))
+      .filter(col("__ct") <= budget).drop("__ct")
+    val w2 = Window.partitionBy(col(keyCol)).orderBy(h.asc, col(id).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    survivors.withColumn("__ct", sum(col(tokenCol)).over(w2))
+      .filter(col("__ct") <= budget).drop("__ct")
+  }
+
   /** MinHash + LSH candidate pairs with exact-Jaccard verification.
     * k = signature length, bands × rowsPerBand = k. Returns
     * (id_a, id_b, jaccard) for candidates above `minJaccard`.

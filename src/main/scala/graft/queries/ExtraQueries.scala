@@ -577,6 +577,22 @@ object ExtraQueries {
         .orderBy("domain", "doc_id")
     }),
 
+    // ---- Per-key TOKEN-budget sampling (the data-MIXING stage:
+    // training mixes balance by token count, not doc count): cap each
+    // pseudo-domain (doc_id % 7) at 2000 whitespace tokens, survivors
+    // = the greedy prefix under the budget in the seeded md5 rank
+    // order (so the oracle replays the ordering and the prefix sum
+    // exactly). ----
+    "q88_token_budget" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), (col("doc_id") % 7).as("domain"),
+          graft.functions.TextFunctions.wsTokenCount(col("text")).as("toks"))
+      TextDedup.capTokensPerKey(docs, "domain", "toks", budget = 2000L,
+          seed = 3, md5Hashes = true)
+        .select(col("domain"), col("doc_id"), col("toks"))
+        .orderBy("domain", "doc_id")
+    }),
+
     // ---- Paragraph-grain exact dedup (the Dolma/RefinedWeb
     // boilerplate-removal stage): the corpus text is single-line, so
     // the fixture synthesizes 3-paragraph documents from corpus
@@ -2030,6 +2046,21 @@ object ExtraQueries {
                                  doc_id ASC) AS rn
                FROM d)
          SELECT domain, doc_id FROM r WHERE rn <= 20 ORDER BY 1, 2""",
+
+    // token-budget replay: the same md5 rank order, inclusive prefix
+    // sum per domain under the budget.
+    "q88_token_budget" ->
+      """WITH d AS (SELECT doc_id, doc_id % 7 AS domain,
+                           len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '')) AS toks
+                    FROM documents),
+         r AS (SELECT domain, doc_id, toks,
+                      sum(toks) OVER (PARTITION BY domain
+                        ORDER BY md5('3#' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+                        ROWS UNBOUNDED PRECEDING) AS ct
+               FROM d)
+         SELECT domain, doc_id, CAST(toks AS INT) AS toks
+         FROM r WHERE ct <= 2000 ORDER BY 1, 2""",
 
     // paragraph-dedup replay: same synthetic 3-paragraph docs, the
     // keep-first window per paragraph, ordered string_agg reassembly.

@@ -45,6 +45,18 @@ class PropertySpec extends SparkSpec {
       assert(ids(32) == ids(1),
         s"two-stage cap diverged from single-window form (md5=$md5)")
     }
+    // capTokensPerKey: per-key token totals within budget, and the
+    // two-stage salted prefix sum selects the identical survivor set
+    val toked = keyed.withColumn("toks", (col("doc_id") % 13 + 1).cast("int"))
+    def tokIds(salts: Int) =
+      TextDedup.capTokensPerKey(toked, "k", "toks", budget = 20L, seed = 3,
+          saltBuckets = salts)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(tokIds(32) == tokIds(1),
+      "two-stage token budget diverged from single-window form")
+    val perKeyTok = TextDedup.capTokensPerKey(toked, "k", "toks", budget = 20L, seed = 3)
+      .groupBy("k").agg(sum("toks").as("t")).collect().map(_.getLong(1))
+    assert(perKeyTok.forall(_ <= 20L), s"budget violated: ${perKeyTok.toSeq}")
   }
 
   test("topFracBySdNonZero equals dropZeroVariance then topFracBySd") {
