@@ -25,7 +25,8 @@ object Plans {
         "q69_e2_chain", "q70_e3_chain", "q73_e1_multi_contrast", "q79_full_curation",
         "q80_contrast_toptables", "q81_e1_blocked", "q82_e2_blocked",
         "q83_image_decode", "q84_audio_decode", "q85_paragraph_dedup",
-        "q86_quota_sample", "q87_video_meta", "q88_token_budget")
+        "q86_quota_sample", "q87_video_meta", "q88_token_budget",
+        "q89_rate_sample")
     names.foreach { name =>
       if (name == "bucketed_demo") bucketedDemo(spark, dir)
       else {

@@ -148,6 +148,28 @@ object TextDedup {
       .filter(col("__ct") <= budget).drop("__ct")
   }
 
+  /** Deterministic per-key RATE sampling — the third leg of the
+    * balancing family ([[capPerKey]] caps counts, [[capTokensPerKey]]
+    * caps tokens; this applies per-key MIXING WEIGHTS): each key
+    * carries a sampling rate expressed as a lowercase-hex md5
+    * THRESHOLD prefix (e.g. "4" keeps ~1/4, "28" keeps ~10/64 — rate =
+    * prefix value / 16^len), and a document survives iff
+    * `md5(seed#id) < threshold` lexicographically. Hex-string order is
+    * value order, so the comparison is an exact Bernoulli(rate) on the
+    * uniform hash — deterministic, engine-portable (any SQL engine
+    * with md5 replays it bit-for-bit), reproducible across runs and
+    * cluster sizes, and ZERO-shuffle: one broadcast join against the
+    * key-grain rates relation and a codegen filter. `rates` columns:
+    * (keyCol, threshold). Keys absent from `rates` keep everything. */
+  def sampleByRate(docs: DataFrame, keyCol: String, rates: DataFrame,
+      seed: Int = 0, id: String = "doc_id"): DataFrame = {
+    val h = md5(concat_ws("#", lit(seed), col(id)))
+    docs.join(broadcast(rates.select(col(keyCol), col("threshold"))),
+        Seq(keyCol), "left")
+      .filter(col("threshold").isNull || h < col("threshold"))
+      .drop("threshold")
+  }
+
   /** MinHash + LSH candidate pairs with exact-Jaccard verification.
     * k = signature length, bands × rowsPerBand = k. Returns
     * (id_a, id_b, jaccard) for candidates above `minJaccard`.

@@ -577,6 +577,23 @@ object ExtraQueries {
         .orderBy("domain", "doc_id")
     }),
 
+    // ---- Per-key RATE sampling (mixing weights): each pseudo-domain
+    // (doc_id % 5) keeps a different fraction via a hex md5-threshold
+    // Bernoulli — 1/8, 1/4, 1/2, 3/4, and domain 4 unrated (keeps
+    // all). Exact cross-engine: both sides compare the same md5 string
+    // against the same threshold. ----
+    "q89_rate_sample" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), (col("doc_id") % 5).as("domain"))
+      val rates = Seq((0L, "2"), (1L, "4"), (2L, "8"), (3L, "c"))
+        .toDF("domain", "threshold")
+      TextDedup.sampleByRate(docs, "domain", rates, seed = 7)
+        .select(col("domain"), col("doc_id"))
+        .orderBy("domain", "doc_id")
+    }),
+
     // ---- Per-key TOKEN-budget sampling (the data-MIXING stage:
     // training mixes balance by token count, not doc count): cap each
     // pseudo-domain (doc_id % 7) at 2000 whitespace tokens, survivors
@@ -2046,6 +2063,17 @@ object ExtraQueries {
                                  doc_id ASC) AS rn
                FROM d)
          SELECT domain, doc_id FROM r WHERE rn <= 20 ORDER BY 1, 2""",
+
+    // rate-sample replay: identical md5-threshold Bernoulli per domain.
+    "q89_rate_sample" ->
+      """WITH d AS (SELECT doc_id, doc_id % 5 AS domain FROM documents),
+         r AS (SELECT domain, doc_id,
+                      CASE domain WHEN 0 THEN '2' WHEN 1 THEN '4'
+                                  WHEN 2 THEN '8' WHEN 3 THEN 'c' END AS th
+               FROM d)
+         SELECT domain, doc_id FROM r
+         WHERE th IS NULL OR md5('7#' || CAST(doc_id AS VARCHAR)) < th
+         ORDER BY 1, 2""",
 
     // token-budget replay: the same md5 rank order, inclusive prefix
     // sum per domain under the budget.

@@ -57,6 +57,19 @@ class PropertySpec extends SparkSpec {
     val perKeyTok = TextDedup.capTokensPerKey(toked, "k", "toks", budget = 20L, seed = 3)
       .groupBy("k").agg(sum("toks").as("t")).collect().map(_.getLong(1))
     assert(perKeyTok.forall(_ <= 20L), s"budget violated: ${perKeyTok.toSeq}")
+    // sampleByRate threshold semantics: above-'f' keeps all, "0" keeps
+    // none (hex strings sort by value), unrated keys keep everything
+    def rated(th: Option[String]) = {
+      val rates = th.map(t => Seq((0L, t))).getOrElse(Seq.empty[(Long, String)])
+        .toDF("k", "threshold")
+      TextDedup.sampleByRate(keyed.filter(col("k") === 0), "k", rates).count()
+    }
+    val all = keyed.filter(col("k") === 0).count()
+    assert(rated(Some("g")) == all, "threshold above hex range must keep all")
+    assert(rated(Some("0")) == 0L, "threshold 0 must keep none")
+    assert(rated(None) == all, "unrated key must keep all")
+    val quarter = rated(Some("4"))
+    assert(quarter > 0 && quarter < all, "rate 1/4 must thin, not empty")
   }
 
   test("topFracBySdNonZero equals dropZeroVariance then topFracBySd") {
