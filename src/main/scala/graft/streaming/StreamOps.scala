@@ -114,6 +114,43 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("sig")
   }
 
+  case class KeyedDoc(ts: Timestamp, key: String, doc_id: Long, text: String)
+
+  /** Streaming per-key QUOTA — the incremental form of
+    * [[graft.operators.TextDedup.capPerKey]] (domain/language
+    * balancing on a live corpus feed): at most `cap` documents per key
+    * pass, with ONE Long counter state row per key. Keep-first is
+    * ARRIVAL order (ties within a micro-batch broken by (ts, doc_id)),
+    * the same divergence-from-batch convention as [[streamingDedup]] —
+    * the batch operator's deterministic rank-hash order has no
+    * streaming meaning. The counter evicts `horizonMinutes` of EVENT
+    * time after the key's last arrival (EventTimeTimeout), so state
+    * stays bounded and a key's quota RESETS once its horizon passes —
+    * the windowed-quota trade-off, documented like every
+    * watermark-bounded store here. */
+  def streamingCapPerKey(docs: Dataset[KeyedDoc], cap: Int,
+      watermarkDelay: String = "10 minutes",
+      horizonMinutes: Int = 60): Dataset[KeyedDoc] = {
+    import docs.sparkSession.implicits._
+    val horizonMs = horizonMinutes * 60 * 1000L
+    docs
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[Long, KeyedDoc](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, rows: Iterator[KeyedDoc], state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val seen = state.getOption.getOrElse(0L)
+            val sorted = rows.toSeq.sortBy(d => (d.ts.getTime, d.doc_id))
+            val take = sorted.take(math.max(0, cap - seen.toInt))
+            state.update(seen + take.size)
+            state.setTimeoutTimestamp(sorted.map(_.ts.getTime).max + horizonMs)
+            take.iterator
+          }
+      }
+  }
+
   /** Streaming PARAGRAPH-grain dedup — the incremental form of
     * [[graft.operators.TextDedup.paragraphDedup]], enabled by that
     * operator's aggregation shape: the keep-first decision needs ONE

@@ -137,6 +137,32 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streamingCapPerKey caps each key across micro-batches with one counter row") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamOps.KeyedDoc
+    val input = MemoryStream[KeyedDoc]
+    val capped = StreamOps.streamingCapPerKey(input.toDS(), cap = 2)
+    val query = capped.writeStream.format("memory")
+      .queryName("cap_out").outputMode("append").start()
+    try {
+      val t0 = 1700000000000L
+      input.addData(
+        KeyedDoc(new Timestamp(t0), "a", 1L, "d1"),
+        KeyedDoc(new Timestamp(t0 + 1000), "a", 2L, "d2"),
+        KeyedDoc(new Timestamp(t0 + 2000), "b", 3L, "d3"))
+      query.processAllAvailable()
+      // the counter must persist across batches: a's quota is spent
+      input.addData(
+        KeyedDoc(new Timestamp(t0 + 3000), "a", 4L, "d4"),
+        KeyedDoc(new Timestamp(t0 + 4000), "b", 5L, "d5"))
+      query.processAllAvailable()
+      val out = spark.table("cap_out").select("doc_id").as[Long].collect().sorted
+      assert(out.toSeq == Seq(1L, 2L, 3L, 5L),
+        s"expected first-2-per-key 1,2,3,5, got ${out.toSeq}")
+    } finally query.stop()
+  }
+
   test("streamingParagraphDedup drops recurring boilerplate across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
