@@ -170,6 +170,40 @@ object TextDedup {
       .drop("threshold")
   }
 
+  /** Token-window CHUNKING — the context-window prep step of a
+    * training pipeline: split each document into `chunkTokens`-token
+    * chunks advancing by `stride` tokens (stride < chunkTokens gives
+    * the standard overlapping windows; stride = chunkTokens, the
+    * default, tiles without overlap). Trailing partial chunks are
+    * kept — `n_tokens` lets the caller drop them.
+    *
+    * Relational and skew-safe: tokens explode once, each token emits
+    * its ≤ ⌈chunk/stride⌉ window memberships via a codegen `sequence`
+    * (k spans max(0, ⌈(pos−chunk+1)/stride⌉) … ⌊pos/stride⌋), and
+    * chunks reassemble with one shuffle keyed on (doc, chunk) — a
+    * doc-grain key, never content; per-group state is bounded by the
+    * chunk size. Output: (id, chunk, text, n_tokens), chunk ids dense
+    * from 0 in token order. */
+  def chunkByTokens(docs: DataFrame, chunkTokens: Int, stride0: Int = 0,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val stride = if (stride0 <= 0) chunkTokens else stride0
+    require(stride <= chunkTokens, "stride beyond the chunk width would skip tokens")
+    val tok = docs.select(col(id), posexplode(tokens(col(text))).as(Seq("pos", "tk")))
+    // positive operands, so floor(a/b) is exact integer division and
+    // matches DuckDB's `//` in the oracle replay
+    val t = col("pos") - chunkTokens + 1
+    val k0 = when(t <= 0, lit(0))
+      .otherwise(floor((t + lit(stride - 1)) / lit(stride))).cast("int")
+    val k1 = floor(col("pos") / lit(stride)).cast("int")
+    val member = tok.select(col(id), col("pos"), col("tk"),
+      explode(sequence(k0, k1)).as("chunk"))
+    member.groupBy(col(id), col("chunk"))
+      .agg(
+        array_join(expr("transform(array_sort(collect_list(struct(pos, tk))), x -> x.tk)"),
+          " ").as(text),
+        count(lit(1)).cast("int").as("n_tokens"))
+  }
+
   /** MinHash + LSH candidate pairs with exact-Jaccard verification.
     * k = signature length, bands × rowsPerBand = k. Returns
     * (id_a, id_b, jaccard) for candidates above `minJaccard`.

@@ -577,6 +577,18 @@ object ExtraQueries {
         .orderBy("domain", "doc_id")
     }),
 
+    // ---- Token-window chunking (context-window prep): 32-token
+    // chunks advancing by 24 (8-token overlap), reassembled text
+    // md5-hashed so the gate pins every chunk boundary and token
+    // order without dumping full chunk text. ----
+    "q90_token_chunks" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      TextDedup.chunkByTokens(docs, chunkTokens = 32, stride0 = 24)
+        .select(col("doc_id"), col("chunk"), md5(col("text")).as("chunk_md5"),
+          col("n_tokens"))
+        .orderBy("doc_id", "chunk")
+    }),
+
     // ---- Per-key RATE sampling (mixing weights): each pseudo-domain
     // (doc_id % 5) keeps a different fraction via a hex md5-threshold
     // Bernoulli — 1/8, 1/4, 1/2, 3/4, and domain 4 unrated (keeps
@@ -2063,6 +2075,29 @@ object ExtraQueries {
                                  doc_id ASC) AS rn
                FROM d)
          SELECT domain, doc_id FROM r WHERE rn <= 20 ORDER BY 1, 2""",
+
+    // token-chunk replay: same tokenization, same window memberships
+    // (integer floor division both sides), ordered string_agg.
+    "q90_token_chunks" ->
+      """WITH toks AS (SELECT doc_id,
+                              list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                x -> x <> '') AS ts
+                       FROM documents),
+         tk AS (SELECT doc_id, unnest(ts) AS tk,
+                       generate_subscripts(ts, 1) - 1 AS pos
+                FROM toks),
+         mem AS (SELECT doc_id, pos, tk,
+                        unnest(generate_series(
+                          CASE WHEN pos - 31 <= 0 THEN 0
+                               ELSE (pos - 31 + 23) // 24 END,
+                          pos // 24)) AS chunk
+                 FROM tk),
+         ch AS (SELECT doc_id, chunk, string_agg(tk, ' ' ORDER BY pos) AS text,
+                       count(*) AS n
+                FROM mem GROUP BY 1, 2)
+         SELECT doc_id, CAST(chunk AS INT) AS chunk, md5(text) AS chunk_md5,
+                CAST(n AS INT) AS n_tokens
+         FROM ch ORDER BY 1, 2""",
 
     // rate-sample replay: identical md5-threshold Bernoulli per domain.
     "q89_rate_sample" ->

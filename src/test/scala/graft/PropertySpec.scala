@@ -72,6 +72,35 @@ class PropertySpec extends SparkSpec {
     assert(quarter > 0 && quarter < all, "rate 1/4 must thin, not empty")
   }
 
+  test("chunkByTokens: non-overlap tiling reconstructs the token stream; overlap bound") {
+    val docs = cases(Gen.listOfN(12, Gen.listOfN(40,
+        Gen.oneOf("alpha", "beta", "gamma", "delta")).map(_.mkString(" "))), n = 1)
+      .flatten.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    // stride == chunk: chunks tile; concatenating them in chunk order
+    // must reproduce the normalized token stream exactly
+    val tiled = TextDedup.chunkByTokens(docs, chunkTokens = 7)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+      .groupBy(_._1).map { case (id, cs) =>
+        id -> cs.sortBy(_._2).map(_._3).mkString(" ") }
+    val normalized = docs.select(col("doc_id"),
+        concat_ws(" ", graft.functions.TextFunctions.tokens(col("text"))).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(tiled == normalized, "tiling must losslessly reconstruct every document")
+    // overlapping windows: every chunk except trailing partials holds
+    // exactly chunkTokens tokens, and each token lands in at most
+    // ceil(chunk/stride) chunks
+    val over = TextDedup.chunkByTokens(docs, chunkTokens = 8, stride0 = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(3)))
+    val tokensPerDoc = 40
+    over.groupBy(_._1).foreach { case (_, cs) =>
+      val full = cs.filter(_._3 == 8).size
+      assert(full > 0, "expected full-width chunks")
+      val totalMemberships = cs.map(_._3).sum
+      assert(totalMemberships <= tokensPerDoc * 3,
+        "membership fan-out exceeded ceil(chunk/stride)")
+    }
+  }
+
   test("topFracBySdNonZero equals dropZeroVariance then topFracBySd") {
     val gen = Gen.listOfN(30, Gen.choose(0.0, 50.0))
     for ((vals, fracRaw) <- cases(Gen.zip(gen, Gen.choose(0.1, 0.9)))) {
