@@ -204,6 +204,49 @@ object TextDedup {
         count(lit(1)).cast("int").as("n_tokens"))
   }
 
+  /** Sequence-PACKING manifest — the concat-and-split packing every
+    * autoregressive pretraining run performs (concatenate the corpus
+    * in a deterministic order, split every `blockTokens` tokens; docs
+    * may straddle block boundaries): per document, its global token
+    * offsets [start_tok, end_tok) and the first/last training block it
+    * lands in. The manifest IS the scalable artifact — block
+    * materialization is then an embarrassingly-parallel gather keyed
+    * on block id.
+    *
+    * The global prefix sum over the corpus order (seeded hash, id —
+    * the [[capPerKey]] shuffle) uses the range-partition + stitch
+    * idiom ([[graft.operators.DiffExpr.bhAdjustScalable]]'s shape):
+    * local running sums per range partition plus broadcast partition
+    * offsets — NO single-task global window, exact regardless of where
+    * the sampled range boundaries fall. Zero-token documents are
+    * excluded (they occupy no span). */
+  def packingManifest(docs: DataFrame, tokenCol: String, blockTokens: Long,
+      seed: Int = 0, id: String = "doc_id", md5Hashes: Boolean = false): DataFrame = {
+    require(blockTokens > 0, "blockTokens must be positive")
+    val h =
+      if (md5Hashes) md5(concat_ws("#", lit(seed), col(id)))
+      else xxhash64(col(id), lit(seed)).cast("string")
+    val spark = docs.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val ranged = docs.filter(col(tokenCol) > 0).withColumn("__h", h)
+      .repartitionByRange(parts, col("__h").asc, col(id).asc)
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy("__pid").orderBy(col("__h").asc, col(id).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withLocal = ranged.withColumn("__lsum", sum(col(tokenCol)).over(wLocal))
+    val wOff = Window.partitionBy(lit(0)).orderBy(col("__pid").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = withLocal.groupBy("__pid").agg(sum(col(tokenCol)).as("__cnt"))
+      .select(col("__pid"), coalesce(sum("__cnt").over(wOff), lit(0L)).as("__off"))
+    withLocal.join(broadcast(offs), Seq("__pid"))
+      .withColumn("end_tok", (col("__lsum") + col("__off")).cast("long"))
+      .withColumn("start_tok", col("end_tok") - col(tokenCol))
+      .withColumn("block_first", floor(col("start_tok") / lit(blockTokens)).cast("long"))
+      .withColumn("block_last", floor((col("end_tok") - 1) / lit(blockTokens)).cast("long"))
+      .select(col(id), col("start_tok"), col("end_tok"),
+        col("block_first"), col("block_last"))
+  }
+
   /** MinHash + LSH candidate pairs with exact-Jaccard verification.
     * k = signature length, bands × rowsPerBand = k. Returns
     * (id_a, id_b, jaccard) for candidates above `minJaccard`.

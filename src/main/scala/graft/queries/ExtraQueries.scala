@@ -577,6 +577,20 @@ object ExtraQueries {
         .orderBy("domain", "doc_id")
     }),
 
+    // ---- Sequence-packing manifest (concat-and-split pretraining
+    // packing): global token offsets in the seeded md5 corpus order,
+    // 512-token blocks — the oracle replays the prefix sum with one
+    // global window (oracle-scale only; the engine side stitches
+    // range partitions, no global window). ----
+    "q91_packing_manifest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.wsTokenCount(col("text")).as("toks"))
+      TextDedup.packingManifest(docs, "toks", blockTokens = 512L,
+          seed = 5, md5Hashes = true)
+        .orderBy("doc_id")
+    }),
+
     // ---- Token-window chunking (context-window prep): 32-token
     // chunks advancing by 24 (8-token overlap), reassembled text
     // md5-hashed so the gate pins every chunk boundary and token
@@ -2075,6 +2089,23 @@ object ExtraQueries {
                                  doc_id ASC) AS rn
                FROM d)
          SELECT domain, doc_id FROM r WHERE rn <= 20 ORDER BY 1, 2""",
+
+    // packing replay: one global-window prefix sum in the same md5
+    // corpus order (fine at oracle scale).
+    "q91_packing_manifest" ->
+      """WITH d AS (SELECT doc_id,
+                           len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '')) AS toks
+                    FROM documents),
+         r AS (SELECT doc_id, toks,
+                      sum(toks) OVER (ORDER BY md5('5#' || CAST(doc_id AS VARCHAR)) ASC,
+                                      doc_id ASC ROWS UNBOUNDED PRECEDING) AS endt
+               FROM d WHERE toks > 0)
+         SELECT doc_id, CAST(endt - toks AS BIGINT) AS start_tok,
+                CAST(endt AS BIGINT) AS end_tok,
+                CAST((endt - toks) // 512 AS BIGINT) AS block_first,
+                CAST((endt - 1) // 512 AS BIGINT) AS block_last
+         FROM r ORDER BY doc_id""",
 
     // token-chunk replay: same tokenization, same window memberships
     // (integer floor division both sides), ordered string_agg.

@@ -72,6 +72,27 @@ class PropertySpec extends SparkSpec {
     assert(quarter > 0 && quarter < all, "rate 1/4 must thin, not empty")
   }
 
+  test("packingManifest: spans tile [0, total) contiguously in corpus order") {
+    val docs = cases(Gen.listOfN(60, Gen.choose(1, 40)), n = 2).flatten.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "toks")
+      // plant a zero-token doc: must be absent from the manifest
+      .unionByName(Seq((9999L, 0)).toDF("doc_id", "toks"))
+    val m = TextDedup.packingManifest(docs, "toks", blockTokens = 64L, seed = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(!m.exists(_._1 == 9999L), "zero-token doc must occupy no span")
+    val spans = m.map(t => (t._2, t._3)).sortBy(_._1)
+    assert(spans.head._1 == 0L, "first span must start at 0")
+    assert(spans.sliding(2).forall {
+      case Array((_, e), (s, _)) => s == e; case _ => true },
+      "spans must be contiguous — the stitched prefix sum has a gap/overlap")
+    val total = docs.agg(sum("toks")).collect().head.getLong(0)
+    assert(spans.last._2 == total, "last span must end at the corpus token total")
+    assert(m.forall { case (_, s, e, bf, bl) =>
+      bf == s / 64 && bl == (e - 1) / 64 && s < e },
+      "block spans must derive from the offsets")
+  }
+
   test("chunkByTokens: non-overlap tiling reconstructs the token stream; overlap bound") {
     val docs = cases(Gen.listOfN(12, Gen.listOfN(40,
         Gen.oneOf("alpha", "beta", "gamma", "delta")).map(_.mkString(" "))), n = 1)
