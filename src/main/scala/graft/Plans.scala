@@ -26,7 +26,8 @@ object Plans {
         "q80_contrast_toptables", "q81_e1_blocked", "q82_e2_blocked",
         "q83_image_decode", "q84_audio_decode", "q85_paragraph_dedup",
         "q86_quota_sample", "q87_video_meta", "q88_token_budget",
-        "q89_rate_sample", "q90_token_chunks", "q91_packing_manifest")
+        "q89_rate_sample", "q90_token_chunks", "q91_packing_manifest",
+        "q92_dup_components")
     names.foreach { name =>
       if (name == "bucketed_demo") bucketedDemo(spark, dir)
       else {

@@ -356,6 +356,66 @@ object TextDedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Connected components over a near-dup PAIR relation — cluster
+    * dedup semantics (RefinedWeb/C4 style): near-duplicate pairs chain
+    * into clusters, and the pipeline keeps ONE representative per
+    * cluster rather than resolving each pair independently. Smallest-id
+    * label propagation to FIXPOINT: every node starts as its own
+    * label; each round takes the min of its neighbors' labels; at
+    * convergence every member carries the component's minimum id — a
+    * deterministic representative independent of iteration order or
+    * round count.
+    *
+    * Scale shape: each round is two keyed shuffles (edge join +
+    * min-aggregation) over the PAIR graph — corpus-small (only docs
+    * that near-dup anything appear), with lineage truncated per round
+    * (eager localCheckpoint, the iterative-kernel idiom) so plans
+    * don't grow with rounds. Rounds needed = component diameter; dup
+    * clusters are band-collision cliques, so diameters are small —
+    * `maxIters` is a backstop, and hitting it throws rather than
+    * returning silently-unconverged labels. Returns (id, component). */
+  def duplicateComponents(pairs: DataFrame, maxIters: Int = 50,
+      idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id")).localCheckpoint(true)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIters) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("component").as("__nl")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min("__nl").as("__nmin"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("__nmin"), col("component")))
+            .as("component"))
+        .localCheckpoint(true)
+      changed = updated
+        .join(labels.select(col("id"), col("component").as("__old")), Seq("id"))
+        .filter(col("component") =!= col("__old")).count()
+      labels = updated
+      iter += 1
+    }
+    edges.unpersist(blocking = false)
+    require(changed == 0, s"component labels not converged after $maxIters rounds")
+    labels
+  }
+
+  /** Cluster-grain near-dup removal: keep each component's
+    * representative (its min id) plus every unpaired document. The
+    * CLUSTER semantics — pairwise loser-drop removes both ends of a
+    * chain a-b-c except `a`, but does so per pair; this resolves the
+    * whole component at once. */
+  def dedupByComponents(docs: DataFrame, pairs: DataFrame,
+      id: String = "doc_id"): DataFrame = {
+    val losers = duplicateComponents(pairs)
+      .filter(col("id") =!= col("component")).select(col("id").as(id))
+    docs.join(losers, Seq(id), "left_anti")
+  }
+
   /** SimHash near-dup pairs: fingerprints bucketed by (rotation,
     * 16-bit block) so pairs within `maxHamming` of each other collide
     * in ≥1 bucket (for maxHamming < #blocks); verified by exact

@@ -273,8 +273,20 @@ object TextQueries {
         round(avg("jaccard") + 1e-9, 6).as("avg_jaccard"))
     }),
 
+    // ---- Near-dup CLUSTERS: connected components over the verified
+    // MinHash pair relation (j >= 0.3) — every member labeled with its
+    // component's min id, the cluster-dedup representative. The
+    // oracle replays the closure with a recursive CTE. ----
+    "q92_dup_components" -> ((s, dir) => {
+      val pairs = TextDedup.minhashLshPairs(t(s, dir, "documents"),
+        k = 8, bands = 4, shingleWidth = 3, minJaccard = 0.3, md5Hashes = true)
+      TextDedup.duplicateComponents(pairs)
+        .select(col("id").as("doc_id"), col("component"))
+        .orderBy("doc_id")
+    }),
+
     // ---- SimHash fingerprints (32-bit, engine-portable bit votes) ----
-    // Relational shape: one md5 per (doc, token-occurrence) row, all
+    // Relational form: one md5 per (doc, token-occurrence) row, all
     // 32 bit votes as conditional sums in a single aggregation.
     "q36_simhash" -> ((s, dir) => {
       val tok = t(s, dir, "documents")
@@ -768,6 +780,48 @@ object TextQueries {
                    CAST(coalesce(sum(CASE WHEN j >= 0.3 THEN 1 END), 0) AS BIGINT) AS n_high,
                    round(avg(j) + 1e-9, 6) + 0.0 AS avg_jaccard
             FROM verified"""),
+
+    // components replay: the q35 pair machinery (j >= 0.3 losers) and
+    // a recursive-CTE transitive closure — min reachable id = the
+    // component representative the engine's label propagation finds.
+    "q92_dup_components" ->
+      (s"""WITH RECURSIVE sh AS ($shinglesSql), hashed AS (
+            SELECT doc_id, md5(unnest(sh)) AS h FROM sh
+          ), sig AS (
+            SELECT doc_id,
+                   [min(substr(h, 1, 4)), min(substr(h, 5, 4)),
+                    min(substr(h, 9, 4)), min(substr(h, 13, 4)),
+                    min(substr(h, 17, 4)), min(substr(h, 21, 4)),
+                    min(substr(h, 25, 4)), min(substr(h, 29, 4))] AS s
+            FROM hashed GROUP BY doc_id
+          ), banded AS (
+            SELECT doc_id,
+                   unnest(['0#' || s[1] || '#' || s[2], '1#' || s[3] || '#' || s[4],
+                           '2#' || s[5] || '#' || s[6], '3#' || s[7] || '#' || s[8]]) AS band
+            FROM sig
+          ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.doc_id < b.doc_id
+          ), verified AS (
+            SELECT id_a, id_b,
+                   len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) * 1.0 /
+                   (len(sa.sh) + len(sb.sh)
+                    - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))) AS j
+            FROM cand JOIN sh sa ON sa.doc_id = id_a
+                      JOIN sh sb ON sb.doc_id = id_b
+          ), edges AS (
+            SELECT id_a AS src, id_b AS dst FROM verified WHERE j >= 0.3
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM verified WHERE j >= 0.3
+          ), nodes AS (SELECT DISTINCT src AS id FROM edges
+          ), reach(id, lab) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst
+          )
+          SELECT id AS doc_id, min(lab) AS component
+          FROM reach GROUP BY 1 ORDER BY 1"""),
 
     "q36_simhash" -> {
       val bitTerms = (0 until 32).map(i =>

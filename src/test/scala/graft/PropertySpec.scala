@@ -72,6 +72,21 @@ class PropertySpec extends SparkSpec {
     assert(quarter > 0 && quarter < all, "rate 1/4 must thin, not empty")
   }
 
+  test("duplicateComponents: transitive chains collapse to the min-id representative") {
+    // chain 1-2, 2-3, 3-4 (no direct 1-4 pair) + separate cluster 10-11
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val comps = TextDedup.duplicateComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L),
+      s"expected chain collapse to min ids, got $comps")
+    // cluster dedup keeps one representative per component + unpaired docs
+    val docs = (1L to 12L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val kept = TextDedup.dedupByComponents(docs, pairs)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 5L, 6L, 7L, 8L, 9L, 10L, 12L),
+      s"expected reps 1 and 10 plus unpaired docs, got $kept")
+  }
+
   test("packingManifest: spans tile [0, total) contiguously in corpus order") {
     val docs = cases(Gen.listOfN(60, Gen.choose(1, 40)), n = 2).flatten.zipWithIndex
       .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "toks")
