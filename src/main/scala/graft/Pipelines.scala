@@ -229,7 +229,8 @@ object Pipelines {
       repGramN: Int = 2, maxTopGramFrac: Double = 1.0, maxDupGramFrac: Double = 1.0,
       benchmark: Option[DataFrame] = None, decontamN: Int = 8,
       maxBenchOverlap: Double = 0.0, scrubPii: Boolean = false,
-      paragraphSep: Option[String] = None): DataFrame = {
+      paragraphSep: Option[String] = None,
+      nearDupClusters: Boolean = false): DataFrame = {
     import graft.functions.TextFunctions._
     val exact0 = TextDedup.exactDedup(docs)
     // optional paragraph-grain boilerplate removal (Dolma-style) runs
@@ -240,11 +241,20 @@ object Pipelines {
       case Some(sep) => TextDedup.paragraphDedup(exact0, sep)
       case None => exact0
     }
-    val nearDupLosers = TextDedup
+    val pairs = TextDedup
       .minhashLshPairs(exact, k = 8, bands = 4, shingleWidth = 3,
         minJaccard = nearDupJaccard, md5Hashes = md5Hashes, dfCap = dfCap)
-      .select(greatest(col("id_a"), col("id_b")).as("doc_id")).distinct()
-    val kept = exact.join(nearDupLosers, Seq("doc_id"), "left_anti")
+    // default: per-pair loser drop (keep the lower id of each pair —
+    // the q65/q79 gated semantics). `nearDupClusters` switches to
+    // CLUSTER-grain resolution ([[TextDedup.dedupByComponents]]): one
+    // representative per CONNECTED component. The two differ on open
+    // triangles — pairs (1,3),(2,3) keep {1,2} pairwise but only {1}
+    // cluster-grain, since 2 links to 1 transitively through 3.
+    val kept =
+      if (nearDupClusters) TextDedup.dedupByComponents(exact, pairs)
+      else exact.join(
+        pairs.select(greatest(col("id_a"), col("id_b")).as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
     val scored0 = kept
       .withColumn("lang", langId(tokens(col("text"))))
       .filter(col("lang").isin(langs: _*))

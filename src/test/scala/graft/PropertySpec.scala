@@ -85,6 +85,19 @@ class PropertySpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(kept == Seq(1L, 5L, 6L, 7L, 8L, 9L, 10L, 12L),
       s"expected reps 1 and 10 plus unpaired docs, got $kept")
+    // open triangle (1,3),(2,3): pairwise loser-drop keeps {1,2} but
+    // cluster resolution keeps only the component rep {1} — the
+    // documented semantic difference textCuration's nearDupClusters
+    // flag switches between
+    val tri = Seq((1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
+    val triDocs = (1L to 3L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val pairwise = triDocs.join(
+        tri.select(greatest(col("id_a"), col("id_b")).as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val cluster = TextDedup.dedupByComponents(triDocs, tri)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(pairwise == Seq(1L, 2L) && cluster == Seq(1L))
   }
 
   test("packingManifest: spans tile [0, total) contiguously in corpus order") {
