@@ -303,6 +303,29 @@ object Pipelines {
       .withColumn("bpeish_tokens", bpeishTokenCount(col("text")))
   }
 
+  /** E5 — training-data MIXING chain (the step after curation in a
+    * production corpus pass): per-source mixing WEIGHTS
+    * ([[TextDedup.sampleByRate]]: exact hex-md5-threshold Bernoulli)
+    * → per-source TOKEN BUDGETS ([[TextDedup.capTokensPerKey]]:
+    * greedy prefix under the budget, two-stage salted) →
+    * sequence-PACKING manifest ([[TextDedup.packingManifest]]: global
+    * token offsets + training-block spans, range-partition + stitch).
+    * Every stage is deterministic seeded-hash machinery, so the whole
+    * chain replays in any SQL engine — and every stage's shuffle is
+    * keyed or stitched, never a content-keyed window or a single-task
+    * sort. Distinct seeds per stage keep the three hash streams
+    * independent. Returns the packing manifest over the mixed corpus. */
+  def dataMix(docs: DataFrame, rates: DataFrame, keyCol: String,
+      tokenCol: String, budgetPerKey: Long, blockTokens: Long,
+      seed: Int = 0, id: String = "doc_id",
+      md5Hashes: Boolean = false): DataFrame = {
+    val sampled = TextDedup.sampleByRate(docs, keyCol, rates, seed, id)
+    val budgeted = TextDedup.capTokensPerKey(sampled, keyCol, tokenCol,
+      budgetPerKey, seed + 1, id, md5Hashes)
+    TextDedup.packingManifest(budgeted, tokenCol, blockTokens, seed + 2, id,
+      md5Hashes)
+  }
+
   /** E3 — meta-analysis (`Meta_analysis.R`): per-platform effect
     * sizes, ICC between platform pairs (negative-ICC genes dropped,
     * F7), FEM/REM combine, weighted Stouffer over per-platform DE

@@ -27,7 +27,7 @@ object Plans {
         "q83_image_decode", "q84_audio_decode", "q85_paragraph_dedup",
         "q86_quota_sample", "q87_video_meta", "q88_token_budget",
         "q89_rate_sample", "q90_token_chunks", "q91_packing_manifest",
-        "q92_dup_components")
+        "q92_dup_components", "q93_data_mix")
     names.foreach { name =>
       if (name == "bucketed_demo") bucketedDemo(spark, dir)
       else {

@@ -577,6 +577,23 @@ object ExtraQueries {
         .orderBy("domain", "doc_id")
     }),
 
+    // ---- E5 mixing chain end-to-end: per-domain rates (q89's) →
+    // per-domain 1500-token budgets → 256-token packing blocks, every
+    // stage the deterministic md5 machinery so the oracle replays the
+    // whole chain. ----
+    "q93_data_mix" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), (col("doc_id") % 5).as("domain"),
+          graft.functions.TextFunctions.wsTokenCount(col("text")).as("toks"))
+      val rates = Seq((0L, "2"), (1L, "4"), (2L, "8"), (3L, "c"))
+        .toDF("domain", "threshold")
+      graft.Pipelines.dataMix(docs, rates, "domain", "toks",
+          budgetPerKey = 1500L, blockTokens = 256L, seed = 11, md5Hashes = true)
+        .orderBy("doc_id")
+    }),
+
     // ---- Sequence-packing manifest (concat-and-split pretraining
     // packing): global token offsets in the seeded md5 corpus order,
     // 512-token blocks — the oracle replays the prefix sum with one
@@ -2089,6 +2106,35 @@ object ExtraQueries {
                                  doc_id ASC) AS rn
                FROM d)
          SELECT domain, doc_id FROM r WHERE rn <= 20 ORDER BY 1, 2""",
+
+    // E5 mixing replay: rate filter (seed 11) → per-domain budget
+    // prefix sum (seed 12) → global packing prefix sum (seed 13) —
+    // the three independent md5 streams the chain seeds.
+    "q93_data_mix" ->
+      """WITH d AS (SELECT doc_id, doc_id % 5 AS domain,
+                           len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '')) AS toks
+                    FROM documents),
+         rated AS (SELECT * FROM (
+                     SELECT d.*, CASE domain WHEN 0 THEN '2' WHEN 1 THEN '4'
+                                             WHEN 2 THEN '8' WHEN 3 THEN 'c' END AS th
+                     FROM d)
+                   WHERE th IS NULL OR md5('11#' || CAST(doc_id AS VARCHAR)) < th),
+         budg AS (SELECT domain, doc_id, toks,
+                         sum(toks) OVER (PARTITION BY domain
+                           ORDER BY md5('12#' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+                           ROWS UNBOUNDED PRECEDING) AS ct
+                  FROM rated),
+         kept AS (SELECT doc_id, toks FROM budg WHERE ct <= 1500),
+         packed AS (SELECT doc_id, toks,
+                           sum(toks) OVER (ORDER BY md5('13#' || CAST(doc_id AS VARCHAR)) ASC,
+                                           doc_id ASC ROWS UNBOUNDED PRECEDING) AS endt
+                    FROM kept WHERE toks > 0)
+         SELECT doc_id, CAST(endt - toks AS BIGINT) AS start_tok,
+                CAST(endt AS BIGINT) AS end_tok,
+                CAST((endt - toks) // 256 AS BIGINT) AS block_first,
+                CAST((endt - 1) // 256 AS BIGINT) AS block_last
+         FROM packed ORDER BY doc_id""",
 
     // packing replay: one global-window prefix sum in the same md5
     // corpus order (fine at oracle scale).
