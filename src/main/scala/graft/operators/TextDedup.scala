@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.BloomContains
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -31,6 +32,41 @@ object TextDedup {
       .groupBy(col("__fp"))
       .agg(min_by(struct(docs.columns.map(col): _*), col(id)).as("__w"))
       .select(col("__w.*"))
+
+  /** INCREMENTAL exact dedup — drop incoming documents whose content
+    * fingerprint already exists in a reference corpus (the
+    * new-crawl-against-previous-crawls stage every growing corpus
+    * needs). Result is EXACTLY the anti-join of `docs` against
+    * `refFp` on the fingerprint; the Bloom filter only prunes.
+    *
+    * Scale shape: the reference fingerprints fold into one driver
+    * Bloom sketch (`stat.bloomFilter` — a treeAggregate; the sketch,
+    * not the corpus, is the only driver-sized object). Bloom-NEGATIVE
+    * docs — the overwhelming majority of a mostly-fresh crawl — exit
+    * through a pure codegen filter ([[graft.functions.BloomContains]],
+    * a plan-constant probe: zero shuffle, zero join). Only
+    * bloom-POSITIVES (true dups + `fpp` of the clean mass) pay the
+    * exact confirm anti-join, so the join shuffle carries ~duplicate
+    * volume, not corpus volume. The `fpp` knob trades sketch bytes
+    * against confirm-join traffic and never changes the answer. At
+    * true corpus scale pass `expectedItems` (estimated reference
+    * cardinality) to skip the sizing count job, and keep the
+    * reference fingerprint relation bucketed by fingerprint so the
+    * confirm join co-locates. */
+  def dedupAgainstReference(docs: DataFrame, refFp: DataFrame,
+      fpCol: String = "fp", text: String = "text",
+      expectedItems: Long = -1L, fpp: Double = 0.01): DataFrame = {
+    val withFp = docs.withColumn("__fp", fingerprint(col(text)))
+    val n = if (expectedItems > 0L) expectedItems
+            else math.max(refFp.count(), 1L)
+    val bf = refFp.select(xxhash64(col(fpCol)).as("__k"))
+      .stat.bloomFilter("__k", n, fpp)
+    val maybeDup = BloomContains.bloomContains(xxhash64(col("__fp")), bf)
+    val clean = withFp.filter(!maybeDup)
+    val confirmed = withFp.filter(maybeDup)
+      .join(refFp.select(col(fpCol).as("__fp")), Seq("__fp"), "left_anti")
+    clean.unionByName(confirmed).drop("__fp")
+  }
 
   /** PARAGRAPH-grain exact dedup — the Dolma/RefinedWeb curation stage
     * between whole-document dedup and near-dup: boilerplate paragraphs
@@ -536,6 +572,69 @@ object TextDedup {
       .join(perDoc, Seq(id))
       .select(col(id), col("n_grams"), col("n_overlap"),
         (col("n_overlap").cast("double") / col("n_grams")).as("overlap_frac"))
+  }
+
+  /** Cross-document REPEATED-SPAN removal — the exact-substring dedup
+    * stage (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better") at token-gram grain: any `n`-token span that
+    * appears verbatim in ≥ `minDocs` distinct documents is treated as
+    * boilerplate and EVERY occurrence is masked (the Dolma-style
+    * mask-all policy — keep-one-copy would need a global winner per
+    * span plus overlap arbitration; run this AFTER [[exactDedup]], or
+    * exact-duplicate documents legitimately erase each other). Spans
+    * are full windows over the `tokens()` normalization, so the
+    * rebuilt text is the cleaned token stream (lowercased, punctuation
+    * collapsed); documents shorter than `n` tokens have no window and
+    * fully survive; documents losing every token survive with empty
+    * text (the [[paragraphDedup]] convention — the quality floor owns
+    * the drop).
+    *
+    * Scale shape: grams are the relational posexplode + lead idiom
+    * (one row per token, md5-compressed fixed-width keys); the
+    * duplicated-span decision is a hash-keyed AGGREGATION
+    * (count-distinct-docs, map-side combined — a viral boilerplate
+    * span is one aggregate row, never a single-task sort) and the
+    * mask-back a semi join (no fan-out). Coverage is a per-document
+    * running max over span starts (`pos ≤ last_start + n − 1`), so
+    * overlapping spans merge without interval arithmetic; every
+    * window here partitions by DOC id — bounded by document length,
+    * never by content. */
+  def removeRepeatedSpans(docs: DataFrame, n: Int = 8, minDocs: Int = 2,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    require(n >= 1, "span width must be positive")
+    val tok = docs.select(col(id), posexplode(tokens(col(text))).as(Seq("pos", "tk")))
+    val wDoc = Window.partitionBy(col(id)).orderBy(col("pos"))
+    val leads = (1 until n).map(o => lead(col("tk"), o).over(wDoc))
+    val full = if (leads.isEmpty) lit(true) else leads.last.isNotNull
+    val grams = tok
+      .withColumn("__h", when(full, md5(concat_ws(" ", (col("tk") +: leads): _*))))
+    val dupHashes = grams.filter(col("__h").isNotNull)
+      .groupBy("__h").agg(countDistinct(col(id)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select("__h")
+    val starts = grams.filter(col("__h").isNotNull)
+      .join(dupHashes, Seq("__h"), "left_semi")
+      .select(col(id), col("pos"), lit(true).as("__st"))
+    val wCov = Window.partitionBy(col(id)).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val kept = grams.select(col(id), col("pos"), col("tk"))
+      .join(starts, Seq(id, "pos"), "left")
+      .withColumn("__ls", max(when(col("__st"), col("pos"))).over(wCov))
+      .filter(col("__ls").isNull || col("pos") > col("__ls") + (n - 1))
+    val rebuilt = kept.groupBy(col(id))
+      .agg(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tk")))),
+            s => s.getField("tk"))).as("__clean"),
+        count(lit(1)).as("__kept"))
+    val totals = tok.groupBy(col(id)).agg(count(lit(1)).as("__tot"))
+    docs.select(col(id))
+      .join(totals, Seq(id), "left")
+      .join(rebuilt, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("__clean"), lit("")).as("text_clean"),
+        coalesce(col("__kept"), lit(0L)).as("n_tokens"),
+        (coalesce(col("__tot"), lit(0L)) - coalesce(col("__kept"), lit(0L)))
+          .as("n_removed"))
   }
 
   /** Non-distinct relational gram rows `(id, s)` — the COUNTING shape

@@ -285,6 +285,24 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- INCREMENTAL dedup: a new crawl against a reference corpus.
+    // Reference = docs with doc_id % 7 < 3 (a deterministic "previous
+    // crawl"); incoming = the rest. Bloom sketch prunes, exact
+    // anti-join confirms — the result is exactly NOT EXISTS, which is
+    // what the oracle replays. fpp = 0.5 deliberately floods the
+    // confirm path so both exits are exercised at every SF. ----
+    "q94_bloom_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ref = docs.filter(col("doc_id") % 7 < 3)
+        .select(fingerprint(col("text")).as("fp"))
+      val incoming = docs.filter(col("doc_id") % 7 >= 3)
+      TextDedup.dedupAgainstReference(incoming, ref, fpp = 0.5)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), min("doc_id").as("first_kept"),
+          sum("doc_id").as("sum_ids"))
+        .orderBy("source")
+    }),
+
     // ---- SimHash fingerprints (32-bit, engine-portable bit votes) ----
     // Relational form: one md5 per (doc, token-occurrence) row, all
     // 32 bit votes as conditional sums in a single aggregation.
@@ -822,6 +840,24 @@ object TextQueries {
           )
           SELECT id AS doc_id, min(lab) AS component
           FROM reach GROUP BY 1 ORDER BY 1"""),
+
+    // incremental-dedup replay: the Bloom sketch is pruning-only, so
+    // the oracle is the exact NOT EXISTS the operator guarantees.
+    "q94_bloom_dedup" ->
+      """WITH fp AS (
+           SELECT doc_id, source,
+                  md5(array_to_string(
+                    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                x -> x <> ''),
+                    ' ')) AS fp
+           FROM documents
+         ), ref AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 7 < 3)
+         SELECT source, count(*) AS n_kept, min(doc_id) AS first_kept,
+                CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         FROM fp d
+         WHERE doc_id % 7 >= 3
+           AND NOT EXISTS (SELECT 1 FROM ref r WHERE r.fp = d.fp)
+         GROUP BY 1 ORDER BY 1""",
 
     "q36_simhash" -> {
       val bitTerms = (0 until 32).map(i =>

@@ -151,6 +151,75 @@ object StreamOps {
       }
   }
 
+  /** Streaming per-key TOKEN budget — the incremental form of
+    * [[graft.operators.TextDedup.capTokensPerKey]] (the data-MIXING
+    * budget stage on a live feed): a key's documents pass while the
+    * key's token budget lasts, with ONE Long tokens-spent counter per
+    * key. Admission is greedy in ARRIVAL order (ties within a
+    * micro-batch broken by (ts, doc_id), the [[streamingCapPerKey]]
+    * convention standing in for the batch operator's hash-rank
+    * order); a document that would overflow the budget is dropped
+    * but does NOT close the key — a later, smaller document may
+    * still fit, exactly the batch greedy-prefix semantics. Token
+    * counts replicate `TextFunctions.tokens` (lowercase alnum runs)
+    * so batch and stream agree on cost. State evicts
+    * `horizonMinutes` of EVENT time after the key's last arrival
+    * (EventTimeTimeout) — bounded state, budget RESETS past the
+    * horizon: the windowed-quota trade-off, documented like every
+    * watermark-bounded store here. */
+  def streamingCapTokensPerKey(docs: Dataset[KeyedDoc], budget: Long,
+      watermarkDelay: String = "10 minutes",
+      horizonMinutes: Int = 60): Dataset[KeyedDoc] = {
+    import docs.sparkSession.implicits._
+    val horizonMs = horizonMinutes * 60 * 1000L
+    def toks(d: KeyedDoc): Long =
+      d.text.toLowerCase.split("[^a-z0-9]+").count(_.nonEmpty).toLong
+    docs
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[Long, KeyedDoc](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, rows: Iterator[KeyedDoc], state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var spent = state.getOption.getOrElse(0L)
+            val sorted = rows.toSeq.sortBy(d => (d.ts.getTime, d.doc_id))
+            val kept = sorted.filter { d =>
+              val n = toks(d)
+              val fits = spent + n <= budget
+              if (fits) spent += n
+              fits
+            }
+            state.update(spent)
+            state.setTimeoutTimestamp(sorted.map(_.ts.getTime).max + horizonMs)
+            kept.iterator
+          }
+      }
+  }
+
+  /** Streaming E5 MIXING leg — rate sampling then token budgets on a
+    * live feed, the streaming subset of
+    * [[graft.operators.Pipelines.dataMix]]: per-key mixing rates
+    * apply as a stream-static broadcast join + codegen threshold
+    * filter (the batch [[graft.operators.TextDedup.sampleByRate]]
+    * operator unchanged — it is stateless, so it streams as-is),
+    * then [[streamingCapTokensPerKey]] enforces per-key token
+    * budgets with one counter state row per key. The packing
+    * manifest stays batch — global token offsets have no meaning on
+    * an unbounded feed (documented, like near-dup recall in
+    * [[streamingCuration]]). Input columns: (ts, key, doc_id,
+    * text). */
+  def streamingMixing(docs: DataFrame, rates: DataFrame, budget: Long,
+      seed: Int = 0, watermarkDelay: String = "10 minutes",
+      horizonMinutes: Int = 60): Dataset[KeyedDoc] = {
+    import docs.sparkSession.implicits._
+    val sampled = graft.operators.TextDedup
+      .sampleByRate(docs, "key", rates, seed = seed)
+      .select(col("ts"), col("key"), col("doc_id"), col("text"))
+      .as[KeyedDoc]
+    streamingCapTokensPerKey(sampled, budget, watermarkDelay, horizonMinutes)
+  }
+
   /** Streaming PARAGRAPH-grain dedup — the incremental form of
     * [[graft.operators.TextDedup.paragraphDedup]], enabled by that
     * operator's aggregation shape: the keep-first decision needs ONE

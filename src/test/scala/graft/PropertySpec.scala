@@ -228,6 +228,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("dedupAgainstReference equals the exact anti-join at any fpp") {
+    val textGen = Gen.listOfN(24,
+      Gen.oneOf("alpha beta", "gamma delta", "shared text", "fresh one",
+        "fresh two", "Shared  TEXT!"))
+    for (texts <- cases(textGen, 3)) {
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val ref = docs.filter(col("doc_id") % 2 === 0)
+        .select(graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+      val incoming = docs.filter(col("doc_id") % 2 === 1)
+      val expected = incoming
+        .withColumn("fp", graft.functions.TextFunctions.fingerprint(col("text")))
+        .join(ref, Seq("fp"), "left_anti")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      // fpp = 0.5 floods the confirm join with false positives; the
+      // result must be bit-identical to the anti-join regardless
+      for (fpp <- Seq(0.01, 0.5)) {
+        val got = TextDedup.dedupAgainstReference(incoming, ref, fpp = fpp)
+          .select("doc_id").as[Long].collect().sorted.toSeq
+        assert(got == expected, s"fpp=$fpp diverged from exact anti-join")
+      }
+    }
+  }
+
   test("melt/pivot round-trip is the identity on complete matrices") {
     for (vs <- cases(Gen.listOfN(6, Gen.choose(-50.0, 50.0)))) {
       val rows = for ((v, i) <- vs.zipWithIndex)

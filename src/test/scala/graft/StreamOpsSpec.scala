@@ -163,6 +163,39 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streamingMixing applies rates statelessly and token budgets across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamOps.KeyedDoc
+    val input = MemoryStream[KeyedDoc]
+    // threshold "0" keeps nothing (no md5 < "0"); keys without a rate
+    // keep everything — so the rate leg is deterministic without
+    // precomputed hashes, and the budget leg does the selecting
+    val rates = Seq(("c", "0")).toDF("key", "threshold")
+    val mixed = StreamOps.streamingMixing(
+      input.toDS().toDF("ts", "key", "doc_id", "text"), rates, budget = 5L)
+    val query = mixed.writeStream.format("memory")
+      .queryName("mix_out").outputMode("append").start()
+    try {
+      val t0 = 1700000000000L
+      input.addData(
+        KeyedDoc(new Timestamp(t0), "a", 1L, "one two three"),
+        KeyedDoc(new Timestamp(t0 + 1000), "a", 2L, "four five six"),
+        KeyedDoc(new Timestamp(t0 + 2000), "c", 3L, "rate dropped"))
+      query.processAllAvailable()
+      // doc 2 overflowed (3+3 > 5) but must NOT close key a: doc 4's
+      // 2 tokens fit the remaining budget exactly (3+2 = 5) — and the
+      // spent counter must have survived the micro-batch boundary
+      input.addData(
+        KeyedDoc(new Timestamp(t0 + 3000), "a", 4L, "seven eight"),
+        KeyedDoc(new Timestamp(t0 + 4000), "b", 5L, "five tokens fit just so"))
+      query.processAllAvailable()
+      val out = spark.table("mix_out").select("doc_id").as[Long].collect().sorted
+      assert(out.toSeq == Seq(1L, 4L, 5L),
+        s"expected greedy-budget survivors 1,4,5, got ${out.toSeq}")
+    } finally query.stop()
+  }
+
   test("streamingParagraphDedup drops recurring boilerplate across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
