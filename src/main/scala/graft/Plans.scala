@@ -27,7 +27,8 @@ object Plans {
         "q83_image_decode", "q84_audio_decode", "q85_paragraph_dedup",
         "q86_quota_sample", "q87_video_meta", "q88_token_budget",
         "q89_rate_sample", "q90_token_chunks", "q91_packing_manifest",
-        "q92_dup_components", "q93_data_mix")
+        "q92_dup_components", "q93_data_mix", "q94_bloom_dedup",
+        "q95_repeated_spans")
     names.foreach { name =>
       if (name == "bucketed_demo") bucketedDemo(spark, dir)
       else {
@@ -83,7 +84,11 @@ object Plans {
     "q79_full_curation" ->
       "curation keep-set joins (repetition/decontamination ids against the doc relation) — both sides corpus-grain keyed; AQE demotes at runtime",
     "q85_paragraph_dedup" ->
-      "paragraph reassembly LEFT JOIN (docs against their rebuilt text) — both sides corpus-grain keyed on doc id; broadcasting either side would be wrong at corpus scale, AQE demotes when small")
+      "paragraph reassembly LEFT JOIN (docs against their rebuilt text) — both sides corpus-grain keyed on doc id; broadcasting either side would be wrong at corpus scale, AQE demotes when small",
+    "q94_bloom_dedup" ->
+      "confirm anti-join of bloom-positive candidates against the reference fingerprint relation — both sides corpus-grain keyed on the fingerprint; the bloom prune already shrank the left side, AQE demotes when the candidate set is small",
+    "q95_repeated_spans" ->
+      "span-start mask-back join keyed on (doc, pos) and the doc-universe reassembly joins keyed on doc id — both sides corpus-grain; AQE demotes when small")
 
   /** The bucketed-workspace co-location demo (SCALING.md / ROADMAP):
     * checkpoint the expression matrix bucketed on gene_id, then run a

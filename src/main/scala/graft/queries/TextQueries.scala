@@ -303,6 +303,16 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // ---- exact-substring (repeated-span) dedup: any 5-token span
+    // shared verbatim by >= 2 docs is masked everywhere; the oracle
+    // replays windows, coverage running-max, and reassembly. ----
+    "q95_repeated_spans" -> ((s, dir) => {
+      TextDedup.removeRepeatedSpans(t(s, dir, "documents"), n = 5, minDocs = 2)
+        .select(col("doc_id"), md5(col("text_clean")).as("clean_md5"),
+          col("n_tokens"), col("n_removed"))
+        .orderBy("doc_id")
+    }),
+
     // ---- SimHash fingerprints (32-bit, engine-portable bit votes) ----
     // Relational form: one md5 per (doc, token-occurrence) row, all
     // 32 bit votes as conditional sums in a single aggregation.
@@ -858,6 +868,52 @@ object TextQueries {
          WHERE doc_id % 7 >= 3
            AND NOT EXISTS (SELECT 1 FROM ref r WHERE r.fp = d.fp)
          GROUP BY 1 ORDER BY 1""",
+
+    // repeated-span replay: full 5-token windows, count-distinct-docs
+    // duplicate test, per-doc coverage running max, reassembly in
+    // token order. Token stream and slicing match the engine's
+    // tokens() normalization exactly.
+    "q95_repeated_spans" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              x -> x <> '') AS ts
+           FROM documents
+         ), tk AS (
+           SELECT doc_id, ts, unnest(ts) AS tk,
+                  generate_subscripts(ts, 1) - 1 AS pos
+           FROM toks
+         ), gram AS (
+           SELECT doc_id, pos, tk,
+                  CASE WHEN pos + 5 <= len(ts)
+                       THEN md5(array_to_string(ts[pos+1:pos+5], ' ')) END AS h
+           FROM tk
+         ), dup AS (
+           SELECT h FROM gram WHERE h IS NOT NULL
+           GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+         ), st AS (
+           SELECT doc_id, pos FROM gram WHERE h IN (SELECT h FROM dup)
+         ), cov AS (
+           SELECT g.doc_id, g.pos, g.tk,
+                  max(s.pos) OVER (PARTITION BY g.doc_id ORDER BY g.pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ls
+           FROM gram g LEFT JOIN st s ON s.doc_id = g.doc_id AND s.pos = g.pos
+         ), keep AS (
+           SELECT doc_id, pos, tk FROM cov WHERE ls IS NULL OR pos > ls + 4
+         ), outp AS (
+           SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS clean,
+                  count(*) AS n_kept
+           FROM keep GROUP BY 1
+         ), tot AS (
+           SELECT doc_id, count(*) AS n_tot FROM gram GROUP BY 1
+         )
+         SELECT d.doc_id, md5(coalesce(o.clean, '')) AS clean_md5,
+                CAST(coalesce(o.n_kept, 0) AS BIGINT) AS n_tokens,
+                CAST(coalesce(t.n_tot, 0) - coalesce(o.n_kept, 0) AS BIGINT)
+                  AS n_removed
+         FROM documents d
+         LEFT JOIN outp o USING (doc_id) LEFT JOIN tot t USING (doc_id)
+         ORDER BY doc_id""",
 
     "q36_simhash" -> {
       val bitTerms = (0 until 32).map(i =>

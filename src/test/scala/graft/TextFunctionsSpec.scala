@@ -27,6 +27,26 @@ class TextFunctionsSpec extends SparkSpec {
     val o2 = TextDedup.paragraphDedup(self).collect().head.getString(1)
     assert(o2 == "x\ny", o2)
   }
+
+  test("removeRepeatedSpans masks cross-document spans, keeps short docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon unique tail one"),
+      (2L, "intro words alpha beta gamma delta epsilon other end"),
+      (3L, "totally different content here okay"),
+      (4L, "tiny doc")).toDF("doc_id", "text")
+    val out = TextDedup.removeRepeatedSpans(docs, n = 5, minDocs = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // the one shared 5-token span is masked in BOTH documents (the
+    // mask-all policy), and only its covered tokens go
+    assert(out(1L) == (("unique tail one", 3L, 5L)), out(1L))
+    assert(out(2L) == (("intro words other end", 4L, 5L)), out(2L))
+    // untouched and too-short documents survive whole
+    assert(out(3L) == (("totally different content here okay", 5L, 0L)), out(3L))
+    assert(out(4L) == (("tiny doc", 2L, 0L)), out(4L))
+  }
   import spark.implicits._
 
   test("tokens lowercases and splits on non-alphanumerics") {
