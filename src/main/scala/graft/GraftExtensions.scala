@@ -44,5 +44,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => invoke2("qchisq")(args)))
     ext.injectFunction((FunctionIdentifier("vec_dot"), info("vec_dot"),
       (args: Seq[Expression]) => VecDot(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("compression_ratio"),
+      info("compression_ratio"),
+      (args: Seq[Expression]) => StaticInvoke(
+        graft.functions.TextKernels.getClass, DoubleType, "deflateRatio",
+        args.map(a => org.apache.spark.sql.catalyst.expressions.Cast(
+          a, org.apache.spark.sql.types.StringType)),
+        Seq(org.apache.spark.sql.types.StringType),
+        propagateNull = true, returnNullable = false)))
   }
 }

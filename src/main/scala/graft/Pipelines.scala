@@ -230,16 +230,31 @@ object Pipelines {
       benchmark: Option[DataFrame] = None, decontamN: Int = 8,
       maxBenchOverlap: Double = 0.0, scrubPii: Boolean = false,
       paragraphSep: Option[String] = None,
-      nearDupClusters: Boolean = false): DataFrame = {
+      nearDupClusters: Boolean = false,
+      repeatedSpanN: Option[Int] = None): DataFrame = {
     import graft.functions.TextFunctions._
     val exact0 = TextDedup.exactDedup(docs)
     // optional paragraph-grain boilerplate removal (Dolma-style) runs
     // between whole-document dedup and near-dup: docs stripped to
     // empty text fall out at the quality floor below, the same
     // drop-by-downstream-filter contract the operator documents
-    val exact = paragraphSep match {
+    val exact1 = paragraphSep match {
       case Some(sep) => TextDedup.paragraphDedup(exact0, sep)
       case None => exact0
+    }
+    // optional cross-document repeated-SPAN masking (exact-substring
+    // dedup) runs after exact dedup for the same reason the operator
+    // documents: exact duplicates would legitimately erase each
+    // other. The rebuilt text is the cleaned token stream; emptied
+    // docs fall out at the quality floor like the paragraph stage.
+    val exact = repeatedSpanN match {
+      case Some(n) =>
+        val keepCols = exact1.columns.filterNot(c => c == "text")
+        TextDedup.removeRepeatedSpans(exact1, n = n)
+          .withColumnRenamed("text_clean", "text")
+          .select(col("doc_id"), col("text"))
+          .join(exact1.select(keepCols.map(col): _*), Seq("doc_id"))
+      case None => exact1
     }
     val pairs = TextDedup
       .minhashLshPairs(exact, k = 8, bands = 4, shingleWidth = 3,

@@ -174,12 +174,37 @@ object ScaleProbe {
     }
     val (capU, capV) = (capProbe(viral = false), capProbe(viral = true))
     println(f"[scale] capPerKey(viral)      uniform=$capU%8.2fs viral=$capV%8.2fs ratio=${capV / capU}%6.2f")
+    // removeRepeatedSpans — one boilerplate span verbatim in EVERY doc
+    // (3×10⁵ copies of the duplicated gram) vs all-unique texts: the
+    // count-distinct-docs aggregation + semi-join mask-back must stay
+    // within ~2× of uniform — no per-span task ever sorts the whole
+    // duplicate mass.
+    def spanProbe(viral: Boolean): Double = {
+      val docs = spark.range(300000L).select(col("id").as("doc_id"),
+        concat_ws(" ",
+          (if (viral)
+             lit("all rights reserved contact the webmaster for license terms")
+           else concat(lit("head-"), col("id"), lit(" mid-"), col("id"),
+             lit(" core-"), col("id"))),
+          concat(lit("tail-"), col("id"), lit("-one more-"), col("id"),
+            lit("-two"))).as("text"))
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        graft.operators.TextDedup.removeRepeatedSpans(docs, n = 8)
+          .queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      math.min(once(), once())
+    }
+    val (spanU, spanV) = (spanProbe(viral = false), spanProbe(viral = true))
+    println(f"[scale] repeatedSpans(viral)  uniform=$spanU%8.2fs viral=$spanV%8.2fs ratio=${spanV / spanU}%6.2f")
     val js = (rows.map { case (q, s, b) =>
       f"""\"$q\":{\"sf01\":$s%.3f,\"x10\":$b%.3f,\"ratio\":${b / s}%.3f}""" } :+
       f"""\"q46_icc_gene_axis\":{\"sf01\":$iccSmall%.3f,\"x10\":$iccBig%.3f,\"ratio\":${iccBig / iccSmall}%.3f}""" :+
       f"""\"q46_icc_supplier_axis\":{\"sf01\":$iccSupSmall%.3f,\"x10\":$iccSupBig%.3f,\"ratio\":${iccSupBig / iccSupSmall}%.3f}""" :+
       f"""\"paragraph_dedup_viral\":{\"uniform\":$paraU%.3f,\"viral\":$paraV%.3f,\"ratio\":${paraV / paraU}%.3f}""" :+
-      f"""\"cap_per_key_viral\":{\"uniform\":$capU%.3f,\"viral\":$capV%.3f,\"ratio\":${capV / capU}%.3f}""")
+      f"""\"cap_per_key_viral\":{\"uniform\":$capU%.3f,\"viral\":$capV%.3f,\"ratio\":${capV / capU}%.3f}""" :+
+      f"""\"repeated_spans_viral\":{\"uniform\":$spanU%.3f,\"viral\":$spanV%.3f,\"ratio\":${spanV / spanU}%.3f}""")
       .mkString("{", ",", "}")
     println(s"""[scale-json] {"copies":$copies,"queries":$js}""")
     spark.stop()

@@ -140,6 +140,20 @@ object TextFunctions {
     lenScore * 0.3 + wordLenScore * 0.3 + punctScore * 0.2 + stopScore * 0.2
   }
 
+  /** Compression-ratio quality signal: zlib-compressed bytes / raw
+    * bytes ([[TextKernels.deflateRatio]] as a codegen `StaticInvoke`
+    * — no UDF closure). Low values flag repetitive boilerplate and
+    * templated spam; pair with [[qualityScore]] as an independent
+    * axis. Spec-gated (SQL engines ship no deflate — no oracle). */
+  def compressionRatio(text: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        TextKernels.getClass, org.apache.spark.sql.types.DoubleType,
+        "deflateRatio",
+        Seq(org.apache.spark.sql.graftbridge.ColumnBridge.expression(text)),
+        Seq(org.apache.spark.sql.types.StringType),
+        propagateNull = true, returnNullable = false))
+
   /** Content fingerprint: md5 of the normalised token stream —
     * whitespace/punctuation-insensitive exact-dup key. */
   def fingerprint(text: Column): Column = md5(concat_ws(" ", tokens(text)))

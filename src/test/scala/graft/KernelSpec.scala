@@ -15,6 +15,11 @@ class KernelSpec extends SparkSpec {
     assert(math.abs(r.getDouble(0) - 1.959963984540054) < 1e-9)
     assert(math.abs(r.getDouble(1) - 0.975) < 1e-9)
     assert(r.getDouble(2) == 11.0)
+    val c = spark.sql(
+      "SELECT compression_ratio(repeat('spam ', 200)) AS lo, " +
+      "compression_ratio('') AS empty").head()
+    assert(c.getDouble(0) < 0.1, s"repetitive ratio ${c.getDouble(0)}")
+    assert(c.getDouble(1) == 1.0)
   }
 
   test("combat removes an additive batch effect, preserves grand structure") {

@@ -202,6 +202,28 @@ class PipelinesSpec extends SparkSpec {
     assert(out.forall(_.getInt(2) > 10))
   }
 
+  test("textCuration repeatedSpanN hook equals manual span-mask composition") {
+    val boiler = "all rights reserved contact the webmaster for license terms today"
+    val docs = Seq(
+      (1L, s"a story about tides and harbors that goes on nicely $boiler"),
+      (2L, s"$boiler a different account of mountains and passes and snow"),
+      (3L, "plain prose with no shared span in it at all just words flowing along"))
+      .toDF("doc_id", "text")
+    val hook = Pipelines.textCuration(docs, langs = Seq("en"), minQuality = 0.0,
+        nearDupJaccard = 0.99, repeatedSpanN = Some(8))
+      .select("doc_id", "ws_tokens").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val manualText = graft.operators.TextDedup.removeRepeatedSpans(
+        graft.operators.TextDedup.exactDedup(docs), n = 8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the 10-token boilerplate (> n = 8) is masked in both docs; the
+    // hook's surviving token counts must equal the manual composition
+    for ((id, t) <- manualText)
+      assert(hook(id) == t.split(" ").count(_.nonEmpty), s"doc $id: $t vs ${hook(id)}")
+    assert(manualText(1L).startsWith("a story about tides"))
+    assert(!manualText(1L).contains("webmaster") && !manualText(2L).contains("webmaster"))
+  }
+
   test("Workspace.fromTsv parses registry/target/outlier fixture shapes") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ws")
     def write(name: String, content: String) = {

@@ -28,6 +28,26 @@ class TextFunctionsSpec extends SparkSpec {
     assert(o2 == "x\ny", o2)
   }
 
+  test("compressionRatio separates boilerplate from varied prose, codegen-safe") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "buy now " * 300),
+      (2L, "the committee reviewed seventeen distinct proposals regarding " +
+        "watershed management, alpine reforestation, and municipal zoning " +
+        "variances before adjourning without a quorum decision"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        TextFunctions.compressionRatio(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) < 0.1, s"repetitive text must compress hard, got ${out(1L)}")
+    assert(out(2L) > out(1L) * 3, s"varied prose must sit well above boilerplate")
+    assert(out(3L) == 1.0, "empty text is 1.0 by convention")
+    // deterministic across evaluations (plan re-run)
+    val again = docs.select(TextFunctions.compressionRatio(col("text")))
+      .collect().map(_.getDouble(0)).sorted.toSeq
+    assert(again == out.values.toSeq.sorted)
+  }
+
   test("removeRepeatedSpans masks cross-document spans, keeps short docs") {
     import spark.implicits._
     val docs = Seq(
