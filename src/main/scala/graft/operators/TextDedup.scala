@@ -637,6 +637,36 @@ object TextDedup {
           .as("n_removed"))
   }
 
+  /** Per-document TF-IDF top-`k` terms — the corpus-analysis staple
+    * (keyword extraction, domain drift inspection, index features).
+    * Scores are `tf · ln(N / df)` over the `tokens()` normalization;
+    * ranking orders by the ROUNDED score (1e-9 epsilon then 6 dp)
+    * with a token tie-break, so ranks are deterministic and replay
+    * across engines (the cross-engine rank hazard).
+    *
+    * Scale shape: tf and df are both keyed AGGREGATIONS with map-side
+    * combine (df counts the distinct (doc, token) relation, so a
+    * stopword present in every document is one aggregate row, and the
+    * df join back cannot fan out — the tf side holds ≤ one row per
+    * (doc, token)). The only window partitions by DOC id over ≤ that
+    * document's distinct tokens. `N` is one count job on the doc
+    * relation (parquet metadata at rest). */
+  def tfIdfTopK(docs: DataFrame, k: Int = 5,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val tok = docs.select(col(id), explode(tokens(col(text))).as("tk"))
+    val tf = tok.groupBy(col(id), col("tk")).agg(count(lit(1)).as("tf"))
+    val dfRel = tf.groupBy("tk").agg(count(lit(1)).as("df"))
+    val n = docs.count()
+    val scored = tf.join(dfRel, Seq("tk"))
+      .withColumn("tfidf",
+        round(col("tf") * log(lit(n.toDouble) / col("df")) + 1e-9, 6))
+    val w = Window.partitionBy(col(id))
+      .orderBy(col("tfidf").desc, col("tk").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(id), col("tk"), col("tf"), col("df"), col("tfidf"), col("rank"))
+  }
+
   /** Non-distinct relational gram rows `(id, s)` — the COUNTING shape
     * [[repetitionStats]] needs ([[shingleRows]] distinct-reduces).
     * Same gram semantics: full lead windows, plus the all-tokens

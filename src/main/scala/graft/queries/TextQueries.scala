@@ -303,6 +303,13 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // ---- per-document TF-IDF top-k keywords; ranks deterministic
+    // via rounded-score ordering with token tie-breaks ----
+    "q96_tfidf_topk" -> ((s, dir) => {
+      TextDedup.tfIdfTopK(t(s, dir, "documents"), k = 5)
+        .orderBy("doc_id", "rank")
+    }),
+
     // ---- exact-substring (repeated-span) dedup: any 5-token span
     // shared verbatim by >= 2 docs is masked everywhere; the oracle
     // replays windows, coverage running-max, and reassembly. ----
@@ -868,6 +875,28 @@ object TextQueries {
          WHERE doc_id % 7 >= 3
            AND NOT EXISTS (SELECT 1 FROM ref r WHERE r.fp = d.fp)
          GROUP BY 1 ORDER BY 1""",
+
+    // tf-idf replay: same tf/df aggregations, ln scores rounded with
+    // the epsilon-before-round convention, same tie-broken ranking.
+    "q96_tfidf_topk" ->
+      (s"""WITH tk AS ($toksSql), ex AS (
+            SELECT doc_id, unnest(toks) AS tk FROM tk
+          ), tf AS (
+            SELECT doc_id, tk, count(*) AS tf FROM ex GROUP BY 1, 2
+          ), dfq AS (
+            SELECT tk, count(*) AS df FROM tf GROUP BY 1
+          ), sc AS (
+            SELECT tf.doc_id, tf.tk, tf.tf, dfq.df,
+                   round(tf.tf * ln((SELECT count(*) FROM documents) * 1.0
+                         / dfq.df) + 1e-9, 6) + 0.0 AS tfidf
+            FROM tf JOIN dfq ON tf.tk = dfq.tk
+          ), rk AS (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                      ORDER BY tfidf DESC, tk ASC) AS rank
+            FROM sc
+          )
+          SELECT doc_id, tk, tf, df, tfidf, CAST(rank AS INT) AS rank
+          FROM rk WHERE rank <= 5 ORDER BY doc_id, rank"""),
 
     // repeated-span replay: full 5-token windows, count-distinct-docs
     // duplicate test, per-doc coverage running max, reassembly in
