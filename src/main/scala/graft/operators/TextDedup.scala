@@ -637,6 +637,39 @@ object TextDedup {
           .as("n_removed"))
   }
 
+  /** Cumulative hex thresholds for [[assignSplits]]: fraction `c`
+    * maps to the 12-hex-digit prefix `floor(c · 16¹²)` — 48 bits,
+    * exact in a Long, and lexicographic hex compare = value compare.
+    * Shared by operator and oracle so literals match by
+    * construction. */
+  def splitThresholds(fractions: Seq[Double]): Seq[String] = {
+    val cum = fractions.scanLeft(0.0)(_ + _).tail
+    cum.map { c =>
+      val v = math.min((c * math.pow(16, 12)).toLong, (1L << 48) - 1)
+      f"$v%012x"
+    }
+  }
+
+  /** Deterministic TRAIN/VAL/TEST split assignment — holdout carving
+    * as pure hash algebra: document `id` lands in the first split
+    * whose cumulative-fraction hex threshold exceeds the first 12 hex
+    * digits of `md5(seed#id)` (the [[sampleByRate]] Bernoulli made
+    * multi-way). Reproducible across runs, engines, and cluster
+    * sizes; ZERO shuffle — one codegen CASE projection. Fractions
+    * not summing to 1 send the remainder to `defaultLabel`. */
+  def assignSplits(docs: DataFrame, splits: Seq[(String, Double)],
+      seed: Int = 0, id: String = "doc_id",
+      defaultLabel: String = "holdout"): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum <= 1.0 + 1e-12,
+      "split fractions must be positive and sum to at most 1")
+    val h = substring(md5(concat_ws("#", lit(seed), col(id))), 1, 12)
+    val thrs = splitThresholds(splits.map(_._2))
+    val label = splits.zip(thrs).foldRight(lit(defaultLabel): Column) {
+      case (((name, _), thr), rest) => when(h < lit(thr), lit(name)).otherwise(rest)
+    }
+    docs.withColumn("split", label)
+  }
+
   /** Per-document TF-IDF top-`k` terms — the corpus-analysis staple
     * (keyword extraction, domain drift inspection, index features).
     * Scores are `tf · ln(N / df)` over the `tokens()` normalization;

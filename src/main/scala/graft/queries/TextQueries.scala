@@ -303,6 +303,18 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // ---- deterministic train/val/test split carving: multi-way
+    // md5-threshold assignment, zero shuffle; thresholds shared with
+    // the oracle by construction (splitThresholds) ----
+    "q97_split_assign" -> ((s, dir) => {
+      TextDedup.assignSplits(t(s, dir, "documents"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 11)
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_id"),
+          sum("doc_id").as("sum_ids"))
+        .orderBy("source", "split")
+    }),
+
     // ---- per-document TF-IDF top-k keywords; ranks deterministic
     // via rounded-score ordering with token tie-breaks ----
     "q96_tfidf_topk" -> ((s, dir) => {
@@ -875,6 +887,23 @@ object TextQueries {
          WHERE doc_id % 7 >= 3
            AND NOT EXISTS (SELECT 1 FROM ref r WHERE r.fp = d.fp)
          GROUP BY 1 ORDER BY 1""",
+
+    // split replay: identical literal hex thresholds (generated by
+    // the same splitThresholds call the operator uses).
+    "q97_split_assign" -> locally {
+      val thrs = TextDedup.splitThresholds(Seq(0.8, 0.1, 0.1))
+      def h = "substr(md5('11#' || CAST(doc_id AS VARCHAR)), 1, 12)"
+      s"""WITH lab AS (
+            SELECT source, doc_id,
+                   CASE WHEN $h < '${thrs(0)}' THEN 'train'
+                        WHEN $h < '${thrs(1)}' THEN 'val'
+                        WHEN $h < '${thrs(2)}' THEN 'test'
+                        ELSE 'holdout' END AS split
+            FROM documents)
+          SELECT source, split, count(*) AS n_docs, min(doc_id) AS first_id,
+                 CAST(sum(doc_id) AS BIGINT) AS sum_ids
+          FROM lab GROUP BY 1, 2 ORDER BY 1, 2"""
+    },
 
     // tf-idf replay: same tf/df aggregations, ln scores rounded with
     // the epsilon-before-round convention, same tie-broken ranking.

@@ -220,6 +220,41 @@ object StreamOps {
     streamingCapTokensPerKey(sampled, budget, watermarkDelay, horizonMinutes)
   }
 
+  /** Streaming benchmark DECONTAMINATION — the incremental form of
+    * [[graft.operators.TextDedup.contaminationOverlap]]: evaluation
+    * sets are corpus-small and STATIC, so their distinct gram hashes
+    * fold once into a driver Bloom sketch
+    * ([[graft.functions.BloomContains]], a plan constant) and every
+    * live document scores its overlap in a STATELESS projection —
+    * distinct shingles per row, per-gram Bloom probes, drop when
+    * `overlap_frac > maxOverlap`. No state store, no watermark, no
+    * shuffle. Two documented divergences from the batch operator:
+    * Bloom false positives make the filter CONSERVATIVE (a clean doc
+    * is wrongly dropped with probability ≈ 1−(1−fpp)^grams — tune
+    * `fpp` down, the sketch is the only memory cost), and the
+    * per-row array probe runs interpreted (fine at stream rates; the
+    * batch path keeps the exact relational join). */
+  def streamingDecontaminate(docs: DataFrame, benchmark: DataFrame,
+      n: Int = 3, maxOverlap: Double = 0.0, fpp: Double = 0.001,
+      text: String = "text", benchText: String = "text"): DataFrame = {
+    import graft.functions.TextFunctions._
+    import graft.functions.BloomContains
+    val benchKeys = graft.operators.TextDedup
+      .shingleRows(benchmark, n, "doc_id", benchText)
+      .filter(col("s") =!= "")
+      .select(xxhash64(col("s")).as("__k")).distinct()
+    val bf = benchKeys.stat.bloomFilter("__k",
+      math.max(benchKeys.count(), 1L), fpp)
+    val grams = array_distinct(shingles(tokens(col(text)), n))
+    val hits = size(filter(grams,
+      s => BloomContains.bloomContains(xxhash64(s), bf)))
+    val frac = when(size(grams) > 0,
+      hits.cast("double") / size(grams).cast("double")).otherwise(0.0)
+    docs.withColumn("overlap_frac", frac)
+      .filter(col("overlap_frac") <= maxOverlap)
+      .drop("overlap_frac")
+  }
+
   /** Streaming PARAGRAPH-grain dedup — the incremental form of
     * [[graft.operators.TextDedup.paragraphDedup]], enabled by that
     * operator's aggregation shape: the keep-first decision needs ONE

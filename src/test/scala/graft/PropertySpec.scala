@@ -251,6 +251,24 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("assignSplits partitions deterministically; widening a split nests") {
+    val docs = spark.range(2000).select(col("id").as("doc_id"))
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val counts = TextDedup.assignSplits(docs, splits, seed = 5)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 2000L, "every doc gets exactly one label")
+    assert(math.abs(counts("train") - 1600L) < 120, s"48-bit uniformity: $counts")
+    // cumulative thresholds nest: growing a fraction only ADDS docs —
+    // the operational property that lets a training split grow
+    // without reshuffling past membership
+    def trainSet(f: Double) =
+      TextDedup.assignSplits(docs, Seq("train" -> f), seed = 5)
+        .filter(col("split") === "train")
+        .select("doc_id").as[Long].collect().toSet
+    assert(trainSet(0.5).subsetOf(trainSet(0.8)), "threshold nesting violated")
+  }
+
   test("melt/pivot round-trip is the identity on complete matrices") {
     for (vs <- cases(Gen.listOfN(6, Gen.choose(-50.0, 50.0)))) {
       val rows = for ((v, i) <- vs.zipWithIndex)

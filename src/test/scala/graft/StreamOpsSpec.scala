@@ -196,6 +196,28 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streamingDecontaminate drops contaminated docs statelessly via the Bloom probe") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val bench = Seq((100L, "the secret benchmark answer phrase")).toDF("doc_id", "text")
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamOps.streamingDecontaminate(
+      input.toDS().toDF("ts", "doc_id", "text"), bench, n = 3, maxOverlap = 0.2)
+    val query = out.writeStream.format("memory")
+      .queryName("decon_out").outputMode("append").start()
+    try {
+      val t0 = 1700000000000L
+      input.addData(
+        (new Timestamp(t0), 1L, "contains the secret benchmark answer phrase inside"),
+        (new Timestamp(t0 + 1000), 2L, "completely unrelated words about gardens and rain"))
+      query.processAllAvailable()
+      val ids = spark.table("decon_out").select("doc_id").as[Long].collect().sorted
+      // doc 1 shares 3 of its 6 shingles with the benchmark (0.5 >
+      // 0.2 -> dropped); doc 2 has zero overlap and passes
+      assert(ids.toSeq == Seq(2L), s"got ${ids.toSeq}")
+    } finally query.stop()
+  }
+
   test("streamingParagraphDedup drops recurring boilerplate across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
