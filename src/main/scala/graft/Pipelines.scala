@@ -231,9 +231,18 @@ object Pipelines {
       maxBenchOverlap: Double = 0.0, scrubPii: Boolean = false,
       paragraphSep: Option[String] = None,
       nearDupClusters: Boolean = false,
-      repeatedSpanN: Option[Int] = None): DataFrame = {
+      repeatedSpanN: Option[Int] = None,
+      referenceFp: Option[DataFrame] = None): DataFrame = {
     import graft.functions.TextFunctions._
-    val exact0 = TextDedup.exactDedup(docs)
+    // optional INCREMENTAL front stage: drop documents already in a
+    // previous crawl's fingerprint relation before any in-batch work
+    // ([[TextDedup.dedupAgainstReference]] — Bloom prune + exact
+    // confirm, result exactly the anti-join)
+    val docs0 = referenceFp match {
+      case Some(ref) => TextDedup.dedupAgainstReference(docs, ref)
+      case None => docs
+    }
+    val exact0 = TextDedup.exactDedup(docs0)
     // optional paragraph-grain boilerplate removal (Dolma-style) runs
     // between whole-document dedup and near-dup: docs stripped to
     // empty text fall out at the quality floor below, the same

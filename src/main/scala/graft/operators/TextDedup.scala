@@ -655,8 +655,10 @@ object TextDedup {
     * whose cumulative-fraction hex threshold exceeds the first 12 hex
     * digits of `md5(seed#id)` (the [[sampleByRate]] Bernoulli made
     * multi-way). Reproducible across runs, engines, and cluster
-    * sizes; ZERO shuffle — one codegen CASE projection. Fractions
-    * not summing to 1 send the remainder to `defaultLabel`. */
+    * sizes; ZERO shuffle — one codegen CASE projection, so it is
+    * stateless and runs unchanged on a STREAMING DataFrame (the
+    * [[sampleByRate]] stream-safety argument). Fractions not summing
+    * to 1 send the remainder to `defaultLabel`. */
   def assignSplits(docs: DataFrame, splits: Seq[(String, Double)],
       seed: Int = 0, id: String = "doc_id",
       defaultLabel: String = "holdout"): DataFrame = {

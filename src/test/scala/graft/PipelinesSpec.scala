@@ -224,6 +224,19 @@ class PipelinesSpec extends SparkSpec {
     assert(!manualText(1L).contains("webmaster") && !manualText(2L).contains("webmaster"))
   }
 
+  test("textCuration referenceFp hook drops previously-crawled docs up front") {
+    val story = "a fine long english sentence about the harbor and the boats " * 3
+    val other = "a different english account of the hills and the weather there " * 3
+    val docs = Seq((1L, story), (2L, other)).toDF("doc_id", "text")
+    // the reference corpus already contains doc 1's fingerprint
+    val ref = Seq((99L, story)).toDF("doc_id", "text")
+      .select(graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+    val out = Pipelines.textCuration(docs, langs = Seq("en"), minQuality = 0.0,
+        nearDupJaccard = 0.99, referenceFp = Some(ref))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(2L), s"survivors: $out")
+  }
+
   test("Workspace.fromTsv parses registry/target/outlier fixture shapes") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ws")
     def write(name: String, content: String) = {
