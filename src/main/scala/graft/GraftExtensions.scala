@@ -46,11 +46,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => VecDot(args(0), args(1))))
     ext.injectFunction((FunctionIdentifier("compression_ratio"),
       info("compression_ratio"),
-      (args: Seq[Expression]) => StaticInvoke(
-        graft.functions.TextKernels.getClass, DoubleType, "deflateRatio",
-        args.map(a => org.apache.spark.sql.catalyst.expressions.Cast(
-          a, org.apache.spark.sql.types.StringType)),
-        Seq(org.apache.spark.sql.types.StringType),
-        propagateNull = true, returnNullable = false)))
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          "compression_ratio expects exactly one argument")
+        graft.functions.TextFunctions.compressionRatioExpr(
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            args.head, org.apache.spark.sql.types.StringType))
+      }))
   }
 }

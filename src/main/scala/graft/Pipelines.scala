@@ -256,13 +256,21 @@ object Pipelines {
     // documents: exact duplicates would legitimately erase each
     // other. The rebuilt text is the cleaned token stream; emptied
     // docs fall out at the quality floor like the paragraph stage.
+    // Stage boundary first: removeRepeatedSpans fans its input into
+    // several plan branches (gram windows, totals, the doc universe)
+    // and this hook joins back against the same relation — without a
+    // checkpoint every branch re-executes the upstream dedup lineage
+    // (the scored0 boundary's argument). Only materialized when the
+    // stage is on.
     val exact = repeatedSpanN match {
       case Some(n) =>
-        val keepCols = exact1.columns.filterNot(c => c == "text")
-        TextDedup.removeRepeatedSpans(exact1, n = n)
+        val exactCk =
+          graft.model.Workspace.stageCheckpoint(exact1, "curation_spandedup_in")
+        val keepCols = exactCk.columns.filterNot(c => c == "text")
+        TextDedup.removeRepeatedSpans(exactCk, n = n)
           .withColumnRenamed("text_clean", "text")
           .select(col("doc_id"), col("text"))
-          .join(exact1.select(keepCols.map(col): _*), Seq("doc_id"))
+          .join(exactCk.select(keepCols.map(col): _*), Seq("doc_id"))
       case None => exact1
     }
     val pairs = TextDedup

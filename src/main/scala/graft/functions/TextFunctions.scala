@@ -140,6 +140,17 @@ object TextFunctions {
     lenScore * 0.3 + wordLenScore * 0.3 + punctScore * 0.2 + stopScore * 0.2
   }
 
+  /** The one [[TextKernels.deflateRatio]] `StaticInvoke` spec —
+    * shared by the Column API below and the SQL registration in
+    * [[graft.GraftExtensions]] so the two surfaces cannot drift. */
+  def compressionRatioExpr(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+      TextKernels.getClass, org.apache.spark.sql.types.DoubleType,
+      "deflateRatio", Seq(e), Seq(org.apache.spark.sql.types.StringType),
+      propagateNull = true, returnNullable = false)
+
   /** Compression-ratio quality signal: zlib-compressed bytes / raw
     * bytes ([[TextKernels.deflateRatio]] as a codegen `StaticInvoke`
     * — no UDF closure). Low values flag repetitive boilerplate and
@@ -147,12 +158,8 @@ object TextFunctions {
     * axis. Spec-gated (SQL engines ship no deflate — no oracle). */
   def compressionRatio(text: Column): Column =
     org.apache.spark.sql.graftbridge.ColumnBridge.column(
-      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
-        TextKernels.getClass, org.apache.spark.sql.types.DoubleType,
-        "deflateRatio",
-        Seq(org.apache.spark.sql.graftbridge.ColumnBridge.expression(text)),
-        Seq(org.apache.spark.sql.types.StringType),
-        propagateNull = true, returnNullable = false))
+      compressionRatioExpr(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text)))
 
   /** Content fingerprint: md5 of the normalised token stream —
     * whitespace/punctuation-insensitive exact-dup key. */

@@ -645,8 +645,12 @@ object TextDedup {
   def splitThresholds(fractions: Seq[Double]): Seq[String] = {
     val cum = fractions.scanLeft(0.0)(_ + _).tail
     cum.map { c =>
-      val v = math.min((c * math.pow(16, 12)).toLong, (1L << 48) - 1)
-      f"$v%012x"
+      // a cumulative fraction of (effectively) 1 must admit EVERY
+      // hash, including the all-f prefix — "g" sorts above every hex
+      // digit, so `h < "g"` is identically true and no document can
+      // leak to the default label when fractions sum to 1
+      if (c >= 1.0 - 1e-12) "g"
+      else f"${(c * math.pow(16, 12)).toLong}%012x"
     }
   }
 
@@ -662,8 +666,9 @@ object TextDedup {
   def assignSplits(docs: DataFrame, splits: Seq[(String, Double)],
       seed: Int = 0, id: String = "doc_id",
       defaultLabel: String = "holdout"): DataFrame = {
-    require(splits.nonEmpty && splits.map(_._2).sum <= 1.0 + 1e-12,
-      "split fractions must be positive and sum to at most 1")
+    require(splits.nonEmpty && splits.forall(_._2 >= 0.0) &&
+      splits.map(_._2).sum <= 1.0 + 1e-12,
+      "split fractions must be non-negative and sum to at most 1")
     val h = substring(md5(concat_ws("#", lit(seed), col(id))), 1, 12)
     val thrs = splitThresholds(splits.map(_._2))
     val label = splits.zip(thrs).foldRight(lit(defaultLabel): Column) {

@@ -155,14 +155,16 @@ object StreamOps {
     * [[graft.operators.TextDedup.capTokensPerKey]] (the data-MIXING
     * budget stage on a live feed): a key's documents pass while the
     * key's token budget lasts, with ONE Long tokens-spent counter per
-    * key. Admission is greedy in ARRIVAL order (ties within a
-    * micro-batch broken by (ts, doc_id), the [[streamingCapPerKey]]
-    * convention standing in for the batch operator's hash-rank
-    * order); a document that would overflow the budget is dropped
-    * but does NOT close the key — a later, smaller document may
-    * still fit, exactly the batch greedy-prefix semantics. Token
-    * counts replicate `TextFunctions.tokens` (lowercase alnum runs)
-    * so batch and stream agree on cost. State evicts
+    * key. Admission is the batch operator's inclusive PREFIX rule in
+    * ARRIVAL order (ties within a micro-batch broken by (ts,
+    * doc_id), the [[streamingCapPerKey]] convention standing in for
+    * the batch hash-rank order): the running token total counts
+    * EVERY arriving document and a document passes iff the total
+    * through it stays within budget — so the first overflow closes
+    * the key, exactly `capTokensPerKey`'s q88-gated cumulative-sum
+    * filter. Token counts replicate `TextFunctions.tokens`
+    * (locale-independent lowercase alnum runs, `Locale.ROOT` — Spark
+    * `lower()` parity) so batch and stream agree on cost. State evicts
     * `horizonMinutes` of EVENT time after the key's last arrival
     * (EventTimeTimeout) — bounded state, budget RESETS past the
     * horizon: the windowed-quota trade-off, documented like every
@@ -173,7 +175,8 @@ object StreamOps {
     import docs.sparkSession.implicits._
     val horizonMs = horizonMinutes * 60 * 1000L
     def toks(d: KeyedDoc): Long =
-      d.text.toLowerCase.split("[^a-z0-9]+").count(_.nonEmpty).toLong
+      d.text.toLowerCase(java.util.Locale.ROOT)
+        .split("[^a-z0-9]+").count(_.nonEmpty).toLong
     docs
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.key)
@@ -184,11 +187,12 @@ object StreamOps {
           else {
             var spent = state.getOption.getOrElse(0L)
             val sorted = rows.toSeq.sortBy(d => (d.ts.getTime, d.doc_id))
+            // inclusive prefix: every doc's tokens count toward the
+            // running total, admitted iff the total through it fits —
+            // the batch operator's cumulative-sum filter verbatim
             val kept = sorted.filter { d =>
-              val n = toks(d)
-              val fits = spent + n <= budget
-              if (fits) spent += n
-              fits
+              spent += toks(d)
+              spent <= budget
             }
             state.update(spent)
             state.setTimeoutTimestamp(sorted.map(_.ts.getTime).max + horizonMs)
@@ -245,7 +249,13 @@ object StreamOps {
       .select(xxhash64(col("s")).as("__k")).distinct()
     val bf = benchKeys.stat.bloomFilter("__k",
       math.max(benchKeys.count(), 1L), fpp)
-    val grams = array_distinct(shingles(tokens(col(text)), n))
+    // drop the "" gram a zero-token document produces (shingles'
+    // short-doc branch) BEFORE probing — otherwise the size guard
+    // below is dead and an empty doc could fall to a Bloom false
+    // positive, which the batch operator (bench side filters "")
+    // can never do
+    val grams = filter(array_distinct(shingles(tokens(col(text)), n)),
+      s => s =!= "")
     val hits = size(filter(grams,
       s => BloomContains.bloomContains(xxhash64(s), bf)))
     val frac = when(size(grams) > 0,

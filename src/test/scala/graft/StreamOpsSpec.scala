@@ -183,16 +183,18 @@ class StreamOpsSpec extends SparkSpec {
         KeyedDoc(new Timestamp(t0 + 1000), "a", 2L, "four five six"),
         KeyedDoc(new Timestamp(t0 + 2000), "c", 3L, "rate dropped"))
       query.processAllAvailable()
-      // doc 2 overflowed (3+3 > 5) but must NOT close key a: doc 4's
-      // 2 tokens fit the remaining budget exactly (3+2 = 5) — and the
-      // spent counter must have survived the micro-batch boundary
+      // doc 2 overflowed key a (3+3 > 5) and — the batch operator's
+      // inclusive prefix rule — CLOSED it: doc 4's 2 tokens would
+      // have fit the pre-overflow remainder but the running total
+      // (3+3+2 = 8) is past budget, so it is dropped too; the spent
+      // counter must have survived the micro-batch boundary
       input.addData(
         KeyedDoc(new Timestamp(t0 + 3000), "a", 4L, "seven eight"),
         KeyedDoc(new Timestamp(t0 + 4000), "b", 5L, "five tokens fit just so"))
       query.processAllAvailable()
       val out = spark.table("mix_out").select("doc_id").as[Long].collect().sorted
-      assert(out.toSeq == Seq(1L, 4L, 5L),
-        s"expected greedy-budget survivors 1,4,5, got ${out.toSeq}")
+      assert(out.toSeq == Seq(1L, 5L),
+        s"expected prefix-rule survivors 1,5, got ${out.toSeq}")
     } finally query.stop()
   }
 
