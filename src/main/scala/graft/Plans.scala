@@ -28,7 +28,8 @@ object Plans {
         "q86_quota_sample", "q87_video_meta", "q88_token_budget",
         "q89_rate_sample", "q90_token_chunks", "q91_packing_manifest",
         "q92_dup_components", "q93_data_mix", "q94_bloom_dedup",
-        "q95_repeated_spans", "q96_tfidf_topk", "q97_split_assign")
+        "q95_repeated_spans", "q96_tfidf_topk", "q97_split_assign",
+        "q98_vocab_stats")
     names.foreach { name =>
       if (name == "bucketed_demo") bucketedDemo(spark, dir)
       else {

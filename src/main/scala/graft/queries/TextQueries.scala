@@ -303,6 +303,21 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // ---- per-source vocabulary stats (Zipf shape): vocab size,
+    // hapax count, top-token share — corpus drift monitoring ----
+    "q98_vocab_stats" -> ((s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(col("source"), explode(tokens(col("text"))).as("tk"))
+      tok.groupBy("source", "tk").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("vocab"), sum("c").as("tokens"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"),
+          max("c").as("top_count"))
+        .withColumn("top_share",
+          round(col("top_count").cast("double") / col("tokens") + 1e-9, 6))
+        .orderBy("source")
+    }),
+
     // ---- deterministic train/val/test split carving: multi-way
     // md5-threshold assignment, zero shuffle; thresholds shared with
     // the oracle by construction (splitThresholds) ----
@@ -887,6 +902,21 @@ object TextQueries {
          WHERE doc_id % 7 >= 3
            AND NOT EXISTS (SELECT 1 FROM ref r WHERE r.fp = d.fp)
          GROUP BY 1 ORDER BY 1""",
+
+    // vocab replay: same two-level aggregation.
+    "q98_vocab_stats" ->
+      (s"""WITH tk AS ($toksSql), ex AS (
+            SELECT source, unnest(toks) AS tk FROM tk
+          ), c AS (
+            SELECT source, tk, count(*) AS c FROM ex GROUP BY 1, 2
+          )
+          SELECT source, count(*) AS vocab,
+                 CAST(sum(c) AS BIGINT) AS tokens,
+                 CAST(coalesce(sum(CASE WHEN c = 1 THEN 1 END), 0) AS BIGINT)
+                   AS hapax,
+                 max(c) AS top_count,
+                 round(max(c) * 1.0 / sum(c) + 1e-9, 6) + 0.0 AS top_share
+          FROM c GROUP BY 1 ORDER BY 1"""),
 
     // split replay: identical literal hex thresholds (generated by
     // the same splitThresholds call the operator uses).
