@@ -21,7 +21,14 @@ object Verify {
     // jobs, so independent query dumps overlap their stages and the
     // wall time drops ~3x vs sequential.
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
-    val tasks = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Local-iteration subset: SPARK_GRAFT_ONLY=<regex> restricts the
+    // dump (and the oracle json) to matching query names. The driver
+    // never sets it, so the gate always runs the full catalog.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
+    def keep(name: String): Boolean =
+      only.forall(_.findFirstIn(name).isDefined)
+    val tasks = SparkEntry.queries.toSeq.filter(t => keep(t._1))
+      .sortBy(_._1).map { case (name, fn) =>
       pool.submit(new Runnable {
         override def run(): Unit = {
           // Normalize IEEE negative zero (+ 0.0 ⇒ +0.0) on every double
@@ -57,7 +64,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(t => keep(t._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

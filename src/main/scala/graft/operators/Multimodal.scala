@@ -14,10 +14,12 @@ import org.apache.spark.sql.types._
   * decoding (`javax.sound.sampled`, WAV/AIFF/AU) and VIDEO
   * container-metadata decoding (hand-rolled ISO-BMFF box parsing —
   * pure byte algebra), no external libraries needed for any of them.
-  * Only video FRAME decode remains STUBBED (the JDK ships no video
-  * codec) with a deterministic fake, clearly marked below; the
-  * plumbing (schema, batching, partitioning, null handling) is
-  * identical for every path.
+  * Video FRAME decode is REAL for MJPEG/DIB-in-AVI ([[decodeFrames]]:
+  * a RIFF walk + per-frame ImageIO — each `##dc` chunk is a complete
+  * JPEG); only codec-compressed tracks (H.264-in-MP4 etc.) remain
+  * STUBBED with a deterministic fake, clearly marked below, because
+  * the JDK ships no video codec. The plumbing (schema, batching,
+  * partitioning, null handling) is identical for every path.
   */
 object Multimodal {
 
@@ -234,9 +236,98 @@ object Multimodal {
     }(enc)
   }
 
+  private def le32(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xFFL) | ((b(o + 1) & 0xFFL) << 8) |
+      ((b(o + 2) & 0xFFL) << 16) | ((b(o + 3) & 0xFFL) << 24)
+
+  private def fourcc(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Video-stream chunk payloads of a RIFF/AVI container, in file
+    * order. RIFF is the little-endian sibling of the ISO-BMFF walk
+    * above: `fourcc size payload` chunks padded to even offsets, with
+    * `LIST` chunks nesting (`hdrl`, `movi`, `rec `). Frames are the
+    * `##dc`/`##db` chunks inside the `movi` list (compressed /
+    * device-independent-bitmap video data respectively; `##` is the
+    * stream index, audio streams use `wb`). Malformed headers stop
+    * the walk — partial extraction over a truncated container instead
+    * of a throw, the shared decoder failure contract. */
+  private[graft] def aviFrameBytes(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    if (bytes == null || bytes.length < 12 || fourcc(bytes, 0) != "RIFF" ||
+      fourcc(bytes, 8) != "AVI ") return Seq.empty
+    val out = Seq.newBuilder[Array[Byte]]
+    def walk(from: Int, to: Int, inMovi: Boolean): Unit = {
+      var off = from
+      var ok = true
+      while (ok && off + 8 <= to) {
+        val id = fourcc(bytes, off)
+        val size = le32(bytes, off + 4)
+        val overruns = size < 0 || off + 8 + size > to
+        val ps = off + 8
+        if (overruns && id == "LIST" && ps + 4 <= to) {
+          // truncated interleave: walk what's present, then stop —
+          // partial extraction over a cut-off container, not a throw
+          walk(ps + 4, to, inMovi || fourcc(bytes, ps) == "movi")
+          ok = false
+        } else if (overruns) ok = false
+        else {
+          val pe = ps + size.toInt
+          if (id == "LIST" && size >= 4)
+            walk(ps + 4, pe, inMovi || fourcc(bytes, ps) == "movi")
+          else if (inMovi && id.length == 4 &&
+            (id.endsWith("dc") || id.endsWith("db")))
+            out += java.util.Arrays.copyOfRange(bytes, ps, pe)
+          off = pe + (size.toInt & 1) // chunks pad to even offsets
+        }
+      }
+    }
+    walk(12, bytes.length, inMovi = false)
+    out.result()
+  }
+
+  /** REAL video FRAME decode for MJPEG / DIB payloads in AVI: the
+    * container walk is [[aviFrameBytes]] (pure byte algebra) and each
+    * sampled frame is a complete JPEG/BMP image the JDK's ImageIO
+    * already decodes — the same no-external-libs path as
+    * [[decodeImageReal]]. This closes the frame-decode gap for the
+    * one container+codec combination the JDK can honestly handle;
+    * codec-compressed MP4 tracks (H.264 etc.) remain out of reach
+    * ([[sampleFrames]] stays the declared stub for those).
+    *
+    * Emits one row per SAMPLED frame — every `every`-th frame by
+    * container order, the frame-sample stage of a video curation
+    * pipeline (decode cost at 100 TB is bounded by the sampling rate,
+    * not the corpus frame count; non-sampled frames are never
+    * decoded, only their headers are walked). Output adds
+    * (frame_idx, n_frames, width, height, channels); non-video and
+    * unparseable payloads emit zero rows. */
+  def decodeFrames(media: DataFrame, every: Int = 1): DataFrame = {
+    require(every >= 1, s"every must be >= 1, got $every")
+    val df = media.filter(col("kind") === "video")
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("frame_idx", IntegerType), StructField("n_frames", IntegerType),
+      StructField("width", IntegerType), StructField("height", IntegerType),
+      StructField("channels", IntegerType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val frames = aviFrameBytes(r.getAs[Array[Byte]]("content"))
+        val n = frames.length
+        frames.iterator.zipWithIndex.collect {
+          case (fb, i) if i % every == 0 =>
+            val d = decodeImageReal(fb)
+            Row.fromSeq(r.toSeq ++ Seq[Any](i, n, d.width, d.height, d.channels))
+        }
+      }
+    }(enc)
+  }
+
   /** Frame sampling stub for video payloads: emits `n` (frame_idx,
     * frame_bytes) rows per video by slicing the payload — models the
-    * explode shape of real frame extraction. */
+    * explode shape of real frame extraction. Kept ONLY for
+    * codec-compressed containers (MP4/H.264 — the JDK ships no
+    * codec); MJPEG/DIB-in-AVI frame decode is REAL, see
+    * [[decodeFrames]]. */
   def sampleFrames(media: DataFrame, n: Int = 3): DataFrame = {
     val df = media.filter(col("kind") === "video")
     val schema = StructType(df.schema.fields ++ Seq(

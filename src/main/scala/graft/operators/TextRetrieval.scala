@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.functions.TextFunctions.tokens
+import graft.functions.TopKPairs.top_k_pairs
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Keyword retrieval over the document corpus — the ranking side of
+  * the curation toolkit (benchmark decontamination triage, targeted
+  * corpus slicing, quality-probe retrieval all start from "find the
+  * documents that score highest for these terms").
+  *
+  * Okapi BM25 with the Lucene idf variant
+  * (`ln(1 + (N - df + 0.5)/(df + 0.5))` — always positive, so a
+  * stopword query term degrades to near-zero weight instead of
+  * flipping the ranking sign).
+  *
+  * Scale shape: the query relation is tiny and BROADCAST; the
+  * per-document work is two keyed aggregations with map-side combine
+  * (document length, then term frequency restricted to query terms —
+  * the semi-join keeps the tf relation bounded by |queries| distinct
+  * terms, not the corpus vocabulary). Per-query ranking is the
+  * bounded [[graft.functions.TopKPairs]] aggregate: each map task
+  * keeps ≤ k candidates per query, so a query matching every document
+  * in the corpus still shuffles ≤ k·partitions rows — no global sort,
+  * no content-keyed window. `N` and `avgdl` are two scalar jobs.
+  */
+object TextRetrieval {
+
+  /** BM25 top-`k` documents per query. `queries` = (query_id, term)
+    * rows, one per query term (duplicate terms in one query are
+    * counted once — the conventional bag-of-terms degenerates to the
+    * set form for the short queries this serves). Scores are rounded
+    * (1e-9 epsilon then 6 dp) BEFORE ranking with doc-id tie-breaks,
+    * so ranks replay across engines. Output: (query_id, doc_id,
+    * score, rank), rank 1 = best. */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val n = docs.count()
+    val tok = docs.select(col(id), explode(tokens(col(text))).as("tk"))
+    val dl = tok.groupBy(col(id)).agg(count(lit(1)).as("dl"))
+    val avgdl = dl.agg(avg(col("dl"))).head().getDouble(0)
+    val terms = queries.select(col("term")).distinct()
+    val tf = tok.join(broadcast(terms), col("tk") === col("term")).drop("term")
+      .groupBy(col(id), col("tk")).agg(count(lit(1)).as("tf"))
+    val dfRel = tf.groupBy(col("tk")).agg(count(lit(1)).as("df"))
+    val idf: Column = log(lit(1.0) +
+      (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
+    val contrib = tf.join(dfRel, Seq("tk")).join(dl, Seq(id))
+      .select(col("tk"), col(id),
+        (idf * (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))).as("w"))
+    val scored = contrib
+      .join(broadcast(queries.select(col("query_id"), col("term")).distinct()),
+        col("tk") === col("term"))
+      .groupBy(col("query_id"), col(id))
+      .agg(round(sum(col("w")) + 1e-9, 6).as("score"))
+    scored.groupBy(col("query_id"))
+      .agg(top_k_pairs(col("score"), col(id), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("r0", "kv")))
+      .select(col("query_id"), col("kv.id").as(id),
+        col("kv.score").as("score"), (col("r0") + 1).cast("int").as("rank"))
+  }
+}

@@ -754,6 +754,64 @@ object ExtraQueries {
         .orderBy("p_partkey")
     }),
 
+    // ---- Multimodal: REAL video FRAME decode (MJPEG-in-AVI — the
+    // RIFF walk is pure byte algebra and every ##dc chunk is a
+    // complete JPEG the JDK's ImageIO decodes; no codec libs).
+    // Minimal AVIs (hdrl with a vids/MJPG stream + movi with
+    // per-frame JPEG chunks) are assembled driver-side with
+    // p_partkey-derived frame counts and PER-FRAME dimensions;
+    // decodeFrames walks the container and ImageIO-decodes every 2nd
+    // frame on executors; the oracle recomputes the planted values
+    // from `part`. The hash only matches if the chunk walk finds
+    // every frame (n_frames) and the JPEG roundtrip recovers every
+    // sampled frame's dimensions. ----
+    "q99_video_frames" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val ids = t(s, dir, "part").filter(col("p_partkey") <= 200)
+        .select(col("p_partkey").cast("long")).collect().map(_.getLong(0))
+      def le32(v: Long) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+      def chunk(id: String, payload: Array[Byte]): Array[Byte] =
+        id.getBytes("US-ASCII") ++ le32(payload.length.toLong) ++ payload ++
+          (if (payload.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray)
+      def list(tp: String, children: Array[Byte]): Array[Byte] =
+        chunk("LIST", tp.getBytes("US-ASCII") ++ children)
+      def jpeg(w: Int, h: Int, k: Long): Array[Byte] = {
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        var x = 0
+        while (x < w) {
+          var y = 0
+          while (y < h) { img.setRGB(x, y, ((k * 37 + x * 11 + y) % 0xFFFFFF).toInt); y += 1 }
+          x += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", bos)
+        bos.toByteArray
+      }
+      val rows = ids.toSeq.map { k =>
+        val nFrames = (1 + k % 4).toInt
+        val frames = (0 until nFrames).map { i =>
+          chunk("00dc", jpeg((8 * (1 + (k + i) % 11)).toInt,
+            (8 * (1 + (k + 2 * i) % 7)).toInt, k))
+        }.reduce(_ ++ _)
+        // minimal-but-shaped header list: avih + one vids/MJPG stream
+        val strh = chunk("strh", "vids".getBytes("US-ASCII") ++
+          "MJPG".getBytes("US-ASCII") ++ Array.fill(48)(0.toByte))
+        val strf = chunk("strf", Array.fill(40)(0.toByte)) // BITMAPINFOHEADER
+        val hdrl = list("hdrl",
+          chunk("avih", Array.fill(56)(0.toByte)) ++ list("strl", strh ++ strf))
+        val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ list("movi", frames)
+        val avi = "RIFF".getBytes("US-ASCII") ++ le32(body.length.toLong) ++ body
+        (k, "video", avi)
+      }
+      Multimodal.decodeFrames(rows.toDF("media_id", "kind", "content"), every = 2)
+        .select(col("media_id").as("p_partkey"), col("frame_idx"), col("n_frames"),
+          col("width"), col("height"), col("channels"))
+        .orderBy("p_partkey", "frame_idx")
+    }),
+
     // ---- J6 × contrasts: the reference's per-contrast annotated
     // topTable files (DiffExpression_closedPlatform.R:598-633 writes
     // annotGenes + prepare2write once per contrast; Meta_analysis.R
@@ -2243,6 +2301,22 @@ object ExtraQueries {
                 CAST(1000 + p_partkey % 977 AS BIGINT) AS duration_ms,
                 CAST(1 + p_partkey % 3 AS INT) AS tracks
          FROM part WHERE p_partkey <= 200 ORDER BY 1""",
+
+    // video-frame replay: planted frame counts and per-frame
+    // dimensions are pure functions of (p_partkey, frame_idx) — the
+    // Spark side only matches if the RIFF/movi chunk walk found every
+    // frame and ImageIO's JPEG roundtrip recovered every sampled
+    // frame's dimensions.
+    "q99_video_frames" ->
+      """WITH fr AS (
+           SELECT p_partkey, unnest(range(0, 1 + p_partkey % 4)) AS i
+           FROM part WHERE p_partkey <= 200)
+         SELECT p_partkey, CAST(i AS INT) AS frame_idx,
+                CAST(1 + p_partkey % 4 AS INT) AS n_frames,
+                CAST(8 * (1 + (p_partkey + i) % 11) AS INT) AS width,
+                CAST(8 * (1 + (p_partkey + 2 * i) % 7) AS INT) AS height,
+                3 AS channels
+         FROM fr WHERE i % 2 = 0 ORDER BY 1, 2""",
 
     // audio-decode replay: planted WAV header fields are pure
     // functions of p_partkey.

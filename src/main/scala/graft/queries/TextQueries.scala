@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.functions.TextFunctions
 import graft.functions.TextFunctions._
-import graft.operators.{Similarity, TextDedup}
+import graft.operators.{Similarity, TextDedup, TextRetrieval}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -328,6 +328,20 @@ object TextQueries {
         .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_id"),
           sum("doc_id").as("sum_ids"))
         .orderBy("source", "split")
+    }),
+
+    // ---- BM25 keyword retrieval: top-10 documents per query via the
+    // bounded TopKPairs aggregate (no global sort, no content-keyed
+    // window); scores rounded before ranking so ranks replay ----
+    "q100_bm25_topk" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val queries = Seq(
+        (1L, "spark"), (1L, "join"),
+        (2L, "window"), (2L, "merge"), (2L, "scan"),
+        (3L, "vector"), (3L, "hash")).toDF("query_id", "term")
+      TextRetrieval.bm25TopK(t(s, dir, "documents"), queries, k = 10)
+        .orderBy("query_id", "rank")
     }),
 
     // ---- per-document TF-IDF top-k keywords; ranks deterministic
@@ -934,6 +948,46 @@ object TextQueries {
                  CAST(sum(doc_id) AS BIGINT) AS sum_ids
           FROM lab GROUP BY 1, 2 ORDER BY 1, 2"""
     },
+
+    // BM25 replay: same dl/avgdl/tf/df relations, the Lucene idf,
+    // score arithmetic written in the engine's evaluation order
+    // (literals kept as (1.2 + 1.0)-style sums so both engines round
+    // them identically), rounded-score ranking with doc tie-breaks.
+    "q100_bm25_topk" ->
+      (s"""WITH tk AS ($toksSql), ex AS (
+            SELECT doc_id, unnest(toks) AS tk FROM tk
+          ), dl AS (
+            SELECT doc_id, count(*) AS dl FROM ex GROUP BY 1
+          ), stats AS (
+            SELECT (SELECT count(*) FROM documents) * 1.0 AS n,
+                   (SELECT avg(dl) FROM dl) AS avgdl
+          ), q(query_id, term) AS (
+            VALUES (1, 'spark'), (1, 'join'), (2, 'window'), (2, 'merge'),
+                   (2, 'scan'), (3, 'vector'), (3, 'hash')
+          ), tf AS (
+            SELECT doc_id, tk, count(*) AS tf FROM ex
+            WHERE tk IN (SELECT DISTINCT term FROM q) GROUP BY 1, 2
+          ), dfr AS (
+            SELECT tk, count(*) AS df FROM tf GROUP BY 1
+          ), w AS (
+            SELECT tf.doc_id, tf.tk,
+                   ln(1.0 + (s.n - dfr.df + 0.5) / (dfr.df + 0.5))
+                     * (tf.tf * (1.2 + 1.0))
+                     / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS w
+            FROM tf JOIN dfr ON tf.tk = dfr.tk
+                    JOIN dl ON tf.doc_id = dl.doc_id, stats s
+          ), sc AS (
+            SELECT q.query_id, w.doc_id,
+                   round(sum(w.w) + 1e-9, 6) + 0.0 AS score
+            FROM w JOIN q ON w.tk = q.term GROUP BY 1, 2
+          ), rk AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY score DESC, doc_id ASC) AS rank
+            FROM sc
+          )
+          SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score,
+                 CAST(rank AS INT) AS rank
+          FROM rk WHERE rank <= 10 ORDER BY query_id, rank"""),
 
     // tf-idf replay: same tf/df aggregations, ln scores rounded with
     // the epsilon-before-round convention, same tie-broken ranking.

@@ -123,6 +123,73 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  private def le32(v: Long) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+    ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+  private def aviChunk(id: String, payload: Array[Byte]): Array[Byte] =
+    id.getBytes("US-ASCII") ++ le32(payload.length.toLong) ++ payload ++
+      (if (payload.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray)
+  private def aviList(tp: String, children: Array[Byte]): Array[Byte] =
+    aviChunk("LIST", tp.getBytes("US-ASCII") ++ children)
+  private def avi(children: Array[Byte]): Array[Byte] = {
+    val body = "AVI ".getBytes("US-ASCII") ++ children
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length.toLong) ++ body
+  }
+
+  test("aviFrameBytes: RIFF walk finds dc/db chunks, honors rec-list nesting, padding, truncation") {
+    val f0 = Array[Byte](1, 2, 3)                  // odd size -> pad byte after
+    val f1 = Array[Byte](4, 5, 6, 7)
+    val f2 = Array[Byte](8, 9)
+    val audio = Array[Byte](99, 98)
+    val container = avi(
+      aviList("hdrl", aviChunk("avih", Array.fill(56)(0.toByte))) ++
+        aviList("movi",
+          aviChunk("00dc", f0) ++ aviChunk("01wb", audio) ++
+            // interleave groups nest frames one LIST deeper
+            aviList("rec ", aviChunk("00dc", f1)) ++ aviChunk("00db", f2)))
+    val frames = Multimodal.aviFrameBytes(container)
+    assert(frames.map(_.toSeq) == Seq(f0.toSeq, f1.toSeq, f2.toSeq),
+      s"frame walk: ${frames.map(_.toSeq)}")
+    // frames OUTSIDE movi (index/header chunks) are not frames
+    val noMovi = avi(aviChunk("00dc", f0))
+    assert(Multimodal.aviFrameBytes(noMovi).isEmpty)
+    // truncation mid-chunk stops the walk with the frames seen so far
+    val truncated = container.take(container.length - 3)
+    assert(Multimodal.aviFrameBytes(truncated).map(_.toSeq) == Seq(f0.toSeq, f1.toSeq))
+    // non-AVI payloads: wrong magic, null, empty
+    assert(Multimodal.aviFrameBytes("RIFFxxxxWAVE".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.aviFrameBytes(null).isEmpty)
+    assert(Multimodal.aviFrameBytes(Array.emptyByteArray).isEmpty)
+  }
+
+  test("decodeFrames: REAL MJPEG-in-AVI frame decode with sampling") {
+    def jpg(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, (x * 31 + y * 7) % 0xFFFFFF)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val mjpeg = avi(aviList("movi",
+      aviChunk("00dc", jpg(24, 16)) ++ aviChunk("00dc", jpg(32, 8)) ++
+        aviChunk("00dc", jpg(40, 48))))
+    val rows = Seq(
+      Row(1L, "video", mjpeg, Map.empty[String, String]),
+      Row(2L, "image", mjpeg, Map.empty[String, String]),  // wrong kind -> dropped
+      Row(3L, "video", Array[Byte](1, 2, 3), Map.empty[String, String]))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows),
+      Multimodal.mediaSchema)
+    val all = Multimodal.decodeFrames(df).collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Int]("frame_idx"),
+        r.getAs[Int]("n_frames"), r.getAs[Int]("width"), r.getAs[Int]("height"),
+        r.getAs[Int]("channels"))).sorted.toSeq
+    assert(all == Seq((1L, 0, 3, 24, 16, 3), (1L, 1, 3, 32, 8, 3),
+      (1L, 2, 3, 40, 48, 3)), s"full decode: $all")
+    val sampled = Multimodal.decodeFrames(df, every = 2).collect()
+      .map(_.getAs[Int]("frame_idx")).sorted.toSeq
+    assert(sampled == Seq(0, 2), s"every=2: $sampled")
+  }
+
   test("sampleFrames explodes only videos into n frame rows") {
     val out = Multimodal.sampleFrames(mediaDf, n = 3).collect()
     assert(out.forall(_.getAs[String]("kind") == "video"))

@@ -1,10 +1,36 @@
 package graft
 
 import graft.functions.TextFunctions
-import graft.operators.TextDedup
+import graft.operators.{TextDedup, TextRetrieval}
 import org.apache.spark.sql.functions._
 
 class TextFunctionsSpec extends SparkSpec {
+
+  test("bm25TopK: hand-computed scores, tf saturation, length normalization, tie-breaks") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark join spark"),                    // tf(spark)=2, dl=3
+      (2L, "spark filter merge"),                  // tf(spark)=1, dl=3
+      (3L, "spark spark spark spark spark spark"), // tf=6 but dl=6
+      (4L, "window sort agg")).toDF("doc_id", "text")
+    val queries = Seq((1L, "spark"), (2L, "spark"), (2L, "window")).toDF("query_id", "term")
+    val out = TextRetrieval.bm25TopK(docs, queries, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // independent replay of the formula with plain doubles
+    val n = 4.0; val avgdl = (3 + 3 + 6 + 3) / 4.0; val k1 = 1.2; val b = 0.75
+    def idf(df: Double) = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    def w(tf: Double, df: Double, dl: Double) =
+      idf(df) * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+    def r6(x: Double) = math.round((x + 1e-9) * 1e6) / 1e6
+    val q1 = out.filter(_._1 == 1L).sortBy(_._4)
+    assert(q1.map(_._2).toSeq == Seq(3L, 1L, 2L), s"q1 ranking: ${q1.toSeq}")
+    assert(q1.map(_._3).toSeq == Seq(r6(w(6, 3, 6)), r6(w(2, 3, 3)), r6(w(1, 3, 3))),
+      s"q1 scores: ${q1.toSeq}")
+    // multi-term query: doc 4 scores only on `window` (df=1, high idf)
+    val q2 = out.filter(_._1 == 2L).sortBy(_._4)
+    assert(q2.head._2 == 4L && r6(w(1, 1, 3)) == q2.head._3, s"q2: ${q2.toSeq}")
+    assert(q2.map(_._2).toSeq == Seq(4L, 3L, 1L), s"q2 ranking: ${q2.toSeq}")
+  }
 
   test("paragraphDedup keeps first occurrence, reassembles order, empties survive") {
     import spark.implicits._
