@@ -206,6 +206,42 @@ object TextDedup {
       .drop("threshold")
   }
 
+  /** Temperature-scaled MIXTURE WEIGHTS — the step that DECIDES the
+    * per-key rates the balancing family applies: given per-key token
+    * masses c_k, the α-temperature distribution weights each key
+    * share_k^α / Σ share^α (α = 1 keeps natural proportions, α → 0
+    * flattens toward uniform — the standard multilingual /
+    * multi-source rebalancing knob), then converts a total token
+    * budget into per-key budgets and sampling rates (capped at 1 —
+    * upsampling is a repeat-epochs decision, not a sampling one).
+    *
+    * Scale shape: ONE map-side-combine aggregation over the corpus to
+    * key grain; everything after runs on the tiny key-grain relation
+    * (two scalar jobs for the normalizers — total tokens and Σ
+    * share^α — mirroring the broadcast-scalar pattern the chains
+    * use). Outputs round with the 1e-9/6dp convention so `pow` ulp
+    * differences between engines can't leak; budgets derive from the
+    * ROUNDED weight so both engines quantize identically. The result
+    * feeds [[capTokensPerKey]] (budget_toks) or — converted to hex
+    * thresholds — [[sampleByRate]].
+    *
+    * Output: (keyCol, toks, share, weight, budget_toks, rate). */
+  def mixtureWeights(docs: DataFrame, keyCol: String, tokenCol: String,
+      alpha: Double, totalBudget: Long): DataFrame = {
+    val perKey = docs.groupBy(col(keyCol)).agg(sum(col(tokenCol)).as("toks"))
+    val total = perKey.agg(sum(col("toks"))).head().getLong(0).toDouble
+    val p = perKey.withColumn("__share", col("toks") / total)
+      .withColumn("__pa", pow(col("__share"), alpha))
+    val z = p.agg(sum(col("__pa"))).head().getDouble(0)
+    val w6 = round(col("__pa") / z + 1e-9, 6)
+    val budget = round(w6 * totalBudget + 1e-6, 0).cast("long")
+    p.select(col(keyCol), col("toks"),
+      round(col("__share") + 1e-9, 6).as("share"), w6.as("weight"),
+      budget.as("budget_toks"),
+      round(least(lit(1.0), budget.cast("double") / col("toks")) + 1e-9, 6)
+        .as("rate"))
+  }
+
   /** Token-window CHUNKING — the context-window prep step of a
     * training pipeline: split each document into `chunkTokens`-token
     * chunks advancing by `stride` tokens (stride < chunkTokens gives
@@ -281,6 +317,46 @@ object TextDedup {
       .withColumn("block_last", floor((col("end_tok") - 1) / lit(blockTokens)).cast("long"))
       .select(col(id), col("start_tok"), col("end_tok"),
         col("block_first"), col("block_last"))
+  }
+
+  /** SHARD MANIFEST — the deterministic corpus shuffle + sharding
+    * step that turns a curated corpus into training input files:
+    * every document gets a global position in the seeded-hash order
+    * (the training-order shuffle — reproducible across runs, seeds
+    * re-shuffle between epochs) and a shard assignment of
+    * `docsPerShard` consecutive positions (shard = the unit a data
+    * loader streams; fixed doc count keeps loader state simple, a
+    * writer partitions by `shard`).
+    *
+    * Scale shape: the [[packingManifest]] stitch — ONE
+    * `repartitionByRange` on the hash order, per-partition
+    * `row_number`, and partition-count offsets broadcast back (the
+    * offsets relation has one row per shuffle partition). No global
+    * window, no single-task sort; ranks are exact, not approximate.
+    *
+    * Output: (id, rank, shard, pos_in_shard), rank dense from 0. */
+  def shardManifest(docs: DataFrame, docsPerShard: Long, seed: Int = 0,
+      id: String = "doc_id", md5Hashes: Boolean = false): DataFrame = {
+    require(docsPerShard > 0, "docsPerShard must be positive")
+    val h =
+      if (md5Hashes) md5(concat_ws("#", lit(seed), col(id)))
+      else xxhash64(col(id), lit(seed)).cast("string")
+    val spark = docs.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val ranged = docs.withColumn("__h", h)
+      .repartitionByRange(parts, col("__h").asc, col(id).asc)
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy("__pid").orderBy(col("__h").asc, col(id).asc)
+    val withLocal = ranged.withColumn("__lrn", row_number().over(wLocal))
+    val wOff = Window.partitionBy(lit(0)).orderBy(col("__pid").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = withLocal.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+      .select(col("__pid"), coalesce(sum("__cnt").over(wOff), lit(0L)).as("__off"))
+    withLocal.join(broadcast(offs), Seq("__pid"))
+      .withColumn("rank", (col("__lrn") + col("__off") - 1).cast("long"))
+      .withColumn("shard", floor(col("rank") / lit(docsPerShard)).cast("long"))
+      .withColumn("pos_in_shard", (col("rank") - col("shard") * docsPerShard).cast("long"))
+      .select(col(id), col("rank"), col("shard"), col("pos_in_shard"))
   }
 
   /** MinHash + LSH candidate pairs with exact-Jaccard verification.

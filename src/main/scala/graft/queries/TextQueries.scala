@@ -330,6 +330,32 @@ object TextQueries {
         .orderBy("source", "split")
     }),
 
+    // ---- shard manifest: seeded-md5 training-order shuffle ->
+    // 64-doc shards via the range-partition + stitch rank (no global
+    // window); shard-grain output pins the FULL within-shard order
+    // through the order_md5 over pos-sorted doc ids ----
+    "q102_shard_manifest" -> ((s, dir) => {
+      val m = TextDedup.shardManifest(t(s, dir, "documents"),
+        docsPerShard = 64L, seed = 9, md5Hashes = true)
+      m.groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), min("rank").as("first_rank"),
+          md5(concat_ws(",",
+            transform(array_sort(collect_list(struct(col("pos_in_shard"), col("doc_id")))),
+              x => x.getField("doc_id").cast("string")))).as("order_md5"))
+        .orderBy("shard")
+    }),
+
+    // ---- temperature-scaled mixture weights: per-source token mass
+    // -> alpha=0.5 rebalanced weights -> 50k-token budgets + rates;
+    // one corpus-grain aggregation, everything after key-grain ----
+    "q101_temp_mixture" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("source"), TextFunctions.wsTokenCount(col("text")).as("toks"))
+      TextDedup.mixtureWeights(docs, "source", "toks",
+          alpha = 0.5, totalBudget = 50000L)
+        .orderBy("source")
+    }),
+
     // ---- BM25 keyword retrieval: top-10 documents per query via the
     // bounded TopKPairs aggregate (no global sort, no content-keyed
     // window); scores rounded before ranking so ranks replay ----
@@ -948,6 +974,50 @@ object TextQueries {
                  CAST(sum(doc_id) AS BIGINT) AS sum_ids
           FROM lab GROUP BY 1, 2 ORDER BY 1, 2"""
     },
+
+    // shard replay: one window at oracle scale (the engine side
+    // stitches range partitions); the order_md5 recomputes the exact
+    // within-shard document order.
+    "q102_shard_manifest" ->
+      """WITH r AS (
+           SELECT doc_id,
+                  row_number() OVER (
+                    ORDER BY md5('9#' || CAST(doc_id AS VARCHAR)) ASC,
+                             doc_id ASC) - 1 AS rank
+           FROM documents
+         ), sh AS (
+           SELECT doc_id, rank, rank // 64 AS shard, rank % 64 AS pos
+           FROM r
+         )
+         SELECT shard, count(*) AS n_docs, min(rank) AS first_rank,
+                md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY pos))
+                  AS order_md5
+         FROM sh GROUP BY 1 ORDER BY 1""",
+
+    // mixture replay: same key-grain aggregation and normalizers;
+    // weights round 1e-9/6dp before the budget quantization so pow
+    // ulp differences between engines can't move a budget.
+    "q101_temp_mixture" ->
+      (s"""WITH tk AS ($toksSql), d AS (
+            SELECT source, len(toks) AS toks FROM tk
+          ), agg AS (
+            SELECT source, CAST(sum(toks) AS BIGINT) AS toks FROM d GROUP BY 1
+          ), tot AS (
+            SELECT sum(toks) * 1.0 AS total FROM agg
+          ), p AS (
+            SELECT a.source, a.toks, a.toks / t.total AS share,
+                   pow(a.toks / t.total, 0.5) AS pa
+            FROM agg a, tot t
+          ), z AS (SELECT sum(pa) AS z FROM p)
+          SELECT p.source, p.toks,
+                 round(p.share + 1e-9, 6) + 0.0 AS share,
+                 round(p.pa / z.z + 1e-9, 6) + 0.0 AS weight,
+                 CAST(round(round(p.pa / z.z + 1e-9, 6) * 50000 + 1e-6)
+                      AS BIGINT) AS budget_toks,
+                 round(least(1.0,
+                       CAST(round(round(p.pa / z.z + 1e-9, 6) * 50000 + 1e-6)
+                            AS BIGINT) / (p.toks * 1.0)) + 1e-9, 6) + 0.0 AS rate
+          FROM p, z ORDER BY source"""),
 
     // BM25 replay: same dl/avgdl/tf/df relations, the Lucene idf,
     // score arithmetic written in the engine's evaluation order

@@ -6,6 +6,52 @@ import org.apache.spark.sql.functions._
 
 class TextFunctionsSpec extends SparkSpec {
 
+  test("shardManifest: stitched ranks match the single-window reference, shards sized") {
+    import spark.implicits._
+    val docs = (0L until 333L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+      .repartition(7) // stitch must be partitioning-independent
+    val m = TextDedup.shardManifest(docs, docsPerShard = 50L, seed = 4, md5Hashes = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(m.map(_._2).sorted.toSeq == (0L until 333L), "ranks dense from 0")
+    // reference: one global sort by the same seeded hash
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long) = md.digest(s"4#$id".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val expect = (0L until 333L).sortBy(i => (h(i), i)).zipWithIndex
+      .map { case (id, r) => id -> r.toLong }.toMap
+    m.foreach { case (id, rank, shard, pos) =>
+      assert(rank == expect(id), s"doc $id: rank $rank vs ${expect(id)}")
+      assert(shard == rank / 50 && pos == rank % 50)
+    }
+    val sizes = m.groupBy(_._3).view.mapValues(_.length).toMap
+    assert((0L to 5L).forall(sizes(_) == 50) && sizes(6L) == 33, s"sizes: $sizes")
+  }
+
+  test("mixtureWeights: alpha=1 keeps shares, alpha=0 flattens, budgets/rates bounded") {
+    import spark.implicits._
+    val docs = Seq.tabulate(100)(i =>
+      (i.toLong, s"k${i % 4}", (i % 4 + 1) * 10L)).toDF("doc_id", "key", "toks")
+    def run(alpha: Double) =
+      TextDedup.mixtureWeights(docs, "key", "toks", alpha, totalBudget = 1000L)
+        .collect().map(r => r.getAs[String]("key") ->
+          ((r.getAs[Long]("toks"), r.getAs[Double]("share"), r.getAs[Double]("weight"),
+            r.getAs[Long]("budget_toks"), r.getAs[Double]("rate")))).toMap
+    val a1 = run(1.0)
+    a1.values.foreach { case (_, share, weight, _, _) =>
+      assert(math.abs(share - weight) < 2e-6, s"alpha=1: $share vs $weight") }
+    val a0 = run(0.0)
+    a0.values.foreach { case (_, _, weight, budget, _) =>
+      assert(math.abs(weight - 0.25) < 2e-6 && budget == 250L, s"alpha=0: $weight $budget") }
+    val mid = run(0.5)
+    // flattening is monotone: the heaviest key loses weight vs its
+    // share, the lightest gains; budgets track weights; rates <= 1
+    assert(mid("k3")._3 < mid("k3")._2 && mid("k0")._3 > mid("k0")._2)
+    assert(math.abs(mid.values.map(_._4).sum - 1000L) <= 4, s"budget sum: ${mid.values.map(_._4).sum}")
+    mid.values.foreach { case (toks, _, _, budget, rate) =>
+      assert(rate <= 1.0 && rate >= 0.0)
+      assert(math.abs(rate - math.min(1.0, budget.toDouble / toks)) < 2e-6) }
+  }
+
   test("bm25TopK: hand-computed scores, tf saturation, length normalization, tie-breaks") {
     import spark.implicits._
     val docs = Seq(
