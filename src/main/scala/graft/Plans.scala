@@ -29,7 +29,9 @@ object Plans {
         "q89_rate_sample", "q90_token_chunks", "q91_packing_manifest",
         "q92_dup_components", "q93_data_mix", "q94_bloom_dedup",
         "q95_repeated_spans", "q96_tfidf_topk", "q97_split_assign",
-        "q98_vocab_stats")
+        "q98_vocab_stats", "q99_video_frames", "q100_bm25_topk",
+        "q101_temp_mixture", "q102_shard_manifest", "q103_pq_codes",
+        "q104_pq_adc_topk")
     names.foreach { name =>
       if (name == "bucketed_demo") bucketedDemo(spark, dir)
       else {

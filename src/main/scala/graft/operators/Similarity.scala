@@ -164,18 +164,35 @@ object Similarity {
       sampleCap: Int = 1000): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val sample: Array[Array[Double]] = corpus.filter(col(id) < sampleCap)
+    val sample = lloydSample(corpus, id, vec, sampleCap)
+    lloydLoop(sample, nCells, iters, dim)
+      .zipWithIndex.map { case (c, i) => (i, c.map(_.toFloat).toSeq) }
+      .toSeq.toDF("cell", "centroid")
+  }
+
+  /** Bounded deterministic fit sample: the `sampleCap` lowest-id
+    * vectors in id order, as doubles. */
+  private def lloydSample(corpus: DataFrame, id: String, vec: String,
+      sampleCap: Int): Array[Array[Double]] =
+    corpus.filter(col(id) < sampleCap)
       .orderBy(col(id)).select(col(vec)).collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
-    var cents: Array[Array[Double]] = sample.take(nCells).map(_.clone())
+
+  /** The deterministic Lloyd iteration shared by [[lloydCentroids]]
+    * and [[pqFit]]: init = the k first sample vectors, argmin squared
+    * distance (index-order accumulation, ties to the lower cell),
+    * empty cells carry their previous centroid. */
+  private def lloydLoop(sample: Array[Array[Double]], k: Int, iters: Int,
+      dim: Int): Array[Array[Double]] = {
+    var cents: Array[Array[Double]] = sample.take(k).map(_.clone())
     var t = 0
     while (t < iters) {
-      val sums = Array.fill(nCells)(Array.ofDim[Double](dim))
-      val counts = Array.ofDim[Long](nCells)
+      val sums = Array.fill(k)(Array.ofDim[Double](dim))
+      val counts = Array.ofDim[Long](k)
       sample.foreach { v =>
         var best = 0; var bestD = Double.MaxValue
         var c = 0
-        while (c < nCells) {
+        while (c < k) {
           var dist = 0.0; var d = 0
           while (d < dim) {
             val t0 = v(d) - cents(c)(d); dist += t0 * t0; d += 1
@@ -194,8 +211,7 @@ object Similarity {
       }
       t += 1
     }
-    cents.zipWithIndex.map { case (c, i) => (i, c.map(_.toFloat).toSeq) }
-      .toSeq.toDF("cell", "centroid")
+    cents
   }
 
   /** IVF-style ANN: KMeans coarse quantizer (deterministic seed), each
@@ -246,5 +262,107 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"),
         cosine(col("q_vec"), col("c_vec")).as("cosine"))
     topKOf(scored, k)
+  }
+
+  // -----------------------------------------------------------------
+  // Product quantization (PQ) — the COMPRESSED-vector scale path for
+  // embedding search: dim floats (dim·4 bytes) become `m` small codes
+  // (m bytes at ksub ≤ 256), so a 100 TB embedding corpus scans from
+  // a table ~100× narrower while queries score against codebook
+  // lookup tables (ADC). The fit is the same bounded-sample
+  // deterministic Lloyd the IVF quantizer uses, run once per
+  // subspace; encoding is zero-shuffle literal-baked codegen exactly
+  // like ivfTopK's cell assignment.
+  // -----------------------------------------------------------------
+
+  /** Per-subspace PQ codebooks: deterministic Lloyd
+    * ([[lloydCentroids]]'s loop) over the bounded fit sample's
+    * subspace slices. Returns [m][ksub][dim/m] float centroids —
+    * bake into [[pqEncode]] / relate via [[pqCodebookDf]]. */
+  def pqFit(corpus: DataFrame, m: Int, ksub: Int, iters: Int, dim: Int,
+      id: String = "vec_id", vec: String = "embedding",
+      sampleCap: Int = 1000): Array[Array[Array[Float]]] = {
+    require(m > 0 && dim % m == 0, s"dim $dim must split into m=$m subspaces")
+    val dsub = dim / m
+    val sample = lloydSample(corpus, id, vec, sampleCap)
+    Array.tabulate(m) { s =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      lloydLoop(sub, ksub, iters, dsub).map(_.map(_.toFloat))
+    }
+  }
+
+  /** Codebooks as a relation (sub, code, centroid array<float>) —
+    * the at-rest form (written next to the encoded corpus so probes
+    * can rebuild lookup tables without refitting). */
+  def pqCodebookDf(spark: org.apache.spark.sql.SparkSession,
+      books: Array[Array[Array[Float]]]): DataFrame = {
+    import spark.implicits._
+    books.zipWithIndex.flatMap { case (cb, s) =>
+      cb.zipWithIndex.map { case (c, j) => (s, j, c.toSeq) }
+    }.toSeq.toDF("sub", "code", "centroid")
+  }
+
+  /** PQ-encode the corpus: per subspace, argmin |c|² − 2·v_s·c over
+    * the codebook (equivalent to nearest-centroid for fixed v_s) via
+    * `least()` over (dist, code) structs with LITERAL centroid arrays
+    * — one codegen vec_dot loop per (subspace, code), zero shuffle,
+    * no join (the ivfTopK assignment pattern; ties to the lower
+    * code). Output: (id, sub, code) — the long form that joins
+    * straight onto ADC lookup tables. */
+  def pqEncode(corpus: DataFrame, books: Array[Array[Array[Float]]],
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val m = books.length
+    val dsub = books(0)(0).length
+    val codeCols = (0 until m).map { s =>
+      val vs = slice(col(vec), s * dsub + 1, dsub)
+      val structs = books(s).zipWithIndex.map { case (arr, j) =>
+        val c2 = arr.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)
+        struct((lit(c2) - lit(2.0) * vec_dot(vs, lit(arr))).as("d"),
+          lit(j).as("code"))
+      }
+      least(structs: _*).getField("code").as(s"__c$s")
+    }
+    corpus.select((col(id) +: codeCols): _*)
+      .select(col(id),
+        posexplode(array((0 until m).map(s => col(s"__c$s")): _*))
+          .as(Seq("sub", "code")))
+  }
+
+  /** ADC (asymmetric distance computation) top-k over a PQ-encoded
+    * corpus: each query builds an m×ksub LOOKUP TABLE of true squared
+    * L2 distances to every centroid (|c|² − 2·q_s·c + |q_s|², all
+    * index-order vec_dot sums), the code relation joins it on
+    * (sub, code), and per-(query, doc) distances are the m-row sums —
+    * ranked ascending by the ROUNDED distance (1e-9/6dp, doc-id
+    * tie-breaks) through the bounded [[graft.functions.TopKPairs]]
+    * aggregate, negation-bridged since TopKPairs keeps maxima.
+    *
+    * Scale shape: the LUT is queries×m×ksub rows — broadcast; the
+    * corpus side touches only the byte-sized code relation (the point
+    * of PQ: the full float vectors never rescan at probe time), one
+    * keyed aggregation, bounded top-k shuffle. */
+  def pqTopK(codes: DataFrame, queries: DataFrame,
+      books: Array[Array[Array[Float]]], k: Int,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val spark = codes.sparkSession
+    val m = books.length
+    val dsub = books(0)(0).length
+    val bookDf = pqCodebookDf(spark, books)
+    val q = queries.select(col(id).as("query_id"), col(vec).as("q_vec"))
+    val lut = q.crossJoin(bookDf).select(col("query_id"), col("sub"), col("code"), {
+      val vs = slice(col("q_vec"), col("sub") * dsub + 1, lit(dsub))
+      (vec_dot(col("centroid"), col("centroid"))
+        - lit(2.0) * vec_dot(vs, col("centroid"))
+        + vec_dot(vs, vs)).as("d")
+    })
+    val adc = codes.join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("query_id") =!= col(id))
+      .groupBy(col("query_id"), col(id))
+      .agg(round(sum(col("d")) + 1e-9, 6).as("dist"))
+    adc.groupBy(col("query_id"))
+      .agg(top_k_pairs(-col("dist"), col(id), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("r0", "kv")))
+      .select(col("query_id"), col("kv.id").as("corpus_id"),
+        (-col("kv.score")).as("dist"), (col("r0") + 1).cast("int").as("rank"))
   }
 }

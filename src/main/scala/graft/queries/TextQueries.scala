@@ -461,6 +461,30 @@ object TextQueries {
           round(col("cosine") + 1e-9, 6).as("cosine"))
         .orderBy("query_id", "rank")
     }),
+
+    // ---- product quantization: 4×16-code books fit by the bounded
+    // deterministic Lloyd per subspace; encoding is zero-shuffle
+    // literal-baked argmin codegen. The oracle replays the whole fit
+    // (the q40 machinery with a subspace key) and the assignment. ----
+    "q103_pq_codes" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val books = Similarity.pqFit(emb, m = 4, ksub = 16, iters = 5, dim = 64)
+      Similarity.pqEncode(emb, books)
+        .select(col("vec_id"), col("sub"), col("code"))
+        .orderBy("vec_id", "sub")
+    }),
+
+    // ---- PQ ADC top-k: per-query centroid lookup tables, distances
+    // as m-row sums over the byte-sized code relation (the full float
+    // vectors never rescan at probe time), bounded TopKPairs ranking
+    // on the rounded distance. ----
+    "q104_pq_adc_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val books = Similarity.pqFit(emb, m = 4, ksub = 16, iters = 5, dim = 64)
+      val codes = Similarity.pqEncode(emb, books)
+      Similarity.pqTopK(codes, emb.filter(col("vec_id") < 20), books, k = 5)
+        .orderBy("query_id", "rank")
+    }),
   )
 
   private val stoplistSql =
@@ -552,6 +576,85 @@ object TextQueries {
 
   private def langListSql(l: String) =
     TextFunctions.stopwords(l).map(w => s"'$w'").mkString("[", ", ", "]")
+
+  // ---- q103/q104 oracle generators: the per-subspace PQ Lloyd fit
+  // replayed with (sub, code)-keyed CTE rounds — the q40 machinery
+  // with one extra key; every sum mirrors the Scala index order. ----
+  private val pqM = 4
+  private val pqKsub = 16
+  private val pqIters = 5
+  private val pqDsub = 16 // dim 64 / pqM
+
+  /** Σ (e[sub·16+d] − c[d])² in index order (fit distance; c DOUBLE list). */
+  private def pqSubDistSql(e: String, c: String): String =
+    (1 to pqDsub).map(d =>
+      s"(CAST($e.embedding[$c.sub*$pqDsub+$d] AS DOUBLE) - $c.c[$d])" +
+        s"*(CAST($e.embedding[$c.sub*$pqDsub+$d] AS DOUBLE) - $c.c[$d])")
+      .mkString(" + ")
+
+  /** Σ c[d]² in index order over a REAL centroid list. */
+  private def pqSelfSql(c: String): String =
+    (1 to pqDsub).map(d =>
+      s"CAST($c.c[$d] AS DOUBLE)*CAST($c.c[$d] AS DOUBLE)").mkString(" + ")
+
+  /** Σ e[sub·16+d]·c[d] in index order (REAL centroid list). */
+  private def pqDotSql(e: String, c: String): String =
+    (1 to pqDsub).map(d =>
+      s"CAST($e.embedding[$c.sub*$pqDsub+$d] AS DOUBLE)*CAST($c.c[$d] AS DOUBLE)")
+      .mkString(" + ")
+
+  /** Σ e[sub·16+d]² in index order (query self-dot per subspace). */
+  private def pqQSelfSql(e: String, c: String): String =
+    (1 to pqDsub).map(d =>
+      s"CAST($e.embedding[$c.sub*$pqDsub+$d] AS DOUBLE)" +
+        s"*CAST($e.embedding[$c.sub*$pqDsub+$d] AS DOUBLE)").mkString(" + ")
+
+  /** One per-subspace Lloyd round (argmin assignment / means / carry
+    * keyed by (sub, code)). */
+  private def pqIterSql(t: Int): String =
+    s"""cl$t AS MATERIALIZED (
+         SELECT sub, code, list(val ORDER BY pos) AS c FROM cent$t GROUP BY 1, 2),
+       asg$t AS MATERIALIZED (
+         SELECT vec_id, sub, code FROM (
+           SELECT e.vec_id, c.sub, c.code,
+                  row_number() OVER (PARTITION BY e.vec_id, c.sub
+                    ORDER BY (${pqSubDistSql("e", "c")}) ASC, c.code ASC) AS rn
+           FROM embeddings e CROSS JOIN cl$t c
+           WHERE e.vec_id < 1000) WHERE rn = 1),
+       mn$t AS MATERIALIZED (
+         SELECT a.sub, a.code, g.d AS pos,
+                avg(CAST(e.embedding[a.sub*$pqDsub + g.d] AS DOUBLE)) AS val
+         FROM asg$t a JOIN embeddings e ON e.vec_id = a.vec_id
+         CROSS JOIN pqd g GROUP BY 1, 2, 3),
+       cent${t + 1} AS MATERIALIZED (
+         SELECT o.sub, o.code, o.pos, coalesce(m.val, o.val) AS val
+         FROM cent$t o LEFT JOIN mn$t m
+           ON m.sub = o.sub AND m.code = o.code AND m.pos = o.pos)"""
+
+  /** Shared q103/q104 prefix: grids, init from the ksub lowest-id
+    * vectors' subspace slices, the Lloyd rounds, float-cast final
+    * books (`fl`), and the full-corpus assignment (`codes`). */
+  private def pqCoreSql: String = {
+    val iters = (0 until pqIters).map(pqIterSql).mkString(",\n       ")
+    s"""WITH pqs AS (SELECT unnest(generate_series(CAST(0 AS BIGINT), CAST(${pqM - 1} AS BIGINT))) AS s),
+       pqd AS (SELECT unnest(generate_series(CAST(1 AS BIGINT), CAST($pqDsub AS BIGINT))) AS d),
+       cent0 AS MATERIALIZED (
+         SELECT sg.s AS sub, CAST(e.vec_id AS INT) AS code, g.d AS pos,
+                CAST(e.embedding[sg.s*$pqDsub + g.d] AS DOUBLE) AS val
+         FROM embeddings e CROSS JOIN pqs sg CROSS JOIN pqd g
+         WHERE e.vec_id < $pqKsub),
+       $iters,
+       fl AS MATERIALIZED (
+         SELECT sub, code, list(CAST(val AS REAL) ORDER BY pos) AS c
+         FROM cent$pqIters GROUP BY 1, 2),
+       codes AS MATERIALIZED (
+         SELECT vec_id, sub, code FROM (
+           SELECT e.vec_id, c.sub, c.code,
+                  row_number() OVER (PARTITION BY e.vec_id, c.sub
+                    ORDER BY ((${pqSelfSql("c")}) - 2.0*(${pqDotSql("e", "c")})) ASC,
+                             c.code ASC) AS rn
+           FROM embeddings e CROSS JOIN fl c) WHERE rn = 1)"""
+  }
 
   val oracleSql: Map[String, String] = Map(
     // PII scrub replay: the identical planted fixture, RE2-side
@@ -974,6 +1077,35 @@ object TextQueries {
                  CAST(sum(doc_id) AS BIGINT) AS sum_ids
           FROM lab GROUP BY 1, 2 ORDER BY 1, 2"""
     },
+
+    // PQ codes replay: the full per-subspace Lloyd fit + float-cast
+    // books + argmin assignment, term-by-term identical arithmetic.
+    "q103_pq_codes" ->
+      (s"""$pqCoreSql
+          SELECT vec_id, CAST(sub AS INT) AS sub, CAST(code AS INT) AS code
+          FROM codes ORDER BY vec_id, sub"""),
+
+    // PQ ADC replay: per-query LUT of true squared L2 to every
+    // centroid, m-row sums over the code relation, rounded-distance
+    // ranking with corpus-id tie-breaks.
+    "q104_pq_adc_topk" ->
+      (s"""$pqCoreSql,
+       lut AS MATERIALIZED (
+         SELECT q.vec_id AS query_id, c.sub, c.code,
+                ((${pqSelfSql("c")}) - 2.0*(${pqDotSql("q", "c")})
+                  + (${pqQSelfSql("q", "c")})) AS d
+         FROM embeddings q CROSS JOIN fl c WHERE q.vec_id < 20),
+       adc AS (
+         SELECT l.query_id, co.vec_id, round(sum(l.d) + 1e-9, 6) + 0.0 AS dist
+         FROM codes co JOIN lut l ON l.sub = co.sub AND l.code = co.code
+         WHERE l.query_id <> co.vec_id GROUP BY 1, 2),
+       rk AS (
+         SELECT query_id, vec_id AS corpus_id, dist,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY dist ASC, vec_id ASC) AS rank
+         FROM adc)
+       SELECT query_id, corpus_id, dist, CAST(rank AS INT) AS rank
+       FROM rk WHERE rank <= 5 ORDER BY query_id, rank"""),
 
     // shard replay: one window at oracle scale (the engine side
     // stitches range partitions); the order_md5 recomputes the exact

@@ -57,4 +57,49 @@ class SimilaritySpec extends SparkSpec {
       .collect()
     assert(ivf.head.getAs[Long]("corpus_id") == 2L)
   }
+
+  // 4 tight clusters in 8 dims: ids 0-14 near e1, 15-29 near e3,
+  // 30-44 near e5, 45-59 near e7 (deterministic jitter)
+  private def clustered = (0L until 60L).map { i =>
+    val c = (i / 15).toInt
+    val v = Array.fill(8)(0.0f)
+    v(c * 2) = 10.0f
+    v(c * 2 + 1) = (i % 15) * 0.01f
+    (i, v.toSeq)
+  }
+
+  test("pqEncode: same-cluster vectors share codes; codes bounded; long form complete") {
+    val df = clustered.toDF("vec_id", "embedding")
+    val books = Similarity.pqFit(df, m = 2, ksub = 4, iters = 5, dim = 8)
+    assert(books.length == 2 && books.forall(_.length == 4) &&
+      books.forall(_.forall(_.length == 4)))
+    val codes = Similarity.pqEncode(df, books).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(codes.size == 120, "one code per (vector, subspace)")
+    assert(codes.values.forall(c => c >= 0 && c < 4))
+    // cluster 0 lives entirely in subspace 0 -> all members share the
+    // subspace-1 code (their subspace-1 slice is all zeros)
+    val sub1Cluster0 = (0L until 15L).map(i => codes((i, 1))).distinct
+    assert(sub1Cluster0.size == 1, s"cluster-0 sub-1 codes: $sub1Cluster0")
+  }
+
+  test("pqTopK: ADC ranks same-cluster neighbors above cross-cluster ones") {
+    val df = clustered.toDF("vec_id", "embedding")
+    val books = Similarity.pqFit(df, m = 2, ksub = 4, iters = 5, dim = 8)
+    val codes = Similarity.pqEncode(df, books)
+    val top = Similarity.pqTopK(codes, df.filter(col("vec_id") === 7L), books, k = 10)
+      .collect()
+    assert(top.length == 10)
+    // every retrieved neighbor of a cluster-0 query is cluster-0: the
+    // quantized distance to any cross-cluster point is >> in-cluster
+    top.foreach { r =>
+      val cid = r.getAs[Long]("corpus_id")
+      assert(cid >= 0L && cid < 15L && cid != 7L, s"cross-cluster neighbor: $cid")
+    }
+    // distances non-decreasing in rank, ranks dense from 1
+    val byRank = top.sortBy(_.getAs[Int]("rank"))
+    assert(byRank.map(_.getAs[Int]("rank")).toSeq == (1 to 10))
+    val ds = byRank.map(_.getAs[Double]("dist")).toSeq
+    assert(ds == ds.sorted, s"dist by rank: $ds")
+  }
 }
