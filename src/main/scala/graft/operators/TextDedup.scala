@@ -242,6 +242,20 @@ object TextDedup {
         .as("rate"))
   }
 
+  /** [[mixtureWeights]] rates → the md5-threshold prefixes
+    * [[sampleByRate]] consumes — closing the loop between the op that
+    * DERIVES a mix and the machinery that APPLIES one. Rates quantize
+    * to n/4096 (three hex digits — the exact-Bernoulli contract:
+    * `md5 < threshold` keeps the first n of every 4096 hash values);
+    * rate ≥ 1 maps to a NULL threshold, which sampleByRate treats as
+    * keep-everything. The quantization happens on the ROUNDED rate,
+    * so both engines pick identical thresholds. */
+  def rateThresholds(weights: DataFrame, keyCol: String): DataFrame =
+    weights.select(col(keyCol),
+      when(col("rate") >= 1.0, lit(null).cast("string"))
+        .otherwise(lpad(lower(hex(floor(col("rate") * 4096 + 1e-9)
+          .cast("long"))), 3, "0")).as("threshold"))
+
   /** Token-window CHUNKING — the context-window prep step of a
     * training pipeline: split each document into `chunkTokens`-token
     * chunks advancing by `stride` tokens (stride < chunkTokens gives

@@ -330,6 +330,24 @@ object TextQueries {
         .orderBy("source", "split")
     }),
 
+    // ---- self-balancing mix: mixtureWeights DERIVES alpha=0.25
+    // rates from per-domain token mass, rateThresholds quantizes them
+    // to exact-Bernoulli hex thresholds, sampleByRate APPLIES them —
+    // the full decide-then-apply mixing loop in one gated chain ----
+    "q105_auto_mix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), (col("doc_id") % 6).as("domain"),
+          TextFunctions.wsTokenCount(col("text")).as("toks"))
+      val w = TextDedup.mixtureWeights(docs, "domain", "toks",
+        alpha = 0.25, totalBudget = 5000L)
+      TextDedup.sampleByRate(docs, "domain",
+          TextDedup.rateThresholds(w, "domain"), seed = 13)
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_kept"), sum("toks").as("toks_kept"),
+          min("doc_id").as("first_id"), sum("doc_id").as("sum_ids"))
+        .orderBy("domain")
+    }),
+
     // ---- shard manifest: seeded-md5 training-order shuffle ->
     // 64-doc shards via the range-partition + stitch rank (no global
     // window); shard-grain output pins the FULL within-shard order
@@ -1106,6 +1124,38 @@ object TextQueries {
          FROM adc)
        SELECT query_id, corpus_id, dist, CAST(rank AS INT) AS rank
        FROM rk WHERE rank <= 5 ORDER BY query_id, rank"""),
+
+    // auto-mix replay: the q101 mixture machinery with the domain
+    // key, threshold quantization on the rounded rate, and the
+    // seed-13 Bernoulli filter + survivor aggregation.
+    "q105_auto_mix" ->
+      (s"""WITH tk AS ($toksSql), d AS (
+            SELECT doc_id, doc_id % 6 AS domain, len(toks) AS toks FROM tk
+          ), agg AS (
+            SELECT domain, CAST(sum(toks) AS BIGINT) AS toks FROM d GROUP BY 1
+          ), tot AS (SELECT sum(toks) * 1.0 AS total FROM agg),
+          p AS (
+            SELECT a.domain, a.toks, pow(a.toks / t.total, 0.25) AS pa
+            FROM agg a, tot t
+          ), z AS (SELECT sum(pa) AS z FROM p),
+          thr AS (
+            SELECT p.domain,
+                   CASE WHEN r.rate >= 1.0 THEN NULL
+                        ELSE lpad(lower(hex(CAST(floor(r.rate * 4096 + 1e-9)
+                               AS BIGINT))), 3, '0') END AS threshold
+            FROM p, z, LATERAL (
+              SELECT round(least(1.0,
+                       CAST(round(round(p.pa / z.z + 1e-9, 6) * 5000 + 1e-6)
+                            AS BIGINT) / (p.toks * 1.0)) + 1e-9, 6) AS rate) r
+          ), kept AS (
+            SELECT d.* FROM d JOIN thr ON d.domain = thr.domain
+            WHERE thr.threshold IS NULL
+               OR md5('13#' || CAST(d.doc_id AS VARCHAR)) < thr.threshold
+          )
+          SELECT domain, count(*) AS n_kept,
+                 CAST(sum(toks) AS BIGINT) AS toks_kept,
+                 min(doc_id) AS first_id, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+          FROM kept GROUP BY 1 ORDER BY 1"""),
 
     // shard replay: one window at oracle scale (the engine side
     // stitches range partitions); the order_md5 recomputes the exact

@@ -6,6 +6,18 @@ import org.apache.spark.sql.functions._
 
 class TextFunctionsSpec extends SparkSpec {
 
+  test("rateThresholds: /4096 quantization, zero padding, keep-all for rate >= 1") {
+    import spark.implicits._
+    val w = Seq(("a", 0.25), ("b", 1.0), ("c", 0.001), ("d", 0.999999))
+      .toDF("key", "rate")
+    val thr = TextDedup.rateThresholds(w, "key").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(thr("a") == "400", thr("a"))            // 0.25*4096 = 1024 = 0x400
+    assert(thr("b") == null)                       // keep-all
+    assert(thr("c") == "004", thr("c"))            // floor(4.096) = 4, zero-padded
+    assert(thr("d") == "fff", thr("d"))            // floor(4095.99) = 4095
+  }
+
   test("shardManifest: stitched ranks match the single-window reference, shards sized") {
     import spark.implicits._
     val docs = (0L until 333L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
