@@ -70,6 +70,13 @@ object ScaleProbe {
       if (c == 0) df
       else df.withColumn("doc_id", col("doc_id") + c * keyShift)
         .withColumn("text", regexp_replace(col("text"), "e", "e" + c.toString)))
+    // Embeddings scale by id shift only (values unperturbed): the PQ /
+    // BM25-era probes are per-row and aggregation shaped, so copies
+    // can't explode a pair relation the way duplicate text would —
+    // do NOT probe all-pairs threshold ops (q57-style) on this table.
+    replicate("embeddings", (df, c) =>
+      if (c == 0) df
+      else df.withColumn("vec_id", col("vec_id") + c * keyShift))
 
     // best of two runs: the first run pays codegen/JIT/footer costs
     // that would otherwise inflate the small side (it runs first) and
@@ -89,6 +96,11 @@ object ScaleProbe {
       val big = time(dst, q)
       println(f"[scale] $q%-20s sf0.1=$small%8.2fs 10x=$big%8.2fs ratio=${big / small}%6.2f")
       (q, small, big)
+    }
+    // SPARK_GRAFT_PROBE_EXTRAS=0 skips the fixed ICC/viral probes for
+    // targeted per-query runs (they re-measure unchanged operators).
+    if (sys.env.getOrElse("SPARK_GRAFT_PROBE_EXTRAS", "1") == "0") {
+      spark.stop(); return
     }
     // ICC gene-axis probe: same sf0.1 data, gene cap 100 (the q46
     // fixture) vs 1000 — 10× along the dimension that actually grows
