@@ -17,6 +17,20 @@ object MetaQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** `events` with a canonical epoch-micros `us` column, regardless of how
+    * the generator encoded `ts`: parquet TIMESTAMP(MICROS) resolves to a
+    * Spark TimestampType (use `unix_micros`), while TIMESTAMP(NANOS) read
+    * under `nanosAsLong` resolves to LongType nanos (divide by 1000). The
+    * dtype branch happens once at plan time — no per-row dispatch. */
+  private def eventsWithMicros(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val us = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => unix_micros(col("ts").cast("timestamp"))
+    }
+    ev.withColumn("us", us)
+  }
+
   private def groupStatsDf(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem").groupBy(col("l_partkey"), col("l_returnflag"))
       .agg(count(lit(1)).as("n"), avg("l_extendedprice").as("mean"),
@@ -243,10 +257,7 @@ object MetaQueries {
 
     // ---- sessionization (gap > 30 min ⇒ new session) ----
     "q26_sessionize" -> ((s, dir) => {
-      // events.ts is parquet TIMESTAMP(NANOS): read as raw long nanos
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = t(s, dir, "events")
-        .withColumn("us", expr("ts div 1000"))
+      val ev = eventsWithMicros(s, dir)
       val w = Window.partitionBy("user_id").orderBy(col("us").asc, col("event_id").asc)
       ev.withColumn("gap", col("us") - lag("us", 1).over(w))
         .withColumn("new_sess",
@@ -258,9 +269,8 @@ object MetaQueries {
 
     // ---- tumbling-window event aggregation (streaming-shaped) ----
     "q27_event_window" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = t(s, dir, "events")
-        .withColumn("tsx", timestamp_micros(expr("ts div 1000")))
+      val ev = eventsWithMicros(s, dir)
+        .withColumn("tsx", timestamp_micros(col("us")))
       ev.groupBy(year(col("tsx")).as("y"), month(col("tsx")).as("mo"),
           dayofmonth(col("tsx")).as("d"), hour(col("tsx")).as("h"),
           col("event_type"))

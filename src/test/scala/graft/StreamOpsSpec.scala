@@ -33,6 +33,53 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming sessionize batch≡stream on the real events fixture (q26 gate)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dirSf = "/root/testdata/sf0.001"
+    // the q26 batch answer on the SAME fixture, same 30-min gap rule —
+    // this gate re-runs the catalog query, so a testdata schema drift
+    // (e.g. the r6 TIMESTAMP(NANOS)→MICROS regeneration) fails here in
+    // `sbt test`, not first in the driver's correctness run
+    val batch = graft.SparkEntry.queries("q26_sessionize")(spark, dirSf)
+      .collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_sessions"), r.getAs[Long]("n_events")))).toMap
+    val evRows = spark.read.parquet(s"$dirSf/events.parquet")
+      .select(col("user_id"), col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("event_type"), col("value"))
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val input = MemoryStream[Event]
+    val sessions = StreamOps.sessionize(input.toDS(), gapMinutes = 30)
+    val query = sessions.writeStream.format("memory")
+      .queryName("sess_gate").outputMode("append").start()
+    try {
+      // replay in event-time order so streaming session assembly sees
+      // the same sequence the batch window does
+      evRows.grouped(200).foreach { b =>
+        input.addData(b.toSeq: _*); query.processAllAvailable()
+      }
+      // two sentinel batches: the first advances the watermark past
+      // every open session's timeout, the second triggers the timeout
+      // scan that flushes them
+      val tMax = evRows.map(_.ts.getTime).max
+      input.addData(Event(-1L, -1L, new Timestamp(tMax + 24 * 3600 * 1000L), "x", 0.0))
+      query.processAllAvailable()
+      input.addData(Event(-1L, -2L, new Timestamp(tMax + 25 * 3600 * 1000L), "x", 0.0))
+      query.processAllAvailable()
+      val streamAgg = spark.table("sess_gate").as[SessionOut]
+        .collect().filter(_.user_id >= 0L)
+        .groupBy(_.user_id)
+        .map { case (u, ss) => u -> ((ss.length.toLong, ss.map(_.n_events).sum)) }
+      assert(streamAgg.keySet == batch.keySet,
+        s"user sets diverged: onlyStream=${streamAgg.keySet -- batch.keySet} " +
+          s"onlyBatch=${batch.keySet -- streamAgg.keySet}")
+      streamAgg.foreach { case (u, v) =>
+        assert(v == batch(u), s"user $u: stream $v vs batch ${batch(u)}")
+      }
+    } finally query.stop()
+  }
+
   test("parquet file sink with checkpointing persists windowed aggregates") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
