@@ -31,7 +31,7 @@ object Plans {
         "q95_repeated_spans", "q96_tfidf_topk", "q97_split_assign",
         "q98_vocab_stats", "q99_video_frames", "q100_bm25_topk",
         "q101_temp_mixture", "q102_shard_manifest", "q103_pq_codes",
-        "q104_pq_adc_topk")
+        "q104_pq_adc_topk", "q38_knn_label", "q39_lsh_topk", "q57_embed_dup")
     names.foreach { name =>
       if (name == "bucketed_demo") bucketedDemo(spark, dir)
       else {
@@ -48,7 +48,11 @@ object Plans {
           "sort-merge join" -> (plan.contains("SortMergeJoin") && !smjIntended),
           // dedup keep-first must be min_by aggregation, never a window
           // keyed on content (a viral key = a single-task sort)
-          "content-keyed window" -> (windowFree(name) && plan.contains("Window")))
+          "content-keyed window" -> (windowFree(name) && plan.contains("Window")),
+          // a broadcast side must be BOUNDED: broadcasting a base-table
+          // scan with no pushed filter is the q38-r6 OOM shape (the
+          // whole corpus on the build side)
+          "unbounded-relation broadcast" -> hasUnfilteredBroadcastScan(df))
           .collect { case (s, true) => s }
         val note = if (smjIntended && plan.contains("SortMergeJoin"))
           s" (intended SMJ: ${intendedSmj(name)})" else ""
@@ -70,6 +74,29 @@ object Plans {
     * single-task window sort (VERDICT r5 #2). q86 keeps its windows by
     * design — they are salted/bounded, not content-keyed. */
   private val windowFree = Set("q30_exact_dedup", "q85_paragraph_dedup")
+
+  /** True when some BroadcastExchange subtree contains a parquet scan
+    * with NO data/partition filter — an unbounded relation on the
+    * build side. Bounded panels (`vec_id < 200`), literal relations,
+    * and collected-and-baked centroid/LUT tables never trip this. */
+  private def hasUnfilteredBroadcastScan(df: org.apache.spark.sql.DataFrame): Boolean = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.inputPlan
+      case other => other
+    }
+    unwrap(df.queryExecution.executedPlan).collect {
+      case b: BroadcastExchangeExec =>
+        b.collectLeaves().exists {
+          case s: FileSourceScanExec =>
+            s.dataFilters.isEmpty && s.partitionFilters.isEmpty
+          case _ => false
+        }
+    }.exists(identity)
+  }
 
   private val intendedSmj = Map(
     "q35_minhash_lsh" ->

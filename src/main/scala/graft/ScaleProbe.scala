@@ -210,13 +210,83 @@ object ScaleProbe {
     }
     val (spanU, spanV) = (spanProbe(viral = false), spanProbe(viral = true))
     println(f"[scale] repeatedSpans(viral)  uniform=$spanU%8.2fs viral=$spanV%8.2fs ratio=${spanV / spanU}%6.2f")
+    // Banded embedding near-dup (q57 production path) — sub-quadratic
+    // growth in the regime the operator exists for: a clustered corpus
+    // (20-member clusters, intra-cluster cosine ≈ 0.99, cross ≈ 0)
+    // whose true near-dup pair mass grows LINEARLY with N. With
+    // 16-bit bands the candidate relation is the linear intra-cluster
+    // mass plus N²/2¹⁶ background collisions, so 10× data must cost
+    // ~10×, not the crossJoin's 100×.
+    def embDupProbe(n: Long): Double = {
+      val dim = 64
+      def h(c: org.apache.spark.sql.Column, d: Int, salt: Int) =
+        pmod(hash(c, lit(d), lit(salt)).cast("double"), lit(1000.0)) / 500.0 - 1.0
+      val emb = spark.range(n).select(col("id").as("vec_id"),
+        array((0 until dim).map(d =>
+          (h(col("id") / 20, d, 1) + lit(0.05) * h(col("id"), d, 2))
+            .cast("float")): _*).as("embedding"))
+        .localCheckpoint(true)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        graft.operators.TextDedup.embeddingDupPairs(emb, threshold = 0.9,
+          dim = dim, bitsPerBand = 16, nBands = 4).queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      math.min(once(), once())
+    }
+    val (embS, embB) = (embDupProbe(20000L), embDupProbe(200000L))
+    println(f"[scale] embedDup(banded)      n=20k=$embS%8.2fs n=200k=$embB%8.2fs ratio=${embB / embS}%6.2f")
+    // PQ ADC probe — probe-time cost must track the CODE relation
+    // (m·N byte-sized rows), not the float corpus: codebooks fit once
+    // on the bounded sample, both corpora pre-encoded outside the
+    // clock, then the same 10-query ADC top-k over 1× vs 10× codes.
+    def pqProbe(): (Double, Double) = {
+      import graft.operators.Similarity
+      val src1 = spark.read.parquet(s"$src/embeddings.parquet")
+      val src10 = spark.read.parquet(s"$dst/embeddings.parquet")
+      val books = Similarity.pqFit(src1, m = 8, ksub = 16, iters = 5, dim = 64)
+      val qs = src1.filter(col("vec_id") < 10).localCheckpoint(true)
+      def run(corpus: DataFrame): Double = {
+        val codes = Similarity.pqEncode(corpus, books).localCheckpoint(true)
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          Similarity.pqTopK(codes, qs, books, k = 5).queryExecution.toRdd.count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        math.min(once(), once())
+      }
+      (run(src1), run(src10))
+    }
+    val (pqS, pqB) = pqProbe()
+    println(f"[scale] pqAdcTopK(codes)      1x=$pqS%8.2fs 10x=$pqB%8.2fs ratio=${pqB / pqS}%6.2f")
+    // BM25 probe — cost must track posting volume (corpus tokens ∩
+    // query terms), so 10× documents ⇒ ~10× cost with the same
+    // broadcast query relation and bounded top-k shuffle.
+    def bm25Probe(fromDir: String): Double = {
+      import spark.implicits._
+      val docs = spark.read.parquet(s"$fromDir/documents.parquet").select("doc_id", "text")
+      val qs = Seq((1L, "the"), (1L, "data"), (2L, "model"), (2L, "training"),
+        (3L, "license"), (3L, "rights")).toDF("query_id", "term")
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        graft.operators.TextRetrieval.bm25TopK(docs, qs, k = 10)
+          .queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      math.min(once(), once())
+    }
+    val (bmS, bmB) = (bm25Probe(src), bm25Probe(dst))
+    println(f"[scale] bm25TopK(postings)    1x=$bmS%8.2fs 10x=$bmB%8.2fs ratio=${bmB / bmS}%6.2f")
     val js = (rows.map { case (q, s, b) =>
       f"""\"$q\":{\"sf01\":$s%.3f,\"x10\":$b%.3f,\"ratio\":${b / s}%.3f}""" } :+
       f"""\"q46_icc_gene_axis\":{\"sf01\":$iccSmall%.3f,\"x10\":$iccBig%.3f,\"ratio\":${iccBig / iccSmall}%.3f}""" :+
       f"""\"q46_icc_supplier_axis\":{\"sf01\":$iccSupSmall%.3f,\"x10\":$iccSupBig%.3f,\"ratio\":${iccSupBig / iccSupSmall}%.3f}""" :+
       f"""\"paragraph_dedup_viral\":{\"uniform\":$paraU%.3f,\"viral\":$paraV%.3f,\"ratio\":${paraV / paraU}%.3f}""" :+
       f"""\"cap_per_key_viral\":{\"uniform\":$capU%.3f,\"viral\":$capV%.3f,\"ratio\":${capV / capU}%.3f}""" :+
-      f"""\"repeated_spans_viral\":{\"uniform\":$spanU%.3f,\"viral\":$spanV%.3f,\"ratio\":${spanV / spanU}%.3f}""")
+      f"""\"repeated_spans_viral\":{\"uniform\":$spanU%.3f,\"viral\":$spanV%.3f,\"ratio\":${spanV / spanU}%.3f}""" :+
+      f"""\"embed_dup_banded\":{\"n20k\":$embS%.3f,\"n200k\":$embB%.3f,\"ratio\":${embB / embS}%.3f}""" :+
+      f"""\"pq_adc_topk\":{\"x1\":$pqS%.3f,\"x10\":$pqB%.3f,\"ratio\":${pqB / pqS}%.3f}""" :+
+      f"""\"bm25_topk\":{\"x1\":$bmS%.3f,\"x10\":$bmB%.3f,\"ratio\":${bmB / bmS}%.3f}""")
       .mkString("{", ",", "}")
     println(s"""[scale-json] {"copies":$copies,"queries":$js}""")
     spark.stop()

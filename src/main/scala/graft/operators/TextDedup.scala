@@ -580,10 +580,27 @@ object TextDedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** Embedding-cosine near-dup pairs above a threshold, via
-    * [[Similarity.cosinePairs]]. All-pairs — bounded relations only;
-    * [[embeddingDupPairsLsh]] is the corpus-scale path. */
-  def embeddingDupPairs(embeddings: DataFrame, threshold: Double,
+  /** Embedding-cosine near-dup pairs above a threshold. PRODUCTION
+    * path: delegates to [[embeddingDupPairsLsh]] — multi-band
+    * hyperplane-LSH candidates + exact-cosine verify inside buckets,
+    * never a corpus crossJoin. The band family is deterministic
+    * (fixed splitmix64 Rademacher hyperplanes), so results are
+    * reproducible run-to-run; recall is probabilistic in the
+    * threshold: ≈1 in the semantic-dedup regime (θ ≥ ~0.8) and
+    * degrading as the threshold approaches the background cosine
+    * distribution (where NO sub-quadratic method can be exact). The
+    * default 16 bands × 2 bits are sized for recall down to θ ≈ 0.4.
+    * [[embeddingDupPairsExact]] is the all-pairs form, kept only as
+    * the bounded verify stage for tests and small candidate sets. */
+  def embeddingDupPairs(embeddings: DataFrame, threshold: Double, dim: Int = 64,
+      bitsPerBand: Int = 2, nBands: Int = 16,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame =
+    embeddingDupPairsLsh(embeddings, threshold, dim, bitsPerBand, nBands, id, vec)
+
+  /** All-pairs exact form of [[embeddingDupPairs]], via
+    * [[Similarity.cosinePairs]]. Quadratic — bounded relations only
+    * (the recall-gate spec and small within-bucket verifies). */
+  def embeddingDupPairsExact(embeddings: DataFrame, threshold: Double,
       id: String = "vec_id", vec: String = "embedding"): DataFrame =
     Similarity.cosinePairs(embeddings, id, vec).filter(col("cosine") >= threshold)
 

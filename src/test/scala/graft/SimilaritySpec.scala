@@ -50,6 +50,24 @@ class SimilaritySpec extends SparkSpec {
     assert(dup.contains((1L, 2L)) || dup.contains((2L, 1L)), s"dup pair missing: ${dup.toSeq}")
   }
 
+  test("banded embeddingDupPairs matches the exact all-pairs answer on the real fixture") {
+    // the q57 recall gate: on the sf0.001 embeddings at the catalog's
+    // own 0.4 threshold, the default deterministic 16×2-bit band
+    // family must catch EVERY qualifying pair — banded answer ≡ exact
+    // answer, pair-for-pair with equal cosines
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        math.round(r.getAs[Double]("cosine") * 1e9)
+    val exact = TextDedup.embeddingDupPairsExact(emb, threshold = 0.4)
+      .collect().map(key).toMap
+    val banded = TextDedup.embeddingDupPairs(emb, threshold = 0.4, dim = 64)
+      .collect().map(key).toMap
+    assert(exact.nonEmpty, "fixture has no qualifying pairs — gate is vacuous")
+    assert(banded == exact,
+      s"banded≠exact: missed=${exact.keySet -- banded.keySet} extra=${banded.keySet -- exact.keySet}")
+  }
+
   test("ivfTopK with full probing matches brute force top-1") {
     val df = vecs.toDF("vec_id", "embedding")
     val q = df.filter(col("vec_id") === 1L)
