@@ -26,12 +26,15 @@ object Bench {
     Seq("lineitem", "documents", "embeddings", "events")
       .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): (Double, Option[String]) = {
+      def once(cold: Boolean = true): (Double, Option[String]) = {
         // drop the query-scoped memo caches (shared chain fixtures,
         // IVF quantizer) BEFORE the clock starts: round 5's q73
         // headline was a 0.05 s memo hit on a 4.4 s cold chain — a
-        // best-of-N sample must measure the query, not the cache
-        SparkEntry.clearQueryCaches()
+        // best-of-N sample must measure the query, not the cache.
+        // Warm samples skip the clear: recording BOTH separates a
+        // methodology change from an operator regression across
+        // rounds (the r5→r6 "1.55×" was purely warm→cold).
+        if (cold) SparkEntry.clearQueryCaches()
         val t0 = System.nanoTime()
         // toRdd.count() materializes every output column — a plain
         // Dataset.count() would let Catalyst prune the expensive
@@ -45,35 +48,57 @@ object Bench {
       // sub-second queries are scheduling-jitter-bound (measured: every
       // >1.3x cross-run delta in round 5 was sub-second); one extra
       // sample there costs little and tightens the artifact
-      val samples =
+      val coldSamples =
         if (base.map(_._1).min < 1.0 && base.forall(_._2.isEmpty)) base :+ once()
         else base
-      val err = samples.collectFirst { case (_, Some(e)) => e }
+      // one warm sample per query, after the colds (memo caches carry
+      // over from the last cold run)
+      val warm = if (coldSamples.forall(_._2.isEmpty)) Some(once(cold = false)._1) else None
+      val err = coldSamples.collectFirst { case (_, Some(e)) => e }
       // the reported min is over SUCCESSFUL samples: a fast failure
       // must not under-report a query whose other rep succeeded (the
       // headline and the failure set would disagree); only when every
       // rep failed do the failed walls stand in
-      val ok = samples.collect { case (t, None) => t }
-      (name, samples.map(_._1), if (ok.nonEmpty) ok else samples.map(_._1), err)
+      val ok = coldSamples.collect { case (t, None) => t }
+      (name, coldSamples.map(_._1),
+        if (ok.nonEmpty) ok else coldSamples.map(_._1), warm, err)
     }
-    val qs = results.map { case (k, _, ok, _) => s"\"" + k + "\":" + ok.min }
+    val qs = results.map { case (k, _, ok, _, _) => s"\"" + k + "\":" + ok.min }
       .mkString("{", ",", "}")
-    val raw = results.map { case (k, ss, _, _) =>
-      s"\"" + k + "\":" + ss.mkString("[", ",", "]") }
+    // the structured per-query map the round artifacts consume:
+    // name → {cold (best-of-N, caches cleared), warm (one post-cold
+    // sample, caches kept), samples (raw cold walls)}
+    val parsed = results.map { case (k, ss, ok, warm, _) =>
+      s"\"" + k + "\":{\"cold\":" + ok.min +
+        ",\"warm\":" + warm.map(_.toString).getOrElse("null") +
+        ",\"samples\":" + ss.mkString("[", ",", "]") + "}" }
       .mkString("{", ",", "}")
-    val failures = results.collect { case (k, _, _, Some(e)) =>
+    val failures = results.collect { case (k, _, _, _, Some(e)) =>
       "\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._3.min).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"samples":$raw,"failures":$failures,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"parsed":$parsed,"failures":$failures,"sf":"$sfDir"}"""
     println(json)
-    // Also persist to a file: captured stdout tails get truncated and
-    // drop the head of the per-query map.
+    // Persist the full artifact: captured stdout tails truncate to the
+    // last ~2000 chars, which can never hold the 105-query map — the
+    // FILE is the structured record (driver cwd, judge-readable).
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () }
+    // Final stdout line: a COMPACT summary sized to fit whole inside a
+    // 2000-char tail window (total, failure names, 5 slowest colds),
+    // so a truncated capture still parses structurally.
+    val slow = results.sortBy(-_._3.min).take(5)
+      .map { case (k, _, ok, warm, _) => s"\"" + k + "\":{\"cold\":" +
+        f"${ok.min}%.2f" + ",\"warm\":" +
+        warm.map(w => f"$w%.2f").getOrElse("null") + "}" }
+      .mkString("{", ",", "}")
+    val failNames = results.collect { case (k, _, _, _, Some(_)) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    println(s"""{"bench_summary":{"total":$total,"n_queries":${results.size},""" +
+      s""""reps":$reps,"failed":$failNames,"slowest":$slow,"detail":"$outPath"}}""")
     spark.stop()
   }
 }

@@ -277,6 +277,32 @@ object ScaleProbe {
     }
     val (bmS, bmB) = (bm25Probe(src), bm25Probe(dst))
     println(f"[scale] bm25TopK(postings)    1x=$bmS%8.2fs 10x=$bmB%8.2fs ratio=${bmB / bmS}%6.2f")
+    // Dual-Gramian PCA probe — 10k genes × 50 samples, the reference's
+    // own post-filter shape (Study_effect.R: 10k most-variable genes).
+    // The primal G×G path would collect 10⁸ cells (~800 MB) to the
+    // driver; the dual path's driver state is S² = 2500 cells. This
+    // records that the config COMPLETES and at what cost.
+    def pcaDualProbe(): Double = {
+      import graft.model.ExpressionMatrix
+      val nG = 10000; val nS = 50
+      val genes = (0 until nG).map(i => f"g$i%05d")
+      val df = spark.range(nG.toLong * nS).select(
+        format_string("g%05d", (col("id") / nS).cast("int")).as("gene_id"),
+        format_string("s%03d", pmod(col("id"), lit(nS)).cast("int")).as("sample_id"),
+        (pmod(hash(col("id")).cast("double"), lit(1000.0)) / 100.0 +
+          when(((col("id") / nS) % 7 === 0) && (pmod(col("id"), lit(nS)) < nS / 2),
+            5.0).otherwise(0.0)).as("value"))
+        .localCheckpoint(true)
+      val m = ExpressionMatrix(df)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        graft.operators.QC.pca(m, k = 3, genes).queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      math.min(once(), once())
+    }
+    val pcaT = pcaDualProbe()
+    println(f"[scale] pcaDual(10k genes)    sec=$pcaT%8.2fs (S²=2500 driver cells; primal would collect 10⁸)")
     val js = (rows.map { case (q, s, b) =>
       f"""\"$q\":{\"sf01\":$s%.3f,\"x10\":$b%.3f,\"ratio\":${b / s}%.3f}""" } :+
       f"""\"q46_icc_gene_axis\":{\"sf01\":$iccSmall%.3f,\"x10\":$iccBig%.3f,\"ratio\":${iccBig / iccSmall}%.3f}""" :+
@@ -286,7 +312,8 @@ object ScaleProbe {
       f"""\"repeated_spans_viral\":{\"uniform\":$spanU%.3f,\"viral\":$spanV%.3f,\"ratio\":${spanV / spanU}%.3f}""" :+
       f"""\"embed_dup_banded\":{\"n20k\":$embS%.3f,\"n200k\":$embB%.3f,\"ratio\":${embB / embS}%.3f}""" :+
       f"""\"pq_adc_topk\":{\"x1\":$pqS%.3f,\"x10\":$pqB%.3f,\"ratio\":${pqB / pqS}%.3f}""" :+
-      f"""\"bm25_topk\":{\"x1\":$bmS%.3f,\"x10\":$bmB%.3f,\"ratio\":${bmB / bmS}%.3f}""")
+      f"""\"bm25_topk\":{\"x1\":$bmS%.3f,\"x10\":$bmB%.3f,\"ratio\":${bmB / bmS}%.3f}""" :+
+      f"""\"pca_dual_10k_genes\":{\"sec\":$pcaT%.3f}""")
       .mkString("{", ",", "}")
     println(s"""[scale-json] {"copies":$copies,"queries":$js}""")
     spark.stop()

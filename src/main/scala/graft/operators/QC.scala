@@ -69,7 +69,8 @@ object QC {
     *  4. coordinates = Σ_g x·v_g via a broadcast loadings join + one
     *     keyed aggregation — pure codegen column algebra.
     * Returns (sample_id, pc1..pcK). */
-  def pca(m: ExpressionMatrix, k: Int, genes: Seq[String]): DataFrame = {
+  def pca(m: ExpressionMatrix, k: Int, genes: Seq[String],
+      forceDual: Option[Boolean] = None): DataFrame = {
     val spark = m.df.sparkSession
     import spark.implicits._
     val long = m.canonical.df.filter(col("gene_id").isin(genes: _*))
@@ -84,6 +85,18 @@ object QC {
         when(col("__sd") > 0, (col("value") - col("__mu")) / col("__sd")).otherwise(lit(0.0)))
       .select("gene_id", "sample_id", "x")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sampleIds = samples.orderBy("sample_id").collect().map(_.getString(0))
+    if (forceDual.getOrElse(genes.size > sampleIds.length))
+      pcaDual(scaled, genes, sampleIds, k)
+    else
+      pcaPrimal(scaled, genes, k)
+  }
+
+  /** Primal path (G ≤ S): gene×gene Gramian XᵀX, G² bounded — the
+    * shape every reference fixture takes (gene lists ≤ 50). */
+  private def pcaPrimal(scaled: DataFrame, genes: Seq[String], k: Int): DataFrame = {
+    val spark = scaled.sparkSession
+    import spark.implicits._
     val gIdx = genes.zipWithIndex.toMap
     val p = genes.size
     val gram = Array.ofDim[Double](p, p)
@@ -105,6 +118,81 @@ object QC {
     val pcCols = (0 until k).map(d =>
       sum(col("x") * col("__l")(d)).as(s"pc${d + 1}"))
     scaled.join(loadDf, Seq("gene_id"))
+      .groupBy("sample_id")
+      .agg(pcCols.head, pcCols.tail: _*)
+  }
+
+  /** Dual path (G > S): the S×S sample Gramian M = XᵀX has the SAME
+    * nonzero eigenvalues as the gene Gramian, and every gene loading
+    * is recovered distributed as v = X·u/√λ — so at the reference's
+    * own post-filter config (10k genes × ≤ hundreds of samples,
+    * `Study_effect.R:186-231`) the driver holds S² cells, never G²
+    * (10⁸ cells ≈ 800 MB was the primal's collect).
+    *
+    * Work: one gene-keyed groupByKey (shuffle O(G·S) rows) whose
+    * partitions accumulate local S×S outer-product tiles, treeReduced
+    * to the driver (the ICC gramian shape); eigenpairs by the same
+    * seeded 500-step deflated power iteration; loadings one keyed
+    * aggregation; the primal's sign convention (largest-|loading|
+    * gene positive, first-gene tie-break) replayed with a distributed
+    * max(struct) so both paths emit identical PCs. */
+  private def pcaDual(scaled: DataFrame, genes: Seq[String],
+      sampleIds: Array[String], k: Int): DataFrame = {
+    val spark = scaled.sparkSession
+    import spark.implicits._
+    val n = sampleIds.length
+    val sIdxB = spark.sparkContext.broadcast(sampleIds.zipWithIndex.toMap)
+    val flat = scaled.select("gene_id", "sample_id", "x").as[(String, String, Double)]
+      .rdd.map { case (g, s, x) => (g, (sIdxB.value(s), x)) }
+      .groupByKey(scaled.sparkSession.sessionState.conf.numShufflePartitions)
+      .mapPartitions { it =>
+        val local = Array.ofDim[Double](n * n)
+        it.foreach { case (_, entries) =>
+          val arr = entries.toArray
+          var i = 0
+          while (i < arr.length) {
+            var j = 0
+            while (j < arr.length) {
+              local(arr(i)._1 * n + arr(j)._1) += arr(i)._2 * arr(j)._2
+              j += 1
+            }
+            i += 1
+          }
+        }
+        Iterator(local)
+      }
+      .treeReduce { (a, b) =>
+        var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a
+      }
+    val work = Array.tabulate(n, n)((i, j) => flat(i * n + j))
+    val eig = (0 until k).map { d =>
+      val (lam, u) = Cluster.powerIter(work, d)
+      for (i <- 0 until n; j <- 0 until n) work(i)(j) -= lam * u(i) * u(j)
+      (math.max(lam, 1e-300), u)
+    }
+    // per-sample factors u_{d,s}/√λ_d, broadcast: v_{g,d} = Σ_s x·f_d(s)
+    val facDf = broadcast(sampleIds.zipWithIndex.map { case (s, i) =>
+      (s, eig.map { case (lam, u) => u(i) / math.sqrt(lam) })
+    }.toSeq.toDF("sample_id", "__f"))
+    val lCols = (0 until k).map(d => sum(col("x") * col("__f")(d)).as(s"__l$d"))
+    val gi = genes.zipWithIndex.toDF("gene_id", "__gi")
+    val loadDf = scaled.join(facDf, Seq("sample_id"))
+      .groupBy("gene_id").agg(lCols.head, lCols.tail: _*)
+      .join(broadcast(gi), Seq("gene_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // primal sign rule: flip component d iff its largest-|loading|
+    // entry is negative; Scala's maxBy keeps the FIRST max, so the
+    // tie-break is lowest gene index — max(struct(abs, -gi, sign))
+    // replays exactly that
+    val signRow = loadDf.select((0 until k).map(d =>
+      max(struct(abs(col(s"__l$d")).as("a"), (-col("__gi")).as("g"),
+        signum(col(s"__l$d")).as("sg"))).getField("sg").as(s"s$d")): _*).head()
+    val signs = (0 until k).map(d =>
+      if (signRow.getDouble(d) < 0) -1.0 else 1.0)
+    val pcCols = (0 until k).map(d =>
+      sum(col("x") * col(s"__l$d") * lit(signs(d))).as(s"pc${d + 1}"))
+    scaled.join(loadDf.select((col("gene_id") +:
+        (0 until k).map(d => col(s"__l$d"))): _*), Seq("gene_id"))
       .groupBy("sample_id")
       .agg(pcCols.head, pcCols.tail: _*)
   }

@@ -212,6 +212,33 @@ class KernelSpec extends SparkSpec {
       s"pc1 does not separate planted clusters: $lo vs $hi")
   }
 
+  test("pca: dual (S×S Gramian) path reproduces the primal PCs") {
+    // 40 genes x 10 samples — the genes ≫ samples shape where the
+    // G×G collect stops scaling; the dual path must emit the SAME
+    // coordinates (same eigenpairs, same sign convention)
+    val genes = (1 to 40).map(i => f"g$i%02d")
+    val rows = for (g <- 1 to 40; s <- 1 to 10) yield {
+      val shift = if (s > 5 && g <= 20) 3.0 else 0.0
+      val noise = (((g * 37 + s * 23) % 17) - 8) * 0.15
+      (f"g$g%02d", f"s$s%02d", 8.0 + g * 0.2 + shift + noise)
+    }
+    val m = ExpressionMatrix(rows.toDF("gene_id", "sample_id", "value"))
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val primal = asMap(QC.pca(m, k = 2, genes, forceDual = Some(false)))
+    val dual = asMap(QC.pca(m, k = 2, genes, forceDual = Some(true)))
+    assert(primal.keySet == dual.keySet)
+    primal.foreach { case (s, (p1, p2)) =>
+      val (d1, d2) = dual(s)
+      assert(math.abs(p1 - d1) < 1e-6 && math.abs(p2 - d2) < 1e-6,
+        s"sample $s: primal ($p1,$p2) vs dual ($d1,$d2)")
+    }
+    // and the default dispatch picks the dual path here (G > S):
+    // identical output to the forced-dual call
+    val auto = asMap(QC.pca(m, k = 2, genes))
+    assert(auto == dual)
+  }
+
   test("cmdscale reconstructs planar distances exactly in 2 dimensions") {
     // four points in the plane; squared distances in, coordinates out:
     // pairwise distances of the embedding must match the input
