@@ -1,7 +1,8 @@
 package graft.operators
 
+import graft.functions.StatAlgebra
 import graft.model.ExpressionMatrix
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -376,6 +377,79 @@ object Normalize {
     * the broadcast piecewise cubic per row. Monotone for monotone
     * anchors at reference bin counts; values outside the anchor span
     * clamp to the end segments. */
+  /** A18-pre — RMA background correction, the affinity-FREE
+    * normal+exponential convolution (`affy::bg.correct.rma`, the
+    * background stage the reference's `rma()` call runs before
+    * quantile norm + median polish, `GenExpressionComb_Affy_U133Plus2
+    * .R:151`). The GC-affinity step of GC-RMA needs vendor probe
+    * sequences and stays out of pure-Spark scope (SURVEY §7.4.5);
+    * this is the sequence-free convolution model:
+    * observed = signal(Exp(α)) + background(N(μ, σ²)), corrected
+    * value = E[signal | observed] in closed form.
+    *
+    * Parameter estimation per SAMPLE (the affy `bg.parameters` shape,
+    * kernel-density mode replaced by a deterministic 256-bin
+    * histogram mode — documented divergence, same principle):
+    *  - m₁ = mode of the value histogram over [lo, hi];
+    *  - μ = mode of the sub-histogram over [lo, m₁) (values < m₁);
+    *  - σ² = 2 · mean((x−μ)² | x < μ)  (left-tail, doubled);
+    *  - α = 1 / mean(x−μ | x > μ).
+    * Correction per cell, a = x − μ − ασ²:
+    *  x' = a + σ·(φ(a/σ) − φ((x−a)/σ)) / (Φ(a/σ) + Φ((x−a)/σ) − 1),
+    * with Φ from the Abramowitz–Stegun 7.1.26 erf rational
+    * approximation — column algebra on BOTH the Spark side and the
+    * DuckDB oracle, so the hash gate replays bit-for-bit (the same
+    * trick as the Acklam qnorm oracles).
+    *
+    * Scale shape: two histogram aggregations + one conditional-moment
+    * aggregation, all keyed by sample (samples are contract-bounded);
+    * parameters re-enter the plan through a broadcast join; the
+    * correction itself is one codegen projection over the cells. */
+  def rmaBackground(m: ExpressionMatrix, bins: Int = 256): ExpressionMatrix = {
+    val df = m.canonical.df
+    val rng = df.groupBy("sample_id")
+      .agg(min("value").as("__lo"), max("value").as("__hi"))
+      .withColumn("__w", (col("__hi") - col("__lo")) / bins)
+    def histMode(values: DataFrame, lo: Column, w: Column): DataFrame =
+      // max-count bin, ties to the LOWER bin: max(struct(cnt, -bin))
+      values
+        .withColumn("__bin", least(floor((col("value") - lo) / w), lit(bins - 1)))
+        .groupBy("sample_id", "__bin").agg(count(lit(1)).as("__c"))
+        .groupBy("sample_id")
+        .agg(max(struct(col("__c").as("c"), (-col("__bin")).as("nb")))
+          .as("__top"))
+        .select(col("sample_id"), (-col("__top.nb")).as("__mbin"))
+    val withRng = df.join(broadcast(rng), Seq("sample_id"))
+    val m1 = histMode(withRng, col("__lo"), col("__w"))
+      .join(broadcast(rng), Seq("sample_id"))
+      .select(col("sample_id"),
+        (col("__lo") + (col("__mbin") + 0.5) * col("__w")).as("__m1"))
+    // lower-half mode: re-histogram the values BELOW m1 over [lo, m1)
+    val lower = withRng.join(broadcast(m1), Seq("sample_id"))
+      .filter(col("value") < col("__m1"))
+      .withColumn("__w2", (col("__m1") - col("__lo")) / bins)
+    val mu = histMode(lower, col("__lo"), col("__w2"))
+      .join(broadcast(m1.join(rng, Seq("sample_id"))), Seq("sample_id"))
+      .select(col("sample_id"),
+        (col("__lo") + (col("__mbin") + 0.5) * (col("__m1") - col("__lo")) / bins)
+          .as("__mu"))
+    val params = df.join(broadcast(mu), Seq("sample_id"))
+      .groupBy("sample_id")
+      .agg(first(col("__mu")).as("__mu"),
+        sqrt(lit(2.0) * avg(when(col("value") < col("__mu"),
+          (col("value") - col("__mu")) * (col("value") - col("__mu"))))).as("__sigma"),
+        (lit(1.0) / avg(when(col("value") > col("__mu"),
+          col("value") - col("__mu")))).as("__alpha"))
+    val a = col("value") - col("__mu") - col("__alpha") * col("__sigma") * col("__sigma")
+    val corrected = a + col("__sigma") *
+      (StatAlgebra.dnorm(a / col("__sigma")) -
+        StatAlgebra.dnorm((col("value") - a) / col("__sigma"))) /
+      greatest(StatAlgebra.pnormAS(a / col("__sigma")) +
+        StatAlgebra.pnormAS((col("value") - a) / col("__sigma")) - 1.0, lit(1e-10))
+    ExpressionMatrix(df.join(broadcast(params), Seq("sample_id"))
+      .select(col("gene_id"), col("sample_id"), corrected.as("value")))
+  }
+
   def rsn(m: ExpressionMatrix, bins: Int = 20): ExpressionMatrix = {
     val spark = m.df.sparkSession
     import spark.implicits._

@@ -1151,6 +1151,20 @@ object ExtraQueries {
         .orderBy("l_partkey", "l_suppkey")
     }),
 
+    // ---- A18-pre: RMA background correction — the affinity-free
+    // normal+exponential convolution `rma()` runs before quantile
+    // norm + median polish. Hash-checked: histogram-mode parameter
+    // estimation, conditional moments, and the A&S-7.1.26 Φ replay
+    // in DuckDB with the same double arithmetic (StatAlgebra). ----
+    "q106_rma_bg" -> ((s, dir) => {
+      val m = geneSupplierMatrix(s, dir)
+      Normalize.rmaBackground(m)
+        .df.select(col("gene_id").cast("long").as("l_partkey"),
+          col("sample_id").cast("long").as("l_suppkey"),
+          round(col("value") + 1e-5, 2).as("bg_value"))
+        .orderBy("l_partkey", "l_suppkey")
+    }),
+
     // ---- A8: Ward linkage dendrogram heights. Hash-checked: the
     // agglomeration replays as a recursive CTE (argmin + Lance-
     // Williams per level). ----
@@ -1706,6 +1720,77 @@ object ExtraQueries {
                              THEN (swx2 - swx*swx/sw)/(sw - sw2/sw) END AS var FROM vws)"""
 
   val oracleSql: Map[String, String] = Map(
+    // RMA background: every stage mirrors the Spark arithmetic —
+    // 256-bin histogram modes (ties to the lower bin), left/right
+    // conditional moments, and Φ via the same A&S 7.1.26 Horner form
+    // (StatAlgebra.pnormAS); DuckDB ships no erf, so the polynomial
+    // is expanded as projection columns
+    "q106_rma_bg" ->
+      """WITH cells AS (
+           SELECT l_partkey AS g, l_suppkey AS smp, avg(l_extendedprice) AS v
+           FROM lineitem GROUP BY 1, 2
+         ), rng AS (
+           SELECT smp, min(v) AS lo, max(v) AS hi, (max(v) - min(v)) / 256.0 AS w
+           FROM cells GROUP BY 1
+         ), h1 AS (
+           SELECT c.smp, least(CAST(floor((v - lo) / w) AS BIGINT), 255) AS bin,
+                  count(*) AS n
+           FROM cells c JOIN rng USING (smp) GROUP BY 1, 2
+         ), m1 AS (
+           SELECT b.smp, lo + (bin + 0.5) * w AS m1
+           FROM (SELECT smp, bin FROM h1
+                 QUALIFY row_number() OVER (PARTITION BY smp
+                   ORDER BY n DESC, bin ASC) = 1) b
+           JOIN rng USING (smp)
+         ), h2 AS (
+           SELECT c.smp,
+                  least(CAST(floor((v - lo) / ((m1 - lo) / 256.0)) AS BIGINT), 255) AS bin,
+                  count(*) AS n
+           FROM cells c JOIN rng USING (smp) JOIN m1 USING (smp)
+           WHERE v < m1 GROUP BY 1, 2
+         ), mu AS (
+           SELECT b.smp, lo + (bin + 0.5) * (m1 - lo) / 256.0 AS mu
+           FROM (SELECT smp, bin FROM h2
+                 QUALIFY row_number() OVER (PARTITION BY smp
+                   ORDER BY n DESC, bin ASC) = 1) b
+           JOIN rng USING (smp) JOIN m1 USING (smp)
+         ), par AS (
+           SELECT c.smp, any_value(mu) AS mu,
+                  sqrt(2.0 * avg(CASE WHEN v < mu THEN (v - mu) * (v - mu) END)) AS sigma,
+                  1.0 / avg(CASE WHEN v > mu THEN v - mu END) AS alpha
+           FROM cells c JOIN mu USING (smp) GROUP BY 1
+         ), zz AS (
+           SELECT g, c.smp AS smp, v, sigma,
+                  v - mu - alpha * sigma * sigma AS a,
+                  (v - mu - alpha * sigma * sigma) / sigma AS z1,
+                  (v - (v - mu - alpha * sigma * sigma)) / sigma AS z2
+           FROM cells c JOIN par USING (smp)
+         ), ee AS (
+           SELECT *, abs(z1 / sqrt(2.0)) AS ax1, abs(z2 / sqrt(2.0)) AS ax2,
+                  CASE WHEN z1 / sqrt(2.0) < 0 THEN -1.0 ELSE 1.0 END AS sg1,
+                  CASE WHEN z2 / sqrt(2.0) < 0 THEN -1.0 ELSE 1.0 END AS sg2
+           FROM zz
+         ), tt AS (
+           SELECT *, 1.0 / (1.0 + 0.3275911 * ax1) AS t1,
+                     1.0 / (1.0 + 0.3275911 * ax2) AS t2
+           FROM ee
+         ), pp AS (
+           SELECT g, smp, sigma, a,
+                  0.5 * (1.0 + sg1 * (1.0 - ((((1.061405429 * t1 - 1.453152027) * t1
+                    + 1.421413741) * t1 - 0.284496736) * t1 + 0.254829592) * t1
+                    * exp(-ax1 * ax1))) AS p1,
+                  0.5 * (1.0 + sg2 * (1.0 - ((((1.061405429 * t2 - 1.453152027) * t2
+                    + 1.421413741) * t2 - 0.284496736) * t2 + 0.254829592) * t2
+                    * exp(-ax2 * ax2))) AS p2,
+                  exp(-z1 * z1 / 2.0) / sqrt(2.0 * pi()) AS d1,
+                  exp(-z2 * z2 / 2.0) / sqrt(2.0 * pi()) AS d2
+           FROM tt
+         )
+         SELECT g AS l_partkey, smp AS l_suppkey,
+                round(a + sigma * (d1 - d2) / greatest(p1 + p2 - 1.0, 1e-10) + 1e-5, 2)
+                  + 0.0 AS bg_value
+         FROM pp""",
+
     "q59_ma_stats" ->
       """WITH ref AS (
            SELECT l_partkey, quantile_cont(l_extendedprice, 0.5) AS ref

@@ -239,6 +239,53 @@ class KernelSpec extends SparkSpec {
     assert(auto == dual)
   }
 
+  test("StatAlgebra.pnormAS tracks the commons-math CDF within the A&S bound") {
+    import graft.functions.{StatAlgebra, StatKernels}
+    val zs = (-60 to 60).map(_ / 10.0)
+    val df = zs.toDF("z")
+    val got = df.select(col("z"), StatAlgebra.pnormAS(col("z")).as("p"))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    zs.foreach { z =>
+      val want = StatKernels.pnorm(z)
+      assert(math.abs(got(z) - want) < 2e-7, s"pnormAS($z)=${got(z)} vs $want")
+    }
+  }
+
+  test("rmaBackground strips additive background: monotone, below observed, near the signal") {
+    import graft.operators.Normalize
+    // one sample, deterministic exp(rate 1/200)+N(500, 60²) mixture
+    // via inverse-CDF grids — the model the convolution assumes
+    val n = 2000
+    val rows = (0 until n).map { i =>
+      val u1 = (i * 0.61803398875) % 1.0
+      val u2 = (i * 0.3819660113) % 1.0
+      val signal = -200.0 * math.log(1.0 - 0.999 * u1)
+      val bg = 500.0 + 60.0 * graft.functions.StatKernels.qnorm(0.001 + 0.998 * u2)
+      (s"g$i", "s1", signal + bg, signal)
+    }
+    val m = ExpressionMatrix(rows.map(r => (r._1, r._2, r._3)).toDF("gene_id", "sample_id", "value"))
+    val corrected = Normalize.rmaBackground(m).df.collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val byGene = rows.map(r => r._1 -> (r._3, r._4)).toMap
+    // corrected < observed everywhere (background is strictly positive
+    // in this model) and the corrected values track the true signal
+    // better than the raw observations do
+    var sseRaw = 0.0; var sseCorr = 0.0
+    byGene.foreach { case (g, (obs, sig)) =>
+      val c = corrected(g)
+      assert(c < obs, s"$g: corrected $c not below observed $obs")
+      sseRaw += (obs - sig) * (obs - sig)
+      sseCorr += (c - sig) * (c - sig)
+    }
+    assert(sseCorr < sseRaw * 0.2,
+      f"background correction did not help: corr=$sseCorr%.0f raw=$sseRaw%.0f")
+    // monotone in the observation (E[s|o] is increasing in o)
+    val sorted = rows.sortBy(_._3).map(r => corrected(r._1))
+    sorted.sliding(2).foreach { case Seq(a, b) =>
+      assert(a <= b + 1e-9, "correction not monotone in observed value")
+    }
+  }
+
   test("cmdscale reconstructs planar distances exactly in 2 dimensions") {
     // four points in the plane; squared distances in, coordinates out:
     // pairwise distances of the embedding must match the input
