@@ -62,4 +62,30 @@ object TextRetrieval {
       .select(col("query_id"), col("kv.id").as(id),
         col("kv.score").as("score"), (col("r0") + 1).cast("int").as("rank"))
   }
+
+  /** Per-document unigram cross-entropy under the corpus's own
+    * add-one-smoothed unigram distribution — the perplexity-style
+    * quality filter (the CCNet recipe scores documents under a
+    * reference LM and drops the high-perplexity tail; the corpus-self
+    * unigram model is its vocabulary-free relational form):
+    * xent(d) = −mean_i ln((tf(tᵢ)+1)/(N+V)).
+    *
+    * Scale shape: one token-keyed aggregation for tf (map-side
+    * combined), two scalar totals via a bounded crossJoin, one
+    * token-keyed join back (both sides token-grain, AQE broadcasts
+    * the vocabulary side when small), one doc-keyed aggregation.
+    * No windows, no collect. Documents with zero tokens emit no row
+    * (there is nothing to score). */
+  def unigramCrossEntropy(docs: DataFrame,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val tok = docs.select(col(id), explode(tokens(col(text))).as("tk"))
+    val freq = tok.groupBy(col("tk")).agg(count(lit(1)).as("tf"))
+    val totals = freq.agg(sum("tf").as("n_total"), count(lit(1)).as("vocab"))
+    tok.join(freq, Seq("tk")).crossJoin(broadcast(totals))
+      .select(col(id),
+        (-log((col("tf") + lit(1.0)) /
+          (col("n_total") + col("vocab")).cast("double"))).as("nll"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_tokens"), avg("nll").as("xent"))
+  }
 }

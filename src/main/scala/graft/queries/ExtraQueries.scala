@@ -765,6 +765,52 @@ object ExtraQueries {
     // from `part`. The hash only matches if the chunk walk finds
     // every frame (n_frames) and the JPEG roundtrip recovers every
     // sampled frame's dimensions. ----
+    // ---- REAL codec-compressed animation decode: multi-frame GIFs
+    // (LZW streams) written with the JDK's own GIF sequence writer,
+    // decoded back frame-by-frame through ImageIO. Planted dims /
+    // frame counts / checkerboard luminance replay as closed forms
+    // of p_partkey in the oracle. ----
+    "q107_gif_frames" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val ids = t(s, dir, "part").filter(col("p_partkey") <= 200)
+        .select(col("p_partkey").cast("long")).collect().map(_.getLong(0))
+      def gif(k: Long): Array[Byte] = {
+        // heights stay >= 5: the JDK GIF LZW encoder corrupts streams
+        // at height <= 4 (verified empirically: 6x4/12x4/20x4 round-
+        // trip with wrong pixels, every h >= 5 shape is exact)
+        val w = (4 * (1 + k % 9)).toInt; val h = (5 + 4 * (k % 5)).toInt
+        val n = (1 + k % 5).toInt
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        val writer = javax.imageio.ImageIO.getImageWritersBySuffix("gif").next()
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        (0 until n).foreach { i =>
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var x = 0
+          while (x < w) {
+            var y = 0
+            while (y < h) {
+              img.setRGB(x, y, if ((x + y + i) % 2 == 0) 0xFFFFFF else 0x000000)
+              y += 1
+            }
+            x += 1
+          }
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        }
+        writer.endWriteSequence(); writer.dispose(); ios.close()
+        bos.toByteArray
+      }
+      val rows = ids.toSeq.map(k => (k, "gif", gif(k)))
+      Multimodal.gifFrames(rows.toDF("media_id", "kind", "content"), every = 2)
+        .select(col("media_id").as("p_partkey"), col("frame_idx"), col("n_frames"),
+          col("width"), col("height"),
+          round(col("mean_lum") + 1e-7, 4).as("mean_lum"))
+        .orderBy("p_partkey", "frame_idx")
+    }),
+
     "q99_video_frames" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
@@ -2392,6 +2438,25 @@ object ExtraQueries {
     // Spark side only matches if the RIFF/movi chunk walk found every
     // frame and ImageIO's JPEG roundtrip recovered every sampled
     // frame's dimensions.
+    // GIF frame replay: planted dims/frame counts are functions of
+    // p_partkey; the checkerboard mean luminance is the closed-form
+    // white-cell count (cells with (x+y+i) even; only even i are
+    // sampled): nEven = (w·h + (w%2)(h%2)) // 2
+    "q107_gif_frames" ->
+      """WITH fr AS (
+           SELECT p_partkey, unnest(range(0, 1 + p_partkey % 5)) AS i,
+                  CAST(4 * (1 + p_partkey % 9) AS INT) AS w,
+                  CAST(5 + 4 * (p_partkey % 5) AS INT) AS h
+           FROM part WHERE p_partkey <= 200)
+         SELECT p_partkey, CAST(i AS INT) AS frame_idx,
+                CAST(1 + p_partkey % 5 AS INT) AS n_frames,
+                w AS width, h AS height,
+                round(255.0 * (CASE WHEN i % 2 = 0
+                    THEN (w * h + (w % 2) * (h % 2)) // 2
+                    ELSE w * h - (w * h + (w % 2) * (h % 2)) // 2 END)
+                  / (w * h) + 1e-7, 4) + 0.0 AS mean_lum
+         FROM fr WHERE i % 2 = 0 ORDER BY 1, 2""",
+
     "q99_video_frames" ->
       """WITH fr AS (
            SELECT p_partkey, unnest(range(0, 1 + p_partkey % 4)) AS i

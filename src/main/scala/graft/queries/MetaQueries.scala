@@ -267,6 +267,18 @@ object MetaQueries {
         .orderBy("user_id")
     }),
 
+    // ---- semi-structured ingestion: JSON props column parsed with
+    // the codegen'd JSON path extractor, integer-exact aggregates ----
+    "q108_event_props" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), count(col("k")).as("n_k"),
+          sum("k").as("sum_k"), min("k").as("min_k"), max("k").as("max_k"))
+        .orderBy("event_type")
+    }),
+
     // ---- tumbling-window event aggregation (streaming-shaped) ----
     "q27_event_window" -> ((s, dir) => {
       val ev = eventsWithMicros(s, dir)
@@ -599,5 +611,13 @@ object MetaQueries {
       """SELECT CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS mo, CAST(day(ts) AS INT) AS d, CAST(hour(ts) AS INT) AS h,
          event_type, count(*) AS n, round(sum(value) + 1e-7, 4) + 0.0 AS sum_value
          FROM events GROUP BY 1, 2, 3, 4, 5""",
+
+    "q108_event_props" ->
+      """SELECT event_type, count(*) AS n,
+                count(json_extract_string(props, '$.k')) AS n_k,
+                CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+                max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+         FROM events GROUP BY 1""",
   )
 }

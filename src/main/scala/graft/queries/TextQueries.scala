@@ -352,6 +352,16 @@ object TextQueries {
     // 64-doc shards via the range-partition + stitch rank (no global
     // window); shard-grain output pins the FULL within-shard order
     // through the order_md5 over pos-sorted doc ids ----
+    // ---- perplexity-style quality scoring: per-doc cross-entropy
+    // under the corpus's own add-one unigram distribution (the CCNet
+    // LM-filter recipe in vocabulary-free relational form) ----
+    "q109_unigram_ppl" -> ((s, dir) => {
+      TextRetrieval.unigramCrossEntropy(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("xent") + 1e-7, 4).as("xent"))
+        .orderBy("doc_id")
+    }),
+
     "q102_shard_manifest" -> ((s, dir) => {
       val m = TextDedup.shardManifest(t(s, dir, "documents"),
         docsPerShard = 64L, seed = 9, md5Hashes = true)
@@ -1168,6 +1178,19 @@ object TextQueries {
     // shard replay: one window at oracle scale (the engine side
     // stitches range partitions); the order_md5 recomputes the exact
     // within-shard document order.
+    "q109_unigram_ppl" ->
+      (s"""WITH tk AS ($toksSql),
+         t AS (SELECT doc_id, unnest(toks) AS tk FROM tk),
+         f AS (SELECT tk, count(*) AS tf FROM t GROUP BY 1),
+         tot AS (SELECT CAST(sum(tf) AS BIGINT) AS n_total,
+                        count(*) AS vocab FROM f),
+         s AS (SELECT doc_id,
+                      -ln((tf + 1.0) / CAST(n_total + vocab AS DOUBLE)) AS nll
+               FROM t JOIN f USING (tk) CROSS JOIN tot)
+         SELECT doc_id, count(*) AS n_tokens,
+                round(avg(nll) + 1e-7, 4) + 0.0 AS xent
+         FROM s GROUP BY 1 ORDER BY 1"""),
+
     "q102_shard_manifest" ->
       """WITH r AS (
            SELECT doc_id,

@@ -190,6 +190,41 @@ class MultimodalSpec extends SparkSpec {
     assert(sampled == Seq(0, 2), s"every=2: $sampled")
   }
 
+  test("gifFrames: REAL multi-frame LZW GIF decode, sampling, failure contract") {
+    def gif(w: Int, h: Int, n: Int): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val writer = javax.imageio.ImageIO.getImageWritersBySuffix("gif").next()
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      (0 until n).foreach { i =>
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (x <- 0 until w; y <- 0 until h)
+          img.setRGB(x, y, if ((x + y + i) % 2 == 0) 0xFFFFFF else 0x000000)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence(); writer.dispose(); ios.close()
+      bos.toByteArray
+    }
+    val rows = Seq(
+      Row(1L, "gif", gif(8, 6, 3), Map.empty[String, String]),
+      Row(2L, "video", gif(8, 6, 3), Map.empty[String, String]), // wrong kind -> dropped
+      Row(3L, "gif", Array[Byte](9, 9, 9), Map.empty[String, String])) // undecodable -> 0 rows
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows),
+      Multimodal.mediaSchema)
+    val all = Multimodal.gifFrames(df).collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Int]("frame_idx"),
+        r.getAs[Int]("n_frames"), r.getAs[Int]("width"), r.getAs[Int]("height"),
+        r.getAs[Double]("mean_lum"))).sorted.toSeq
+    // 8x6 checkerboard: exactly half the cells are white every frame
+    assert(all == Seq((1L, 0, 3, 8, 6, 127.5), (1L, 1, 3, 8, 6, 127.5),
+      (1L, 2, 3, 8, 6, 127.5)), s"gif decode: $all")
+    val sampled = Multimodal.gifFrames(df, every = 2).collect()
+      .map(_.getAs[Int]("frame_idx")).sorted.toSeq
+    assert(sampled == Seq(0, 2), s"every=2: $sampled")
+  }
+
   test("sampleFrames explodes only videos into n frame rows") {
     val out = Multimodal.sampleFrames(mediaDf, n = 3).collect()
     assert(out.forall(_.getAs[String]("kind") == "video"))
