@@ -52,9 +52,13 @@ object Bench {
         if (base.map(_._1).min < 1.0 && base.forall(_._2.isEmpty)) base :+ once()
         else base
       // one warm sample per query, after the colds (memo caches carry
-      // over from the last cold run)
-      val warm = if (coldSamples.forall(_._2.isEmpty)) Some(once(cold = false)._1) else None
+      // over from the last cold run); a FAILED warm rep must not pose
+      // as a fast warm number — record null and surface the error
+      val warmRes =
+        if (coldSamples.forall(_._2.isEmpty)) Some(once(cold = false)) else None
+      val warm = warmRes.collect { case (t, None) => t }
       val err = coldSamples.collectFirst { case (_, Some(e)) => e }
+        .orElse(warmRes.collect { case (_, Some(e)) => s"warm-only: $e" })
       // the reported min is over SUCCESSFUL samples: a fast failure
       // must not under-report a query whose other rep succeeded (the
       // headline and the failure set would disagree); only when every

@@ -221,9 +221,12 @@ object ScaleProbe {
       val dim = 64
       def h(c: org.apache.spark.sql.Column, d: Int, salt: Int) =
         pmod(hash(c, lit(d), lit(salt)).cast("double"), lit(1000.0)) / 500.0 - 1.0
+      // integer cluster id: `/` on a long column is DOUBLE division in
+      // Spark SQL — the round-7 review caught the original `id / 20`
+      // giving every row its own base vector (no clusters at all)
       val emb = spark.range(n).select(col("id").as("vec_id"),
         array((0 until dim).map(d =>
-          (h(col("id") / 20, d, 1) + lit(0.05) * h(col("id"), d, 2))
+          (h(floor(col("id") / 20).cast("long"), d, 1) + lit(0.05) * h(col("id"), d, 2))
             .cast("float")): _*).as("embedding"))
         .localCheckpoint(true)
       def once(): Double = {
@@ -286,11 +289,12 @@ object ScaleProbe {
       import graft.model.ExpressionMatrix
       val nG = 10000; val nS = 50
       val genes = (0 until nG).map(i => f"g$i%05d")
+      val gene = floor(col("id") / nS).cast("long")
       val df = spark.range(nG.toLong * nS).select(
-        format_string("g%05d", (col("id") / nS).cast("int")).as("gene_id"),
+        format_string("g%05d", gene.cast("int")).as("gene_id"),
         format_string("s%03d", pmod(col("id"), lit(nS)).cast("int")).as("sample_id"),
         (pmod(hash(col("id")).cast("double"), lit(1000.0)) / 100.0 +
-          when(((col("id") / nS) % 7 === 0) && (pmod(col("id"), lit(nS)) < nS / 2),
+          when((gene % 7 === 0) && (pmod(col("id"), lit(nS)) < nS / 2),
             5.0).otherwise(0.0)).as("value"))
         .localCheckpoint(true)
       val m = ExpressionMatrix(df)

@@ -345,40 +345,78 @@ object Multimodal {
         val bytes = Option(r.getAs[Array[Byte]]("content")).getOrElse(Array.emptyByteArray)
         val out = scala.collection.mutable.ArrayBuffer.empty[Row]
         try {
+          // the stream must close too: with ImageIO's default cache a
+          // FileCacheImageInputStream holds an open temp FILE per
+          // payload — reader.dispose() alone leaks one fd per GIF on
+          // a long-lived executor
           val iis = javax.imageio.ImageIO.createImageInputStream(
             new java.io.ByteArrayInputStream(bytes))
-          val readers = javax.imageio.ImageIO.getImageReaders(iis)
-          if (readers.hasNext) {
-            val reader = readers.next()
-            try {
-              reader.setInput(iis, false, true)
-              val n = reader.getNumImages(true)
-              var i = 0
-              while (i < n) {
-                if (i % every == 0) {
-                  val img = reader.read(i)
-                  val w = img.getWidth; val h = img.getHeight
-                  var sum = 0.0
-                  var x = 0
-                  while (x < w) {
-                    var y = 0
-                    while (y < h) {
-                      val rgb = img.getRGB(x, y)
-                      sum += (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3.0
-                      y += 1
+          try {
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (readers.hasNext) {
+              val reader = readers.next()
+              try {
+                reader.setInput(iis, false, true)
+                val n = reader.getNumImages(true)
+                var i = 0
+                while (i < n) {
+                  if (i % every == 0) {
+                    val img = reader.read(i)
+                    val w = img.getWidth; val h = img.getHeight
+                    var sum = 0.0
+                    var x = 0
+                    while (x < w) {
+                      var y = 0
+                      while (y < h) {
+                        val rgb = img.getRGB(x, y)
+                        sum += (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3.0
+                        y += 1
+                      }
+                      x += 1
                     }
-                    x += 1
+                    out += Row.fromSeq(r.toSeq ++ Seq[Any](i, n, w, h, sum / (w * h)))
                   }
-                  out += Row.fromSeq(r.toSeq ++ Seq[Any](i, n, w, h, sum / (w * h)))
+                  i += 1
                 }
-                i += 1
-              }
-            } finally reader.dispose()
-          }
+              } finally reader.dispose()
+            }
+          } finally iis.close()
         } catch { case scala.util.control.NonFatal(_) => out.clear() }
         out.iterator
       }
     }(enc)
+  }
+
+  /** Shared fixture/test helper: a multi-frame checkerboard GIF
+    * written through the JDK's own GIF sequence writer (frame i is
+    * white where `(x + y + i) % 2 == 0`). Single source of truth for
+    * the q107 fixture AND MultimodalSpec, so workarounds (the JDK GIF
+    * LZW encoder corrupts streams at height ≤ 4 — keep h ≥ 5) live
+    * in exactly one place. */
+  private[graft] def checkerboardGif(w: Int, h: Int, nFrames: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersBySuffix("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      (0 until nFrames).foreach { i =>
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var x = 0
+        while (x < w) {
+          var y = 0
+          while (y < h) {
+            img.setRGB(x, y, if ((x + y + i) % 2 == 0) 0xFFFFFF else 0x000000)
+            y += 1
+          }
+          x += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
   }
 
   /** Frame sampling stub for video payloads: emits `n` (frame_idx,

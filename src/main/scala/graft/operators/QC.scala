@@ -86,7 +86,13 @@ object QC {
       .select("gene_id", "sample_id", "x")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sampleIds = samples.orderBy("sample_id").collect().map(_.getString(0))
-    if (forceDual.getOrElse(genes.size > sampleIds.length))
+    // dual only pays off when the G×G collect is actually large: a
+    // G ≤ 256 Gramian is ≤ 0.5 MB, and keeping small inputs primal
+    // means hash-gated fixtures (q43/q62 at EVERY SF, including
+    // sf0.001's 10-sample shape) never switch arithmetic paths under
+    // a fixture-size change — the two paths agree to ~1e-6, which is
+    // parity-tested but not bit-identical
+    if (forceDual.getOrElse(genes.size > math.max(sampleIds.length, 256)))
       pcaDual(scaled, genes, sampleIds, k)
     else
       pcaPrimal(scaled, genes, k)

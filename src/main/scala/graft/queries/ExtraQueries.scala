@@ -775,35 +775,11 @@ object ExtraQueries {
       import spark.implicits._
       val ids = t(s, dir, "part").filter(col("p_partkey") <= 200)
         .select(col("p_partkey").cast("long")).collect().map(_.getLong(0))
-      def gif(k: Long): Array[Byte] = {
-        // heights stay >= 5: the JDK GIF LZW encoder corrupts streams
-        // at height <= 4 (verified empirically: 6x4/12x4/20x4 round-
-        // trip with wrong pixels, every h >= 5 shape is exact)
-        val w = (4 * (1 + k % 9)).toInt; val h = (5 + 4 * (k % 5)).toInt
-        val n = (1 + k % 5).toInt
-        val bos = new java.io.ByteArrayOutputStream()
-        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-        val writer = javax.imageio.ImageIO.getImageWritersBySuffix("gif").next()
-        writer.setOutput(ios)
-        writer.prepareWriteSequence(null)
-        (0 until n).foreach { i =>
-          val img = new java.awt.image.BufferedImage(w, h,
-            java.awt.image.BufferedImage.TYPE_INT_RGB)
-          var x = 0
-          while (x < w) {
-            var y = 0
-            while (y < h) {
-              img.setRGB(x, y, if ((x + y + i) % 2 == 0) 0xFFFFFF else 0x000000)
-              y += 1
-            }
-            x += 1
-          }
-          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
-        }
-        writer.endWriteSequence(); writer.dispose(); ios.close()
-        bos.toByteArray
-      }
-      val rows = ids.toSeq.map(k => (k, "gif", gif(k)))
+      // heights stay >= 5: the JDK GIF LZW encoder corrupts streams
+      // at height <= 4 (verified empirically: 6x4/12x4/20x4 round-
+      // trip with wrong pixels, every h >= 5 shape is exact)
+      val rows = ids.toSeq.map(k => (k, "gif", Multimodal.checkerboardGif(
+        (4 * (1 + k % 9)).toInt, (5 + 4 * (k % 5)).toInt, (1 + k % 5).toInt)))
       Multimodal.gifFrames(rows.toDF("media_id", "kind", "content"), every = 2)
         .select(col("media_id").as("p_partkey"), col("frame_idx"), col("n_frames"),
           col("width"), col("height"),

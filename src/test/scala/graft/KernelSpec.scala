@@ -233,10 +233,21 @@ class KernelSpec extends SparkSpec {
       assert(math.abs(p1 - d1) < 1e-6 && math.abs(p2 - d2) < 1e-6,
         s"sample $s: primal ($p1,$p2) vs dual ($d1,$d2)")
     }
-    // and the default dispatch picks the dual path here (G > S):
-    // identical output to the forced-dual call
+    // default dispatch keeps SMALL inputs primal even when G > S (the
+    // 256-gene floor protects hash-gated fixtures from an arithmetic-
+    // path flip) ...
     val auto = asMap(QC.pca(m, k = 2, genes))
-    assert(auto == dual)
+    assert(auto == primal)
+    // ... and switches to dual once the gene axis is genuinely large
+    val genesBig = (1 to 300).map(i => f"G$i%03d")
+    val rowsBig = for (g <- 1 to 300; s <- 1 to 5) yield {
+      val shift = if (s > 2 && g <= 150) 2.0 else 0.0
+      (f"G$g%03d", f"s$s%02d", 5.0 + (((g * 13 + s * 29) % 11) - 5) * 0.2 + shift)
+    }
+    val mBig = ExpressionMatrix(rowsBig.toDF("gene_id", "sample_id", "value"))
+    val autoBig = asMap(QC.pca(mBig, k = 2, genesBig))
+    val dualBig = asMap(QC.pca(mBig, k = 2, genesBig, forceDual = Some(true)))
+    assert(autoBig == dualBig)
   }
 
   test("StatAlgebra.pnormAS tracks the commons-math CDF within the A&S bound") {

@@ -191,22 +191,7 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("gifFrames: REAL multi-frame LZW GIF decode, sampling, failure contract") {
-    def gif(w: Int, h: Int, n: Int): Array[Byte] = {
-      val bos = new java.io.ByteArrayOutputStream()
-      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-      val writer = javax.imageio.ImageIO.getImageWritersBySuffix("gif").next()
-      writer.setOutput(ios)
-      writer.prepareWriteSequence(null)
-      (0 until n).foreach { i =>
-        val img = new java.awt.image.BufferedImage(w, h,
-          java.awt.image.BufferedImage.TYPE_INT_RGB)
-        for (x <- 0 until w; y <- 0 until h)
-          img.setRGB(x, y, if ((x + y + i) % 2 == 0) 0xFFFFFF else 0x000000)
-        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
-      }
-      writer.endWriteSequence(); writer.dispose(); ios.close()
-      bos.toByteArray
-    }
+    def gif(w: Int, h: Int, n: Int): Array[Byte] = Multimodal.checkerboardGif(w, h, n)
     val rows = Seq(
       Row(1L, "gif", gif(8, 6, 3), Map.empty[String, String]),
       Row(2L, "video", gif(8, 6, 3), Map.empty[String, String]), // wrong kind -> dropped
