@@ -328,6 +328,74 @@ object Similarity {
           .as(Seq("sub", "code")))
   }
 
+  /** IVF-PQ composed ANN — the production probe shape (FAISS IVFPQ
+    * minus residual encoding: codes are the SAME at-rest relation
+    * [[pqEncode]] writes, so one encoded corpus serves both
+    * [[pqTopK]] and this): the coarse quantizer prunes the corpus to
+    * each query's `nProbe` nearest cells, and the ADC lookup-table
+    * sum runs only over the byte-sized code relation WITHIN probed
+    * cells. At 100 TB the probe-time scan is (nProbe/nCells) of a
+    * relation ~100× narrower than the float corpus; cell assignment
+    * is the zero-shuffle literal-baked argmin, the LUT is broadcast,
+    * the only wide shuffle is the bounded TopKPairs rank.
+    *
+    * `corpus` supplies the cell assignment (at rest you'd store the
+    * (id, cell) relation next to the codes and skip this scan);
+    * `codes` is the [[pqEncode]] relation; `centroids` the
+    * [[lloydCentroids]] relation. Ranking reproduces [[pqTopK]]'s
+    * convention: ascending ROUNDED distance (1e-9/6dp), id
+    * tie-breaks. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, codes: DataFrame, k: Int,
+      nProbe: Int, books: Array[Array[Array[Float]]], centroids: DataFrame,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    val cents: Seq[(Int, Array[Float])] = centroids
+      .select(col("cell").cast("int"), col("centroid"))
+      .collect().toSeq.map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    val centDf = {
+      import spark.implicits._
+      cents.map { case (i, a) => (i, a.toSeq) }.toDF("cell", "centroid")
+    }
+    // corpus→cell: literal-baked argmin |c|² − 2 v·c (the ivfTopK
+    // assignment — one codegen VecDot loop per cell, no shuffle)
+    val distStructs = cents.map { case (cellId, arr) =>
+      val c2 = arr.foldLeft(0.0)((s, v) => s + v.toDouble * v.toDouble)
+      struct((lit(c2) - lit(2.0) * vec_dot(col("c_vec"), lit(arr))).as("d"),
+        lit(cellId).as("cell"))
+    }
+    val assigned = corpus.select(col(id).as("corpus_id"), col(vec).as("c_vec"))
+      .select(col("corpus_id"), least(distStructs: _*).getField("cell").as("cell"))
+    val q = queries.select(col(id).as("query_id"), col(vec).as("q_vec"))
+    val probed = broadcast(q).crossJoin(broadcast(centDf))
+      .withColumn("cdist", cosine(col("q_vec"), col("centroid")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cdist").desc, col("cell").asc)))
+      .filter(col("crank") <= nProbe)
+      .select("query_id", "cell")
+    // the q104 ADC, restricted to candidates from probed cells
+    val dsub = books(0)(0).length
+    val lut = q.crossJoin(pqCodebookDf(spark, books)).select(
+      col("query_id"), col("sub"), col("code"), {
+        val vs = slice(col("q_vec"), col("sub") * dsub + 1, lit(dsub))
+        (vec_dot(col("centroid"), col("centroid"))
+          - lit(2.0) * vec_dot(vs, col("centroid"))
+          + vec_dot(vs, vs)).as("d")
+      })
+    val cand = probed.join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select("query_id", "corpus_id")
+    val adc = cand
+      .join(codes.withColumnRenamed(id, "corpus_id"), Seq("corpus_id"))
+      .join(broadcast(lut), Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("corpus_id"))
+      .agg(round(sum(col("d")) + 1e-9, 6).as("dist"))
+    adc.groupBy(col("query_id"))
+      .agg(top_k_pairs(-col("dist"), col("corpus_id"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("r0", "kv")))
+      .select(col("query_id"), col("kv.id").as("corpus_id"),
+        (-col("kv.score")).as("dist"), (col("r0") + 1).cast("int").as("rank"))
+  }
+
   /** ADC (asymmetric distance computation) top-k over a PQ-encoded
     * corpus: each query builds an m×ksub LOOKUP TABLE of true squared
     * L2 distances to every centroid (|c|² − 2·q_s·c + |q_s|², all

@@ -521,6 +521,21 @@ object TextQueries {
       Similarity.pqTopK(codes, emb.filter(col("vec_id") < 20), books, k = 5)
         .orderBy("query_id", "rank")
     }),
+
+    // ---- IVF-PQ composed ANN (the FAISS IVFPQ probe shape): coarse
+    // Lloyd cells prune the corpus to nProbe cells per query, ADC
+    // runs only over PQ codes within those cells. The oracle replays
+    // BOTH quantizer fits (the q40 coarse chain + the q103 subspace
+    // chain, prefix-renamed) and the cell-restricted ADC. ----
+    "q110_ivfpq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = Similarity.lloydCentroids(emb, nCells = 8, iters = 10, dim = 64)
+      val books = Similarity.pqFit(emb, m = 4, ksub = 16, iters = 5, dim = 64)
+      val codes = Similarity.pqEncode(emb, books)
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 20), codes, k = 5,
+          nProbe = 3, books = books, centroids = cents)
+        .orderBy("query_id", "rank")
+    }),
   )
 
   private val stoplistSql =
@@ -589,6 +604,37 @@ object TextQueries {
     (1 to dim).map(d =>
       s"CAST($c[$d] AS DOUBLE)*CAST($c[$d] AS DOUBLE)").mkString(" + ")
 
+  /** The coarse-Lloyd IVF CTE chain without the leading `WITH`:
+    * d-grid, seeded init, `iters` Lloyd rounds, float-cast centroids
+    * (`cf`), per-query probed cells (`pr`, top `nProbe` by cosine),
+    * full-corpus cell assignment (`ca`). Shared by q40 and q110. */
+  private def ivfCoreCtes(nCells: Int, iters: Int, nProbe: Int, dim: Int,
+      queryBound: Int): String = {
+    val itersSql = (0 until iters).map(t => lloydIterSql(t, dim)).mkString(",\n       ")
+    val probeCos = s"((${dotVecListSql("q", "f.c", dim)}) / (sqrt(${pairDotSql("q", "q", dim)}) * sqrt(${selfListSql("f.c", dim)})))"
+    val assignD = s"((${selfListSql("f.c", dim)}) - 2.0*(${dotVecListSql("e", "f.c", dim)}))"
+    s"""dgrid AS (SELECT unnest(generate_series(CAST(1 AS BIGINT), CAST($dim AS BIGINT))) AS d),
+       cent0 AS MATERIALIZED (
+         SELECT CAST(vec_id AS INT) AS cell, g.d AS pos,
+                CAST(embedding[g.d] AS DOUBLE) AS val
+         FROM embeddings CROSS JOIN dgrid g WHERE vec_id < $nCells),
+       $itersSql,
+       cf AS MATERIALIZED (
+         SELECT cell, list(CAST(val AS REAL) ORDER BY pos) AS c FROM cent$iters GROUP BY 1),
+       pr AS MATERIALIZED (
+         SELECT vec_id AS query_id, cell FROM (
+           SELECT q.vec_id, f.cell,
+                  row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY $probeCos DESC, f.cell ASC) AS rn
+           FROM embeddings q CROSS JOIN cf f WHERE q.vec_id < $queryBound) WHERE rn <= $nProbe),
+       ca AS MATERIALIZED (
+         SELECT vec_id AS corpus_id, cell FROM (
+           SELECT e.vec_id, f.cell,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY $assignD ASC, f.cell ASC) AS rn
+           FROM embeddings e CROSS JOIN cf f) WHERE rn = 1)"""
+  }
+
   /** One Lloyd round: centroid lists → argmin assignment →
     * per-(cell, position) means → carry (empty cells keep their
     * previous centroid). */
@@ -646,51 +692,59 @@ object TextQueries {
         s"*CAST($e.embedding[$c.sub*$pqDsub+$d] AS DOUBLE)").mkString(" + ")
 
   /** One per-subspace Lloyd round (argmin assignment / means / carry
-    * keyed by (sub, code)). */
-  private def pqIterSql(t: Int): String =
-    s"""cl$t AS MATERIALIZED (
-         SELECT sub, code, list(val ORDER BY pos) AS c FROM cent$t GROUP BY 1, 2),
-       asg$t AS MATERIALIZED (
+    * keyed by (sub, code)). `p` prefixes every CTE name so the chain
+    * can coexist with the coarse-quantizer chain (q110 uses both —
+    * their default names collide on cent/cl/asg/mn). */
+  private def pqIterSql(t: Int, p: String = ""): String =
+    s"""${p}cl$t AS MATERIALIZED (
+         SELECT sub, code, list(val ORDER BY pos) AS c FROM ${p}cent$t GROUP BY 1, 2),
+       ${p}asg$t AS MATERIALIZED (
          SELECT vec_id, sub, code FROM (
            SELECT e.vec_id, c.sub, c.code,
                   row_number() OVER (PARTITION BY e.vec_id, c.sub
                     ORDER BY (${pqSubDistSql("e", "c")}) ASC, c.code ASC) AS rn
-           FROM embeddings e CROSS JOIN cl$t c
+           FROM embeddings e CROSS JOIN ${p}cl$t c
            WHERE e.vec_id < 1000) WHERE rn = 1),
-       mn$t AS MATERIALIZED (
+       ${p}mn$t AS MATERIALIZED (
          SELECT a.sub, a.code, g.d AS pos,
                 avg(CAST(e.embedding[a.sub*$pqDsub + g.d] AS DOUBLE)) AS val
-         FROM asg$t a JOIN embeddings e ON e.vec_id = a.vec_id
+         FROM ${p}asg$t a JOIN embeddings e ON e.vec_id = a.vec_id
          CROSS JOIN pqd g GROUP BY 1, 2, 3),
-       cent${t + 1} AS MATERIALIZED (
+       ${p}cent${t + 1} AS MATERIALIZED (
          SELECT o.sub, o.code, o.pos, coalesce(m.val, o.val) AS val
-         FROM cent$t o LEFT JOIN mn$t m
+         FROM ${p}cent$t o LEFT JOIN ${p}mn$t m
            ON m.sub = o.sub AND m.code = o.code AND m.pos = o.pos)"""
 
   /** Shared q103/q104 prefix: grids, init from the ksub lowest-id
     * vectors' subspace slices, the Lloyd rounds, float-cast final
     * books (`fl`), and the full-corpus assignment (`codes`). */
-  private def pqCoreSql: String = {
-    val iters = (0 until pqIters).map(pqIterSql).mkString(",\n       ")
-    s"""WITH pqs AS (SELECT unnest(generate_series(CAST(0 AS BIGINT), CAST(${pqM - 1} AS BIGINT))) AS s),
+  /** The PQ fit/encode CTE chain WITHOUT the leading `WITH`, so
+    * callers can splice it next to other chains. `p` prefixes every
+    * generated CTE name (q110 combines this with the coarse-Lloyd
+    * chain, whose default names collide). */
+  private def pqCoreCtes(p: String = ""): String = {
+    val iters = (0 until pqIters).map(t => pqIterSql(t, p)).mkString(",\n       ")
+    s"""pqs AS (SELECT unnest(generate_series(CAST(0 AS BIGINT), CAST(${pqM - 1} AS BIGINT))) AS s),
        pqd AS (SELECT unnest(generate_series(CAST(1 AS BIGINT), CAST($pqDsub AS BIGINT))) AS d),
-       cent0 AS MATERIALIZED (
+       ${p}cent0 AS MATERIALIZED (
          SELECT sg.s AS sub, CAST(e.vec_id AS INT) AS code, g.d AS pos,
                 CAST(e.embedding[sg.s*$pqDsub + g.d] AS DOUBLE) AS val
          FROM embeddings e CROSS JOIN pqs sg CROSS JOIN pqd g
          WHERE e.vec_id < $pqKsub),
        $iters,
-       fl AS MATERIALIZED (
+       ${p}fl AS MATERIALIZED (
          SELECT sub, code, list(CAST(val AS REAL) ORDER BY pos) AS c
-         FROM cent$pqIters GROUP BY 1, 2),
-       codes AS MATERIALIZED (
+         FROM ${p}cent$pqIters GROUP BY 1, 2),
+       ${p}codes AS MATERIALIZED (
          SELECT vec_id, sub, code FROM (
            SELECT e.vec_id, c.sub, c.code,
                   row_number() OVER (PARTITION BY e.vec_id, c.sub
                     ORDER BY ((${pqSelfSql("c")}) - 2.0*(${pqDotSql("e", "c")})) ASC,
                              c.code ASC) AS rn
-           FROM embeddings e CROSS JOIN fl c) WHERE rn = 1)"""
+           FROM embeddings e CROSS JOIN ${p}fl c) WHERE rn = 1)"""
   }
+
+  private def pqCoreSql: String = "WITH " + pqCoreCtes()
 
   val oracleSql: Map[String, String] = Map(
     // PII scrub replay: the identical planted fixture, RE2-side
@@ -790,29 +844,7 @@ object TextQueries {
     // machinery — bit-exact corpus cosines).
     "q40_ivf_topk" -> {
       val dim = 64
-      val iters = (0 until 10).map(t => lloydIterSql(t, dim)).mkString(",\n       ")
-      val probeCos = s"((${dotVecListSql("q", "f.c", dim)}) / (sqrt(${pairDotSql("q", "q", dim)}) * sqrt(${selfListSql("f.c", dim)})))"
-      val assignD = s"((${selfListSql("f.c", dim)}) - 2.0*(${dotVecListSql("e", "f.c", dim)}))"
-      s"""WITH dgrid AS (SELECT unnest(generate_series(CAST(1 AS BIGINT), CAST($dim AS BIGINT))) AS d),
-       cent0 AS MATERIALIZED (
-         SELECT CAST(vec_id AS INT) AS cell, g.d AS pos,
-                CAST(embedding[g.d] AS DOUBLE) AS val
-         FROM embeddings CROSS JOIN dgrid g WHERE vec_id < 8),
-       $iters,
-       cf AS MATERIALIZED (
-         SELECT cell, list(CAST(val AS REAL) ORDER BY pos) AS c FROM cent10 GROUP BY 1),
-       pr AS MATERIALIZED (
-         SELECT vec_id AS query_id, cell FROM (
-           SELECT q.vec_id, f.cell,
-                  row_number() OVER (PARTITION BY q.vec_id
-                    ORDER BY $probeCos DESC, f.cell ASC) AS rn
-           FROM embeddings q CROSS JOIN cf f WHERE q.vec_id < 20) WHERE rn <= 3),
-       ca AS MATERIALIZED (
-         SELECT vec_id AS corpus_id, cell FROM (
-           SELECT e.vec_id, f.cell,
-                  row_number() OVER (PARTITION BY e.vec_id
-                    ORDER BY $assignD ASC, f.cell ASC) AS rn
-           FROM embeddings e CROSS JOIN cf f) WHERE rn = 1),
+      s"""WITH ${ivfCoreCtes(nCells = 8, iters = 10, nProbe = 3, dim = dim, queryBound = 20)},
        cand AS (SELECT pr.query_id, ca.corpus_id
                 FROM pr JOIN ca ON ca.cell = pr.cell
                 WHERE pr.query_id <> ca.corpus_id),
@@ -1139,6 +1171,36 @@ object TextQueries {
          SELECT query_id, vec_id AS corpus_id, dist,
                 row_number() OVER (PARTITION BY query_id
                   ORDER BY dist ASC, vec_id ASC) AS rank
+         FROM adc)
+       SELECT query_id, corpus_id, dist, CAST(rank AS INT) AS rank
+       FROM rk WHERE rank <= 5 ORDER BY query_id, rank"""),
+
+    // IVF-PQ replay: the q40 coarse chain (cf/pr/ca) + the q103 PQ
+    // chain under the pq_ prefix + the q104 LUT/ADC restricted to
+    // candidates from probed cells.
+    "q110_ivfpq_topk" ->
+      (s"""WITH ${ivfCoreCtes(nCells = 8, iters = 10, nProbe = 3, dim = 64, queryBound = 20)},
+       ${pqCoreCtes("pq_")},
+       lut AS MATERIALIZED (
+         SELECT q.vec_id AS query_id, c.sub, c.code,
+                ((${pqSelfSql("c")}) - 2.0*(${pqDotSql("q", "c")})
+                  + (${pqQSelfSql("q", "c")})) AS d
+         FROM embeddings q CROSS JOIN pq_fl c WHERE q.vec_id < 20),
+       cand AS (SELECT pr.query_id, ca.corpus_id
+                FROM pr JOIN ca ON ca.cell = pr.cell
+                WHERE pr.query_id <> ca.corpus_id),
+       adc AS (
+         SELECT cand.query_id, cand.corpus_id,
+                round(sum(l.d) + 1e-9, 6) + 0.0 AS dist
+         FROM cand
+         JOIN pq_codes co ON co.vec_id = cand.corpus_id
+         JOIN lut l ON l.query_id = cand.query_id
+                   AND l.sub = co.sub AND l.code = co.code
+         GROUP BY 1, 2),
+       rk AS (
+         SELECT query_id, corpus_id, dist,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY dist ASC, corpus_id ASC) AS rank
          FROM adc)
        SELECT query_id, corpus_id, dist, CAST(rank AS INT) AS rank
        FROM rk WHERE rank <= 5 ORDER BY query_id, rank"""),
