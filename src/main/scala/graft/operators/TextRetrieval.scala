@@ -76,6 +76,37 @@ object TextRetrieval {
     * the vocabulary side when small), one doc-keyed aggregation.
     * No windows, no collect. Documents with zero tokens emit no row
     * (there is nothing to score). */
+  /** Per-document BIGRAM cross-entropy under the corpus's own
+    * add-one-smoothed bigram model: xent2(d) = −mean over adjacent
+    * token pairs of ln((c(w₁w₂)+1)/(c(w₁·)+V)). The conditional model
+    * scores fluency, not just vocabulary: shuffled-token gibberish
+    * keeps its unigram score but collapses here.
+    *
+    * Scale shape: the only window is doc-grain (`lead` over token
+    * positions, bounded by document length); pair counts and
+    * predecessor counts are map-side-combined keyed aggregations;
+    * V is one bounded crossJoin scalar. Documents with < 2 tokens
+    * emit no row. */
+  def bigramCrossEntropy(docs: DataFrame,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val tok = docs.select(col(id), posexplode(tokens(col(text))).as(Seq("pos", "tk")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(id)).orderBy(col("pos"))
+    val pairs = tok.withColumn("w2", lead(col("tk"), 1).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col(id), col("tk").as("w1"), col("w2"))
+    val c12 = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = pairs.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = docs.select(explode(tokens(col(text))).as("tk"))
+      .agg(count_distinct(col("tk")).as("vocab"))
+    pairs.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col(id),
+        (-log((col("c12") + lit(1.0)) /
+          (col("c1") + col("vocab")).cast("double"))).as("nll"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_bigrams"), avg("nll").as("xent2"))
+  }
+
   def unigramCrossEntropy(docs: DataFrame,
       id: String = "doc_id", text: String = "text"): DataFrame = {
     val tok = docs.select(col(id), explode(tokens(col(text))).as("tk"))

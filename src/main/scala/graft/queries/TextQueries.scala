@@ -362,6 +362,38 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- bigram (conditional) cross-entropy: fluency scoring — the
+    // only window is doc-grain lead() over token positions ----
+    "q111_bigram_ppl" -> ((s, dir) => {
+      TextRetrieval.bigramCrossEntropy(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("xent2") + 1e-7, 4).as("xent2"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- the perplexity FILTER closed loop (decide→apply, the q105
+    // pattern): score every doc (rounded 4dp, engine-identical),
+    // derive the corpus 80th-percentile threshold from the ROUNDED
+    // scores, keep docs at or below it, report per-source survivors.
+    // The interpolated percentile arithmetic is identical in Spark
+    // percentile() and DuckDB quantile_cont(), so the threshold
+    // matches bit-for-bit given identical inputs. ----
+    "q112_ppl_filter" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = TextRetrieval.unigramCrossEntropy(docs)
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("xent") + 1e-7, 4).as("x4"))
+      val thr = scored.agg(expr("percentile(x4, 0.8)").as("thr"))
+      scored.crossJoin(broadcast(thr)).filter(col("x4") <= col("thr"))
+        .join(docs.select("doc_id", "source"), Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          sum("n_tokens").as("tokens_kept"),
+          round(avg("x4") + 1e-7, 4).as("avg_xent"),
+          min("doc_id").as("first_id"))
+        .orderBy("source")
+    }),
+
     "q102_shard_manifest" -> ((s, dir) => {
       val m = TextDedup.shardManifest(t(s, dir, "documents"),
         docsPerShard = 64L, seed = 9, md5Hashes = true)
@@ -1252,6 +1284,49 @@ object TextQueries {
          SELECT doc_id, count(*) AS n_tokens,
                 round(avg(nll) + 1e-7, 4) + 0.0 AS xent
          FROM s GROUP BY 1 ORDER BY 1"""),
+
+    "q111_bigram_ppl" ->
+      (s"""WITH tk AS ($toksSql),
+         pairs AS (
+           SELECT doc_id, unnest(list_transform(
+                    generate_series(1, len(toks) - 1),
+                    i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS b
+           FROM tk WHERE len(toks) >= 2),
+         pr AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM pairs),
+         c12 AS (SELECT w1, w2, count(*) AS c12 FROM pr GROUP BY 1, 2),
+         c1 AS (SELECT w1, count(*) AS c1 FROM pr GROUP BY 1),
+         v AS (SELECT count(DISTINCT u.tk) AS vocab
+               FROM (SELECT unnest(toks) AS tk FROM tk) u),
+         s AS (SELECT doc_id,
+                      -ln((c12 + 1.0) / CAST(c1 + vocab AS DOUBLE)) AS nll
+               FROM pr JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+         SELECT doc_id, count(*) AS n_bigrams,
+                round(avg(nll) + 1e-7, 4) + 0.0 AS xent2
+         FROM s GROUP BY 1 ORDER BY 1"""),
+
+    // perplexity-filter replay: the q109 chain, 4dp-rounded scores,
+    // quantile_cont(0.8) threshold (interpolation arithmetic matches
+    // Spark percentile()), per-source survivor aggregates
+    "q112_ppl_filter" ->
+      (s"""WITH tk AS ($toksSql),
+         t AS (SELECT doc_id, unnest(toks) AS tk FROM tk),
+         f AS (SELECT tk, count(*) AS tf FROM t GROUP BY 1),
+         tot AS (SELECT CAST(sum(tf) AS BIGINT) AS n_total,
+                        count(*) AS vocab FROM f),
+         s AS (SELECT doc_id,
+                      -ln((tf + 1.0) / CAST(n_total + vocab AS DOUBLE)) AS nll
+               FROM t JOIN f USING (tk) CROSS JOIN tot),
+         sc AS (SELECT doc_id, count(*) AS n_tokens,
+                       round(avg(nll) + 1e-7, 4) + 0.0 AS x4
+                FROM s GROUP BY 1),
+         thr AS (SELECT quantile_cont(x4, 0.8) AS thr FROM sc),
+         kept AS (SELECT sc.* FROM sc CROSS JOIN thr WHERE sc.x4 <= thr.thr)
+         SELECT d.source, count(*) AS n_kept,
+                CAST(sum(k.n_tokens) AS BIGINT) AS tokens_kept,
+                round(avg(k.x4) + 1e-7, 4) + 0.0 AS avg_xent,
+                min(k.doc_id) AS first_id
+         FROM kept k JOIN documents d ON d.doc_id = k.doc_id
+         GROUP BY 1 ORDER BY 1"""),
 
     "q102_shard_manifest" ->
       """WITH r AS (
