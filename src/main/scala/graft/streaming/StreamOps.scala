@@ -282,6 +282,35 @@ object StreamOps {
     * relation to left-join in a stream; the downstream quality floor
     * owned that drop anyway). Paragraph state is evicted at the
     * watermark like every dedup store here. */
+  /** Streaming PERPLEXITY scoring — the incremental form of
+    * [[graft.operators.TextRetrieval.unigramCrossEntropy]] and the
+    * apply leg of the q112 filter loop: the reference unigram model
+    * (token → tf, plus the N/V scalars) is fit ONCE on a static
+    * corpus and every live document scores against it through a
+    * STREAM-STATIC join — Structured Streaming plans the static side
+    * as an ordinary batch relation under each micro-batch, so the
+    * join itself is stateless (no store, no watermark needed for it).
+    * The per-document mean is one aggregation keyed by (window, doc);
+    * the watermark bounds that state and closes windows for append
+    * output. Unseen tokens take the add-one smoothing floor (tf = 0),
+    * exactly the batch model's behavior on held-out text. */
+  def streamingPerplexity(docs: DataFrame, unigram: DataFrame,
+      nTotal: Long, vocab: Long,
+      ts: String = "ts", id: String = "doc_id", text: String = "text",
+      windowLen: String = "10 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    import graft.functions.TextFunctions._
+    val tok = docs.withWatermark(ts, watermarkDelay)
+      .select(col(ts), col(id), explode(tokens(col(text))).as("tk"))
+    val scored = tok
+      .join(unigram.select(col("tk"), col("tf")), Seq("tk"), "left")
+      .withColumn("nll", -log((coalesce(col("tf"), lit(0L)) + lit(1.0)) /
+        lit((nTotal + vocab).toDouble)))
+    scored.groupBy(window(col(ts), windowLen), col(id))
+      .agg(count(lit(1)).as("n_tokens"), avg(col("nll")).as("xent"))
+      .select(col(id), col("n_tokens"), col("xent"))
+  }
+
   def streamingParagraphDedup(docs: DataFrame, ts: String = "ts", sep: String = "\n",
       id: String = "doc_id", text: String = "text",
       watermarkDelay: String = "10 minutes", windowLen: String = "1 minute"): DataFrame = {

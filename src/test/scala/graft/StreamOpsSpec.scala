@@ -245,6 +245,50 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streamingPerplexity batch≡stream: stream-static unigram scoring on the real fixture") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.TextRetrieval
+    val docsB = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    // the static reference model: corpus-self unigram counts + totals
+    val tok = docsB.select(col("doc_id"),
+      explode(graft.functions.TextFunctions.tokens(col("text"))).as("tk"))
+    val freq = tok.groupBy("tk").agg(count(lit(1)).as("tf")).localCheckpoint(true)
+    val Array(nTotal, vocab) = freq.agg(sum("tf"), count(lit(1))).head() match {
+      case r => Array(r.getLong(0), r.getLong(1))
+    }
+    val batch = TextRetrieval.unigramCrossEntropy(docsB).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), math.round(r.getAs[Double]("xent") * 1e6)))).toMap
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val scored = StreamOps.streamingPerplexity(
+      input.toDS().toDF("ts", "doc_id", "text"), freq, nTotal, vocab)
+    val query = scored.writeStream.format("memory")
+      .queryName("ppl_out").outputMode("append").start()
+    try {
+      val t0 = 1700000000000L
+      val rows = docsB.as[(Long, String)].collect().sortBy(_._1)
+      rows.grouped(100).foreach { b =>
+        input.addData(b.map { case (id, tx) => (new Timestamp(t0 + id), id, tx) }.toSeq: _*)
+        query.processAllAvailable()
+      }
+      // advance the watermark so every window closes and flushes
+      input.addData((new Timestamp(t0 + 48 * 3600 * 1000L), -1L, "flush"))
+      query.processAllAvailable()
+      val streamOut = spark.table("ppl_out")
+        .collect().filter(_.getAs[Long]("doc_id") >= 0L)
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_tokens"), math.round(r.getAs[Double]("xent") * 1e6)))).toMap
+      assert(streamOut.keySet == batch.keySet,
+        s"doc sets diverged: onlyStream=${streamOut.keySet -- batch.keySet} " +
+          s"onlyBatch=${batch.keySet -- streamOut.keySet}")
+      streamOut.foreach { case (d, v) =>
+        assert(v == batch(d), s"doc $d: stream $v vs batch ${batch(d)}")
+      }
+    } finally query.stop()
+  }
+
   test("streamingDecontaminate drops contaminated docs statelessly via the Bloom probe") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
