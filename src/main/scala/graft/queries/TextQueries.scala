@@ -1490,16 +1490,34 @@ object TextQueries {
           FROM ex GROUP BY doc_id"""
     },
 
-    "q57_embed_dup" ->
-      """WITH scored AS (
-           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                  list_sum(list_transform(range(1, 65),
-                    i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
-                  (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE))) *
-                   sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS cosine
-           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-         ) SELECT id_a, id_b, round(cosine + 1e-9, 6) + 0.0 AS cosine
-           FROM scored WHERE cosine >= 0.4""",
+    // q57 oracle replays the BANDED plan itself (the q39 baked-
+    // hyperplane machinery: identical splitmix64 Rademacher chains →
+    // identical buckets, candidates, cosines) rather than the
+    // all-pairs answer, so a future testdata regeneration that drops
+    // banded recall below 100% cannot silently kill the catalog query
+    // (the q26/q27-r6 failure class). The banded ≡ exact-all-pairs
+    // property on the CURRENT fixtures — 100% recall at all three
+    // SFs — is gated separately in SimilaritySpec.
+    "q57_embed_dup" -> {
+      val dim = 64; val bpb = 2; val nb = 16
+      val buckets = (0 until nb).map(b => bandBucketSql("e", b, bpb, dim)).mkString(", ")
+      s"""WITH bk AS (SELECT e.vec_id, unnest([$buckets]) AS bucket
+            FROM embeddings e),
+          cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                   FROM bk a JOIN bk b USING (bucket)
+                   WHERE a.vec_id < b.vec_id),
+          nrm AS (SELECT e.vec_id, sqrt(${pairDotSql("e", "e", dim)}) AS nrm
+                  FROM embeddings e),
+          scored AS (SELECT cand.id_a, cand.id_b,
+                            (${pairDotSql("ea", "eb", dim)}) / (na.nrm * nb2.nrm) AS cosine
+                     FROM cand
+                     JOIN embeddings ea ON ea.vec_id = cand.id_a
+                     JOIN embeddings eb ON eb.vec_id = cand.id_b
+                     JOIN nrm na ON na.vec_id = cand.id_a
+                     JOIN nrm nb2 ON nb2.vec_id = cand.id_b)
+          SELECT id_a, id_b, round(cosine + 1e-9, 6) + 0.0 AS cosine
+          FROM scored WHERE cosine >= 0.4"""
+    },
 
     "q37_cosine_topk" ->
       """WITH scored AS (
