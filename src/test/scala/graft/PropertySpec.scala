@@ -281,6 +281,60 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("unigram/bigram cross-entropy: repetition lowers both; shuffling only hurts the bigram score") {
+    import graft.operators.TextRetrieval
+    // three planted documents over one vocabulary: a repeated-token
+    // doc (low unigram xent), a fluent doc in corpus word order, and
+    // the SAME bag of words shuffled (identical unigram xent as the
+    // fluent doc; strictly worse bigram xent)
+    val fluent = "the quick brown fox jumps over the lazy dog " * 8
+    val shuffled = {
+      val toks = fluent.trim.split(" ").toSeq
+      // deterministic derangement-ish shuffle: odd/even interleave
+      // reversed — breaks every adjacent pair but keeps the bag
+      val (a, b) = toks.zipWithIndex.partition(_._2 % 2 == 0)
+      (a.map(_._1).reverse ++ b.map(_._1)).mkString(" ")
+    }
+    val repeated = "the the the the the the the the " * 9
+    val docs = Seq((1L, fluent), (2L, shuffled), (3L, repeated))
+      .toDF("doc_id", "text")
+    val uni = TextRetrieval.unigramCrossEntropy(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val bi = TextRetrieval.bigramCrossEntropy(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // repetition of the most common token gives the lowest unigram xent
+    assert(uni(3L) < uni(1L) && uni(3L) < uni(2L), s"uni: $uni")
+    // same bag ⇒ same unigram score (to fp noise)
+    assert(math.abs(uni(1L) - uni(2L)) < 1e-9, s"uni bag invariance: $uni")
+    // word order only matters to the bigram model, and destroying it hurts
+    assert(bi(2L) > bi(1L) + 0.1, s"bigram fluency: $bi")
+  }
+
+  test("rmaBackground: correction is monotone in the observation and bounded above by it") {
+    // any strictly-positive fixture: E[signal|observed] must increase
+    // with the observation and sit strictly below it (background mass
+    // is positive); the spec-level recovery test lives in KernelSpec,
+    // this is the order-theoretic invariant on generated inputs
+    val gen = Gen.choose(50, 200)
+    cases(gen, 3).foreach { n =>
+      val rows = (0 until 500).map { i =>
+        val u = ((i * 2654435761L + n * 97) % 1000) / 1000.0
+        (s"g$i", "s1", 100.0 + 900.0 * u * u)
+      }
+      val m = ExpressionMatrix(rows.toDF("gene_id", "sample_id", "value"))
+      val obs = rows.map(r => r._1 -> r._3).toMap
+      val corr = Normalize.rmaBackground(m).df.collect()
+        .map(r => r.getString(0) -> r.getDouble(2)).toMap
+      corr.foreach { case (g, c) =>
+        assert(c < obs(g), s"n=$n $g: corrected $c !< observed ${obs(g)}")
+      }
+      val sorted = rows.sortBy(_._3)
+      sorted.map(r => corr(r._1)).sliding(2).foreach { case Seq(a, b) =>
+        assert(a <= b + 1e-9, s"n=$n: correction not monotone")
+      }
+    }
+  }
+
   test("weighted Stouffer combined p is monotone in each platform p") {
     import graft.operators.Meta
     def comb(p1: Double): Double = {
