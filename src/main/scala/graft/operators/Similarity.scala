@@ -66,6 +66,45 @@ object Similarity {
     topKOf(scored, k)
   }
 
+  /** Pick (bitsPerBand, nBands) for a cosine threshold and target
+    * recall — the standard banding calculus made a library decision
+    * instead of a hand-tuned constant. A pair at angle θ agrees on
+    * one hyperplane bit with probability p = 1 − θ/π, on a whole
+    * b-bit band with p^b, and survives L independent bands with
+    * 1 − (1−p^b)^L; solving for the WORST pair (cosine exactly at
+    * the threshold) gives L(b) = ⌈ln(1−recall)/ln(1−p^b)⌉. Among
+    * b = 1..maxBits the chosen b minimizes the per-vector cost proxy
+    * L·(b + N·2⁻ᵇ): b·L sketch dots vs ~N·2⁻ᵇ uniform-background
+    * bucket collisions per band (clustered true-pair mass is
+    * threshold-dependent and the caller's to pay either way). Higher
+    * thresholds ⇒ higher p ⇒ affordable wider bands ⇒ candidates
+    * collapse toward the true-pair mass; thresholds near the
+    * background distribution correctly come back with narrow bands
+    * and many of them — coverage, not pruning, is all that regime
+    * admits. */
+  def bandParams(threshold: Double, targetRecall: Double = 0.999,
+      expectedN: Long = 1000000L, maxBits: Int = 20): (Int, Int) = {
+    require(threshold > -1.0 && threshold < 1.0, s"threshold $threshold out of (-1, 1)")
+    require(targetRecall > 0 && targetRecall < 1, s"recall $targetRecall out of (0, 1)")
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    val lnMiss = math.log(1.0 - targetRecall)
+    val costed = (1 to maxBits).flatMap { b =>
+      val pb = math.pow(p, b)
+      if (pb >= 1.0) Some((b, 1, 0.0))
+      else {
+        val l = math.ceil(lnMiss / math.log(1.0 - pb)).toInt.max(1)
+        // cap the family: > 512 bands means the threshold regime is
+        // hopeless for this b — let other b values compete
+        if (l > 512) None
+        else Some((b, l, l.toDouble * (b.toDouble + expectedN.toDouble * math.pow(2.0, -b))))
+      }
+    }
+    require(costed.nonEmpty,
+      s"no band family reaches recall $targetRecall at threshold $threshold within $maxBits bits")
+    val (b, l, _) = costed.minBy(_._3)
+    (b, l)
+  }
+
   /** Random-hyperplane (sign) sketch: `nBits` deterministic
     * Rademacher hyperplanes; bit i = sign(v · h_i). The hyperplanes
     * are generated driver-side with a fixed splitmix64 stream and

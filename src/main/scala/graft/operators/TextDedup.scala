@@ -604,6 +604,18 @@ object TextDedup {
       id: String = "vec_id", vec: String = "embedding"): DataFrame =
     Similarity.cosinePairs(embeddings, id, vec).filter(col("cosine") >= threshold)
 
+  /** [[embeddingDupPairs]] with (bitsPerBand, nBands) DERIVED from
+    * the threshold by [[Similarity.bandParams]] instead of hand-picked
+    * — the principled entry point for a new threshold/corpus-size
+    * regime (the q57 fixture keeps its pinned 16×2 family for oracle
+    * stability). */
+  def embeddingDupPairsAuto(embeddings: DataFrame, threshold: Double, dim: Int,
+      targetRecall: Double = 0.999, expectedN: Long = 1000000L,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val (bits, bands) = Similarity.bandParams(threshold, targetRecall, expectedN)
+    embeddingDupPairsLsh(embeddings, threshold, dim, bits, bands, id, vec)
+  }
+
   /** Embedding near-dup at corpus scale: candidates from multi-band
     * hyperplane-LSH buckets (pair space bounded by bucket
     * co-membership, recall tuned by `nBands` — near-identical vectors

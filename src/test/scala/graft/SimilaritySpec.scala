@@ -68,6 +68,33 @@ class SimilaritySpec extends SparkSpec {
       s"banded≠exact: missed=${exact.keySet -- banded.keySet} extra=${banded.keySet -- exact.keySet}")
   }
 
+  test("bandParams: sane families across regimes; auto near-dup hits planted pairs") {
+    // high threshold → wide bands, few of them; low threshold → the
+    // opposite; recall target raises the band count, never lowers it
+    val (bHi, lHi) = Similarity.bandParams(0.95)
+    val (bLo, lLo) = Similarity.bandParams(0.5)
+    assert(bHi > bLo, s"hi=$bHi/$lHi lo=$bLo/$lLo")
+    val (_, lTight) = Similarity.bandParams(0.8, targetRecall = 0.9999)
+    val (_, lLoose) = Similarity.bandParams(0.8, targetRecall = 0.99)
+    assert(lTight >= lLoose, s"tight=$lTight loose=$lLoose")
+    // planted clusters at cosine ≈ 0.99: the derived family must
+    // recover every intra-cluster pair found by the exact form
+    def v(c: Int, j: Int): Seq[Float] =
+      (0 until 16).map(d => ((((c * 131 + d * 31) % 200) / 100.0f - 1.0f) * 10
+        + ((j * 17 + d * 7) % 10) * 0.01f))
+    val emb = (for (c <- 0 until 20; j <- 0 until 4)
+      yield ((c * 4 + j).toLong, v(c, j))).toDF("vec_id", "embedding")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(TextDedup.embeddingDupPairsExact(emb, threshold = 0.95)
+      .select("id_a", "id_b"))
+    val auto = pairs(TextDedup.embeddingDupPairsAuto(emb, threshold = 0.95,
+      dim = 16, expectedN = 80L).select("id_a", "id_b"))
+    assert(exact.nonEmpty, "planted clusters produced no qualifying pairs")
+    assert(exact == auto,
+      s"missed=${exact -- auto} extra=${auto -- exact}")
+  }
+
   test("ivfTopK with full probing matches brute force top-1") {
     val df = vecs.toDF("vec_id", "embedding")
     val q = df.filter(col("vec_id") === 1L)
