@@ -40,7 +40,8 @@ object Plans {
         "q101_temp_mixture", "q102_shard_manifest", "q103_pq_codes",
         "q104_pq_adc_topk", "q38_knn_label", "q39_lsh_topk", "q57_embed_dup",
         "q106_rma_bg", "q108_event_props", "q109_unigram_ppl",
-        "q110_ivfpq_topk", "q111_bigram_ppl", "q112_ppl_filter")
+        "q110_ivfpq_topk", "q111_bigram_ppl", "q112_ppl_filter",
+        "q113_ivfpq_residual")
     names.foreach { name =>
       if (name == "bucketed_demo") bucketedDemo(spark, dir)
       else {

@@ -435,6 +435,138 @@ object Similarity {
         (-col("kv.score")).as("dist"), (col("r0") + 1).cast("int").as("rank"))
   }
 
+  private def collectCentroids(centroids: DataFrame): Seq[(Int, Array[Float])] =
+    centroids.select(col("cell").cast("int"), col("centroid"))
+      .collect().toSeq.map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+
+  /** Driver-side coarse assignment + residual for ONE sample vector —
+    * mirrors the distributed literal-baked argmin exactly: |c|² and
+    * v·c accumulated separately in index order, s = c2 − 2·dot, ties
+    * to the lower cell; residual r[d] = v[d] − (float)c[d]. */
+  private def residualOf(v: Array[Double], cents: Seq[(Int, Array[Float])]): Array[Double] = {
+    var best = cents.head._1
+    var bestD = Double.MaxValue
+    cents.foreach { case (cell, c) =>
+      var c2 = 0.0; var dot = 0.0; var d = 0
+      while (d < c.length) { val cd = c(d).toDouble; c2 += cd * cd; dot += v(d) * cd; d += 1 }
+      val s = c2 - 2.0 * dot
+      if (s < bestD) { bestD = s; best = cell }
+    }
+    val carr = cents.find(_._1 == best).get._2
+    Array.tabulate(v.length)(d => v(d) - carr(d).toDouble)
+  }
+
+  /** RESIDUAL PQ codebooks — the true FAISS-IVFPQ encoding: books fit
+    * on r = v − centroid(cell(v)) instead of raw vectors, so the code
+    * budget spans only the WITHIN-cell spread, not the between-cell
+    * offsets the coarse quantizer already explains — tighter ADC
+    * distances at the same bytes/vector. Fit is the same bounded
+    * deterministic sample + per-subspace Lloyd as [[pqFit]]; the
+    * sample's cells and residuals are computed driver-side with the
+    * exact arithmetic of the distributed assignment. */
+  def pqFitResidual(corpus: DataFrame, centroids: DataFrame, m: Int, ksub: Int,
+      iters: Int, dim: Int, id: String = "vec_id", vec: String = "embedding",
+      sampleCap: Int = 1000): Array[Array[Array[Float]]] = {
+    require(m > 0 && dim % m == 0, s"dim $dim must split into m=$m subspaces")
+    val dsub = dim / m
+    val cents = collectCentroids(centroids)
+    val sample = lloydSample(corpus, id, vec, sampleCap).map(residualOf(_, cents))
+    Array.tabulate(m) { s =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      lloydLoop(sub, ksub, iters, dsub).map(_.map(_.toFloat))
+    }
+  }
+
+  /** The per-row double-precision residual column: assign the cell
+    * with the literal-baked argmin, join the (bounded, broadcast)
+    * centroid relation, subtract element-wise in DOUBLE. */
+  private def withResidual(df: DataFrame, cents: Seq[(Int, Array[Float])],
+      vec: String, outCell: String, outRes: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val centDf = cents.map { case (i, a) => (i, a.toSeq) }.toDF(outCell, "__cent")
+    val distStructs = cents.map { case (cellId, arr) =>
+      val c2 = arr.foldLeft(0.0)((s, v) => s + v.toDouble * v.toDouble)
+      struct((lit(c2) - lit(2.0) * vec_dot(col(vec), lit(arr))).as("d"),
+        lit(cellId).as("cell"))
+    }
+    df.withColumn(outCell, least(distStructs: _*).getField("cell"))
+      .join(broadcast(centDf), Seq(outCell))
+      .withColumn(outRes, zip_with(col(vec), col("__cent"),
+        (a, b) => a.cast("double") - b.cast("double")))
+      .drop("__cent")
+  }
+
+  /** PQ-encode RESIDUALS: [[pqEncode]]'s zero-shuffle literal-baked
+    * argmin, run on r = v − centroid(cell) with double-precision
+    * arithmetic end-to-end. Output (id, cell, sub, code) — the cell
+    * rides along so the at-rest relation self-describes which coarse
+    * cell each code block belongs to. */
+  def pqEncodeResidual(corpus: DataFrame, books: Array[Array[Array[Float]]],
+      centroids: DataFrame, id: String = "vec_id",
+      vec: String = "embedding"): DataFrame = {
+    val m = books.length
+    val dsub = books(0)(0).length
+    val cents = collectCentroids(centroids)
+    val withRes = withResidual(
+      corpus.select(col(id), col(vec)), cents, vec, "cell", "__r")
+    val codeCols = (0 until m).map { s =>
+      val vs = slice(col("__r"), s * dsub + 1, dsub)
+      val structs = books(s).zipWithIndex.map { case (arr, j) =>
+        val c2 = arr.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)
+        struct((lit(c2) - lit(2.0) * vec_dot(vs, lit(arr.map(_.toDouble)))).as("d"),
+          lit(j).as("code"))
+      }
+      least(structs: _*).getField("code").as(s"__c$s")
+    }
+    withRes.select((col(id) +: col("cell") +: codeCols): _*)
+      .select(col(id), col("cell"),
+        posexplode(array((0 until m).map(s => col(s"__c$s")): _*))
+          .as(Seq("sub", "code")))
+  }
+
+  /** Residual IVF-PQ probe: like [[ivfPqTopK]], but distances are ADC
+    * sums against the QUERY's residual in each probed cell (qr =
+    * q − centroid(cell), one LUT block per (query, probed cell) —
+    * broadcast at queries×nProbe×m×ksub rows), matching the residual
+    * code relation from [[pqEncodeResidual]]. */
+  def ivfPqTopKResidual(queries: DataFrame, codes: DataFrame, k: Int,
+      nProbe: Int, books: Array[Array[Array[Float]]], centroids: DataFrame,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cents = collectCentroids(centroids)
+    val centDf = cents.map { case (i, a) => (i, a.toSeq) }.toDF("cell", "centroid")
+    val dsub = books(0)(0).length
+    val q = queries.select(col(id).as("query_id"), col(vec).as("q_vec"))
+    val probed = broadcast(q).crossJoin(broadcast(centDf))
+      .withColumn("cdist", cosine(col("q_vec"), col("centroid")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cdist").desc, col("cell").asc)))
+      .filter(col("crank") <= nProbe)
+      .withColumn("qr", zip_with(col("q_vec"), col("centroid"),
+        (a, b) => a.cast("double") - b.cast("double")))
+      .select("query_id", "cell", "qr")
+    val lut = probed.crossJoin(pqCodebookDf(spark, books)).select(
+      col("query_id"), col("cell"), col("sub"), col("code"), {
+        val vs = slice(col("qr"), col("sub") * dsub + 1, lit(dsub))
+        (vec_dot(col("centroid"), col("centroid"))
+          - lit(2.0) * vec_dot(vs, col("centroid"))
+          + vec_dot(vs, vs)).as("d")
+      })
+    val adc = codes.withColumnRenamed(id, "corpus_id")
+      .join(broadcast(lut), Seq("cell", "sub", "code"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .groupBy(col("query_id"), col("corpus_id"))
+      .agg(round(sum(col("d")) + 1e-9, 6).as("dist"))
+    adc.groupBy(col("query_id"))
+      .agg(top_k_pairs(-col("dist"), col("corpus_id"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("r0", "kv")))
+      .select(col("query_id"), col("kv.id").as("corpus_id"),
+        (-col("kv.score")).as("dist"), (col("r0") + 1).cast("int").as("rank"))
+  }
+
   /** ADC (asymmetric distance computation) top-k over a PQ-encoded
     * corpus: each query builds an m×ksub LOOKUP TABLE of true squared
     * L2 distances to every centroid (|c|² − 2·q_s·c + |q_s|², all

@@ -554,6 +554,21 @@ object TextQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- RESIDUAL IVF-PQ (true FAISS IVFPQ): books fit on
+    // r = v − centroid(cell), codes span only within-cell spread,
+    // LUTs are per-(query, probed cell) against the query residual.
+    // Oracle: coarse chain → residual relation → PQ chain OVER the
+    // residuals → per-cell LUT/ADC. ----
+    "q113_ivfpq_residual" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = Similarity.lloydCentroids(emb, nCells = 8, iters = 10, dim = 64)
+      val books = Similarity.pqFitResidual(emb, cents, m = 4, ksub = 16, iters = 5, dim = 64)
+      val codes = Similarity.pqEncodeResidual(emb, books, cents)
+      Similarity.ivfPqTopKResidual(emb.filter(col("vec_id") < 20), codes, k = 5,
+          nProbe = 3, books = books, centroids = cents)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- IVF-PQ composed ANN (the FAISS IVFPQ probe shape): coarse
     // Lloyd cells prune the corpus to nProbe cells per query, ADC
     // runs only over PQ codes within those cells. The oracle replays
@@ -699,11 +714,14 @@ object TextQueries {
   private val pqIters = 5
   private val pqDsub = 16 // dim 64 / pqM
 
-  /** Σ (e[sub·16+d] − c[d])² in index order (fit distance; c DOUBLE list). */
-  private def pqSubDistSql(e: String, c: String): String =
+  /** Σ (e[sub·16+d] − c[d])² in index order (fit distance; c DOUBLE
+    * list). `vecCol` selects the vector column (default the raw
+    * embedding; q113 passes the residual list, whose elements are
+    * already DOUBLE — the CAST is then a no-op). */
+  private def pqSubDistSql(e: String, c: String, vecCol: String = "embedding"): String =
     (1 to pqDsub).map(d =>
-      s"(CAST($e.embedding[$c.sub*$pqDsub+$d] AS DOUBLE) - $c.c[$d])" +
-        s"*(CAST($e.embedding[$c.sub*$pqDsub+$d] AS DOUBLE) - $c.c[$d])")
+      s"(CAST($e.$vecCol[$c.sub*$pqDsub+$d] AS DOUBLE) - $c.c[$d])" +
+        s"*(CAST($e.$vecCol[$c.sub*$pqDsub+$d] AS DOUBLE) - $c.c[$d])")
       .mkString(" + ")
 
   /** Σ c[d]² in index order over a REAL centroid list. */
@@ -712,35 +730,36 @@ object TextQueries {
       s"CAST($c.c[$d] AS DOUBLE)*CAST($c.c[$d] AS DOUBLE)").mkString(" + ")
 
   /** Σ e[sub·16+d]·c[d] in index order (REAL centroid list). */
-  private def pqDotSql(e: String, c: String): String =
+  private def pqDotSql(e: String, c: String, vecCol: String = "embedding"): String =
     (1 to pqDsub).map(d =>
-      s"CAST($e.embedding[$c.sub*$pqDsub+$d] AS DOUBLE)*CAST($c.c[$d] AS DOUBLE)")
+      s"CAST($e.$vecCol[$c.sub*$pqDsub+$d] AS DOUBLE)*CAST($c.c[$d] AS DOUBLE)")
       .mkString(" + ")
 
   /** Σ e[sub·16+d]² in index order (query self-dot per subspace). */
-  private def pqQSelfSql(e: String, c: String): String =
+  private def pqQSelfSql(e: String, c: String, vecCol: String = "embedding"): String =
     (1 to pqDsub).map(d =>
-      s"CAST($e.embedding[$c.sub*$pqDsub+$d] AS DOUBLE)" +
-        s"*CAST($e.embedding[$c.sub*$pqDsub+$d] AS DOUBLE)").mkString(" + ")
+      s"CAST($e.$vecCol[$c.sub*$pqDsub+$d] AS DOUBLE)" +
+        s"*CAST($e.$vecCol[$c.sub*$pqDsub+$d] AS DOUBLE)").mkString(" + ")
 
   /** One per-subspace Lloyd round (argmin assignment / means / carry
     * keyed by (sub, code)). `p` prefixes every CTE name so the chain
     * can coexist with the coarse-quantizer chain (q110 uses both —
     * their default names collide on cent/cl/asg/mn). */
-  private def pqIterSql(t: Int, p: String = ""): String =
+  private def pqIterSql(t: Int, p: String = "", rel: String = "embeddings",
+      vecCol: String = "embedding"): String =
     s"""${p}cl$t AS MATERIALIZED (
          SELECT sub, code, list(val ORDER BY pos) AS c FROM ${p}cent$t GROUP BY 1, 2),
        ${p}asg$t AS MATERIALIZED (
          SELECT vec_id, sub, code FROM (
            SELECT e.vec_id, c.sub, c.code,
                   row_number() OVER (PARTITION BY e.vec_id, c.sub
-                    ORDER BY (${pqSubDistSql("e", "c")}) ASC, c.code ASC) AS rn
-           FROM embeddings e CROSS JOIN ${p}cl$t c
+                    ORDER BY (${pqSubDistSql("e", "c", vecCol)}) ASC, c.code ASC) AS rn
+           FROM $rel e CROSS JOIN ${p}cl$t c
            WHERE e.vec_id < 1000) WHERE rn = 1),
        ${p}mn$t AS MATERIALIZED (
          SELECT a.sub, a.code, g.d AS pos,
-                avg(CAST(e.embedding[a.sub*$pqDsub + g.d] AS DOUBLE)) AS val
-         FROM ${p}asg$t a JOIN embeddings e ON e.vec_id = a.vec_id
+                avg(CAST(e.$vecCol[a.sub*$pqDsub + g.d] AS DOUBLE)) AS val
+         FROM ${p}asg$t a JOIN $rel e ON e.vec_id = a.vec_id
          CROSS JOIN pqd g GROUP BY 1, 2, 3),
        ${p}cent${t + 1} AS MATERIALIZED (
          SELECT o.sub, o.code, o.pos, coalesce(m.val, o.val) AS val
@@ -754,14 +773,16 @@ object TextQueries {
     * callers can splice it next to other chains. `p` prefixes every
     * generated CTE name (q110 combines this with the coarse-Lloyd
     * chain, whose default names collide). */
-  private def pqCoreCtes(p: String = ""): String = {
-    val iters = (0 until pqIters).map(t => pqIterSql(t, p)).mkString(",\n       ")
+  private def pqCoreCtes(p: String = "", rel: String = "embeddings",
+      vecCol: String = "embedding"): String = {
+    val iters = (0 until pqIters).map(t => pqIterSql(t, p, rel, vecCol))
+      .mkString(",\n       ")
     s"""pqs AS (SELECT unnest(generate_series(CAST(0 AS BIGINT), CAST(${pqM - 1} AS BIGINT))) AS s),
        pqd AS (SELECT unnest(generate_series(CAST(1 AS BIGINT), CAST($pqDsub AS BIGINT))) AS d),
        ${p}cent0 AS MATERIALIZED (
          SELECT sg.s AS sub, CAST(e.vec_id AS INT) AS code, g.d AS pos,
-                CAST(e.embedding[sg.s*$pqDsub + g.d] AS DOUBLE) AS val
-         FROM embeddings e CROSS JOIN pqs sg CROSS JOIN pqd g
+                CAST(e.$vecCol[sg.s*$pqDsub + g.d] AS DOUBLE) AS val
+         FROM $rel e CROSS JOIN pqs sg CROSS JOIN pqd g
          WHERE e.vec_id < $pqKsub),
        $iters,
        ${p}fl AS MATERIALIZED (
@@ -771,9 +792,9 @@ object TextQueries {
          SELECT vec_id, sub, code FROM (
            SELECT e.vec_id, c.sub, c.code,
                   row_number() OVER (PARTITION BY e.vec_id, c.sub
-                    ORDER BY ((${pqSelfSql("c")}) - 2.0*(${pqDotSql("e", "c")})) ASC,
+                    ORDER BY ((${pqSelfSql("c")}) - 2.0*(${pqDotSql("e", "c", vecCol)})) ASC,
                              c.code ASC) AS rn
-           FROM embeddings e CROSS JOIN ${p}fl c) WHERE rn = 1)"""
+           FROM $rel e CROSS JOIN ${p}fl c) WHERE rn = 1)"""
   }
 
   private def pqCoreSql: String = "WITH " + pqCoreCtes()
@@ -1203,6 +1224,44 @@ object TextQueries {
          SELECT query_id, vec_id AS corpus_id, dist,
                 row_number() OVER (PARTITION BY query_id
                   ORDER BY dist ASC, vec_id ASC) AS rank
+         FROM adc)
+       SELECT query_id, corpus_id, dist, CAST(rank AS INT) AS rank
+       FROM rk WHERE rank <= 5 ORDER BY query_id, rank"""),
+
+    // residual IVF-PQ replay: coarse chain → per-corpus-vector
+    // residual lists (DOUBLE) → the PQ chain fit OVER residuals →
+    // per-(query, probed cell) residual LUTs → cell-matched ADC.
+    "q113_ivfpq_residual" ->
+      (s"""WITH ${ivfCoreCtes(nCells = 8, iters = 10, nProbe = 3, dim = 64, queryBound = 20)},
+       rr AS MATERIALIZED (
+         SELECT e.vec_id, ca.cell,
+                list_transform(generate_series(1, 64),
+                  d -> CAST(e.embedding[d] AS DOUBLE) - CAST(f.c[d] AS DOUBLE)) AS r
+         FROM embeddings e JOIN ca ON ca.corpus_id = e.vec_id
+         JOIN cf f ON f.cell = ca.cell),
+       ${pqCoreCtes("pq_", "rr", "r")},
+       qr AS MATERIALIZED (
+         SELECT pr.query_id, pr.cell,
+                list_transform(generate_series(1, 64),
+                  d -> CAST(e.embedding[d] AS DOUBLE) - CAST(f.c[d] AS DOUBLE)) AS r
+         FROM pr JOIN embeddings e ON e.vec_id = pr.query_id
+         JOIN cf f ON f.cell = pr.cell),
+       lut AS MATERIALIZED (
+         SELECT q.query_id, q.cell, c.sub, c.code,
+                ((${pqSelfSql("c")}) - 2.0*(${pqDotSql("q", "c", "r")})
+                  + (${pqQSelfSql("q", "c", "r")})) AS d
+         FROM qr q CROSS JOIN pq_fl c),
+       adc AS (
+         SELECT l.query_id, cc.corpus_id,
+                round(sum(l.d) + 1e-9, 6) + 0.0 AS dist
+         FROM pq_codes co JOIN ca cc ON cc.corpus_id = co.vec_id
+         JOIN lut l ON l.cell = cc.cell AND l.sub = co.sub AND l.code = co.code
+         WHERE l.query_id <> co.vec_id
+         GROUP BY 1, 2),
+       rk AS (
+         SELECT query_id, corpus_id, dist,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY dist ASC, corpus_id ASC) AS rank
          FROM adc)
        SELECT query_id, corpus_id, dist, CAST(rank AS INT) AS rank
        FROM rk WHERE rank <= 5 ORDER BY query_id, rank"""),

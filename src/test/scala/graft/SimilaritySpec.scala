@@ -95,6 +95,42 @@ class SimilaritySpec extends SparkSpec {
       s"missed=${exact -- auto} extra=${auto -- exact}")
   }
 
+  test("residual IVF-PQ beats flat-code IVF-PQ recall on a clustered corpus") {
+    // 8 well-separated clusters (matching nCells) whose members differ
+    // only by small jitter: flat PQ books spend their codes spanning
+    // the BETWEEN-cluster offsets, residual books only the within-
+    // cluster spread — recall@5 against exact cosine must not drop,
+    // and on this geometry strictly improves
+    val dim = 16
+    def v(c: Int, j: Int): Seq[Float] =
+      (0 until dim).map(d => ((((c * 131 + d * 37) % 200) / 100.0f - 1.0f) * 8
+        + ((j * 13 + d * 5) % 11) * 0.05f))
+    val emb = (for (c <- 0 until 8; j <- 0 until 25)
+      yield ((c * 25 + j).toLong, v(c, j))).toDF("vec_id", "embedding")
+        .localCheckpoint(true)
+    val queries = emb.filter(col("vec_id") % 25 === 0)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"))).toSet
+    val cents = Similarity.lloydCentroids(emb, nCells = 8, iters = 10, dim = dim,
+      sampleCap = 1000)
+    def recall(top: Array[org.apache.spark.sql.Row]): Double = {
+      val got = top.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"))).toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    val flatBooks = Similarity.pqFit(emb, m = 4, ksub = 8, iters = 5, dim = dim)
+    val flatCodes = Similarity.pqEncode(emb, flatBooks)
+    val flat = recall(Similarity.ivfPqTopK(emb, queries, flatCodes, k = 5,
+      nProbe = 8, books = flatBooks, centroids = cents).collect())
+    val resBooks = Similarity.pqFitResidual(emb, cents, m = 4, ksub = 8,
+      iters = 5, dim = dim)
+    val resCodes = Similarity.pqEncodeResidual(emb, resBooks, cents)
+    val res = recall(Similarity.ivfPqTopKResidual(queries, resCodes, k = 5,
+      nProbe = 8, books = resBooks, centroids = cents).collect())
+    assert(res >= flat, s"residual recall $res < flat $flat")
+    assert(res > flat + 0.05,
+      s"expected a strict residual win on planted clusters: res=$res flat=$flat")
+  }
+
   test("ivfTopK with full probing matches brute force top-1") {
     val df = vecs.toDF("vec_id", "embedding")
     val q = df.filter(col("vec_id") === 1L)
