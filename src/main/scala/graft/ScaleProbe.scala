@@ -262,6 +262,32 @@ object ScaleProbe {
     }
     val (pqS, pqB) = pqProbe()
     println(f"[scale] pqAdcTopK(codes)      1x=$pqS%8.2fs 10x=$pqB%8.2fs ratio=${pqB / pqS}%6.2f")
+    // Residual IVF-PQ probe — same discipline as pqProbe: quantizers
+    // fit once on the 1× corpus, both corpora residual-encoded
+    // OUTSIDE the clock, then the same 10-query cell-pruned ADC over
+    // 1× vs 10× code relations. Cost must track the probed share of
+    // the code relation, not the float corpus.
+    def ivfPqProbe(): (Double, Double) = {
+      import graft.operators.Similarity
+      val src1 = spark.read.parquet(s"$src/embeddings.parquet")
+      val src10 = spark.read.parquet(s"$dst/embeddings.parquet")
+      val cents = Similarity.lloydCentroids(src1, nCells = 8, iters = 10, dim = 64)
+      val books = Similarity.pqFitResidual(src1, cents, m = 8, ksub = 16, iters = 5, dim = 64)
+      val qs = src1.filter(col("vec_id") < 10).localCheckpoint(true)
+      def run(corpus: DataFrame): Double = {
+        val codes = Similarity.pqEncodeResidual(corpus, books, cents).localCheckpoint(true)
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          Similarity.ivfPqTopKResidual(qs, codes, k = 5, nProbe = 3,
+            books = books, centroids = cents).queryExecution.toRdd.count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        math.min(once(), once())
+      }
+      (run(src1), run(src10))
+    }
+    val (ipS, ipB) = ivfPqProbe()
+    println(f"[scale] ivfPqResidual(codes)  1x=$ipS%8.2fs 10x=$ipB%8.2fs ratio=${ipB / ipS}%6.2f")
     // BM25 probe — cost must track posting volume (corpus tokens ∩
     // query terms), so 10× documents ⇒ ~10× cost with the same
     // broadcast query relation and bounded top-k shuffle.
@@ -316,6 +342,7 @@ object ScaleProbe {
       f"""\"repeated_spans_viral\":{\"uniform\":$spanU%.3f,\"viral\":$spanV%.3f,\"ratio\":${spanV / spanU}%.3f}""" :+
       f"""\"embed_dup_banded\":{\"n20k\":$embS%.3f,\"n200k\":$embB%.3f,\"ratio\":${embB / embS}%.3f}""" :+
       f"""\"pq_adc_topk\":{\"x1\":$pqS%.3f,\"x10\":$pqB%.3f,\"ratio\":${pqB / pqS}%.3f}""" :+
+      f"""\"ivfpq_residual\":{\"x1\":$ipS%.3f,\"x10\":$ipB%.3f,\"ratio\":${ipB / ipS}%.3f}""" :+
       f"""\"bm25_topk\":{\"x1\":$bmS%.3f,\"x10\":$bmB%.3f,\"ratio\":${bmB / bmS}%.3f}""" :+
       f"""\"pca_dual_10k_genes\":{\"sec\":$pcaT%.3f}""")
       .mkString("{", ",", "}")
