@@ -83,24 +83,27 @@ object Similarity {
     * and many of them — coverage, not pruning, is all that regime
     * admits. */
   def bandParams(threshold: Double, targetRecall: Double = 0.999,
-      expectedN: Long = 1000000L, maxBits: Int = 20): (Int, Int) = {
+      expectedN: Long = 1000000L, maxBits: Int = 20,
+      maxSketchBits: Int = 256): (Int, Int) = {
     require(threshold > -1.0 && threshold < 1.0, s"threshold $threshold out of (-1, 1)")
     require(targetRecall > 0 && targetRecall < 1, s"recall $targetRecall out of (0, 1)")
+    // p < 1 strictly for every admissible threshold (acos > 0)
     val p = 1.0 - math.acos(threshold) / math.Pi
     val lnMiss = math.log(1.0 - targetRecall)
     val costed = (1 to maxBits).flatMap { b =>
       val pb = math.pow(p, b)
-      if (pb >= 1.0) Some((b, 1, 0.0))
-      else {
-        val l = math.ceil(lnMiss / math.log(1.0 - pb)).toInt.max(1)
-        // cap the family: > 512 bands means the threshold regime is
-        // hopeless for this b — let other b values compete
-        if (l > 512) None
-        else Some((b, l, l.toDouble * (b.toDouble + expectedN.toDouble * math.pow(2.0, -b))))
-      }
+      val l = math.ceil(lnMiss / math.log(1.0 - pb)).toInt.max(1)
+      // b·L is the PLAN size too — every (band, bit) is a baked
+      // literal-hyperplane VecDot in one projection, so an unbounded
+      // family would blow codegen straight past JIT method limits;
+      // families over the sketch-bit budget don't compete
+      if (l.toLong * b > maxSketchBits) None
+      else Some((b, l, l.toDouble * (b.toDouble + expectedN.toDouble * math.pow(2.0, -b))))
     }
     require(costed.nonEmpty,
-      s"no band family reaches recall $targetRecall at threshold $threshold within $maxBits bits")
+      s"no band family within $maxSketchBits sketch bits reaches recall " +
+        s"$targetRecall at threshold $threshold — this regime does not admit " +
+        s"sub-quadratic banding; use embeddingDupPairsExact on a bounded relation")
     val (b, l, _) = costed.minBy(_._3)
     (b, l)
   }
@@ -290,11 +293,7 @@ object Similarity {
     val assigned = corpus.select(col(id).as("corpus_id"), col(vec).as("c_vec"),
       least(distStructs: _*).getField("cell").as("cell"))
     val q = queries.select(col(id).as("query_id"), col(vec).as("q_vec"))
-    val probed = broadcast(q).crossJoin(broadcast(centDf))
-      .withColumn("cdist", cosine(col("q_vec"), col("centroid")))
-      .withColumn("crank", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("cdist").desc, col("cell").asc)))
-      .filter(col("crank") <= nProbe)
+    val probed = probeCells(q, centDf, nProbe)
       .select("query_id", "q_vec", "cell")
     val scored = probed.join(assigned, Seq("cell"))
       .filter(col("query_id") =!= col("corpus_id"))
@@ -388,9 +387,7 @@ object Similarity {
       nProbe: Int, books: Array[Array[Array[Float]]], centroids: DataFrame,
       id: String = "vec_id", vec: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
-    val cents: Seq[(Int, Array[Float])] = centroids
-      .select(col("cell").cast("int"), col("centroid"))
-      .collect().toSeq.map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    val cents = collectCentroids(centroids)
     val centDf = {
       import spark.implicits._
       cents.map { case (i, a) => (i, a.toSeq) }.toDF("cell", "centroid")
@@ -405,11 +402,7 @@ object Similarity {
     val assigned = corpus.select(col(id).as("corpus_id"), col(vec).as("c_vec"))
       .select(col("corpus_id"), least(distStructs: _*).getField("cell").as("cell"))
     val q = queries.select(col(id).as("query_id"), col(vec).as("q_vec"))
-    val probed = broadcast(q).crossJoin(broadcast(centDf))
-      .withColumn("cdist", cosine(col("q_vec"), col("centroid")))
-      .withColumn("crank", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("cdist").desc, col("cell").asc)))
-      .filter(col("crank") <= nProbe)
+    val probed = probeCells(q, centDf, nProbe)
       .select("query_id", "cell")
     // the q104 ADC, restricted to candidates from probed cells
     val dsub = books(0)(0).length
@@ -428,17 +421,35 @@ object Similarity {
       .join(broadcast(lut), Seq("query_id", "sub", "code"))
       .groupBy(col("query_id"), col("corpus_id"))
       .agg(round(sum(col("d")) + 1e-9, 6).as("dist"))
-    adc.groupBy(col("query_id"))
-      .agg(top_k_pairs(-col("dist"), col("corpus_id"), k).as("topk"))
-      .select(col("query_id"), posexplode(col("topk")).as(Seq("r0", "kv")))
-      .select(col("query_id"), col("kv.id").as("corpus_id"),
-        (-col("kv.score")).as("dist"), (col("r0") + 1).cast("int").as("rank"))
+    rankAdcTopK(adc, k, "corpus_id")
   }
 
   private def collectCentroids(centroids: DataFrame): Seq[(Int, Array[Float])] =
     centroids.select(col("cell").cast("int"), col("centroid"))
       .collect().toSeq.map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
+
+  /** Shared probe block: each (query_id, q_vec) row fans out to its
+    * `nProbe` nearest cells by centroid cosine (desc, cell asc) —
+    * both relations broadcast, crank retained for callers to drop. */
+  private def probeCells(q: DataFrame, centDf: DataFrame, nProbe: Int): DataFrame =
+    broadcast(q).crossJoin(broadcast(centDf))
+      .withColumn("cdist", cosine(col("q_vec"), col("centroid")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cdist").desc, col("cell").asc)))
+      .filter(col("crank") <= nProbe)
+
+  /** Shared ADC ranking tail: (query_id, <idOut>, dist) → top-k rows
+    * ascending by the already-ROUNDED distance with id tie-breaks,
+    * negation-bridged through the bounded [[graft.functions
+    * .TopKPairs]] (which keeps maxima). One implementation so the
+    * ranking convention cannot drift between the PQ variants. */
+  private def rankAdcTopK(adc: DataFrame, k: Int, idOut: String): DataFrame =
+    adc.groupBy(col("query_id"))
+      .agg(top_k_pairs(-col("dist"), col(idOut), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("r0", "kv")))
+      .select(col("query_id"), col("kv.id").as(idOut),
+        (-col("kv.score")).as("dist"), (col("r0") + 1).cast("int").as("rank"))
 
   /** Driver-side coarse assignment + residual for ONE sample vector —
     * mirrors the distributed literal-baked argmin exactly: |c|² and
@@ -540,11 +551,7 @@ object Similarity {
     val centDf = cents.map { case (i, a) => (i, a.toSeq) }.toDF("cell", "centroid")
     val dsub = books(0)(0).length
     val q = queries.select(col(id).as("query_id"), col(vec).as("q_vec"))
-    val probed = broadcast(q).crossJoin(broadcast(centDf))
-      .withColumn("cdist", cosine(col("q_vec"), col("centroid")))
-      .withColumn("crank", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("cdist").desc, col("cell").asc)))
-      .filter(col("crank") <= nProbe)
+    val probed = probeCells(q, centDf, nProbe)
       .withColumn("qr", zip_with(col("q_vec"), col("centroid"),
         (a, b) => a.cast("double") - b.cast("double")))
       .select("query_id", "cell", "qr")
@@ -560,11 +567,7 @@ object Similarity {
       .filter(col("query_id") =!= col("corpus_id"))
       .groupBy(col("query_id"), col("corpus_id"))
       .agg(round(sum(col("d")) + 1e-9, 6).as("dist"))
-    adc.groupBy(col("query_id"))
-      .agg(top_k_pairs(-col("dist"), col("corpus_id"), k).as("topk"))
-      .select(col("query_id"), posexplode(col("topk")).as(Seq("r0", "kv")))
-      .select(col("query_id"), col("kv.id").as("corpus_id"),
-        (-col("kv.score")).as("dist"), (col("r0") + 1).cast("int").as("rank"))
+    rankAdcTopK(adc, k, "corpus_id")
   }
 
   /** ADC (asymmetric distance computation) top-k over a PQ-encoded
@@ -595,13 +598,10 @@ object Similarity {
         + vec_dot(vs, vs)).as("d")
     })
     val adc = codes.join(broadcast(lut), Seq("sub", "code"))
-      .filter(col("query_id") =!= col(id))
-      .groupBy(col("query_id"), col(id))
+      .withColumnRenamed(id, "corpus_id")
+      .filter(col("query_id") =!= col("corpus_id"))
+      .groupBy(col("query_id"), col("corpus_id"))
       .agg(round(sum(col("d")) + 1e-9, 6).as("dist"))
-    adc.groupBy(col("query_id"))
-      .agg(top_k_pairs(-col("dist"), col(id), k).as("topk"))
-      .select(col("query_id"), posexplode(col("topk")).as(Seq("r0", "kv")))
-      .select(col("query_id"), col("kv.id").as("corpus_id"),
-        (-col("kv.score")).as("dist"), (col("r0") + 1).cast("int").as("rank"))
+    rankAdcTopK(adc, k, "corpus_id")
   }
 }

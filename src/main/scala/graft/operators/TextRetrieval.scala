@@ -96,8 +96,9 @@ object TextRetrieval {
       .select(col(id), col("tk").as("w1"), col("w2"))
     val c12 = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
     val c1 = pairs.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    val vocab = docs.select(explode(tokens(col(text))).as("tk"))
-      .agg(count_distinct(col("tk")).as("vocab"))
+    // vocabulary from the ALREADY-tokenized stream — re-tokenizing the
+    // corpus a second time would double the operator's dominant cost
+    val vocab = tok.agg(count_distinct(col("tk")).as("vocab"))
     pairs.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
       .crossJoin(broadcast(vocab))
       .select(col(id),

@@ -380,9 +380,13 @@ object TextQueries {
     // matches bit-for-bit given identical inputs. ----
     "q112_ppl_filter" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // materialize the scored relation once: the percentile aggregate
+      // and the survivor filter otherwise re-run the whole scoring
+      // chain (Spark shares no subplan across the crossJoin)
       val scored = TextRetrieval.unigramCrossEntropy(docs)
         .select(col("doc_id"), col("n_tokens"),
           round(col("xent") + 1e-7, 4).as("x4"))
+        .localCheckpoint(true)
       val thr = scored.agg(expr("percentile(x4, 0.8)").as("thr"))
       scored.crossJoin(broadcast(thr)).filter(col("x4") <= col("thr"))
         .join(docs.select("doc_id", "source"), Seq("doc_id"))
