@@ -41,7 +41,7 @@ object Plans {
         "q104_pq_adc_topk", "q38_knn_label", "q39_lsh_topk", "q57_embed_dup",
         "q106_rma_bg", "q108_event_props", "q109_unigram_ppl",
         "q110_ivfpq_topk", "q111_bigram_ppl", "q112_ppl_filter",
-        "q113_ivfpq_residual")
+        "q113_ivfpq_residual", "q114_snapshot_diff")
     names.foreach { name =>
       if (name == "bucketed_demo") bucketedDemo(spark, dir)
       else {
@@ -146,7 +146,9 @@ object Plans {
     "q94_bloom_dedup" ->
       "confirm anti-join of bloom-positive candidates against the reference fingerprint relation — both sides corpus-grain keyed on the fingerprint; the bloom prune already shrank the left side, AQE demotes when the candidate set is small",
     "q95_repeated_spans" ->
-      "span-start mask-back join keyed on (doc, pos) and the doc-universe reassembly joins keyed on doc id — both sides corpus-grain; AQE demotes when small")
+      "span-start mask-back join keyed on (doc, pos) and the doc-universe reassembly joins keyed on doc id — both sides corpus-grain; AQE demotes when small",
+    "q114_snapshot_diff" ->
+      "FULL OUTER join of two corpus snapshots on the id — both sides corpus-grain and full-outer cannot build a broadcast side; bucket both snapshots by id to co-locate at rest")
 
   /** The bucketed-workspace co-location demo (SCALING.md / ROADMAP):
     * checkpoint the expression matrix bucketed on gene_id, then run a

@@ -604,6 +604,24 @@ object TextDedup {
       id: String = "vec_id", vec: String = "embedding"): DataFrame =
     Similarity.cosinePairs(embeddings, id, vec).filter(col("cosine") >= threshold)
 
+  /** Snapshot DIFF between two corpus versions — the audit step of an
+    * incremental pipeline (what did the new crawl add, drop, or
+    * rewrite?): full outer join on the id, content compared by md5
+    * fingerprint. One id-keyed shuffle; at rest both snapshots
+    * bucketed by id co-locate the join. Output: (id, status) with
+    * status ∈ added | removed | changed | unchanged. */
+  def snapshotDiff(before: DataFrame, after: DataFrame,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val a = before.select(col(id), md5(col(text)).as("__fp_a"))
+    val b = after.select(col(id), md5(col(text)).as("__fp_b"))
+    a.join(b, Seq(id), "full_outer")
+      .select(col(id),
+        when(col("__fp_a").isNull, lit("added"))
+          .when(col("__fp_b").isNull, lit("removed"))
+          .when(col("__fp_a") === col("__fp_b"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
   /** [[embeddingDupPairs]] with (bitsPerBand, nBands) DERIVED from
     * the threshold by [[Similarity.bandParams]] instead of hand-picked
     * — the principled entry point for a new threshold/corpus-size

@@ -362,6 +362,26 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- snapshot diff: the incremental-crawl audit. The "next
+    // crawl" is derived deterministically from the fixture: docs with
+    // id % 7 == 0 vanish, id % 5 == 0 (and not dropped) get rewritten
+    // text, and a shifted-id copy of every id % 11 == 0 doc arrives
+    // as new. Per-status counts + id checksums. ----
+    "q114_snapshot_diff" -> ((s, dir) => {
+      val before = t(s, dir, "documents").select("doc_id", "text")
+      val after = before.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" [rev2]")))
+            .otherwise(col("text")))
+        .unionByName(before.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      TextDedup.snapshotDiff(before, after)
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("sum_ids"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("status")
+    }),
+
     // ---- bigram (conditional) cross-entropy: fluency scoring — the
     // only window is doc-grain lead() over token positions ----
     "q111_bigram_ppl" -> ((s, dir) => {
@@ -1347,6 +1367,26 @@ object TextQueries {
          SELECT doc_id, count(*) AS n_tokens,
                 round(avg(nll) + 1e-7, 4) + 0.0 AS xent
          FROM s GROUP BY 1 ORDER BY 1"""),
+
+    "q114_snapshot_diff" ->
+      """WITH b AS (SELECT doc_id, md5(text) AS fp FROM documents),
+         a0 AS (SELECT doc_id,
+                       CASE WHEN doc_id % 5 = 0 THEN md5(text || ' [rev2]')
+                            ELSE md5(text) END AS fp
+                FROM documents WHERE doc_id % 7 <> 0),
+         a AS (SELECT * FROM a0
+               UNION ALL
+               SELECT doc_id + 1000000 AS doc_id, md5(text) AS fp
+               FROM documents WHERE doc_id % 11 = 0),
+         d AS (SELECT doc_id,
+                      CASE WHEN b.fp IS NULL THEN 'added'
+                           WHEN a.fp IS NULL THEN 'removed'
+                           WHEN a.fp = b.fp THEN 'unchanged'
+                           ELSE 'changed' END AS status
+               FROM b FULL OUTER JOIN a USING (doc_id))
+         SELECT status, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+                min(doc_id) AS min_id, max(doc_id) AS max_id
+         FROM d GROUP BY 1 ORDER BY 1""",
 
     "q111_bigram_ppl" ->
       (s"""WITH tk AS ($toksSql),
