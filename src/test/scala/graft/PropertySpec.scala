@@ -335,6 +335,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("snapshotDiff: self-diff is all-unchanged; statuses partition the id universe") {
+    val docs = (0L until 200L).map(i => (i, s"doc $i body ${i % 13}")).toDF("doc_id", "text")
+    val self = TextDedup.snapshotDiff(docs, docs).collect()
+    assert(self.length == 200 && self.forall(_.getString(1) == "unchanged"))
+    val after = docs.filter(col("doc_id") % 4 =!= 0)
+      .withColumn("text", when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit("!"))).otherwise(col("text")))
+      .unionByName(Seq((999L, "new doc")).toDF("doc_id", "text"))
+    val d = TextDedup.snapshotDiff(docs, after).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // every id from either snapshot appears exactly once, with the
+    // status its membership dictates
+    assert(d.size == 201)
+    (0L until 200L).foreach { i =>
+      val want = if (i % 4 == 0) "removed"
+        else if (i % 3 == 0) "changed" else "unchanged"
+      assert(d(i) == want, s"id $i: ${d(i)} != $want")
+    }
+    assert(d(999L) == "added")
+  }
+
   test("weighted Stouffer combined p is monotone in each platform p") {
     import graft.operators.Meta
     def comb(p1: Double): Double = {
