@@ -41,7 +41,7 @@ object Plans {
         "q104_pq_adc_topk", "q38_knn_label", "q39_lsh_topk", "q57_embed_dup",
         "q106_rma_bg", "q108_event_props", "q109_unigram_ppl",
         "q110_ivfpq_topk", "q111_bigram_ppl", "q112_ppl_filter",
-        "q113_ivfpq_residual", "q114_snapshot_diff")
+        "q113_ivfpq_residual", "q114_snapshot_diff", "q115_gopher_rules")
     names.foreach { name =>
       if (name == "bucketed_demo") bucketedDemo(spark, dir)
       else {

@@ -604,6 +604,43 @@ object TextDedup {
       id: String = "vec_id", vec: String = "embedding"): DataFrame =
     Similarity.cosinePairs(embeddings, id, vec).filter(col("cosine") >= threshold)
 
+  /** The Gopher document-SHAPE rules (Rae 2021 §A1.1) as explicit
+    * per-rule verdicts — the named filter battery (word-count bounds,
+    * mean word length, symbol-to-word ratio, alphabetic-word
+    * fraction, minimum stop-word count), complementing the composite
+    * [[graft.functions.TextFunctions.qualityScore]] and the
+    * repetition rules ([[repetitionStats]]). Pure codegen projection,
+    * zero shuffle; returns every rule flag plus `pass` so curation
+    * chains can report per-rule drop counts. */
+  def gopherRules(docs: DataFrame, minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, minAlphaFrac: Double = 0.8,
+      minStopWords: Int = 2,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val toks = tokens(col(text))
+    val n = size(toks).cast("double")
+    val meanLen = when(n > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / n)
+      .otherwise(0.0)
+    val hashes = length(col(text)) - length(regexp_replace(col(text), "#", ""))
+    val ellipses = (length(col(text)) -
+      length(regexp_replace(col(text), "\\.\\.\\.", ""))) / 3
+    val symbolRatio = when(n > 0, (hashes + ellipses).cast("double") / n).otherwise(1.0)
+    val alphaFrac = when(n > 0,
+      size(filter(toks, t => t.rlike("[a-z]"))).cast("double") / n).otherwise(0.0)
+    val allStop = graft.functions.TextFunctions.stopwords.values.flatten.toSeq.distinct
+    val stopCount = size(filter(toks, t => t.isin(allStop.map(lit(_)): _*)))
+    val flagNames = Seq("ok_words", "ok_word_len", "ok_symbols", "ok_alpha", "ok_stop")
+    val flags = Seq(
+      (n >= minWords && n <= maxWords).as("ok_words"),
+      (meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen).as("ok_word_len"),
+      (symbolRatio <= maxSymbolRatio).as("ok_symbols"),
+      (alphaFrac >= minAlphaFrac).as("ok_alpha"),
+      (stopCount >= minStopWords).as("ok_stop"))
+    docs.select((col(id) +: flags): _*)
+      .withColumn("pass", flagNames.map(col).reduce(_ && _))
+  }
+
   /** Snapshot DIFF between two corpus versions — the audit step of an
     * incremental pipeline (what did the new crawl add, drop, or
     * rewrite?): full outer join on the id, content compared by md5

@@ -362,6 +362,21 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- Gopher document-shape rules: explicit per-rule verdicts
+    // (word bounds, mean word length, symbol ratio, alphabetic
+    // fraction, stop-word floor) with per-rule failure counts ----
+    "q115_gopher_rules" -> ((s, dir) => {
+      TextDedup.gopherRules(t(s, dir, "documents"), minWords = 20)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(!col("ok_words"), 1L).otherwise(0L)).as("fail_words"),
+          sum(when(!col("ok_word_len"), 1L).otherwise(0L)).as("fail_word_len"),
+          sum(when(!col("ok_symbols"), 1L).otherwise(0L)).as("fail_symbols"),
+          sum(when(!col("ok_alpha"), 1L).otherwise(0L)).as("fail_alpha"),
+          sum(when(!col("ok_stop"), 1L).otherwise(0L)).as("fail_stop"),
+          sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"),
+          sum(when(col("pass"), col("doc_id"))).as("sum_pass_ids"))
+    }),
+
     // ---- snapshot diff: the incremental-crawl audit. The "next
     // crawl" is derived deterministically from the fixture: docs with
     // id % 7 == 0 vanish, id % 5 == 0 (and not dropped) get rewritten
@@ -1367,6 +1382,44 @@ object TextQueries {
          SELECT doc_id, count(*) AS n_tokens,
                 round(avg(nll) + 1e-7, 4) + 0.0 AS xent
          FROM s GROUP BY 1 ORDER BY 1"""),
+
+    "q115_gopher_rules" ->
+      (s"""WITH tk AS ($toksSql),
+         m AS (
+           SELECT doc_id,
+                  len(toks) AS n,
+                  CASE WHEN len(toks) > 0
+                       THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
+                       ELSE 0.0 END AS mean_len,
+                  CASE WHEN len(toks) > 0
+                       THEN ((length(text) - length(replace(text, '#', ''))) +
+                             (length(text) - length(replace(text, '...', ''))) / 3)
+                            * 1.0 / len(toks)
+                       ELSE 1.0 END AS sym_ratio,
+                  CASE WHEN len(toks) > 0
+                       THEN CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE) / len(toks)
+                       ELSE 0.0 END AS alpha_frac,
+                  len(list_filter(toks, t -> list_contains($stoplistSql, t))) AS stop_cnt
+           FROM tk),
+         f AS (
+           SELECT doc_id,
+                  (n >= 20 AND n <= 100000) AS ok_words,
+                  (mean_len >= 3.0 AND mean_len <= 10.0) AS ok_word_len,
+                  (sym_ratio <= 0.1) AS ok_symbols,
+                  (alpha_frac >= 0.8) AS ok_alpha,
+                  (stop_cnt >= 2) AS ok_stop
+           FROM m)
+         SELECT count(*) AS n_docs,
+                CAST(sum(CASE WHEN NOT ok_words THEN 1 ELSE 0 END) AS BIGINT) AS fail_words,
+                CAST(sum(CASE WHEN NOT ok_word_len THEN 1 ELSE 0 END) AS BIGINT) AS fail_word_len,
+                CAST(sum(CASE WHEN NOT ok_symbols THEN 1 ELSE 0 END) AS BIGINT) AS fail_symbols,
+                CAST(sum(CASE WHEN NOT ok_alpha THEN 1 ELSE 0 END) AS BIGINT) AS fail_alpha,
+                CAST(sum(CASE WHEN NOT ok_stop THEN 1 ELSE 0 END) AS BIGINT) AS fail_stop,
+                CAST(sum(CASE WHEN ok_words AND ok_word_len AND ok_symbols
+                               AND ok_alpha AND ok_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+                CAST(sum(CASE WHEN ok_words AND ok_word_len AND ok_symbols
+                               AND ok_alpha AND ok_stop THEN doc_id END) AS BIGINT) AS sum_pass_ids
+         FROM f"""),
 
     "q114_snapshot_diff" ->
       """WITH b AS (SELECT doc_id, md5(text) AS fp FROM documents),
