@@ -194,31 +194,52 @@ object Similarity {
 
   /** Deterministic Lloyd k-means for the IVF coarse quantizer — no
     * MLlib model state, so an oracle can replay the fit exactly: the
-    * fit runs driver-side over a BOUNDED sample (`sampleCap` lowest
-    * ids — the 100 TB contract: quantizers fit on samples, the corpus
-    * never leaves the cluster), init = the `nCells` lowest-id vectors,
-    * `iters` fixed assignment/update rounds (argmin squared distance,
-    * ties to the lower cell; empty cells carry their previous
-    * centroid). Returns (cell, centroid array<float>) for
-    * [[ivfTopK]]'s `centroids` parameter. */
+    * fit runs driver-side over a BOUNDED hash-uniform sample
+    * (`sampleCap` rows, see [[lloydSample]] — the 100 TB contract:
+    * quantizers fit on samples, the corpus never leaves the cluster),
+    * init = the sample's first `nCells` vectors, `iters` fixed
+    * assignment/update rounds (argmin squared distance, ties to the
+    * lower cell; empty cells carry their previous centroid). Returns
+    * (cell, centroid array<float>) for [[ivfTopK]]'s `centroids`
+    * parameter. `md5Sample` selects the oracle-portable md5 sampling
+    * hash (see [[lloydSample]]). */
   def lloydCentroids(corpus: DataFrame, nCells: Int, iters: Int, dim: Int,
       id: String = "vec_id", vec: String = "embedding",
-      sampleCap: Int = 1000): DataFrame = {
+      sampleCap: Int = 1000, md5Sample: Boolean = false): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val sample = lloydSample(corpus, id, vec, sampleCap)
+    val sample = lloydSample(corpus, id, vec, sampleCap, md5Sample)
     lloydLoop(sample, nCells, iters, dim)
       .zipWithIndex.map { case (c, i) => (i, c.map(_.toFloat).toSeq) }
       .toSeq.toDF("cell", "centroid")
   }
 
-  /** Bounded deterministic fit sample: the `sampleCap` lowest-id
-    * vectors in id order, as doubles. */
+  /** Seed for the fit-sample hash — shared with the q40/q103/q110/
+    * q113 oracle SQL, which replays `md5('17#' || id)` ordering. */
+  private val sampleSeed = 17
+
+  /** Bounded deterministic UNBIASED fit sample: the `sampleCap`
+    * vectors whose seeded id-hash sorts lowest (id tie-breaks), in
+    * hash order, as doubles. Hash-ordering decouples the sample from
+    * id order: on a real corpus ids are crawl-ordered, so an id-prefix
+    * "sample" is the first shard and biases the codebooks toward one
+    * slice of the distribution — the seeded hash gives every row equal
+    * selection probability while staying deterministic and replayable.
+    * `md5Sample=true` uses the engine-portable md5 family (oracle SQL
+    * reproduces the ordering bit-for-bit); the production default is
+    * xxhash64. The top-k-by-hash is a TakeOrdered over the corpus —
+    * no full sort, collect bounded by `sampleCap`. */
   private def lloydSample(corpus: DataFrame, id: String, vec: String,
-      sampleCap: Int): Array[Array[Double]] =
-    corpus.filter(col(id) < sampleCap)
-      .orderBy(col(id)).select(col(vec)).collect()
+      sampleCap: Int, md5Sample: Boolean): Array[Array[Double]] = {
+    val h: Column =
+      if (md5Sample) md5(concat_ws("#", lit(sampleSeed), col(id).cast("string")))
+      else xxhash64(col(id), lit(sampleSeed.toLong))
+    corpus.select(col(vec), h.as("__h"), col(id).as("__sid"))
+      .orderBy(col("__h").asc, col("__sid").asc)
+      .limit(sampleCap)
+      .select(col(vec)).collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+  }
 
   /** The deterministic Lloyd iteration shared by [[lloydCentroids]]
     * and [[pqFit]]: init = the k first sample vectors, argmin squared
@@ -319,10 +340,10 @@ object Similarity {
     * bake into [[pqEncode]] / relate via [[pqCodebookDf]]. */
   def pqFit(corpus: DataFrame, m: Int, ksub: Int, iters: Int, dim: Int,
       id: String = "vec_id", vec: String = "embedding",
-      sampleCap: Int = 1000): Array[Array[Array[Float]]] = {
+      sampleCap: Int = 1000, md5Sample: Boolean = false): Array[Array[Array[Float]]] = {
     require(m > 0 && dim % m == 0, s"dim $dim must split into m=$m subspaces")
     val dsub = dim / m
-    val sample = lloydSample(corpus, id, vec, sampleCap)
+    val sample = lloydSample(corpus, id, vec, sampleCap, md5Sample)
     Array.tabulate(m) { s =>
       val sub = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
       lloydLoop(sub, ksub, iters, dsub).map(_.map(_.toFloat))
@@ -478,11 +499,12 @@ object Similarity {
     * exact arithmetic of the distributed assignment. */
   def pqFitResidual(corpus: DataFrame, centroids: DataFrame, m: Int, ksub: Int,
       iters: Int, dim: Int, id: String = "vec_id", vec: String = "embedding",
-      sampleCap: Int = 1000): Array[Array[Array[Float]]] = {
+      sampleCap: Int = 1000, md5Sample: Boolean = false): Array[Array[Array[Float]]] = {
     require(m > 0 && dim % m == 0, s"dim $dim must split into m=$m subspaces")
     val dsub = dim / m
     val cents = collectCentroids(centroids)
-    val sample = lloydSample(corpus, id, vec, sampleCap).map(residualOf(_, cents))
+    val sample = lloydSample(corpus, id, vec, sampleCap, md5Sample)
+      .map(residualOf(_, cents))
     Array.tabulate(m) { s =>
       val sub = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
       lloydLoop(sub, ksub, iters, dsub).map(_.map(_.toFloat))

@@ -557,11 +557,13 @@ object TextQueries {
     }),
 
     // ---- IVF ANN with the deterministic Lloyd quantizer: the fit
-    // itself (10 assignment/update rounds from the 8 lowest-id seeds)
-    // replays in the oracle, so the query is fully hash-checked ----
+    // itself (10 assignment/update rounds over the hash-uniform
+    // sample, seeded from its 8 first vectors) replays in the
+    // oracle, so the query is fully hash-checked ----
     "q40_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val cents = Similarity.lloydCentroids(emb, nCells = 8, iters = 10, dim = 64)
+      val cents = Similarity.lloydCentroids(emb, nCells = 8, iters = 10, dim = 64,
+        md5Sample = true)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20), k = 5,
           nCells = 8, nProbe = 3, centroids = Some(cents))
         .select(col("query_id"), col("corpus_id"), col("rank"),
@@ -575,7 +577,8 @@ object TextQueries {
     // (the q40 machinery with a subspace key) and the assignment. ----
     "q103_pq_codes" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val books = Similarity.pqFit(emb, m = 4, ksub = 16, iters = 5, dim = 64)
+      val books = Similarity.pqFit(emb, m = 4, ksub = 16, iters = 5, dim = 64,
+        md5Sample = true)
       Similarity.pqEncode(emb, books)
         .select(col("vec_id"), col("sub"), col("code"))
         .orderBy("vec_id", "sub")
@@ -587,7 +590,8 @@ object TextQueries {
     // on the rounded distance. ----
     "q104_pq_adc_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val books = Similarity.pqFit(emb, m = 4, ksub = 16, iters = 5, dim = 64)
+      val books = Similarity.pqFit(emb, m = 4, ksub = 16, iters = 5, dim = 64,
+        md5Sample = true)
       val codes = Similarity.pqEncode(emb, books)
       Similarity.pqTopK(codes, emb.filter(col("vec_id") < 20), books, k = 5)
         .orderBy("query_id", "rank")
@@ -600,8 +604,10 @@ object TextQueries {
     // residuals → per-cell LUT/ADC. ----
     "q113_ivfpq_residual" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val cents = Similarity.lloydCentroids(emb, nCells = 8, iters = 10, dim = 64)
-      val books = Similarity.pqFitResidual(emb, cents, m = 4, ksub = 16, iters = 5, dim = 64)
+      val cents = Similarity.lloydCentroids(emb, nCells = 8, iters = 10, dim = 64,
+        md5Sample = true)
+      val books = Similarity.pqFitResidual(emb, cents, m = 4, ksub = 16, iters = 5,
+        dim = 64, md5Sample = true)
       val codes = Similarity.pqEncodeResidual(emb, books, cents)
       Similarity.ivfPqTopKResidual(emb.filter(col("vec_id") < 20), codes, k = 5,
           nProbe = 3, books = books, centroids = cents)
@@ -615,8 +621,10 @@ object TextQueries {
     // chain, prefix-renamed) and the cell-restricted ADC. ----
     "q110_ivfpq_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val cents = Similarity.lloydCentroids(emb, nCells = 8, iters = 10, dim = 64)
-      val books = Similarity.pqFit(emb, m = 4, ksub = 16, iters = 5, dim = 64)
+      val cents = Similarity.lloydCentroids(emb, nCells = 8, iters = 10, dim = 64,
+        md5Sample = true)
+      val books = Similarity.pqFit(emb, m = 4, ksub = 16, iters = 5, dim = 64,
+        md5Sample = true)
       val codes = Similarity.pqEncode(emb, books)
       Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 20), codes, k = 5,
           nProbe = 3, books = books, centroids = cents)
@@ -694,16 +702,31 @@ object TextQueries {
     * d-grid, seeded init, `iters` Lloyd rounds, float-cast centroids
     * (`cf`), per-query probed cells (`pr`, top `nProbe` by cosine),
     * full-corpus cell assignment (`ca`). Shared by q40 and q110. */
+  /** The fit-sample CTE: the `cap` vec_ids whose seeded md5 sorts
+    * lowest (id tie-breaks), numbered 0.. in hash order — replays
+    * Similarity.lloydSample's md5Sample rule exactly (seed 17). Always
+    * sampled from `embeddings` (the q113 residual chain samples the
+    * same ID SET; its residual vectors join back by vec_id). */
+  private def fitSampCte(p: String, cap: Int): String =
+    s"""${p}fitsamp AS MATERIALIZED (
+         SELECT vec_id, srn FROM (
+           SELECT vec_id, row_number() OVER (
+                    ORDER BY md5('17#' || CAST(vec_id AS VARCHAR)) ASC,
+                             vec_id ASC) - 1 AS srn
+           FROM embeddings) WHERE srn < $cap)"""
+
   private def ivfCoreCtes(nCells: Int, iters: Int, nProbe: Int, dim: Int,
       queryBound: Int): String = {
     val itersSql = (0 until iters).map(t => lloydIterSql(t, dim)).mkString(",\n       ")
     val probeCos = s"((${dotVecListSql("q", "f.c", dim)}) / (sqrt(${pairDotSql("q", "q", dim)}) * sqrt(${selfListSql("f.c", dim)})))"
     val assignD = s"((${selfListSql("f.c", dim)}) - 2.0*(${dotVecListSql("e", "f.c", dim)}))"
     s"""dgrid AS (SELECT unnest(generate_series(CAST(1 AS BIGINT), CAST($dim AS BIGINT))) AS d),
+       ${fitSampCte("", 1000)},
        cent0 AS MATERIALIZED (
-         SELECT CAST(vec_id AS INT) AS cell, g.d AS pos,
-                CAST(embedding[g.d] AS DOUBLE) AS val
-         FROM embeddings CROSS JOIN dgrid g WHERE vec_id < $nCells),
+         SELECT CAST(fs.srn AS INT) AS cell, g.d AS pos,
+                CAST(e.embedding[g.d] AS DOUBLE) AS val
+         FROM embeddings e JOIN fitsamp fs ON fs.vec_id = e.vec_id
+         CROSS JOIN dgrid g WHERE fs.srn < $nCells),
        $itersSql,
        cf AS MATERIALIZED (
          SELECT cell, list(CAST(val AS REAL) ORDER BY pos) AS c FROM cent$iters GROUP BY 1),
@@ -732,8 +755,8 @@ object TextQueries {
            SELECT e.vec_id, e.embedding, c.cell,
                   row_number() OVER (PARTITION BY e.vec_id
                     ORDER BY ($dist) ASC, c.cell ASC) AS rn
-           FROM embeddings e CROSS JOIN cl$t c
-           WHERE e.vec_id < 1000) WHERE rn = 1),
+           FROM embeddings e JOIN fitsamp fs ON fs.vec_id = e.vec_id
+           CROSS JOIN cl$t c) WHERE rn = 1),
        mn$t AS MATERIALIZED (
          SELECT a.cell, g.d AS pos, avg(CAST(a.embedding[g.d] AS DOUBLE)) AS val
          FROM asg$t a CROSS JOIN dgrid g GROUP BY 1,2),
@@ -793,8 +816,8 @@ object TextQueries {
            SELECT e.vec_id, c.sub, c.code,
                   row_number() OVER (PARTITION BY e.vec_id, c.sub
                     ORDER BY (${pqSubDistSql("e", "c", vecCol)}) ASC, c.code ASC) AS rn
-           FROM $rel e CROSS JOIN ${p}cl$t c
-           WHERE e.vec_id < 1000) WHERE rn = 1),
+           FROM $rel e JOIN ${p}fitsamp fs ON fs.vec_id = e.vec_id
+           CROSS JOIN ${p}cl$t c) WHERE rn = 1),
        ${p}mn$t AS MATERIALIZED (
          SELECT a.sub, a.code, g.d AS pos,
                 avg(CAST(e.$vecCol[a.sub*$pqDsub + g.d] AS DOUBLE)) AS val
@@ -805,9 +828,10 @@ object TextQueries {
          FROM ${p}cent$t o LEFT JOIN ${p}mn$t m
            ON m.sub = o.sub AND m.code = o.code AND m.pos = o.pos)"""
 
-  /** Shared q103/q104 prefix: grids, init from the ksub lowest-id
-    * vectors' subspace slices, the Lloyd rounds, float-cast final
-    * books (`fl`), and the full-corpus assignment (`codes`). */
+  /** Shared q103/q104 prefix: grids, the hash-uniform fit sample,
+    * init from its ksub first vectors' subspace slices, the Lloyd
+    * rounds, float-cast final books (`fl`), and the full-corpus
+    * assignment (`codes`). */
   /** The PQ fit/encode CTE chain WITHOUT the leading `WITH`, so
     * callers can splice it next to other chains. `p` prefixes every
     * generated CTE name (q110 combines this with the coarse-Lloyd
@@ -818,11 +842,13 @@ object TextQueries {
       .mkString(",\n       ")
     s"""pqs AS (SELECT unnest(generate_series(CAST(0 AS BIGINT), CAST(${pqM - 1} AS BIGINT))) AS s),
        pqd AS (SELECT unnest(generate_series(CAST(1 AS BIGINT), CAST($pqDsub AS BIGINT))) AS d),
+       ${fitSampCte(p, 1000)},
        ${p}cent0 AS MATERIALIZED (
-         SELECT sg.s AS sub, CAST(e.vec_id AS INT) AS code, g.d AS pos,
+         SELECT sg.s AS sub, CAST(fs.srn AS INT) AS code, g.d AS pos,
                 CAST(e.$vecCol[sg.s*$pqDsub + g.d] AS DOUBLE) AS val
-         FROM $rel e CROSS JOIN pqs sg CROSS JOIN pqd g
-         WHERE e.vec_id < $pqKsub),
+         FROM $rel e JOIN ${p}fitsamp fs ON fs.vec_id = e.vec_id
+         CROSS JOIN pqs sg CROSS JOIN pqd g
+         WHERE fs.srn < $pqKsub),
        $iters,
        ${p}fl AS MATERIALIZED (
          SELECT sub, code, list(CAST(val AS REAL) ORDER BY pos) AS c
@@ -929,8 +955,9 @@ object TextQueries {
           FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
     },
 
-    // IVF ANN, fully replayed: 10 Lloyd rounds from the 8 lowest-id
-    // seed vectors (index-order arithmetic, carry for empty cells),
+    // IVF ANN, fully replayed: the md5-ordered fit sample, 10 Lloyd
+    // rounds from its 8 first vectors (index-order arithmetic,
+    // carry for empty cells),
     // float-cast final centroids, cosine-ranked 3-cell probe, argmin
     // cell assignment, exact in-cell cosine top-5 (the q39 ranking
     // machinery — bit-exact corpus cosines).
