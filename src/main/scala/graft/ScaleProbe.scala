@@ -83,6 +83,10 @@ object ScaleProbe {
     // flatter the ratio
     def time(dir: String, name: String): Double = {
       def once(): Double = {
+        // drop any cache a persisting operator (bm25TopK) left behind:
+        // min-of-two exists to absorb JIT/codegen warmup, not to let a
+        // cached second run hide the operator's real scan cost
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count()
         (System.nanoTime() - t0) / 1e9
@@ -297,6 +301,7 @@ object ScaleProbe {
       val qs = Seq((1L, "the"), (1L, "data"), (2L, "model"), (2L, "training"),
         (3L, "license"), (3L, "rights")).toDF("query_id", "term")
       def once(): Double = {
+        spark.catalog.clearCache() // cold: bm25TopK persists its token counts
         val t0 = System.nanoTime()
         graft.operators.TextRetrieval.bm25TopK(docs, qs, k = 10)
           .queryExecution.toRdd.count()

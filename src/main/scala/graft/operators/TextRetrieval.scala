@@ -15,15 +15,21 @@ import org.apache.spark.sql.functions._
   * stopword query term degrades to near-zero weight instead of
   * flipping the ranking sign).
   *
-  * Scale shape: the query relation is tiny and BROADCAST; the
-  * per-document work is two keyed aggregations with map-side combine
-  * (document length, then term frequency restricted to query terms —
-  * the semi-join keeps the tf relation bounded by |queries| distinct
-  * terms, not the corpus vocabulary). Per-query ranking is the
-  * bounded [[graft.functions.TopKPairs]] aggregate: each map task
-  * keeps ≤ k candidates per query, so a query matching every document
-  * in the corpus still shuffles ≤ k·partitions rows — no global sort,
-  * no content-keyed window. `N` and `avgdl` are two scalar jobs.
+  * Scale shape: the query relation is tiny and BROADCAST, and the
+  * corpus is TOKENIZED EXACTLY ONCE — at 100 TB tokenization is the
+  * dominant cost, so document length and query-term frequency both
+  * derive from a single (doc, query-term-or-null) keyed aggregation
+  * (map-side combined; every non-query token of a doc collapses into
+  * the one null-term row, so the shuffled relation stays bounded by
+  * |docs|·(|query terms|+1)). The two readers of that aggregation
+  * share its shuffle via Spark's exchange reuse — the plan has one
+  * scan, one tokenize, one wide exchange. `N` rides along as a
+  * column-pruned count-star scan (no re-tokenize) and `avgdl` as a
+  * broadcast scalar, so the whole query is ONE job. Per-query ranking
+  * is the bounded [[graft.functions.TopKPairs]] aggregate: each map
+  * task keeps ≤ k candidates per query, so a query matching every
+  * document in the corpus still shuffles ≤ k·partitions rows — no
+  * global sort, no content-keyed window.
   */
 object TextRetrieval {
 
@@ -37,20 +43,38 @@ object TextRetrieval {
   def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
       k1: Double = 1.2, b: Double = 0.75,
       id: String = "doc_id", text: String = "text"): DataFrame = {
-    val n = docs.count()
-    val tok = docs.select(col(id), explode(tokens(col(text))).as("tk"))
-    val dl = tok.groupBy(col(id)).agg(count(lit(1)).as("dl"))
-    val avgdl = dl.agg(avg(col("dl"))).head().getDouble(0)
     val terms = queries.select(col("term")).distinct()
-    val tf = tok.join(broadcast(terms), col("tk") === col("term")).drop("term")
-      .groupBy(col(id), col("tk")).agg(count(lit(1)).as("tf"))
+    val tok = docs.select(col(id), explode(tokens(col(text))).as("tk"))
+    // The ONE pass over the tokenized corpus: per (doc, query term)
+    // counts, with every non-query token falling into the doc's single
+    // null-term row (broadcast left join marks query terms). The
+    // relation is PERSISTED because four consumers read it (dl, tf,
+    // df, avgdl) and Catalyst specializes each branch (pushes the
+    // term-null filter below the aggregate), which would otherwise
+    // re-scan and re-tokenize the corpus per branch — at 100 TB
+    // tokenization is the dominant cost. What is cached is the
+    // POST-aggregation relation: ≤ |docs|·(|query terms|+1) narrow
+    // rows, ~the token-count relation's size, spilled to disk when it
+    // outgrows memory and LRU-evicted after the query completes.
+    val grouped = tok
+      .join(broadcast(terms), col("tk") === col("term"), "left").drop("tk")
+      .groupBy(col(id), col("term")).agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dl = grouped.groupBy(col(id)).agg(sum(col("cnt")).as("dl"))
+    val tf = grouped.filter(col("term").isNotNull)
+      .select(col(id), col("term").as("tk"), col("cnt").as("tf"))
+    // N includes token-less documents: a count-star scan of `docs`
+    // (column-pruned — parquet row-count metadata, no tokenize).
+    val nDf = docs.agg(count(lit(1)).cast("double").as("__n"))
+    val avgdlDf = dl.agg(avg(col("dl")).as("__avgdl"))
     val dfRel = tf.groupBy(col("tk")).agg(count(lit(1)).as("df"))
     val idf: Column = log(lit(1.0) +
-      (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
+      (col("__n") - col("df") + 0.5) / (col("df") + 0.5))
     val contrib = tf.join(dfRel, Seq("tk")).join(dl, Seq(id))
+      .crossJoin(broadcast(nDf)).crossJoin(broadcast(avgdlDf))
       .select(col("tk"), col(id),
         (idf * (col("tf") * (k1 + 1.0)) /
-          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))).as("w"))
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("__avgdl")))).as("w"))
     val scored = contrib
       .join(broadcast(queries.select(col("query_id"), col("term")).distinct()),
         col("tk") === col("term"))
