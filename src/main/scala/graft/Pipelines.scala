@@ -232,15 +232,32 @@ object Pipelines {
       paragraphSep: Option[String] = None,
       nearDupClusters: Boolean = false,
       repeatedSpanN: Option[Int] = None,
-      referenceFp: Option[DataFrame] = None): DataFrame = {
+      referenceFp: Option[DataFrame] = None,
+      gopherMinWords: Option[Int] = None,
+      gopherMinStopWords: Int = 2): DataFrame = {
     import graft.functions.TextFunctions._
+    // optional Gopher document-SHAPE stage ([[TextDedup.gopherRules]],
+    // Rae 2021 §A1.1), FIRST: the named per-doc rule battery is a pure
+    // codegen projection — the cheapest filter in the chain runs
+    // before any shuffle-bearing stage, and (matching the paper's
+    // pipeline order) before dedup, so a failing doc can't be the
+    // keep-first winner of a duplicate group. Per-rule drop counts
+    // are reportable by running gopherRules on the same input
+    // (q116's report shape).
+    val docsG = gopherMinWords match {
+      case Some(mw) => TextDedup.gopherRules(docs, minWords = mw,
+          minStopWords = gopherMinStopWords)
+        .filter(col("pass"))
+        .select(docs.columns.map(col).toSeq: _*)
+      case None => docs
+    }
     // optional INCREMENTAL front stage: drop documents already in a
     // previous crawl's fingerprint relation before any in-batch work
     // ([[TextDedup.dedupAgainstReference]] — Bloom prune + exact
     // confirm, result exactly the anti-join)
     val docs0 = referenceFp match {
-      case Some(ref) => TextDedup.dedupAgainstReference(docs, ref)
-      case None => docs
+      case Some(ref) => TextDedup.dedupAgainstReference(docsG, ref)
+      case None => docsG
     }
     val exact0 = TextDedup.exactDedup(docs0)
     // optional paragraph-grain boilerplate removal (Dolma-style) runs

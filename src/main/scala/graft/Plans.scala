@@ -41,7 +41,8 @@ object Plans {
         "q104_pq_adc_topk", "q38_knn_label", "q39_lsh_topk", "q57_embed_dup",
         "q106_rma_bg", "q108_event_props", "q109_unigram_ppl",
         "q110_ivfpq_topk", "q111_bigram_ppl", "q112_ppl_filter",
-        "q113_ivfpq_residual", "q114_snapshot_diff", "q115_gopher_rules")
+        "q113_ivfpq_residual", "q114_snapshot_diff", "q115_gopher_rules",
+        "q116_gopher_curation")
     names.foreach { name =>
       if (name == "bucketed_demo") bucketedDemo(spark, dir)
       else {
@@ -141,6 +142,8 @@ object Plans {
       "the q69 voom observation joins plus the GLS per-(gene,unit) aggregation joined back on gene — both sides data-grain keyed; AQE demotes to broadcast at runtime (final plans show BroadcastQueryStage)",
     "q79_full_curation" ->
       "curation keep-set joins (repetition/decontamination ids against the doc relation) — both sides corpus-grain keyed; AQE demotes at runtime",
+    "q116_gopher_curation" ->
+      "the q79 curation-chain joins (near-dup Jaccard verify keyed on (id_a,id_b), loser anti-join on doc_id) — both sides corpus-grain keyed; AQE demotes at runtime; the gopher prefilter itself is a zero-shuffle projection",
     "q85_paragraph_dedup" ->
       "paragraph reassembly LEFT JOIN (docs against their rebuilt text) — both sides corpus-grain keyed on doc id; broadcasting either side would be wrong at corpus scale, AQE demotes when small",
     "q94_bloom_dedup" ->

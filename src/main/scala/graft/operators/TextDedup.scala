@@ -604,14 +604,23 @@ object TextDedup {
       id: String = "vec_id", vec: String = "embedding"): DataFrame =
     Similarity.cosinePairs(embeddings, id, vec).filter(col("cosine") >= threshold)
 
+  /** The Gopher stop-word set (Rae 2021 §A1.1): the rule requires at
+    * least 2 DISTINCT of these 8 English words, not a total
+    * occurrence count over a broader list. */
+  val gopherStopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
   /** The Gopher document-SHAPE rules (Rae 2021 §A1.1) as explicit
     * per-rule verdicts — the named filter battery (word-count bounds,
     * mean word length, symbol-to-word ratio, alphabetic-word
-    * fraction, minimum stop-word count), complementing the composite
+    * fraction, and the stop-word rule: ≥ `minStopWords` DISTINCT
+    * words from the paper's fixed 8-word set [[gopherStopWords]]),
+    * complementing the composite
     * [[graft.functions.TextFunctions.qualityScore]] and the
     * repetition rules ([[repetitionStats]]). Pure codegen projection,
-    * zero shuffle; returns every rule flag plus `pass` so curation
-    * chains can report per-rule drop counts. */
+    * zero shuffle; returns the input columns plus every rule flag and
+    * `pass`, so curation chains can filter in place AND report
+    * per-rule drop counts. */
   def gopherRules(docs: DataFrame, minWords: Int = 50, maxWords: Int = 100000,
       minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
       maxSymbolRatio: Double = 0.1, minAlphaFrac: Double = 0.8,
@@ -628,8 +637,8 @@ object TextDedup {
     val symbolRatio = when(n > 0, (hashes + ellipses).cast("double") / n).otherwise(1.0)
     val alphaFrac = when(n > 0,
       size(filter(toks, t => t.rlike("[a-z]"))).cast("double") / n).otherwise(0.0)
-    val allStop = graft.functions.TextFunctions.stopwords.values.flatten.toSeq.distinct
-    val stopCount = size(filter(toks, t => t.isin(allStop.map(lit(_)): _*)))
+    val stopCount = size(array_distinct(
+      filter(toks, t => t.isin(gopherStopWords.map(lit(_)): _*))))
     val flagNames = Seq("ok_words", "ok_word_len", "ok_symbols", "ok_alpha", "ok_stop")
     val flags = Seq(
       (n >= minWords && n <= maxWords).as("ok_words"),
@@ -637,7 +646,7 @@ object TextDedup {
       (symbolRatio <= maxSymbolRatio).as("ok_symbols"),
       (alphaFrac >= minAlphaFrac).as("ok_alpha"),
       (stopCount >= minStopWords).as("ok_stop"))
-    docs.select((col(id) +: flags): _*)
+    docs.select((col("*") +: flags): _*)
       .withColumn("pass", flagNames.map(col).reduce(_ && _))
   }
 

@@ -366,7 +366,12 @@ object TextQueries {
     // (word bounds, mean word length, symbol ratio, alphabetic
     // fraction, stop-word floor) with per-rule failure counts ----
     "q115_gopher_rules" -> ((s, dir) => {
-      TextDedup.gopherRules(t(s, dir, "documents"), minWords = 20)
+      // minStopWords = 1: the synthetic corpus contains at most ONE of
+      // the 8 Gopher stop words ("the"), so the paper's >= 2 distinct
+      // threshold would fail every document — threshold 1 keeps the
+      // distinct-count rule exercised in both directions
+      TextDedup.gopherRules(t(s, dir, "documents"), minWords = 20,
+        minStopWords = 1)
         .agg(count(lit(1)).as("n_docs"),
           sum(when(!col("ok_words"), 1L).otherwise(0L)).as("fail_words"),
           sum(when(!col("ok_word_len"), 1L).otherwise(0L)).as("fail_word_len"),
@@ -375,6 +380,34 @@ object TextQueries {
           sum(when(!col("ok_stop"), 1L).otherwise(0L)).as("fail_stop"),
           sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"),
           sum(when(col("pass"), col("doc_id"))).as("sum_pass_ids"))
+    }),
+
+    // ---- Gopher rules wired INTO the curation chain: the shape
+    // battery runs as textCuration's FIRST stage (cheapest filter
+    // before any shuffle, pre-dedup per the paper's order), and the
+    // report pairs per-rule failure counts on the chain INPUT with
+    // the surviving corpus after the full chain — the per-rule drop
+    // accounting a production corpus pass publishes. (At scale the
+    // report and the in-chain filter would share one cached
+    // gopherRules relation; here they are two cheap projections.) ----
+    "q116_gopher_curation" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val report = TextDedup.gopherRules(docs, minWords = 20,
+        minStopWords = 1)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(!col("ok_words"), 1L).otherwise(0L)).as("fail_words"),
+          sum(when(!col("ok_word_len"), 1L).otherwise(0L)).as("fail_word_len"),
+          sum(when(!col("ok_symbols"), 1L).otherwise(0L)).as("fail_symbols"),
+          sum(when(!col("ok_alpha"), 1L).otherwise(0L)).as("fail_alpha"),
+          sum(when(!col("ok_stop"), 1L).otherwise(0L)).as("fail_stop"),
+          sum(when(col("pass"), 1L).otherwise(0L)).as("n_shape_pass"))
+      val survivors = graft.Pipelines.textCuration(docs, langs = Seq("en"),
+          minQuality = 0.3, nearDupJaccard = 0.5, md5Hashes = true,
+          gopherMinWords = Some(20), gopherMinStopWords = 1)
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).as("sum_kept_ids"),
+          sum(col("ws_tokens")).as("kept_ws_tokens"))
+      report.crossJoin(survivors)
     }),
 
     // ---- snapshot diff: the incremental-crawl audit. The "next
@@ -635,6 +668,41 @@ object TextQueries {
   private val stoplistSql =
     TextFunctions.stopwords.values.flatten.toSeq.distinct.sorted
       .map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** The Gopher §A1.1 fixed 8-word stop set (distinct-count rule). */
+  private val gopherStopSql =
+    graft.operators.TextDedup.gopherStopWords
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** Gopher §A1.1 per-document shape metrics over `srcSql` (doc_id,
+    * text) — mirrors TextDedup.gopherRules term by term (shared by
+    * the q115 report and the q116 in-chain prefilter). */
+  private def gopherMetricsSql(srcSql: String): String =
+    s"""SELECT doc_id,
+          len(toks) AS n,
+          CASE WHEN len(toks) > 0
+               THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
+               ELSE 0.0 END AS mean_len,
+          CASE WHEN len(toks) > 0
+               THEN ((length(text) - length(replace(text, '#', ''))) +
+                     (length(text) - length(replace(text, '...', ''))) / 3)
+                    * 1.0 / len(toks)
+               ELSE 1.0 END AS sym_ratio,
+          CASE WHEN len(toks) > 0
+               THEN CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE) / len(toks)
+               ELSE 0.0 END AS alpha_frac,
+          len(list_distinct(list_filter(toks,
+            t -> list_contains($gopherStopSql, t)))) AS stop_cnt
+        FROM (SELECT doc_id, text,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '') AS toks
+              FROM ($srcSql))"""
+
+  /** The q115/q116 rule thresholds as a WHERE-clause fragment over
+    * [[gopherMetricsSql]] columns (minWords = 20 on the fixture). */
+  private val gopherPassSql =
+    """n >= 20 AND n <= 100000 AND mean_len >= 3.0 AND mean_len <= 10.0
+       AND sym_ratio <= 0.1 AND alpha_frac >= 0.8 AND stop_cnt >= 1"""
 
   // ---- q39 oracle generator: the hyperplane families are
   // deterministic driver-side splitmix64 Rademacher streams
@@ -1411,30 +1479,14 @@ object TextQueries {
          FROM s GROUP BY 1 ORDER BY 1"""),
 
     "q115_gopher_rules" ->
-      (s"""WITH tk AS ($toksSql),
-         m AS (
-           SELECT doc_id,
-                  len(toks) AS n,
-                  CASE WHEN len(toks) > 0
-                       THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
-                       ELSE 0.0 END AS mean_len,
-                  CASE WHEN len(toks) > 0
-                       THEN ((length(text) - length(replace(text, '#', ''))) +
-                             (length(text) - length(replace(text, '...', ''))) / 3)
-                            * 1.0 / len(toks)
-                       ELSE 1.0 END AS sym_ratio,
-                  CASE WHEN len(toks) > 0
-                       THEN CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE) / len(toks)
-                       ELSE 0.0 END AS alpha_frac,
-                  len(list_filter(toks, t -> list_contains($stoplistSql, t))) AS stop_cnt
-           FROM tk),
+      (s"""WITH m AS (${gopherMetricsSql("SELECT doc_id, text FROM documents")}),
          f AS (
            SELECT doc_id,
                   (n >= 20 AND n <= 100000) AS ok_words,
                   (mean_len >= 3.0 AND mean_len <= 10.0) AS ok_word_len,
                   (sym_ratio <= 0.1) AS ok_symbols,
                   (alpha_frac >= 0.8) AS ok_alpha,
-                  (stop_cnt >= 2) AS ok_stop
+                  (stop_cnt >= 1) AS ok_stop
            FROM m)
          SELECT count(*) AS n_docs,
                 CAST(sum(CASE WHEN NOT ok_words THEN 1 ELSE 0 END) AS BIGINT) AS fail_words,
@@ -1447,6 +1499,44 @@ object TextQueries {
                 CAST(sum(CASE WHEN ok_words AND ok_word_len AND ok_symbols
                                AND ok_alpha AND ok_stop THEN doc_id END) AS BIGINT) AS sum_pass_ids
          FROM f"""),
+
+    // Gopher-in-chain replay: the q65 curation core over the
+    // shape-filtered source (the metrics subquery doubles as the
+    // chain's prefilter), plus the q115-style per-rule report over
+    // the raw input — one row pairing drop counts with survivors.
+    "q116_gopher_curation" -> {
+      val filteredSrc =
+        s"""SELECT d.doc_id, d.text FROM documents d WHERE d.doc_id IN (
+              SELECT doc_id
+              FROM (${gopherMetricsSql("SELECT doc_id, text FROM documents")})
+              WHERE $gopherPassSql)"""
+      s"""${curationCoreSql(filteredSrc)},
+          gm AS (${gopherMetricsSql("SELECT doc_id, text FROM documents")}),
+          gf AS (
+            SELECT doc_id,
+                   (n >= 20 AND n <= 100000) AS ok_words,
+                   (mean_len >= 3.0 AND mean_len <= 10.0) AS ok_word_len,
+                   (sym_ratio <= 0.1) AS ok_symbols,
+                   (alpha_frac >= 0.8) AS ok_alpha,
+                   (stop_cnt >= 1) AS ok_stop
+            FROM gm),
+          rep AS (
+            SELECT count(*) AS n_docs,
+                   CAST(sum(CASE WHEN NOT ok_words THEN 1 ELSE 0 END) AS BIGINT) AS fail_words,
+                   CAST(sum(CASE WHEN NOT ok_word_len THEN 1 ELSE 0 END) AS BIGINT) AS fail_word_len,
+                   CAST(sum(CASE WHEN NOT ok_symbols THEN 1 ELSE 0 END) AS BIGINT) AS fail_symbols,
+                   CAST(sum(CASE WHEN NOT ok_alpha THEN 1 ELSE 0 END) AS BIGINT) AS fail_alpha,
+                   CAST(sum(CASE WHEN NOT ok_stop THEN 1 ELSE 0 END) AS BIGINT) AS fail_stop,
+                   CAST(sum(CASE WHEN ok_words AND ok_word_len AND ok_symbols
+                                  AND ok_alpha AND ok_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_shape_pass
+            FROM gf),
+          surv AS (
+            SELECT count(*) AS n_kept,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_kept_ids,
+                   CAST(sum(len(toks)) AS BIGINT) AS kept_ws_tokens
+            FROM quality WHERE lang = 'en' AND q >= 0.3)
+          SELECT rep.*, surv.* FROM rep, surv"""
+    },
 
     "q114_snapshot_diff" ->
       """WITH b AS (SELECT doc_id, md5(text) AS fp FROM documents),
