@@ -378,12 +378,15 @@ object Normalize {
     * anchors at reference bin counts; values outside the anchor span
     * clamp to the end segments. */
   /** A18-pre — RMA background correction, the affinity-FREE
-    * normal+exponential convolution (`affy::bg.correct.rma`, the
-    * background stage the reference's `rma()` call runs before
-    * quantile norm + median polish, `GenExpressionComb_Affy_U133Plus2
-    * .R:151`). The GC-affinity step of GC-RMA needs vendor probe
-    * sequences and stays out of pure-Spark scope (SURVEY §7.4.5);
-    * this is the sequence-free convolution model:
+    * normal+exponential convolution (`affy::bg.correct.rma`). The
+    * reference's actual call is `gcrma(dat)`
+    * (`GenExpressionComb_Affy_U133Plus2.R:151`) — GC-RMA, whose
+    * background step is sequence-AFFINITY-based and needs vendor
+    * probe sequences, so it stays out of pure-Spark scope (SURVEY
+    * §7.4.5). This operator implements the affinity-free
+    * `bg.correct.rma` analogue of that background stage (followed in
+    * both pipelines by quantile norm + median polish); the
+    * convolution model is:
     * observed = signal(Exp(α)) + background(N(μ, σ²)), corrected
     * value = E[signal | observed] in closed form.
     *
@@ -411,9 +414,14 @@ object Normalize {
       .agg(min("value").as("__lo"), max("value").as("__hi"))
       .withColumn("__w", (col("__hi") - col("__lo")) / bins)
     def histMode(values: DataFrame, lo: Column, w: Column): DataFrame =
-      // max-count bin, ties to the LOWER bin: max(struct(cnt, -bin))
+      // max-count bin, ties to the LOWER bin: max(struct(cnt, -bin)).
+      // w = 0 (constant / single-row sample) → everything in bin 0;
+      // under ANSI the raw division would throw, and downstream the
+      // degenerate sample falls through to the identity branch.
       values
-        .withColumn("__bin", least(floor((col("value") - lo) / w), lit(bins - 1)))
+        .withColumn("__bin",
+          when(w > 0, least(floor((col("value") - lo) / w), lit(bins - 1)))
+            .otherwise(lit(0L)))
         .groupBy("sample_id", "__bin").agg(count(lit(1)).as("__c"))
         .groupBy("sample_id")
         .agg(max(struct(col("__c").as("c"), (-col("__bin")).as("nb")))
@@ -433,7 +441,11 @@ object Normalize {
       .select(col("sample_id"),
         (col("__lo") + (col("__mbin") + 0.5) * (col("__m1") - col("__lo")) / bins)
           .as("__mu"))
-    val params = df.join(broadcast(mu), Seq("sample_id"))
+    // LEFT join: a degenerate sample (constant values → zero-width
+    // histogram bins, or nothing strictly below m1 → empty lower
+    // half) has no mu row; it must fall through to the identity
+    // branch below, not silently vanish from the output.
+    val params = df.join(broadcast(mu), Seq("sample_id"), "left")
       .groupBy("sample_id")
       .agg(first(col("__mu")).as("__mu"),
         sqrt(lit(2.0) * avg(when(col("value") < col("__mu"),
@@ -446,8 +458,15 @@ object Normalize {
         StatAlgebra.dnorm((col("value") - a) / col("__sigma"))) /
       greatest(StatAlgebra.pnormAS(a / col("__sigma")) +
         StatAlgebra.pnormAS((col("value") - a) / col("__sigma")) - 1.0, lit(1e-10))
-    ExpressionMatrix(df.join(broadcast(params), Seq("sample_id"))
-      .select(col("gene_id"), col("sample_id"), corrected.as("value")))
+    // Degenerate parameter estimates (null / NaN / non-positive σ,
+    // null / NaN / non-positive α) → identity correction for that
+    // sample; every input row survives to the output unconditionally.
+    val paramsOk = col("__sigma").isNotNull && !isnan(col("__sigma")) &&
+      col("__sigma") > 0 && col("__alpha").isNotNull &&
+      !isnan(col("__alpha")) && col("__alpha") > 0
+    ExpressionMatrix(df.join(broadcast(params), Seq("sample_id"), "left")
+      .select(col("gene_id"), col("sample_id"),
+        when(paramsOk, corrected).otherwise(col("value")).as("value")))
   }
 
   def rsn(m: ExpressionMatrix, bins: Int = 20): ExpressionMatrix = {

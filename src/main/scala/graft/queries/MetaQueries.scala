@@ -612,12 +612,15 @@ object MetaQueries {
          event_type, count(*) AS n, round(sum(value) + 1e-7, 4) + 0.0 AS sum_value
          FROM events GROUP BY 1, 2, 3, 4, 5""",
 
+    // TRY_CAST mirrors Spark's cast-to-long null semantics: a
+    // non-numeric props.k nulls out of n_k/sum/min/max on BOTH
+    // engines instead of counting pre-cast (or erroring) in DuckDB.
     "q108_event_props" ->
       """SELECT event_type, count(*) AS n,
-                count(json_extract_string(props, '$.k')) AS n_k,
-                CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-                min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-                max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+                count(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
+                CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                min(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+                max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
          FROM events GROUP BY 1""",
   )
 }

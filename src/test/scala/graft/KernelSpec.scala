@@ -297,6 +297,28 @@ class KernelSpec extends SparkSpec {
     }
   }
 
+  test("rmaBackground degenerate samples fall back to identity, never vanish") {
+    import graft.operators.Normalize
+    // s_const: constant-valued sample and s_single: one-row sample —
+    // both give zero-width histogram bins, so parameter estimation
+    // degenerates and the lower-half/moment relations go empty or
+    // null; s_ok: a healthy spread. The first two must survive with
+    // identity correction, s_ok corrects.
+    val rows =
+      (0 until 50).map(i => (s"g$i", "s_const", 100.0)) ++
+      Seq(("g0", "s_single", 42.0)) ++
+      (0 until 50).map(i => (s"g$i", "s_ok", 50.0 + i * 37.0))
+    val m = ExpressionMatrix(rows.toDF("gene_id", "sample_id", "value"))
+    val out = Normalize.rmaBackground(m).df.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(out.size == rows.size, s"rows vanished: ${rows.size} in, ${out.size} out")
+    rows.filter(r => r._2 == "s_const" || r._2 == "s_single").foreach { case (g, s, v) =>
+      assert(out((g, s)) == v, s"degenerate sample $s gene $g: ${out((g, s))} != identity $v")
+    }
+    val okChanged = rows.filter(_._2 == "s_ok").count { case (g, s, v) => out((g, s)) != v }
+    assert(okChanged > 40, "healthy sample was not corrected")
+  }
+
   test("cmdscale reconstructs planar distances exactly in 2 dimensions") {
     // four points in the plane; squared distances in, coordinates out:
     // pairwise distances of the embedding must match the input
