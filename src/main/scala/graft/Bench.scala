@@ -25,7 +25,13 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     Seq("lineitem", "documents", "embeddings", "events")
       .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Local-iteration subset (same convention as Verify): the driver
+    // never sets SPARK_GRAFT_ONLY, so the round artifact is always the
+    // full catalog.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
+    val results = SparkEntry.queries.toSeq
+      .filter(t => only.forall(_.findFirstIn(t._1).isDefined))
+      .sortBy(_._1).map { case (name, fn) =>
       def once(cold: Boolean = true): (Double, Option[String]) = {
         // drop the query-scoped memo caches (shared chain fixtures,
         // IVF quantizer) BEFORE the clock starts: round 5's q73
@@ -51,14 +57,26 @@ object Bench {
       val coldSamples =
         if (base.map(_._1).min < 1.0 && base.forall(_._2.isEmpty)) base :+ once()
         else base
-      // one warm sample per query, after the colds (memo caches carry
+      // warm samples per query, after the colds (memo caches carry
       // over from the last cold run); a FAILED warm rep must not pose
-      // as a fast warm number — record null and surface the error
-      val warmRes =
-        if (coldSamples.forall(_._2.isEmpty)) Some(once(cold = false)) else None
-      val warm = warmRes.collect { case (t, None) => t }
+      // as a fast warm number — record null and surface the error.
+      // Multi-second queries get TWO warm samples and report the min,
+      // the same contention filter the cold headline has: the round-7
+      // "q82 warm 11.1 s vs cold 7.1 s" was one warm sample landing on
+      // a host CPU-steal burst (diagnosed with a per-job listener —
+      // every one of the chain's 114 jobs slowed uniformly ~4x, no
+      // stage- or cache-specific cause; GC log clean) that min-of-2
+      // cold absorbed and min-of-1 warm could not.
+      val warmRes: Seq[(Double, Option[String])] =
+        if (coldSamples.forall(_._2.isEmpty)) {
+          val first = once(cold = false)
+          if (coldSamples.map(_._1).min >= 1.0) Seq(first, once(cold = false))
+          else Seq(first)
+        } else Seq.empty
+      val warmOk = warmRes.collect { case (t, None) => t }
+      val warm = if (warmOk.nonEmpty) Some(warmOk.min) else None
       val err = coldSamples.collectFirst { case (_, Some(e)) => e }
-        .orElse(warmRes.collect { case (_, Some(e)) => s"warm-only: $e" })
+        .orElse(warmRes.collectFirst { case (_, Some(e)) => s"warm-only: $e" })
       // the reported min is over SUCCESSFUL samples: a fast failure
       // must not under-report a query whose other rep succeeded (the
       // headline and the failure set would disagree); only when every
