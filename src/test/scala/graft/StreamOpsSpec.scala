@@ -80,6 +80,59 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming windowedCounts batch≡stream on the real events fixture (q27 gate)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dirSf = "/root/testdata/sf0.001"
+    // the q27 batch answer on the SAME fixture — like the q26 gate,
+    // this re-runs the catalog query so a testdata dtype drift fails
+    // here in `sbt test` before the driver's correctness run
+    val batch = graft.SparkEntry.queries("q27_event_window")(spark, dirSf)
+      .collect()
+      .map(r => (r.getAs[Int]("y"), r.getAs[Int]("mo"), r.getAs[Int]("d"),
+        r.getAs[Int]("h"), r.getAs[String]("event_type")) ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("sum_value")))).toMap
+    val evRows = spark.read.parquet(s"$dirSf/events.parquet")
+      .select(col("user_id"), col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("event_type"), col("value"))
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val input = MemoryStream[Event]
+    val counts = StreamOps.windowedCounts(
+      input.toDS().select(col("ts"), col("event_type"), col("value")).toDF())
+    val query = counts.writeStream.format("memory")
+      .queryName("win_gate").outputMode("append").start()
+    try {
+      evRows.grouped(500).foreach { b =>
+        input.addData(b.toSeq: _*); query.processAllAvailable()
+      }
+      // sentinel far past the 2h watermark: closes every real window
+      // (append mode only emits a window once the watermark passes
+      // its end); its own never-closed window is filtered below
+      val tMax = evRows.map(_.ts.getTime).max
+      input.addData(Event(-1L, -1L, new Timestamp(tMax + 24 * 3600 * 1000L), "__flush", 0.0))
+      query.processAllAvailable()
+      // 1-hour tumbling windows align to hour boundaries, so
+      // window_start carries exactly q27's (y, mo, d, h) group; the
+      // stream's raw sum gets q27's own epsilon-rounding
+      val streamAgg = spark.table("win_gate")
+        .filter(col("event_type") =!= "__flush")
+        .select(year(col("window_start")).as("y"), month(col("window_start")).as("mo"),
+          dayofmonth(col("window_start")).as("d"), hour(col("window_start")).as("h"),
+          col("event_type"), col("n"),
+          round(col("sum_value") + 1e-7, 4).as("sum_value"))
+        .collect()
+        .map(r => (r.getAs[Int]("y"), r.getAs[Int]("mo"), r.getAs[Int]("d"),
+          r.getAs[Int]("h"), r.getAs[String]("event_type")) ->
+          ((r.getAs[Long]("n"), r.getAs[Double]("sum_value")))).toMap
+      assert(streamAgg.keySet == batch.keySet,
+        s"window sets diverged: onlyStream=${(streamAgg.keySet -- batch.keySet).take(5)} " +
+          s"onlyBatch=${(batch.keySet -- streamAgg.keySet).take(5)}")
+      streamAgg.foreach { case (k, v) =>
+        assert(v == batch(k), s"window $k: stream $v vs batch ${batch(k)}")
+      }
+    } finally query.stop()
+  }
+
   test("parquet file sink with checkpointing persists windowed aggregates") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
