@@ -35,8 +35,19 @@ object Pipelines {
         Filters.removeOutliers(probes, outliers), flat, "probe")
       name -> Dedup.maxVarianceDedup(cleaned, annot, "probe", "gene_id")
     }
-    val bound = ExpressionMatrix(SetOps.bindDatasets(perDataset)
-      .select("gene_id", "sample_id", "value", "dataset"))
+    // Stage-file boundary #0 (the reference writes the combined
+    // pre-ComBat matrix here, GenExpressionComb's .exp hand-off):
+    // materialize the bound gene×sample matrix BEFORE ComBat. ComBat's
+    // front end runs several actions (standardization scalars, the
+    // persisted z build), and without this boundary each one re-ran
+    // the fact-scan → per-dataset aggregation → dedup → bind lineage —
+    // invisible at sf0.1 (overhead-bound) but the DOMINANT cost at the
+    // 100× probe, where every re-execution is a full fact-table CPU
+    // pass (docs/SCALING.md, round 8). The matrix is gene×sample-
+    // bounded, so the checkpoint is cheap at any corpus scale.
+    val bound = ExpressionMatrix(Workspace.stageCheckpoint(
+      SetOps.bindDatasets(perDataset)
+        .select("gene_id", "sample_id", "value", "dataset"), "bind_closed"))
     // Stage-file boundary (the reference writes Comb_*.exp here):
     // eagerly materialize the ComBat output BEFORE the SD filters —
     // the zero-variance and top-SD filters are multi-branch plans
@@ -95,8 +106,11 @@ object Pipelines {
         Filters.removeOutliers(probes, outliers), flat, "probe")
       name -> Dedup.maxVarianceDedup(cleaned, annot, "probe", "gene_id")
     }
-    val bound = ExpressionMatrix(SetOps.bindDatasets(perDataset)
-      .select("gene_id", "sample_id", "value", "dataset"))
+    // pre-ComBat boundary — same rationale as closedPlatformDE's
+    // "bind_closed" checkpoint (SCALING.md round-8 100× probe)
+    val bound = ExpressionMatrix(Workspace.stageCheckpoint(
+      SetOps.bindDatasets(perDataset)
+        .select("gene_id", "sample_id", "value", "dataset"), "bind_closed_multi"))
     val adjusted = ExpressionMatrix(Workspace.stageCheckpoint(Batch.combat(
         ExpressionMatrix(bound.df.select("gene_id", "sample_id", "value")),
         bound.df.select(col("sample_id"), col("dataset").as("batch")).distinct())
@@ -168,7 +182,16 @@ object Pipelines {
       geneInfo: Option[DataFrame], replicates: Option[DataFrame],
       voomSpan: Double): DataFrame = {
     val cleaned = Filters.removeOutliers(Filters.dropSpecialCounters(counts), outliers)
-    val (nonzero, _) = Filters.partitionZeroCounts(cleaned)
+    val (nonzeroLazy, _) = Filters.partitionZeroCounts(cleaned)
+    // Stage-file boundary #0 — the cleaned nonzero count matrix before
+    // CQN (the reference's combined-counts .exp hand-off). CQN runs
+    // several actions (quantile anchors, spline knot collects), and
+    // without this boundary each re-ran the fact-scan → count
+    // aggregation → clean lineage; at the 100× probe scale every such
+    // re-execution is a full fact-table pass (docs/SCALING.md,
+    // round 8). Gene×sample-bounded, so cheap at any corpus scale.
+    val nonzero = ExpressionMatrix(Workspace.stageCheckpoint(
+      nonzeroLazy.canonical.df, "counts_clean"))
     // with (gc, length) gene info the full conditional quantile
     // normalisation runs (the reference always has GenesInfo); the
     // quantile-only cqnLite is the fallback

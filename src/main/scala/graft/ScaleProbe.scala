@@ -78,6 +78,46 @@ object ScaleProbe {
       if (c == 0) df
       else df.withColumn("vec_id", col("vec_id") + c * keyShift))
 
+    // 100× chain probe (`runMain graft.ScaleProbe chain100x`): the
+    // brief's bar is 100×, the table above is 10×-deep — this derives
+    // a 100-copy supplier/lineitem axis (part unshifted: the chain's
+    // gene cap holds that axis fixed, exactly like a wider cohort on
+    // the same panel) for ONLY the tables the cheapest full chain
+    // (q68) reads, and wall-clocks the chain at 1× vs 100×. Sample
+    // axis: 2k → 200k samples through CQN → ComBat → SD filter →
+    // voom → arrayWeights REML → eBayes.
+    if (args.contains("chain100x")) {
+      val copies100 = 100
+      val dst100 = s"target/scale/sf10x-v$derivationVersion-c$copies100"
+      def replicate100(table: String, derive: (DataFrame, Int) => DataFrame): Unit = {
+        val out = s"$dst100/$table.parquet"
+        if (!new java.io.File(out).exists()) {
+          val base = spark.read.parquet(s"$src/$table.parquet")
+          (0 until copies100).map(c => derive(base, c)).reduce(_ unionByName _)
+            .write.mode("overwrite").parquet(out)
+        }
+      }
+      replicate100("supplier", (df, c) =>
+        df.withColumn("s_suppkey", col("s_suppkey") + c * keyShift))
+      replicate100("lineitem", (df, c) =>
+        df.withColumn("l_suppkey", col("l_suppkey") + c * keyShift)
+          .withColumn("l_orderkey", col("l_orderkey") + c * keyShift))
+      replicate100("part", (df, c) =>
+        if (c == 0) df
+        else df.withColumn("p_partkey", col("p_partkey") + c * keyShift))
+      spark.range(1000000L).selectExpr("sum(id)").collect()
+      def oneChain(dir: String): Double = {
+        val t0 = System.nanoTime()
+        SparkEntry.queries("q68_e1_chain")(spark, dir).queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val small = math.min(oneChain(src), oneChain(src))
+      val big = oneChain(dst100) // one sample: the 100× run self-warms
+      println(f"[scale] q68_e1_chain(100x)  sf0.1=$small%8.2fs 100x=$big%8.2fs ratio=${big / small}%6.2f")
+      println(f"""[scale-json] {"copies":$copies100,"queries":{"q68_e1_chain_100x":{"sf01":$small%.3f,"x100":$big%.3f,"ratio":${big / small}%.3f}}}""")
+      spark.stop(); return
+    }
+
     // best of two runs: the first run pays codegen/JIT/footer costs
     // that would otherwise inflate the small side (it runs first) and
     // flatter the ratio

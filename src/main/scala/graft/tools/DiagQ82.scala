@@ -23,6 +23,9 @@ object DiagQ82 {
     spark.sparkContext.setLogLevel("WARN")
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     val done = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, String)]()
+    // per-stage detail: (name@callsite, wall, task-time sum, shuffle
+    // read/write bytes) — names the pressure point, not just the job
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long, Long, Long)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
         jobs.put(j.jobId, (System.nanoTime(),
@@ -31,12 +34,20 @@ object DiagQ82 {
         val st = jobs.remove(j.jobId)
         if (st != null) done.add((j.jobId, System.nanoTime() - st._1, st._2))
       }
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val i = s.stageInfo
+        val wall = (for {a <- i.completionTime; b <- i.submissionTime} yield a - b).getOrElse(0L)
+        stages.add((s"${i.name}", wall, i.taskMetrics.executorRunTime,
+          i.taskMetrics.shuffleReadMetrics.totalBytesRead,
+          i.taskMetrics.shuffleWriteMetrics.bytesWritten))
+      }
     })
     spark.range(1000000L).selectExpr("sum(id)").collect()
     val fn = graft.SparkEntry.queries(name)
     (1 to reps).foreach { rep =>
       graft.SparkEntry.clearQueryCaches()
-      done.clear()
+      done.clear(); stages.clear()
       val t0 = System.nanoTime()
       fn(spark, sfDir).queryExecution.toRdd.count()
       val wall = (System.nanoTime() - t0) / 1e9
@@ -48,6 +59,11 @@ object DiagQ82 {
       println(f"[diag] rep $rep wall=$wall%.2f s jobs=${all.size} jobSum=$total%.2f s")
       all.take(8).foreach { case (id, ns, desc) =>
         println(f"[diag]   job $id%4d ${ns / 1e9}%7.2f s  ${desc.take(90)}")
+      }
+      val st = stages.asScala.toSeq.sortBy(-_._3).take(10)
+      st.foreach { case (nm, wall, task, rd, wr) =>
+        println(f"[diag]   stage wall=${wall / 1e3}%7.2f s task=${task / 1e3}%8.1f s " +
+          f"shufR=${rd / 1e6}%8.1f MB shufW=${wr / 1e6}%8.1f MB  ${nm.take(100)}")
       }
     }
     spark.stop()

@@ -61,7 +61,19 @@ class PipelinesSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_stage_ckpt").toString
     spark.conf.set("spark.graft.checkpoint.dir", dir)
     try {
-      assert(run() == local, "reliable-checkpoint mode changed the chain output")
+      // near-equality, not bit-equality: the parquet roundtrip can
+      // re-partition a boundary relation, which legitimately reorders
+      // downstream float accumulation (~1e-12 relative); the external
+      // contract (the DuckDB hash gate) compares on a rounded grid
+      val reliable = run()
+      assert(reliable.map(_._1) == local.map(_._1),
+        "reliable-checkpoint mode changed the gene ranking")
+      reliable.zip(local).foreach { case ((g, fc1, p1), (_, fc2, p2)) =>
+        assert(math.abs(fc1 - fc2) <= 1e-9 * math.max(1.0, math.abs(fc2)),
+          s"$g log2fc diverged: $fc1 vs $fc2")
+        assert(math.abs(p1 - p2) <= 1e-9 * math.max(1e-30, math.abs(p2)),
+          s"$g p diverged: $p1 vs $p2")
+      }
       // the stage boundaries materialized as parquet tables named after
       // the reference's stage files, re-readable by name
       for (stage <- Seq("comb_closed", "comb_closed_filtered")) {
