@@ -214,6 +214,70 @@ object Similarity {
       .toSeq.toDF("cell", "centroid")
   }
 
+  /** Nearest-centroid assignment as pure codegen'd column algebra:
+    * argmin over cells of |c|^2 - 2 v·c (== argmin Euclidean for a
+    * fixed v) via least() over (dist, cell) structs with literal
+    * centroid arrays — one vec_dot loop per cell, no join, no
+    * shuffle, no MLlib row UDF on the corpus-sized side. Shared by
+    * [[ivfTopK]] and [[semDedup]]. Returns (corpus_id, c_vec, cell). */
+  private def assignCells(corpus: DataFrame, cents: Seq[(Int, Array[Float])],
+      id: String, vec: String): DataFrame = {
+    val distStructs = cents.map { case (cellId, arr) =>
+      val c2 = arr.foldLeft(0.0)((s, v) => s + v.toDouble * v.toDouble)
+      struct((lit(c2) - lit(2.0) * vec_dot(col("c_vec"), lit(arr))).as("d"),
+        lit(cellId).as("cell"))
+    }
+    corpus.select(col(id).as("corpus_id"), col(vec).as("c_vec"),
+      least(distStructs: _*).getField("cell").as("cell"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication") — semantic
+    * near-duplicate removal over an embedding corpus: k-means the
+    * corpus into `nCells` cells (the deterministic bounded-sample
+    * Lloyd fit, [[lloydCentroids]]), then WITHIN each cell drop every
+    * vector that has a higher-similarity twin: a vector is a
+    * duplicate iff some LOWER-id member of its cell has cosine ≥ τ
+    * with it. The paper's keep rule (keep the member farthest from
+    * the centroid, or random) is replaced by keep-lowest-id — the
+    * engine's exact-dedup keep-first convention, deterministic and
+    * oracle-replayable; the drop SET is the paper's (any τ-similar
+    * in-cell pair sheds one member).
+    *
+    * Scale shape: the pair relation is per-cell, so the quadratic
+    * term is (N/nCells)² per cell, never N² — the paper's own
+    * contract is nCells ∝ N (they use 50k clusters at web scale),
+    * making expected cell size, and so per-task pair mass, constant.
+    * The cell self-join shuffles on the cell key once; assignment is
+    * the zero-shuffle literal-baked argmin. A viral cell (all mass in
+    * one cluster) degrades to that cell's quadratic — at low τ on
+    * unclustered data prefer the banded
+    * [[TextDedup.embeddingDupPairsLsh]] path; SemDeDup's regime is
+    * high τ (the paper sweeps ~0.95) on clusterable corpora.
+    *
+    * Returns (vec_id, cell, kept) for every input row; cosine
+    * compares on the catalog's rounded grid (6 dp, +1e-9) so the
+    * τ boundary is engine-portable. */
+  def semDedup(emb: DataFrame, nCells: Int, tau: Double, dim: Int,
+      iters: Int = 10, id: String = "vec_id", vec: String = "embedding",
+      sampleCap: Int = 1000, md5Sample: Boolean = false): DataFrame = {
+    val centsDf = lloydCentroids(emb, nCells, iters, dim, id, vec, sampleCap, md5Sample)
+    val cents = collectCentroids(centsDf)
+    val assigned = assignCells(emb, cents, id, vec)
+    val a = assigned.select(col("cell"), col("corpus_id").as("a_id"),
+      col("c_vec").as("a_vec"))
+    val b = assigned.select(col("cell"), col("corpus_id").as("b_id"),
+      col("c_vec").as("b_vec"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(round(cosine(col("a_vec"), col("b_vec")) + lit(1e-9), 6) >= tau)
+      .select(col("b_id").as("corpus_id")).distinct()
+      .withColumn("__dup", lit(true))
+    assigned.join(dropped, Seq("corpus_id"), "left")
+      .select(col("corpus_id").as(id), col("cell"),
+        coalesce(col("__dup"), lit(false)).unary_!.as("kept"))
+  }
+
   /** Seed for the fit-sample hash — shared with the q40/q103/q110/
     * q113 oracle SQL, which replays `md5('17#' || id)` ordering. */
   private val sampleSeed = 17
@@ -301,18 +365,7 @@ object Similarity {
         }.toSeq
     }
     val centDf = cents.map { case (i, a) => (i, a.toSeq) }.toDF("cell", "centroid")
-    // Nearest-centroid assignment as pure codegen'd column algebra:
-    // argmin over cells of |c|^2 - 2 v·c (== argmin Euclidean for a
-    // fixed v) via least() over (dist, cell) structs with literal
-    // centroid arrays — one vec_dot loop per cell, no join, no
-    // shuffle, no MLlib row UDF on the corpus-sized side.
-    val distStructs = cents.map { case (cellId, arr) =>
-      val c2 = arr.foldLeft(0.0)((s, v) => s + v.toDouble * v.toDouble)
-      struct((lit(c2) - lit(2.0) * vec_dot(col("c_vec"), lit(arr))).as("d"),
-        lit(cellId).as("cell"))
-    }
-    val assigned = corpus.select(col(id).as("corpus_id"), col(vec).as("c_vec"),
-      least(distStructs: _*).getField("cell").as("cell"))
+    val assigned = assignCells(corpus, cents, id, vec)
     val q = queries.select(col(id).as("query_id"), col(vec).as("q_vec"))
     val probed = probeCells(q, centDf, nProbe)
       .select("query_id", "q_vec", "cell")

@@ -144,4 +144,80 @@ object TextRetrieval {
       .groupBy(col(id))
       .agg(count(lit(1)).as("n_tokens"), avg("nll").as("xent"))
   }
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al.
+    * 2023, arXiv:2302.03169): score every raw document by how much
+    * more likely its hashed n-gram features are under the TARGET
+    * distribution than under the raw corpus, then resample the top
+    * `k` by importance via deterministic Gumbel keys.
+    *
+    * Features are the paper's: unigrams + bigrams of the engine
+    * tokenizer, hashed into `16^hexChars` buckets (the bucket key is
+    * an md5 hex prefix — the engine-portable hash family, so the
+    * oracle replays bucketing bit-for-bit; the paper uses 10⁴
+    * buckets, hexChars = 3 gives the same order). Per bucket b,
+    * λ_b = ln p̂_target(b) − ln p̂_raw(b) with add-α smoothing over
+    * the full bucket space; a document's log importance weight is
+    * Σ λ_b over its feature occurrences (the bag-of-hashed-ngrams
+    * likelihood ratio in log space).
+    *
+    * The paper samples without replacement with probability ∝ the
+    * importance weight; the Gumbel-top-k trick makes that a
+    * deterministic relational computation here: key = w + Gumbel(u),
+    * u derived from `md5(seed#doc_id)` — reproducible, replayable,
+    * and distributionally the paper's sampler.
+    *
+    * Scale shape: one tokenize pass fans out to features; the λ
+    * relation is bucket-bounded (≤ 16^hexChars rows) and BROADCAST
+    * back; per-doc weights are one map-side-combined aggregation;
+    * selection is the bounded [[graft.functions.TopKPairs]] aggregate
+    * (each map task keeps ≤ k candidates — no global sort, no
+    * single-partition window). Zero-token documents keep weight 0 and
+    * still compete through their Gumbel key.
+    *
+    * Returns (doc_id, n_feats, weight, gumbel_key, selected). */
+  def dsirSelect(docs: DataFrame, isTarget: Column, k: Int,
+      hexChars: Int = 2, alpha: Double = 1.0, seed: Int = 29,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val nBuckets = math.pow(16.0, hexChars)
+    val toks = tokens(col(text))
+    val nTok = size(toks)
+    val bigrams = when(nTok > lit(1),
+      zip_with(slice(toks, lit(1), nTok - 1), slice(toks, lit(2), nTok - 1),
+        (a, b) => concat(a, lit("_"), b)))
+      .otherwise(array().cast("array<string>"))
+    val bucketed = docs
+      .select(col(id), isTarget.as("__t"), explode(concat(toks, bigrams)).as("f"))
+      .select(col(id), col("__t"), substring(md5(col("f")), 1, hexChars).as("b"))
+    val perBucket = bucketed.groupBy("b")
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("ct"),
+        count(lit(1)).as("cr"))
+    val totals = perBucket.agg(sum("ct").as("tt"), sum("cr").as("tr"))
+    val lam = perBucket.crossJoin(broadcast(totals))
+      .select(col("b"),
+        (log((col("ct") + lit(alpha)) / (col("tt") + lit(alpha * nBuckets))) -
+          log((col("cr") + lit(alpha)) / (col("tr") + lit(alpha * nBuckets))))
+          .as("lam"))
+    val weights = bucketed.join(broadcast(lam), Seq("b"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_feats"), sum("lam").as("weight"))
+    // every input doc scores: zero-token docs carry weight 0
+    val scored = docs.select(col(id)).join(weights, Seq(id), "left")
+      .select(col(id), coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("weight"), lit(0.0)).as("weight"))
+    // Gumbel key on the catalog's rounded grid so the top-k boundary
+    // replays across engines; u ∈ (0,1) from a 6-hex-digit md5 slice
+    val u = (conv(substring(md5(concat_ws("#", lit(seed),
+      col(id).cast("string"))), 1, 6), 16, 10).cast("double") + 0.5) /
+      lit(16777216.0)
+    val keyed = scored.withColumn("gumbel_key",
+      round(col("weight") - log(-log(u)) + lit(1e-9), 6))
+    val top = keyed
+      .agg(top_k_pairs(col("gumbel_key"), col(id).cast("long"), k).as("tk"))
+      .select(explode(col("tk")).as("p"))
+      .select(col("p.id").as(id), lit(true).as("__sel"))
+    keyed.join(broadcast(top), Seq(id), "left")
+      .select(col(id), col("n_feats"), col("weight"), col("gumbel_key"),
+        coalesce(col("__sel"), lit(false)).as("selected"))
+  }
 }

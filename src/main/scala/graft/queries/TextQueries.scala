@@ -579,6 +579,33 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- SemDeDup: k-means cells (the q40 Lloyd fit, fully replayed
+    // in the oracle) + within-cell pairwise cosine, dropping the
+    // higher id of any τ-similar pair. τ=0.25 exercises the machinery
+    // on this fixture's near-random embeddings (the q57 caveat: the
+    // paper's regime is high τ on clusterable corpora — the hash gate
+    // checks fit + assignment + pair algebra + keep rule, not the
+    // statistical regime). ----
+    "q117_semdedup" -> ((s, dir) => {
+      Similarity.semDedup(t(s, dir, "embeddings"), nCells = 8, tau = 0.25,
+          dim = 64, iters = 10, md5Sample = true)
+        .orderBy("vec_id")
+    }),
+
+    // ---- DSIR importance resampling: hashed unigram+bigram buckets
+    // (md5-prefix bucketing, 256 buckets), add-1 smoothed target/raw
+    // log-ratio weights, deterministic Gumbel-top-k selection (the
+    // paper's sampler with md5-derived uniforms). Target = the
+    // fixture's English slice. ----
+    "q118_dsir_select" -> ((s, dir) => {
+      TextRetrieval.dsirSelect(t(s, dir, "documents"), col("lang") === "en",
+          k = 100, hexChars = 2)
+        .select(col("doc_id"), col("n_feats"),
+          round(col("weight") + 1e-7, 4).as("weight"),
+          col("gumbel_key"), col("selected"))
+        .orderBy("doc_id")
+    }),
+
     // ---- hyperplane-LSH ANN (production path; rows-only check) ----
     "q39_lsh_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1051,6 +1078,65 @@ object TextQueries {
        SELECT query_id, corpus_id, rank, round(cosine + 1e-9, 6) + 0.0 AS cosine
        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
     },
+
+    // SemDeDup: the q40 fit/assignment CTEs (queryBound 0 — no probe
+    // relation needed), then within-cell pairs with the same
+    // index-order cosine algebra and the keep-lowest-id rule
+    "q117_semdedup" -> {
+      val dim = 64
+      s"""WITH ${ivfCoreCtes(nCells = 8, iters = 10, nProbe = 1, dim = dim, queryBound = 0)},
+       mem AS MATERIALIZED (
+         SELECT ca.corpus_id AS vec_id, ca.cell, e.embedding
+         FROM ca JOIN embeddings e ON e.vec_id = ca.corpus_id),
+       nrm AS MATERIALIZED (
+         SELECT e.vec_id, sqrt(${pairDotSql("e", "e", dim)}) AS nrm FROM embeddings e),
+       dup AS (
+         SELECT DISTINCT b.vec_id
+         FROM mem a JOIN mem b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         JOIN nrm na ON na.vec_id = a.vec_id
+         JOIN nrm nb ON nb.vec_id = b.vec_id
+         WHERE round((${pairDotSql("a", "b", dim)}) / (na.nrm * nb.nrm) + 1e-9, 6) >= 0.25)
+       SELECT m.vec_id, m.cell, (d.vec_id IS NULL) AS kept
+       FROM mem m LEFT JOIN dup d ON d.vec_id = m.vec_id
+       ORDER BY m.vec_id"""
+    },
+
+    // DSIR: unigram+bigram features from the shared tokenizer,
+    // md5-prefix buckets, add-1 smoothed log-ratio per bucket, per-doc
+    // weight sum, Gumbel keys from the same seeded md5 uniforms, and
+    // the top-100 boundary replayed as a window rank (the oracle can
+    // afford the global sort the Spark side's bounded TopKPairs avoids)
+    "q118_dsir_select" ->
+      s"""WITH tk AS ($toksSql),
+       feats AS (
+         SELECT doc_id, lang = 'en' AS t,
+                unnest(list_concat(toks,
+                  list_transform(range(1, len(toks)),
+                    i -> toks[i] || '_' || toks[i+1]))) AS f
+         FROM tk),
+       bk AS (SELECT doc_id, t, substr(md5(f), 1, 2) AS b FROM feats),
+       pb AS (SELECT b, sum(CASE WHEN t THEN 1 ELSE 0 END) AS ct,
+                     count(*) AS cr FROM bk GROUP BY 1),
+       tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM pb),
+       lam AS (SELECT b, ln((ct + 1.0) / (tt + 256.0)) -
+                        ln((cr + 1.0) / (tr + 256.0)) AS lam FROM pb, tot),
+       w AS (SELECT bk.doc_id, count(*) AS n_feats, sum(lam) AS weight
+             FROM bk JOIN lam USING (b) GROUP BY 1),
+       sc AS (SELECT d.doc_id, coalesce(w.n_feats, 0) AS n_feats,
+                     coalesce(w.weight, 0.0) AS weight
+              FROM documents d LEFT JOIN w USING (doc_id)),
+       ky AS (SELECT doc_id, n_feats, weight,
+                round(weight - ln(-ln(
+                  (('0x' || substr(md5('29#' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+                    + 0.5) / 16777216.0)) + 1e-9, 6) AS gumbel_key
+              FROM sc),
+       rk AS (SELECT doc_id, row_number() OVER (
+                ORDER BY gumbel_key DESC, doc_id ASC) AS rn FROM ky)
+       SELECT k.doc_id, CAST(k.n_feats AS BIGINT) AS n_feats,
+              round(k.weight + 1e-7, 4) + 0.0 AS weight,
+              k.gumbel_key + 0.0 AS gumbel_key,
+              (r.rn <= 100) AS selected
+       FROM ky k JOIN rk r USING (doc_id) ORDER BY k.doc_id""",
 
     // E4 curation pipeline replayed stage by stage: exact-dedup
     // keepers, md5 MinHash bands + Jaccard verify for near-dup losers,

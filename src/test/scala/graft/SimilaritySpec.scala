@@ -183,4 +183,29 @@ class SimilaritySpec extends SparkSpec {
     val ds = byRank.map(_.getAs[Double]("dist")).toSeq
     assert(ds == ds.sorted, s"dist by rank: $ds")
   }
+
+  test("semDedup: planted twins drop keep-lowest-id, row set fully partitioned") {
+    // 4 well-separated clusters of 10 (adjacent members' cosine tops
+    // out at ~0.9982, below τ) plus EXACT duplicates of ids 0..9 at
+    // ids 1000..1009: a duplicate shares its twin's vector, so it
+    // lands in the same cell with cosine exactly 1 and must drop at
+    // any τ; every non-twin row stays under τ=0.999 and survives.
+    val base = (0L until 40L).map { i =>
+      val c = (i / 10).toInt; val j = (i % 10).toInt
+      val v = Array.fill(8)(0.0f)
+      v(c * 2) = 10.0f
+      v(c * 2 + 1) = j.toFloat
+      (i, v.toSeq)
+    }
+    val twins = (0L until 10L).map(i => (1000L + i, base(i.toInt)._2))
+    val df = (base ++ twins).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(df, nCells = 4, tau = 0.999, dim = 8, iters = 5)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("kept")).toMap
+    assert(out.size == base.size + twins.size, "rows vanished or duplicated")
+    twins.foreach { case (id, _) =>
+      assert(!out(id), s"twin $id survived its lower-id original")
+    }
+    assert(out.count(_._2) == base.size,
+      s"expected exactly the ${base.size} originals kept, got ${out.count(_._2)}")
+  }
 }

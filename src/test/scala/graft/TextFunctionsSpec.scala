@@ -271,4 +271,35 @@ class TextFunctionsSpec extends SparkSpec {
     // "beta gamma delta" collide with the benchmark
     assert(r.getLong(0) == 1L && r.getLong(1) == 3L && r.getLong(2) == 2L)
   }
+
+  test("dsirSelect: target-like docs outweigh raw-only docs; exactly k selected") {
+    // target docs (even ids) repeat a distinctive vocabulary; raw-only
+    // docs (odd ids) use disjoint tokens. A raw doc written in the
+    // target vocabulary must score above every raw-only doc — the
+    // importance weight tracks feature-distribution similarity, not
+    // the target flag itself.
+    val docs = ((0L until 40L).map { i =>
+      val txt = if (i % 2 == 0) "quantum entangled qubit lattice coherence decoherence"
+      else "gravel asphalt pothole drainage culvert roadside"
+      (i, txt)
+    } :+ (100L, "quantum qubit coherence lattice entangled decoherence"))
+      .toDF("doc_id", "text")
+    val out = TextRetrieval.dsirSelect(docs, col("doc_id") % 2 === 0 && col("doc_id") < 50L,
+        k = 5, hexChars = 2)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("weight"), r.getAs[Boolean]("selected")))).toMap
+    assert(out.size == 41, "every input doc must score")
+    assert(out.count(_._2._2) == 5, s"expected exactly k=5 selected")
+    val targetLike = out(100L)._1
+    val rawOnly = out.filter(k => k._1 % 2 == 1 && k._1 < 50).values.map(_._1)
+    assert(rawOnly.forall(_ < targetLike),
+      s"target-vocabulary doc 100 ($targetLike) must outweigh raw-only docs (max ${rawOnly.max})")
+    // zero-token doc still scores and carries weight 0
+    val withEmpty = docs.union(Seq((200L, "!!!")).toDF("doc_id", "text"))
+    val oe = TextRetrieval.dsirSelect(withEmpty, col("doc_id") % 2 === 0 && col("doc_id") < 50L,
+        k = 5, hexChars = 2).filter(col("doc_id") === 200L).collect()
+    assert(oe.length == 1 && oe.head.getAs[Double]("weight") == 0.0 &&
+      oe.head.getAs[Long]("n_feats") == 0L)
+  }
 }
