@@ -176,31 +176,72 @@ object TextRetrieval {
     * still compete through their Gumbel key.
     *
     * Returns (doc_id, n_feats, weight, gumbel_key, selected). */
-  def dsirSelect(docs: DataFrame, isTarget: Column, k: Int,
-      hexChars: Int = 2, alpha: Double = 1.0, seed: Int = 29,
-      id: String = "doc_id", text: String = "text"): DataFrame = {
-    val nBuckets = math.pow(16.0, hexChars)
-    val toks = tokens(col(text))
+  /** The DSIR feature stream: unigrams + bigrams of the engine
+    * tokenizer as one array column (shared by [[dsirSelect]] and
+    * [[graft.streaming.StreamOps]]'s stream-static scorer). */
+  private[graft] def dsirFeatures(text: Column): Column = {
+    val toks = tokens(text)
     val nTok = size(toks)
     val bigrams = when(nTok > lit(1),
       zip_with(slice(toks, lit(1), nTok - 1), slice(toks, lit(2), nTok - 1),
         (a, b) => concat(a, lit("_"), b)))
       .otherwise(array().cast("array<string>"))
-    val bucketed = docs
-      .select(col(id), isTarget.as("__t"), explode(concat(toks, bigrams)).as("f"))
-      .select(col(id), col("__t"), substring(md5(col("f")), 1, hexChars).as("b"))
-    val perBucket = bucketed.groupBy("b")
-      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("ct"),
-        count(lit(1)).as("cr"))
-    val totals = perBucket.agg(sum("ct").as("tt"), sum("cr").as("tr"))
-    val lam = perBucket.crossJoin(broadcast(totals))
+    concat(toks, bigrams)
+  }
+
+  /** md5-prefix feature bucket (engine-portable hashing). */
+  private[graft] def dsirBucket(feature: Column, hexChars: Int): Column =
+    substring(md5(feature), 1, hexChars)
+
+  /** The fitted λ relation over the FULL 16^hexChars bucket space:
+    * λ_b = ln p̂_target(b) − ln p̂_raw(b) with add-α smoothing.
+    * Emitting every bucket (not just the observed ones) makes the
+    * relation total, so a stream-static scorer gives unseen-in-
+    * reference buckets exactly the smoothed prior instead of silently
+    * dropping their features. Bucket-bounded — broadcast it. */
+  private def lambdaFromCounts(counts: DataFrame, hexChars: Int,
+      alpha: Double): DataFrame = {
+    val spark = counts.sparkSession
+    val nBuckets = math.pow(16.0, hexChars).toLong
+    val observed = counts.groupBy("b")
+      .agg(sum(when(col("__t"), col("c")).otherwise(0L)).as("ct"),
+        sum(col("c")).as("cr"))
+    val space = spark.range(nBuckets)
+      .select(format_string(s"%0${hexChars}x", col("id")).as("b"))
+    val full = space.join(observed, Seq("b"), "left")
+      .select(col("b"), coalesce(col("ct"), lit(0L)).as("ct"),
+        coalesce(col("cr"), lit(0L)).as("cr"))
+    val totals = full.agg(sum("ct").as("tt"), sum("cr").as("tr"))
+    full.crossJoin(broadcast(totals))
       .select(col("b"),
         (log((col("ct") + lit(alpha)) / (col("tt") + lit(alpha * nBuckets))) -
           log((col("cr") + lit(alpha)) / (col("tr") + lit(alpha * nBuckets))))
           .as("lam"))
-    val weights = bucketed.join(broadcast(lam), Seq("b"))
+  }
+
+  def dsirLambda(reference: DataFrame, isTarget: Column,
+      hexChars: Int = 2, alpha: Double = 1.0,
+      text: String = "text"): DataFrame =
+    lambdaFromCounts(reference
+      .select(isTarget.as("__t"), explode(dsirFeatures(col(text))).as("f"))
+      .select(col("__t"), dsirBucket(col("f"), hexChars).as("b"))
+      .groupBy("__t", "b").agg(count(lit(1)).as("c")), hexChars, alpha)
+
+  def dsirSelect(docs: DataFrame, isTarget: Column, k: Int,
+      hexChars: Int = 2, alpha: Double = 1.0, seed: Int = 29,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    // ONE tokenize pass (the BM25 single-scan discipline): the cached
+    // relation is per-(doc, bucket) feature counts — ≤ |docs|·16^hexChars
+    // narrow rows — read by both the λ fit and the per-doc weights
+    val docBucket = docs
+      .select(col(id), isTarget.as("__t"), explode(dsirFeatures(col(text))).as("f"))
+      .select(col(id), col("__t"), dsirBucket(col("f"), hexChars).as("b"))
+      .groupBy(col(id), col("__t"), col("b")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lam = lambdaFromCounts(docBucket, hexChars, alpha)
+    val weights = docBucket.join(broadcast(lam), Seq("b"))
       .groupBy(col(id))
-      .agg(count(lit(1)).as("n_feats"), sum("lam").as("weight"))
+      .agg(sum("c").as("n_feats"), sum(col("c").cast("double") * col("lam")).as("weight"))
     // every input doc scores: zero-token docs carry weight 0
     val scored = docs.select(col(id)).join(weights, Seq(id), "left")
       .select(col(id), coalesce(col("n_feats"), lit(0L)).as("n_feats"),

@@ -1120,8 +1120,10 @@ object TextQueries {
        tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM pb),
        lam AS (SELECT b, ln((ct + 1.0) / (tt + 256.0)) -
                         ln((cr + 1.0) / (tr + 256.0)) AS lam FROM pb, tot),
-       w AS (SELECT bk.doc_id, count(*) AS n_feats, sum(lam) AS weight
-             FROM bk JOIN lam USING (b) GROUP BY 1),
+       bc AS (SELECT doc_id, b, count(*) AS c FROM bk GROUP BY 1, 2),
+       w AS (SELECT bc.doc_id, sum(bc.c) AS n_feats,
+                    sum(bc.c * lam.lam) AS weight
+             FROM bc JOIN lam USING (b) GROUP BY 1),
        sc AS (SELECT d.doc_id, coalesce(w.n_feats, 0) AS n_feats,
                      coalesce(w.weight, 0.0) AS weight
               FROM documents d LEFT JOIN w USING (doc_id)),

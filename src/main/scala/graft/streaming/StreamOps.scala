@@ -311,6 +311,31 @@ object StreamOps {
       .select(col(id), col("n_tokens"), col("xent"))
   }
 
+  /** Stream-static DSIR scoring — the incremental APPLY half of
+    * [[graft.operators.TextRetrieval.dsirSelect]]: λ fits ONCE on a
+    * static reference corpus ([[graft.operators.TextRetrieval
+    * .dsirLambda]] — bucket-bounded, total over the bucket space, so
+    * stream features whose bucket never occurred in the reference get
+    * exactly the smoothed prior), and each arriving document scores
+    * through a stateless stream-static join + one windowed per-doc
+    * aggregation (the [[streamingPerplexity]] shape). Selection stays
+    * a batch decision (Gumbel top-k needs the full candidate set);
+    * streaming emits the per-document weight for threshold-style
+    * gating. */
+  def streamingDsirWeights(docs: DataFrame, lam: DataFrame,
+      hexChars: Int = 2, ts: String = "ts", id: String = "doc_id",
+      text: String = "text", windowLen: String = "10 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    import graft.operators.TextRetrieval.{dsirBucket, dsirFeatures}
+    docs.withWatermark(ts, watermarkDelay)
+      .select(col(ts), col(id), explode(dsirFeatures(col(text))).as("f"))
+      .select(col(ts), col(id), dsirBucket(col("f"), hexChars).as("b"))
+      .join(lam, Seq("b"))
+      .groupBy(window(col(ts), windowLen), col(id))
+      .agg(count(lit(1)).as("n_feats"), sum("lam").as("weight"))
+      .select(col(id), col("n_feats"), col("weight"))
+  }
+
   def streamingParagraphDedup(docs: DataFrame, ts: String = "ts", sep: String = "\n",
       id: String = "doc_id", text: String = "text",
       watermarkDelay: String = "10 minutes", windowLen: String = "1 minute"): DataFrame = {

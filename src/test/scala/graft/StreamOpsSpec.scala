@@ -298,6 +298,52 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streamingDsirWeights batch≡stream: stream-static importance scoring on the real fixture") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.TextRetrieval
+    val docsB = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val lam = TextRetrieval.dsirLambda(docsB, col("lang") === "en")
+      .localCheckpoint(true)
+    val batch = TextRetrieval.dsirSelect(docsB, col("lang") === "en", k = 10)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_feats"), r.getAs[Double]("weight")))).toMap
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val scored = StreamOps.streamingDsirWeights(
+      input.toDS().toDF("ts", "doc_id", "text"), lam)
+    val query = scored.writeStream.format("memory")
+      .queryName("dsir_out").outputMode("append").start()
+    try {
+      val t0 = 1700000000000L
+      val rows = docsB.select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+      rows.grouped(100).foreach { b =>
+        input.addData(b.map { case (id, tx) => (new Timestamp(t0 + id), id, tx) }.toSeq: _*)
+        query.processAllAvailable()
+      }
+      input.addData((new Timestamp(t0 + 48 * 3600 * 1000L), -1L, "flush"))
+      query.processAllAvailable()
+      val streamOut = spark.table("dsir_out")
+        .collect().filter(_.getAs[Long]("doc_id") >= 0L)
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_feats"), r.getAs[Double]("weight")))).toMap
+      // batch scores every doc (weight-0 rows for zero-token docs);
+      // the stream emits only docs with features
+      val batchFeat = batch.filter(_._2._1 > 0L)
+      assert(streamOut.keySet == batchFeat.keySet,
+        s"doc sets diverged: onlyStream=${streamOut.keySet -- batchFeat.keySet} " +
+          s"onlyBatch=${batchFeat.keySet -- streamOut.keySet}")
+      streamOut.foreach { case (d, (n, w)) =>
+        val (bn, bw) = batchFeat(d)
+        assert(n == bn, s"doc $d: n_feats $n vs $bn")
+        // batch sums c·λ per bucket, the stream per occurrence — float
+        // accumulation differs at ~1e-13; the external grid is 1e-4
+        assert(math.abs(w - bw) <= 1e-9 * math.max(1.0, math.abs(bw)),
+          s"doc $d: weight $w vs $bw")
+      }
+    } finally query.stop()
+  }
+
   test("streamingPerplexity batch≡stream: stream-static unigram scoring on the real fixture") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
