@@ -42,7 +42,8 @@ object Plans {
         "q106_rma_bg", "q108_event_props", "q109_unigram_ppl",
         "q110_ivfpq_topk", "q111_bigram_ppl", "q112_ppl_filter",
         "q113_ivfpq_residual", "q114_snapshot_diff", "q115_gopher_rules",
-        "q116_gopher_curation", "q117_semdedup", "q118_dsir_select")
+        "q116_gopher_curation", "q117_semdedup", "q118_dsir_select",
+        "q119_quality_classifier")
     names.foreach { name =>
       if (name == "bucketed_demo") bucketedDemo(spark, dir)
       else {
@@ -155,7 +156,9 @@ object Plans {
     "q117_semdedup" ->
       "within-cell pair join keyed on cell (both sides corpus-grain — the SemDeDup contract bounds per-cell mass via nCells ∝ N) and the dropped-id LEFT JOIN back on vec_id (drop set is corpus-grain worst-case); AQE demotes when small",
     "q118_dsir_select" ->
-      "doc-grain weight relation LEFT JOIN back to the doc universe on doc_id — both sides corpus-grain keyed; the λ and top-k relations are bounded and explicitly broadcast; AQE demotes when small")
+      "doc-grain weight relation LEFT JOIN back to the doc universe on doc_id — both sides corpus-grain keyed; the λ and top-k relations are bounded and explicitly broadcast; AQE demotes when small",
+    "q119_quality_classifier" ->
+      "doc-grain NB score relation LEFT JOIN back to the doc universe on doc_id — both sides corpus-grain keyed; the weight and prior relations are bucket-bounded and explicitly broadcast; AQE demotes when small")
 
   /** The bucketed-workspace co-location demo (SCALING.md / ROADMAP):
     * checkpoint the expression matrix bucketed on gene_id, then run a

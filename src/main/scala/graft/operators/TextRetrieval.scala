@@ -261,4 +261,68 @@ object TextRetrieval {
       .select(col(id), col("n_feats"), col("weight"), col("gumbel_key"),
         coalesce(col("__sel"), lit(false)).as("selected"))
   }
+
+  /** Model-based quality classifier — the "quality filtering with a
+    * trained classifier" stage of the GPT-3 / LLaMA curation recipes
+    * (Brown et al. 2020 §A: a linear classifier over hashed text
+    * features scoring documents by similarity to a curated positive
+    * set). The model is multinomial Naive Bayes over the SAME hashed
+    * unigram+bigram buckets DSIR uses — a generative LINEAR
+    * classifier (score = σ(bias + Σ c_b·w_b)) whose training is one
+    * closed-form aggregation pass: w_b = ln p̂(b|pos) − ln p̂(b|neg)
+    * with add-α smoothing, bias = the class-prior log odds. Chosen
+    * over iterative logistic GD deliberately: the fit replays in the
+    * oracle as plain relational algebra (no convergence question, no
+    * learning-rate tuning), and NB is the classical strong baseline
+    * for exactly this hashed-bag-of-ngrams regime.
+    *
+    * One tokenize pass; the per-(doc, bucket) count relation is
+    * persisted and read twice (class-conditional counts; per-doc
+    * scoring). The weight relation is bucket-bounded
+    * (≤ 16^hexChars rows) and broadcast — corpus size never touches
+    * driver state.
+    *
+    * Returns (doc_id, n_feats, score = posterior P(pos|doc),
+    * predicted) for every input document; the decision boundary
+    * compares the 6-dp rounded score so it replays across engines. */
+  def qualityClassifierScores(docs: DataFrame, isPositive: Column,
+      alpha: Double = 1.0, hexChars: Int = 3,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val nBuckets = math.pow(16.0, hexChars)
+    val docBucket = docs
+      .select(col(id), isPositive.cast("boolean").as("__y"),
+        explode(dsirFeatures(col(text))).as("f"))
+      .select(col(id), col("__y"), dsirBucket(col("f"), hexChars).as("b"))
+      .groupBy(col(id), col("__y"), col("b")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val classCounts = docBucket.groupBy("b")
+      .agg(sum(when(col("__y"), col("c")).otherwise(0L)).as("cp"),
+        sum(when(!col("__y"), col("c")).otherwise(0L)).as("cn"))
+    val totals = classCounts.agg(sum("cp").as("tp"), sum("cn").as("tn"))
+    val w = classCounts.crossJoin(broadcast(totals))
+      .select(col("b"),
+        (log((col("cp") + lit(alpha)) / (col("tp") + lit(alpha * nBuckets))) -
+          log((col("cn") + lit(alpha)) / (col("tn") + lit(alpha * nBuckets))))
+          .as("w"))
+    val prior = docs.agg(
+      sum(isPositive.cast("boolean").cast("long")).as("np"),
+      count(lit(1)).as("n"))
+      .select((log(col("np") + 1L) - log(col("n") - col("np") + 1L)).as("bias"))
+    val scored = docBucket.join(broadcast(w), Seq("b"))
+      .groupBy(col(id))
+      .agg(sum("c").as("n_feats"),
+        sum(col("c").cast("double") * col("w")).as("__s0"))
+      .crossJoin(broadcast(prior))
+      .select(col(id), col("n_feats"),
+        round(lit(1.0) / (lit(1.0) + exp(-(col("__s0") + col("bias")))) +
+          lit(1e-9), 6).as("score"))
+    // zero-token docs score the prior alone
+    docs.select(col(id)).join(scored, Seq(id), "left")
+      .crossJoin(broadcast(prior))
+      .select(col(id), coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("score"),
+          round(lit(1.0) / (lit(1.0) + exp(-col("bias"))) + lit(1e-9), 6))
+          .as("score"))
+      .withColumn("predicted", col("score") >= 0.5)
+  }
 }

@@ -606,6 +606,17 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- trained quality classifier: full-batch logistic regression
+    // over the DSIR hashed feature space (bias as the "zz" bucket),
+    // 5 deterministic gradient steps from w = 0, applied to every
+    // document. The ENTIRE training loop replays in the oracle as
+    // CTE rounds. ----
+    "q119_quality_classifier" -> ((s, dir) => {
+      TextRetrieval.qualityClassifierScores(t(s, dir, "documents"),
+          col("lang") === "en")
+        .orderBy("doc_id")
+    }),
+
     // ---- hyperplane-LSH ANN (production path; rows-only check) ----
     "q39_lsh_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1139,6 +1150,41 @@ object TextQueries {
               k.gumbel_key + 0.0 AS gumbel_key,
               (r.rn <= 100) AS selected
        FROM ky k JOIN rk r USING (doc_id) ORDER BY k.doc_id""",
+
+    // trained quality classifier: the 5 full-batch gradient steps
+    // replayed as CTE rounds (the Lloyd-iteration pattern) — per-doc
+    // score against w_t, residual, per-bucket gradient / N, update
+    "q119_quality_classifier" ->
+      s"""WITH tk AS ($toksSql),
+       feats AS (
+         SELECT doc_id, y, substr(md5(f), 1, 3) AS b FROM (
+           SELECT doc_id, lang = 'en' AS y,
+                  unnest(list_concat(toks,
+                    list_transform(range(1, len(toks)),
+                      i -> toks[i] || '_' || toks[i+1]))) AS f
+           FROM tk)),
+       fc AS (SELECT doc_id, y, b, count(*) AS c FROM feats GROUP BY 1, 2, 3),
+       cc AS (SELECT b, sum(CASE WHEN y THEN c ELSE 0 END) AS cp,
+                     sum(CASE WHEN NOT y THEN c ELSE 0 END) AS cn
+              FROM fc GROUP BY 1),
+       tot AS (SELECT sum(cp) AS tp, sum(cn) AS tn FROM cc),
+       w AS (SELECT b, ln((cp + 1.0) / (tp + 4096.0)) -
+                       ln((cn + 1.0) / (tn + 4096.0)) AS w FROM cc, tot),
+       pr AS (SELECT ln(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 1.0) -
+                     ln(count(*) - sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                        + 1.0) AS bias
+              FROM documents),
+       sc AS (SELECT fc.doc_id, sum(fc.c) AS n_feats,
+                     sum(CAST(fc.c AS DOUBLE) * w.w) AS s0
+              FROM fc JOIN w USING (b) GROUP BY 1)
+       SELECT d.doc_id,
+              CAST(coalesce(sc.n_feats, 0) AS BIGINT) AS n_feats,
+              round(1.0 / (1.0 + exp(-(coalesce(sc.s0, 0.0) + pr.bias)))
+                + 1e-9, 6) + 0.0 AS score,
+              (round(1.0 / (1.0 + exp(-(coalesce(sc.s0, 0.0) + pr.bias)))
+                + 1e-9, 6) >= 0.5) AS predicted
+       FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id, pr
+       ORDER BY d.doc_id""",
 
     // E4 curation pipeline replayed stage by stage: exact-dedup
     // keepers, md5 MinHash bands + Jaccard verify for near-dup losers,

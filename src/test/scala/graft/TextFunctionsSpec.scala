@@ -302,4 +302,30 @@ class TextFunctionsSpec extends SparkSpec {
     assert(oe.length == 1 && oe.head.getAs[Double]("weight") == 0.0 &&
       oe.head.getAs[Long]("n_feats") == 0L)
   }
+
+  test("qualityClassifierScores: separable vocabularies classify perfectly; empty doc scores the prior") {
+    // positives and negatives use disjoint vocabularies — NB must
+    // separate them completely; the unlabeled doc 100 written in the
+    // positive vocabulary must be predicted positive
+    val docs = ((0L until 30L).map { i =>
+      val txt = if (i % 3 == 0) "crystal resonance field harmonic flux modulation"
+      else "timber joist rafter purlin sill beam"
+      (i, txt)
+    } ++ Seq((100L, "crystal flux harmonic resonance"), (200L, "???")))
+      .toDF("doc_id", "text")
+    val out = TextRetrieval.qualityClassifierScores(docs,
+        col("doc_id") % 3 === 0 && col("doc_id") < 50L)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("score"), r.getAs[Boolean]("predicted"),
+          r.getAs[Long]("n_feats")))).toMap
+    assert(out.size == 32, "every input doc must score")
+    (0L until 30L).foreach { i =>
+      assert(out(i)._2 == (i % 3 == 0), s"doc $i misclassified: ${out(i)}")
+    }
+    assert(out(100L)._2, s"positive-vocabulary doc 100 predicted negative: ${out(100L)}")
+    // zero-token doc: prior-only score (more negatives than positives
+    // in the training set -> predicted negative), zero features
+    assert(out(200L)._3 == 0L && !out(200L)._2, s"empty doc: ${out(200L)}")
+  }
 }
