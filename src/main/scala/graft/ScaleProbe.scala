@@ -118,6 +118,41 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    // 100× CURATION probe (`runMain graft.ScaleProbe curation100x`):
+    // the corpus-side counterpart of chain100x — 100 perturbed copies
+    // of `documents` through the FULL E4 curation chain (q79: exact
+    // dedup, banded near-dup, lang-id, quality, repetition filter,
+    // benchmark decontamination, PII scrub, token stats). Per-copy
+    // text perturbation (`e` → `e<c>`) keeps the corpus genuinely
+    // distinct; docs with no `e` stay verbatim across copies and form
+    // real 100-member dup clusters — the exact-dedup stage's job.
+    if (args.contains("curation100x")) {
+      val copies100 = 100
+      val dst100 = s"target/scale/sf10x-v$derivationVersion-c$copies100"
+      val out = s"$dst100/documents.parquet"
+      if (!new java.io.File(out).exists()) {
+        val base = spark.read.parquet(s"$src/documents.parquet")
+        (0 until copies100).map { c =>
+          if (c == 0) base
+          else base.withColumn("doc_id", col("doc_id") + c * keyShift)
+            .withColumn("text", regexp_replace(col("text"), "e", "e" + c.toString))
+        }.reduce(_ unionByName _).write.mode("overwrite").parquet(out)
+      }
+      spark.range(1000000L).selectExpr("sum(id)").collect()
+      def oneCuration(dir: String): Double = {
+        spark.catalog.clearCache()
+        SparkEntry.clearQueryCaches()
+        val t0 = System.nanoTime()
+        SparkEntry.queries("q79_full_curation")(spark, dir).queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val small = math.min(oneCuration(src), oneCuration(src))
+      val big = oneCuration(dst100) // one sample: the 100× run self-warms
+      println(f"[scale] q79_full_curation(100x) sf0.1=$small%8.2fs 100x=$big%8.2fs ratio=${big / small}%6.2f")
+      println(f"""[scale-json] {"copies":$copies100,"queries":{"q79_full_curation_100x":{"sf01":$small%.3f,"x100":$big%.3f,"ratio":${big / small}%.3f}}}""")
+      spark.stop(); return
+    }
+
     // best of two runs: the first run pays codegen/JIT/footer costs
     // that would otherwise inflate the small side (it runs first) and
     // flatter the ratio

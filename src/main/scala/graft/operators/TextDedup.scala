@@ -68,6 +68,55 @@ object TextDedup {
     clean.unionByName(confirmed).drop("__fp")
   }
 
+  /** Incremental NEAR-dup dedup of a new crawl against a frozen
+    * reference corpus — the banded-MinHash counterpart of
+    * [[dedupAgainstReference]] (which is exact-fingerprint only): an
+    * incoming document is dropped when any reference document shares
+    * an LSH band with it AND the exact shingle-Jaccard verify meets
+    * `minJaccard`. Keeps every other incoming document.
+    *
+    * Scale shape: the reference side reduces to its (id, band)
+    * signature rows and (id, shingle) verify rows — both derivable
+    * ONCE per reference snapshot and storable at rest bucketed by
+    * band/shingle (the at-rest near-dup index; the candidate and
+    * verify joins then co-locate with zero reference-side shuffle per
+    * crawl). Candidates are band-key equi-joins (never all-pairs);
+    * the verify join touches only candidate pairs' shingles; the
+    * final drop is one left_anti on incoming ids. `dfCap` bounds
+    * viral-shingle fan-out exactly as in [[minhashLshPairs]]. */
+  def nearDupAgainstReference(incoming: DataFrame, reference: DataFrame,
+      minJaccard: Double = 0.5, k: Int = 8, bands: Int = 4,
+      shingleWidth: Int = 3, md5Hashes: Boolean = false,
+      id: String = "doc_id", text: String = "text",
+      dfCap: Long = Long.MaxValue): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val shInc = capShingleDf(shingleRows(incoming, shingleWidth, id, text), dfCap)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shRef = capShingleDf(shingleRows(reference, shingleWidth, id, text), dfCap)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = bandRows(shInc, k, bands, md5Hashes, id)
+      .select(col("band"), col(id).as("inc_id"))
+      .join(bandRows(shRef, k, bands, md5Hashes, id)
+        .select(col("band"), col(id).as("ref_id")), Seq("band"))
+      .select("inc_id", "ref_id").distinct()
+    val inter = cand
+      .join(shInc.select(col(id).as("inc_id"), col("s")), Seq("inc_id"))
+      .join(shRef.select(col(id).as("ref_id"), col("s")), Seq("ref_id", "s"))
+      .groupBy("inc_id", "ref_id").agg(count(lit(1)).as("inter"))
+    val szInc = shInc.groupBy(col(id)).agg(count(lit(1)).as("sz_a"))
+    val szRef = shRef.groupBy(col(id)).agg(count(lit(1)).as("sz_b"))
+    // band collisions with zero shared shingles never reach `inter`
+    // (inner joins) — they are exactly the pairs that cannot pass any
+    // positive minJaccard, so no left-join backfill is needed
+    val dup = inter
+      .join(szInc.withColumnRenamed(id, "inc_id"), Seq("inc_id"))
+      .join(szRef.withColumnRenamed(id, "ref_id"), Seq("ref_id"))
+      .filter(col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")) >= minJaccard)
+      .select(col("inc_id").as(id)).distinct()
+    incoming.join(dup, Seq(id), "left_anti")
+  }
+
   /** PARAGRAPH-grain exact dedup — the Dolma/RefinedWeb curation stage
     * between whole-document dedup and near-dup: boilerplate paragraphs
     * (headers, licence blocks, navigation) repeat across millions of
@@ -427,24 +476,14 @@ object TextDedup {
     }
   }
 
-  /** `dfCap` defaults to uncapped so the result matches the exact
-    * MinHash+verify definition (and the oracle) out of the box;
-    * corpus-scale call sites opt in to a cap explicitly — capping
-    * changes the result for corpora containing viral shingles, so it
-    * must never be a silent default. */
-  def minhashLshPairs(docs: DataFrame, k: Int = 8, bands: Int = 4,
-      shingleWidth: Int = 3, minJaccard: Double = 0.0, md5Hashes: Boolean = false,
-      id: String = "doc_id", text: String = "text",
-      dfCap: Long = Long.MaxValue): DataFrame = {
-    require(k % bands == 0, "k must divide into bands")
+  /** (id, band) rows from a shingle relation: per-doc MinHash
+    * signature minima (md5 16-bit substring slots — engine-portable —
+    * or seeded xxhash64 production slots) concatenated into `bands`
+    * LSH band keys and exploded. Shared by [[minhashLshPairs]] and
+    * [[nearDupAgainstReference]]. */
+  private def bandRows(shRows: DataFrame, k: Int, bands: Int,
+      md5Hashes: Boolean, id: String): DataFrame = {
     val rowsPerBand = k / bands
-    // Persisted: the shingle relation feeds four branches (signature,
-    // sizes, both sides of the intersection join) whose aliased
-    // projections defeat exchange reuse — materialize once. Viral
-    // shingles (df > dfCap) are dropped before anything downstream —
-    // they contribute no dedup signal, only df² join rows.
-    val shRows = capShingleDf(shingleRows(docs, shingleWidth, id, text), dfCap)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hashed =
       if (md5Hashes) {
         require(k <= 8, "md5 minhash derives at most 8 16-bit slots per digest")
@@ -459,7 +498,27 @@ object TextDedup {
       concat_ws("#", lit(b.toString) +:
         (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*)
     }
-    val banded = sig.select(col(id), explode(array(bandCols: _*)).as("band"))
+    sig.select(col(id), explode(array(bandCols: _*)).as("band"))
+  }
+
+  /** `dfCap` defaults to uncapped so the result matches the exact
+    * MinHash+verify definition (and the oracle) out of the box;
+    * corpus-scale call sites opt in to a cap explicitly — capping
+    * changes the result for corpora containing viral shingles, so it
+    * must never be a silent default. */
+  def minhashLshPairs(docs: DataFrame, k: Int = 8, bands: Int = 4,
+      shingleWidth: Int = 3, minJaccard: Double = 0.0, md5Hashes: Boolean = false,
+      id: String = "doc_id", text: String = "text",
+      dfCap: Long = Long.MaxValue): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    // Persisted: the shingle relation feeds four branches (signature,
+    // sizes, both sides of the intersection join) whose aliased
+    // projections defeat exchange reuse — materialize once. Viral
+    // shingles (df > dfCap) are dropped before anything downstream —
+    // they contribute no dedup signal, only df² join rows.
+    val shRows = capShingleDf(shingleRows(docs, shingleWidth, id, text), dfCap)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = bandRows(shRows, k, bands, md5Hashes, id)
     val cand = banded.select(col("band"), col(id).as("id_a"))
       .join(banded.select(col("band"), col(id).as("id_b")), Seq("band"))
       .filter(col("id_a") < col("id_b"))
@@ -539,6 +598,47 @@ object TextDedup {
       id: String = "doc_id"): DataFrame = {
     val losers = duplicateComponents(pairs)
       .filter(col("id") =!= col("component")).select(col("id").as(id))
+    docs.join(losers, Seq(id), "left_anti")
+  }
+
+  /** Per-component QUALITY-keyed representative selection — the
+    * cluster-dedup policy production curation pipelines actually use:
+    * keep the BEST member of each near-duplicate cluster (longest,
+    * highest quality score), not the arbitrary lowest id (the
+    * RefinedWeb/Dolma keep heuristic). Winner = max `quality` with a
+    * min-id tie-break, computed as two keyed partial-aggregatable
+    * aggregations (per-component max, then min id over the argmax
+    * set) — no windows, no collect; a 10⁶-member viral cluster
+    * resolves map-side. Returns one row per component:
+    * (component, winner_id, n_members, best_quality). */
+  def componentWinners(docs: DataFrame, pairs: DataFrame, quality: Column,
+      id: String = "doc_id"): DataFrame = {
+    val comp = duplicateComponents(pairs).withColumnRenamed("id", id)
+    val labeled = docs.select(col(id), quality.as("__q")).join(comp, Seq(id))
+    val qmax = labeled.groupBy("component")
+      .agg(max("__q").as("best_quality"), count(lit(1)).as("n_members"))
+    labeled.join(qmax, Seq("component"))
+      .filter(col("__q") === col("best_quality"))
+      .groupBy(col("component"), col("n_members"), col("best_quality"))
+      .agg(min(col(id)).as("winner_id"))
+      .select("component", "winner_id", "n_members", "best_quality")
+  }
+
+  /** Cluster-grain near-dup removal keeping each component's
+    * BEST-quality member (see [[componentWinners]]) plus every
+    * unpaired document — [[dedupByComponents]] with a quality keep
+    * rule instead of min-id. */
+  def dedupByComponentsBest(docs: DataFrame, pairs: DataFrame,
+      quality: Column, id: String = "doc_id"): DataFrame = {
+    // one label-propagation run shared by winner pick and loser drop
+    val comp = duplicateComponents(pairs).withColumnRenamed("id", id)
+    val labeled = docs.select(col(id), quality.as("__q")).join(comp, Seq(id))
+    val qmax = labeled.groupBy("component").agg(max("__q").as("__qm"))
+    val winners = labeled.join(qmax, Seq("component"))
+      .filter(col("__q") === col("__qm"))
+      .groupBy("component").agg(min(col(id)).as("__win"))
+    val losers = labeled.join(winners, Seq("component"))
+      .filter(col(id) =!= col("__win")).select(col(id))
     docs.join(losers, Seq(id), "left_anti")
   }
 

@@ -132,6 +132,70 @@ object TextRetrieval {
       .agg(count(lit(1)).as("n_bigrams"), avg("nll").as("xent2"))
   }
 
+  /** Per-document cross-entropy under an interpolated Kneser–Ney
+    * bigram model of the corpus itself — the smoothing family the
+    * production perplexity filters actually use (CCNet scores under a
+    * KenLM model; KenLM's default estimator is interpolated modified
+    * Kneser–Ney, Kneser & Ney 1995 / Chen & Goodman 1998). The add-α
+    * forms ([[unigramCrossEntropy]], [[bigramCrossEntropy]]) flatten
+    * every unseen event to one constant; KN instead discounts each
+    * observed bigram by `D` and redistributes that mass over the
+    * CONTINUATION distribution — P_cont(w₂) ∝ the number of distinct
+    * predecessors of w₂ — so frequent-but-context-bound tokens
+    * ("francisco") stop inflating fluency scores:
+    *
+    *   P(w₂|w₁) = max(c(w₁w₂)−D, 0)/c(w₁·)
+    *            + D·N1+(w₁·)/c(w₁·) · N1+(·w₂)/N1+(··)
+    *
+    * `D` defaults to the Ney absolute-discount estimate
+    * n₁/(n₁+2n₂) from the bigram count-of-counts (0.5 when the
+    * corpus has no singleton/doubleton bigrams to estimate from).
+    * Scoring the training corpus itself means every scored bigram has
+    * c(w₁·) ≥ c(w₁w₂) ≥ 1, so no OOV backoff case arises and the
+    * probability is strictly positive.
+    *
+    * Scale shape: ONE tokenize pass (the persisted doc-grain pair
+    * relation feeds the model fit and the scoring join); all model
+    * relations are token-type-grain map-side-combined aggregations of
+    * it; the discount and N1+(··) are one broadcast scalar row; the
+    * only window is doc-grain `lead` over token positions. Documents
+    * with < 2 tokens emit no row (as [[bigramCrossEntropy]]).
+    *
+    * Returns (id, n_bigrams, xent_kn). */
+  def kneserNeyCrossEntropy(docs: DataFrame, discount: Option[Double] = None,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val tok = docs.select(col(id), posexplode(tokens(col(text))).as(Seq("pos", "tk")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(id)).orderBy(col("pos"))
+    val pairs = tok.withColumn("w2", lead(col("tk"), 1).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col(id), col("tk").as("w1"), col("w2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // bigram type counts: read 4x (follower/continuation counts, the
+    // discount scalar, the scoring join) — persist the bounded
+    // type-grain relation, not the corpus-grain pair stream
+    val c12 = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c1 = pairs.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val fol = c12.groupBy(col("w1")).agg(count(lit(1)).as("n1p_fol"))
+    val cont = c12.groupBy(col("w2")).agg(count(lit(1)).as("n1p_pre"))
+    val scalars = c12.agg(count(lit(1)).as("n_types"),
+      sum((col("c12") === 1).cast("long")).as("n1"),
+      sum((col("c12") === 2).cast("long")).as("n2"))
+    val dCol = discount.map(d => lit(d))
+      .getOrElse(when(col("n1") + lit(2L) * col("n2") > 0,
+        col("n1") / (col("n1") + lit(2.0) * col("n2"))).otherwise(lit(0.5)))
+    pairs.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .join(fol, Seq("w1")).join(cont, Seq("w2"))
+      .crossJoin(broadcast(scalars))
+      .withColumn("__d", dCol)
+      .select(col(id),
+        (-log(greatest(col("c12") - col("__d"), lit(0.0)) / col("c1") +
+          (col("__d") * col("n1p_fol") / col("c1")) *
+            (col("n1p_pre") / col("n_types").cast("double")))).as("nll"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_bigrams"), avg("nll").as("xent_kn"))
+  }
+
   def unigramCrossEntropy(docs: DataFrame,
       id: String = "doc_id", text: String = "text"): DataFrame = {
     val tok = docs.select(col(id), explode(tokens(col(text))).as("tk"))
@@ -284,7 +348,80 @@ object TextRetrieval {
     *
     * Returns (doc_id, n_feats, score = posterior P(pos|doc),
     * predicted) for every input document; the decision boundary
-    * compares the 6-dp rounded score so it replays across engines. */
+    * compares the 6-dp rounded score so it replays across engines.
+    *
+    * This is the SELF-TRAIN single-scan form (fit and score share one
+    * persisted bucket-count relation). For a train/held-out split use
+    * [[qualityClassifierFit]] + [[qualityClassifierApply]]. */
+  /** Naive-Bayes fit on a TRAINING corpus, returning the model as two
+    * bounded relations: (weights over the TOTAL 16^hexChars bucket
+    * space, 1-row prior log-odds bias). Emitting every bucket — not
+    * just the observed ones — makes the weight relation total, so a
+    * held-out or stream-side apply gives unseen-in-train buckets
+    * exactly the smoothed prior ln((α)/(tp+αB)) − ln((α)/(tn+αB))
+    * instead of silently dropping their features (the [[dsirLambda]]
+    * totality rule). Both relations are bucket-bounded — broadcast
+    * them at apply time; corpus size never touches driver state. */
+  def qualityClassifierFit(train: DataFrame, isPositive: Column,
+      alpha: Double = 1.0, hexChars: Int = 3,
+      text: String = "text"): (DataFrame, DataFrame) = {
+    val spark = train.sparkSession
+    val nBuckets = math.pow(16.0, hexChars)
+    val observed = train
+      .select(isPositive.cast("boolean").as("__y"),
+        explode(dsirFeatures(col(text))).as("f"))
+      .select(col("__y"), dsirBucket(col("f"), hexChars).as("b"))
+      .groupBy("__y", "b").agg(count(lit(1)).as("c"))
+      .groupBy("b")
+      .agg(sum(when(col("__y"), col("c")).otherwise(0L)).as("cp"),
+        sum(when(!col("__y"), col("c")).otherwise(0L)).as("cn"))
+    val space = spark.range(nBuckets.toLong)
+      .select(format_string(s"%0${hexChars}x", col("id")).as("b"))
+    val full = space.join(observed, Seq("b"), "left")
+      .select(col("b"), coalesce(col("cp"), lit(0L)).as("cp"),
+        coalesce(col("cn"), lit(0L)).as("cn"))
+    val totals = full.agg(sum("cp").as("tp"), sum("cn").as("tn"))
+    val w = full.crossJoin(broadcast(totals))
+      .select(col("b"),
+        (log((col("cp") + lit(alpha)) / (col("tp") + lit(alpha * nBuckets))) -
+          log((col("cn") + lit(alpha)) / (col("tn") + lit(alpha * nBuckets))))
+          .as("w"))
+    val prior = train.agg(
+      sum(isPositive.cast("boolean").cast("long")).as("np"),
+      count(lit(1)).as("n"))
+      .select((log(col("np") + 1L) - log(col("n") - col("np") + 1L)).as("bias"))
+    (w, prior)
+  }
+
+  /** Apply a [[qualityClassifierFit]] model to a (possibly held-out)
+    * corpus: one tokenize pass, bucket counts joined against the
+    * broadcast total weight relation, sigmoid score + 0.5 decision on
+    * the 6-dp rounded grid. Zero-token documents score the prior
+    * alone. Returns (id, n_feats, score, predicted). */
+  def qualityClassifierApply(docs: DataFrame, weights: DataFrame,
+      prior: DataFrame, hexChars: Int = 3,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val docBucket = docs
+      .select(col(id), explode(dsirFeatures(col(text))).as("f"))
+      .select(col(id), dsirBucket(col("f"), hexChars).as("b"))
+      .groupBy(col(id), col("b")).agg(count(lit(1)).as("c"))
+    val scored = docBucket.join(broadcast(weights), Seq("b"))
+      .groupBy(col(id))
+      .agg(sum("c").as("n_feats"),
+        sum(col("c").cast("double") * col("w")).as("__s0"))
+      .crossJoin(broadcast(prior))
+      .select(col(id), col("n_feats"),
+        round(lit(1.0) / (lit(1.0) + exp(-(col("__s0") + col("bias")))) +
+          lit(1e-9), 6).as("score"))
+    docs.select(col(id)).join(scored, Seq(id), "left")
+      .crossJoin(broadcast(prior))
+      .select(col(id), coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("score"),
+          round(lit(1.0) / (lit(1.0) + exp(-col("bias"))) + lit(1e-9), 6))
+          .as("score"))
+      .withColumn("predicted", col("score") >= 0.5)
+  }
+
   def qualityClassifierScores(docs: DataFrame, isPositive: Column,
       alpha: Double = 1.0, hexChars: Int = 3,
       id: String = "doc_id", text: String = "text"): DataFrame = {

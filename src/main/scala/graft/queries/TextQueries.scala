@@ -285,6 +285,18 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- quality-keyed cluster representatives: same component
+    // closure as q92, but each cluster keeps its BEST member
+    // (max n_chars, min-id tie-break) — the RefinedWeb/Dolma keep
+    // policy, as two keyed aggregations (no windows). ----
+    "q122_component_winners" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = TextDedup.minhashLshPairs(docs,
+        k = 8, bands = 4, shingleWidth = 3, minJaccard = 0.3, md5Hashes = true)
+      TextDedup.componentWinners(docs, pairs, col("n_chars"))
+        .orderBy("component")
+    }),
+
     // ---- INCREMENTAL dedup: a new crawl against a reference corpus.
     // Reference = docs with doc_id % 7 < 3 (a deterministic "previous
     // crawl"); incoming = the rest. Bloom sketch prunes, exact
@@ -297,6 +309,22 @@ object TextQueries {
         .select(fingerprint(col("text")).as("fp"))
       val incoming = docs.filter(col("doc_id") % 7 >= 3)
       TextDedup.dedupAgainstReference(incoming, ref, fpp = 0.5)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), min("doc_id").as("first_kept"),
+          sum("doc_id").as("sum_ids"))
+        .orderBy("source")
+    }),
+
+    // ---- incremental NEAR-dup: new crawl vs a frozen reference
+    // corpus (the q94 split), banded-MinHash candidates against the
+    // reference signature index + exact Jaccard verify (≥ 0.3) — an
+    // incoming doc near-dupping ANY reference doc is dropped ----
+    "q123_neardup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ref = docs.filter(col("doc_id") % 7 < 3)
+      val inc = docs.filter(col("doc_id") % 7 >= 3)
+      TextDedup.nearDupAgainstReference(inc, ref, minJaccard = 0.3,
+          k = 8, bands = 4, shingleWidth = 3, md5Hashes = true)
         .groupBy("source")
         .agg(count(lit(1)).as("n_kept"), min("doc_id").as("first_kept"),
           sum("doc_id").as("sum_ids"))
@@ -436,6 +464,17 @@ object TextQueries {
       TextRetrieval.bigramCrossEntropy(t(s, dir, "documents"))
         .select(col("doc_id"), col("n_bigrams"),
           round(col("xent2") + 1e-7, 4).as("xent2"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- interpolated Kneser–Ney bigram cross-entropy: the KenLM
+    // smoothing family (absolute discount + continuation-probability
+    // backoff), discount estimated from the bigram count-of-counts;
+    // the full model fit replays relationally in the oracle ----
+    "q120_kneser_ney_ppl" -> ((s, dir) => {
+      TextRetrieval.kneserNeyCrossEntropy(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("xent_kn") + 1e-7, 4).as("xent_kn"))
         .orderBy("doc_id")
     }),
 
@@ -606,15 +645,36 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
-    // ---- trained quality classifier: full-batch logistic regression
-    // over the DSIR hashed feature space (bias as the "zz" bucket),
-    // 5 deterministic gradient steps from w = 0, applied to every
-    // document. The ENTIRE training loop replays in the oracle as
-    // CTE rounds. ----
+    // ---- trained quality classifier: multinomial Naive Bayes over
+    // the DSIR hashed feature space — closed-form class-conditional
+    // log-ratio weights + class-prior bias (chosen over iterative
+    // logistic GD so the ENTIRE fit replays in the oracle as plain
+    // relational algebra), applied to every document. ----
     "q119_quality_classifier" -> ((s, dir) => {
       TextRetrieval.qualityClassifierScores(t(s, dir, "documents"),
           col("lang") === "en")
         .orderBy("doc_id")
+    }),
+
+    // ---- held-out classifier evaluation: deterministic md5 81/19
+    // train/test split, NB fit on train ONLY (total bucket-space
+    // weights so unseen-in-train buckets score the smoothed prior),
+    // apply to the held-out slice, confusion-matrix aggregate. The
+    // generalization check q119's self-train form cannot give. ----
+    "q121_classifier_holdout" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val isTrain = substring(md5(concat_ws("#", lit("holdout"),
+        col("doc_id").cast("string"))), 1, 1) < "d"
+      val (w, prior) = TextRetrieval.qualityClassifierFit(
+        docs.filter(isTrain), col("lang") === "en")
+      TextRetrieval.qualityClassifierApply(docs.filter(!isTrain), w, prior)
+        .join(docs.select(col("doc_id"), (col("lang") === "en").as("actual")),
+          Seq("doc_id"))
+        .groupBy("actual", "predicted")
+        .agg(count(lit(1)).as("n"), sum("n_feats").as("n_feats"),
+          round(avg("score") + 1e-7, 4).as("avg_score"),
+          min("doc_id").as("first_id"))
+        .orderBy("actual", "predicted")
     }),
 
     // ---- hyperplane-LSH ANN (production path; rows-only check) ----
@@ -1151,9 +1211,9 @@ object TextQueries {
               (r.rn <= 100) AS selected
        FROM ky k JOIN rk r USING (doc_id) ORDER BY k.doc_id""",
 
-    // trained quality classifier: the 5 full-batch gradient steps
-    // replayed as CTE rounds (the Lloyd-iteration pattern) — per-doc
-    // score against w_t, residual, per-bucket gradient / N, update
+    // trained quality classifier: the closed-form Naive Bayes fit
+    // replayed relationally — class-conditional bucket counts,
+    // add-1 log-ratio weights, prior log-odds bias, per-doc sigmoid
     "q119_quality_classifier" ->
       s"""WITH tk AS ($toksSql),
        feats AS (
@@ -1185,6 +1245,52 @@ object TextQueries {
                 + 1e-9, 6) >= 0.5) AS predicted
        FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id, pr
        ORDER BY d.doc_id""",
+
+    // held-out classifier replay: the q119 NB fit restricted to the
+    // md5 train slice (LEFT JOIN + coalesce gives unseen-in-train
+    // buckets the same smoothed-prior weight the total-space Spark
+    // relation bakes in), applied to the complement, confusion matrix
+    "q121_classifier_holdout" ->
+      s"""WITH sp AS (
+         SELECT doc_id, text, lang,
+                substr(md5('holdout#' || CAST(doc_id AS VARCHAR)), 1, 1) < 'd' AS tr
+         FROM documents),
+       tk AS (SELECT doc_id, tr, lang = 'en' AS y,
+                list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                  x -> x <> '') AS toks
+              FROM sp),
+       feats AS (SELECT doc_id, tr, y, substr(md5(f), 1, 3) AS b FROM (
+           SELECT doc_id, tr, y, unnest(list_concat(toks,
+                    list_transform(range(1, len(toks)),
+                      i -> toks[i] || '_' || toks[i+1]))) AS f
+           FROM tk)),
+       cc AS (SELECT b, sum(CASE WHEN y THEN 1 ELSE 0 END) AS cp,
+                     sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS cn
+              FROM feats WHERE tr GROUP BY 1),
+       tot AS (SELECT sum(cp) AS tp, sum(cn) AS tn FROM cc),
+       pr AS (SELECT ln(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 1.0)
+                   - ln(count(*) - sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                        + 1.0) AS bias
+              FROM sp WHERE tr),
+       fc AS (SELECT doc_id, b, count(*) AS c FROM feats
+              WHERE NOT tr GROUP BY 1, 2),
+       sc AS (SELECT fc.doc_id, sum(fc.c) AS n_feats,
+                     sum(CAST(fc.c AS DOUBLE) *
+                         (ln((coalesce(cc.cp, 0) + 1.0) / (tot.tp + 4096.0)) -
+                          ln((coalesce(cc.cn, 0) + 1.0) / (tot.tn + 4096.0)))) AS s0
+              FROM fc LEFT JOIN cc USING (b) CROSS JOIN tot GROUP BY 1),
+       scored AS (
+         SELECT d.doc_id, d.lang = 'en' AS actual,
+                CAST(coalesce(sc.n_feats, 0) AS BIGINT) AS n_feats,
+                round(1.0 / (1.0 + exp(-(coalesce(sc.s0, 0.0) + pr.bias)))
+                  + 1e-9, 6) AS score
+         FROM sp d LEFT JOIN sc ON sc.doc_id = d.doc_id, pr
+         WHERE NOT d.tr)
+       SELECT actual, (score >= 0.5) AS predicted, count(*) AS n,
+              CAST(sum(n_feats) AS BIGINT) AS n_feats,
+              round(avg(score) + 1e-7, 4) + 0.0 AS avg_score,
+              min(doc_id) AS first_id
+       FROM scored GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // E4 curation pipeline replayed stage by stage: exact-dedup
     // keepers, md5 MinHash bands + Jaccard verify for near-dup losers,
@@ -1416,6 +1522,110 @@ object TextQueries {
           )
           SELECT id AS doc_id, min(lab) AS component
           FROM reach GROUP BY 1 ORDER BY 1"""),
+
+    // incremental near-dup replay: the q92 signature/band machinery
+    // split by the q94 reference/incoming rule; dropped = any
+    // cross-corpus band collision whose exact Jaccard ≥ 0.3
+    "q123_neardup_incremental" ->
+      (s"""WITH sh0 AS ($shinglesSql),
+          shr AS (SELECT doc_id, sh FROM sh0 WHERE doc_id % 7 < 3),
+          shi AS (SELECT doc_id, sh FROM sh0 WHERE doc_id % 7 >= 3),
+          hr AS (SELECT doc_id, md5(unnest(sh)) AS h FROM shr),
+          hi AS (SELECT doc_id, md5(unnest(sh)) AS h FROM shi),
+          sigr AS (
+            SELECT doc_id,
+                   [min(substr(h, 1, 4)), min(substr(h, 5, 4)),
+                    min(substr(h, 9, 4)), min(substr(h, 13, 4)),
+                    min(substr(h, 17, 4)), min(substr(h, 21, 4)),
+                    min(substr(h, 25, 4)), min(substr(h, 29, 4))] AS s
+            FROM hr GROUP BY doc_id),
+          sigi AS (
+            SELECT doc_id,
+                   [min(substr(h, 1, 4)), min(substr(h, 5, 4)),
+                    min(substr(h, 9, 4)), min(substr(h, 13, 4)),
+                    min(substr(h, 17, 4)), min(substr(h, 21, 4)),
+                    min(substr(h, 25, 4)), min(substr(h, 29, 4))] AS s
+            FROM hi GROUP BY doc_id),
+          br AS (
+            SELECT doc_id,
+                   unnest(['0#' || s[1] || '#' || s[2], '1#' || s[3] || '#' || s[4],
+                           '2#' || s[5] || '#' || s[6], '3#' || s[7] || '#' || s[8]]) AS band
+            FROM sigr),
+          bi AS (
+            SELECT doc_id,
+                   unnest(['0#' || s[1] || '#' || s[2], '1#' || s[3] || '#' || s[4],
+                           '2#' || s[5] || '#' || s[6], '3#' || s[7] || '#' || s[8]]) AS band
+            FROM sigi),
+          cand AS (
+            SELECT DISTINCT i.doc_id AS inc_id, r.doc_id AS ref_id
+            FROM bi i JOIN br r ON i.band = r.band),
+          ver AS (
+            SELECT inc_id, ref_id,
+                   len(list_filter(si.sh, x -> list_contains(sr.sh, x))) * 1.0 /
+                   (len(si.sh) + len(sr.sh)
+                    - len(list_filter(si.sh, x -> list_contains(sr.sh, x)))) AS j
+            FROM cand JOIN shi si ON si.doc_id = inc_id
+                      JOIN shr sr ON sr.doc_id = ref_id),
+          dup AS (SELECT DISTINCT inc_id FROM ver WHERE j >= 0.3)
+          SELECT d.source, count(*) AS n_kept, min(d.doc_id) AS first_kept,
+                 CAST(sum(d.doc_id) AS BIGINT) AS sum_ids
+          FROM documents d
+          WHERE d.doc_id % 7 >= 3
+            AND NOT EXISTS (SELECT 1 FROM dup WHERE dup.inc_id = d.doc_id)
+          GROUP BY 1 ORDER BY 1"""),
+
+    // winner replay: the q92 closure, then max-quality / min-id argmax
+    // as plain aggregations over the labeled membership
+    "q122_component_winners" ->
+      (s"""WITH RECURSIVE sh AS ($shinglesSql), hashed AS (
+            SELECT doc_id, md5(unnest(sh)) AS h FROM sh
+          ), sig AS (
+            SELECT doc_id,
+                   [min(substr(h, 1, 4)), min(substr(h, 5, 4)),
+                    min(substr(h, 9, 4)), min(substr(h, 13, 4)),
+                    min(substr(h, 17, 4)), min(substr(h, 21, 4)),
+                    min(substr(h, 25, 4)), min(substr(h, 29, 4))] AS s
+            FROM hashed GROUP BY doc_id
+          ), banded AS (
+            SELECT doc_id,
+                   unnest(['0#' || s[1] || '#' || s[2], '1#' || s[3] || '#' || s[4],
+                           '2#' || s[5] || '#' || s[6], '3#' || s[7] || '#' || s[8]]) AS band
+            FROM sig
+          ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.doc_id < b.doc_id
+          ), verified AS (
+            SELECT id_a, id_b,
+                   len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) * 1.0 /
+                   (len(sa.sh) + len(sb.sh)
+                    - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))) AS j
+            FROM cand JOIN sh sa ON sa.doc_id = id_a
+                      JOIN sh sb ON sb.doc_id = id_b
+          ), edges AS (
+            SELECT id_a AS src, id_b AS dst FROM verified WHERE j >= 0.3
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM verified WHERE j >= 0.3
+          ), nodes AS (SELECT DISTINCT src AS id FROM edges
+          ), reach(id, lab) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst
+          ), comp AS (
+            SELECT id AS doc_id, min(lab) AS component FROM reach GROUP BY 1
+          ), lab2 AS (
+            SELECT c.doc_id, c.component, d.n_chars AS q
+            FROM comp c JOIN documents d USING (doc_id)
+          ), qm AS (
+            SELECT component, max(q) AS best_quality, count(*) AS n_members
+            FROM lab2 GROUP BY 1
+          )
+          SELECT l.component, min(l.doc_id) AS winner_id,
+                 qm.n_members, qm.best_quality
+          FROM lab2 l JOIN qm ON qm.component = l.component
+                       AND l.q = qm.best_quality
+          GROUP BY l.component, qm.n_members, qm.best_quality
+          ORDER BY l.component"""),
 
     // incremental-dedup replay: the Bloom sketch is pruning-only, so
     // the oracle is the exact NOT EXISTS the operator guarantees.
@@ -1709,6 +1919,39 @@ object TextQueries {
                FROM pr JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
          SELECT doc_id, count(*) AS n_bigrams,
                 round(avg(nll) + 1e-7, 4) + 0.0 AS xent2
+         FROM s GROUP BY 1 ORDER BY 1"""),
+
+    // interpolated Kneser–Ney bigram replay: bigram/left-context
+    // counts, follower/predecessor type counts, the count-of-counts
+    // discount scalar, and the interpolated probability in the same
+    // association order as the Spark expression
+    "q120_kneser_ney_ppl" ->
+      (s"""WITH tk AS ($toksSql),
+         pairs AS (
+           SELECT doc_id, unnest(list_transform(
+                    generate_series(1, len(toks) - 1),
+                    i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS b
+           FROM tk WHERE len(toks) >= 2),
+         pr AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM pairs),
+         c12 AS (SELECT w1, w2, count(*) AS c12 FROM pr GROUP BY 1, 2),
+         c1 AS (SELECT w1, count(*) AS c1 FROM pr GROUP BY 1),
+         fol AS (SELECT w1, count(*) AS f FROM c12 GROUP BY 1),
+         cont AS (SELECT w2, count(*) AS p FROM c12 GROUP BY 1),
+         cc AS (SELECT count(*) AS n_types,
+                       sum(CASE WHEN c12 = 1 THEN 1 ELSE 0 END) AS n1,
+                       sum(CASE WHEN c12 = 2 THEN 1 ELSE 0 END) AS n2
+                FROM c12),
+         dd AS (SELECT CASE WHEN n1 + 2 * n2 > 0
+                            THEN n1 / (n1 + 2.0 * n2) ELSE 0.5 END AS d,
+                       n_types FROM cc),
+         s AS (SELECT pr.doc_id,
+                      -ln(greatest(c12 - dd.d, 0.0) / c1 +
+                          (dd.d * fol.f / c1) *
+                            (cont.p / CAST(dd.n_types AS DOUBLE))) AS nll
+               FROM pr JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+                    JOIN fol USING (w1) JOIN cont USING (w2) CROSS JOIN dd)
+         SELECT doc_id, count(*) AS n_bigrams,
+                round(avg(nll) + 1e-7, 4) + 0.0 AS xent_kn
          FROM s GROUP BY 1 ORDER BY 1"""),
 
     // perplexity-filter replay: the q109 chain, 4dp-rounded scores,

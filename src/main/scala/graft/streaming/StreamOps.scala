@@ -336,6 +336,38 @@ object StreamOps {
       .select(col(id), col("n_feats"), col("weight"))
   }
 
+  /** Streaming quality-classifier apply: score a live document feed
+    * under a STATICALLY-fitted Naive Bayes model
+    * ([[graft.operators.TextRetrieval.qualityClassifierFit]] — run it
+    * batch-side, pass its two relations here). The weight relation is
+    * total over the bucket space, so every stream-side feature joins
+    * (unseen-in-train buckets get the smoothed prior, never dropped);
+    * the join is stream-static (stateless), the only state is the
+    * windowed per-doc aggregation, and the sigmoid + decision are a
+    * stateless projection after it. The prior is a 1-row relation —
+    * read once on the driver and baked as a literal (the IVF
+    * literal-baked-centroid idiom). Zero-token documents emit no row
+    * (nothing arrives to aggregate); the batch form scores them at
+    * the prior. */
+  def streamingQualityScores(docs: DataFrame, weights: DataFrame,
+      prior: DataFrame, hexChars: Int = 3, ts: String = "ts",
+      id: String = "doc_id", text: String = "text",
+      windowLen: String = "10 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    import graft.operators.TextRetrieval.{dsirBucket, dsirFeatures}
+    val bias = prior.head().getDouble(0)
+    docs.withWatermark(ts, watermarkDelay)
+      .select(col(ts), col(id), explode(dsirFeatures(col(text))).as("f"))
+      .select(col(ts), col(id), dsirBucket(col("f"), hexChars).as("b"))
+      .join(weights, Seq("b"))
+      .groupBy(window(col(ts), windowLen), col(id))
+      .agg(count(lit(1)).as("n_feats"), sum(col("w")).as("__s0"))
+      .select(col(id), col("n_feats"),
+        round(lit(1.0) / (lit(1.0) + exp(-(col("__s0") + lit(bias)))) +
+          lit(1e-9), 6).as("score"))
+      .withColumn("predicted", col("score") >= 0.5)
+  }
+
   def streamingParagraphDedup(docs: DataFrame, ts: String = "ts", sep: String = "\n",
       id: String = "doc_id", text: String = "text",
       watermarkDelay: String = "10 minutes", windowLen: String = "1 minute"): DataFrame = {

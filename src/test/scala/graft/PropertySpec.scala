@@ -310,6 +310,117 @@ class PropertySpec extends SparkSpec {
     assert(bi(2L) > bi(1L) + 0.1, s"bigram fluency: $bi")
   }
 
+  test("nearDupAgainstReference: drops incoming docs with a verified reference near-dup only") {
+    import graft.operators.TextDedup
+    val ref = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (2L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val inc = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"), // near-dup of 1
+      (11L, "totally different content about spark clusters and shuffle planning"),
+      (12L, "one two three four five six seven eight nine ten"), // exact dup of 2
+      (13L, "alpha beta unrelated middle section theta iota ending differs a lot here")) // low-J overlap
+      .toDF("doc_id", "text")
+    val kept = TextDedup.nearDupAgainstReference(inc, ref, minJaccard = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L, 13L), s"kept=$kept")
+    // incremental invariant: an empty reference drops nothing
+    val keptAll = TextDedup.nearDupAgainstReference(inc, ref.limit(0), minJaccard = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptAll == Set(10L, 11L, 12L, 13L))
+  }
+
+  test("componentWinners: best-quality member wins with min-id tie-break; chain resolves as one cluster") {
+    import graft.operators.TextDedup
+    val docs = Seq(
+      (1L, "a", 100L), (2L, "b", 300L), (3L, "c", 300L), // chain 1-2-3, tie on q=300 → winner 2
+      (10L, "d", 50L), (11L, "e", 70L),                   // pair, winner 11
+      (20L, "f", 10L))                                    // unpaired
+      .toDF("doc_id", "text", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val w = TextDedup.componentWinners(docs, pairs, col("q")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(w == Map(1L -> (2L, 3L, 300L), 10L -> (11L, 2L, 70L)))
+    val kept = TextDedup.dedupByComponentsBest(docs, pairs, col("q"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // winners survive, losers drop, unpaired docs untouched
+    assert(kept == Set(2L, 11L, 20L))
+  }
+
+  test("qualityClassifier: self-train fit+apply reproduces the single-scan scores form") {
+    import graft.operators.TextRetrieval
+    val docs = (0L until 120L).map { i =>
+      val pos = i % 3 != 0
+      val body = if (pos) s"clean well formed sentence number $i with common words"
+                 else s"zzq$i xq${i * 7} glarb${i % 11} qqzx noise"
+      (i, body, pos)
+    }.toDF("doc_id", "text", "pos")
+    val self = TextRetrieval.qualityClassifierScores(docs, col("pos"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    val (w, prior) = TextRetrieval.qualityClassifierFit(docs, col("pos"))
+    val fa = TextRetrieval.qualityClassifierApply(docs, w, prior)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    assert(fa.keySet == self.keySet)
+    fa.foreach { case (id, v) => assert(v == self(id), s"doc $id: $v vs ${self(id)}") }
+    // the total-space weight relation covers every bucket
+    assert(w.count() == 4096L)
+    // held-out apply: docs with unseen-in-train buckets still score
+    val (w2, p2) = TextRetrieval.qualityClassifierFit(
+      docs.filter(col("doc_id") < 60), col("pos"))
+    val held = TextRetrieval.qualityClassifierApply(
+      docs.filter(col("doc_id") >= 60), w2, p2)
+    assert(held.count() == 60L)
+    assert(held.filter(col("n_feats") === 0).count() == 0L)
+  }
+
+  test("kneserNey: conditional distribution sums to 1 over the continuation vocabulary") {
+    import graft.operators.TextRetrieval
+    // The defining algebraic property of interpolated KN: for every
+    // left context w1, Σ_{w2 ∈ V} P(w2|w1) = 1 where V is the set of
+    // observed continuation types — the discounted mass D·N1+(w1·)/c(w1·)
+    // exactly re-enters through the continuation distribution.
+    // Recompute the model's count relations independently here and
+    // check the closure, then check the operator's per-doc score
+    // against a hand-rolled computation on the same corpus.
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick red fox runs past the sleeping dog"),
+      (3L, "a slow green turtle walks under the old bridge"),
+      (4L, "the dog and the fox nap in the warm sun"))
+    val docs = corpus.toDF("doc_id", "text")
+    val pairs = corpus.flatMap { case (id, t) =>
+      val tk = t.split(" ").toSeq; tk.zip(tk.tail).map(p => (id, p._1, p._2)) }
+    val c12 = pairs.groupBy(p => (p._2, p._3)).map { case (k, v) => k -> v.size.toLong }
+    val c1 = pairs.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    val fol = c12.keys.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val cont = c12.keys.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    val nTypes = c12.size.toLong
+    val n1 = c12.values.count(_ == 1L); val n2 = c12.values.count(_ == 2L)
+    val d = if (n1 + 2 * n2 > 0) n1.toDouble / (n1 + 2.0 * n2) else 0.5
+    def pKn(w1: String, w2: String): Double =
+      math.max(c12.getOrElse((w1, w2), 0L).toDouble - d, 0.0) / c1(w1) +
+        (d * fol(w1) / c1(w1)) * (cont.getOrElse(w2, 0L).toDouble / nTypes)
+    val vocabW2 = cont.keys.toSeq
+    c1.keys.foreach { w1 =>
+      val mass = vocabW2.map(pKn(w1, _)).sum
+      assert(math.abs(mass - 1.0) < 1e-12, s"w1=$w1 mass=$mass")
+    }
+    // operator agreement with the hand model
+    val got = TextRetrieval.kneserNeyCrossEntropy(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    corpus.foreach { case (id, t) =>
+      val tk = t.split(" ").toSeq
+      val nll = tk.zip(tk.tail).map { case (a, b) => -math.log(pKn(a, b)) }
+      assert(got(id)._1 == nll.size)
+      assert(math.abs(got(id)._2 - nll.sum / nll.size) < 1e-9,
+        s"doc $id: ${got(id)._2} vs ${nll.sum / nll.size}")
+    }
+    // discounting sanity: a repeated bigram scores better (lower nll)
+    // than a singleton bigram under the same left context
+    assert(pKn("the", "quick") > pKn("the", "lazy"))
+  }
+
   test("rmaBackground: correction is monotone in the observation and bounded above by it") {
     // any strictly-positive fixture: E[signal|observed] must increase
     // with the observation and sit strictly below it (background mass

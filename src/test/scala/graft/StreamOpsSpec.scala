@@ -344,6 +344,55 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streamingQualityScores batch≡stream: static NB fit applied to the live feed") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.TextRetrieval
+    val docsB = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val (w, prior) = TextRetrieval.qualityClassifierFit(docsB, col("lang") === "en")
+    val wStatic = w.localCheckpoint(true)
+    val batch = TextRetrieval.qualityClassifierApply(docsB, wStatic, prior)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_feats"), r.getAs[Double]("score"), r.getAs[Boolean]("predicted"))))
+      .toMap
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val scored = StreamOps.streamingQualityScores(
+      input.toDS().toDF("ts", "doc_id", "text"), wStatic, prior)
+    val query = scored.writeStream.format("memory")
+      .queryName("quality_out").outputMode("append").start()
+    try {
+      val t0 = 1700000000000L
+      val rows = docsB.select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+      rows.grouped(100).foreach { b =>
+        input.addData(b.map { case (id, tx) => (new Timestamp(t0 + id), id, tx) }.toSeq: _*)
+        query.processAllAvailable()
+      }
+      input.addData((new Timestamp(t0 + 48 * 3600 * 1000L), -1L, "flush"))
+      query.processAllAvailable()
+      val streamOut = spark.table("quality_out")
+        .collect().filter(_.getAs[Long]("doc_id") >= 0L)
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_feats"), r.getAs[Double]("score"), r.getAs[Boolean]("predicted"))))
+        .toMap
+      // batch scores every doc (prior-only rows for zero-token docs);
+      // the stream emits only docs with features
+      val batchFeat = batch.filter(_._2._1 > 0L)
+      assert(streamOut.keySet == batchFeat.keySet,
+        s"doc sets diverged: onlyStream=${streamOut.keySet -- batchFeat.keySet} " +
+          s"onlyBatch=${batchFeat.keySet -- streamOut.keySet}")
+      streamOut.foreach { case (d, (n, s, p)) =>
+        val (bn, bs, bp) = batchFeat(d)
+        assert(n == bn, s"doc $d: n_feats $n vs $bn")
+        // batch sums c·w per bucket, the stream per occurrence — both
+        // round at 6dp, so scores agree except exactly at a grid edge
+        assert(math.abs(s - bs) <= 2e-6, s"doc $d: score $s vs $bs")
+        if (math.abs(bs - 0.5) > 1e-5)
+          assert(p == bp, s"doc $d: predicted $p vs $bp at score $bs")
+      }
+    } finally query.stop()
+  }
+
   test("streamingPerplexity batch≡stream: stream-static unigram scoring on the real fixture") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
