@@ -43,7 +43,9 @@ object Plans {
         "q110_ivfpq_topk", "q111_bigram_ppl", "q112_ppl_filter",
         "q113_ivfpq_residual", "q114_snapshot_diff", "q115_gopher_rules",
         "q116_gopher_curation", "q117_semdedup", "q118_dsir_select",
-        "q119_quality_classifier")
+        "q119_quality_classifier", "q120_kneser_ney_ppl",
+        "q121_classifier_holdout", "q122_component_winners",
+        "q123_neardup_incremental", "q124_image_resize")
     names.foreach { name =>
       if (name == "bucketed_demo") bucketedDemo(spark, dir)
       else {
@@ -158,7 +160,13 @@ object Plans {
     "q118_dsir_select" ->
       "doc-grain weight relation LEFT JOIN back to the doc universe on doc_id — both sides corpus-grain keyed; the λ and top-k relations are bounded and explicitly broadcast; AQE demotes when small",
     "q119_quality_classifier" ->
-      "doc-grain NB score relation LEFT JOIN back to the doc universe on doc_id — both sides corpus-grain keyed; the weight and prior relations are bucket-bounded and explicitly broadcast; AQE demotes when small")
+      "doc-grain NB score relation LEFT JOIN back to the doc universe on doc_id — both sides corpus-grain keyed; the weight and prior relations are bucket-bounded and explicitly broadcast; AQE demotes when small",
+    "q121_classifier_holdout" ->
+      "held-out doc universe LEFT JOIN its doc-grain score relation plus the actual-label join, all keyed on doc_id — both sides corpus-grain; the NB weight/prior relations are bucket-bounded and explicitly broadcast; AQE demotes when small",
+    "q122_component_winners" ->
+      "the q92 pair/closure machinery plus membership × per-component argmax joins keyed on component — both sides corpus-grain (components worst-case O(corpus)); AQE demotes when small",
+    "q123_neardup_incremental" ->
+      "cross-corpus candidate/verify joins keyed on (band|shingle|pair) and the final left_anti on doc_id — both sides corpus-grain, the q35 shape split across two corpora; AQE demotes when small")
 
   /** The bucketed-workspace co-location demo (SCALING.md / ROADMAP):
     * checkpoint the expression matrix bucketed on gene_id, then run a

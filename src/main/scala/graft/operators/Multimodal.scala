@@ -210,6 +210,61 @@ object Multimodal {
     }(enc)
   }
 
+  /** REAL bounded-downscale image resize — the multimodal PREP stage
+    * between raw ingest and feature extraction (vision-pipeline corpora
+    * normalize the long edge before batching into an encoder). Decode
+    * via ImageIO, scale so max(w, h) == maxDim with aspect preserved
+    * (bilinear Graphics2D resample), re-encode as PNG. Images already
+    * within the bound pass through with their ORIGINAL bytes
+    * (new_w = w, new_h = h — no decode→re-encode churn on the common
+    * path). Target dims use Math.round(half-up) — the same rule the
+    * oracle replays with SQL round(). Undecodable payloads keep the
+    * (0,0,0,0, null) failure contract of [[decodeImages]].
+    *
+    * Batched per partition like every media path; one decoded image in
+    * memory per row at a time, so executor footprint is bounded by the
+    * largest single image, not the batch. Output adds (width, height,
+    * new_width, new_height, resized) columns. */
+  def resizeImages(media: DataFrame, maxDim: Int): DataFrame = {
+    val schema = StructType(media.schema.fields ++ Seq(
+      StructField("width", IntegerType), StructField("height", IntegerType),
+      StructField("new_width", IntegerType), StructField("new_height", IntegerType),
+      StructField("resized", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]]("content")
+        val img =
+          if (bytes == null || bytes.isEmpty) null
+          else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+               catch { case scala.util.control.NonFatal(_) => null }
+        val out: Seq[Any] =
+          if (img == null) Seq(0, 0, 0, 0, null)
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            if (math.max(w, h) <= maxDim) Seq(w, h, w, h, bytes)
+            else {
+              val scale = maxDim.toDouble / math.max(w, h)
+              val nw = math.max(1, Math.round(w * scale).toInt)
+              val nh = math.max(1, Math.round(h * scale).toInt)
+              val dst = new java.awt.image.BufferedImage(nw, nh,
+                java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+              val g = dst.createGraphics()
+              try {
+                g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                  java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                g.drawImage(img, 0, 0, nw, nh, null)
+              } finally g.dispose()
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(dst, "png", bos)
+              Seq(w, h, nw, nh, bos.toByteArray)
+            }
+          }
+        Row.fromSeq(r.toSeq ++ out)
+      }
+    }(enc)
+  }
+
   /** Deterministic fake feature extractor: a `dim`-length float vector
     * from a rolling hash of the payload — the plumbing (array column,
     * batch iteration, downstream ANN compatibility) is real; the

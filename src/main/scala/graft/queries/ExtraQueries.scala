@@ -565,6 +565,46 @@ object ExtraQueries {
         .orderBy("p_partkey")
     }),
 
+    // ---- Multimodal: REAL image RESIZE (bounded downscale to a
+    // 24-px long edge, bilinear, PNG re-encode) through the batched
+    // media plumbing, then the resized BYTES re-decoded in-query —
+    // the hash matches only if every re-encoded PNG actually decodes
+    // to its target dimensions. Planted dims from p_partkey
+    // (w = 1 + k % 67, h = 1 + k % 41; some within the bound to
+    // exercise the pass-through path). ----
+    "q124_image_resize" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val ids = t(s, dir, "part").filter(col("p_partkey") <= 200)
+        .select(col("p_partkey").cast("long")).collect().map(_.getLong(0))
+      val rows = ids.toSeq.map { k =>
+        val w = (1 + k % 67).toInt
+        val h = (1 + k % 41).toInt
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        var x = 0
+        while (x < w) {
+          var y = 0
+          while (y < h) { img.setRGB(x, y, ((k * 31 + x * 7 + y) % 0xFFFFFF).toInt); y += 1 }
+          x += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (k, "image", bos.toByteArray)
+      }
+      val resized = Multimodal.resizeImages(
+        rows.toDF("media_id", "kind", "content"), maxDim = 24)
+      val redec = Multimodal.decodeImages(resized.select(col("media_id"),
+          lit("image").as("kind"), col("resized").as("content")))
+        .select(col("media_id"), col("width").as("rw"), col("height").as("rh"))
+      resized.select(col("media_id"), col("width"), col("height"),
+          col("new_width"), col("new_height"))
+        .join(redec, Seq("media_id"))
+        .select(col("media_id").as("p_partkey"), col("width"), col("height"),
+          col("new_width"), col("new_height"), col("rw"), col("rh"))
+        .orderBy("p_partkey")
+    }),
+
     // ---- Per-key quota sampling (domain/language balancing): cap
     // documents per pseudo-domain (doc_id % 7) at 20, survivors picked
     // by the seeded deterministic hash shuffle (md5 family so the
@@ -2261,6 +2301,31 @@ object ExtraQueries {
       """SELECT p_partkey, CAST(1 + p_partkey % 37 AS INT) AS width,
                 CAST(1 + p_partkey % 23 AS INT) AS height, 3 AS channels
          FROM part WHERE p_partkey <= 200 ORDER BY 1""",
+
+    // image-resize replay: planted dims are pure functions of
+    // p_partkey and the target dims are the same half-up rounding of
+    // w·(24/max(w,h)) the operator computes; rw/rh replay the target
+    // dims — on the Spark side they come from actually re-decoding
+    // the re-encoded PNGs, so the gate proves the resize is real.
+    "q124_image_resize" ->
+      """WITH d AS (
+           SELECT p_partkey,
+                  CAST(1 + p_partkey % 67 AS INT) AS w,
+                  CAST(1 + p_partkey % 41 AS INT) AS h
+           FROM part WHERE p_partkey <= 200),
+         r AS (
+           SELECT p_partkey, w, h,
+                  CASE WHEN greatest(w, h) <= 24 THEN w
+                       ELSE greatest(1, CAST(round(w * (24.0 / greatest(w, h))) AS INT))
+                  END AS nw,
+                  CASE WHEN greatest(w, h) <= 24 THEN h
+                       ELSE greatest(1, CAST(round(h * (24.0 / greatest(w, h))) AS INT))
+                  END AS nh
+           FROM d)
+         SELECT p_partkey, w AS width, h AS height,
+                CAST(nw AS INT) AS new_width, CAST(nh AS INT) AS new_height,
+                CAST(nw AS INT) AS rw, CAST(nh AS INT) AS rh
+         FROM r ORDER BY 1""",
 
     // quota-sample replay: the same md5-ordered window per domain.
     "q86_quota_sample" ->

@@ -116,6 +116,41 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L) == ((0, 0, 0L)))   // non-audio kind routed to zeros
   }
 
+  test("resizeImages: aspect-preserving downscale, pass-through within bound, solid color survives") {
+    def solidPng(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      Row(1L, "image", solidPng(60, 30, 0x336699), Map.empty[String, String]),
+      Row(2L, "image", solidPng(10, 8, 0xAA5511), Map.empty[String, String]), // within bound
+      Row(3L, "image", null, Map.empty[String, String]))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows),
+      Multimodal.mediaSchema)
+    val out = Multimodal.resizeImages(df, maxDim = 24).collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        ((r.getAs[Int]("width"), r.getAs[Int]("height"),
+          r.getAs[Int]("new_width"), r.getAs[Int]("new_height"),
+          r.getAs[Array[Byte]]("resized")))).toMap
+    assert(out(1L)._1 == 60 && out(1L)._2 == 30)
+    assert(out(1L)._3 == 24 && out(1L)._4 == 12, s"got ${out(1L)}")
+    // the resized payload is a real PNG of the target size, still solid
+    val dec = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(1L)._5))
+    assert(dec.getWidth == 24 && dec.getHeight == 12)
+    assert((dec.getRGB(11, 5) & 0xFFFFFF) == 0x336699,
+      f"interior pixel 0x${dec.getRGB(11, 5) & 0xFFFFFF}%06X")
+    // within-bound image passes through with its original bytes
+    assert(out(2L)._3 == 10 && out(2L)._4 == 8)
+    assert(java.util.Arrays.equals(out(2L)._5, solidPng(10, 8, 0xAA5511)))
+    // failure contract
+    assert(out(3L) == ((0, 0, 0, 0, null)))
+  }
+
   test("extractFeatures emits fixed-dim float vectors") {
     val out = Multimodal.extractFeatures(mediaDf, dim = 8).collect()
     out.foreach { r =>
