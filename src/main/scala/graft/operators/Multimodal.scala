@@ -218,7 +218,8 @@ object Multimodal {
     * within the bound pass through with their ORIGINAL bytes
     * (new_w = w, new_h = h — no decode→re-encode churn on the common
     * path). Target dims use Math.round(half-up) — the same rule the
-    * oracle replays with SQL round(). Undecodable payloads keep the
+    * oracle replays with SQL round(). Kind-routed (only `kind =
+    * image` rows decode); non-image and undecodable payloads keep the
     * (0,0,0,0, null) failure contract of [[decodeImages]].
     *
     * Batched per partition like every media path; one decoded image in
@@ -234,8 +235,11 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]]("content")
+        // kind-routed like decodeImages/decodeAudio: never attempt an
+        // image decode of audio/video payloads in a mixed relation
         val img =
-          if (bytes == null || bytes.isEmpty) null
+          if (bytes == null || bytes.isEmpty ||
+              r.getAs[String]("kind") != "image") null
           else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
                catch { case scala.util.control.NonFatal(_) => null }
         val out: Seq[Any] =

@@ -90,6 +90,9 @@ object TextDedup {
       id: String = "doc_id", text: String = "text",
       dfCap: Long = Long.MaxValue): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
+    // the zero-shared-shingle shortcut below (inner verify joins) is
+    // only equivalent to the contract for a strictly positive cutoff
+    require(minJaccard > 0.0, "minJaccard must be > 0")
     val shInc = capShingleDf(shingleRows(incoming, shingleWidth, id, text), dfCap)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val shRef = capShingleDf(shingleRows(reference, shingleWidth, id, text), dfCap)
@@ -612,16 +615,26 @@ object TextDedup {
     * resolves map-side. Returns one row per component:
     * (component, winner_id, n_members, best_quality). */
   def componentWinners(docs: DataFrame, pairs: DataFrame, quality: Column,
-      id: String = "doc_id"): DataFrame = {
-    val comp = duplicateComponents(pairs).withColumnRenamed("id", id)
+      id: String = "doc_id"): DataFrame =
+    winnersByQuality(docs, duplicateComponents(pairs).withColumnRenamed("id", id),
+      quality, id)
+      .select("component", "winner_id", "n_members", "best_quality")
+
+  /** The max-quality / min-id argmax over a labeled membership — the
+    * single home of the winner policy (shared by [[componentWinners]]
+    * and [[dedupByComponentsBest]]). Null-safe: `max` ignores NULL
+    * qualities, and the `<=>` argmax keeps an all-NULL component
+    * resolvable (winner = its min id) instead of silently vanishing.
+    * Returns (component, winner_id, n_members, best_quality). */
+  private def winnersByQuality(docs: DataFrame, comp: DataFrame,
+      quality: Column, id: String): DataFrame = {
     val labeled = docs.select(col(id), quality.as("__q")).join(comp, Seq(id))
     val qmax = labeled.groupBy("component")
       .agg(max("__q").as("best_quality"), count(lit(1)).as("n_members"))
     labeled.join(qmax, Seq("component"))
-      .filter(col("__q") === col("best_quality"))
+      .filter(col("__q") <=> col("best_quality"))
       .groupBy(col("component"), col("n_members"), col("best_quality"))
       .agg(min(col(id)).as("winner_id"))
-      .select("component", "winner_id", "n_members", "best_quality")
   }
 
   /** Cluster-grain near-dup removal keeping each component's
@@ -632,13 +645,10 @@ object TextDedup {
       quality: Column, id: String = "doc_id"): DataFrame = {
     // one label-propagation run shared by winner pick and loser drop
     val comp = duplicateComponents(pairs).withColumnRenamed("id", id)
-    val labeled = docs.select(col(id), quality.as("__q")).join(comp, Seq(id))
-    val qmax = labeled.groupBy("component").agg(max("__q").as("__qm"))
-    val winners = labeled.join(qmax, Seq("component"))
-      .filter(col("__q") === col("__qm"))
-      .groupBy("component").agg(min(col(id)).as("__win"))
-    val losers = labeled.join(winners, Seq("component"))
-      .filter(col(id) =!= col("__win")).select(col(id))
+    val winners = winnersByQuality(docs, comp, quality, id)
+      .select(col("component"), col("winner_id"))
+    val losers = comp.join(winners, Seq("component"))
+      .filter(col(id) =!= col("winner_id")).select(col(id))
     docs.join(losers, Seq(id), "left_anti")
   }
 

@@ -175,7 +175,9 @@ object TextRetrieval {
     // type-grain relation, not the corpus-grain pair stream
     val c12 = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val c1 = pairs.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    // c(w1·) = Σ_w2 c(w1 w2): derive from the bounded type-grain c12,
+    // not a second corpus-grain pass over the pair stream
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     val fol = c12.groupBy(col("w1")).agg(count(lit(1)).as("n1p_fol"))
     val cont = c12.groupBy(col("w2")).agg(count(lit(1)).as("n1p_pre"))
     val scalars = c12.agg(count(lit(1)).as("n_types"),
@@ -353,6 +355,33 @@ object TextRetrieval {
     * This is the SELF-TRAIN single-scan form (fit and score share one
     * persisted bucket-count relation). For a train/held-out split use
     * [[qualityClassifierFit]] + [[qualityClassifierApply]]. */
+  def qualityClassifierScores(docs: DataFrame, isPositive: Column,
+      alpha: Double = 1.0, hexChars: Int = 3,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val nBuckets = math.pow(16.0, hexChars)
+    val docBucket = docs
+      .select(col(id), isPositive.cast("boolean").as("__y"),
+        explode(dsirFeatures(col(text))).as("f"))
+      .select(col(id), col("__y"), dsirBucket(col("f"), hexChars).as("b"))
+      .groupBy(col(id), col("__y"), col("b")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val classCounts = docBucket.groupBy("b")
+      .agg(sum(when(col("__y"), col("c")).otherwise(0L)).as("cp"),
+        sum(when(!col("__y"), col("c")).otherwise(0L)).as("cn"))
+    val totals = classCounts.agg(sum("cp").as("tp"), sum("cn").as("tn"))
+    val w = classCounts.crossJoin(broadcast(totals))
+      .select(col("b"),
+        (log((col("cp") + lit(alpha)) / (col("tp") + lit(alpha * nBuckets))) -
+          log((col("cn") + lit(alpha)) / (col("tn") + lit(alpha * nBuckets))))
+          .as("w"))
+    val prior = docs.agg(
+      sum(isPositive.cast("boolean").cast("long")).as("np"),
+      count(lit(1)).as("n"))
+      .select((log(col("np") + 1L) - log(col("n") - col("np") + 1L)).as("bias"))
+    nbScore(docBucket.select(col(id), col("b"), col("c")),
+      docs.select(col(id)), w, prior, id)
+  }
+
   /** Naive-Bayes fit on a TRAINING corpus, returning the model as two
     * bounded relations: (weights over the TOTAL 16^hexChars bucket
     * space, 1-row prior log-odds bias). Emitting every bucket — not
@@ -405,47 +434,19 @@ object TextRetrieval {
       .select(col(id), explode(dsirFeatures(col(text))).as("f"))
       .select(col(id), dsirBucket(col("f"), hexChars).as("b"))
       .groupBy(col(id), col("b")).agg(count(lit(1)).as("c"))
-    val scored = docBucket.join(broadcast(weights), Seq("b"))
-      .groupBy(col(id))
-      .agg(sum("c").as("n_feats"),
-        sum(col("c").cast("double") * col("w")).as("__s0"))
-      .crossJoin(broadcast(prior))
-      .select(col(id), col("n_feats"),
-        round(lit(1.0) / (lit(1.0) + exp(-(col("__s0") + col("bias")))) +
-          lit(1e-9), 6).as("score"))
-    docs.select(col(id)).join(scored, Seq(id), "left")
-      .crossJoin(broadcast(prior))
-      .select(col(id), coalesce(col("n_feats"), lit(0L)).as("n_feats"),
-        coalesce(col("score"),
-          round(lit(1.0) / (lit(1.0) + exp(-col("bias"))) + lit(1e-9), 6))
-          .as("score"))
-      .withColumn("predicted", col("score") >= 0.5)
+    nbScore(docBucket, docs.select(col(id)), weights, prior, id)
   }
 
-  def qualityClassifierScores(docs: DataFrame, isPositive: Column,
-      alpha: Double = 1.0, hexChars: Int = 3,
-      id: String = "doc_id", text: String = "text"): DataFrame = {
-    val nBuckets = math.pow(16.0, hexChars)
-    val docBucket = docs
-      .select(col(id), isPositive.cast("boolean").as("__y"),
-        explode(dsirFeatures(col(text))).as("f"))
-      .select(col(id), col("__y"), dsirBucket(col("f"), hexChars).as("b"))
-      .groupBy(col(id), col("__y"), col("b")).agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val classCounts = docBucket.groupBy("b")
-      .agg(sum(when(col("__y"), col("c")).otherwise(0L)).as("cp"),
-        sum(when(!col("__y"), col("c")).otherwise(0L)).as("cn"))
-    val totals = classCounts.agg(sum("cp").as("tp"), sum("cn").as("tn"))
-    val w = classCounts.crossJoin(broadcast(totals))
-      .select(col("b"),
-        (log((col("cp") + lit(alpha)) / (col("tp") + lit(alpha * nBuckets))) -
-          log((col("cn") + lit(alpha)) / (col("tn") + lit(alpha * nBuckets))))
-          .as("w"))
-    val prior = docs.agg(
-      sum(isPositive.cast("boolean").cast("long")).as("np"),
-      count(lit(1)).as("n"))
-      .select((log(col("np") + 1L) - log(col("n") - col("np") + 1L)).as("bias"))
-    val scored = docBucket.join(broadcast(w), Seq("b"))
+  /** The shared NB scoring tail ([[qualityClassifierScores]],
+    * [[qualityClassifierApply]]): per-doc weight sums against the
+    * broadcast weight relation, the σ(s0 + bias) posterior on the
+    * 6-dp + 1e-9 cross-engine rounding grid (the grid lives HERE and
+    * in the oracle SQL only), prior-alone fallback for docs with no
+    * features. `bucketCounts` = (id, b, c); `universe` = every id
+    * that must emit a row. */
+  private def nbScore(bucketCounts: DataFrame, universe: DataFrame,
+      weights: DataFrame, prior: DataFrame, id: String): DataFrame = {
+    val scored = bucketCounts.join(broadcast(weights), Seq("b"))
       .groupBy(col(id))
       .agg(sum("c").as("n_feats"),
         sum(col("c").cast("double") * col("w")).as("__s0"))
@@ -454,7 +455,7 @@ object TextRetrieval {
         round(lit(1.0) / (lit(1.0) + exp(-(col("__s0") + col("bias")))) +
           lit(1e-9), 6).as("score"))
     // zero-token docs score the prior alone
-    docs.select(col(id)).join(scored, Seq(id), "left")
+    universe.join(scored, Seq(id), "left")
       .crossJoin(broadcast(prior))
       .select(col(id), coalesce(col("n_feats"), lit(0L)).as("n_feats"),
         coalesce(col("score"),

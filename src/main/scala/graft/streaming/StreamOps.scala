@@ -356,10 +356,16 @@ object StreamOps {
       watermarkDelay: String = "10 minutes"): DataFrame = {
     import graft.operators.TextRetrieval.{dsirBucket, dsirFeatures}
     val bias = prior.head().getDouble(0)
+    // materialize the fitted weights ONCE at query definition: the
+    // stream-static join re-evaluates the static sub-plan per
+    // micro-batch, which for a raw fit plan means re-tokenizing the
+    // whole training corpus every batch. The relation is bucket-
+    // bounded (16^hexChars rows) — checkpoint it and broadcast.
+    val wMat = broadcast(weights.localCheckpoint(true))
     docs.withWatermark(ts, watermarkDelay)
       .select(col(ts), col(id), explode(dsirFeatures(col(text))).as("f"))
       .select(col(ts), col(id), dsirBucket(col("f"), hexChars).as("b"))
-      .join(weights, Seq("b"))
+      .join(wMat, Seq("b"))
       .groupBy(window(col(ts), windowLen), col(id))
       .agg(count(lit(1)).as("n_feats"), sum(col("w")).as("__s0"))
       .select(col(id), col("n_feats"),

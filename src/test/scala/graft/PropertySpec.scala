@@ -346,6 +346,12 @@ class PropertySpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     // winners survive, losers drop, unpaired docs untouched
     assert(kept == Set(2L, 11L, 20L))
+    // an all-NULL-quality cluster still resolves (winner = min id)
+    // instead of silently skipping dedup (round-8 review finding)
+    val nullQ = TextDedup.dedupByComponentsBest(docs,
+        pairs, when(col("q") < 0, col("q")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(nullQ == Set(1L, 10L, 20L), s"got $nullQ")
   }
 
   test("qualityClassifier: self-train fit+apply reproduces the single-scan scores form") {
