@@ -48,6 +48,7 @@ object Plans {
         "q123_neardup_incremental", "q124_image_resize")
     names.foreach { name =>
       if (name == "bucketed_demo") bucketedDemo(spark, dir)
+      else if (name == "bucketed_neardup_demo") bucketedNearDupDemo(spark, dir)
       else {
         val df = SparkEntry.queries(name)(spark, dir)
         val plan = df.queryExecution.explainString(
@@ -198,5 +199,53 @@ object Plans {
     println(s"\n========== bucketed_demo ==========")
     println(s"[audit] bucketed_demo: exchanges unbucketed=$plain bucketed=$bucketed " +
       (if (bucketed == 0) "(no-exchange co-location confirmed)" else "UNEXPECTED EXCHANGES"))
+  }
+
+  /** The at-rest near-dup index co-location proof (TextDedup
+    * .nearDupIndex's storage contract): the reference band relation
+    * written BUCKETED by `band` joins an incremental crawl's band rows
+    * with no reference-side shuffle — only the (new, small) incoming
+    * side exchanges. Compares shuffle-exchange counts for the same
+    * candidate join against the unbucketed vs bucketed at-rest table. */
+  private def bucketedNearDupDemo(spark: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val ref = docs.filter(col("doc_id") % 7 < 3)
+    val inc = docs.filter(col("doc_id") % 7 >= 3)
+    def save(df: org.apache.spark.sql.DataFrame, table: String,
+        bucketKey: Option[String]): org.apache.spark.sql.DataFrame = {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      val warehouse = new org.apache.hadoop.fs.Path(
+        spark.sessionState.conf.warehousePath, table.toLowerCase)
+      val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(warehouse)) fs.delete(warehouse, true)
+      val w = df.write.format("parquet").mode("overwrite")
+      bucketKey.fold(w)(k => w.bucketBy(8, k).sortBy(k)).saveAsTable(table)
+      spark.table(table)
+    }
+    val refBands = graft.operators.TextDedup.nearDupIndex(ref, md5Hashes = true)._1
+    val plainTbl = save(refBands, "graft_neardup_bands_plain", None)
+    val bucketTbl = save(refBands, "graft_neardup_bands_bucketed", Some("band"))
+    // materialize the incoming bands too, so the counted exchanges are
+    // the JOIN's alone (not the signature aggregation upstream), and
+    // force the at-scale join regime: at corpus scale neither side
+    // broadcasts, which is exactly when at-rest bucketing pays
+    val incTbl = save(
+      graft.operators.TextDedup.nearDupIndex(inc, md5Hashes = true)._1
+        .select(col("band"), col("doc_id").as("inc_id")),
+      "graft_neardup_bands_incoming", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    def cand(refRel: org.apache.spark.sql.DataFrame) = incTbl
+      .join(refRel.select(col("band"), col("doc_id").as("ref_id")), Seq("band"))
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      "(?<!Broadcast)Exchange".r.findAllIn(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)).size
+    val (p, b) = (exchanges(cand(plainTbl)), exchanges(cand(bucketTbl)))
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    println(s"\n========== bucketed_neardup_demo ==========")
+    println(s"[audit] bucketed_neardup_demo: candidate-join exchanges " +
+      s"unbucketed-index=$p bucketed-index=$b " +
+      (if (b < p) "(reference side co-located at rest — only the incoming crawl shuffles)"
+       else "UNEXPECTED: bucketing removed no exchange"))
   }
 }

@@ -89,25 +89,52 @@ object TextDedup {
       shingleWidth: Int = 3, md5Hashes: Boolean = false,
       id: String = "doc_id", text: String = "text",
       dfCap: Long = Long.MaxValue): DataFrame = {
+    val (refBands, refShingles) =
+      nearDupIndex(reference, k, bands, shingleWidth, md5Hashes, id, text, dfCap)
+    nearDupAgainstIndex(incoming, refBands, refShingles, minJaccard,
+      k, bands, shingleWidth, md5Hashes, id, text, dfCap)
+  }
+
+  /** The at-rest reference near-dup INDEX: (id, band) MinHash
+    * signature rows and (id, shingle) verify rows, derived ONCE per
+    * reference snapshot. Store them bucketed by `band` / shingle and
+    * every incremental crawl joins against them co-located with zero
+    * reference-side shuffle (`Plans bucketed_neardup_demo` proves the
+    * exchange count). Returns (bandRelation, shingleRelation). */
+  def nearDupIndex(reference: DataFrame, k: Int = 8, bands: Int = 4,
+      shingleWidth: Int = 3, md5Hashes: Boolean = false,
+      id: String = "doc_id", text: String = "text",
+      dfCap: Long = Long.MaxValue): (DataFrame, DataFrame) = {
+    require(k % bands == 0, "k must divide into bands")
+    val shRef = capShingleDf(shingleRows(reference, shingleWidth, id, text), dfCap)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (bandRows(shRef, k, bands, md5Hashes, id), shRef)
+  }
+
+  /** [[nearDupAgainstReference]] against a PRECOMPUTED reference index
+    * (the [[nearDupIndex]] relations, typically re-read from their
+    * bucketed at-rest tables). */
+  def nearDupAgainstIndex(incoming: DataFrame, refBands: DataFrame,
+      refShingles: DataFrame, minJaccard: Double = 0.5, k: Int = 8,
+      bands: Int = 4, shingleWidth: Int = 3, md5Hashes: Boolean = false,
+      id: String = "doc_id", text: String = "text",
+      dfCap: Long = Long.MaxValue): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     // the zero-shared-shingle shortcut below (inner verify joins) is
     // only equivalent to the contract for a strictly positive cutoff
     require(minJaccard > 0.0, "minJaccard must be > 0")
     val shInc = capShingleDf(shingleRows(incoming, shingleWidth, id, text), dfCap)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val shRef = capShingleDf(shingleRows(reference, shingleWidth, id, text), dfCap)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = bandRows(shInc, k, bands, md5Hashes, id)
       .select(col("band"), col(id).as("inc_id"))
-      .join(bandRows(shRef, k, bands, md5Hashes, id)
-        .select(col("band"), col(id).as("ref_id")), Seq("band"))
+      .join(refBands.select(col("band"), col(id).as("ref_id")), Seq("band"))
       .select("inc_id", "ref_id").distinct()
     val inter = cand
       .join(shInc.select(col(id).as("inc_id"), col("s")), Seq("inc_id"))
-      .join(shRef.select(col(id).as("ref_id"), col("s")), Seq("ref_id", "s"))
+      .join(refShingles.select(col(id).as("ref_id"), col("s")), Seq("ref_id", "s"))
       .groupBy("inc_id", "ref_id").agg(count(lit(1)).as("inter"))
     val szInc = shInc.groupBy(col(id)).agg(count(lit(1)).as("sz_a"))
-    val szRef = shRef.groupBy(col(id)).agg(count(lit(1)).as("sz_b"))
+    val szRef = refShingles.groupBy(col(id)).agg(count(lit(1)).as("sz_b"))
     // band collisions with zero shared shingles never reach `inter`
     // (inner joins) — they are exactly the pairs that cannot pass any
     // positive minJaccard, so no left-join backfill is needed
