@@ -256,6 +256,7 @@ object Pipelines {
       nearDupClusters: Boolean = false,
       repeatedSpanN: Option[Int] = None,
       referenceFp: Option[DataFrame] = None,
+      referenceNearDup: Option[DataFrame] = None,
       gopherMinWords: Option[Int] = None,
       gopherMinStopWords: Int = 2): DataFrame = {
     import graft.functions.TextFunctions._
@@ -282,7 +283,19 @@ object Pipelines {
       case Some(ref) => TextDedup.dedupAgainstReference(docsG, ref)
       case None => docsG
     }
-    val exact0 = TextDedup.exactDedup(docs0)
+    // optional incremental NEAR-dup front stage: drop documents that
+    // near-duplicate the previous crawl ([[TextDedup
+    // .nearDupAgainstReference]] — banded candidates against the
+    // reference signature index + exact Jaccard verify). Runs after
+    // the exact-fingerprint reference stage (cheapest first) and
+    // before any in-batch work, at the chain's near-dup threshold.
+    val docs1 = referenceNearDup match {
+      case Some(refDocs) => TextDedup.nearDupAgainstReference(docs0,
+        refDocs, minJaccard = nearDupJaccard, md5Hashes = md5Hashes,
+        dfCap = dfCap)
+      case None => docs0
+    }
+    val exact0 = TextDedup.exactDedup(docs1)
     // optional paragraph-grain boilerplate removal (Dolma-style) runs
     // between whole-document dedup and near-dup: docs stripped to
     // empty text fall out at the quality floor below, the same

@@ -45,7 +45,8 @@ object Plans {
         "q116_gopher_curation", "q117_semdedup", "q118_dsir_select",
         "q119_quality_classifier", "q120_kneser_ney_ppl",
         "q121_classifier_holdout", "q122_component_winners",
-        "q123_neardup_incremental", "q124_image_resize")
+        "q123_neardup_incremental", "q124_image_resize",
+        "q125_incremental_curation")
     names.foreach { name =>
       if (name == "bucketed_demo") bucketedDemo(spark, dir)
       else if (name == "bucketed_neardup_demo") bucketedNearDupDemo(spark, dir)
@@ -167,7 +168,9 @@ object Plans {
     "q122_component_winners" ->
       "the q92 pair/closure machinery plus membership × per-component argmax joins keyed on component — both sides corpus-grain (components worst-case O(corpus)); AQE demotes when small",
     "q123_neardup_incremental" ->
-      "cross-corpus candidate/verify joins keyed on (band|shingle|pair) and the final left_anti on doc_id — both sides corpus-grain, the q35 shape split across two corpora; AQE demotes when small")
+      "cross-corpus candidate/verify joins keyed on (band|shingle|pair) and the final left_anti on doc_id — both sides corpus-grain, the q35 shape split across two corpora; AQE demotes when small",
+    "q125_incremental_curation" ->
+      "the q79 curation-chain joins plus the q123 reference near-dup front stage (band/shingle/pair-keyed) and the exact-confirm anti-join on the fingerprint — all corpus-grain keyed; AQE demotes at runtime")
 
   /** The bucketed-workspace co-location demo (SCALING.md / ROADMAP):
     * checkpoint the expression matrix bucketed on gene_id, then run a

@@ -62,6 +62,23 @@ object SparkEntry {
   def clearQueryCaches(): Unit = {
     graft.queries.ExtraQueries.clearCaches()
     graft.operators.Similarity.clearCaches()
+    // Drop EVERY cross-query cache so a cold sample is genuinely cold:
+    // (1) catalog.clearCache() removes CacheManager entries AND their
+    // blocks — a later query whose sub-plan matches an earlier query's
+    // persisted relation (q92's shingle rows ≡ q35's) would otherwise
+    // silently read it as a warm cache; clearing blocks WITHOUT the
+    // entries is worse than either (the plan still substitutes the
+    // InMemoryRelation and re-materializes it per sample — measured
+    // 23.6s vs a true-cold 5.4s). (2) Orphaned localCheckpoint blocks
+    // are NOT in the CacheManager and otherwise pin storage memory
+    // until the JVM happens to GC their RDD references — 100+ queries
+    // into a bench they evict execution memory (q68 in-catalog 21.0s
+    // vs 8.9s solo before this sweep).
+    org.apache.spark.sql.SparkSession.getActiveSession.foreach { s =>
+      s.catalog.clearCache()
+      s.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
   }
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -122,6 +122,27 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- E6: INCREMENTAL curation — curate a NEW crawl against an
+    // existing corpus end-to-end: exact-fingerprint reference dedup
+    // (Bloom prune + exact confirm), banded near-dup against the
+    // reference index (Jaccard >= 0.5 at the chain threshold), then
+    // the E4 stages (in-batch exact dedup -> near-dup -> lang ->
+    // quality). Reference = doc_id % 7 < 3 (the q94/q123 split). ----
+    "q125_incremental_curation" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val refDocs = docs.filter(col("doc_id") % 7 < 3)
+      val inc = docs.filter(col("doc_id") % 7 >= 3)
+      val refFp = refDocs.select(
+        graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+      graft.Pipelines.textCuration(inc, langs = Seq("en"), minQuality = 0.3,
+          nearDupJaccard = 0.5, md5Hashes = true,
+          referenceFp = Some(refFp), referenceNearDup = Some(refDocs))
+        .select(col("doc_id"), col("lang"),
+          round(col("quality") + 1e-9, 6).as("quality"),
+          col("ws_tokens"), col("bpeish_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // ---- E4 full curation: the text-curation chain with EVERY stage
     // on — exact dedup → near-dup → lang → quality → Gopher
     // repetition filter → 3-gram benchmark decontamination → PII
@@ -1291,6 +1312,75 @@ object TextQueries {
               round(avg(score) + 1e-7, 4) + 0.0 AS avg_score,
               min(doc_id) AS first_id
        FROM scored GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // E6 incremental-curation replay: the q65 core over the incoming
+    // slice PRE-FILTERED by (1) the q94 exact-fingerprint NOT IN and
+    // (2) the q123 near-dup machinery at j >= 0.5 (computed over all
+    // incoming docs — the vs-reference verdict for a doc is
+    // independent of which other incoming docs survive, so filtering
+    // before or after the exact stage is equivalent)
+    "q125_incremental_curation" -> {
+      val incSrc = s"""SELECT d.doc_id, d.text FROM documents d
+        WHERE d.doc_id % 7 >= 3
+          AND md5(array_to_string(list_filter(
+                string_split_regex(lower(d.text), '[^a-z0-9]+'),
+                x -> x <> ''), ' ')) NOT IN (
+            SELECT DISTINCT md5(array_to_string(list_filter(
+                string_split_regex(lower(r.text), '[^a-z0-9]+'),
+                x -> x <> ''), ' '))
+            FROM documents r WHERE r.doc_id % 7 < 3)
+          AND NOT EXISTS (SELECT 1 FROM (
+            WITH sh0 AS ($shinglesSql),
+            shr AS (SELECT doc_id, sh FROM sh0 WHERE doc_id % 7 < 3),
+            shi AS (SELECT doc_id, sh FROM sh0 WHERE doc_id % 7 >= 3),
+            hr AS (SELECT doc_id, md5(unnest(sh)) AS h FROM shr),
+            hi AS (SELECT doc_id, md5(unnest(sh)) AS h FROM shi),
+            sigr AS (
+              SELECT doc_id,
+                     [min(substr(h, 1, 4)), min(substr(h, 5, 4)),
+                      min(substr(h, 9, 4)), min(substr(h, 13, 4)),
+                      min(substr(h, 17, 4)), min(substr(h, 21, 4)),
+                      min(substr(h, 25, 4)), min(substr(h, 29, 4))] AS s
+              FROM hr GROUP BY doc_id),
+            sigi AS (
+              SELECT doc_id,
+                     [min(substr(h, 1, 4)), min(substr(h, 5, 4)),
+                      min(substr(h, 9, 4)), min(substr(h, 13, 4)),
+                      min(substr(h, 17, 4)), min(substr(h, 21, 4)),
+                      min(substr(h, 25, 4)), min(substr(h, 29, 4))] AS s
+              FROM hi GROUP BY doc_id),
+            br AS (
+              SELECT doc_id,
+                     unnest(['0#' || s[1] || '#' || s[2], '1#' || s[3] || '#' || s[4],
+                             '2#' || s[5] || '#' || s[6], '3#' || s[7] || '#' || s[8]]) AS band
+              FROM sigr),
+            bi AS (
+              SELECT doc_id,
+                     unnest(['0#' || s[1] || '#' || s[2], '1#' || s[3] || '#' || s[4],
+                             '2#' || s[5] || '#' || s[6], '3#' || s[7] || '#' || s[8]]) AS band
+              FROM sigi),
+            cand AS (
+              SELECT DISTINCT i.doc_id AS inc_id, r.doc_id AS ref_id
+              FROM bi i JOIN br r ON i.band = r.band),
+            ver AS (
+              SELECT inc_id, ref_id,
+                     len(list_filter(si.sh, x -> list_contains(sr.sh, x))) * 1.0 /
+                     (len(si.sh) + len(sr.sh)
+                      - len(list_filter(si.sh, x -> list_contains(sr.sh, x)))) AS j
+              FROM cand JOIN shi si ON si.doc_id = inc_id
+                        JOIN shr sr ON sr.doc_id = ref_id)
+            SELECT DISTINCT inc_id FROM ver WHERE j >= 0.5) dup
+            WHERE dup.inc_id = d.doc_id)"""
+      s"""${curationCoreSql(incSrc)}
+          SELECT doc_id, lang, round(q + 1e-9, 6) + 0.0 AS quality,
+                 CAST(len(toks) AS INT) AS ws_tokens,
+                 CAST(coalesce(list_sum(list_transform(toks,
+                        w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0)
+                      + length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS INT) AS bpeish_tokens
+          FROM quality
+          WHERE lang = 'en' AND q >= 0.3
+          ORDER BY doc_id"""
+    },
 
     // E4 curation pipeline replayed stage by stage: exact-dedup
     // keepers, md5 MinHash bands + Jaccard verify for near-dup losers,
