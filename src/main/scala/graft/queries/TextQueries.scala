@@ -100,6 +100,64 @@ object TextQueries {
             FROM lang
           )"""
 
+  /** q126 oracle: `nMerges` BPE training rounds, each as four chained
+    * CTEs (pair counts → 1-row argmax → island-parity keep set →
+    * merged/reindexed state) over the doc_id % 5 = 0 sample. */
+  private def bpeOracleSql(nMerges: Int): String = {
+    val rounds = (1 to nMerges).map { r =>
+      val prev = s"s${r - 1}"
+      s"""p$r AS MATERIALIZED (
+           SELECT word, freq, pos, sym,
+                  lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+           FROM $prev),
+         b$r AS MATERIALIZED (
+           SELECT sym AS lhs, nxt AS rhs, sum(freq) AS cnt
+           FROM p$r WHERE nxt IS NOT NULL
+           GROUP BY 1, 2 ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1),
+         km$r AS MATERIALIZED (
+           SELECT word, pos FROM (
+             SELECT word, pos,
+                    min(pos) OVER (PARTITION BY word, island) AS imin
+             FROM (SELECT p.word, p.pos,
+                          p.pos - row_number() OVER (
+                            PARTITION BY p.word ORDER BY p.pos) AS island
+                   FROM p$r p, b$r b
+                   WHERE p.sym = b.lhs AND p.nxt = b.rhs))
+           WHERE (pos - imin) % 2 = 0),
+         s$r AS MATERIALIZED (
+           SELECT word, freq,
+                  row_number() OVER (PARTITION BY word ORDER BY pos) - 1 AS pos,
+                  CASE WHEN hit THEN lhs || rhs ELSE sym END AS sym
+           FROM (SELECT s.word, s.freq, s.pos, s.sym,
+                        (k.pos IS NOT NULL) AS hit, b.lhs, b.rhs
+                 FROM $prev s CROSS JOIN b$r b
+                 LEFT JOIN km$r k ON k.word = s.word AND k.pos = s.pos
+                 WHERE NOT EXISTS (SELECT 1 FROM km$r k2
+                   WHERE k2.word = s.word AND k2.pos = s.pos - 1)))"""
+    }.mkString(",\n")
+    val union = (1 to nMerges).map(r =>
+      s"SELECT $r AS round, lhs, rhs, CAST(cnt AS BIGINT) AS pair_count FROM b$r")
+      .mkString("\n UNION ALL ")
+    s"""WITH wf AS (
+         SELECT u.word, count(*) AS freq FROM (
+           SELECT unnest(list_filter(
+             string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS word
+           FROM documents WHERE doc_id % 5 = 0) u
+         GROUP BY 1),
+       s0 AS MATERIALIZED (
+         SELECT word, freq, i - 1 AS pos, syms[i] AS sym FROM (
+           SELECT word, freq, syms,
+                  unnest(generate_series(1, len(syms))) AS i
+           FROM (SELECT word, freq,
+                        list_append(list_transform(
+                          generate_series(1, length(word)),
+                          j -> substr(word, j, 1)), '</w>') AS syms
+                 FROM wf))),
+       $rounds
+       SELECT * FROM (
+       $union) ORDER BY round"""
+  }
+
   /** Shared SQL fragment: distinct 3-shingle sets per document. */
   private val shinglesSql =
     s"""WITH tk AS ($toksSql)
@@ -120,6 +178,19 @@ object TextQueries {
           round(col("quality") + 1e-9, 6).as("quality"),
           col("ws_tokens"), col("bpeish_tokens"))
         .orderBy("doc_id")
+    }),
+
+    // ---- BPE vocabulary training: the REAL Sennrich-2016 merge loop
+    // as relational algebra — adjacent-pair counts weighted by word
+    // frequency, deterministic argmax (count desc, pair asc), greedy
+    // left-to-right merge apply via the island-parity window rule
+    // (PropertySpec proves it equals the sequential fold). Trained on
+    // the doc_id % 5 = 0 sample (tokenizers train on samples); every
+    // round replays in the oracle as four chained CTEs. ----
+    "q126_bpe_merges" -> ((s, dir) => {
+      graft.operators.Bpe.bpeMerges(
+        t(s, dir, "documents").filter(col("doc_id") % 5 === 0), nMerges = 12)
+        .orderBy("round")
     }),
 
     // ---- E6: INCREMENTAL curation — curate a NEW crawl against an
@@ -1312,6 +1383,13 @@ object TextQueries {
               round(avg(score) + 1e-7, 4) + 0.0 AS avg_score,
               min(doc_id) AS first_id
        FROM scored GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // BPE replay: every training round as four chained CTEs — pair
+    // counts over the previous symbol state, the 1-row argmax, the
+    // island-parity keep set, and the merged/reindexed next state.
+    // The same window algebra as the engine, so the merge table
+    // matches round for round.
+    "q126_bpe_merges" -> bpeOracleSql(nMerges = 12),
 
     // E6 incremental-curation replay: the q65 core over the incoming
     // slice PRE-FILTERED by (1) the q94 exact-fingerprint NOT IN and

@@ -310,6 +310,58 @@ class PropertySpec extends SparkSpec {
     assert(bi(2L) > bi(1L) + 0.1, s"bigram fluency: $bi")
   }
 
+  test("bpeMerges: relational greedy-apply matches a sequential reference BPE") {
+    import graft.operators.Bpe
+    // reference implementation: the classic sequential left-to-right
+    // greedy fold — the thing the island-parity window algebra claims
+    // to equal. Corpus engineered to exercise a==b runs ("aaaa",
+    // "lll") where greedy vs merge-all-matches genuinely differ.
+    def refApply(l: List[String], a: String, b: String): List[String] = l match {
+      case x :: y :: rest if x == a && y == b => (a + b) :: refApply(rest, a, b)
+      case x :: rest => x :: refApply(rest, a, b)
+      case Nil => Nil
+    }
+    def refBpe(words: Map[String, Long], n: Int): Seq[(String, String, Long)] = {
+      var state = words.map { case (w, f) =>
+        w -> ((w.map(_.toString).toList :+ "</w>", f)) }
+      val out = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+      for (_ <- 1 to n) {
+        val counts = scala.collection.mutable.Map[(String, String), Long]()
+        state.values.foreach { case (syms, f) =>
+          syms.zip(syms.tail).foreach(p => counts(p) = counts.getOrElse(p, 0L) + f) }
+        if (counts.nonEmpty) {
+          val ((a, b), c) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+          out += ((a, b, c))
+          state = state.map { case (w, (syms, f)) => w -> ((refApply(syms, a, b), f)) }
+        }
+      }
+      out.toSeq
+    }
+    val corpus = Seq(
+      (1L, "hello hello hello help hell shell"),
+      (2L, "aaaa aaa aa lll llll hello"),
+      (3L, "low lower lowest low low newer new wider"),
+      (4L, "abab ababab aba bab"))
+    val docs = corpus.toDF("doc_id", "text")
+    val words = corpus.flatMap(_._2.split(" ")).groupBy(identity)
+      .map { case (w, v) => w -> v.size.toLong }
+    val expected = refBpe(words, 10)
+    val got = Bpe.bpeMerges(docs, 10).orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == expected, s"\ngot:      $got\nexpected: $expected")
+    // encode side: segmenting with the trained merges reproduces the
+    // reference fold applied in training order
+    val merges = expected.map(m => (m._1, m._2))
+    val seg = Bpe.segment(words.keys.toSeq.toDF("word"), merges)
+      .collect().groupBy(_.getString(0))
+      .map { case (w, rows) => w -> rows.sortBy(_.getInt(1)).map(_.getString(2)).toList }
+    words.keys.foreach { w =>
+      val ref = merges.foldLeft(w.map(_.toString).toList :+ "</w>") {
+        case (l, (a, b)) => refApply(l, a, b) }
+      assert(seg(w) == ref, s"word $w: ${seg(w)} vs $ref")
+    }
+  }
+
   test("nearDupAgainstReference: drops incoming docs with a verified reference near-dup only") {
     import graft.operators.TextDedup
     val ref = Seq(
