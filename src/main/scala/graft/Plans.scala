@@ -46,7 +46,8 @@ object Plans {
         "q119_quality_classifier", "q120_kneser_ney_ppl",
         "q121_classifier_holdout", "q122_component_winners",
         "q123_neardup_incremental", "q124_image_resize",
-        "q125_incremental_curation", "q126_bpe_merges")
+        "q125_incremental_curation", "q126_bpe_merges",
+        "q127_subword_counts")
     names.foreach { name =>
       if (name == "bucketed_demo") bucketedDemo(spark, dir)
       else if (name == "bucketed_neardup_demo") bucketedNearDupDemo(spark, dir)

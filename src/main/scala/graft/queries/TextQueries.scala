@@ -103,7 +103,74 @@ object TextQueries {
   /** q126 oracle: `nMerges` BPE training rounds, each as four chained
     * CTEs (pair counts → 1-row argmax → island-parity keep set →
     * merged/reindexed state) over the doc_id % 5 = 0 sample. */
-  private def bpeOracleSql(nMerges: Int): String = {
+  private def bpeOracleSql(nMerges: Int): String =
+    s"""WITH ${bpeTrainCtes(nMerges)}
+       SELECT * FROM (
+       ${(1 to nMerges).map(r =>
+        s"SELECT $r AS round, lhs, rhs, CAST(cnt AS BIGINT) AS pair_count FROM b$r")
+        .mkString("\n UNION ALL ")}) ORDER BY round"""
+
+  /** q127 oracle: the q126 training chain, then the SAME merges
+    * applied to the FULL corpus vocabulary (the t-chain — apply-only
+    * rounds referencing each b$r), subword counts per word, and
+    * per-source totals. */
+  private def bpeSubwordOracleSql(nMerges: Int): String = {
+    val applyRounds = (1 to nMerges).map { r =>
+      val prev = s"t${r - 1}"
+      s"""ap$r AS MATERIALIZED (
+           SELECT word, pos, sym,
+                  lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+           FROM $prev),
+         akm$r AS MATERIALIZED (
+           SELECT word, pos FROM (
+             SELECT word, pos,
+                    min(pos) OVER (PARTITION BY word, island) AS imin
+             FROM (SELECT p.word, p.pos,
+                          p.pos - row_number() OVER (
+                            PARTITION BY p.word ORDER BY p.pos) AS island
+                   FROM ap$r p, b$r b
+                   WHERE p.sym = b.lhs AND p.nxt = b.rhs))
+           WHERE (pos - imin) % 2 = 0),
+         t$r AS MATERIALIZED (
+           SELECT word,
+                  row_number() OVER (PARTITION BY word ORDER BY pos) - 1 AS pos,
+                  CASE WHEN hit THEN lhs || rhs ELSE sym END AS sym
+           FROM (SELECT s.word, s.pos, s.sym,
+                        (k.pos IS NOT NULL) AS hit, b.lhs, b.rhs
+                 FROM $prev s CROSS JOIN b$r b
+                 LEFT JOIN akm$r k ON k.word = s.word AND k.pos = s.pos
+                 WHERE NOT EXISTS (SELECT 1 FROM akm$r k2
+                   WHERE k2.word = s.word AND k2.pos = s.pos - 1)))"""
+    }.mkString(",\n")
+    s"""WITH ${bpeTrainCtes(nMerges)},
+       dw AS MATERIALIZED (
+         SELECT doc_id, source, u.word, count(*) AS cnt FROM (
+           SELECT doc_id, source, unnest(list_filter(
+             string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS word
+           FROM documents) u
+         GROUP BY 1, 2, 3),
+       t0 AS MATERIALIZED (
+         SELECT word, i - 1 AS pos, syms[i] AS sym FROM (
+           SELECT word, syms, unnest(generate_series(1, len(syms))) AS i
+           FROM (SELECT word, list_append(list_transform(
+                        generate_series(1, length(word)),
+                        j -> substr(word, j, 1)), '</w>') AS syms
+                 FROM (SELECT DISTINCT word FROM dw)))),
+       $applyRounds,
+       nsub AS (SELECT word, count(*) AS n_sub FROM t$nMerges GROUP BY 1)
+       SELECT source, count(DISTINCT doc_id) AS n_docs,
+              CAST(sum(cnt * n_sub) AS BIGINT) AS subword_tokens,
+              CAST(sum(cnt) AS BIGINT) AS ws_tokens
+       FROM dw JOIN nsub USING (word)
+       GROUP BY 1 ORDER BY 1"""
+  }
+
+  /** Shared training CTEs for the BPE oracles: wf (the %5 sample's
+    * word frequencies), s0 (initial symbols), and per-round
+    * p/b/km/s CTEs. Every CTE is MATERIALIZED — plain CTE inlining
+    * multiplies reference counts per round and the expansion is
+    * exponential in round depth. */
+  private def bpeTrainCtes(nMerges: Int): String = {
     val rounds = (1 to nMerges).map { r =>
       val prev = s"s${r - 1}"
       s"""p$r AS MATERIALIZED (
@@ -135,10 +202,7 @@ object TextQueries {
                  WHERE NOT EXISTS (SELECT 1 FROM km$r k2
                    WHERE k2.word = s.word AND k2.pos = s.pos - 1)))"""
     }.mkString(",\n")
-    val union = (1 to nMerges).map(r =>
-      s"SELECT $r AS round, lhs, rhs, CAST(cnt AS BIGINT) AS pair_count FROM b$r")
-      .mkString("\n UNION ALL ")
-    s"""WITH wf AS (
+    s"""wf AS (
          SELECT u.word, count(*) AS freq FROM (
            SELECT unnest(list_filter(
              string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS word
@@ -153,9 +217,7 @@ object TextQueries {
                           generate_series(1, length(word)),
                           j -> substr(word, j, 1)), '</w>') AS syms
                  FROM wf))),
-       $rounds
-       SELECT * FROM (
-       $union) ORDER BY round"""
+       $rounds"""
   }
 
   /** Shared SQL fragment: distinct 3-shingle sets per document. */
@@ -191,6 +253,32 @@ object TextQueries {
       graft.operators.Bpe.bpeMerges(
         t(s, dir, "documents").filter(col("doc_id") % 5 === 0), nMerges = 12)
         .orderBy("round")
+    }),
+
+    // ---- REAL subword token accounting: train the q126 vocabulary
+    // on the %5 sample, segment the FULL corpus vocabulary with it
+    // (vocabulary-grain — the corpus never re-scans per merge), and
+    // report per-source subword vs whitespace token totals — the
+    // fertility numbers a token-budgeting stage (q88/q91) would use.
+    // Docs with zero tokens contribute nothing (as the join drops
+    // them symmetrically in the oracle). ----
+    "q127_subword_counts" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.operators.Bpe.bpeMerges(
+          docs.filter(col("doc_id") % 5 === 0), nMerges = 12)
+        .orderBy("round").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val dw = docs.select(col("doc_id"), col("source"),
+          explode(tokens(col("text"))).as("word"))
+        .groupBy("doc_id", "source", "word").agg(count(lit(1)).as("cnt"))
+      val seg = graft.operators.Bpe.segment(dw.select("word").distinct(), merges)
+        .groupBy("word").agg(count(lit(1)).as("n_sub"))
+      dw.join(seg, Seq("word"))
+        .groupBy("source")
+        .agg(count_distinct(col("doc_id")).as("n_docs"),
+          sum(col("cnt") * col("n_sub")).as("subword_tokens"),
+          sum(col("cnt")).as("ws_tokens"))
+        .orderBy("source")
     }),
 
     // ---- E6: INCREMENTAL curation — curate a NEW crawl against an
@@ -1390,6 +1478,10 @@ object TextQueries {
     // The same window algebra as the engine, so the merge table
     // matches round for round.
     "q126_bpe_merges" -> bpeOracleSql(nMerges = 12),
+
+    // subword-count replay: the q126 training chain + the apply-only
+    // t-chain over the full corpus vocabulary + per-source totals
+    "q127_subword_counts" -> bpeSubwordOracleSql(nMerges = 12),
 
     // E6 incremental-curation replay: the q65 core over the incoming
     // slice PRE-FILTERED by (1) the q94 exact-fingerprint NOT IN and
