@@ -288,7 +288,10 @@ object Pipelines {
     // .nearDupAgainstReference]] — banded candidates against the
     // reference signature index + exact Jaccard verify). Runs after
     // the exact-fingerprint reference stage (cheapest first) and
-    // before any in-batch work, at the chain's near-dup threshold.
+    // before any in-batch work, at the chain's near-dup threshold and
+    // dfCap (note: when dfCap binds, the incoming-side shingle-df
+    // counts depend on the docs that survived the exact stage — the
+    // same order-sensitivity caveat as the in-batch near-dup stage).
     val docs1 = referenceNearDup match {
       case Some(refDocs) => TextDedup.nearDupAgainstReference(docs0,
         refDocs, minJaccard = nearDupJaccard, md5Hashes = md5Hashes,

@@ -74,11 +74,17 @@ object SparkEntry {
     // until the JVM happens to GC their RDD references — 100+ queries
     // into a bench they evict execution memory (q68 in-catalog 21.0s
     // vs 8.9s solo before this sweep).
-    org.apache.spark.sql.SparkSession.getActiveSession.foreach { s =>
-      s.catalog.clearCache()
-      s.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-    }
+    // getActiveSession is THREAD-LOCAL — a caller on a thread that
+    // didn't create the session would silently skip the sweep (and
+    // cold samples would quietly read warm caches again); fall back
+    // to the global default session.
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .foreach { s =>
+        s.catalog.clearCache()
+        s.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
   }
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -92,6 +92,7 @@ object Bpe {
         val dropped = s.join(
           keep.select(col("word"), (col("pos") + 1).as("pos")),
           Seq("word", "pos"), "left_anti")
+        val prev = s
         s = dropped
           .join(keep.withColumn("hit", lit(true)), Seq("word", "pos"), "left")
           .withColumn("sym", when(col("hit"), lit(a + b)).otherwise(col("sym")))
@@ -99,9 +100,15 @@ object Bpe {
             Window.partitionBy("word").orderBy("pos")) - 1)
           .select("word", "freq", "pos", "sym")
           .localCheckpoint(true)
+        // drop the superseded round's checkpoint blocks NOW — the
+        // failure mode SCALING.md's orphaned-block note measured, fixed
+        // locally instead of waiting for the global cold-sample sweep
+        prev.unpersist(blocking = false)
         round += 1
       }
     }
+    // the final state is dead once the merge table exists
+    s.unpersist(blocking = false)
     merges.toSeq.toDF("round", "lhs", "rhs", "pair_count")
   }
 
@@ -127,6 +134,7 @@ object Bpe {
       val dropped = s.join(
         keep.select(col("word"), (col("pos") + 1).as("pos")),
         Seq("word", "pos"), "left_anti")
+      val prev = s
       s = dropped
         .join(keep.withColumn("hit", lit(true)), Seq("word", "pos"), "left")
         .withColumn("sym", when(col("hit"), lit(a + b)).otherwise(col("sym")))
@@ -134,6 +142,7 @@ object Bpe {
           Window.partitionBy("word").orderBy("pos")) - 1)
         .select("word", "freq", "pos", "sym")
         .localCheckpoint(true)
+      prev.unpersist(blocking = false)
     }
     s.select("word", "pos", "sym")
   }

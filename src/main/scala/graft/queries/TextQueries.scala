@@ -136,8 +136,10 @@ object TextQueries {
                   row_number() OVER (PARTITION BY word ORDER BY pos) - 1 AS pos,
                   CASE WHEN hit THEN lhs || rhs ELSE sym END AS sym
            FROM (SELECT s.word, s.pos, s.sym,
-                        (k.pos IS NOT NULL) AS hit, b.lhs, b.rhs
-                 FROM $prev s CROSS JOIN b$r b
+                        (k.pos IS NOT NULL) AS hit,
+                        (SELECT lhs FROM b$r) AS lhs,
+                        (SELECT rhs FROM b$r) AS rhs
+                 FROM $prev s
                  LEFT JOIN akm$r k ON k.word = s.word AND k.pos = s.pos
                  WHERE NOT EXISTS (SELECT 1 FROM akm$r k2
                    WHERE k2.word = s.word AND k2.pos = s.pos - 1)))"""
@@ -196,8 +198,10 @@ object TextQueries {
                   row_number() OVER (PARTITION BY word ORDER BY pos) - 1 AS pos,
                   CASE WHEN hit THEN lhs || rhs ELSE sym END AS sym
            FROM (SELECT s.word, s.freq, s.pos, s.sym,
-                        (k.pos IS NOT NULL) AS hit, b.lhs, b.rhs
-                 FROM $prev s CROSS JOIN b$r b
+                        (k.pos IS NOT NULL) AS hit,
+                        (SELECT lhs FROM b$r) AS lhs,
+                        (SELECT rhs FROM b$r) AS rhs
+                 FROM $prev s
                  LEFT JOIN km$r k ON k.word = s.word AND k.pos = s.pos
                  WHERE NOT EXISTS (SELECT 1 FROM km$r k2
                    WHERE k2.word = s.word AND k2.pos = s.pos - 1)))"""
@@ -219,6 +223,54 @@ object TextQueries {
                  FROM wf))),
        $rounds"""
   }
+
+  /** Shared q123/q125 fragment: the cross-corpus reference near-dup
+    * DROP SET as a self-contained subquery — `(…) dup` with one
+    * `inc_id` column listing every incoming doc (doc_id % 7 >= 3)
+    * whose band-collision + exact-Jaccard verify against the
+    * reference slice (doc_id % 7 < 3) meets `minJ`. One home for the
+    * md5 signature/band layout so the two gates cannot drift. */
+  private def refNearDupDropSubquery(minJ: Double): String =
+    s"""(WITH sh0 AS ($shinglesSql),
+        shr AS (SELECT doc_id, sh FROM sh0 WHERE doc_id % 7 < 3),
+        shi AS (SELECT doc_id, sh FROM sh0 WHERE doc_id % 7 >= 3),
+        hr AS (SELECT doc_id, md5(unnest(sh)) AS h FROM shr),
+        hi AS (SELECT doc_id, md5(unnest(sh)) AS h FROM shi),
+        sigr AS (
+          SELECT doc_id,
+                 [min(substr(h, 1, 4)), min(substr(h, 5, 4)),
+                  min(substr(h, 9, 4)), min(substr(h, 13, 4)),
+                  min(substr(h, 17, 4)), min(substr(h, 21, 4)),
+                  min(substr(h, 25, 4)), min(substr(h, 29, 4))] AS s
+          FROM hr GROUP BY doc_id),
+        sigi AS (
+          SELECT doc_id,
+                 [min(substr(h, 1, 4)), min(substr(h, 5, 4)),
+                  min(substr(h, 9, 4)), min(substr(h, 13, 4)),
+                  min(substr(h, 17, 4)), min(substr(h, 21, 4)),
+                  min(substr(h, 25, 4)), min(substr(h, 29, 4))] AS s
+          FROM hi GROUP BY doc_id),
+        br AS (
+          SELECT doc_id,
+                 unnest(['0#' || s[1] || '#' || s[2], '1#' || s[3] || '#' || s[4],
+                         '2#' || s[5] || '#' || s[6], '3#' || s[7] || '#' || s[8]]) AS band
+          FROM sigr),
+        bi AS (
+          SELECT doc_id,
+                 unnest(['0#' || s[1] || '#' || s[2], '1#' || s[3] || '#' || s[4],
+                         '2#' || s[5] || '#' || s[6], '3#' || s[7] || '#' || s[8]]) AS band
+          FROM sigi),
+        cand AS (
+          SELECT DISTINCT i.doc_id AS inc_id, r.doc_id AS ref_id
+          FROM bi i JOIN br r ON i.band = r.band),
+        ver AS (
+          SELECT inc_id, ref_id,
+                 len(list_filter(si.sh, x -> list_contains(sr.sh, x))) * 1.0 /
+                 (len(si.sh) + len(sr.sh)
+                  - len(list_filter(si.sh, x -> list_contains(sr.sh, x)))) AS j
+          FROM cand JOIN shi si ON si.doc_id = inc_id
+                    JOIN shr sr ON sr.doc_id = ref_id)
+        SELECT DISTINCT inc_id FROM ver WHERE j >= $minJ)"""
 
   /** Shared SQL fragment: distinct 3-shingle sets per document. */
   private val shinglesSql =
@@ -1485,10 +1537,14 @@ object TextQueries {
 
     // E6 incremental-curation replay: the q65 core over the incoming
     // slice PRE-FILTERED by (1) the q94 exact-fingerprint NOT IN and
-    // (2) the q123 near-dup machinery at j >= 0.5 (computed over all
-    // incoming docs — the vs-reference verdict for a doc is
+    // (2) the shared refNearDupDropSubquery at j >= 0.5 (computed
+    // over all incoming docs — the vs-reference verdict for a doc is
     // independent of which other incoming docs survive, so filtering
-    // before or after the exact stage is equivalent)
+    // before or after the exact stage is equivalent). Caveat shared
+    // with the in-batch near-dup stage: the replay assumes the
+    // engine's dfCap (textCuration's 100k default, passed through to
+    // the reference stage) never binds at fixture scale — a corpus
+    // with a 100k-doc shingle would diverge.
     "q125_incremental_curation" -> {
       val incSrc = s"""SELECT d.doc_id, d.text FROM documents d
         WHERE d.doc_id % 7 >= 3
@@ -1499,47 +1555,7 @@ object TextQueries {
                 string_split_regex(lower(r.text), '[^a-z0-9]+'),
                 x -> x <> ''), ' '))
             FROM documents r WHERE r.doc_id % 7 < 3)
-          AND NOT EXISTS (SELECT 1 FROM (
-            WITH sh0 AS ($shinglesSql),
-            shr AS (SELECT doc_id, sh FROM sh0 WHERE doc_id % 7 < 3),
-            shi AS (SELECT doc_id, sh FROM sh0 WHERE doc_id % 7 >= 3),
-            hr AS (SELECT doc_id, md5(unnest(sh)) AS h FROM shr),
-            hi AS (SELECT doc_id, md5(unnest(sh)) AS h FROM shi),
-            sigr AS (
-              SELECT doc_id,
-                     [min(substr(h, 1, 4)), min(substr(h, 5, 4)),
-                      min(substr(h, 9, 4)), min(substr(h, 13, 4)),
-                      min(substr(h, 17, 4)), min(substr(h, 21, 4)),
-                      min(substr(h, 25, 4)), min(substr(h, 29, 4))] AS s
-              FROM hr GROUP BY doc_id),
-            sigi AS (
-              SELECT doc_id,
-                     [min(substr(h, 1, 4)), min(substr(h, 5, 4)),
-                      min(substr(h, 9, 4)), min(substr(h, 13, 4)),
-                      min(substr(h, 17, 4)), min(substr(h, 21, 4)),
-                      min(substr(h, 25, 4)), min(substr(h, 29, 4))] AS s
-              FROM hi GROUP BY doc_id),
-            br AS (
-              SELECT doc_id,
-                     unnest(['0#' || s[1] || '#' || s[2], '1#' || s[3] || '#' || s[4],
-                             '2#' || s[5] || '#' || s[6], '3#' || s[7] || '#' || s[8]]) AS band
-              FROM sigr),
-            bi AS (
-              SELECT doc_id,
-                     unnest(['0#' || s[1] || '#' || s[2], '1#' || s[3] || '#' || s[4],
-                             '2#' || s[5] || '#' || s[6], '3#' || s[7] || '#' || s[8]]) AS band
-              FROM sigi),
-            cand AS (
-              SELECT DISTINCT i.doc_id AS inc_id, r.doc_id AS ref_id
-              FROM bi i JOIN br r ON i.band = r.band),
-            ver AS (
-              SELECT inc_id, ref_id,
-                     len(list_filter(si.sh, x -> list_contains(sr.sh, x))) * 1.0 /
-                     (len(si.sh) + len(sr.sh)
-                      - len(list_filter(si.sh, x -> list_contains(sr.sh, x)))) AS j
-              FROM cand JOIN shi si ON si.doc_id = inc_id
-                        JOIN shr sr ON sr.doc_id = ref_id)
-            SELECT DISTINCT inc_id FROM ver WHERE j >= 0.5) dup
+          AND NOT EXISTS (SELECT 1 FROM ${refNearDupDropSubquery(0.5)} dup
             WHERE dup.inc_id = d.doc_id)"""
       s"""${curationCoreSql(incSrc)}
           SELECT doc_id, lang, round(q + 1e-9, 6) + 0.0 AS quality,
@@ -1784,54 +1800,16 @@ object TextQueries {
           FROM reach GROUP BY 1 ORDER BY 1"""),
 
     // incremental near-dup replay: the q92 signature/band machinery
-    // split by the q94 reference/incoming rule; dropped = any
-    // cross-corpus band collision whose exact Jaccard ≥ 0.3
+    // split by the q94 reference/incoming rule (the shared
+    // refNearDupDropSubquery); dropped = any cross-corpus band
+    // collision whose exact Jaccard ≥ 0.3
     "q123_neardup_incremental" ->
-      (s"""WITH sh0 AS ($shinglesSql),
-          shr AS (SELECT doc_id, sh FROM sh0 WHERE doc_id % 7 < 3),
-          shi AS (SELECT doc_id, sh FROM sh0 WHERE doc_id % 7 >= 3),
-          hr AS (SELECT doc_id, md5(unnest(sh)) AS h FROM shr),
-          hi AS (SELECT doc_id, md5(unnest(sh)) AS h FROM shi),
-          sigr AS (
-            SELECT doc_id,
-                   [min(substr(h, 1, 4)), min(substr(h, 5, 4)),
-                    min(substr(h, 9, 4)), min(substr(h, 13, 4)),
-                    min(substr(h, 17, 4)), min(substr(h, 21, 4)),
-                    min(substr(h, 25, 4)), min(substr(h, 29, 4))] AS s
-            FROM hr GROUP BY doc_id),
-          sigi AS (
-            SELECT doc_id,
-                   [min(substr(h, 1, 4)), min(substr(h, 5, 4)),
-                    min(substr(h, 9, 4)), min(substr(h, 13, 4)),
-                    min(substr(h, 17, 4)), min(substr(h, 21, 4)),
-                    min(substr(h, 25, 4)), min(substr(h, 29, 4))] AS s
-            FROM hi GROUP BY doc_id),
-          br AS (
-            SELECT doc_id,
-                   unnest(['0#' || s[1] || '#' || s[2], '1#' || s[3] || '#' || s[4],
-                           '2#' || s[5] || '#' || s[6], '3#' || s[7] || '#' || s[8]]) AS band
-            FROM sigr),
-          bi AS (
-            SELECT doc_id,
-                   unnest(['0#' || s[1] || '#' || s[2], '1#' || s[3] || '#' || s[4],
-                           '2#' || s[5] || '#' || s[6], '3#' || s[7] || '#' || s[8]]) AS band
-            FROM sigi),
-          cand AS (
-            SELECT DISTINCT i.doc_id AS inc_id, r.doc_id AS ref_id
-            FROM bi i JOIN br r ON i.band = r.band),
-          ver AS (
-            SELECT inc_id, ref_id,
-                   len(list_filter(si.sh, x -> list_contains(sr.sh, x))) * 1.0 /
-                   (len(si.sh) + len(sr.sh)
-                    - len(list_filter(si.sh, x -> list_contains(sr.sh, x)))) AS j
-            FROM cand JOIN shi si ON si.doc_id = inc_id
-                      JOIN shr sr ON sr.doc_id = ref_id),
-          dup AS (SELECT DISTINCT inc_id FROM ver WHERE j >= 0.3)
-          SELECT d.source, count(*) AS n_kept, min(d.doc_id) AS first_kept,
+      (s"""SELECT d.source, count(*) AS n_kept, min(d.doc_id) AS first_kept,
                  CAST(sum(d.doc_id) AS BIGINT) AS sum_ids
           FROM documents d
           WHERE d.doc_id % 7 >= 3
-            AND NOT EXISTS (SELECT 1 FROM dup WHERE dup.inc_id = d.doc_id)
+            AND NOT EXISTS (SELECT 1 FROM ${refNearDupDropSubquery(0.3)} dup
+                            WHERE dup.inc_id = d.doc_id)
           GROUP BY 1 ORDER BY 1"""),
 
     // winner replay: the q92 closure, then max-quality / min-id argmax
