@@ -127,6 +127,10 @@ object ScaleProbe {
     // distinct; docs with no `e` stay verbatim across copies and form
     // real 100-member dup clusters — the exact-dedup stage's job.
     if (args.contains("curation100x")) {
+      // optional second arg picks the document-chain query to clock
+      // (default q79); any catalog query reading only `documents` works
+      val cq = args.drop(args.indexOf("curation100x") + 1).headOption
+        .getOrElse("q79_full_curation")
       val copies100 = 100
       val dst100 = s"target/scale/sf10x-v$derivationVersion-c$copies100"
       val out = s"$dst100/documents.parquet"
@@ -143,13 +147,13 @@ object ScaleProbe {
         spark.catalog.clearCache()
         SparkEntry.clearQueryCaches()
         val t0 = System.nanoTime()
-        SparkEntry.queries("q79_full_curation")(spark, dir).queryExecution.toRdd.count()
+        SparkEntry.queries(cq)(spark, dir).queryExecution.toRdd.count()
         (System.nanoTime() - t0) / 1e9
       }
       val small = math.min(oneCuration(src), oneCuration(src))
       val big = oneCuration(dst100) // one sample: the 100× run self-warms
-      println(f"[scale] q79_full_curation(100x) sf0.1=$small%8.2fs 100x=$big%8.2fs ratio=${big / small}%6.2f")
-      println(f"""[scale-json] {"copies":$copies100,"queries":{"q79_full_curation_100x":{"sf01":$small%.3f,"x100":$big%.3f,"ratio":${big / small}%.3f}}}""")
+      println(f"[scale] $cq(100x) sf0.1=$small%8.2fs 100x=$big%8.2fs ratio=${big / small}%6.2f")
+      println(f"""[scale-json] {"copies":$copies100,"queries":{"${cq}_100x":{"sf01":$small%.3f,"x100":$big%.3f,"ratio":${big / small}%.3f}}}""")
       spark.stop(); return
     }
 
