@@ -29,10 +29,24 @@ object Bench {
     // never sets SPARK_GRAFT_ONLY, so the round artifact is always the
     // full catalog.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
+    // Host CPU-steal accounting (/proc/stat first line: user nice
+    // system idle iowait irq softirq STEAL ...): ambient host
+    // contention is the bench's dominant noise term (r8: 375 s driver
+    // vs 251 s builder on identical code, with warm>cold inversions
+    // matching diagnosed steal bursts) — recording the per-sample
+    // steal fraction makes that drift attributable in the artifact
+    // instead of costing an investigation each round.
+    def cpuJiffies(): Option[(Long, Long)] =
+      try {
+        val line = scala.io.Source.fromFile("/proc/stat").getLines()
+          .find(_.startsWith("cpu ")).get
+        val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+        Some((f(7), f.sum)) // (steal, total)
+      } catch { case _: Throwable => None }
     val results = SparkEntry.queries.toSeq
       .filter(t => only.forall(_.findFirstIn(t._1).isDefined))
       .sortBy(_._1).map { case (name, fn) =>
-      def once(cold: Boolean = true): (Double, Option[String]) = {
+      def once(cold: Boolean = true): (Double, Option[String], Option[Double]) = {
         // drop the query-scoped memo caches (shared chain fixtures,
         // IVF quantizer) BEFORE the clock starts: round 5's q73
         // headline was a 0.05 s memo hit on a 4.4 s cold chain — a
@@ -41,6 +55,7 @@ object Bench {
         // methodology change from an operator regression across
         // rounds (the r5→r6 "1.55×" was purely warm→cold).
         if (cold) SparkEntry.clearQueryCaches()
+        val j0 = cpuJiffies()
         val t0 = System.nanoTime()
         // toRdd.count() materializes every output column — a plain
         // Dataset.count() would let Catalyst prune the expensive
@@ -48,7 +63,11 @@ object Bench {
         val err =
           try { fn(spark, sfDir).queryExecution.toRdd.count(); None }
           catch { case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(200)) }
-        ((System.nanoTime() - t0) / 1e9, err)
+        val steal = for {
+          (s0, tot0) <- j0; (s1, tot1) <- cpuJiffies()
+          if tot1 > tot0
+        } yield (s1 - s0).toDouble / (tot1 - tot0)
+        ((System.nanoTime() - t0) / 1e9, err, steal)
       }
       val base = (1 to reps).map(_ => once())
       // sub-second queries are scheduling-jitter-bound (measured: every
@@ -67,39 +86,51 @@ object Bench {
       // every one of the chain's 114 jobs slowed uniformly ~4x, no
       // stage- or cache-specific cause; GC log clean) that min-of-2
       // cold absorbed and min-of-1 warm could not.
-      val warmRes: Seq[(Double, Option[String])] =
+      val warmRes: Seq[(Double, Option[String], Option[Double])] =
         if (coldSamples.forall(_._2.isEmpty)) {
           val first = once(cold = false)
           if (coldSamples.map(_._1).min >= 1.0) Seq(first, once(cold = false))
           else Seq(first)
         } else Seq.empty
-      val warmOk = warmRes.collect { case (t, None) => t }
+      val warmOk = warmRes.collect { case (t, None, _) => t }
       val warm = if (warmOk.nonEmpty) Some(warmOk.min) else None
-      val err = coldSamples.collectFirst { case (_, Some(e)) => e }
-        .orElse(warmRes.collectFirst { case (_, Some(e)) => s"warm-only: $e" })
+      val err = coldSamples.collectFirst { case (_, Some(e), _) => e }
+        .orElse(warmRes.collectFirst { case (_, Some(e), _) => s"warm-only: $e" })
       // the reported min is over SUCCESSFUL samples: a fast failure
       // must not under-report a query whose other rep succeeded (the
       // headline and the failure set would disagree); only when every
       // rep failed do the failed walls stand in
-      val ok = coldSamples.collect { case (t, None) => t }
+      val ok = coldSamples.collect { case (t, None, _) => t }
       (name, coldSamples.map(_._1),
-        if (ok.nonEmpty) ok else coldSamples.map(_._1), warm, err)
+        if (ok.nonEmpty) ok else coldSamples.map(_._1), warm, err,
+        coldSamples.map(_._3) ++ warmRes.map(_._3))
     }
-    val qs = results.map { case (k, _, ok, _, _) => s"\"" + k + "\":" + ok.min }
+    def stealArr(ss: Seq[Option[Double]]): String =
+      ss.map(_.map(v => f"$v%.4f").getOrElse("null")).mkString("[", ",", "]")
+    val qs = results.map { case (k, _, ok, _, _, _) => s"\"" + k + "\":" + ok.min }
       .mkString("{", ",", "}")
     // the structured per-query map the round artifacts consume:
     // name → {cold (best-of-N, caches cleared), warm (one post-cold
-    // sample, caches kept), samples (raw cold walls)}
-    val parsed = results.map { case (k, ss, ok, warm, _) =>
+    // sample, caches kept), samples (raw cold walls), steal (per-
+    // sample host steal fraction, cold samples then warm samples)}
+    val parsed = results.map { case (k, ss, ok, warm, _, steals) =>
       s"\"" + k + "\":{\"cold\":" + ok.min +
         ",\"warm\":" + warm.map(_.toString).getOrElse("null") +
-        ",\"samples\":" + ss.mkString("[", ",", "]") + "}" }
+        ",\"samples\":" + ss.mkString("[", ",", "]") +
+        ",\"steal\":" + stealArr(steals) + "}" }
       .mkString("{", ",", "}")
-    val failures = results.collect { case (k, _, _, _, Some(e)) =>
+    val failures = results.collect { case (k, _, _, _, Some(e), _) =>
       "\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._3.min).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"parsed":$parsed,"failures":$failures,"sf":"$sfDir"}"""
+    // samples whose steal fraction exceeds the flag threshold: these
+    // walls are ambient-contended, not the query's own cost
+    val stealThreshold = 0.05
+    val highSteal = results.collect {
+      case (k, _, _, _, _, steals)
+        if steals.flatten.exists(_ > stealThreshold) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"parsed":$parsed,"failures":$failures,"high_steal":$highSteal,"steal_threshold":$stealThreshold,"sf":"$sfDir"}"""
     println(json)
     // Persist the full artifact: captured stdout tails truncate to the
     // last ~2000 chars, which can never hold the 105-query map — the
@@ -113,14 +144,15 @@ object Bench {
     // 2000-char tail window (total, failure names, 5 slowest colds),
     // so a truncated capture still parses structurally.
     val slow = results.sortBy(-_._3.min).take(5)
-      .map { case (k, _, ok, warm, _) => s"\"" + k + "\":{\"cold\":" +
+      .map { case (k, _, ok, warm, _, _) => s"\"" + k + "\":{\"cold\":" +
         f"${ok.min}%.2f" + ",\"warm\":" +
         warm.map(w => f"$w%.2f").getOrElse("null") + "}" }
       .mkString("{", ",", "}")
-    val failNames = results.collect { case (k, _, _, _, Some(_)) => "\"" + k + "\"" }
+    val failNames = results.collect { case (k, _, _, _, Some(_), _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     println(s"""{"bench_summary":{"total":$total,"n_queries":${results.size},""" +
-      s""""reps":$reps,"failed":$failNames,"slowest":$slow,"detail":"$outPath"}}""")
+      s""""reps":$reps,"failed":$failNames,"high_steal":$highSteal,""" +
+      s""""slowest":$slow,"detail":"$outPath"}}""")
     spark.stop()
   }
 }

@@ -283,22 +283,31 @@ object Pipelines {
       case Some(ref) => TextDedup.dedupAgainstReference(docsG, ref)
       case None => docsG
     }
-    // optional incremental NEAR-dup front stage: drop documents that
+    // in-batch exact dedup runs BEFORE the reference near-dup stage:
+    // identical texts produce identical shingles and therefore
+    // identical vs-reference verdicts, so collapsing verbatim
+    // duplicates first is keep-set-preserving — and strictly cheaper,
+    // because each verbatim copy would otherwise independently emit
+    // bands, collide with the same reference docs, and pay its own
+    // shingle-verify join (a crawl's verbatim-dup mass multiplies the
+    // most expensive stage's candidate set by the dup factor). The
+    // exact-FINGERPRINT reference stage above stays first — a Bloom
+    // probe is near-free.
+    val exactFp = TextDedup.exactDedup(docs0)
+    // optional incremental NEAR-dup stage: drop documents that
     // near-duplicate the previous crawl ([[TextDedup
     // .nearDupAgainstReference]] — banded candidates against the
-    // reference signature index + exact Jaccard verify). Runs after
-    // the exact-fingerprint reference stage (cheapest first) and
-    // before any in-batch work, at the chain's near-dup threshold and
-    // dfCap (note: when dfCap binds, the incoming-side shingle-df
-    // counts depend on the docs that survived the exact stage — the
-    // same order-sensitivity caveat as the in-batch near-dup stage).
-    val docs1 = referenceNearDup match {
-      case Some(refDocs) => TextDedup.nearDupAgainstReference(docs0,
+    // reference signature index + exact Jaccard verify) at the
+    // chain's near-dup threshold and dfCap (note: when dfCap binds,
+    // the incoming-side shingle-df counts depend on the docs that
+    // survived the exact stage — the same order-sensitivity caveat
+    // as the in-batch near-dup stage).
+    val exact0 = referenceNearDup match {
+      case Some(refDocs) => TextDedup.nearDupAgainstReference(exactFp,
         refDocs, minJaccard = nearDupJaccard, md5Hashes = md5Hashes,
         dfCap = dfCap)
-      case None => docs0
+      case None => exactFp
     }
-    val exact0 = TextDedup.exactDedup(docs1)
     // optional paragraph-grain boilerplate removal (Dolma-style) runs
     // between whole-document dedup and near-dup: docs stripped to
     // empty text fall out at the quality floor below, the same

@@ -246,11 +246,20 @@ object Plans {
     val incTbl = save(
       incBandRel.select(col("band"), col("doc_id").as("inc_id")),
       "graft_neardup_bands_incoming", None)
+    // restore the PRIOR threshold (not the build default) and do so on
+    // every exit path — an exception here must not leave broadcast
+    // joins disabled for every later audit in the session
+    val prevThreshold =
+      spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     def cand(refRel: org.apache.spark.sql.DataFrame) = incTbl
       .join(refRel.select(col("band"), col("doc_id").as("ref_id")), Seq("band"))
-    val (p, b) = (exchanges(cand(plainTbl)), exchanges(cand(bucketTbl)))
-    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    val (p, b) =
+      try (exchanges(cand(plainTbl)), exchanges(cand(bucketTbl)))
+      finally prevThreshold match {
+        case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
     // the demo only needed the band relations; drop the shingle
     // relations nearDupIndex persisted for the (unused) verify path
     refShingles.unpersist(blocking = false)

@@ -157,6 +157,67 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    // DUP-HEAVY probe (`runMain graft.ScaleProbe dupheavy`): the r9
+    // stage-reorder's receipt. A crawl with heavy verbatim-dup mass is
+    // the NORMAL case; before r9, textCuration ran the reference
+    // near-dup stage on raw incoming docs, so each verbatim copy
+    // independently produced bands, collided with the same reference
+    // docs, and paid its own shingle-verify join. This derives a
+    // 5×-verbatim incoming corpus (each doc duplicated under 5
+    // distinct ids) and counts the verify join's candidate set with
+    // and without the pre-stage in-batch exactDedup: the count must
+    // drop by ~the dup factor. Wall-clock for the full reference
+    // near-dup stage both ways is recorded alongside.
+    if (args.contains("dupheavy")) {
+      import graft.operators.TextDedup
+      val base = spark.read.parquet(s"$src/documents.parquet")
+        .select("doc_id", "text")
+      val ref = base.filter(col("doc_id") % 7 < 3).localCheckpoint(true)
+      val inc0 = base.filter(col("doc_id") % 7 >= 3)
+      val dupFactor = 5
+      val inc = (0 until dupFactor).map(c =>
+          inc0.withColumn("doc_id", col("doc_id") + c * keyShift))
+        .reduce(_ unionByName _).localCheckpoint(true)
+      // catalog.clearCache() (NOT SparkEntry.clearQueryCaches): the
+      // probe HOLDS localCheckpointed relations (ref/inc/deduped)
+      // across samples, and the global sweep would unpersist their
+      // truncated-lineage blocks ("checkpoint block not found" — the
+      // exact sharp edge clearQueryCaches' contract documents). The
+      // CacheManager clear is what cold needs here: it stops the
+      // second sample reusing the first's persisted shingle relations.
+      def candCount(docs: DataFrame): Long = {
+        spark.catalog.clearCache()
+        val (incBands, incSh) = TextDedup.nearDupIndex(docs, md5Hashes = true)
+        val (refBands, refSh) = TextDedup.nearDupIndex(ref, md5Hashes = true)
+        val n = incBands.select(col("band"), col("doc_id").as("inc_id"))
+          .join(refBands.select(col("band"), col("doc_id").as("ref_id")), Seq("band"))
+          .select("inc_id", "ref_id").distinct().count()
+        incSh.unpersist(blocking = false); refSh.unpersist(blocking = false)
+        n
+      }
+      def wall(docs: DataFrame): Double = {
+        def once(): Double = {
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          TextDedup.nearDupAgainstReference(docs, ref, minJaccard = 0.5,
+            md5Hashes = true).queryExecution.toRdd.count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        math.min(once(), once())
+      }
+      spark.range(1000000L).selectExpr("sum(id)").collect()
+      val deduped = TextDedup.exactDedup(inc).localCheckpoint(true)
+      val (candRaw, candDeduped) = (candCount(inc), candCount(deduped))
+      val (wallRaw, wallDeduped) = (wall(inc), wall(deduped))
+      println(f"[scale] refNearDup(dupheavy) candidates raw=$candRaw%d " +
+        f"deduped=$candDeduped%d drop=${candRaw.toDouble / candDeduped}%6.2fx " +
+        f"(dup factor $dupFactor)")
+      println(f"[scale] refNearDup(dupheavy) wall raw=$wallRaw%8.2fs " +
+        f"deduped=$wallDeduped%8.2fs ratio=${wallRaw / wallDeduped}%6.2f")
+      println(f"""[scale-json] {"dup_factor":$dupFactor,"queries":{"refneardup_dupheavy":{"cand_raw":$candRaw,"cand_deduped":$candDeduped,"cand_drop":${candRaw.toDouble / candDeduped}%.3f,"wall_raw":$wallRaw%.3f,"wall_deduped":$wallDeduped%.3f}}}""")
+      spark.stop(); return
+    }
+
     // best of two runs: the first run pays codegen/JIT/footer costs
     // that would otherwise inflate the small side (it runs first) and
     // flatter the ratio

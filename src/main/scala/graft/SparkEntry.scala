@@ -58,7 +58,15 @@ object SparkEntry {
   /** Drop every query-scoped memo cache (shared chain fixtures, IVF
     * quantizer). The bench calls this before each timed sample so a
     * per-query headline is always a cold measurement; Verify leaves
-    * the caches alone (sharing across queries is the fixture design). */
+    * the caches alone (sharing across queries is the fixture design).
+    *
+    * CONTRACT: the sweep unpersists EVERY persistent RDD in the
+    * session — including localCheckpoint-backed ones whose lineage is
+    * truncated, which become unrecomputable ("checkpoint block not
+    * found") if still referenced. No checkpointed DataFrame may be
+    * held across a call (the bench re-constructs each query from
+    * scratch after the sweep, so it never does); do not call it while
+    * a streaming query that checkpointed its static side is active. */
   def clearQueryCaches(): Unit = {
     graft.queries.ExtraQueries.clearCaches()
     graft.operators.Similarity.clearCaches()

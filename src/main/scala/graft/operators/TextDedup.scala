@@ -83,7 +83,13 @@ object TextDedup {
     * crawl). Candidates are band-key equi-joins (never all-pairs);
     * the verify join touches only candidate pairs' shingles; the
     * final drop is one left_anti on incoming ids. `dfCap` bounds
-    * viral-shingle fan-out exactly as in [[minhashLshPairs]]. */
+    * viral-shingle fan-out exactly as in [[minhashLshPairs]].
+    *
+    * Caller-must-sweep: both shingle relations are persisted (each
+    * feeds several plan branches) and stay persisted until the
+    * session's cache sweep ([[graft.SparkEntry.clearQueryCaches]]) —
+    * the [[minhashLshPairs]] contract. A long-lived session invoking
+    * this repeatedly must sweep between invocations. */
   def nearDupAgainstReference(incoming: DataFrame, reference: DataFrame,
       minJaccard: Double = 0.5, k: Int = 8, bands: Int = 4,
       shingleWidth: Int = 3, md5Hashes: Boolean = false,
@@ -689,11 +695,19 @@ object TextDedup {
     val width = if (md5Bits) 8 else 16
     val fp = docs.select(col(id),
       (if (md5Bits) simhashMd5(tokens(col(text))) else simhashXx(tokens(col(text)))).as("simhash"))
+    // Persisted: `a` and `b` below are aliased projections of the same
+    // relation — the differing output schemas defeat exchange reuse, so
+    // without this the corpus tokenizes and simhash-fingerprints TWICE
+    // per run (measured: q36 cold 12.6 s in the r8 bench; the bench's
+    // honest-cold cache sweep removed the accidental reuse that hid
+    // it). Caller-must-sweep contract: blocks stay persisted until the
+    // session's cache sweep, like [[minhashLshPairs]]'s relations.
     val blocks = fp.select(col(id), col("simhash"),
       explode(array((0 until nBlocks).map(bInd =>
         concat_ws(":", lit(bInd.toString),
           shiftright(col("simhash"), bInd * width)
             .bitwiseAND(lit((1L << width) - 1)).cast("string"))): _*)).as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = blocks.select(col("bucket"), col(id).as("id_a"), col("simhash").as("h_a"))
     val b = blocks.select(col("bucket"), col(id).as("id_b"), col("simhash").as("h_b"))
     a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))

@@ -1540,11 +1540,14 @@ object TextQueries {
     // (2) the shared refNearDupDropSubquery at j >= 0.5 (computed
     // over all incoming docs — the vs-reference verdict for a doc is
     // independent of which other incoming docs survive, so filtering
-    // before or after the exact stage is equivalent). Caveat shared
-    // with the in-batch near-dup stage: the replay assumes the
-    // engine's dfCap (textCuration's 100k default, passed through to
-    // the reference stage) never binds at fixture scale — a corpus
-    // with a 100k-doc shingle would diverge.
+    // before or after the in-batch exact stage is equivalent; the
+    // engine runs in-batch exact dedup FIRST since r9 — identical
+    // texts get identical verdicts, so the keep set is unchanged).
+    // Caveat shared with the in-batch near-dup stage: the replay
+    // assumes the engine's dfCap (textCuration's 100k default, passed
+    // through to the reference stage) never binds at fixture scale —
+    // a corpus with a 100k-doc shingle would diverge (PipelinesSpec
+    // gates the fixture's max shingle df against the cap).
     "q125_incremental_curation" -> {
       val incSrc = s"""SELECT d.doc_id, d.text FROM documents d
         WHERE d.doc_id % 7 >= 3

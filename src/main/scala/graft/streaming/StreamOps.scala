@@ -355,7 +355,13 @@ object StreamOps {
       windowLen: String = "10 minutes",
       watermarkDelay: String = "10 minutes"): DataFrame = {
     import graft.operators.TextRetrieval.{dsirBucket, dsirFeatures}
-    val bias = prior.head().getDouble(0)
+    // fail with the CAUSE, not an opaque NPE at query definition: an
+    // empty training corpus fits a NULL prior (log of null counts)
+    val priorRow = prior.head()
+    require(!priorRow.isNullAt(0),
+      "quality-classifier prior is NULL — the training corpus was empty " +
+        "(qualityClassifierFit needs at least one labeled training doc)")
+    val bias = priorRow.getDouble(0)
     // materialize the fitted weights ONCE at query definition: the
     // stream-static join re-evaluates the static sub-plan per
     // micro-batch, which for a raw fit plan means re-tokenizing the

@@ -249,6 +249,24 @@ class PipelinesSpec extends SparkSpec {
     assert(out == Set(2L), s"survivors: $out")
   }
 
+  test("q125 dfCap assumption: fixture max shingle df is far below the chain cap") {
+    // The q125/E6 oracle replays the reference near-dup stage AS IF
+    // dfCap never binds (the engine passes textCuration's 100k default
+    // through). That assumption was documented but ungated: a fixture
+    // change planting a viral shingle would diverge as an opaque hash
+    // mismatch. Gate it here — max shingle document frequency at
+    // sf0.001, with a 400× margin (sf0.1 is 100× the docs; linear
+    // worst-case growth plus 4× slack still clears the cap).
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val maxDf = graft.operators.TextDedup.shingleRows(docs, shingleWidth = 3)
+      .groupBy("s").agg(count(lit(1)).as("df"))
+      .agg(max("df")).collect()(0).getLong(0)
+    assert(maxDf * 400 < 100000L,
+      s"fixture max shingle df $maxDf is within 400x of the 100k dfCap — " +
+        "the q125 oracle's never-binds assumption no longer holds; " +
+        "re-derive the oracle with the cap replayed or raise the cap")
+  }
+
   test("Workspace.fromTsv parses registry/target/outlier fixture shapes") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ws")
     def write(name: String, content: String) = {
