@@ -46,6 +46,7 @@ object Plans {
         "q119_quality_classifier", "q120_kneser_ney_ppl",
         "q121_classifier_holdout", "q122_component_winners",
         "q123_neardup_incremental", "q124_image_resize",
+        "q128_neardup_amortized",
         // q126 is NOT audited: bpeMerges executes its rounds during
         // DataFrame construction, so the auditable plan is just the
         // collected merge table (LocalTableScan) — the most expensive
@@ -175,7 +176,9 @@ object Plans {
     "q123_neardup_incremental" ->
       "cross-corpus candidate/verify joins keyed on (band|shingle|pair) and the final left_anti on doc_id — both sides corpus-grain, the q35 shape split across two corpora; AQE demotes when small",
     "q125_incremental_curation" ->
-      "the q79 curation-chain joins plus the q123 reference near-dup front stage (band/shingle/pair-keyed) and the exact-confirm anti-join on the fingerprint — all corpus-grain keyed; AQE demotes at runtime")
+      "the q79 curation-chain joins plus the q123 reference near-dup front stage (band/shingle/pair-keyed) and the exact-confirm anti-join on the fingerprint — all corpus-grain keyed; AQE demotes at runtime",
+    "q128_neardup_amortized" ->
+      "the q123 joins with the reference side read from its BUCKETED at-rest tables — the SMJ on band/shingle is the intended at-scale plan (the bucketed side sorts at rest and needs no exchange, bucketed_neardup_demo's proof); AQE demotes when small")
 
   /** Count SHUFFLE exchanges only — a BroadcastExchange moves the
     * bounded side, not the data, and is the desired join strategy.

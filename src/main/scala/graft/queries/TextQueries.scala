@@ -20,6 +20,57 @@ object TextQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** At-rest reference near-dup index (VERDICT-r8 #4): the
+    * [[TextDedup.nearDupIndex]] band and shingle relations for the
+    * q123/q125 reference slice (doc_id % 7 < 3), WRITTEN ONCE per
+    * fixture as BUCKETED tables (band / shingle keys — the layout
+    * `Plans bucketed_neardup_demo` proves co-locates the candidate
+    * join with zero reference-side shuffle) and re-read from the
+    * warehouse on every later call. Table names carry a fingerprint
+    * of the fixture files, so regenerated testdata can never silently
+    * reuse a stale index. Returns (bands, shingles) as catalog-table
+    * reads — AT-REST state that survives the bench's cache sweep,
+    * which is the point: q128's cold samples after the first measure
+    * the true incremental-crawl cost with the index build amortized,
+    * exactly as a production pipeline amortizes it across crawls. */
+  private def amortizedRefIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val key = {
+      val f = new java.io.File(s"$dir/documents.parquet")
+      val parts = (f +: Option(f.listFiles()).getOrElse(Array.empty).toSeq
+          .sortBy(_.getName))
+        .map(p => s"${p.getName}:${p.length}:${p.lastModified}")
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(parts.mkString("|").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+    }
+    val bandsTbl = s"graft_ndx_bands_$key"
+    val shTbl = s"graft_ndx_shingles_$key"
+    def missing = !s.catalog.tableExists(bandsTbl) || !s.catalog.tableExists(shTbl)
+    if (missing) synchronized {
+      if (missing) {
+        def freshPath(table: String): Unit = {
+          // the in-memory catalog is session-scoped but the warehouse
+          // dir is not: clear stale files from an earlier session so
+          // the bucketed CTAS never mixes layouts
+          val p = new org.apache.hadoop.fs.Path(
+            s.sessionState.conf.warehousePath, table.toLowerCase)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) fs.delete(p, true)
+        }
+        val ref = t(s, dir, "documents").filter(col("doc_id") % 7 < 3)
+        val (bands, shingles) = TextDedup.nearDupIndex(ref, md5Hashes = true)
+        freshPath(bandsTbl)
+        bands.write.format("parquet").mode("overwrite")
+          .bucketBy(8, "band").sortBy("band").saveAsTable(bandsTbl)
+        freshPath(shTbl)
+        shingles.write.format("parquet").mode("overwrite")
+          .bucketBy(8, "s").sortBy("s").saveAsTable(shTbl)
+        shingles.unpersist(blocking = false)
+      }
+    }
+    (s.table(bandsTbl), s.table(shTbl))
+  }
+
   /** Shared SQL fragment: tokens per document. */
   private val toksSql =
     """SELECT doc_id, source, lang, text,
@@ -271,6 +322,17 @@ object TextQueries {
           FROM cand JOIN shi si ON si.doc_id = inc_id
                     JOIN shr sr ON sr.doc_id = ref_id)
         SELECT DISTINCT inc_id FROM ver WHERE j >= $minJ)"""
+
+  /** Shared q123/q128 oracle: per-source keep stats of the incoming
+    * slice after the cross-corpus near-dup drop at Jaccard ≥ 0.3. */
+  private lazy val nearDupIncrementalOracleSql: String =
+    s"""SELECT d.source, count(*) AS n_kept, min(d.doc_id) AS first_kept,
+               CAST(sum(d.doc_id) AS BIGINT) AS sum_ids
+        FROM documents d
+        WHERE d.doc_id % 7 >= 3
+          AND NOT EXISTS (SELECT 1 FROM ${refNearDupDropSubquery(0.3)} dup
+                          WHERE dup.inc_id = d.doc_id)
+        GROUP BY 1 ORDER BY 1"""
 
   /** Shared SQL fragment: distinct 3-shingle sets per document. */
   private val shinglesSql =
@@ -557,6 +619,26 @@ object TextQueries {
       val inc = docs.filter(col("doc_id") % 7 >= 3)
       TextDedup.nearDupAgainstReference(inc, ref, minJaccard = 0.3,
           k = 8, bands = 4, shingleWidth = 3, md5Hashes = true)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), min("doc_id").as("first_kept"),
+          sum("doc_id").as("sum_ids"))
+        .orderBy("source")
+    }),
+
+    // ---- q123 with the reference index AMORTIZED at rest: the same
+    // incremental near-dup semantics, but the reference band/shingle
+    // relations are read from bucketed warehouse tables written once
+    // per fixture ([[amortizedRefIndex]]) instead of derived inline
+    // per run — the true per-crawl cost of the incremental pipeline.
+    // The gate doubles as the round-trip proof: writing the index
+    // bucketed and re-reading it must preserve the q123 keep set
+    // exactly (shared oracle). ----
+    "q128_neardup_amortized" -> ((s, dir) => {
+      val inc = t(s, dir, "documents").filter(col("doc_id") % 7 >= 3)
+      val (refBands, refShingles) = amortizedRefIndex(s, dir)
+      TextDedup.nearDupAgainstIndex(inc, refBands, refShingles,
+          minJaccard = 0.3, k = 8, bands = 4, shingleWidth = 3,
+          md5Hashes = true)
         .groupBy("source")
         .agg(count(lit(1)).as("n_kept"), min("doc_id").as("first_kept"),
           sum("doc_id").as("sum_ids"))
@@ -1806,14 +1888,13 @@ object TextQueries {
     // split by the q94 reference/incoming rule (the shared
     // refNearDupDropSubquery); dropped = any cross-corpus band
     // collision whose exact Jaccard ≥ 0.3
-    "q123_neardup_incremental" ->
-      (s"""SELECT d.source, count(*) AS n_kept, min(d.doc_id) AS first_kept,
-                 CAST(sum(d.doc_id) AS BIGINT) AS sum_ids
-          FROM documents d
-          WHERE d.doc_id % 7 >= 3
-            AND NOT EXISTS (SELECT 1 FROM ${refNearDupDropSubquery(0.3)} dup
-                            WHERE dup.inc_id = d.doc_id)
-          GROUP BY 1 ORDER BY 1"""),
+    "q123_neardup_incremental" -> nearDupIncrementalOracleSql,
+
+    // q128 = q123 with the reference index read from its bucketed
+    // at-rest tables — the storage layout cannot change the keep set,
+    // so the oracle IS the q123 replay (and the shared gate proves the
+    // bucketed write/read round-trip is lossless)
+    "q128_neardup_amortized" -> nearDupIncrementalOracleSql,
 
     // winner replay: the q92 closure, then max-quality / min-id argmax
     // as plain aggregations over the labeled membership
