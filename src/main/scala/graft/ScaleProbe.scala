@@ -157,6 +157,56 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    // BPE-AT-REAL-VOCABULARY probe (`runMain graft.ScaleProbe
+    // bpe1000`): VERDICT-r8 #3's done-criterion — train ≥1,000 merges
+    // in bounded wall. The relational bpeMerges costs one aggregation
+    // + argmax + full symbol-relation rewrite PER ROUND (~10⁵
+    // sequential Spark jobs at a production vocabulary); the
+    // Lloyd-pattern bpeMergesFast pays ONE corpus-facing pass
+    // (wordFreqs) and runs the merge loop driver-side with
+    // incremental pair-count maintenance. Reports both the 1,000-merge
+    // fast wall and, for the ratio story, the relational form at 12
+    // merges (its per-round cost × 83 extrapolates the 1,000-round
+    // relational wall). segmentFast then encodes the FULL corpus
+    // vocabulary with all 1,000 merges in one distributed pass.
+    if (args.contains("bpe1000")) {
+      import graft.operators.Bpe
+      // the fixture corpus has a ~31-type vocabulary (it exhausts after
+      // ~106 merges), so the 1,000-merge loop trains on a SYNTHETIC
+      // vocabulary-rich corpus: 8 words per doc over ~30k distinct
+      // types (digit→letter transliteration of a hash) — the merge
+      // loop's cost driver is type count, which is what this scales
+      def synthWord(k: Int) = translate(
+        pmod(hash(col("id"), lit(k)), lit(30000)).cast("string"),
+        "0123456789", "abcdefghij")
+      val docs = spark.range(120000L).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 8).map(synthWord): _*).as("text"))
+        .localCheckpoint(true)
+      spark.range(1000000L).selectExpr("sum(id)").collect()
+      def wall[A](f: => A): (A, Double) = {
+        val t0 = System.nanoTime(); val a = f
+        (a, (System.nanoTime() - t0) / 1e9)
+      }
+      val (m12, w12rel) = wall(Bpe.bpeMerges(docs, 12).collect())
+      val (_, w12fast) = wall(Bpe.bpeMergesFast(docs, 12).collect())
+      val (m1000, w1000) = wall(Bpe.bpeMergesFast(docs, 1000).collect())
+      require(m1000.take(12).map(r => (r.getString(1), r.getString(2))).toSeq ==
+        m12.map(r => (r.getString(1), r.getString(2))).toSeq,
+        "fast 1000-merge prefix diverged from the relational 12-merge table")
+      val merges = m1000.map(r => (r.getString(1), r.getString(2))).toSeq
+      val vocab = docs.select(explode(graft.functions.TextFunctions
+        .tokens(col("text"))).as("word")).distinct().localCheckpoint(true)
+      val nWords = vocab.count()
+      val (_, wSeg) = wall(
+        Bpe.segmentFast(vocab, merges).queryExecution.toRdd.count())
+      println(f"[scale] bpe(12 merges)       relational=$w12rel%8.2fs fast=$w12fast%8.2fs")
+      println(f"[scale] bpe(1000 merges)     fast=$w1000%8.2fs (trained ${m1000.length}%d merges; " +
+        f"relational extrapolation ~${w12rel / 12 * 1000}%.0fs)")
+      println(f"[scale] segmentFast(1000)    $wSeg%8.2fs over $nWords%d words, one pass")
+      println(f"""[scale-json] {"queries":{"bpe_merges":{"rel12":$w12rel%.3f,"fast12":$w12fast%.3f,"fast1000":$w1000%.3f,"n_trained":${m1000.length},"segment1000":$wSeg%.3f,"n_words":$nWords}}}""")
+      spark.stop(); return
+    }
+
     // DUP-HEAVY probe (`runMain graft.ScaleProbe dupheavy`): the r9
     // stage-reorder's receipt. A crawl with heavy verbatim-dup mass is
     // the NORMAL case; before r9, textCuration ran the reference

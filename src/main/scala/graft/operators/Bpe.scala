@@ -112,6 +112,161 @@ object Bpe {
     merges.toSeq.toDF("round", "lhs", "rhs", "pair_count")
   }
 
+  /** BPE training at REAL vocabulary scale — the Lloyd-pattern form of
+    * [[bpeMerges]] (fit driver-side over a bounded relation, replay
+    * relationally for the gate). The relational loop re-aggregates ALL
+    * adjacent-pair counts and rewrites the full symbol relation every
+    * round: fine at 12 gated merges, but a production 32–64k-merge
+    * vocabulary means ~10⁵ sequential Spark jobs. Here the
+    * corpus-facing work is UNCHANGED — one tokenize + word-frequency
+    * aggregation ([[wordFreqs]], map-side combined; the only pass
+    * whose cost scales with the corpus) — and the merge loop then runs
+    * over the COLLECTED (word, freq) relation, which is
+    * language-bounded, not corpus-bounded (the same argument as the
+    * Lloyd centroid / classifier / LM fits: the fixture has ~30k
+    * types; English web text ~10⁷ — driver-sized at any corpus scale).
+    * Pair counts are maintained INCREMENTALLY: a merge touches only
+    * the words that contain its pair (tracked in an occurrence index),
+    * so a round costs O(affected words), not O(vocabulary).
+    *
+    * Row-identical to [[bpeMerges]]: same pair counting (every
+    * adjacent position, frequency-weighted), same deterministic
+    * argmax (count desc, then (lhs, rhs) asc), same greedy
+    * left-to-right non-overlapping apply (the fold the island-parity
+    * window rule equals — PropertySpec gates all three forms against
+    * the sequential reference). ScaleProbe `bpe1000` trains 1,000
+    * merges in bounded wall. */
+  def bpeMergesFast(docs: DataFrame, nMerges: Int,
+      text: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wf = wordFreqs(docs, text).as[(String, Long)].collect()
+    trainMerges(wf, nMerges).toSeq.toDF("round", "lhs", "rhs", "pair_count")
+  }
+
+  /** The in-memory incremental merge loop shared by [[bpeMergesFast]]
+    * (and testable directly): greedy fold + incremental pair-count
+    * maintenance. Returns (round, lhs, rhs, pair_count), 1-based. */
+  private[graft] def trainMerges(wf: Array[(String, Long)],
+      nMerges: Int): Array[(Int, String, String, Long)] = {
+    import scala.collection.mutable
+    val syms: Array[mutable.ArrayBuffer[String]] = wf.map { case (w, _) =>
+      val b = mutable.ArrayBuffer.empty[String]
+      w.foreach(c => b += c.toString); b += "</w>"; b
+    }
+    val freq: Array[Long] = wf.map(_._2)
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    // occurrence index: pair -> word ids that contained it at SOME
+    // point (lazily stale — membership re-verified when consumed)
+    val occurs = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    def contribute(i: Int, sign: Long, register: Boolean): Unit = {
+      val s = syms(i); val f = freq(i)
+      var j = 0
+      while (j < s.length - 1) {
+        val p = (s(j), s(j + 1))
+        val c = counts.getOrElse(p, 0L) + sign * f
+        if (c == 0L) counts.remove(p) else counts.update(p, c)
+        if (register) occurs.getOrElseUpdate(p, mutable.HashSet.empty) += i
+        j += 1
+      }
+    }
+    var i = 0
+    while (i < syms.length) { contribute(i, 1L, register = true); i += 1 }
+    val out = mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var round = 1
+    var done = false
+    while (round <= nMerges && !done) {
+      if (counts.isEmpty) done = true
+      else {
+        // deterministic argmax: count desc, (lhs, rhs) asc — the
+        // relational ordering
+        var best: ((String, String), Long) = null
+        counts.foreach { e =>
+          if (best == null || e._2 > best._2 ||
+            (e._2 == best._2 && (e._1._1 < best._1._1 ||
+              (e._1._1 == best._1._1 && e._1._2 < best._1._2)))) best = e
+        }
+        val ((a, b), c) = best
+        out += ((round, a, b, c))
+        val merged = a + b
+        val touched = occurs.getOrElse((a, b), mutable.HashSet.empty)
+        touched.foreach { w =>
+          val s = syms(w)
+          // stale-index guard: verify the pair is still present
+          var j = 0; var present = false
+          while (j < s.length - 1 && !present) {
+            if (s(j) == a && s(j + 1) == b) present = true; j += 1
+          }
+          if (present) {
+            contribute(w, -1L, register = false)
+            // greedy left-to-right non-overlapping fold (refApply):
+            // a merged symbol does not participate in later matches
+            // of this same pass
+            var r = 0; var wr = 0
+            while (r < s.length) {
+              if (r < s.length - 1 && s(r) == a && s(r + 1) == b) {
+                s(wr) = merged; r += 2
+              } else { s(wr) = s(r); r += 1 }
+              wr += 1
+            }
+            s.takeInPlace(wr)
+            contribute(w, 1L, register = true)
+          }
+        }
+        occurs.remove((a, b))
+        round += 1
+      }
+    }
+    out.toArray
+  }
+
+  /** Distributed one-pass ENCODE with a trained merge table — the
+    * production counterpart of [[segment]] (which replays each merge
+    * as a separate round of Spark jobs: fine for the 12-merge gate,
+    * ~10⁵ sequential jobs at a real vocabulary). Each word is encoded
+    * independently in one partition-local pass: merges apply in
+    * TRAINING ORDER via the same greedy fold as [[segment]]
+    * (PropertySpec gates both against the sequential reference), with
+    * an adjacent-pair set per word so the nMerges-long table costs one
+    * O(1) membership check per merge, not a scan. The merge table
+    * rides along as a broadcast-sized plan constant (vocabulary-grain,
+    * like the baked Lloyd centroids). Returns (word, pos, sym). */
+  def segmentFast(wf: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val spark = wf.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(merges.toArray)
+    val words = wf.select(col("word")).as[String]
+    words.mapPartitions { it =>
+      val table = bc.value
+      it.flatMap { w =>
+        val s = scala.collection.mutable.ArrayBuffer.empty[String]
+        w.foreach(c => s += c.toString); s += "</w>"
+        val pairs = scala.collection.mutable.HashSet.empty[(String, String)]
+        var j = 0
+        while (j < s.length - 1) { pairs += ((s(j), s(j + 1))); j += 1 }
+        table.foreach { case (a, b) =>
+          if (pairs.contains((a, b))) {
+            val merged = a + b
+            var r = 0; var wr = 0
+            while (r < s.length) {
+              if (r < s.length - 1 && s(r) == a && s(r + 1) == b) {
+                s(wr) = merged; r += 2
+              } else { s(wr) = s(r); r += 1 }
+              wr += 1
+            }
+            s.takeInPlace(wr)
+            // rebuild the pair set for the rewritten word (short lists;
+            // the rebuild is cheaper than tracking deltas exactly)
+            pairs.clear()
+            j = 0
+            while (j < s.length - 1) { pairs += ((s(j), s(j + 1))); j += 1 }
+          }
+        }
+        s.iterator.zipWithIndex.map { case (sym, pos) => (w, pos, sym) }
+      }
+    }.toDF("word", "pos", "sym")
+  }
+
   /** Segment words with a trained merge table (the ENCODE side):
     * applies the merges in training order to the (word, freq) symbol
     * relation and returns the final (word, pos, sym) segmentation —

@@ -363,8 +363,13 @@ object TextQueries {
     // (PropertySpec proves it equals the sequential fold). Trained on
     // the doc_id % 5 = 0 sample (tokenizers train on samples); every
     // round replays in the oracle as four chained CTEs. ----
+    // Production path: bpeMergesFast — one corpus-facing pass, the
+    // merge loop driver-side over the bounded vocabulary relation
+    // (PropertySpec proves it row-identical to the all-relational
+    // bpeMerges and to the sequential reference fold; the oracle
+    // replays the training rounds as chained CTEs either way).
     "q126_bpe_merges" -> ((s, dir) => {
-      graft.operators.Bpe.bpeMerges(
+      graft.operators.Bpe.bpeMergesFast(
         t(s, dir, "documents").filter(col("doc_id") % 5 === 0), nMerges = 12)
         .orderBy("round")
     }),
@@ -378,14 +383,17 @@ object TextQueries {
     // them symmetrically in the oracle). ----
     "q127_subword_counts" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val merges = graft.operators.Bpe.bpeMerges(
+      // production paths on both sides (fit + encode): PropertySpec
+      // proves bpeMergesFast/segmentFast ≡ bpeMerges/segment ≡ the
+      // sequential reference, so the hash gate is unchanged
+      val merges = graft.operators.Bpe.bpeMergesFast(
           docs.filter(col("doc_id") % 5 === 0), nMerges = 12)
         .orderBy("round").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
       val dw = docs.select(col("doc_id"), col("source"),
           explode(tokens(col("text"))).as("word"))
         .groupBy("doc_id", "source", "word").agg(count(lit(1)).as("cnt"))
-      val seg = graft.operators.Bpe.segment(dw.select("word").distinct(), merges)
+      val seg = graft.operators.Bpe.segmentFast(dw.select("word").distinct(), merges)
         .groupBy("word").agg(count(lit(1)).as("n_sub"))
       dw.join(seg, Seq("word"))
         .groupBy("source")

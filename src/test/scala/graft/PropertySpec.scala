@@ -349,16 +349,25 @@ class PropertySpec extends SparkSpec {
     val got = Bpe.bpeMerges(docs, 10).orderBy("round").collect()
       .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
     assert(got == expected, s"\ngot:      $got\nexpected: $expected")
+    // the driver-side incremental fit (bpeMergesFast — the production
+    // path at real vocabulary sizes) must be row-identical too
+    val gotFast = Bpe.bpeMergesFast(docs, 10).orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(gotFast == expected, s"\nfast:     $gotFast\nexpected: $expected")
     // encode side: segmenting with the trained merges reproduces the
-    // reference fold applied in training order
+    // reference fold applied in training order — both the relational
+    // per-merge form and the one-pass distributed form
     val merges = expected.map(m => (m._1, m._2))
-    val seg = Bpe.segment(words.keys.toSeq.toDF("word"), merges)
-      .collect().groupBy(_.getString(0))
-      .map { case (w, rows) => w -> rows.sortBy(_.getInt(1)).map(_.getString(2)).toList }
+    def collectSeg(df: org.apache.spark.sql.DataFrame) =
+      df.collect().groupBy(_.getString(0))
+        .map { case (w, rows) => w -> rows.sortBy(_.getInt(1)).map(_.getString(2)).toList }
+    val seg = collectSeg(Bpe.segment(words.keys.toSeq.toDF("word"), merges))
+    val segFast = collectSeg(Bpe.segmentFast(words.keys.toSeq.toDF("word"), merges))
     words.keys.foreach { w =>
       val ref = merges.foldLeft(w.map(_.toString).toList :+ "</w>") {
         case (l, (a, b)) => refApply(l, a, b) }
       assert(seg(w) == ref, s"word $w: ${seg(w)} vs $ref")
+      assert(segFast(w) == ref, s"word $w (fast): ${segFast(w)} vs $ref")
     }
   }
 
