@@ -258,7 +258,8 @@ object Pipelines {
       referenceFp: Option[DataFrame] = None,
       referenceNearDup: Option[DataFrame] = None,
       gopherMinWords: Option[Int] = None,
-      gopherMinStopWords: Int = 2): DataFrame = {
+      gopherMinStopWords: Int = 2,
+      clusterQuality: Option[DataFrame] = None): DataFrame = {
     import graft.functions.TextFunctions._
     // optional Gopher document-SHAPE stage ([[TextDedup.gopherRules]],
     // Rae 2021 §A1.1), FIRST: the named per-doc rule battery is a pure
@@ -347,8 +348,23 @@ object Pipelines {
     // representative per CONNECTED component. The two differ on open
     // triangles — pairs (1,3),(2,3) keep {1,2} pairwise but only {1}
     // cluster-grain, since 2 links to 1 transitively through 3.
+    // `clusterQuality` (requires nearDupClusters) supplies a per-doc
+    // score relation (id, score) — e.g. a trained classifier's
+    // [[graft.operators.TextRetrieval.qualityClassifierScores]] — and
+    // switches the representative rule to KEEP-THE-BEST member (max
+    // score, min-id tie-break): the RefinedWeb/Dolma keep policy,
+    // via [[TextDedup.dedupByComponentsBest]].
     val kept =
-      if (nearDupClusters) TextDedup.dedupByComponents(exact, pairs)
+      if (nearDupClusters) clusterQuality match {
+        case Some(qs) =>
+          val scoreCol = qs.columns.filterNot(_ == "doc_id").head
+          val withQ = exact.join(
+            qs.select(col("doc_id"), col(scoreCol).as("__cq")),
+            Seq("doc_id"), "left")
+          TextDedup.dedupByComponentsBest(withQ, pairs, col("__cq"))
+            .drop("__cq")
+        case None => TextDedup.dedupByComponents(exact, pairs)
+      }
       else exact.join(
         pairs.select(greatest(col("id_a"), col("id_b")).as("doc_id")).distinct(),
         Seq("doc_id"), "left_anti")

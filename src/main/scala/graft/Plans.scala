@@ -46,7 +46,7 @@ object Plans {
         "q119_quality_classifier", "q120_kneser_ney_ppl",
         "q121_classifier_holdout", "q122_component_winners",
         "q123_neardup_incremental", "q124_image_resize",
-        "q128_neardup_amortized",
+        "q128_neardup_amortized", "q129_quality_cluster_curation",
         // q126 is NOT audited: bpeMerges executes its rounds during
         // DataFrame construction, so the auditable plan is just the
         // collected merge table (LocalTableScan) — the most expensive
@@ -178,7 +178,9 @@ object Plans {
     "q125_incremental_curation" ->
       "the q79 curation-chain joins plus the q123 reference near-dup front stage (band/shingle/pair-keyed) and the exact-confirm anti-join on the fingerprint — all corpus-grain keyed; AQE demotes at runtime",
     "q128_neardup_amortized" ->
-      "the q123 joins with the reference side read from its BUCKETED at-rest tables — the SMJ on band/shingle is the intended at-scale plan (the bucketed side sorts at rest and needs no exchange, bucketed_neardup_demo's proof); AQE demotes when small")
+      "the q123 joins with the reference side read from its BUCKETED at-rest tables — the SMJ on band/shingle is the intended at-scale plan (the bucketed side sorts at rest and needs no exchange, bucketed_neardup_demo's proof); AQE demotes when small",
+    "q129_quality_cluster_curation" ->
+      "the q65 curation joins plus the classifier-score join onto the dedup keepers and the component winner/loser joins — all corpus-grain keyed on doc/bucket/component; AQE demotes at runtime")
 
   /** Count SHUFFLE exchanges only — a BroadcastExchange moves the
     * bounded side, not the data, and is the desired join strategy.

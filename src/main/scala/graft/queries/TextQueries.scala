@@ -77,12 +77,20 @@ object TextQueries {
        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
        FROM documents"""
 
-  /** q65/q79 shared curation-chain replay over a parameterized
-    * document source: exact dedup (md5 token-stream keeper), banded
-    * MinHash near-dup (Jaccard ≥ 0.5 losers), language scoring,
-    * quality scoring. Ends at the `quality` CTE (doc_id, text, toks,
-    * lang, q). */
-  private def curationCoreSql(srcSql: String): String = s"""WITH tk AS (
+  /** q65/q79/q125/q129 shared curation-chain replay over a
+    * parameterized document source: exact dedup (md5 token-stream
+    * keeper), banded MinHash near-dup (Jaccard ≥ 0.5), language
+    * scoring, quality scoring. Ends at the `quality` CTE (doc_id,
+    * text, toks, lang, q). `resolveCtes` injects extra CTEs between
+    * `verified` and `losers` and `loserSql` overrides the near-dup
+    * loser rule (default: pairwise greatest-id drop; q129 swaps in
+    * cluster-grain best-quality resolution). `recursive` emits WITH
+    * RECURSIVE for resolvers that need a closure CTE. */
+  private def curationCoreSql(srcSql: String, resolveCtes: String = "",
+      loserSql: String =
+        "SELECT DISTINCT greatest(id_a, id_b) AS doc_id FROM verified WHERE j >= 0.5",
+      recursive: Boolean = false): String =
+    s"""WITH ${if (recursive) "RECURSIVE " else ""}tk AS (
             SELECT doc_id, text,
                    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
             FROM ($srcSql)
@@ -118,8 +126,8 @@ object TextQueries {
                    (len(sa.sh) + len(sb.sh)
                     - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))) AS j
             FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
-          ), losers AS (
-            SELECT DISTINCT greatest(id_a, id_b) AS doc_id FROM verified WHERE j >= 0.5
+          )${if (resolveCtes.isEmpty) "" else ", " + resolveCtes}, losers AS (
+            $loserSql
           ), kept AS (
             SELECT k.* FROM keepers k LEFT JOIN losers l USING (doc_id) WHERE l.doc_id IS NULL
           ), scored AS (
@@ -350,6 +358,27 @@ object TextQueries {
     "q65_text_curation" -> ((s, dir) => {
       graft.Pipelines.textCuration(t(s, dir, "documents"), langs = Seq("en"),
           minQuality = 0.3, nearDupJaccard = 0.5, md5Hashes = true)
+        .select(col("doc_id"), col("lang"),
+          round(col("quality") + 1e-9, 6).as("quality"),
+          col("ws_tokens"), col("bpeish_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- E4 curation with MODEL-QUALITY cluster representatives:
+    // the production dedup policy (RefinedWeb "quality filtering" +
+    // Dolma's dedup) — near-dup clusters resolve to their BEST member
+    // by a TRAINED quality signal (the q119 NB classifier's score),
+    // not the arbitrary lowest id. Composes qualityClassifierScores
+    // (fit on the raw corpus) → textCuration with nearDupClusters +
+    // clusterQuality → lang/quality/token stages. ----
+    "q129_quality_cluster_curation" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scores = TextRetrieval.qualityClassifierScores(docs,
+          col("lang") === "en")
+        .select("doc_id", "score")
+      graft.Pipelines.textCuration(docs, langs = Seq("en"), minQuality = 0.3,
+          nearDupJaccard = 0.5, md5Hashes = true,
+          nearDupClusters = true, clusterQuality = Some(scores))
         .select(col("doc_id"), col("lang"),
           round(col("quality") + 1e-9, 6).as("quality"),
           col("ws_tokens"), col("bpeish_tokens"))
@@ -1651,6 +1680,75 @@ object TextQueries {
           AND NOT EXISTS (SELECT 1 FROM ${refNearDupDropSubquery(0.5)} dup
             WHERE dup.inc_id = d.doc_id)"""
       s"""${curationCoreSql(incSrc)}
+          SELECT doc_id, lang, round(q + 1e-9, 6) + 0.0 AS quality,
+                 CAST(len(toks) AS INT) AS ws_tokens,
+                 CAST(coalesce(list_sum(list_transform(toks,
+                        w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0)
+                      + length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS INT) AS bpeish_tokens
+          FROM quality
+          WHERE lang = 'en' AND q >= 0.3
+          ORDER BY doc_id"""
+    },
+
+    // model-quality cluster-dedup replay: the q65 core with the
+    // near-dup resolution swapped to CLUSTER grain — pairs → edges →
+    // recursive min-label closure (the q92 machinery) → per-component
+    // argmax on the q119 classifier score (max rounded score, min-id
+    // tie-break; scores are total over docs so no NULL leg) → every
+    // non-winner member is a loser
+    "q129_quality_cluster_curation" -> {
+      val resolve = s"""pairs AS (
+            SELECT id_a, id_b FROM verified WHERE j >= 0.5
+          ), edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION SELECT id_b AS src, id_a AS dst FROM pairs
+          ), nodes AS (SELECT DISTINCT src AS id FROM edges
+          ), reach(id, lab) AS (
+            SELECT id, id FROM nodes
+            UNION SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst
+          ), comp AS (
+            SELECT id AS doc_id, min(lab) AS component FROM reach GROUP BY 1
+          ), cfeats AS (
+            SELECT doc_id, y, substr(md5(f), 1, 3) AS b FROM (
+              SELECT doc_id, lang = 'en' AS y,
+                     unnest(list_concat(toks0,
+                       list_transform(range(1, len(toks0)),
+                         i -> toks0[i] || '_' || toks0[i+1]))) AS f
+              FROM (SELECT doc_id, lang,
+                      list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                        x -> x <> '') AS toks0
+                    FROM documents))
+          ), cfc AS (SELECT doc_id, y, b, count(*) AS c FROM cfeats GROUP BY 1, 2, 3
+          ), ccc AS (SELECT b, sum(CASE WHEN y THEN c ELSE 0 END) AS cp,
+                            sum(CASE WHEN NOT y THEN c ELSE 0 END) AS cn
+                     FROM cfc GROUP BY 1
+          ), ctot AS (SELECT sum(cp) AS tp, sum(cn) AS tn FROM ccc
+          ), cw AS (SELECT b, ln((cp + 1.0) / (tp + 4096.0)) -
+                           ln((cn + 1.0) / (tn + 4096.0)) AS w FROM ccc, ctot
+          ), cpr AS (SELECT ln(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 1.0)
+                          - ln(count(*) - sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                               + 1.0) AS bias
+                     FROM documents
+          ), csc AS (SELECT cfc.doc_id, sum(CAST(cfc.c AS DOUBLE) * cw.w) AS s0
+                     FROM cfc JOIN cw USING (b) GROUP BY 1
+          ), cscore AS (
+            SELECT d.doc_id,
+                   round(1.0 / (1.0 + exp(-(coalesce(csc.s0, 0.0) + cpr.bias)))
+                     + 1e-9, 6) AS score
+            FROM documents d LEFT JOIN csc ON csc.doc_id = d.doc_id, cpr
+          ), labeled AS (
+            SELECT c.doc_id, c.component, s.score
+            FROM comp c JOIN cscore s USING (doc_id)
+          ), qmax AS (SELECT component, max(score) AS best FROM labeled GROUP BY 1
+          ), winners AS (
+            SELECT l.component, min(l.doc_id) AS winner_id
+            FROM labeled l JOIN qmax q
+              ON q.component = l.component AND l.score = q.best
+            GROUP BY 1)"""
+      val losers = """SELECT l.doc_id FROM labeled l JOIN winners w
+            ON w.component = l.component AND l.doc_id <> w.winner_id"""
+      s"""${curationCoreSql("SELECT doc_id, text FROM documents", resolve,
+          losers, recursive = true)}
           SELECT doc_id, lang, round(q + 1e-9, 6) + 0.0 AS quality,
                  CAST(len(toks) AS INT) AS ws_tokens,
                  CAST(coalesce(list_sum(list_transform(toks,
