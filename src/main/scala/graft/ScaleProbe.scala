@@ -157,6 +157,64 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    // SEMDEDUP SKEW probe (`runMain graft.ScaleProbe semdedupskew`):
+    // VERDICT-r8 #7's done-criterion. A degenerate corpus — every
+    // vector in ONE dominant cluster — concentrates the within-cell
+    // pair mass (n²/2) in a single task without the guard; with
+    // cellCap the cell grid-splits into m² bounded tasks (identical
+    // keep set, SimilaritySpec-gated). Total pair work is unchanged
+    // by design; the probe records that the guarded run spreads it
+    // across the cores instead of one straggler task.
+    if (args.contains("semdedupskew")) {
+      import graft.operators.Similarity
+      // 90% of the corpus is ONE IDENTICAL vector (argmin ties assign
+      // them all to the same cell — k-means cannot split an exact
+      // point mass, which is what makes the cell genuinely hot); the
+      // rest scatter so the quantizer has structure to fit
+      val n = 40000L
+      val dim = 16
+      val hot = (0 until dim).map(d =>
+        when(lit(d) === 0, 10.0f).otherwise(0.0f))
+      val scattered = (0 until dim).map(d =>
+        (pmod(hash(col("id"), lit(d)).cast("double"), lit(100.0)) / 10.0).cast("float"))
+      val emb = spark.range(n).select(col("id").as("vec_id"),
+        array((0 until dim).map(d =>
+          when(col("id") % 10 =!= 0, hot(d)).otherwise(scattered(d))): _*)
+          .as("embedding"))
+        .localCheckpoint(true)
+      spark.range(1000000L).selectExpr("sum(id)").collect()
+      // the AT-SCALE join regime: at corpus scale neither side of the
+      // cell self-join broadcasts, so the join shuffles on the cell
+      // key and a hot cell IS one reducer task — at fixture size Spark
+      // would broadcast the build side and accidentally parallelize
+      // over the probe side, hiding exactly the straggler this guard
+      // exists for (the bucketed_neardup_demo convention)
+      def run(cap: Int): Double = {
+        def once(): Double = {
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          Similarity.semDedup(emb, nCells = 4, tau = 0.9999, dim = dim,
+            iters = 5, cellCap = cap).queryExecution.toRdd.count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        math.min(once(), once())
+      }
+      val prevThreshold =
+        spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val (guarded, unguarded) =
+        try (run(2000), run(Int.MaxValue))
+        finally prevThreshold match {
+          case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+          case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        }
+      println(f"[scale] semDedup(skew n=$n)  guarded(cap=2000)=$guarded%8.2fs " +
+        f"unguarded=$unguarded%8.2fs speedup=${unguarded / guarded}%6.2fx " +
+        "(one dominant cell: n^2/2 pairs in m^2 bounded tasks vs 1)")
+      println(f"""[scale-json] {"queries":{"semdedup_skew":{"guarded":$guarded%.3f,"unguarded":$unguarded%.3f,"speedup":${unguarded / guarded}%.3f,"n":$n}}}""")
+      spark.stop(); return
+    }
+
     // BPE-AT-REAL-VOCABULARY probe (`runMain graft.ScaleProbe
     // bpe1000`): VERDICT-r8 #3's done-criterion — train ≥1,000 merges
     // in bounded wall. The relational bpeMerges costs one aggregation

@@ -249,10 +249,22 @@ object Similarity {
     * contract is nCells ∝ N (they use 50k clusters at web scale),
     * making expected cell size, and so per-task pair mass, constant.
     * The cell self-join shuffles on the cell key once; assignment is
-    * the zero-shuffle literal-baked argmin. A viral cell (all mass in
-    * one cluster) degrades to that cell's quadratic — at low τ on
-    * unclustered data prefer the banded
-    * [[TextDedup.embeddingDupPairsLsh]] path; SemDeDup's regime is
+    * the zero-shuffle literal-baked argmin.
+    *
+    * HOT-CELL GUARD (`cellCap`): a degenerate corpus (one dominant
+    * cluster) makes one cell's pair mass quadratic, and without a
+    * guard that entire mass lands in ONE task. Cells larger than
+    * `cellCap` are grid-salted: each side takes a deterministic
+    * id-hash salt in [0, m) with m = ⌈n_cell/cellCap⌉ and is
+    * replicated across the other side's m salt values, so the join
+    * key becomes (cell, salt_a, salt_b) and every pair is still
+    * compared EXACTLY once — identical keep set (spec-gated), but the
+    * hot cell's pairs spread over m² bounded tasks (≤ cellCap² pairs
+    * each) instead of one. Normal cells get m = 1 and degenerate to
+    * the plain cell join. The total pair COUNT is unchanged — the
+    * guard bounds per-task memory/stragglers, not total work; at low
+    * τ on unclustered data prefer the banded
+    * [[TextDedup.embeddingDupPairsLsh]] path. SemDeDup's regime is
     * high τ (the paper sweeps ~0.95) on clusterable corpora.
     *
     * Returns (vec_id, cell, kept) for every input row; cosine
@@ -260,15 +272,26 @@ object Similarity {
     * τ boundary is engine-portable. */
   def semDedup(emb: DataFrame, nCells: Int, tau: Double, dim: Int,
       iters: Int = 10, id: String = "vec_id", vec: String = "embedding",
-      sampleCap: Int = 1000, md5Sample: Boolean = false): DataFrame = {
+      sampleCap: Int = 1000, md5Sample: Boolean = false,
+      cellCap: Int = 10000): DataFrame = {
     val centsDf = lloydCentroids(emb, nCells, iters, dim, id, vec, sampleCap, md5Sample)
     val cents = collectCentroids(centsDf)
     val assigned = assignCells(emb, cents, id, vec)
-    val a = assigned.select(col("cell"), col("corpus_id").as("a_id"),
-      col("c_vec").as("a_vec"))
-    val b = assigned.select(col("cell"), col("corpus_id").as("b_id"),
-      col("c_vec").as("b_vec"))
-    val dropped = a.join(b, Seq("cell"))
+    // per-cell split factor m = ceil(n/cellCap) — bounded by nCells
+    // rows, broadcast onto both sides
+    val cellM = assigned.groupBy("cell")
+      .agg(ceil(count(lit(1)) / lit(cellCap.toDouble)).cast("long").as("__m"))
+      .select(col("cell"), greatest(col("__m"), lit(1L)).as("__m"))
+    val withM = assigned.join(broadcast(cellM), Seq("cell"))
+    val salt = pmod(xxhash64(col("corpus_id")), col("__m"))
+    val a = withM.select(col("cell"), col("corpus_id").as("a_id"),
+      col("c_vec").as("a_vec"), salt.as("__sa"),
+      explode(sequence(lit(0L), col("__m") - 1L)).as("__sb"))
+    val b = withM.select(col("cell"), col("corpus_id").as("b_id"),
+      col("c_vec").as("b_vec"),
+      explode(sequence(lit(0L), col("__m") - 1L)).as("__sa"),
+      salt.as("__sb"))
+    val dropped = a.join(b, Seq("cell", "__sa", "__sb"))
       .filter(col("a_id") < col("b_id"))
       .filter(round(cosine(col("a_vec"), col("b_vec")) + lit(1e-9), 6) >= tau)
       .select(col("b_id").as("corpus_id")).distinct()

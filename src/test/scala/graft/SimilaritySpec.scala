@@ -208,4 +208,29 @@ class SimilaritySpec extends SparkSpec {
     assert(out.count(_._2) == base.size,
       s"expected exactly the ${base.size} originals kept, got ${out.count(_._2)}")
   }
+
+  test("semDedup hot-cell guard: grid-salted split preserves the keep set exactly") {
+    // a deliberately DEGENERATE corpus: every vector in one dominant
+    // cluster (the shape that makes one cell quadratic), with planted
+    // twins that must drop. cellCap=3 forces m = ceil(n/3) sub-splits
+    // in every cell; the keep set must equal the unguarded run's.
+    val base = (0L until 30L).map { i =>
+      val v = Array.fill(8)(0.0f)
+      v(0) = 10.0f; v(1) = (i % 7).toFloat * 0.01f
+      (i, v.toSeq)
+    }
+    val twins = (0L until 5L).map(i => (500L + i, base(i.toInt)._2))
+    val df = (base ++ twins).toDF("vec_id", "embedding")
+    def run(cap: Int) = Similarity.semDedup(df, nCells = 2, tau = 0.9999,
+        dim = 8, iters = 5, cellCap = cap)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Boolean]("kept")))
+      .sortBy(_._1).toSeq
+    val guarded = run(3)
+    val unguarded = run(Int.MaxValue)
+    assert(guarded == unguarded,
+      s"guarded/unguarded keep sets differ:\n$guarded\n$unguarded")
+    // and the twins actually dropped (the test isn't vacuous)
+    val kept = guarded.toMap
+    twins.foreach { case (id, _) => assert(!kept(id), s"twin $id survived") }
+  }
 }
