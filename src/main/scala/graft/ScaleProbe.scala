@@ -157,6 +157,44 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    // E3 META-CHAIN 100× probe (`runMain graft.ScaleProbe meta100x`):
+    // the q70 chain (pair ICC → negative-ICC drop → per-platform
+    // eBayes topTable → ICC-weighted Stouffer) at 100× GENES — the
+    // axis that actually grows at corpus scale (the SCALING.md
+    // argument; the cohort axis is contract-bounded). sf0.1 lineitem
+    // carries 20k parts, so the gene cap scales 100 → 10,000 with no
+    // derived parquet. Dominant term: the tiled ICC gramian's O(G·s²)
+    // treeAggregate passes plus the per-gene eBayes relations — all
+    // linear in G, no quadratic anywhere.
+    if (args.contains("meta100x")) {
+      import graft.model.ExpressionMatrix
+      val li0 = spark.read.parquet(s"$src/lineitem.parquet")
+      val groups = spark.read.parquet(s"$src/supplier.parquet").select(
+        col("s_suppkey").cast("string").as("sample_id"),
+        when(col("s_nationkey") % 2 === 0, "A").otherwise("B").as("group"))
+        .localCheckpoint(true)
+      def chain(cap: Int): Double = {
+        val li = li0.filter(col("l_partkey") <= cap)
+        def mat(status: String) = ExpressionMatrix(
+          li.filter(col("l_linestatus") === status)
+            .groupBy(col("l_partkey"), col("l_suppkey"))
+            .agg(avg("l_extendedprice").as("value"))
+            .select(col("l_partkey").cast("string").as("gene_id"),
+              col("l_suppkey").cast("string").as("sample_id"), col("value")))
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        graft.Pipelines.metaAnalysis(Seq("O" -> mat("O"), "F" -> mat("F")),
+          groups, "A", "B").queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      spark.range(1000000L).selectExpr("sum(id)").collect()
+      val small = math.min(chain(100), chain(100))
+      val big = chain(10000) // one sample: the 100× run self-warms
+      println(f"[scale] q70_e3_chain(100x genes) G=100=$small%8.2fs G=10000=$big%8.2fs ratio=${big / small}%6.2f")
+      println(f"""[scale-json] {"queries":{"q70_e3_chain_gene100x":{"g100":$small%.3f,"g10000":$big%.3f,"ratio":${big / small}%.3f}}}""")
+      spark.stop(); return
+    }
+
     // SEMDEDUP SKEW probe (`runMain graft.ScaleProbe semdedupskew`):
     // VERDICT-r8 #7's done-criterion. A degenerate corpus — every
     // vector in ONE dominant cluster — concentrates the within-cell
