@@ -257,6 +257,7 @@ object Pipelines {
       repeatedSpanN: Option[Int] = None,
       referenceFp: Option[DataFrame] = None,
       referenceNearDup: Option[DataFrame] = None,
+      referenceNearDupIndex: Option[(DataFrame, DataFrame)] = None,
       gopherMinWords: Option[Int] = None,
       gopherMinStopWords: Int = 2,
       clusterQuality: Option[DataFrame] = None): DataFrame = {
@@ -303,11 +304,19 @@ object Pipelines {
     // the incoming-side shingle-df counts depend on the docs that
     // survived the exact stage — the same order-sensitivity caveat
     // as the in-batch near-dup stage).
-    val exact0 = referenceNearDup match {
-      case Some(refDocs) => TextDedup.nearDupAgainstReference(exactFp,
+    // `referenceNearDupIndex` (takes precedence) supplies the
+    // PRECOMPUTED at-rest index — [[TextDedup.nearDupIndex]]'s
+    // (band, shingle) relations, typically re-read from bucketed
+    // tables — so an incremental crawl pays only the incoming side
+    // (the amortized-index shape q128 benches).
+    val exact0 = (referenceNearDupIndex, referenceNearDup) match {
+      case (Some((refBands, refShingles)), _) =>
+        TextDedup.nearDupAgainstIndex(exactFp, refBands, refShingles,
+          minJaccard = nearDupJaccard, md5Hashes = md5Hashes, dfCap = dfCap)
+      case (None, Some(refDocs)) => TextDedup.nearDupAgainstReference(exactFp,
         refDocs, minJaccard = nearDupJaccard, md5Hashes = md5Hashes,
         dfCap = dfCap)
-      case None => exactFp
+      case _ => exactFp
     }
     // optional paragraph-grain boilerplate removal (Dolma-style) runs
     // between whole-document dedup and near-dup: docs stripped to

@@ -47,6 +47,7 @@ object Plans {
         "q121_classifier_holdout", "q122_component_winners",
         "q123_neardup_incremental", "q124_image_resize",
         "q128_neardup_amortized", "q129_quality_cluster_curation",
+        "q130_e6_amortized",
         // q126 is NOT audited: bpeMerges executes its rounds during
         // DataFrame construction, so the auditable plan is just the
         // collected merge table (LocalTableScan) — the most expensive
@@ -180,7 +181,9 @@ object Plans {
     "q128_neardup_amortized" ->
       "the q123 joins with the reference side read from its BUCKETED at-rest tables — the SMJ on band/shingle is the intended at-scale plan (the bucketed side sorts at rest and needs no exchange, bucketed_neardup_demo's proof); AQE demotes when small",
     "q129_quality_cluster_curation" ->
-      "the q65 curation joins plus the classifier-score join onto the dedup keepers and the component winner/loser joins — all corpus-grain keyed on doc/bucket/component; AQE demotes at runtime")
+      "the q65 curation joins plus the classifier-score join onto the dedup keepers and the component winner/loser joins — all corpus-grain keyed on doc/bucket/component; AQE demotes at runtime",
+    "q130_e6_amortized" ->
+      "the q125 chain joins with the reference near-dup side read from its BUCKETED at-rest tables (q128's layout) — band/shingle SMJs against the bucketed side are the intended at-scale plan; AQE demotes when small")
 
   /** Count SHUFFLE exchanges only — a BroadcastExchange moves the
     * bounded side, not the data, and is the desired join strategy.

@@ -331,6 +331,32 @@ object TextQueries {
                     JOIN shr sr ON sr.doc_id = ref_id)
         SELECT DISTINCT inc_id FROM ver WHERE j >= $minJ)"""
 
+  /** Shared q125/q130 oracle — the E6 chain replay: the q65 core over
+    * the incoming slice pre-filtered by the q94 exact-fingerprint NOT
+    * IN and the reference near-dup drop at j ≥ 0.5. */
+  private lazy val e6OracleSql: String = {
+    val incSrc = s"""SELECT d.doc_id, d.text FROM documents d
+      WHERE d.doc_id % 7 >= 3
+        AND md5(array_to_string(list_filter(
+              string_split_regex(lower(d.text), '[^a-z0-9]+'),
+              x -> x <> ''), ' ')) NOT IN (
+          SELECT DISTINCT md5(array_to_string(list_filter(
+              string_split_regex(lower(r.text), '[^a-z0-9]+'),
+              x -> x <> ''), ' '))
+          FROM documents r WHERE r.doc_id % 7 < 3)
+        AND NOT EXISTS (SELECT 1 FROM ${refNearDupDropSubquery(0.5)} dup
+          WHERE dup.inc_id = d.doc_id)"""
+    s"""${curationCoreSql(incSrc)}
+        SELECT doc_id, lang, round(q + 1e-9, 6) + 0.0 AS quality,
+               CAST(len(toks) AS INT) AS ws_tokens,
+               CAST(coalesce(list_sum(list_transform(toks,
+                      w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0)
+                    + length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS INT) AS bpeish_tokens
+        FROM quality
+        WHERE lang = 'en' AND q >= 0.3
+        ORDER BY doc_id"""
+  }
+
   /** Shared q123/q128 oracle: per-source keep stats of the incoming
     * slice after the cross-corpus near-dup drop at Jaccard ≥ 0.3. */
   private lazy val nearDupIncrementalOracleSql: String =
@@ -447,6 +473,27 @@ object TextQueries {
       graft.Pipelines.textCuration(inc, langs = Seq("en"), minQuality = 0.3,
           nearDupJaccard = 0.5, md5Hashes = true,
           referenceFp = Some(refFp), referenceNearDup = Some(refDocs))
+        .select(col("doc_id"), col("lang"),
+          round(col("quality") + 1e-9, 6).as("quality"),
+          col("ws_tokens"), col("bpeish_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- E6 with the reference near-dup index AMORTIZED at rest:
+    // the q125 chain paying only the incoming side of the near-dup
+    // stage — the reference band/shingle relations come from the
+    // bucketed warehouse tables ([[amortizedRefIndex]], the q128
+    // layout), the true per-crawl cost of incremental curation. ----
+    "q130_e6_amortized" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val refDocs = docs.filter(col("doc_id") % 7 < 3)
+      val inc = docs.filter(col("doc_id") % 7 >= 3)
+      val refFp = refDocs.select(
+        graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+      graft.Pipelines.textCuration(inc, langs = Seq("en"), minQuality = 0.3,
+          nearDupJaccard = 0.5, md5Hashes = true,
+          referenceFp = Some(refFp),
+          referenceNearDupIndex = Some(amortizedRefIndex(s, dir)))
         .select(col("doc_id"), col("lang"),
           round(col("quality") + 1e-9, 6).as("quality"),
           col("ws_tokens"), col("bpeish_tokens"))
@@ -1667,28 +1714,13 @@ object TextQueries {
     // through to the reference stage) never binds at fixture scale —
     // a corpus with a 100k-doc shingle would diverge (PipelinesSpec
     // gates the fixture's max shingle df against the cap).
-    "q125_incremental_curation" -> {
-      val incSrc = s"""SELECT d.doc_id, d.text FROM documents d
-        WHERE d.doc_id % 7 >= 3
-          AND md5(array_to_string(list_filter(
-                string_split_regex(lower(d.text), '[^a-z0-9]+'),
-                x -> x <> ''), ' ')) NOT IN (
-            SELECT DISTINCT md5(array_to_string(list_filter(
-                string_split_regex(lower(r.text), '[^a-z0-9]+'),
-                x -> x <> ''), ' '))
-            FROM documents r WHERE r.doc_id % 7 < 3)
-          AND NOT EXISTS (SELECT 1 FROM ${refNearDupDropSubquery(0.5)} dup
-            WHERE dup.inc_id = d.doc_id)"""
-      s"""${curationCoreSql(incSrc)}
-          SELECT doc_id, lang, round(q + 1e-9, 6) + 0.0 AS quality,
-                 CAST(len(toks) AS INT) AS ws_tokens,
-                 CAST(coalesce(list_sum(list_transform(toks,
-                        w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0)
-                      + length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS INT) AS bpeish_tokens
-          FROM quality
-          WHERE lang = 'en' AND q >= 0.3
-          ORDER BY doc_id"""
-    },
+    "q125_incremental_curation" -> e6OracleSql,
+
+    // q130 = q125 with the reference near-dup index read from its
+    // bucketed at-rest tables (amortizedRefIndex — the q128 storage
+    // layout inside the FULL E6 chain). The storage layout cannot
+    // change the keep set, so the oracle IS the q125 replay.
+    "q130_e6_amortized" -> e6OracleSql,
 
     // model-quality cluster-dedup replay: the q65 core with the
     // near-dup resolution swapped to CLUSTER grain — pairs → edges →
