@@ -265,6 +265,64 @@ object StreamOps {
       .drop("overlap_frac")
   }
 
+  /** Streaming INCREMENTAL NEAR-DUP against a frozen reference index —
+    * the live-feed form of
+    * [[graft.operators.TextDedup.nearDupAgainstIndex]] (q123/q128): a
+    * crawl STREAM drops documents that near-duplicate a previous
+    * snapshot. The reference index is the same at-rest pair the batch
+    * operator reads — the (id, band) relation plus the per-doc shingle
+    * SETS (one row per reference doc: aggregate the (id, s) relation
+    * with collect_set once, batch-side) — and both join STREAM-STATIC
+    * (stateless; Structured Streaming re-plans the static side per
+    * micro-batch, so materialize the index relations at rest, the
+    * q128 bucketed-table contract). Stream side: each document's
+    * MinHash bands come from ONE projection over its shingle array
+    * (the md5 slot/band layout is bit-identical to the batch
+    * `bandRows`, spec-gated batch≡stream), `explode_outer` keeps
+    * band-less (empty) docs, band collisions verify by exact
+    * array-intersect Jaccard against the reference shingle set, and
+    * one windowed per-doc aggregation (the only state, watermark-
+    * evicted) folds the verdicts: kept = no reference twin at
+    * `minJaccard`. Returns (doc_id, text, kept) per closed window. */
+  def streamingNearDupAgainstIndex(docs: DataFrame, refBands: DataFrame,
+      refShingleSets: DataFrame, minJaccard: Double = 0.5, k: Int = 8,
+      bands: Int = 4, shingleWidth: Int = 3, ts: String = "ts",
+      id: String = "doc_id", text: String = "text",
+      windowLen: String = "10 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    import graft.functions.TextFunctions._
+    require(k % bands == 0 && k <= 8, "md5 layout: k ≤ 8, bands | k")
+    require(minJaccard > 0.0, "minJaccard must be > 0")
+    val rowsPerBand = k / bands
+    // hash each distinct shingle ONCE, then take per-slot minima —
+    // the same md5 16-bit substring slots as the batch bandRows
+    val sh = array_distinct(shingles(tokens(col(text)), shingleWidth))
+    val hs = transform(col("__sh"), x => md5(x))
+    val slot = (i: Int) => array_min(transform(col("__hs"),
+      h => substring(h, i * 4 + 1, 4)))
+    val bandArr = array((0 until bands).map { b =>
+      concat_ws("#", lit(b.toString) +:
+        (0 until rowsPerBand).map(r => slot(b * rowsPerBand + r)): _*)
+    }: _*)
+    val refB = refBands.select(col("band"),
+      col(id).as("__ref_id"), lit(true).as("__hit"))
+    val refS = refShingleSets.select(col(id).as("__ref_id"),
+      col("sh").as("__ref_sh"))
+    docs.withWatermark(ts, watermarkDelay)
+      .withColumn("__sh", sh)
+      .withColumn("__hs", hs)
+      .select(col(ts), col(id), col(text), col("__sh"),
+        explode_outer(when(size(col("__sh")) > 0, bandArr)).as("band"))
+      .join(refB, Seq("band"), "left")
+      .join(refS, Seq("__ref_id"), "left")
+      .withColumn("__j", when(col("__hit").isNotNull,
+        size(array_intersect(col("__sh"), col("__ref_sh"))).cast("double") /
+          size(array_union(col("__sh"), col("__ref_sh")))).otherwise(lit(0.0)))
+      .groupBy(window(col(ts), windowLen), col(id), col(text))
+      .agg(max(col("__j") >= minJaccard).as("__dropped"))
+      .select(col(id), col(text), (!col("__dropped")).as("kept"))
+  }
+
   /** Streaming PARAGRAPH-grain dedup — the incremental form of
     * [[graft.operators.TextDedup.paragraphDedup]], enabled by that
     * operator's aggregation shape: the keep-first decision needs ONE

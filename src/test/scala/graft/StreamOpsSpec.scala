@@ -344,6 +344,51 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streamingNearDupAgainstIndex batch≡stream: frozen reference index on a live crawl") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.TextDedup
+    val docsB = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val ref = docsB.filter(col("doc_id") % 7 < 3).select("doc_id", "text")
+    val inc = docsB.filter(col("doc_id") % 7 >= 3).select("doc_id", "text")
+    // batch answer: the q123 operator's keep set at the chain threshold
+    val batchKept = TextDedup.nearDupAgainstReference(inc, ref,
+        minJaccard = 0.5, md5Hashes = true)
+      .select("doc_id").as[Long].collect().toSet
+    // the at-rest index pair: (id, band) rows + per-doc shingle SETS
+    val (refBands, refShingles) = TextDedup.nearDupIndex(ref, md5Hashes = true)
+    val refBandsStatic = refBands.localCheckpoint(true)
+    val refSets = refShingles.groupBy("doc_id")
+      .agg(collect_set("s").as("sh")).localCheckpoint(true)
+    refShingles.unpersist(blocking = false)
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamOps.streamingNearDupAgainstIndex(
+      input.toDS().toDF("ts", "doc_id", "text"), refBandsStatic, refSets,
+      minJaccard = 0.5)
+    val query = out.writeStream.format("memory")
+      .queryName("neardup_idx_out").outputMode("append").start()
+    try {
+      val t0 = 1700000000000L
+      val rows = inc.as[(Long, String)].collect().sortBy(_._1)
+      rows.grouped(100).foreach { b =>
+        input.addData(b.map { case (id, tx) => (new Timestamp(t0 + id), id, tx) }.toSeq: _*)
+        query.processAllAvailable()
+      }
+      input.addData((new Timestamp(t0 + 48 * 3600 * 1000L), -1L, "flush"))
+      query.processAllAvailable()
+      val streamRows = spark.table("neardup_idx_out")
+        .collect().filter(_.getAs[Long]("doc_id") >= 0L)
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("kept"))
+      // every incoming doc gets exactly one verdict row
+      assert(streamRows.length == rows.length,
+        s"expected ${rows.length} verdicts, got ${streamRows.length}")
+      val streamKept = streamRows.collect { case (d, true) => d }.toSet
+      assert(streamKept == batchKept,
+        s"keep sets diverged: onlyStream=${streamKept -- batchKept} " +
+          s"onlyBatch=${batchKept -- streamKept}")
+    } finally query.stop()
+  }
+
   test("streamingQualityScores batch≡stream: static NB fit applied to the live feed") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
