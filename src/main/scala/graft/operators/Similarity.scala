@@ -642,7 +642,8 @@ object Similarity {
     * code relation from [[pqEncodeResidual]]. */
   def ivfPqTopKResidual(queries: DataFrame, codes: DataFrame, k: Int,
       nProbe: Int, books: Array[Array[Array[Float]]], centroids: DataFrame,
-      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+      id: String = "vec_id", vec: String = "embedding",
+      pruneCells: Boolean = false): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     val cents = collectCentroids(centroids)
@@ -653,6 +654,19 @@ object Similarity {
       .withColumn("qr", zip_with(col("q_vec"), col("centroid"),
         (a, b) => a.cast("double") - b.cast("double")))
       .select("query_id", "cell", "qr")
+    // `pruneCells`: bake the query panel's probed-cell UNION (bounded
+    // by nCells — the Lloyd-anchor collect) into a literal IN filter
+    // on the code relation. Against a code table PARTITIONED BY cell
+    // at rest this is a static partition filter — the probe reads
+    // only the probed cells' files (`Plans partitioned_ivf_demo`
+    // measures numFiles). The LUT join alone can't prune files: its
+    // cells arrive via a broadcast relation, not a pushable predicate.
+    val codesIn =
+      if (pruneCells) {
+        val cellIds = probed.select("cell").distinct().collect()
+          .map(_.getInt(0)).toSeq
+        codes.filter(col("cell").isin(cellIds: _*))
+      } else codes
     val lut = probed.crossJoin(pqCodebookDf(spark, books)).select(
       col("query_id"), col("cell"), col("sub"), col("code"), {
         val vs = slice(col("qr"), col("sub") * dsub + 1, lit(dsub))
@@ -660,7 +674,7 @@ object Similarity {
           - lit(2.0) * vec_dot(vs, col("centroid"))
           + vec_dot(vs, vs)).as("d")
       })
-    val adc = codes.withColumnRenamed(id, "corpus_id")
+    val adc = codesIn.withColumnRenamed(id, "corpus_id")
       .join(broadcast(lut), Seq("cell", "sub", "code"))
       .filter(col("query_id") =!= col("corpus_id"))
       .groupBy(col("query_id"), col("corpus_id"))
