@@ -173,7 +173,35 @@ object TextQueries {
     * applied to the FULL corpus vocabulary (the t-chain — apply-only
     * rounds referencing each b$r), subword counts per word, and
     * per-source totals. */
-  private def bpeSubwordOracleSql(nMerges: Int): String = {
+  private def bpeSubwordOracleSql(nMerges: Int): String =
+    s"""WITH ${bpeSubwordCtes(nMerges)}
+       SELECT source, count(DISTINCT doc_id) AS n_docs,
+              CAST(sum(cnt * n_sub) AS BIGINT) AS subword_tokens,
+              CAST(sum(cnt) AS BIGINT) AS ws_tokens
+       FROM dw JOIN nsub USING (word)
+       GROUP BY 1 ORDER BY 1"""
+
+  /** q131 oracle: the q127 subword machinery ending in PER-DOC real
+    * token counts, then the q88 token-budget window (domain =
+    * doc_id % 7, md5 rank hash, inclusive prefix ≤ budget) over the
+    * REAL counts. */
+  private def bpeTokenBudgetOracleSql(nMerges: Int, budget: Long): String =
+    s"""WITH ${bpeSubwordCtes(nMerges)},
+       dt AS (SELECT doc_id, doc_id % 7 AS domain,
+                     CAST(sum(cnt * n_sub) AS BIGINT) AS toks
+              FROM dw JOIN nsub USING (word) GROUP BY 1, 2),
+       r AS (SELECT domain, doc_id, toks,
+                    sum(toks) OVER (PARTITION BY domain
+                      ORDER BY md5('3#' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+                      ROWS UNBOUNDED PRECEDING) AS ct
+             FROM dt)
+       SELECT domain, doc_id, toks FROM r WHERE ct <= $budget ORDER BY 1, 2"""
+
+  /** Shared q127/q131 CTE chain: BPE training on the %5 sample
+    * ([[bpeTrainCtes]]), the apply-only t-chain over the full corpus
+    * vocabulary, `dw` (doc, source, word, cnt) and `nsub` (word,
+    * n_sub). */
+  private def bpeSubwordCtes(nMerges: Int): String = {
     val applyRounds = (1 to nMerges).map { r =>
       val prev = s"t${r - 1}"
       s"""ap$r AS MATERIALIZED (
@@ -203,7 +231,7 @@ object TextQueries {
                  WHERE NOT EXISTS (SELECT 1 FROM akm$r k2
                    WHERE k2.word = s.word AND k2.pos = s.pos - 1)))"""
     }.mkString(",\n")
-    s"""WITH ${bpeTrainCtes(nMerges)},
+    s"""${bpeTrainCtes(nMerges)},
        dw AS MATERIALIZED (
          SELECT doc_id, source, u.word, count(*) AS cnt FROM (
            SELECT doc_id, source, unnest(list_filter(
@@ -218,12 +246,7 @@ object TextQueries {
                         j -> substr(word, j, 1)), '</w>') AS syms
                  FROM (SELECT DISTINCT word FROM dw)))),
        $applyRounds,
-       nsub AS (SELECT word, count(*) AS n_sub FROM t$nMerges GROUP BY 1)
-       SELECT source, count(DISTINCT doc_id) AS n_docs,
-              CAST(sum(cnt * n_sub) AS BIGINT) AS subword_tokens,
-              CAST(sum(cnt) AS BIGINT) AS ws_tokens
-       FROM dw JOIN nsub USING (word)
-       GROUP BY 1 ORDER BY 1"""
+       nsub AS (SELECT word, count(*) AS n_sub FROM t$nMerges GROUP BY 1)"""
   }
 
   /** Shared training CTEs for the BPE oracles: wf (the %5 sample's
@@ -456,6 +479,33 @@ object TextQueries {
           sum(col("cnt") * col("n_sub")).as("subword_tokens"),
           sum(col("cnt")).as("ws_tokens"))
         .orderBy("source")
+    }),
+
+    // ---- REAL-tokenizer token budgets: the E5 mixing stage driven by
+    // the TRAINED vocabulary's fertility instead of the whitespace
+    // heuristic — train the q126 merges on the %5 sample, segment the
+    // full corpus vocabulary (segmentFast, one distributed pass),
+    // derive per-DOC real subword counts, and run the q88 per-domain
+    // token-budget cap over those counts. The numbers a production
+    // packing/budget stage actually uses. Zero-token docs contribute
+    // no rows (the q127 join convention, both engines). ----
+    "q131_real_token_budget" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.operators.Bpe.bpeMergesFast(
+          docs.filter(col("doc_id") % 5 === 0), nMerges = 12)
+        .orderBy("round").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val dw = docs.select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
+      val seg = graft.operators.Bpe.segmentFast(dw.select("word").distinct(), merges)
+        .groupBy("word").agg(count(lit(1)).as("n_sub"))
+      val docToks = dw.join(seg, Seq("word"))
+        .groupBy("doc_id").agg(sum(col("cnt") * col("n_sub")).as("toks"))
+        .withColumn("domain", col("doc_id") % 7)
+      TextDedup.capTokensPerKey(docToks, "domain", "toks", budget = 3000L,
+          seed = 3, md5Hashes = true)
+        .select(col("domain"), col("doc_id"), col("toks"))
+        .orderBy("domain", "doc_id")
     }),
 
     // ---- E6: INCREMENTAL curation — curate a NEW crawl against an
@@ -1700,6 +1750,11 @@ object TextQueries {
     // subword-count replay: the q126 training chain + the apply-only
     // t-chain over the full corpus vocabulary + per-source totals
     "q127_subword_counts" -> bpeSubwordOracleSql(nMerges = 12),
+
+    // real-token-budget replay: the q127 machinery at PER-DOC grain
+    // feeding the q88 budget window over the real subword counts
+    "q131_real_token_budget" -> bpeTokenBudgetOracleSql(nMerges = 12,
+      budget = 3000L),
 
     // E6 incremental-curation replay: the q65 core over the incoming
     // slice PRE-FILTERED by (1) the q94 exact-fingerprint NOT IN and
