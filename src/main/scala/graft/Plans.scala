@@ -53,7 +53,7 @@ object Plans {
         // collected merge table (LocalTableScan) — the most expensive
         // construction in the catalog for a vacuous check. q127's
         // final plan has real joins and IS audited.
-        "q125_incremental_curation", "q127_subword_counts")
+        "q125_incremental_curation", "q127_subword_counts", "q131_real_token_budget")
     names.foreach { name =>
       if (name == "bucketed_demo") bucketedDemo(spark, dir)
       else if (name == "bucketed_neardup_demo") bucketedNearDupDemo(spark, dir)
@@ -184,7 +184,9 @@ object Plans {
     "q129_quality_cluster_curation" ->
       "the q65 curation joins plus the classifier-score join onto the dedup keepers and the component winner/loser joins — all corpus-grain keyed on doc/bucket/component; AQE demotes at runtime",
     "q130_e6_amortized" ->
-      "the q125 chain joins with the reference near-dup side read from its BUCKETED at-rest tables (q128's layout) — band/shingle SMJs against the bucketed side are the intended at-scale plan; AQE demotes when small")
+      "the q125 chain joins with the reference near-dup side read from its BUCKETED at-rest tables (q128's layout) — band/shingle SMJs against the bucketed side are the intended at-scale plan; AQE demotes when small",
+    "q131_real_token_budget" ->
+      "the (doc, word) count relation joined with the vocabulary-grain segmentation on word, then the salted budget windows — both sides corpus/vocabulary-grain keyed; AQE demotes when small")
 
   /** Count SHUFFLE exchanges only — a BroadcastExchange moves the
     * bounded side, not the data, and is the desired join strategy.
