@@ -53,7 +53,8 @@ object Plans {
         // collected merge table (LocalTableScan) — the most expensive
         // construction in the catalog for a vacuous check. q127's
         // final plan has real joins and IS audited.
-        "q125_incremental_curation", "q127_subword_counts", "q131_real_token_budget")
+        "q125_incremental_curation", "q127_subword_counts", "q131_real_token_budget",
+        "q132_winnow_fingerprints", "q133_winnow_overlap")
     names.foreach { name =>
       if (name == "bucketed_demo") bucketedDemo(spark, dir)
       else if (name == "bucketed_neardup_demo") bucketedNearDupDemo(spark, dir)

@@ -1041,6 +1041,110 @@ object TextDedup {
       .select(col(id), col("tk"), col("tf"), col("df"), col("tfidf"), col("rank"))
   }
 
+  /** Winnowed document fingerprints — the MOSS local fingerprinting
+    * algorithm (Schleimer–Wilkerson–Aiken, "Winnowing: Local
+    * Algorithms for Document Fingerprinting", SIGMOD 2003). Where
+    * [[graft.functions.TextFunctions.fingerprint]] keys a WHOLE
+    * document and MinHash sketches whole-document set similarity,
+    * winnowing selects a position-anchored SUBSET of k-gram hashes
+    * with a local guarantee: any shared token run of at least
+    * `window + k - 1` tokens between two documents contributes at
+    * least one selected hash to BOTH fingerprint sets — the
+    * copied-passage / contained-overlap signal whole-doc sketches
+    * dilute away.
+    *
+    * Selection rule (the paper's): in every sliding window of
+    * `window` consecutive k-gram hashes keep the minimum hash, ties
+    * broken to the RIGHTMOST position. Identical windows select the
+    * same gram at the same relative offset in both documents, and
+    * expected density is 2/(window+1) (PropertySpec measures both).
+    *
+    * Relational shape: one posexplode, then doc-grain lead/min
+    * windows (partitioned by `id` — bounded by document length,
+    * never by corpus-wide key mass; the auditor's content-keyed-
+    * window smell does not apply). Each k-gram hash is computed
+    * independently — the paper's rolling-hash recurrence is a
+    * single-pass optimisation for sequential scanners that the
+    * codegen'd md5/xxhash64 over materialised grams replaces
+    * outright. Documents shorter than `k` tokens contribute their
+    * whole token stream as one gram; shorter than `window` grams,
+    * one whole-document window. Zero-token documents have no grams
+    * and are absent from the result.
+    *
+    * Returns distinct (`id`, pos, h) selected fingerprints; `pos` is
+    * the 0-based gram start, `h` hex-md5 (md5Hashes) or xxhash64. */
+  def winnowFingerprints(docs: DataFrame, k: Int = 4, window: Int = 4,
+      md5Hashes: Boolean = false, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    require(k >= 1 && window >= 1, "k and window must be positive")
+    val tok = docs.select(col(id), posexplode(tokens(col(text))).as(Seq("pos", "tk")))
+    val wDoc = Window.partitionBy(col(id)).orderBy(col("pos"))
+    val leads = (1 until k).map(o => lead(col("tk"), o).over(wDoc))
+    val full = if (leads.isEmpty) lit(true) else leads.last.isNotNull
+    val hCol = {
+      val gram = concat_ws(" ", (col("tk") +: leads): _*)
+      if (md5Hashes) md5(gram) else xxhash64(gram)
+    }
+    // gram rows: pos is consecutive 0..ng-1 (full grams start at
+    // 0..n-k; a short doc's single whole-stream gram sits at 0)
+    val grams = tok
+      .withColumn("h", hCol)
+      .withColumn("full", full)
+      .filter(col("full") || col("pos") === 0)
+      .select(col(id), col("pos"), col("h"))
+    grams
+      .withColumn("ng", count(lit(1)).over(Window.partitionBy(col(id))))
+      // min over the frame picks the smallest hash; -pos inside the
+      // struct makes ties resolve to the rightmost gram
+      .withColumn("sel", min(struct(col("h"), (-col("pos")).as("np")))
+        .over(wDoc.rowsBetween(Window.currentRow, window - 1)))
+      // keep only FULL windows (the paper has exactly ng-window+1 of
+      // them); a doc with fewer grams than the window keeps its one
+      // truncated whole-doc window at pos 0
+      .filter(col("pos") <= col("ng") - window || col("pos") === 0)
+      .select(col(id), (-col("sel.np")).cast("int").as("pos"), col("sel.h").as("h"))
+      .distinct()
+  }
+
+  /** MOSS-style cross-document overlap over shared winnowed
+    * fingerprints: every pair sharing at least `minShared` distinct
+    * selected hashes, with the shared count, each side's fingerprint
+    * mass, and the containment-style ratio shared / min(|A|, |B|) —
+    * a passage copied into a much larger document still scores ~1,
+    * the asymmetry whole-doc Jaccard dilutes.
+    *
+    * Scale shape: fingerprint df is capped ([[capShingleDf]] on the
+    * hash) BEFORE the hash-keyed self-join — one boilerplate k-gram
+    * selected in 10⁶ documents would otherwise emit df² pair rows,
+    * and a hash every document shares distinguishes nothing (the
+    * MinHash dfCap argument verbatim). Pair counts are keyed
+    * aggregations; per-doc sizes come from the UNCAPPED relation so
+    * the denominator is the document's true fingerprint mass. The
+    * fingerprint relation is persisted (it feeds sizes + both join
+    * sides — aliased projections defeat exchange reuse, the q36
+    * lesson); caller-must-sweep, as with [[minhashLshPairs]]. */
+  def winnowOverlap(docs: DataFrame, k: Int = 4, window: Int = 4,
+      minShared: Long = 2, dfCap: Long = Long.MaxValue,
+      md5Hashes: Boolean = false, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val fpH = winnowFingerprints(docs, k, window, md5Hashes, id, text)
+      .select(col(id), col("h")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = fpH.groupBy(col(id)).agg(count(lit(1)).as("nfp"))
+    val capped = capShingleDf(fpH, dfCap, "h")
+    capped.select(col(id).as("id_a"), col("h"))
+      .join(capped.select(col(id).as("id_b"), col("h")), Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .join(sizes.select(col(id).as("id_a"), col("nfp").as("nfp_a")), Seq("id_a"))
+      .join(sizes.select(col(id).as("id_b"), col("nfp").as("nfp_b")), Seq("id_b"))
+      .withColumn("overlap",
+        round(col("shared") / least(col("nfp_a"), col("nfp_b")) + 1e-9, 6))
+      .select(col("id_a"), col("id_b"), col("shared"),
+        col("nfp_a"), col("nfp_b"), col("overlap"))
+  }
+
   /** Non-distinct relational gram rows `(id, s)` — the COUNTING shape
     * [[repetitionStats]] needs ([[shingleRows]] distinct-reduces).
     * Same gram semantics: full lead windows, plus the all-tokens

@@ -400,6 +400,35 @@ object TextQueries {
                 i -> array_to_string(toks[i:i+2], ' '))) AS sh
        FROM tk"""
 
+  /** Shared q132/q133 CTE chain — winnowing selection replay: per-doc
+    * k-gram md5 list `hs`, then per window j the min hash with the
+    * RIGHTMOST tie position, encoded as 'hexmd5#pos' strings (DuckDB
+    * cannot list_distinct struct lists). `sel.fps` is the distinct
+    * selected fingerprint set; pos arithmetic: the slice is 1-based,
+    * list_position on the reversed slice finds the LAST occurrence,
+    * and j - 2 + len + 1 - revpos converts back to the 0-based gram
+    * index the engine emits. */
+  private def winnowSelSql(k: Int, w: Int): String =
+    s"""tk AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+          FROM documents
+        ), g AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) >= $k THEN len(toks) - $k + 1 ELSE 1 END AS ng,
+                 list_transform(generate_series(1, greatest(len(toks) - $k + 1, 1)),
+                   i -> md5(array_to_string(toks[i:i+$k-1], ' '))) AS hs
+          FROM tk WHERE len(toks) > 0
+        ), sel AS (
+          SELECT doc_id, ng, list_distinct(list_transform(
+            generate_series(1, greatest(ng - $w + 1, 1)),
+            j -> list_sort(hs[j:least(j+$w-1, ng)])[1] || '#' ||
+                 CAST(j - 2 + len(hs[j:least(j+$w-1, ng)]) + 1
+                     - list_position(list_reverse(hs[j:least(j+$w-1, ng)]),
+                                     list_sort(hs[j:least(j+$w-1, ng)])[1]) AS VARCHAR))) AS fps
+          FROM g
+        )"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- E4: the full text-curation pipeline end-to-end (exact
     // dedup -> MinHash near-dup -> lang filter -> quality floor ->
@@ -699,6 +728,38 @@ object TextQueries {
       pairs.agg(count(lit(1)).as("n_candidates"),
         coalesce(sum((col("jaccard") >= 0.3).cast("long")), lit(0L)).as("n_high"),
         round(avg("jaccard") + 1e-9, 6).as("avg_jaccard"))
+    }),
+
+    // ---- Winnowed document fingerprints (Schleimer–Wilkerson–Aiken
+    // SIGMOD'03 — the MOSS algorithm): per-doc stats of the selected
+    // (pos, hash) set over k=4 grams, window w=4. min/max window
+    // selection runs doc-grain only; density ≈ 2/(w+1). ----
+    "q132_winnow_fingerprints" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val fp = TextDedup.winnowFingerprints(docs, k = 4, window = 4,
+        md5Hashes = true)
+      val stats = fp.groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_fp"),
+        countDistinct(col("h")).as("n_hash"),
+        min(col("h")).as("min_h"))
+      val ng = docs.filter(size(tokens(col("text"))) > 0)
+        .select(col("doc_id"),
+          greatest(size(tokens(col("text"))) - lit(3), lit(1)).cast("long").as("ng"))
+      ng.join(stats, Seq("doc_id"))
+        .select(col("doc_id"), col("ng"), col("n_fp"), col("n_hash"), col("min_h"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- MOSS-style copied-passage detection: doc pairs sharing
+    // >= 2 winnowed fingerprint hashes, containment overlap ratio.
+    // dfCap stays at its uncapped default so the result matches the
+    // exact definition (minhashLshPairs convention: capping changes
+    // results for viral-gram corpora, so it is never a silent
+    // default — corpus-scale call sites opt in). ----
+    "q133_winnow_overlap" -> ((s, dir) => {
+      TextDedup.winnowOverlap(t(s, dir, "documents"), k = 4, window = 4,
+          minShared = 2, md5Hashes = true)
+        .orderBy("id_a", "id_b")
     }),
 
     // ---- Near-dup CLUSTERS: connected components over the verified
@@ -2034,6 +2095,32 @@ object TextQueries {
                    CAST(coalesce(sum(CASE WHEN j >= 0.3 THEN 1 END), 0) AS BIGINT) AS n_high,
                    round(avg(j) + 1e-9, 6) + 0.0 AS avg_jaccard
             FROM verified"""),
+
+    // winnowing replay: list-comprehension window selection (min
+    // hash, rightmost tie) over per-doc k-gram md5 lists — the
+    // engine's doc-grain lead/min windows in list form.
+    "q132_winnow_fingerprints" ->
+      (s"""WITH ${winnowSelSql(4, 4)}
+          SELECT doc_id, CAST(ng AS BIGINT) AS ng,
+                 CAST(len(fps) AS BIGINT) AS n_fp,
+                 CAST(len(list_distinct(list_transform(fps, f -> substr(f, 1, 32)))) AS BIGINT) AS n_hash,
+                 list_sort(list_transform(fps, f -> substr(f, 1, 32)))[1] AS min_h
+          FROM sel ORDER BY doc_id"""),
+
+    "q133_winnow_overlap" ->
+      (s"""WITH ${winnowSelSql(4, 4)},
+          fpu AS (SELECT doc_id, unnest(fps) AS f FROM sel),
+          fph AS (SELECT DISTINCT doc_id, substr(f, 1, 32) AS h FROM fpu),
+          sizes AS (SELECT doc_id, count(*) AS nfp FROM fph GROUP BY 1),
+          pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+            FROM fph a JOIN fph b ON a.h = b.h AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 2)
+          SELECT id_a, id_b, shared, sa.nfp AS nfp_a, sb.nfp AS nfp_b,
+                 round(shared * 1.0 / least(sa.nfp, sb.nfp) + 1e-9, 6) + 0.0 AS overlap
+          FROM pairs JOIN sizes sa ON sa.doc_id = id_a
+                     JOIN sizes sb ON sb.doc_id = id_b
+          ORDER BY id_a, id_b"""),
 
     // components replay: the q35 pair machinery (j >= 0.3 losers) and
     // a recursive-CTE transitive closure — min reachable id = the

@@ -534,6 +534,69 @@ class PropertySpec extends SparkSpec {
     assert(d(999L) == "added")
   }
 
+  test("winnowFingerprints ≡ the sequential SWA'03 reference; guarantee + density bounds hold") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // the paper's sequential scan: per sliding window of w gram
+    // hashes keep (min hash, rightmost tie position)
+    def winnowRef(toks: Seq[String], k: Int, w: Int): Set[(Int, String)] = {
+      val grams =
+        if (toks.isEmpty) Seq.empty[String]
+        else if (toks.length < k) Seq(toks.mkString(" "))
+        else toks.sliding(k).map(_.mkString(" ")).toSeq
+      val hs = grams.map(md5hex)
+      if (hs.isEmpty) Set.empty
+      else (0 until math.max(hs.length - w + 1, 1)).map { j =>
+        val slice = hs.slice(j, math.min(j + w, hs.length))
+        val mn = slice.min
+        (j + slice.lastIndexOf(mn), mn)
+      }.toSet
+    }
+    val (k, w) = (3, 4)
+    // tiny vocab so repeated grams force in-window ties (the
+    // rightmost-position rule must actually fire), plus length
+    // extremes: empty, < k tokens, < w grams, long
+    val wordG = Gen.oneOf("a", "b", "c")
+    val docG = Gen.chooseNum(0, 40).flatMap(n => Gen.listOfN(n, wordG))
+    val docs = cases(Gen.listOfN(40, docG), n = 5).flatten.zipWithIndex
+      .map { case (tk, i) => (i.toLong, tk.mkString(" ")) }
+    val df = docs.toDF("doc_id", "text")
+    val got = TextDedup.winnowFingerprints(df, k = k, window = w, md5Hashes = true)
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getString(2))))
+      .groupBy(_._1).map { case (id, a) => id -> a.map(_._2).toSet }
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ").filter(_.nonEmpty).toSeq
+      val want = winnowRef(toks, k, w)
+      assert(got.getOrElse(id, Set.empty) == want, s"doc $id: winnow mismatch")
+      // density bounds: every window selects one gram, one selection
+      // covers at most w windows → nWin/w ≤ |fp| ≤ nWin
+      if (toks.nonEmpty) {
+        val ng = if (toks.length < k) 1 else toks.length - k + 1
+        val nWin = math.max(ng - w + 1, 1)
+        assert(want.size <= nWin && want.size * w >= nWin,
+          s"doc $id: density out of bounds (${want.size} of $nWin windows)")
+      }
+    }
+    // the SWA guarantee: a shared token run of ≥ w+k-1 tokens yields
+    // ≥ 1 shared selected hash — disjoint vocab everywhere else
+    val shared = Seq.tabulate(w + k - 1)(i => s"s$i")
+    val pairDocs = (0 until 6).flatMap { p =>
+      val fillA = Seq.tabulate(10 + p)(i => s"a${p}x$i")
+      val fillB = Seq.tabulate(14 - p)(i => s"b${p}x$i")
+      val cut = p % (fillA.length - 1) + 1
+      Seq((2L * p, (fillA.take(cut) ++ shared ++ fillA.drop(cut)).mkString(" ")),
+          (2L * p + 1, (fillB.take(p + 1) ++ shared ++ fillB.drop(p + 1)).mkString(" ")))
+    }
+    val ov = TextDedup.winnowOverlap(pairDocs.toDF("doc_id", "text"),
+        k = k, window = w, minShared = 1, md5Hashes = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 6).foreach { p =>
+      assert(ov.contains((2L * p, 2L * p + 1)),
+        s"pair $p: shared ${w + k - 1}-token run produced no shared fingerprint")
+    }
+  }
+
   test("weighted Stouffer combined p is monotone in each platform p") {
     import graft.operators.Meta
     def comb(p1: Double): Double = {
