@@ -375,6 +375,50 @@ object TextDedup {
         count(lit(1)).cast("int").as("n_tokens"))
   }
 
+  /** Context-window chunking at REAL tokenizer boundaries: chunk
+    * membership is computed on SUBWORD positions from a per-word
+    * piece-count relation `nSub` (word, n_sub) — the trained-BPE
+    * fertility at [[graft.operators.Bpe.segmentFast]]'s vocabulary
+    * grain — so chunk boundaries fall where the model's context
+    * window actually falls, splitting a word's pieces across chunks
+    * when the boundary does. [[chunkByTokens]] is the whitespace
+    * approximation of this; a packing stage consumes the same counts
+    * through [[packingManifest]].
+    *
+    * Scale shape: one posexplode, one vocabulary-grain join (word
+    * key; the vocabulary relation is language-bounded), one doc-grain
+    * prefix-sum window, then a chunk-range explode + (id, chunk)
+    * keyed aggregation. Nothing corpus-keyed; a doc's chunk fan-out
+    * is its token count over `chunkTokens`.
+    *
+    * Returns (id, chunk, n_pieces, n_words, first_wpos, last_wpos):
+    * subword pieces in the chunk (= chunkTokens everywhere except
+    * each document's tail chunk), words overlapping it, and the
+    * word-position span. */
+  def chunkByTokenCounts(docs: DataFrame, nSub: DataFrame, chunkTokens: Int,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    val c = lit(chunkTokens.toLong)
+    val tok = docs.select(col(id), posexplode(tokens(col(text))).as(Seq("wpos", "word")))
+    val wDoc = Window.partitionBy(col(id)).orderBy(col("wpos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val spans = tok.join(nSub, Seq("word"))
+      .withColumn("e", sum(col("n_sub")).over(wDoc))
+      .withColumn("st", col("e") - col("n_sub"))
+    spans
+      // a word's pieces span subword offsets [st, e) — it belongs to
+      // every chunk its span intersects (positive operands: floor
+      // division is exact and matches the oracle's `//`)
+      .withColumn("chunk", explode(sequence(
+        floor(col("st") / c).cast("long"), floor((col("e") - 1) / c).cast("long"))))
+      .groupBy(col(id), col("chunk"))
+      .agg(sum(least(col("e"), (col("chunk") + 1) * c) -
+             greatest(col("st"), col("chunk") * c)).cast("long").as("n_pieces"),
+           count(lit(1)).as("n_words"),
+           min(col("wpos")).cast("long").as("first_wpos"),
+           max(col("wpos")).cast("long").as("last_wpos"))
+  }
+
   /** Sequence-PACKING manifest — the concat-and-split packing every
     * autoregressive pretraining run performs (concatenate the corpus
     * in a deterministic order, split every `blockTokens` tokens; docs

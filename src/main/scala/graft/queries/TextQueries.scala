@@ -400,6 +400,23 @@ object TextQueries {
                 i -> array_to_string(toks[i:i+2], ' '))) AS sh
        FROM tk"""
 
+  /** Shared q134/q135 derivation: train 12 merges on the %5 sample
+    * (driver-side incremental fit — PropertySpec-equal to the
+    * relational form), segment the FULL corpus vocabulary in one
+    * distributed pass, return (docs, per-word subword piece counts).
+    * The q131 counts derivation, factored for the chunk/pack pair. */
+  private def realNSub(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val docs = t(s, dir, "documents")
+    val merges = graft.operators.Bpe.bpeMergesFast(
+        docs.filter(col("doc_id") % 5 === 0), nMerges = 12)
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val vocab = docs.select(explode(tokens(col("text"))).as("word")).distinct()
+    val nSub = graft.operators.Bpe.segmentFast(vocab, merges)
+      .groupBy("word").agg(count(lit(1)).as("n_sub"))
+    (docs, nSub)
+  }
+
   /** Shared q132/q133 CTE chain — winnowing selection replay: per-doc
     * k-gram md5 list `hs`, then per window j the min hash with the
     * RIGHTMOST tie position, encoded as 'hexmd5#pos' strings (DuckDB
@@ -535,6 +552,34 @@ object TextQueries {
           seed = 3, md5Hashes = true)
         .select(col("domain"), col("doc_id"), col("toks"))
         .orderBy("domain", "doc_id")
+    }),
+
+    // ---- Context-window chunking at REAL tokenizer boundaries:
+    // chunk membership computed on SUBWORD positions (trained-BPE
+    // fertility via segmentFast), so boundaries fall where the
+    // model's context window falls — a word's pieces split across
+    // chunks when the boundary does. q90 is the whitespace
+    // approximation; this is what a production loader uses. ----
+    "q134_real_token_chunks" -> ((s, dir) => {
+      val (docs, nSub) = realNSub(s, dir)
+      TextDedup.chunkByTokenCounts(docs, nSub, chunkTokens = 64)
+        .orderBy("doc_id", "chunk")
+    }),
+
+    // ---- Packing manifest under the REAL tokenizer: the q91
+    // concat-and-split block layout over trained-BPE per-doc token
+    // counts — global offsets shift wherever real fertility diverges
+    // from the whitespace count, which is exactly what the packed
+    // block boundaries depend on in production. ----
+    "q135_real_token_packing" -> ((s, dir) => {
+      val (docs, nSub) = realNSub(s, dir)
+      val dw = docs.select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
+      val docToks = dw.join(nSub, Seq("word"))
+        .groupBy("doc_id").agg(sum(col("cnt") * col("n_sub")).as("toks"))
+      TextDedup.packingManifest(docToks, "toks", blockTokens = 512L,
+          seed = 5, md5Hashes = true)
+        .orderBy("doc_id")
     }),
 
     // ---- E6: INCREMENTAL curation — curate a NEW crawl against an
@@ -1816,6 +1861,52 @@ object TextQueries {
     // feeding the q88 budget window over the real subword counts
     "q131_real_token_budget" -> bpeTokenBudgetOracleSql(nMerges = 12,
       budget = 3000L),
+
+    // real-token chunking replay: the q127 nsub relation joined onto
+    // per-doc ordered word positions, a per-doc prefix sum placing
+    // each word's piece span [st, e), chunk membership by span
+    // intersection (integer floor division both sides)
+    "q134_real_token_chunks" ->
+      (s"""WITH ${bpeSubwordCtes(12)},
+          dtok AS (
+            SELECT doc_id, i - 1 AS wpos, toks[i] AS word
+            FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
+                  FROM (SELECT doc_id, list_filter(
+                          string_split_regex(lower(text), '[^a-z0-9]+'),
+                          x -> x <> '') AS toks
+                        FROM documents))),
+          spans AS (
+            SELECT d.doc_id, d.wpos, n.n_sub,
+                   sum(n.n_sub) OVER (PARTITION BY d.doc_id ORDER BY d.wpos
+                     ROWS UNBOUNDED PRECEDING) AS e
+            FROM dtok d JOIN nsub n USING (word)),
+          ch AS (
+            SELECT doc_id, wpos, n_sub, e, e - n_sub AS st,
+                   unnest(generate_series(CAST((e - n_sub) // 64 AS BIGINT),
+                                          CAST((e - 1) // 64 AS BIGINT))) AS chunk
+            FROM spans)
+          SELECT doc_id, chunk,
+                 CAST(sum(least(e, (chunk + 1) * 64) - greatest(st, chunk * 64)) AS BIGINT) AS n_pieces,
+                 count(*) AS n_words,
+                 CAST(min(wpos) AS BIGINT) AS first_wpos,
+                 CAST(max(wpos) AS BIGINT) AS last_wpos
+          FROM ch GROUP BY 1, 2 ORDER BY 1, 2"""),
+
+    // real-token packing replay: the q91 block layout over per-doc
+    // REAL subword totals (dw × nsub)
+    "q135_real_token_packing" ->
+      (s"""WITH ${bpeSubwordCtes(12)},
+          d AS (SELECT doc_id, CAST(sum(cnt * n_sub) AS BIGINT) AS toks
+                FROM dw JOIN nsub USING (word) GROUP BY 1),
+          r AS (SELECT doc_id, toks,
+                       sum(toks) OVER (ORDER BY md5('5#' || CAST(doc_id AS VARCHAR)) ASC,
+                                       doc_id ASC ROWS UNBOUNDED PRECEDING) AS endt
+                FROM d WHERE toks > 0)
+          SELECT doc_id, CAST(endt - toks AS BIGINT) AS start_tok,
+                 CAST(endt AS BIGINT) AS end_tok,
+                 CAST((endt - toks) // 512 AS BIGINT) AS block_first,
+                 CAST((endt - 1) // 512 AS BIGINT) AS block_last
+          FROM r ORDER BY doc_id"""),
 
     // E6 incremental-curation replay: the q65 core over the incoming
     // slice PRE-FILTERED by (1) the q94 exact-fingerprint NOT IN and

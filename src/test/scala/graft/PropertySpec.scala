@@ -597,6 +597,42 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("chunkByTokenCounts: piece totals conserve; unit fertility degenerates to chunkByTokens") {
+    val wordG = Gen.oneOf("alpha", "beta", "gamma", "delta", "ep")
+    val docG = Gen.chooseNum(1, 50).flatMap(n => Gen.listOfN(n, wordG))
+    val docs = cases(Gen.listOfN(25, docG), n = 3).flatten.zipWithIndex
+      .map { case (tk, i) => (i.toLong, tk.mkString(" ")) }.toDF("doc_id", "text")
+    val c = 7
+    // real fertility: word length as the piece count (deterministic,
+    // varied) — per-doc chunk piece totals must equal the doc's total
+    // pieces, and every non-tail chunk must hold exactly c pieces
+    val nSub = docs.select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
+      .distinct().withColumn("n_sub", length(col("word")).cast("long"))
+    val chunks = TextDedup.chunkByTokenCounts(docs, nSub, chunkTokens = c)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val totals = docs.select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
+      .join(nSub, Seq("word")).groupBy("doc_id").agg(sum("n_sub").as("tot"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    chunks.groupBy(_._1).foreach { case (id, rows) =>
+      assert(rows.map(_._3).sum == totals(id), s"doc $id: piece totals diverge")
+      val lastChunk = rows.map(_._2).max
+      rows.filter(_._2 < lastChunk).foreach { case (_, ch, np) =>
+        assert(np == c, s"doc $id chunk $ch: non-tail chunk has $np != $c pieces")
+      }
+    }
+    // unit fertility (every word = 1 piece): chunk word counts must
+    // equal chunkByTokens' n_tokens at the same width, stride = width
+    val ones = nSub.withColumn("n_sub", lit(1L))
+    val got = TextDedup.chunkByTokenCounts(docs, ones, chunkTokens = c)
+      .select(col("doc_id"), col("chunk"), col("n_words"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = TextDedup.chunkByTokens(docs, chunkTokens = c)
+      .select(col("doc_id"), col("chunk").cast("long"), col("n_tokens").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, "unit-fertility chunking diverged from chunkByTokens")
+  }
+
   test("weighted Stouffer combined p is monotone in each platform p") {
     import graft.operators.Meta
     def comb(p1: Double): Double = {
