@@ -444,6 +444,65 @@ object TextRetrieval {
     * in the oracle SQL only), prior-alone fallback for docs with no
     * features. `bucketCounts` = (id, b, c); `universe` = every id
     * that must emit a row. */
+  /** CCNet perplexity bucketing (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data", LREC): score every PARAGRAPH by cross-entropy under a
+    * REFERENCE language model fit on `lmRef` (CCNet uses a
+    * wiki-trained KenLM; here the add-one unigram family of
+    * [[unigramCrossEntropy]] — the difference from q109/q112 is that
+    * the LM is a held-out reference, so unseen tokens score the
+    * smoothed floor instead of shifting the model), aggregate to a
+    * length-weighted document score, then split each LANGUAGE into
+    * head / middle / tail by the per-language tercile thresholds —
+    * CCNet's quality partition (head = lowest perplexity).
+    *
+    * Scale shape: the reference LM is a token-type-grain relation
+    * joined onto one corpus tokenize pass (left join: unseen tokens
+    * keep the floor); paragraph and document scores are keyed
+    * aggregations; the per-language thresholds relation is
+    * language-bounded and broadcast. The percentile runs over scores
+    * ROUNDED to 4dp (the q112 convention — Spark `percentile` ≡
+    * DuckDB `quantile_cont` on identical inputs).
+    *
+    * Returns (id, lang, n_paras, n_tokens, xent, bucket); documents
+    * with no tokens are absent (they have no LM evidence). */
+  def ccnetBuckets(docs: DataFrame, lmRef: DataFrame,
+      langCol: String = "lang", sep: String = "\n",
+      headFrac: Double = 1.0 / 3, midFrac: Double = 1.0 / 3,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val refTok = lmRef.select(explode(tokens(col(text))).as("tk"))
+    val freq = refTok.groupBy("tk").agg(count(lit(1)).as("tf"))
+    val totals = freq.agg(sum("tf").as("n_total"), count(lit(1)).as("vocab"))
+    val para = docs.select(col(id), col(langCol).as("lang"),
+      posexplode(split(col(text), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("ppos", "para")))
+    val ptok = para.select(col(id), col("lang"), col("ppos"),
+      explode(tokens(col("para"))).as("tk"))
+    val scored = ptok.join(freq, Seq("tk"), "left").crossJoin(broadcast(totals))
+      .withColumn("nll", -log((coalesce(col("tf"), lit(0L)) + lit(1.0)) /
+        (col("n_total") + col("vocab")).cast("double")))
+    val paraScores = scored.groupBy(col(id), col("lang"), col("ppos"))
+      .agg(count(lit(1)).as("p_tokens"), sum("nll").as("p_nll"))
+    // CCNet's doc score: length-weighted paragraph perplexity =
+    // token-mass-weighted mean
+    val docScores = paraScores.groupBy(col(id), col("lang"))
+      .agg(count(lit(1)).as("n_paras"), sum("p_tokens").as("n_tokens"),
+        round(sum("p_nll") / sum("p_tokens") + lit(1e-7), 4).as("xent"))
+      // materialized once: the threshold aggregate and the bucket join
+      // both read it, and Spark shares no subplan across the join —
+      // without this the whole scoring chain runs twice (the q112
+      // lesson)
+      .localCheckpoint(true)
+    val th = docScores.groupBy("lang").agg(
+      expr(s"percentile(xent, $headFrac)").as("t_head"),
+      expr(s"percentile(xent, ${headFrac + midFrac})").as("t_mid"))
+    docScores.join(broadcast(th), Seq("lang"))
+      .withColumn("bucket", when(col("xent") <= col("t_head"), "head")
+        .when(col("xent") <= col("t_mid"), "middle").otherwise("tail"))
+      .select(col(id), col("lang"), col("n_paras"), col("n_tokens"),
+        col("xent"), col("bucket"))
+  }
+
   private def nbScore(bucketCounts: DataFrame, universe: DataFrame,
       weights: DataFrame, prior: DataFrame, id: String): DataFrame = {
     val scored = bucketCounts.join(broadcast(weights), Seq("b"))

@@ -582,6 +582,24 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- CCNet perplexity partition (Wenzek et al. 2020): score
+    // paragraphs under a REFERENCE LM (the %5 sample — held out, so
+    // unseen tokens take the smoothed floor), length-weighted doc
+    // scores, per-LANGUAGE head/middle/tail terciles. The fixture has
+    // no newlines, so multi-paragraph structure is planted
+    // deterministically (a newline every 12 tokens; the oracle
+    // replays the derivation). ----
+    "q136_ccnet_buckets" -> ((s, dir) => {
+      val docs0 = t(s, dir, "documents")
+      val toks = tokens(col("text"))
+      val nPara = ceil(size(toks) / lit(12.0)).cast("int")
+      val docs = docs0.filter(size(toks) > 0).select(col("doc_id"), col("lang"),
+        concat_ws("\n", transform(sequence(lit(0), nPara - 1),
+          i => concat_ws(" ", slice(toks, i * 12 + 1, lit(12))))).as("text"))
+      val lmRef = docs0.filter(col("doc_id") % 5 === 0)
+      TextRetrieval.ccnetBuckets(docs, lmRef).orderBy("doc_id")
+    }),
+
     // ---- E6: INCREMENTAL curation — curate a NEW crawl against an
     // existing corpus end-to-end: exact-fingerprint reference dedup
     // (Bloom prune + exact confirm), banded near-dup against the
@@ -1907,6 +1925,50 @@ object TextQueries {
                  CAST((endt - toks) // 512 AS BIGINT) AS block_first,
                  CAST((endt - 1) // 512 AS BIGINT) AS block_last
           FROM r ORDER BY doc_id"""),
+
+    // CCNet bucket replay: the planted-paragraph derivation, the %5
+    // reference LM (LEFT join — unseen tokens take the add-one
+    // floor), length-weighted doc scores rounded to 4dp, per-lang
+    // quantile_cont terciles (≡ Spark percentile)
+    "q136_ccnet_buckets" ->
+      """WITH base AS (
+           SELECT doc_id, lang,
+                  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+           FROM documents),
+         planted AS (
+           SELECT doc_id, lang,
+                  list_transform(generate_series(0, CAST(ceil(len(toks) / 12.0) AS BIGINT) - 1),
+                    i -> array_to_string(toks[i*12+1 : i*12+12], ' ')) AS paras
+           FROM base WHERE len(toks) > 0),
+         ref AS (SELECT unnest(toks) AS tk FROM base WHERE doc_id % 5 = 0),
+         freq AS (SELECT tk, count(*) AS tf FROM ref GROUP BY 1),
+         tot AS (SELECT CAST(sum(tf) AS BIGINT) AS n_total, count(*) AS vocab FROM freq),
+         ptok AS (
+           SELECT doc_id, lang, i - 1 AS ppos,
+                  unnest(list_filter(string_split_regex(lower(paras[i]), '[^a-z0-9]+'),
+                    x -> x <> '')) AS tk
+           FROM (SELECT doc_id, lang, paras,
+                        unnest(generate_series(1, len(paras))) AS i
+                 FROM planted)),
+         scored AS (
+           SELECT p.doc_id, p.lang, p.ppos,
+                  -ln((coalesce(f.tf, 0) + 1.0) / (t.n_total + t.vocab)) AS nll
+           FROM ptok p LEFT JOIN freq f USING (tk) CROSS JOIN tot t),
+         ps AS (SELECT doc_id, lang, ppos, count(*) AS p_tokens, sum(nll) AS p_nll
+                FROM scored GROUP BY 1, 2, 3),
+         ds AS (SELECT doc_id, lang, count(*) AS n_paras,
+                       CAST(sum(p_tokens) AS BIGINT) AS n_tokens,
+                       round(sum(p_nll) / sum(p_tokens) + 1e-7, 4) + 0.0 AS xent
+                FROM ps GROUP BY 1, 2),
+         th AS (SELECT lang,
+                       quantile_cont(xent, 0.3333333333333333) AS t_head,
+                       quantile_cont(xent, 0.6666666666666666) AS t_mid
+                FROM ds GROUP BY 1)
+         SELECT d.doc_id, d.lang, d.n_paras, d.n_tokens, d.xent,
+                CASE WHEN d.xent <= t.t_head THEN 'head'
+                     WHEN d.xent <= t.t_mid THEN 'middle'
+                     ELSE 'tail' END AS bucket
+         FROM ds d JOIN th t USING (lang) ORDER BY d.doc_id""",
 
     // E6 incremental-curation replay: the q65 core over the incoming
     // slice PRE-FILTERED by (1) the q94 exact-fingerprint NOT IN and
