@@ -600,6 +600,30 @@ object TextQueries {
       TextRetrieval.ccnetBuckets(docs, lmRef).orderBy("doc_id")
     }),
 
+    // ---- HTML → text extraction (the raw-crawl front stage): strip
+    // head/script/style, block tags → lines, entity decode, drop
+    // boilerplate lines by link density. HTML is planted in-query
+    // around the fixture text (title/script/style head, link-dense
+    // nav + ads + footer, the original text as content) so the
+    // extracted fingerprint must recover exactly heading + content —
+    // the oracle replays the template and the whole regexp chain. ----
+    "q137_html_extract" -> ((s, dir) => {
+      val html = t(s, dir, "documents").select(col("doc_id"), concat(
+        lit("<html><head><title>Doc "), col("doc_id"),
+        lit("</title><script>var x="), col("doc_id"),
+        lit(";</script><style>.c{color:red}</style></head><body>"),
+        lit("<nav><a href=\"/home\">home</a> <a href=\"/about\">about</a></nav>"),
+        lit("<h1>doc "), col("doc_id"), lit(" heading</h1>"),
+        lit("<p>"), col("text"), lit("</p>"),
+        lit("<div class=\"ads\">buy <a href=\"/buy\">now</a></div>"),
+        lit("<footer><a href=\"/terms\">terms</a> <a href=\"/privacy\">privacy</a> &copy; 2026</footer>"),
+        lit("</body></html>")).as("html"))
+      graft.operators.TextExtract.extractHtmlText(html)
+        .select(col("doc_id"), col("n_kept"), col("n_dropped"), col("n_links"),
+          fingerprint(col("text")).as("extracted_fp"))
+        .orderBy("doc_id")
+    }),
+
     // ---- E6: INCREMENTAL curation — curate a NEW crawl against an
     // existing corpus end-to-end: exact-fingerprint reference dedup
     // (Bloom prune + exact confirm), banded near-dup against the
@@ -1969,6 +1993,52 @@ object TextQueries {
                      WHEN d.xent <= t.t_mid THEN 'middle'
                      ELSE 'tail' END AS bucket
          FROM ds d JOIN th t USING (lang) ORDER BY d.doc_id""",
+
+    // HTML-extraction replay: the planted template + the full regexp
+    // chain (head/script/style strip, block tags → lines, tag strip,
+    // entity decode with &amp; last, link-density line verdicts)
+    "q137_html_extract" ->
+      ("""WITH html AS (
+           SELECT doc_id,
+                  '<html><head><title>Doc ' || doc_id || '</title><script>var x=' || doc_id ||
+                  ';</script><style>.c{color:red}</style></head><body>' ||
+                  '<nav><a href="/home">home</a> <a href="/about">about</a></nav>' ||
+                  '<h1>doc ' || doc_id || ' heading</h1>' ||
+                  '<p>' || text || '</p>' ||
+                  '<div class="ads">buy <a href="/buy">now</a></div>' ||
+                  '<footer><a href="/terms">terms</a> <a href="/privacy">privacy</a> &copy; 2026</footer>' ||
+                  '</body></html>' AS html
+           FROM documents),
+         s1 AS (SELECT doc_id, regexp_replace(html, '(?is)<head.*?</head>', ' ', 'g') AS x FROM html),
+         s2 AS (SELECT doc_id, regexp_replace(x, '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g') AS x FROM s1),
+         s3 AS (SELECT doc_id, regexp_replace(x, '(?is)</(p|div|h1|h2|h3|li|nav|footer|tr)>', chr(10), 'g') AS x FROM s2),
+         lines AS (
+           SELECT doc_id, i - 1 AS lpos, ls[i] AS line
+           FROM (SELECT doc_id, string_split(x, chr(10)) AS ls FROM s3),
+                LATERAL (SELECT unnest(generate_series(1, len(ls))) AS i)),
+         clean AS (
+           SELECT doc_id, lpos,
+                  len(regexp_extract_all(line, '(?i)<a[ >]')) AS n_links,
+                  regexp_replace(trim(
+                    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                    regexp_replace(regexp_replace(regexp_replace(
+                      regexp_replace(line, '<[^>]*>', ' ', 'g'),
+                      '&nbsp;', ' ', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+                      '&quot;', '"', 'g'), '&#39;', chr(39), 'g'), '&copy;', '(c)', 'g'),
+                      '&amp;', '&', 'g')), '\s+', ' ', 'g') AS txt
+           FROM lines),
+         verdict AS (
+           SELECT *, (length(txt) > 0)
+                     AND NOT (n_links >= 2 OR (n_links >= 1 AND length(txt) < 40)) AS keep
+           FROM clean)
+         SELECT doc_id,
+                CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                CAST(sum(CASE WHEN NOT keep AND length(txt) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+                CAST(sum(n_links) AS BIGINT) AS n_links,
+                md5(array_to_string(list_filter(string_split_regex(lower(
+                  string_agg(CASE WHEN keep THEN txt END, ' ' ORDER BY lpos)),
+                  '[^a-z0-9]+'), x -> x <> ''), ' ')) AS extracted_fp
+         FROM verdict GROUP BY 1 ORDER BY 1"""),
 
     // E6 incremental-curation replay: the q65 core over the incoming
     // slice PRE-FILTERED by (1) the q94 exact-fingerprint NOT IN and

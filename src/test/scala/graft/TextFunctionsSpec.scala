@@ -328,4 +328,35 @@ class TextFunctionsSpec extends SparkSpec {
     // in the training set -> predicted negative), zero features
     assert(out(200L)._3 == 0L && !out(200L)._2, s"empty doc: ${out(200L)}")
   }
+
+  test("extractHtmlText: content survives, boilerplate drops, entities decode once") {
+    import graft.operators.TextExtract
+    val docs = Seq(
+      // 0: content line with ONE link but long text must SURVIVE (the
+      // link-density rule, not a blanket anchor ban), nav must drop
+      (0L, "<body><nav><a href=\"/a\">a</a> <a href=\"/b\">b</a></nav>" +
+        "<p>a long content sentence that mentions the <a href=\"/x\">reference</a> " +
+        "and keeps going well past the cutoff</p></body>"),
+      // 1: double-encoded entity decodes ONCE (&amp;lt; -> &lt;, not <)
+      (1L, "<p>x &amp;lt; y</p>"),
+      // 2: script body with tags inside a string must vanish whole
+      (2L, "<p>kept</p><script>var s = \"<p>fake</p>\";</script><div>also kept " +
+        "because this line is long enough to pass</div>"),
+      // 3: no markup at all — one line, kept verbatim
+      (3L, "plain text only"),
+      // 4: empty document
+      (4L, ""))
+      .toDF("doc_id", "html")
+    val out = TextExtract.extractHtmlText(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(4)))).toMap
+    assert(out(0L)._3.startsWith("a long content sentence"), s"content dropped: ${out(0L)}")
+    assert(out(0L)._3.contains("reference"), "inline link text must survive")
+    assert(!out(0L)._3.contains(" a b"), "nav boilerplate leaked")
+    assert(out(0L)._2 == 1L, s"nav must be the one dropped line: ${out(0L)}")
+    assert(out(1L)._3 == "x &lt; y", s"double-encoded entity over-decoded: ${out(1L)._3}")
+    assert(out(2L)._3 == "kept also kept because this line is long enough to pass",
+      s"script body leaked: ${out(2L)._3}")
+    assert(out(3L)._3 == "plain text only")
+    assert(out(4L)._1 == 0L && out(4L)._3 == "", s"empty doc: ${out(4L)}")
+  }
 }
