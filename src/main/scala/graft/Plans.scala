@@ -56,7 +56,7 @@ object Plans {
         "q125_incremental_curation", "q127_subword_counts", "q131_real_token_budget",
         "q132_winnow_fingerprints", "q133_winnow_overlap",
         "q134_real_token_chunks", "q135_real_token_packing",
-        "q136_ccnet_buckets", "q137_html_extract")
+        "q136_ccnet_buckets", "q137_html_extract", "q138_e7_rawcrawl")
     names.foreach { name =>
       if (name == "bucketed_demo") bucketedDemo(spark, dir)
       else if (name == "bucketed_neardup_demo") bucketedNearDupDemo(spark, dir)
@@ -158,6 +158,8 @@ object Plans {
       "the q69 voom observation joins plus the GLS per-(gene,unit) aggregation joined back on gene — both sides data-grain keyed; AQE demotes to broadcast at runtime (final plans show BroadcastQueryStage)",
     "q79_full_curation" ->
       "curation keep-set joins (repetition/decontamination ids against the doc relation) — both sides corpus-grain keyed; AQE demotes at runtime",
+    "q138_e7_rawcrawl" ->
+      "the q79 curation-chain joins over the EXTRACTED corpus (near-dup verify keyed on (id_a,id_b), loser anti-join on doc_id) plus the extraction's doc-keyed line reassembly — all corpus-grain keyed; AQE demotes at runtime",
     "q116_gopher_curation" ->
       "the q79 curation-chain joins (near-dup Jaccard verify keyed on (id_a,id_b), loser anti-join on doc_id) — both sides corpus-grain keyed; AQE demotes at runtime; the gopher prefilter itself is a zero-shuffle projection",
     "q85_paragraph_dedup" ->

@@ -417,6 +417,71 @@ object TextQueries {
     (docs, nSub)
   }
 
+  /** Shared q137/q138 planted-HTML derivation (Spark side): the
+    * fixture text wrapped in a deterministic template — metadata head,
+    * link-dense nav/ads/footer boilerplate, the original text as the
+    * one content paragraph. The oracle `htmlVerdictCtes` replays the
+    * identical template. */
+  private def plantedHtml(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat(
+      lit("<html><head><title>Doc "), col("doc_id"),
+      lit("</title><script>var x="), col("doc_id"),
+      lit(";</script><style>.c{color:red}</style></head><body>"),
+      lit("<nav><a href=\"/home\">home</a> <a href=\"/about\">about</a></nav>"),
+      lit("<h1>doc "), col("doc_id"), lit(" heading</h1>"),
+      lit("<p>"), col("text"), lit("</p>"),
+      lit("<div class=\"ads\">buy <a href=\"/buy\">now</a></div>"),
+      lit("<footer><a href=\"/terms\">terms</a> <a href=\"/privacy\">privacy</a> &copy; 2026</footer>"),
+      lit("</body></html>")).as("html"))
+
+  /** Shared q137/q138 CTE chain — the planted-HTML template and the
+    * full extraction replay (head/script/style strip, block tags →
+    * lines, tag strip, entity decode with `&amp;` last, link-density
+    * line verdicts). Ends at `verdict` (doc_id, lpos, n_links, txt,
+    * keep). */
+  private val htmlVerdictCtes: String =
+    """html AS (
+         SELECT doc_id,
+                '<html><head><title>Doc ' || doc_id || '</title><script>var x=' || doc_id ||
+                ';</script><style>.c{color:red}</style></head><body>' ||
+                '<nav><a href="/home">home</a> <a href="/about">about</a></nav>' ||
+                '<h1>doc ' || doc_id || ' heading</h1>' ||
+                '<p>' || text || '</p>' ||
+                '<div class="ads">buy <a href="/buy">now</a></div>' ||
+                '<footer><a href="/terms">terms</a> <a href="/privacy">privacy</a> &copy; 2026</footer>' ||
+                '</body></html>' AS html
+         FROM documents),
+       s1 AS (SELECT doc_id, regexp_replace(html, '(?is)<head.*?</head>', ' ', 'g') AS x FROM html),
+       s2 AS (SELECT doc_id, regexp_replace(x, '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g') AS x FROM s1),
+       s3 AS (SELECT doc_id, regexp_replace(x, '(?is)</(p|div|h1|h2|h3|li|nav|footer|tr)>', chr(10), 'g') AS x FROM s2),
+       lines AS (
+         SELECT doc_id, i - 1 AS lpos, ls[i] AS line
+         FROM (SELECT doc_id, string_split(x, chr(10)) AS ls FROM s3),
+              LATERAL (SELECT unnest(generate_series(1, len(ls))) AS i)),
+       clean AS (
+         SELECT doc_id, lpos,
+                len(regexp_extract_all(line, '(?i)<a[ >]')) AS n_links,
+                regexp_replace(trim(
+                  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                  regexp_replace(regexp_replace(regexp_replace(
+                    regexp_replace(line, '<[^>]*>', ' ', 'g'),
+                    '&nbsp;', ' ', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+                    '&quot;', '"', 'g'), '&#39;', chr(39), 'g'), '&copy;', '(c)', 'g'),
+                    '&amp;', '&', 'g')), '\s+', ' ', 'g') AS txt
+         FROM lines),
+       verdict AS (
+         SELECT *, (length(txt) > 0)
+                   AND NOT (n_links >= 2 OR (n_links >= 1 AND length(txt) < 40)) AS keep
+         FROM clean)"""
+
+  /** The extraction as a curation SOURCE: (doc_id, text) of the kept
+    * lines in order — `curationCoreSql`'s srcSql for the E7 chain. */
+  private val htmlExtractSrcSql: String =
+    s"""WITH $htmlVerdictCtes
+       SELECT doc_id,
+              coalesce(string_agg(CASE WHEN keep THEN txt END, ' ' ORDER BY lpos), '') AS text
+       FROM verdict GROUP BY doc_id"""
+
   /** Shared q132/q133 CTE chain — winnowing selection replay: per-doc
     * k-gram md5 list `hs`, then per window j the min hash with the
     * RIGHTMOST tie position, encoded as 'hexmd5#pos' strings (DuckDB
@@ -608,19 +673,26 @@ object TextQueries {
     // extracted fingerprint must recover exactly heading + content —
     // the oracle replays the template and the whole regexp chain. ----
     "q137_html_extract" -> ((s, dir) => {
-      val html = t(s, dir, "documents").select(col("doc_id"), concat(
-        lit("<html><head><title>Doc "), col("doc_id"),
-        lit("</title><script>var x="), col("doc_id"),
-        lit(";</script><style>.c{color:red}</style></head><body>"),
-        lit("<nav><a href=\"/home\">home</a> <a href=\"/about\">about</a></nav>"),
-        lit("<h1>doc "), col("doc_id"), lit(" heading</h1>"),
-        lit("<p>"), col("text"), lit("</p>"),
-        lit("<div class=\"ads\">buy <a href=\"/buy\">now</a></div>"),
-        lit("<footer><a href=\"/terms\">terms</a> <a href=\"/privacy\">privacy</a> &copy; 2026</footer>"),
-        lit("</body></html>")).as("html"))
-      graft.operators.TextExtract.extractHtmlText(html)
+      graft.operators.TextExtract.extractHtmlText(plantedHtml(t(s, dir, "documents")))
         .select(col("doc_id"), col("n_kept"), col("n_dropped"), col("n_links"),
           fingerprint(col("text")).as("extracted_fp"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- E7: the full RAW-CRAWL pipeline — planted HTML through
+    // extraction (q137) into the complete E4 curation chain (exact
+    // dedup -> near-dup -> lang -> quality -> token stats). The
+    // composed oracle feeds the extraction replay into the q65 core
+    // as its source relation. ----
+    "q138_e7_rawcrawl" -> ((s, dir) => {
+      val extracted = graft.operators.TextExtract
+        .extractHtmlText(plantedHtml(t(s, dir, "documents")))
+        .select(col("doc_id"), col("text"))
+      graft.Pipelines.textCuration(extracted, langs = Seq("en"),
+          minQuality = 0.3, nearDupJaccard = 0.5, md5Hashes = true)
+        .select(col("doc_id"), col("lang"),
+          round(col("quality") + 1e-9, 6).as("quality"),
+          col("ws_tokens"), col("bpeish_tokens"))
         .orderBy("doc_id")
     }),
 
@@ -1998,39 +2070,7 @@ object TextQueries {
     // chain (head/script/style strip, block tags → lines, tag strip,
     // entity decode with &amp; last, link-density line verdicts)
     "q137_html_extract" ->
-      ("""WITH html AS (
-           SELECT doc_id,
-                  '<html><head><title>Doc ' || doc_id || '</title><script>var x=' || doc_id ||
-                  ';</script><style>.c{color:red}</style></head><body>' ||
-                  '<nav><a href="/home">home</a> <a href="/about">about</a></nav>' ||
-                  '<h1>doc ' || doc_id || ' heading</h1>' ||
-                  '<p>' || text || '</p>' ||
-                  '<div class="ads">buy <a href="/buy">now</a></div>' ||
-                  '<footer><a href="/terms">terms</a> <a href="/privacy">privacy</a> &copy; 2026</footer>' ||
-                  '</body></html>' AS html
-           FROM documents),
-         s1 AS (SELECT doc_id, regexp_replace(html, '(?is)<head.*?</head>', ' ', 'g') AS x FROM html),
-         s2 AS (SELECT doc_id, regexp_replace(x, '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g') AS x FROM s1),
-         s3 AS (SELECT doc_id, regexp_replace(x, '(?is)</(p|div|h1|h2|h3|li|nav|footer|tr)>', chr(10), 'g') AS x FROM s2),
-         lines AS (
-           SELECT doc_id, i - 1 AS lpos, ls[i] AS line
-           FROM (SELECT doc_id, string_split(x, chr(10)) AS ls FROM s3),
-                LATERAL (SELECT unnest(generate_series(1, len(ls))) AS i)),
-         clean AS (
-           SELECT doc_id, lpos,
-                  len(regexp_extract_all(line, '(?i)<a[ >]')) AS n_links,
-                  regexp_replace(trim(
-                    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-                    regexp_replace(regexp_replace(regexp_replace(
-                      regexp_replace(line, '<[^>]*>', ' ', 'g'),
-                      '&nbsp;', ' ', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
-                      '&quot;', '"', 'g'), '&#39;', chr(39), 'g'), '&copy;', '(c)', 'g'),
-                      '&amp;', '&', 'g')), '\s+', ' ', 'g') AS txt
-           FROM lines),
-         verdict AS (
-           SELECT *, (length(txt) > 0)
-                     AND NOT (n_links >= 2 OR (n_links >= 1 AND length(txt) < 40)) AS keep
-           FROM clean)
+      (s"""WITH $htmlVerdictCtes
          SELECT doc_id,
                 CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
                 CAST(sum(CASE WHEN NOT keep AND length(txt) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
@@ -2039,6 +2079,20 @@ object TextQueries {
                   string_agg(CASE WHEN keep THEN txt END, ' ' ORDER BY lpos)),
                   '[^a-z0-9]+'), x -> x <> ''), ' ')) AS extracted_fp
          FROM verdict GROUP BY 1 ORDER BY 1"""),
+
+    // E7 raw-crawl replay: the q65 curation core with the q137
+    // extraction output as its SOURCE — the full raw-HTML → curated
+    // pipeline in one composed oracle
+    "q138_e7_rawcrawl" ->
+      (s"""${curationCoreSql(htmlExtractSrcSql)}
+          SELECT doc_id, lang, round(q + 1e-9, 6) + 0.0 AS quality,
+                 CAST(len(toks) AS INT) AS ws_tokens,
+                 CAST(coalesce(list_sum(list_transform(toks,
+                        w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0)
+                      + length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS INT) AS bpeish_tokens
+          FROM quality
+          WHERE lang = 'en' AND q >= 0.3
+          ORDER BY doc_id"""),
 
     // E6 incremental-curation replay: the q65 core over the incoming
     // slice PRE-FILTERED by (1) the q94 exact-fingerprint NOT IN and
