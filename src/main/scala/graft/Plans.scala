@@ -56,7 +56,8 @@ object Plans {
         "q125_incremental_curation", "q127_subword_counts", "q131_real_token_budget",
         "q132_winnow_fingerprints", "q133_winnow_overlap",
         "q134_real_token_chunks", "q135_real_token_packing",
-        "q136_ccnet_buckets", "q137_html_extract", "q138_e7_rawcrawl")
+        "q136_ccnet_buckets", "q137_html_extract", "q138_e7_rawcrawl",
+        "q139_ivfpq_refine")
     names.foreach { name =>
       if (name == "bucketed_demo") bucketedDemo(spark, dir)
       else if (name == "bucketed_neardup_demo") bucketedNearDupDemo(spark, dir)

@@ -48,6 +48,30 @@ object Similarity {
       .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cosine"))
   }
 
+  /** FAISS-style REFINE stage (IndexRefine): exact re-rank of ANN
+    * candidates. `candidates` is any (query_id, corpus_id, …)
+    * relation from an approximate probe — typically the ADC top-k′
+    * with k′ = r·k for a small multiplier r — and the exact cosine
+    * is recomputed from the ORIGINAL vectors for candidate pairs
+    * only, keeping the top `k`.
+    *
+    * Scale shape: the |Q|·k′ candidate rows join the corpus keyed on
+    * id, so the exact-score work is bounded by the CANDIDATE set,
+    * never the corpus — quantization error buys recall back at a
+    * cost proportional to k′, not N. The query panel is bounded (the
+    * ANN query contract), so the candidate side of both joins stays
+    * broadcastable; ranking is the bounded [[topKOf]] aggregate. */
+  def refineTopK(candidates: DataFrame, corpus: DataFrame, k: Int,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val q = corpus.select(col(id).as("query_id"), col(vec).as("q_vec"))
+    val c = corpus.select(col(id).as("corpus_id"), col(vec).as("c_vec"))
+    val scored = candidates.select(col("query_id"), col("corpus_id"))
+      .join(q, Seq("query_id")).join(c, Seq("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        cosine(col("q_vec"), col("c_vec")).as("cosine"))
+    topKOf(scored, k)
+  }
+
   /** Brute-force cosine top-k: for each query vector, the k nearest
     * corpus vectors by cosine (ties broken on corpus id). The corpus
     * side stays distributed; queries are broadcast. */

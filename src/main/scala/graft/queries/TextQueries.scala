@@ -1413,6 +1413,25 @@ object TextQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- FAISS refine stage: the q113 residual-IVF-PQ probe widened
+    // to the ADC top-15, then candidates re-ranked by EXACT cosine
+    // from the original vectors (IndexRefine) — recall bought back at
+    // cost proportional to k', never N. ----
+    "q139_ivfpq_refine" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = Similarity.lloydCentroids(emb, nCells = 8, iters = 10, dim = 64,
+        md5Sample = true)
+      val books = Similarity.pqFitResidual(emb, cents, m = 4, ksub = 16, iters = 5,
+        dim = 64, md5Sample = true)
+      val codes = Similarity.pqEncodeResidual(emb, books, cents)
+      val cand = Similarity.ivfPqTopKResidual(emb.filter(col("vec_id") < 20), codes,
+        k = 15, nProbe = 3, books = books, centroids = cents)
+      Similarity.refineTopK(cand, emb, k = 5)
+        .select(col("query_id"), col("corpus_id"), col("rank"),
+          round(col("cosine") + 1e-9, 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- IVF-PQ composed ANN (the FAISS IVFPQ probe shape): coarse
     // Lloyd cells prune the corpus to nProbe cells per query, ADC
     // runs only over PQ codes within those cells. The oracle replays
@@ -1434,6 +1453,44 @@ object TextQueries {
   private val stoplistSql =
     TextFunctions.stopwords.values.flatten.toSeq.distinct.sorted
       .map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** Shared q113/q139 CTE chain — the residual IVF-PQ replay (coarse
+    * fit → residuals → residual PQ fit → per-(query, cell) LUTs →
+    * cell-matched ADC) ending at the rank relation `rk`. q113 selects
+    * the ADC top-5 directly; q139 widens to the top-15 and re-ranks
+    * by exact cosine (the refine stage). */
+  private lazy val ivfPqResidualRkSql: String =
+    s"""WITH ${ivfCoreCtes(nCells = 8, iters = 10, nProbe = 3, dim = 64, queryBound = 20)},
+       rr AS MATERIALIZED (
+         SELECT e.vec_id, ca.cell,
+                list_transform(generate_series(1, 64),
+                  d -> CAST(e.embedding[d] AS DOUBLE) - CAST(f.c[d] AS DOUBLE)) AS r
+         FROM embeddings e JOIN ca ON ca.corpus_id = e.vec_id
+         JOIN cf f ON f.cell = ca.cell),
+       ${pqCoreCtes("pq_", "rr", "r")},
+       qr AS MATERIALIZED (
+         SELECT pr.query_id, pr.cell,
+                list_transform(generate_series(1, 64),
+                  d -> CAST(e.embedding[d] AS DOUBLE) - CAST(f.c[d] AS DOUBLE)) AS r
+         FROM pr JOIN embeddings e ON e.vec_id = pr.query_id
+         JOIN cf f ON f.cell = pr.cell),
+       lut AS MATERIALIZED (
+         SELECT q.query_id, q.cell, c.sub, c.code,
+                ((${pqSelfSql("c")}) - 2.0*(${pqDotSql("q", "c", "r")})
+                  + (${pqQSelfSql("q", "c", "r")})) AS d
+         FROM qr q CROSS JOIN pq_fl c),
+       adc AS (
+         SELECT l.query_id, cc.corpus_id,
+                round(sum(l.d) + 1e-9, 6) + 0.0 AS dist
+         FROM pq_codes co JOIN ca cc ON cc.corpus_id = co.vec_id
+         JOIN lut l ON l.cell = cc.cell AND l.sub = co.sub AND l.code = co.code
+         WHERE l.query_id <> co.vec_id
+         GROUP BY 1, 2),
+       rk AS (
+         SELECT query_id, corpus_id, dist,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY dist ASC, corpus_id ASC) AS rank
+         FROM adc)"""
 
   /** The Gopher §A1.1 fixed 8-word stop set (distinct-count rule). */
   private val gopherStopSql =
@@ -2589,39 +2646,31 @@ object TextQueries {
     // residual lists (DOUBLE) → the PQ chain fit OVER residuals →
     // per-(query, probed cell) residual LUTs → cell-matched ADC.
     "q113_ivfpq_residual" ->
-      (s"""WITH ${ivfCoreCtes(nCells = 8, iters = 10, nProbe = 3, dim = 64, queryBound = 20)},
-       rr AS MATERIALIZED (
-         SELECT e.vec_id, ca.cell,
-                list_transform(generate_series(1, 64),
-                  d -> CAST(e.embedding[d] AS DOUBLE) - CAST(f.c[d] AS DOUBLE)) AS r
-         FROM embeddings e JOIN ca ON ca.corpus_id = e.vec_id
-         JOIN cf f ON f.cell = ca.cell),
-       ${pqCoreCtes("pq_", "rr", "r")},
-       qr AS MATERIALIZED (
-         SELECT pr.query_id, pr.cell,
-                list_transform(generate_series(1, 64),
-                  d -> CAST(e.embedding[d] AS DOUBLE) - CAST(f.c[d] AS DOUBLE)) AS r
-         FROM pr JOIN embeddings e ON e.vec_id = pr.query_id
-         JOIN cf f ON f.cell = pr.cell),
-       lut AS MATERIALIZED (
-         SELECT q.query_id, q.cell, c.sub, c.code,
-                ((${pqSelfSql("c")}) - 2.0*(${pqDotSql("q", "c", "r")})
-                  + (${pqQSelfSql("q", "c", "r")})) AS d
-         FROM qr q CROSS JOIN pq_fl c),
-       adc AS (
-         SELECT l.query_id, cc.corpus_id,
-                round(sum(l.d) + 1e-9, 6) + 0.0 AS dist
-         FROM pq_codes co JOIN ca cc ON cc.corpus_id = co.vec_id
-         JOIN lut l ON l.cell = cc.cell AND l.sub = co.sub AND l.code = co.code
-         WHERE l.query_id <> co.vec_id
-         GROUP BY 1, 2),
-       rk AS (
-         SELECT query_id, corpus_id, dist,
-                row_number() OVER (PARTITION BY query_id
-                  ORDER BY dist ASC, corpus_id ASC) AS rank
-         FROM adc)
+      (s"""$ivfPqResidualRkSql
        SELECT query_id, corpus_id, dist, CAST(rank AS INT) AS rank
        FROM rk WHERE rank <= 5 ORDER BY query_id, rank"""),
+
+    // refine replay: the q113 chain widened to the ADC top-15, then
+    // the q37 exact-cosine form over candidate pairs only, re-ranked
+    "q139_ivfpq_refine" ->
+      (s"""$ivfPqResidualRkSql,
+       cand AS (SELECT query_id, corpus_id FROM rk WHERE rank <= 15),
+       ex AS (
+         SELECT c.query_id, c.corpus_id,
+                list_sum(list_transform(range(1, 65),
+                  i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+                (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+                 sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS cosine
+         FROM cand c JOIN embeddings a ON a.vec_id = c.query_id
+              JOIN embeddings b ON b.vec_id = c.corpus_id),
+       rk2 AS (
+         SELECT query_id, corpus_id, cosine,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, corpus_id ASC) AS rank
+         FROM ex)
+       SELECT query_id, corpus_id, CAST(rank AS INT) AS rank,
+              round(cosine + 1e-9, 6) + 0.0 AS cosine
+       FROM rk2 WHERE rank <= 5 ORDER BY query_id, rank"""),
 
     // IVF-PQ replay: the q40 coarse chain (cf/pr/ca) + the q103 PQ
     // chain under the pq_ prefix + the q104 LUT/ADC restricted to

@@ -131,6 +131,50 @@ class SimilaritySpec extends SparkSpec {
       s"expected a strict residual win on planted clusters: res=$res flat=$flat")
   }
 
+  test("refineTopK: exact re-rank lifts ADC recall; full-candidate refine ≡ brute force") {
+    // same planted geometry as the residual test — the refine stage
+    // must recover recall the ADC approximation loses, and refining
+    // an exhaustive candidate set must reproduce brute force exactly
+    val dim = 16
+    def v(c: Int, j: Int): Seq[Float] =
+      (0 until dim).map(d => ((((c * 131 + d * 37) % 200) / 100.0f - 1.0f) * 8
+        + ((j * 13 + d * 5) % 11) * 0.05f))
+    val emb = (for (c <- 0 until 8; j <- 0 until 25)
+      yield ((c * 25 + j).toLong, v(c, j))).toDF("vec_id", "embedding")
+        .localCheckpoint(true)
+    val queries = emb.filter(col("vec_id") % 25 === 0)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"))).toSet
+    def recall(top: Array[org.apache.spark.sql.Row]): Double = {
+      val got = top.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"))).toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    val cents = Similarity.lloydCentroids(emb, nCells = 8, iters = 10, dim = dim,
+      sampleCap = 1000)
+    val books = Similarity.pqFitResidual(emb, cents, m = 4, ksub = 8,
+      iters = 5, dim = dim)
+    val codes = Similarity.pqEncodeResidual(emb, books, cents)
+    val adcTop = Similarity.ivfPqTopKResidual(queries, codes, k = 5,
+      nProbe = 8, books = books, centroids = cents)
+    val adcWide = Similarity.ivfPqTopKResidual(queries, codes, k = 15,
+      nProbe = 8, books = books, centroids = cents)
+    val refined = Similarity.refineTopK(adcWide, emb, k = 5)
+    val (rAdc, rRef) = (recall(adcTop.collect()), recall(refined.collect()))
+    assert(rRef >= rAdc, s"refine recall $rRef < ADC $rAdc")
+    // exhaustive candidates: every (query, corpus) pair → refine must
+    // equal brute force row-for-row (same ranks, same rounded scores)
+    val allCand = queries.select(col("vec_id").as("query_id"))
+      .crossJoin(emb.select(col("vec_id").as("corpus_id")))
+      .filter(col("query_id") =!= col("corpus_id"))
+    val full = Similarity.refineTopK(allCand, emb, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"),
+        r.getAs[Int]("rank"))).toSet
+    val bf = Similarity.bruteForceTopK(emb, queries, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"),
+        r.getAs[Int]("rank"))).toSet
+    assert(full == bf, "full-candidate refine diverged from brute force")
+  }
+
   test("ivfTopK with full probing matches brute force top-1") {
     val df = vecs.toDF("vec_id", "embedding")
     val q = df.filter(col("vec_id") === 1L)
