@@ -60,12 +60,21 @@ object Similarity {
     * never the corpus — quantization error buys recall back at a
     * cost proportional to k′, not N. The query panel is bounded (the
     * ANN query contract), so the candidate side of both joins stays
-    * broadcastable; ranking is the bounded [[topKOf]] aggregate. */
+    * broadcastable; ranking is the bounded [[topKOf]] aggregate.
+    *
+    * `queries` supplies the query vectors when they are not stored in
+    * the corpus (the normal serving case — an inner join on the
+    * corpus would silently drop external queries); it defaults to the
+    * corpus for self-probes. Duplicate candidate pairs (multi-probe /
+    * multi-index unions emit the same pair twice) are deduped so one
+    * pair can never occupy two of the k ranks. */
   def refineTopK(candidates: DataFrame, corpus: DataFrame, k: Int,
+      queries: Option[DataFrame] = None,
       id: String = "vec_id", vec: String = "embedding"): DataFrame = {
-    val q = corpus.select(col(id).as("query_id"), col(vec).as("q_vec"))
+    val q = queries.getOrElse(corpus)
+      .select(col(id).as("query_id"), col(vec).as("q_vec"))
     val c = corpus.select(col(id).as("corpus_id"), col(vec).as("c_vec"))
-    val scored = candidates.select(col("query_id"), col("corpus_id"))
+    val scored = candidates.select(col("query_id"), col("corpus_id")).distinct()
       .join(q, Seq("query_id")).join(c, Seq("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
         cosine(col("q_vec"), col("c_vec")).as("cosine"))

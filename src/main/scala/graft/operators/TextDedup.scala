@@ -402,7 +402,16 @@ object TextDedup {
     val tok = docs.select(col(id), posexplode(tokens(col(text))).as(Seq("wpos", "word")))
     val wDoc = Window.partitionBy(col(id)).orderBy(col("wpos"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val spans = tok.join(nSub, Seq("word"))
+    // LEFT join + loud failure: an nSub built from a sampled or stale
+    // vocabulary would otherwise silently DROP the missing words and
+    // shift every later chunk boundary — a wrong manifest with no
+    // error. The raise_error sits in the value path so it cannot be
+    // pruned.
+    val spans = tok.join(nSub, Seq("word"), "left")
+      .withColumn("n_sub", when(col("n_sub").isNull, raise_error(concat(
+          lit("chunkByTokenCounts: word absent from nSub (vocabulary must cover the corpus): "),
+          col("word"))))
+        .otherwise(col("n_sub")))
       .withColumn("e", sum(col("n_sub")).over(wDoc))
       .withColumn("st", col("e") - col("n_sub"))
     spans

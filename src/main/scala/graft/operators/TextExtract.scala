@@ -33,7 +33,14 @@ object TextExtract {
     * density is measured on markup). */
   def htmlLines(docs: DataFrame, id: String = "doc_id",
       html: String = "html"): DataFrame = {
-    val x1 = regexp_replace(col(html), "(?is)<head.*?</head>", " ")
+    // squeeze SOURCE newlines/tabs to spaces FIRST: real crawl HTML is
+    // pretty-printed, and a tag broken across physical lines would
+    // otherwise split mid-tag (markup leaking into text, anchors
+    // uncounted) and fragment one logical paragraph into several short
+    // lines that flip the boilerplate length verdict — line structure
+    // comes ONLY from block-closing tags
+    val x0 = regexp_replace(col(html), "[\\n\\r\\t]+", " ")
+    val x1 = regexp_replace(x0, "(?is)<head.*?</head>", " ")
     val x2 = regexp_replace(x1, "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
     val x3 = regexp_replace(x2, "(?is)</(p|div|h1|h2|h3|li|nav|footer|tr)>", "\n")
     val lines = docs.select(col(id),
@@ -43,7 +50,8 @@ object TextExtract {
       case (c, (e, r)) => regexp_replace(c, e, r)
     }
     lines.select(col(id), col("lpos"),
-      regexp_count(col("line"), lit("(?i)<a[ >]")).cast("long").as("n_links"),
+      // \s>-class, not literal-space: '<a\thref=...' is still an anchor
+      regexp_count(col("line"), lit("(?i)<a[\\s>]")).cast("long").as("n_links"),
       regexp_replace(trim(decoded), "\\s+", " ").as("txt"))
   }
 

@@ -417,6 +417,14 @@ object TextQueries {
     (docs, nSub)
   }
 
+  /** Per-doc REAL subword totals from a fertility relation — the
+    * dw × nsub aggregation shared by q131/q135. */
+  private def docTokCounts(docs: DataFrame, nSub: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
+      .join(nSub, Seq("word"))
+      .groupBy("doc_id").agg(sum(col("cnt") * col("n_sub")).as("toks"))
+
   /** Shared q137/q138 planted-HTML derivation (Spark side): the
     * fixture text wrapped in a deterministic template — metadata head,
     * link-dense nav/ads/footer boilerplate, the original text as the
@@ -451,7 +459,8 @@ object TextQueries {
                 '<footer><a href="/terms">terms</a> <a href="/privacy">privacy</a> &copy; 2026</footer>' ||
                 '</body></html>' AS html
          FROM documents),
-       s1 AS (SELECT doc_id, regexp_replace(html, '(?is)<head.*?</head>', ' ', 'g') AS x FROM html),
+       s0 AS (SELECT doc_id, regexp_replace(html, '[\n\r\t]+', ' ', 'g') AS x FROM html),
+       s1 AS (SELECT doc_id, regexp_replace(x, '(?is)<head.*?</head>', ' ', 'g') AS x FROM s0),
        s2 AS (SELECT doc_id, regexp_replace(x, '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g') AS x FROM s1),
        s3 AS (SELECT doc_id, regexp_replace(x, '(?is)</(p|div|h1|h2|h3|li|nav|footer|tr)>', chr(10), 'g') AS x FROM s2),
        lines AS (
@@ -460,7 +469,7 @@ object TextQueries {
               LATERAL (SELECT unnest(generate_series(1, len(ls))) AS i)),
        clean AS (
          SELECT doc_id, lpos,
-                len(regexp_extract_all(line, '(?i)<a[ >]')) AS n_links,
+                len(regexp_extract_all(line, '(?i)<a[\s>]')) AS n_links,
                 regexp_replace(trim(
                   regexp_replace(regexp_replace(regexp_replace(regexp_replace(
                   regexp_replace(regexp_replace(regexp_replace(
@@ -601,17 +610,8 @@ object TextQueries {
     // packing/budget stage actually uses. Zero-token docs contribute
     // no rows (the q127 join convention, both engines). ----
     "q131_real_token_budget" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val merges = graft.operators.Bpe.bpeMergesFast(
-          docs.filter(col("doc_id") % 5 === 0), nMerges = 12)
-        .orderBy("round").collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
-      val dw = docs.select(col("doc_id"), explode(tokens(col("text"))).as("word"))
-        .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
-      val seg = graft.operators.Bpe.segmentFast(dw.select("word").distinct(), merges)
-        .groupBy("word").agg(count(lit(1)).as("n_sub"))
-      val docToks = dw.join(seg, Seq("word"))
-        .groupBy("doc_id").agg(sum(col("cnt") * col("n_sub")).as("toks"))
+      val (docs, nSub) = realNSub(s, dir)
+      val docToks = docTokCounts(docs, nSub)
         .withColumn("domain", col("doc_id") % 7)
       TextDedup.capTokensPerKey(docToks, "domain", "toks", budget = 3000L,
           seed = 3, md5Hashes = true)
@@ -638,12 +638,8 @@ object TextQueries {
     // block boundaries depend on in production. ----
     "q135_real_token_packing" -> ((s, dir) => {
       val (docs, nSub) = realNSub(s, dir)
-      val dw = docs.select(col("doc_id"), explode(tokens(col("text"))).as("word"))
-        .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
-      val docToks = dw.join(nSub, Seq("word"))
-        .groupBy("doc_id").agg(sum(col("cnt") * col("n_sub")).as("toks"))
-      TextDedup.packingManifest(docToks, "toks", blockTokens = 512L,
-          seed = 5, md5Hashes = true)
+      TextDedup.packingManifest(docTokCounts(docs, nSub), "toks",
+          blockTokens = 512L, seed = 5, md5Hashes = true)
         .orderBy("doc_id")
     }),
 

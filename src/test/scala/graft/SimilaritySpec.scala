@@ -143,8 +143,10 @@ class SimilaritySpec extends SparkSpec {
       yield ((c * 25 + j).toLong, v(c, j))).toDF("vec_id", "embedding")
         .localCheckpoint(true)
     val queries = emb.filter(col("vec_id") % 25 === 0)
-    val exact = Similarity.bruteForceTopK(emb, queries, k = 5).collect()
-      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"))).toSet
+    val bf = Similarity.bruteForceTopK(emb, queries, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"),
+        r.getAs[Int]("rank"))).toSet
+    val exact = bf.map { case (q, c, _) => (q, c) }
     def recall(top: Array[org.apache.spark.sql.Row]): Double = {
       val got = top.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"))).toSet
       (exact & got).size.toDouble / exact.size
@@ -161,18 +163,34 @@ class SimilaritySpec extends SparkSpec {
     val refined = Similarity.refineTopK(adcWide, emb, k = 5)
     val (rAdc, rRef) = (recall(adcTop.collect()), recall(refined.collect()))
     assert(rRef >= rAdc, s"refine recall $rRef < ADC $rAdc")
-    // exhaustive candidates: every (query, corpus) pair → refine must
-    // equal brute force row-for-row (same ranks, same rounded scores)
-    val allCand = queries.select(col("vec_id").as("query_id"))
+    // exhaustive candidates — DUPLICATED (two unioned probe sources):
+    // refine must dedup the pairs and equal brute force row-for-row
+    val allCand0 = queries.select(col("vec_id").as("query_id"))
       .crossJoin(emb.select(col("vec_id").as("corpus_id")))
       .filter(col("query_id") =!= col("corpus_id"))
-    val full = Similarity.refineTopK(allCand, emb, k = 5).collect()
-      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"),
-        r.getAs[Int]("rank"))).toSet
-    val bf = Similarity.bruteForceTopK(emb, queries, k = 5).collect()
+    val full = Similarity.refineTopK(allCand0.unionAll(allCand0), emb, k = 5)
+      .collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"),
         r.getAs[Int]("rank"))).toSet
     assert(full == bf, "full-candidate refine diverged from brute force")
+    // EXTERNAL queries (not stored in the corpus): the serving case —
+    // queries must not be silently dropped by the corpus join
+    val extQ = queries.withColumn("vec_id", col("vec_id") + 100000L)
+    val extCand = extQ.select(col("vec_id").as("query_id"))
+      .crossJoin(emb.select(col("vec_id").as("corpus_id")))
+    val ext = Similarity.refineTopK(extCand, emb, k = 5, queries = Some(extQ))
+      .collect()
+      .map(r => (r.getAs[Long]("query_id") - 100000L, r.getAs[Long]("corpus_id"),
+        r.getAs[Int]("rank"))).toSet
+    // an external copy of query q ALSO ranks q itself (it is not
+    // excluded by id inequality any more) — compare against brute
+    // force over the shifted panel
+    val bfExt = Similarity.bruteForceTopK(emb, extQ, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id") - 100000L, r.getAs[Long]("corpus_id"),
+        r.getAs[Int]("rank"))).toSet
+    assert(ext == bfExt, "external-query refine diverged from brute force")
+    assert(ext.map(_._1) == exact.map(_._1),
+      "external queries were dropped by the refine join")
   }
 
   test("ivfTopK with full probing matches brute force top-1") {

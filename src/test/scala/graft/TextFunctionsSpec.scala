@@ -345,7 +345,14 @@ class TextFunctionsSpec extends SparkSpec {
       // 3: no markup at all — one line, kept verbatim
       (3L, "plain text only"),
       // 4: empty document
-      (4L, ""))
+      (4L, ""),
+      // 5: PRETTY-PRINTED html — tags broken across physical lines
+      // (the real-crawl case): both anchors must count (and the nav
+      // drop), the paragraph must stay ONE logical line even though
+      // the source wraps it, and no attribute text may leak
+      (5L, "<body><nav><a\nhref=\"/a\">a</a> <a\thref=\"/b\">b</a></nav>\n" +
+        "<p>\nwrapped paragraph content that keeps going\nwell past the length"
+        + " cutoff on one logical line\n</p></body>"))
       .toDF("doc_id", "html")
     val out = TextExtract.extractHtmlText(docs).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(4)))).toMap
@@ -358,5 +365,23 @@ class TextFunctionsSpec extends SparkSpec {
       s"script body leaked: ${out(2L)._3}")
     assert(out(3L)._3 == "plain text only")
     assert(out(4L)._1 == 0L && out(4L)._3 == "", s"empty doc: ${out(4L)}")
+    assert(out(5L)._3 == "wrapped paragraph content that keeps going well past"
+      + " the length cutoff on one logical line",
+      s"pretty-printed html mishandled: ${out(5L)}")
+    assert(out(5L)._2 == 1L, s"line-broken nav must drop as ONE line: ${out(5L)}")
+    assert(!out(5L)._3.contains("href"), "attribute text leaked from a line-broken tag")
+  }
+
+  test("chunkByTokenCounts fails loudly when nSub misses a corpus word") {
+    import graft.operators.TextDedup
+    val docs = Seq((0L, "alpha beta gamma")).toDF("doc_id", "text")
+    val partial = Seq(("alpha", 2L), ("gamma", 1L)).toDF("word", "n_sub")
+    val ex = intercept[Exception] {
+      TextDedup.chunkByTokenCounts(docs, partial, chunkTokens = 4).collect()
+    }
+    def causes(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: causes(t.getCause)
+    assert(causes(ex).exists(m => m != null && m.contains("absent from nSub")),
+      s"expected the loud missing-word error, got: ${ex.getMessage}")
   }
 }
