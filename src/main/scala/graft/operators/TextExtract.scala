@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** HTML → text extraction — the raw-crawl front stage of a training
@@ -12,11 +12,13 @@ import org.apache.spark.sql.functions._
   * are link-dense and short, content is not (the core of the jusText
   * heuristic).
   *
-  * Everything is codegen'd regexp/string algebra in the Java∩RE2
-  * dialect (inline `(?is)` flags, non-greedy spans, no
-  * backreferences or lookaround) so the extraction is
-  * oracle-checkable and streams at scan speed; the only shuffle is
-  * the per-document line reassembly, keyed on the document id.
+  * Everything is regexp/string algebra in the Java∩RE2 dialect
+  * (inline `(?is)` flags, non-greedy spans, no backreferences or
+  * lookaround) so the extraction is oracle-checkable. Two forms share
+  * one rule set: the line-relation form ([[htmlLines]] /
+  * [[extractHtmlText]] — codegen'd, one doc-keyed shuffle) and the
+  * stateless column form ([[extractHtmlTextCol]] — zero shuffle,
+  * streaming-safe, interpreted lambdas).
   */
 object TextExtract {
 
@@ -26,45 +28,61 @@ object TextExtract {
     "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
     "&quot;" -> "\"", "&#39;" -> "'", "&copy;" -> "(c)", "&amp;" -> "&")
 
-  /** Line relation of an HTML corpus: (`id`, lpos, n_links, txt) —
-    * txt is the tag-stripped, entity-decoded, whitespace-squeezed
-    * line text; n_links counts anchors BEFORE stripping (the link
-    * text itself survives the strip, which is exactly why link
-    * density is measured on markup). */
-  def htmlLines(docs: DataFrame, id: String = "doc_id",
-      html: String = "html"): DataFrame = {
-    // squeeze SOURCE newlines/tabs to spaces FIRST: real crawl HTML is
-    // pretty-printed, and a tag broken across physical lines would
-    // otherwise split mid-tag (markup leaking into text, anchors
-    // uncounted) and fragment one logical paragraph into several short
-    // lines that flip the boilerplate length verdict — line structure
-    // comes ONLY from block-closing tags
-    val x0 = regexp_replace(col(html), "[\\n\\r\\t]+", " ")
+  /** Shared rule chain, part 1 — document-level: squeeze SOURCE
+    * newlines/tabs to spaces FIRST (real crawl HTML is
+    * pretty-printed; a tag broken across physical lines would
+    * otherwise split mid-tag — markup leaking into text, anchors
+    * uncounted — and one logical paragraph would fragment into short
+    * lines that flip the boilerplate length verdict), then strip
+    * head/script/style and convert block-closing tags to newlines.
+    * Line structure comes ONLY from block tags. */
+  private def blockLined(html: Column): Column = {
+    val x0 = regexp_replace(html, "[\\n\\r\\t]+", " ")
     val x1 = regexp_replace(x0, "(?is)<head.*?</head>", " ")
     val x2 = regexp_replace(x1, "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
-    val x3 = regexp_replace(x2, "(?is)</(p|div|h1|h2|h3|li|nav|footer|tr)>", "\n")
-    val lines = docs.select(col(id),
-      posexplode(split(x3, "\n")).as(Seq("lpos", "line")))
-    val decoded = entities.foldLeft(
-      regexp_replace(col("line"), "<[^>]*>", " ")) {
+    regexp_replace(x2, "(?is)</(p|div|h1|h2|h3|li|nav|footer|tr)>", "\n")
+  }
+
+  /** Shared rule chain, part 2 — per line: tag-strip, entity-decode,
+    * whitespace-squeeze. */
+  private def lineTxt(line: Column): Column = {
+    val decoded = entities.foldLeft(regexp_replace(line, "<[^>]*>", " ")) {
       case (c, (e, r)) => regexp_replace(c, e, r)
     }
+    regexp_replace(trim(decoded), "\\s+", " ")
+  }
+
+  /** Anchor count — measured on the MARKUP (the link text itself
+    * survives the strip, which is why density is counted here);
+    * \s>-class, not literal space: `<a\thref=…` is still an anchor. */
+  private def lineLinks(line: Column): Column =
+    regexp_count(line, lit("(?i)<a[\\s>]"))
+
+  /** The boilerplate verdict: keep non-empty lines that are not
+    * link-dense (≥ 2 anchors, or ≥ 1 anchor under 40 chars of text). */
+  private def lineKeep(txt: Column, nLinks: Column): Column =
+    (length(txt) > 0) && !(nLinks >= 2 || (nLinks >= 1 && length(txt) < 40))
+
+  /** Line relation of an HTML corpus: (`id`, lpos, n_links, txt) —
+    * txt is the tag-stripped, entity-decoded, whitespace-squeezed
+    * line text; n_links counts anchors BEFORE stripping. */
+  def htmlLines(docs: DataFrame, id: String = "doc_id",
+      html: String = "html"): DataFrame = {
+    val lines = docs.select(col(id),
+      posexplode(split(blockLined(col(html)), "\n")).as(Seq("lpos", "line")))
     lines.select(col(id), col("lpos"),
-      // \s>-class, not literal-space: '<a\thref=...' is still an anchor
-      regexp_count(col("line"), lit("(?i)<a[\\s>]")).cast("long").as("n_links"),
-      regexp_replace(trim(decoded), "\\s+", " ").as("txt"))
+      lineLinks(col("line")).cast("long").as("n_links"),
+      lineTxt(col("line")).as("txt"))
   }
 
   /** Extracted document text + extraction stats: boilerplate lines
-    * dropped by link density (≥ 2 anchors, or ≥ 1 anchor on a line
-    * under 40 chars of text), empty lines ignored, survivors
+    * dropped by link density, empty lines ignored, survivors
     * re-joined in document order. Returns
     * (`id`, n_kept, n_dropped, n_links, text). */
   def extractHtmlText(docs: DataFrame, id: String = "doc_id",
       html: String = "html"): DataFrame = {
     val lines = htmlLines(docs, id, html)
-      .withColumn("keep", (length(col("txt")) > 0) &&
-        !(col("n_links") >= 2 || (col("n_links") >= 1 && length(col("txt")) < 40)))
+      .withColumn("keep", lineKeep(col("txt"), col("n_links")))
     lines.groupBy(col(id))
       .agg(
         sum(col("keep").cast("long")).as("n_kept"),
@@ -75,5 +93,24 @@ object TextExtract {
         array_join(expr(
           "transform(array_sort(collect_list(CASE WHEN keep THEN struct(lpos, txt) END)), x -> x.txt)"),
           " ").as("text"))
+  }
+
+  /** The extraction as ONE stateless column — zero shuffle, no
+    * explode: the line relation folds into array algebra (split →
+    * transform → array_join, which skips the dropped lines' nulls).
+    * Semantics identical to [[extractHtmlText]]'s `text`
+    * (spec-gated, same private rule chain). This is the STREAMING
+    * form: a pure projection usable in any `withColumn` on a live
+    * stream — no state, no watermark, no output-mode constraint.
+    * Trade-off: the per-line lambdas run interpreted (outside
+    * codegen) — for batch corpus work prefer [[extractHtmlText]],
+    * whose line relation is codegen'd end to end at the cost of one
+    * doc-keyed shuffle. */
+  def extractHtmlTextCol(html: Column): Column = {
+    val kept = transform(split(blockLined(html), "\n"), line => {
+      val txt = lineTxt(line)
+      when(lineKeep(txt, lineLinks(line)), txt)
+    })
+    array_join(kept, " ")
   }
 }

@@ -662,6 +662,45 @@ class StreamOpsSpec extends SparkSpec {
     assert(out == Map("ENSG00000141510" -> 120.5, "ENSG00000012048" -> 33.0))
   }
 
+  test("streaming HTML extraction (stateless column form) batch≡stream on the planted fixture") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.TextExtract
+    // the q137 planted template over the real fixture, plus the
+    // pretty-printed edge doc the spec suite exercises
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), concat(
+        lit("<html><head><title>Doc "), col("doc_id"),
+        lit("</title><script>var x=1;</script></head><body>"),
+        lit("<nav><a href=\"/home\">home</a> <a href=\"/about\">about</a></nav>"),
+        lit("<p>\n"), col("text"), lit("\n</p>"),
+        lit("<footer><a href=\"/t\">t</a> <a href=\"/p\">p</a></footer>"),
+        lit("</body></html>")).as("html"))
+      .localCheckpoint(true)
+    // the column form must equal the line-relation operator's text
+    val batchOp = TextExtract.extractHtmlText(base)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = base.collect().map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "html")
+      .withColumn("text", TextExtract.extractHtmlTextCol(col("html")))
+      .select("doc_id", "text")
+      .writeStream.format("memory").queryName("html_out")
+      .outputMode("append").start()
+    try {
+      input.addData(rows.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("html_out").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(streamed.size == batchOp.size, "streaming dropped documents")
+      batchOp.foreach { case (id, txt) =>
+        assert(streamed(id) == txt, s"doc $id: stream text diverged from batch")
+      }
+    } finally q.stop()
+  }
+
   test("windowedCounts groups into tumbling windows (batch mode)") {
     import spark.implicits._
     val t0 = 1700000000000L // 2023-11-14 22:13:20 UTC
