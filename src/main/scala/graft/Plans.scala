@@ -57,7 +57,7 @@ object Plans {
         "q132_winnow_fingerprints", "q133_winnow_overlap",
         "q134_real_token_chunks", "q135_real_token_packing",
         "q136_ccnet_buckets", "q137_html_extract", "q138_e7_rawcrawl",
-        "q139_ivfpq_refine")
+        "q139_ivfpq_refine", "q140_containment_dedup")
     names.foreach { name =>
       if (name == "bucketed_demo") bucketedDemo(spark, dir)
       else if (name == "bucketed_neardup_demo") bucketedNearDupDemo(spark, dir)
@@ -181,6 +181,8 @@ object Plans {
       "held-out doc universe LEFT JOIN its doc-grain score relation plus the actual-label join, all keyed on doc_id — both sides corpus-grain; the NB weight/prior relations are bucket-bounded and explicitly broadcast; AQE demotes when small",
     "q122_component_winners" ->
       "the q92 pair/closure machinery plus membership × per-component argmax joins keyed on component — both sides corpus-grain (components worst-case O(corpus)); AQE demotes when small",
+    "q140_containment_dedup" ->
+      "the winnow fingerprint-keyed pair join (both sides fingerprint-grain, the q133 shape) and the loser left_anti on doc_id — both sides corpus-grain keyed; AQE demotes when small",
     "q123_neardup_incremental" ->
       "cross-corpus candidate/verify joins keyed on (band|shingle|pair) and the final left_anti on doc_id — both sides corpus-grain, the q35 shape split across two corpora; AQE demotes when small",
     "q125_incremental_curation" ->

@@ -917,6 +917,24 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- CONTAINMENT dedup: winnowed-overlap pairs (the
+    // copied-passage / doc-inside-doc signal whole-doc Jaccard
+    // dilutes) at containment >= 0.8 close into components; each
+    // cluster keeps its min-id representative. Composes q133's pair
+    // machinery with the q92 closure. ----
+    "q140_containment_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = TextDedup.winnowOverlap(docs, k = 4, window = 4,
+          minShared = 2, md5Hashes = true)
+        .filter(col("overlap") >= 0.8)
+        .select(col("id_a"), col("id_b"))
+      TextDedup.dedupByComponents(docs, pairs)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          md5(concat_ws(",", sort_array(collect_list(col("doc_id"))))).as("kept_md5"))
+        .orderBy("source")
+    }),
+
     // ---- Near-dup CLUSTERS: connected components over the verified
     // MinHash pair relation (j >= 0.3) — every member labeled with its
     // component's min id, the cluster-dedup representative. The
@@ -2451,6 +2469,39 @@ object TextQueries {
           FROM pairs JOIN sizes sa ON sa.doc_id = id_a
                      JOIN sizes sb ON sb.doc_id = id_b
           ORDER BY id_a, id_b"""),
+
+    // containment-dedup replay: the q133 winnow-overlap pairs at
+    // containment >= 0.8, the q92 recursive min-label closure, then
+    // per-source survivors (kept = everything minus non-representative
+    // component members)
+    "q140_containment_dedup" ->
+      (s"""WITH RECURSIVE ${winnowSelSql(4, 4)},
+          fpu AS (SELECT doc_id, unnest(fps) AS f FROM sel),
+          fph AS (SELECT DISTINCT doc_id, substr(f, 1, 32) AS h FROM fpu),
+          sizes AS (SELECT doc_id, count(*) AS nfp FROM fph GROUP BY 1),
+          shared AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+            FROM fph a JOIN fph b ON a.h = b.h AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 2),
+          ov AS (
+            SELECT id_a, id_b
+            FROM shared JOIN sizes sa ON sa.doc_id = id_a
+                        JOIN sizes sb ON sb.doc_id = id_b
+            WHERE round(shared * 1.0 / least(sa.nfp, sb.nfp) + 1e-9, 6) >= 0.8),
+          edges AS (
+            SELECT id_a AS src, id_b AS dst FROM ov
+            UNION SELECT id_b AS src, id_a AS dst FROM ov),
+          nodes AS (SELECT DISTINCT src AS id FROM edges),
+          reach(id, lab) AS (
+            SELECT id, id FROM nodes
+            UNION SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst),
+          comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY 1),
+          losers AS (SELECT id FROM comp WHERE id <> component)
+          SELECT source, count(*) AS n_kept,
+                 md5(array_to_string(list_sort(list(d.doc_id)), ',')) AS kept_md5
+          FROM documents d LEFT JOIN losers l ON l.id = d.doc_id
+          WHERE l.id IS NULL
+          GROUP BY 1 ORDER BY 1"""),
 
     // components replay: the q35 pair machinery (j >= 0.3 losers) and
     // a recursive-CTE transitive closure — min reachable id = the
