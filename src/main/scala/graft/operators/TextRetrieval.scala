@@ -466,21 +466,31 @@ object TextRetrieval {
     *
     * Returns (id, lang, n_paras, n_tokens, xent, bucket); documents
     * with no tokens are absent (they have no LM evidence). */
+  /** The reference-LM fit shared by [[ccnetBuckets]] and the
+    * stream-side apply ([[graft.streaming.StreamOps
+    * .streamingCcnetBuckets]]): add-one unigram frequencies over the
+    * reference corpus plus the (n_total, vocab) scalars. Factored so
+    * the batch and streaming scorers cannot drift. */
+  def unigramLmFit(lmRef: DataFrame, text: String = "text"): (DataFrame, Long, Long) = {
+    val freq = lmRef.select(explode(tokens(col(text))).as("tk"))
+      .groupBy("tk").agg(count(lit(1)).as("tf"))
+    val t = freq.agg(sum("tf").as("n_total"), count(lit(1)).as("vocab")).head()
+    (freq, t.getLong(0), t.getLong(1))
+  }
+
   def ccnetBuckets(docs: DataFrame, lmRef: DataFrame,
       langCol: String = "lang", sep: String = "\n",
       headFrac: Double = 1.0 / 3, midFrac: Double = 1.0 / 3,
       id: String = "doc_id", text: String = "text"): DataFrame = {
-    val refTok = lmRef.select(explode(tokens(col(text))).as("tk"))
-    val freq = refTok.groupBy("tk").agg(count(lit(1)).as("tf"))
-    val totals = freq.agg(sum("tf").as("n_total"), count(lit(1)).as("vocab"))
+    val (freq, nTotal, vocab) = unigramLmFit(lmRef, text)
     val para = docs.select(col(id), col(langCol).as("lang"),
       posexplode(split(col(text), java.util.regex.Pattern.quote(sep)))
         .as(Seq("ppos", "para")))
     val ptok = para.select(col(id), col("lang"), col("ppos"),
       explode(tokens(col("para"))).as("tk"))
-    val scored = ptok.join(freq, Seq("tk"), "left").crossJoin(broadcast(totals))
+    val scored = ptok.join(freq, Seq("tk"), "left")
       .withColumn("nll", -log((coalesce(col("tf"), lit(0L)) + lit(1.0)) /
-        (col("n_total") + col("vocab")).cast("double")))
+        lit((nTotal + vocab).toDouble)))
     val paraScores = scored.groupBy(col(id), col("lang"), col("ppos"))
       .agg(count(lit(1)).as("p_tokens"), sum("nll").as("p_nll"))
     // CCNet's doc score: length-weighted paragraph perplexity =

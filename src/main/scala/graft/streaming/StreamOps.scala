@@ -535,4 +535,45 @@ object StreamOps {
       .outputMode(OutputMode.Append())
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).start()
   }
+
+  /** Stream-side CCNet bucket assignment — the incremental APPLY half
+    * of [[graft.operators.TextRetrieval.ccnetBuckets]]: the reference
+    * LM ([[graft.operators.TextRetrieval.unigramLmFit]] — the SAME
+    * fit the batch scorer uses, so they cannot drift) and the
+    * per-language tercile thresholds fit ONCE on static corpora; each
+    * arriving document scores through a stateless stream-static left
+    * join (unseen tokens take the add-one floor) and one
+    * watermark-evicted windowed per-doc aggregation (the
+    * [[streamingPerplexity]] shape), then takes its bucket from the
+    * static language-bounded threshold relation. Threshold FITTING
+    * stays a batch decision — percentiles need the full corpus.
+    *
+    * The batch doc score (paragraph-token-mass-weighted mean) equals
+    * the plain per-token mean over the whole document, so the
+    * stream-side score needs no paragraph split and matches the batch
+    * score exactly (StreamOpsSpec gates it).
+    *
+    * `thresholds` must carry (lang, t_head, t_mid). */
+  def streamingCcnetBuckets(docs: DataFrame, freq: DataFrame,
+      nTotal: Long, vocab: Long, thresholds: DataFrame,
+      ts: String = "ts", id: String = "doc_id", text: String = "text",
+      lang: String = "lang",
+      windowLen: String = "10 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    import graft.functions.TextFunctions._
+    val tok = docs.withWatermark(ts, watermarkDelay)
+      .select(col(ts), col(id), col(lang).as("lang"),
+        explode(tokens(col(text))).as("tk"))
+    val scored = tok
+      .join(freq.select(col("tk"), col("tf")), Seq("tk"), "left")
+      .withColumn("nll", -log((coalesce(col("tf"), lit(0L)) + lit(1.0)) /
+        lit((nTotal + vocab).toDouble)))
+    scored.groupBy(window(col(ts), windowLen), col(id), col("lang"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum("nll") / count(lit(1)) + lit(1e-7), 4).as("xent"))
+      .join(broadcast(thresholds), Seq("lang"))
+      .withColumn("bucket", when(col("xent") <= col("t_head"), "head")
+        .when(col("xent") <= col("t_mid"), "middle").otherwise("tail"))
+      .select(col(id), col("lang"), col("n_tokens"), col("xent"), col("bucket"))
+  }
 }

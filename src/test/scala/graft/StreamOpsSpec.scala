@@ -701,6 +701,60 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CCNet bucket assignment batch≡stream on the planted fixture") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.TextRetrieval
+    val docs0 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+    val nPara = ceil(size(toks) / lit(12.0)).cast("int")
+    // the q136 planted multi-paragraph derivation
+    val planted = docs0.filter(size(toks) > 0).select(col("doc_id"), col("lang"),
+      concat_ws("\n", transform(sequence(lit(0), nPara - 1),
+        i => concat_ws(" ", slice(toks, i * 12 + 1, lit(12))))).as("text"))
+      .localCheckpoint(true)
+    val lmRef = docs0.filter(col("doc_id") % 5 === 0).localCheckpoint(true)
+    val batch = TextRetrieval.ccnetBuckets(planted, lmRef).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("lang"), r.getAs[Long]("n_tokens"),
+          r.getAs[Double]("xent"), r.getAs[String]("bucket")))).toMap
+    // static fits for the stream side: the SAME LM fit, thresholds
+    // re-derived from the batch scores with the same percentile call
+    val (freq, nTotal, vocab) = TextRetrieval.unigramLmFit(lmRef)
+    val freqCk = freq.localCheckpoint(true)
+    val th = batch.toSeq.map { case (_, (l, _, x, _)) => (l, x) }
+      .toDF("lang", "xent").groupBy("lang")
+      .agg(expr(s"percentile(xent, ${1.0 / 3})").as("t_head"),
+        expr(s"percentile(xent, ${2.0 / 3})").as("t_mid"))
+      .localCheckpoint(true)
+    val rows = planted.join(docs0.select("doc_id"), Seq("doc_id")).collect()
+    val t0 = 1700000000000L
+    val input = MemoryStream[(Long, String, String, Timestamp)]
+    val out = StreamOps.streamingCcnetBuckets(
+      input.toDF().toDF("doc_id", "lang", "text", "ts"),
+      freqCk, nTotal, vocab, th)
+    val q = out.writeStream.format("memory").queryName("ccnet_out")
+      .outputMode("append").start()
+    try {
+      input.addData(rows.map(r =>
+        (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+          r.getAs[String]("text"), new Timestamp(t0))).toIndexedSeq: _*)
+      q.processAllAvailable()
+      // advance the watermark past the window so append emits
+      input.addData((-1L, "en", "sentinel flush", new Timestamp(t0 + 3600 * 1000L)))
+      q.processAllAvailable()
+      val streamed = spark.table("ccnet_out").filter(col("doc_id") >= 0).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[String]("lang"), r.getAs[Long]("n_tokens"),
+            r.getAs[Double]("xent"), r.getAs[String]("bucket")))).toMap
+      assert(streamed.size == batch.size,
+        s"stream emitted ${streamed.size} docs, batch ${batch.size}")
+      batch.foreach { case (id, want) =>
+        assert(streamed(id) == want, s"doc $id: stream ${streamed(id)} != batch $want")
+      }
+    } finally q.stop()
+  }
+
   test("windowedCounts groups into tumbling windows (batch mode)") {
     import spark.implicits._
     val t0 = 1700000000000L // 2023-11-14 22:13:20 UTC
