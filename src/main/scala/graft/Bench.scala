@@ -41,12 +41,32 @@ object Bench {
         val line = scala.io.Source.fromFile("/proc/stat").getLines()
           .find(_.startsWith("cpu ")).get
         val f = line.trim.split("\\s+").drop(1).map(_.toLong)
-        Some((f(7), f.sum)) // (steal, total)
+        // total = user..steal (first 8 fields) only: the kernel folds
+        // guest/guest_nice into user jiffies, so summing all fields
+        // double-counts guest time and under-reports the steal
+        // fraction on VM hosts (ADVICE r9)
+        Some((f(7), f.take(8).sum)) // (steal, total)
       } catch { case _: Throwable => None }
+    // In-SESSION noise accounting (VERDICT r9 #1): the steal fields
+    // closed the HOST channel; the remaining unattributed spread (q74
+    // in-catalog 22.7 s vs 7.6 s isolated, steal-clean) points at
+    // accumulated JVM state. Record per-sample GC collection-time and
+    // JIT compilation-time deltas, as fractions of the sample's wall,
+    // exactly like steal — so an inflated sample names its cause in
+    // the artifact instead of costing an investigation.
+    import scala.jdk.CollectionConverters._
+    def gcMillis(): Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime.max(0L)).sum
+    def jitMillis(): Long =
+      Option(java.lang.management.ManagementFactory.getCompilationMXBean)
+        .filter(_.isCompilationTimeMonitoringSupported)
+        .map(_.getTotalCompilationTime).getOrElse(0L)
+    case class Sample(wall: Double, err: Option[String],
+        steal: Option[Double], gc: Double, jit: Double)
     val results = SparkEntry.queries.toSeq
       .filter(t => only.forall(_.findFirstIn(t._1).isDefined))
       .sortBy(_._1).map { case (name, fn) =>
-      def once(cold: Boolean = true): (Double, Option[String], Option[Double]) = {
+      def once(cold: Boolean = true): Sample = {
         // drop the query-scoped memo caches (shared chain fixtures,
         // IVF quantizer) BEFORE the clock starts: round 5's q73
         // headline was a 0.05 s memo hit on a 4.4 s cold chain — a
@@ -55,7 +75,7 @@ object Bench {
         // methodology change from an operator regression across
         // rounds (the r5→r6 "1.55×" was purely warm→cold).
         if (cold) SparkEntry.clearQueryCaches()
-        val j0 = cpuJiffies()
+        val j0 = cpuJiffies(); val g0 = gcMillis(); val c0 = jitMillis()
         val t0 = System.nanoTime()
         // toRdd.count() materializes every output column — a plain
         // Dataset.count() would let Catalyst prune the expensive
@@ -63,18 +83,24 @@ object Bench {
         val err =
           try { fn(spark, sfDir).queryExecution.toRdd.count(); None }
           catch { case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(200)) }
+        val wall = (System.nanoTime() - t0) / 1e9
         val steal = for {
           (s0, tot0) <- j0; (s1, tot1) <- cpuJiffies()
           if tot1 > tot0
         } yield (s1 - s0).toDouble / (tot1 - tot0)
-        ((System.nanoTime() - t0) / 1e9, err, steal)
+        // fractions of this sample's wall spent in stop-the-world GC
+        // and (cumulative, cross-thread) JIT compilation; jit can
+        // exceed 1.0 — several compiler threads run concurrently
+        Sample(wall, err, steal,
+          (gcMillis() - g0) / 1e3 / wall.max(1e-9),
+          (jitMillis() - c0) / 1e3 / wall.max(1e-9))
       }
       val base = (1 to reps).map(_ => once())
       // sub-second queries are scheduling-jitter-bound (measured: every
       // >1.3x cross-run delta in round 5 was sub-second); one extra
       // sample there costs little and tightens the artifact
       val coldSamples =
-        if (base.map(_._1).min < 1.0 && base.forall(_._2.isEmpty)) base :+ once()
+        if (base.map(_.wall).min < 1.0 && base.forall(_.err.isEmpty)) base :+ once()
         else base
       // warm samples per query, after the colds (memo caches carry
       // over from the last cold run); a FAILED warm rep must not pose
@@ -86,38 +112,43 @@ object Bench {
       // every one of the chain's 114 jobs slowed uniformly ~4x, no
       // stage- or cache-specific cause; GC log clean) that min-of-2
       // cold absorbed and min-of-1 warm could not.
-      val warmRes: Seq[(Double, Option[String], Option[Double])] =
-        if (coldSamples.forall(_._2.isEmpty)) {
+      val warmRes: Seq[Sample] =
+        if (coldSamples.forall(_.err.isEmpty)) {
           val first = once(cold = false)
-          if (coldSamples.map(_._1).min >= 1.0) Seq(first, once(cold = false))
+          if (coldSamples.map(_.wall).min >= 1.0) Seq(first, once(cold = false))
           else Seq(first)
         } else Seq.empty
-      val warmOk = warmRes.collect { case (t, None, _) => t }
+      val warmOk = warmRes.collect { case Sample(t, None, _, _, _) => t }
       val warm = if (warmOk.nonEmpty) Some(warmOk.min) else None
-      val err = coldSamples.collectFirst { case (_, Some(e), _) => e }
-        .orElse(warmRes.collectFirst { case (_, Some(e), _) => s"warm-only: $e" })
+      val err = coldSamples.collectFirst { case Sample(_, Some(e), _, _, _) => e }
+        .orElse(warmRes.collectFirst {
+          case Sample(_, Some(e), _, _, _) => s"warm-only: $e" })
       // the reported min is over SUCCESSFUL samples: a fast failure
       // must not under-report a query whose other rep succeeded (the
       // headline and the failure set would disagree); only when every
       // rep failed do the failed walls stand in
-      val ok = coldSamples.collect { case (t, None, _) => t }
-      (name, coldSamples.map(_._1),
-        if (ok.nonEmpty) ok else coldSamples.map(_._1), warm, err,
-        coldSamples.map(_._3) ++ warmRes.map(_._3))
+      val ok = coldSamples.collect { case Sample(t, None, _, _, _) => t }
+      (name, coldSamples.map(_.wall),
+        if (ok.nonEmpty) ok else coldSamples.map(_.wall), warm, err,
+        coldSamples ++ warmRes)
     }
     def stealArr(ss: Seq[Option[Double]]): String =
       ss.map(_.map(v => f"$v%.4f").getOrElse("null")).mkString("[", ",", "]")
+    def fracArr(ss: Seq[Double]): String =
+      ss.map(v => f"$v%.4f").mkString("[", ",", "]")
     val qs = results.map { case (k, _, ok, _, _, _) => s"\"" + k + "\":" + ok.min }
       .mkString("{", ",", "}")
     // the structured per-query map the round artifacts consume:
     // name → {cold (best-of-N, caches cleared), warm (one post-cold
-    // sample, caches kept), samples (raw cold walls), steal (per-
-    // sample host steal fraction, cold samples then warm samples)}
-    val parsed = results.map { case (k, ss, ok, warm, _, steals) =>
+    // sample, caches kept), samples (raw cold walls), steal/gc/jit
+    // (per-sample fractions of wall, cold samples then warm samples)}
+    val parsed = results.map { case (k, ss, ok, warm, _, samples) =>
       s"\"" + k + "\":{\"cold\":" + ok.min +
         ",\"warm\":" + warm.map(_.toString).getOrElse("null") +
         ",\"samples\":" + ss.mkString("[", ",", "]") +
-        ",\"steal\":" + stealArr(steals) + "}" }
+        ",\"steal\":" + stealArr(samples.map(_.steal)) +
+        ",\"gc\":" + fracArr(samples.map(_.gc)) +
+        ",\"jit\":" + fracArr(samples.map(_.jit)) + "}" }
       .mkString("{", ",", "}")
     val failures = results.collect { case (k, _, _, _, Some(e), _) =>
       "\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\"" }
@@ -127,10 +158,17 @@ object Bench {
     // walls are ambient-contended, not the query's own cost
     val stealThreshold = 0.05
     val highSteal = results.collect {
-      case (k, _, _, _, _, steals)
-        if steals.flatten.exists(_ > stealThreshold) => "\"" + k + "\"" }
+      case (k, _, _, _, _, samples)
+        if samples.flatMap(_.steal).exists(_ > stealThreshold) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"parsed":$parsed,"failures":$failures,"high_steal":$highSteal,"steal_threshold":$stealThreshold,"sf":"$sfDir"}"""
+    // samples dominated by stop-the-world GC (same flag convention):
+    // these walls are JVM-debt-contended, not the query's own cost
+    val gcThreshold = 0.20
+    val highGc = results.collect {
+      case (k, _, _, _, _, samples)
+        if samples.exists(_.gc > gcThreshold) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"parsed":$parsed,"failures":$failures,"high_steal":$highSteal,"steal_threshold":$stealThreshold,"high_gc":$highGc,"gc_threshold":$gcThreshold,"sf":"$sfDir"}"""
     println(json)
     // Persist the full artifact: captured stdout tails truncate to the
     // last ~2000 chars, which can never hold the 105-query map — the
@@ -152,6 +190,7 @@ object Bench {
       .mkString("[", ",", "]")
     println(s"""{"bench_summary":{"total":$total,"n_queries":${results.size},""" +
       s""""reps":$reps,"failed":$failNames,"high_steal":$highSteal,""" +
+      s""""high_gc":$highGc,""" +
       s""""slowest":$slow,"detail":"$outPath"}}""")
     spark.stop()
   }

@@ -366,6 +366,12 @@ object Pipelines {
     val kept =
       if (nearDupClusters) clusterQuality match {
         case Some(qs) =>
+          // the score relation's shape is part of the contract: with a
+          // wider relation the inferred "first non-doc_id column" could
+          // silently rank winners by the wrong column (ADVICE r9)
+          require(qs.columns.length == 2 && qs.columns.contains("doc_id"),
+            s"clusterQuality must be exactly (doc_id, <score>); got " +
+              qs.columns.mkString("(", ", ", ")"))
           val scoreCol = qs.columns.filterNot(_ == "doc_id").head
           val withQ = exact.join(
             qs.select(col("doc_id"), col(scoreCol).as("__cq")),

@@ -24,41 +24,20 @@ object Plans {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    // Default = the ENTIRE catalog minus documented exclusions
+    // (VERDICT r9 #2): the auditor is the mechanical scale gate, and a
+    // query it skips is exactly where the next q36-class surprise
+    // hides. Every exclusion carries its reason in `excluded` and is
+    // printed, so the audit record shows the skip was a decision.
     val names = if (args.nonEmpty) args.toSeq
-      else Seq("q01_pricing_summary", "q04_outlier_antijoin", "q05_semijoin_reliable",
-        "q09_quantile_norm", "q10_bh_adjust", "q20_log2_cpm", "q26_sessionize",
-        "q35_minhash_lsh", "q37_cosine_topk", "q47_perm_fdr", "q60_nuse", "q64_cqn",
-        "q30_exact_dedup",
-        "q69_e2_chain", "q70_e3_chain", "q73_e1_multi_contrast", "q79_full_curation",
-        "q80_contrast_toptables", "q81_e1_blocked", "q82_e2_blocked",
-        "q83_image_decode", "q84_audio_decode", "q85_paragraph_dedup",
-        "q86_quota_sample", "q87_video_meta", "q88_token_budget",
-        "q89_rate_sample", "q90_token_chunks", "q91_packing_manifest",
-        "q92_dup_components", "q93_data_mix", "q94_bloom_dedup",
-        "q95_repeated_spans", "q96_tfidf_topk", "q97_split_assign",
-        "q98_vocab_stats", "q99_video_frames", "q100_bm25_topk",
-        "q101_temp_mixture", "q102_shard_manifest", "q103_pq_codes",
-        "q104_pq_adc_topk", "q38_knn_label", "q39_lsh_topk", "q57_embed_dup",
-        "q106_rma_bg", "q108_event_props", "q109_unigram_ppl",
-        "q110_ivfpq_topk", "q111_bigram_ppl", "q112_ppl_filter",
-        "q113_ivfpq_residual", "q114_snapshot_diff", "q115_gopher_rules",
-        "q116_gopher_curation", "q117_semdedup", "q118_dsir_select",
-        "q119_quality_classifier", "q120_kneser_ney_ppl",
-        "q121_classifier_holdout", "q122_component_winners",
-        "q123_neardup_incremental", "q124_image_resize",
-        "q128_neardup_amortized", "q129_quality_cluster_curation",
-        "q130_e6_amortized",
-        // q126 is NOT audited: bpeMerges executes its rounds during
-        // DataFrame construction, so the auditable plan is just the
-        // collected merge table (LocalTableScan) — the most expensive
-        // construction in the catalog for a vacuous check. q127's
-        // final plan has real joins and IS audited.
-        "q125_incremental_curation", "q127_subword_counts", "q131_real_token_budget",
-        "q132_winnow_fingerprints", "q133_winnow_overlap",
-        "q134_real_token_chunks", "q135_real_token_packing",
-        "q136_ccnet_buckets", "q137_html_extract", "q138_e7_rawcrawl",
-        "q139_ivfpq_refine", "q140_containment_dedup")
+      else SparkEntry.queries.keys.toSeq.sorted ++
+        Seq("bucketed_demo", "bucketed_neardup_demo", "partitioned_ivf_demo")
+    var audited = 0; var clean = 0; val smelly =
+      scala.collection.mutable.ListBuffer.empty[String]
     names.foreach { name =>
+      if (excluded.contains(name))
+        println(s"[audit] $name: EXCLUDED — ${excluded(name)}")
+      else
       if (name == "bucketed_demo") bucketedDemo(spark, dir)
       else if (name == "bucketed_neardup_demo") bucketedNearDupDemo(spark, dir)
       else if (name == "partitioned_ivf_demo") partitionedIvfDemo(spark, dir)
@@ -69,6 +48,7 @@ object Plans {
         println(s"\n========== $name ==========")
         println(plan)
         val smjIntended = intendedSmj.contains(name)
+        val globalWins = unpartitionedWindows(df)
         val smells = Seq(
           "no parquet filter pushdown" ->
             (plan.contains("PushedFilters: []") && plan.contains("Filter (")),
@@ -77,6 +57,12 @@ object Plans {
           // dedup keep-first must be min_by aggregation, never a window
           // keyed on content (a viral key = a single-task sort)
           "content-keyed window" -> (windowFree(name) && plan.contains("Window")),
+          // a GLOBAL (unpartitioned) window is a single-task sort at
+          // corpus scale — it must be DECLARED bounded (gene-/contrast-
+          // grain by construction) in `intendedGlobalWindow`, not
+          // ambient (VERDICT r9 #3)
+          "undeclared global window" ->
+            (globalWins.nonEmpty && !intendedGlobalWindow.contains(name)),
           // a broadcast side must be BOUNDED: broadcasting a base-table
           // scan with no pushed filter is the q38-r6 OOM shape (the
           // whole corpus on the build side)
@@ -86,13 +72,50 @@ object Plans {
         val note = (if (smjIntended && plan.contains("SortMergeJoin"))
           s" (intended SMJ: ${intendedSmj(name)})" else "") +
           (if (intendedBroadcast.contains(name) && hasUnfilteredBroadcastScan(df))
-            s" (intended broadcast: ${intendedBroadcast(name)})" else "")
+            s" (intended broadcast: ${intendedBroadcast(name)})" else "") +
+          (if (globalWins.nonEmpty && intendedGlobalWindow.contains(name))
+            s" (intended global window ×${globalWins.size}: ${intendedGlobalWindow(name)})"
+           else "")
+        audited += 1
+        if (smells.isEmpty) clean += 1 else smelly += name
         println(s"[audit] $name: " +
           (if (smells.isEmpty) s"clean$note" else s"SMELLS: ${smells.mkString(", ")}"))
       }
     }
+    println(s"\n[audit-summary] audited=$audited clean=$clean " +
+      s"excluded=${names.count(excluded.contains)} " +
+      s"smells=${smelly.size}${if (smelly.nonEmpty) " " + smelly.mkString(",") else ""}")
     spark.stop()
   }
+
+  /** Catalog queries the auditor skips, each with the reason on
+    * record — an exclusion is a decision, not a gap. */
+  private val excluded = Map(
+    "q126_bpe_merges" ->
+      ("bpeMerges executes its merge rounds during DataFrame construction, " +
+       "so the auditable plan is just the collected merge table " +
+       "(LocalTableScan) — the most expensive construction in the catalog " +
+       "for a vacuous check; q127's final plan has real joins and IS audited"))
+
+  /** Physical WindowExec nodes with an EMPTY partition spec (the
+    * `WindowExec: No Partition Defined` class): each is a single-task
+    * global sort unless the windowed relation is bounded by
+    * construction. Returns one short window-expression digest per
+    * node so the audit line shows WHAT is globally sorted. */
+  private def unpartitionedWindows(
+      df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty =>
+        w.windowExpression.map(_.sql).mkString(";").take(60)
+    }
+
+  /** Unpartitioned (global) windows that are the intended plan: the
+    * windowed relation is BOUNDED by construction (gene-, contrast-,
+    * sample- or quantile-grain — thousands of rows independent of
+    * corpus size), so the single task is a constant-size sort, not a
+    * scale cliff. Any corpus-grain global window still gets flagged. */
+  private val intendedGlobalWindow: Map[String, String] = Map.empty
 
   /** SMJs that are the intended plan (docs/SCALING.md): both sides are
     * data- or gene-grain on matching keys, so forcing broadcast would

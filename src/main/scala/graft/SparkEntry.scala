@@ -70,6 +70,10 @@ object SparkEntry {
   def clearQueryCaches(): Unit = {
     graft.queries.ExtraQueries.clearCaches()
     graft.operators.Similarity.clearCaches()
+    // operator-held relations (the RelCache slot registry) release
+    // first so the registry holds no dangling references to blocks
+    // the blanket sweep below is about to drop anyway
+    graft.model.RelCache.releaseAll()
     // Drop EVERY cross-query cache so a cold sample is genuinely cold:
     // (1) catalog.clearCache() removes CacheManager entries AND their
     // blocks — a later query whose sub-plan matches an earlier query's

@@ -1,0 +1,66 @@
+package graft.model
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Session-lifetime registry for operator-persisted relations — the
+  * enforced form of the "caller-must-sweep" contract
+  * ([[graft.operators.TextDedup.minhashLshPairs]] and the incremental
+  * index operators persist intermediates that several plan branches
+  * share; the results are lazy, so the operator itself can never know
+  * when it is safe to unpersist).
+  *
+  * Contract (VERDICT r9 #7):
+  *  - every operator persist goes through [[hold]] under a per-
+  *    operator slot name; a RE-invocation of the same operator
+  *    releases the previous invocation's blocks, so a long-lived
+  *    session holds at most ONE live invocation's blocks per operator
+  *    (steady-state bounded by code, not by a comment);
+  *  - [[release]]/[[releaseAll]] are the explicit close for callers
+  *    that want the blocks gone before the next invocation (the
+  *    session cache sweep [[graft.SparkEntry.clearQueryCaches]] calls
+  *    [[releaseAll]], so bench cold samples stay honest-cold).
+  *
+  * Re-invocation with an IDENTICAL plan (a bench warm sample re-
+  * building the same query) must NOT drop the cache it just re-used:
+  * Spark's CacheManager keys entries by canonicalized plan, so
+  * unpersisting the previous invocation's same-plan DataFrame would
+  * evict the new invocation's entry too. [[hold]] therefore releases
+  * only previous relations whose plan differs (`sameResult`) from
+  * every newly held one.
+  *
+  * Unpersisting a persisted-but-still-referenced relation is always
+  * CORRECT (branches recompute from lineage) — this registry manages
+  * memory lifecycle, never results. */
+object RelCache {
+  private val slots =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[DataFrame]]
+
+  /** Persist `dfs` (MEMORY_AND_DISK) under `slot`, releasing whatever
+    * a previous invocation held there — except same-plan relations,
+    * whose cache entry the new invocation shares. Returns the persisted
+    * relations in order (for single-df call sites: `hold(s, df); df`). */
+  def hold(slot: String, dfs: DataFrame*): Unit = {
+    dfs.foreach(_.persist(StorageLevel.MEMORY_AND_DISK))
+    val prev = slots.put(slot, dfs.toSeq).getOrElse(Seq.empty)
+    prev.filterNot(p => dfs.exists(n =>
+        try n.queryExecution.analyzed.sameResult(p.queryExecution.analyzed)
+        catch { case _: Throwable => false }))
+      .foreach(unpersistQuietly)
+  }
+
+  /** Explicitly release one operator slot's blocks. */
+  def release(slot: String): Unit =
+    slots.remove(slot).foreach(_.foreach(unpersistQuietly))
+
+  /** Explicit close for the whole registry — every held block is
+    * unpersisted and the bookkeeping cleared. */
+  def releaseAll(): Unit = slots.keys.foreach(release)
+
+  /** Slots currently holding blocks (spec introspection). */
+  def liveSlots: Set[String] = slots.keySet.toSet
+
+  private def unpersistQuietly(df: DataFrame): Unit =
+    try df.unpersist(blocking = false)
+    catch { case _: Throwable => () } // a stopped session has no blocks to free
+}

@@ -85,11 +85,13 @@ object TextDedup {
     * final drop is one left_anti on incoming ids. `dfCap` bounds
     * viral-shingle fan-out exactly as in [[minhashLshPairs]].
     *
-    * Caller-must-sweep: both shingle relations are persisted (each
-    * feeds several plan branches) and stay persisted until the
-    * session's cache sweep ([[graft.SparkEntry.clearQueryCaches]]) —
-    * the [[minhashLshPairs]] contract. A long-lived session invoking
-    * this repeatedly must sweep between invocations. */
+    * Lifecycle: both shingle relations are persisted (each feeds
+    * several plan branches) through the [[graft.model.RelCache]] slot
+    * registry — a RE-invocation releases the previous invocation's
+    * blocks, so a long-lived session holds at most one invocation's
+    * blocks per operator; [[graft.model.RelCache.releaseAll]] (or the
+    * session sweep [[graft.SparkEntry.clearQueryCaches]]) is the
+    * explicit close. */
   def nearDupAgainstReference(incoming: DataFrame, reference: DataFrame,
       minJaccard: Double = 0.5, k: Int = 8, bands: Int = 4,
       shingleWidth: Int = 3, md5Hashes: Boolean = false,
@@ -113,7 +115,7 @@ object TextDedup {
       dfCap: Long = Long.MaxValue): (DataFrame, DataFrame) = {
     require(k % bands == 0, "k must divide into bands")
     val shRef = capShingleDf(shingleRows(reference, shingleWidth, id, text), dfCap)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.model.RelCache.hold("textdedup.nearDupIndex", shRef)
     (bandRows(shRef, k, bands, md5Hashes, id), shRef)
   }
 
@@ -130,7 +132,7 @@ object TextDedup {
     // only equivalent to the contract for a strictly positive cutoff
     require(minJaccard > 0.0, "minJaccard must be > 0")
     val shInc = capShingleDf(shingleRows(incoming, shingleWidth, id, text), dfCap)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.model.RelCache.hold("textdedup.nearDupAgainstIndex", shInc)
     val cand = bandRows(shInc, k, bands, md5Hashes, id)
       .select(col("band"), col(id).as("inc_id"))
       .join(refBands.select(col("band"), col(id).as("ref_id")), Seq("band"))
@@ -606,13 +608,13 @@ object TextDedup {
     // shingles (df > dfCap) are dropped before anything downstream —
     // they contribute no dedup signal, only df² join rows.
     val shRows = capShingleDf(shingleRows(docs, shingleWidth, id, text), dfCap)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.model.RelCache.hold("textdedup.minhashLshPairs.sh", shRows)
     val banded = bandRows(shRows, k, bands, md5Hashes, id)
     val cand = banded.select(col("band"), col(id).as("id_a"))
       .join(banded.select(col("band"), col(id).as("id_b")), Seq("band"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.model.RelCache.hold("textdedup.minhashLshPairs.cand", cand)
     // Jaccard relationally: |A∩B| by joining shingle rows on the
     // shingle string, |A∪B| from per-doc distinct counts.
     val sizes = shRows.groupBy(col(id)).agg(count(lit(1)).as("sz"))
@@ -753,14 +755,15 @@ object TextDedup {
     // without this the corpus tokenizes and simhash-fingerprints TWICE
     // per run (measured: q36 cold 12.6 s in the r8 bench; the bench's
     // honest-cold cache sweep removed the accidental reuse that hid
-    // it). Caller-must-sweep contract: blocks stay persisted until the
-    // session's cache sweep, like [[minhashLshPairs]]'s relations.
+    // it). Lifecycle: held in the RelCache slot registry — a
+    // re-invocation releases the previous blocks; releaseAll/the
+    // session sweep is the explicit close.
     val blocks = fp.select(col(id), col("simhash"),
       explode(array((0 until nBlocks).map(bInd =>
         concat_ws(":", lit(bInd.toString),
           shiftright(col("simhash"), bInd * width)
             .bitwiseAND(lit((1L << width) - 1)).cast("string"))): _*)).as("bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.model.RelCache.hold("textdedup.simHash.blocks", blocks)
     val a = blocks.select(col("bucket"), col(id).as("id_a"), col("simhash").as("h_a"))
     val b = blocks.select(col("bucket"), col(id).as("id_b"), col("simhash").as("h_b"))
     a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
@@ -1175,14 +1178,15 @@ object TextDedup {
     * the denominator is the document's true fingerprint mass. The
     * fingerprint relation is persisted (it feeds sizes + both join
     * sides — aliased projections defeat exchange reuse, the q36
-    * lesson); caller-must-sweep, as with [[minhashLshPairs]]. */
+    * lesson) through the [[graft.model.RelCache]] slot registry, the
+    * [[minhashLshPairs]] lifecycle. */
   def winnowOverlap(docs: DataFrame, k: Int = 4, window: Int = 4,
       minShared: Long = 2, dfCap: Long = Long.MaxValue,
       md5Hashes: Boolean = false, id: String = "doc_id",
       text: String = "text"): DataFrame = {
     val fpH = winnowFingerprints(docs, k, window, md5Hashes, id, text)
       .select(col(id), col("h")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.model.RelCache.hold("textdedup.winnowOverlap", fpH)
     val sizes = fpH.groupBy(col(id)).agg(count(lit(1)).as("nfp"))
     val capped = capShingleDf(fpH, dfCap, "h")
     capped.select(col(id).as("id_a"), col("h"))
@@ -1196,6 +1200,80 @@ object TextDedup {
         round(col("shared") / least(col("nfp_a"), col("nfp_b")) + 1e-9, 6))
       .select(col("id_a"), col("id_b"), col("shared"),
         col("nfp_a"), col("nfp_b"), col("overlap"))
+  }
+
+  /** The at-rest winnowed-fingerprint INDEX: the distinct (id, h)
+    * selected-hash relation of a reference snapshot plus its doc-grain
+    * size relation (id, nfp) — everything the incremental containment
+    * join ([[containmentAgainstIndex]]) needs from the reference side,
+    * derived ONCE per snapshot. Store the fingerprint relation
+    * bucketed by `h` (the hash-keyed join then co-locates with zero
+    * reference-side shuffle per crawl — the [[nearDupIndex]] storage
+    * contract) and the size relation as a plain doc-grain table; the
+    * sizes are precomputed HERE precisely so a crawl never pays a
+    * full index scan to rebuild denominators. Positions are dropped:
+    * the overlap/containment measures count shared distinct hashes
+    * only. Returns (fingerprintRelation, sizeRelation). */
+  def winnowIndex(reference: DataFrame, k: Int = 4, window: Int = 4,
+      md5Hashes: Boolean = false, id: String = "doc_id",
+      text: String = "text"): (DataFrame, DataFrame) = {
+    val fp = winnowFingerprints(reference, k, window, md5Hashes, id, text)
+      .select(col(id), col("h")).distinct()
+    graft.model.RelCache.hold("textdedup.winnowIndex", fp)
+    (fp, fp.groupBy(col(id)).agg(count(lit(1)).as("nfp")))
+  }
+
+  /** Incremental CONTAINMENT dedup of a new crawl against a frozen
+    * reference corpus' winnowed-fingerprint index — the MOSS/
+    * copied-passage analogue of [[nearDupAgainstIndex]]: an incoming
+    * document is dropped when it shares at least `minShared` distinct
+    * selected hashes with any reference document AND the containment
+    * ratio shared / min(|inc|, |ref|) meets `minContainment` (a
+    * passage-sized document copied into — or carved out of — a much
+    * larger reference document still scores ~1, the asymmetry
+    * whole-document Jaccard dilutes; [[winnowOverlap]]'s measure,
+    * verbatim, across two corpora). Keeps every other incoming doc.
+    *
+    * Scale shape: the reference side is the PRECOMPUTED
+    * [[winnowIndex]] pair — fingerprints bucketed by hash at rest
+    * (zero reference-side shuffle for the hash-keyed candidate join)
+    * and doc-grain sizes (no per-crawl index scan for denominators).
+    * The incoming side pays one winnowing pass (doc-grain windows
+    * only); pair counts are keyed aggregations; the final drop is one
+    * left_anti on incoming ids. `dfCap` bounds viral-hash fan-out on
+    * the INCOMING side exactly as [[winnowOverlap]] does (the
+    * reference side caps at index-build time if at all — a build-time
+    * decision stored with the index); incoming sizes come from the
+    * uncapped relation so denominators stay true fingerprint mass.
+    *
+    * Lifecycle: the incoming fingerprint relation is held in the
+    * [[graft.model.RelCache]] slot registry (it feeds the candidate
+    * join and the size aggregation), the [[minhashLshPairs]]
+    * contract. */
+  def containmentAgainstIndex(incoming: DataFrame, refFp: DataFrame,
+      refSizes: DataFrame, k: Int = 4, window: Int = 4,
+      minShared: Long = 2, minContainment: Double = 0.8,
+      dfCap: Long = Long.MaxValue, md5Hashes: Boolean = false,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    require(minShared >= 1, "minShared must be >= 1")
+    val incFp = winnowFingerprints(incoming, k, window, md5Hashes, id, text)
+      .select(col(id), col("h")).distinct()
+    graft.model.RelCache.hold("textdedup.containmentAgainstIndex", incFp)
+    val szInc = incFp.groupBy(col(id)).agg(count(lit(1)).as("nfp_inc"))
+    val dropped = capShingleDf(incFp, dfCap, "h")
+      .select(col(id).as("inc_id"), col("h"))
+      .join(refFp.select(col(id).as("ref_id"), col("h")), Seq("h"))
+      .groupBy("inc_id", "ref_id").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .join(szInc.withColumnRenamed(id, "inc_id"), Seq("inc_id"))
+      .join(refSizes.select(col(id).as("ref_id"), col("nfp").as("nfp_ref")),
+        Seq("ref_id"))
+      // the 6-dp + 1e-9 grid is [[winnowOverlap]]'s cross-engine
+      // rounding convention — the threshold must bite identically here
+      .filter(round(col("shared") / least(col("nfp_inc"), col("nfp_ref")) +
+        lit(1e-9), 6) >= minContainment)
+      .select(col("inc_id").as(id)).distinct()
+    incoming.join(dropped, Seq(id), "left_anti")
   }
 
   /** Non-distinct relational gram rows `(id, s)` — the COUNTING shape

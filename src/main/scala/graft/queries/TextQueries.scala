@@ -34,41 +34,107 @@ object TextQueries {
     * the true incremental-crawl cost with the index build amortized,
     * exactly as a production pipeline amortizes it across crawls. */
   private def amortizedRefIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val key = {
-      val f = new java.io.File(s"$dir/documents.parquet")
-      val parts = (f +: Option(f.listFiles()).getOrElse(Array.empty).toSeq
-          .sortBy(_.getName))
-        .map(p => s"${p.getName}:${p.length}:${p.lastModified}")
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(parts.mkString("|").getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(12)
-    }
+    val key = fixtureKey(dir)
     val bandsTbl = s"graft_ndx_bands_$key"
     val shTbl = s"graft_ndx_shingles_$key"
     def missing = !s.catalog.tableExists(bandsTbl) || !s.catalog.tableExists(shTbl)
     if (missing) synchronized {
       if (missing) {
-        def freshPath(table: String): Unit = {
-          // the in-memory catalog is session-scoped but the warehouse
-          // dir is not: clear stale files from an earlier session so
-          // the bucketed CTAS never mixes layouts
-          val p = new org.apache.hadoop.fs.Path(
-            s.sessionState.conf.warehousePath, table.toLowerCase)
-          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-          if (fs.exists(p)) fs.delete(p, true)
-        }
         val ref = t(s, dir, "documents").filter(col("doc_id") % 7 < 3)
         val (bands, shingles) = TextDedup.nearDupIndex(ref, md5Hashes = true)
-        freshPath(bandsTbl)
+        freshPath(s, bandsTbl, key)
         bands.write.format("parquet").mode("overwrite")
           .bucketBy(8, "band").sortBy("band").saveAsTable(bandsTbl)
-        freshPath(shTbl)
+        freshPath(s, shTbl, key)
         shingles.write.format("parquet").mode("overwrite")
           .bucketBy(8, "s").sortBy("s").saveAsTable(shTbl)
         shingles.unpersist(blocking = false)
       }
     }
     (s.table(bandsTbl), s.table(shTbl))
+  }
+
+  /** Fingerprint of the fixture's document files — at-rest table names
+    * carry it so regenerated testdata can never silently reuse a stale
+    * artifact. */
+  private def fixtureKey(dir: String): String = {
+    val f = new java.io.File(s"$dir/documents.parquet")
+    val parts = (f +: Option(f.listFiles()).getOrElse(Array.empty).toSeq
+        .sortBy(_.getName))
+      .map(p => s"${p.getName}:${p.length}:${p.lastModified}")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(parts.mkString("|").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+  }
+
+  /** The in-memory catalog is session-scoped but the warehouse dir is
+    * not: clear stale files from an earlier session so a bucketed CTAS
+    * never mixes layouts. Sweeps SIBLING fixture generations too (same
+    * prefix, different key suffix) — without it every testdata
+    * regeneration orphans the previous generation's directories
+    * forever (ADVICE r9). */
+  private def freshPath(s: SparkSession, table: String, key: String): Unit = {
+    val wh = new org.apache.hadoop.fs.Path(s.sessionState.conf.warehousePath)
+    val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val prefix = table.toLowerCase.stripSuffix(key)
+    if (fs.exists(wh)) fs.listStatus(wh).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith(prefix)) fs.delete(st.getPath, true)
+    }
+  }
+
+  /** At-rest WINNOWED-fingerprint index (VERDICT-r9 #4): the
+    * [[TextDedup.winnowIndex]] relations for the q123/q128 reference
+    * slice (doc_id % 7 < 3) — fingerprints BUCKETED by hash (the
+    * hash-keyed containment join co-locates with zero reference-side
+    * shuffle, the `bucketed_neardup_demo` layout argument on the `h`
+    * key) plus the doc-grain size relation, both written ONCE per
+    * fixture and re-read from the warehouse on every later call. The
+    * MOSS/containment analogue of [[amortizedRefIndex]]. */
+  private def amortizedWinnowIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val key = fixtureKey(dir)
+    val fpTbl = s"graft_wfp_$key"
+    val szTbl = s"graft_wsz_$key"
+    def missing = !s.catalog.tableExists(fpTbl) || !s.catalog.tableExists(szTbl)
+    if (missing) synchronized {
+      if (missing) {
+        val ref = t(s, dir, "documents").filter(col("doc_id") % 7 < 3)
+        val (fp, sizes) = TextDedup.winnowIndex(ref, k = 4, window = 4,
+          md5Hashes = true)
+        freshPath(s, fpTbl, key)
+        fp.write.format("parquet").mode("overwrite")
+          .bucketBy(8, "h").sortBy("h").saveAsTable(fpTbl)
+        freshPath(s, szTbl, key)
+        sizes.write.format("parquet").mode("overwrite").saveAsTable(szTbl)
+        graft.model.RelCache.release("textdedup.winnowIndex")
+      }
+    }
+    (s.table(fpTbl), s.table(szTbl))
+  }
+
+  /** At-rest NB quality-classifier MODEL (VERDICT-r9 #3): the
+    * [[TextRetrieval.qualityClassifierFit]] weight and prior relations
+    * for the q119/q129 task (label: lang = 'en'), fit ONCE per fixture
+    * and written as warehouse tables — both bucket-bounded (16³ weight
+    * rows + a 1-row prior), so this is a MODEL ARTIFACT at rest, the
+    * production pattern where a trained filter is stored and every
+    * curation run is apply-only. q141 runs the q129 chain over it. */
+  private def amortizedClassifierModel(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val key = fixtureKey(dir)
+    val wTbl = s"graft_nbw_$key"
+    val pTbl = s"graft_nbp_$key"
+    def missing = !s.catalog.tableExists(wTbl) || !s.catalog.tableExists(pTbl)
+    if (missing) synchronized {
+      if (missing) {
+        val (w, prior) = TextRetrieval.qualityClassifierFit(
+          t(s, dir, "documents"), col("lang") === "en")
+        freshPath(s, wTbl, key)
+        w.write.format("parquet").mode("overwrite").saveAsTable(wTbl)
+        freshPath(s, pTbl, key)
+        prior.write.format("parquet").mode("overwrite").saveAsTable(pTbl)
+      }
+    }
+    (s.table(wTbl), s.table(pTbl))
   }
 
   /** Shared SQL fragment: tokens per document. */
@@ -430,7 +496,7 @@ object TextQueries {
     * link-dense nav/ads/footer boilerplate, the original text as the
     * one content paragraph. The oracle `htmlVerdictCtes` replays the
     * identical template. */
-  private def plantedHtml(docs: DataFrame): DataFrame =
+  private[graft] def plantedHtml(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), concat(
       lit("<html><head><title>Doc "), col("doc_id"),
       lit("</title><script>var x="), col("doc_id"),
@@ -932,6 +998,48 @@ object TextQueries {
         .groupBy("source")
         .agg(count(lit(1)).as("n_kept"),
           md5(concat_ws(",", sort_array(collect_list(col("doc_id"))))).as("kept_md5"))
+        .orderBy("source")
+    }),
+
+    // ---- q129 with the classifier MODEL AT REST: identical
+    // chain semantics, but the NB quality model is a stored warehouse
+    // artifact ([[amortizedClassifierModel]]) and the run is
+    // APPLY-only — the production pattern (train once, curate many
+    // crawls). Shares q129's oracle: fit-then-store-then-apply must
+    // reproduce the inline fit exactly (the q128-vs-q123 round-trip
+    // proof, for models instead of indexes). ----
+    "q141_quality_cluster_amortized" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val (w, prior) = amortizedClassifierModel(s, dir)
+      val scores = TextRetrieval.qualityClassifierApply(docs, w, prior)
+        .select("doc_id", "score")
+      graft.Pipelines.textCuration(docs, langs = Seq("en"), minQuality = 0.3,
+          nearDupJaccard = 0.5, md5Hashes = true,
+          nearDupClusters = true, clusterQuality = Some(scores))
+        .select(col("doc_id"), col("lang"),
+          round(col("quality") + 1e-9, 6).as("quality"),
+          col("ws_tokens"), col("bpeish_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- INCREMENTAL containment dedup: a new crawl against the
+    // frozen reference corpus' winnowed-fingerprint index (the
+    // q94/q123 split: reference = doc_id % 7 < 3) — the MOSS/
+    // copied-passage analogue of q128. An incoming doc sharing >= 2
+    // selected hashes with any reference doc at containment >= 0.8
+    // is dropped; the reference side reads from the BUCKETED at-rest
+    // tables ([[amortizedWinnowIndex]]), so a crawl pays only its own
+    // winnowing pass. The oracle replays the asymmetric pair join
+    // over the full winnow selection. ----
+    "q142_containment_incremental" -> ((s, dir) => {
+      val inc = t(s, dir, "documents").filter(col("doc_id") % 7 >= 3)
+      val (refFp, refSizes) = amortizedWinnowIndex(s, dir)
+      TextDedup.containmentAgainstIndex(inc, refFp, refSizes,
+          k = 4, window = 4, minShared = 2, minContainment = 0.8,
+          md5Hashes = true)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), min("doc_id").as("first_kept"),
+          sum("doc_id").as("sum_ids"))
         .orderBy("source")
     }),
 
@@ -1769,7 +1877,7 @@ object TextQueries {
 
   private def pqCoreSql: String = "WITH " + pqCoreCtes()
 
-  val oracleSql: Map[String, String] = Map(
+  private val oracleSql0: Map[String, String] = Map(
     // PII scrub replay: the identical planted fixture, RE2-side
     // counts via regexp_extract_all and a global regexp_replace
     // (DuckDB needs the explicit 'g' flag to match Spark's
@@ -2503,6 +2611,34 @@ object TextQueries {
           WHERE l.id IS NULL
           GROUP BY 1 ORDER BY 1"""),
 
+    // incremental-containment replay: the q133 winnow machinery split
+    // asymmetrically across the q94/q123 corpus halves — incoming
+    // (doc_id % 7 >= 3) docs sharing >= 2 selected hashes with any
+    // reference (doc_id % 7 < 3) doc at containment >= 0.8 drop;
+    // winnowing is per-document, so selecting over the full corpus
+    // then splitting in the pair join is exact
+    "q142_containment_incremental" ->
+      (s"""WITH ${winnowSelSql(4, 4)},
+          fpu AS (SELECT doc_id, unnest(fps) AS f FROM sel),
+          fph AS (SELECT DISTINCT doc_id, substr(f, 1, 32) AS h FROM fpu),
+          sizes AS (SELECT doc_id, count(*) AS nfp FROM fph GROUP BY 1),
+          pairs AS (
+            SELECT i.doc_id AS inc_id, r.doc_id AS ref_id, count(*) AS shared
+            FROM fph i JOIN fph r ON i.h = r.h
+            WHERE i.doc_id % 7 >= 3 AND r.doc_id % 7 < 3
+            GROUP BY 1, 2 HAVING count(*) >= 2),
+          dropped AS (
+            SELECT DISTINCT inc_id
+            FROM pairs JOIN sizes si ON si.doc_id = inc_id
+                       JOIN sizes sr ON sr.doc_id = ref_id
+            WHERE round(shared * 1.0 / least(si.nfp, sr.nfp) + 1e-9, 6) >= 0.8)
+          SELECT source, count(*) AS n_kept, min(doc_id) AS first_kept,
+                 sum(doc_id) AS sum_ids
+          FROM documents d
+          WHERE doc_id % 7 >= 3
+            AND NOT EXISTS (SELECT 1 FROM dropped x WHERE x.inc_id = d.doc_id)
+          GROUP BY 1 ORDER BY 1"""),
+
     // components replay: the q35 pair machinery (j >= 0.3 losers) and
     // a recursive-CTE transitive closure — min reachable id = the
     // component representative the engine's label propagation finds.
@@ -3190,4 +3326,13 @@ object TextQueries {
            WHERE p.rn = 1
            GROUP BY 1""",
   )
+
+  /** q141 runs the q129 semantics with the NB model AT REST — the
+    * apply-only scores must reproduce the inline fit exactly, so the
+    * oracle IS q129's (the q128-vs-q123 shared-oracle pattern: one
+    * replay gates both the semantics and the store/re-read round
+    * trip). */
+  val oracleSql: Map[String, String] = oracleSql0 +
+    ("q141_quality_cluster_amortized" ->
+      oracleSql0("q129_quality_cluster_curation"))
 }

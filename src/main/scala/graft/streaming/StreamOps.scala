@@ -315,9 +315,14 @@ object StreamOps {
         explode_outer(when(size(col("__sh")) > 0, bandArr)).as("band"))
       .join(refB, Seq("band"), "left")
       .join(refS, Seq("__ref_id"), "left")
-      .withColumn("__j", when(col("__hit").isNotNull,
+      // coalesce: a band collision whose ref_id exists in refBands but
+      // not refShingleSets (drifted index halves) leaves __ref_sh NULL
+      // and the when-branch yields NULL, not the otherwise — without
+      // the coalesce a doc whose only rows are such collisions gets
+      // kept = NULL instead of a boolean verdict (ADVICE r9)
+      .withColumn("__j", coalesce(when(col("__hit").isNotNull,
         size(array_intersect(col("__sh"), col("__ref_sh"))).cast("double") /
-          size(array_union(col("__sh"), col("__ref_sh")))).otherwise(lit(0.0)))
+          size(array_union(col("__sh"), col("__ref_sh")))), lit(0.0)))
       .groupBy(window(col(ts), windowLen), col(id), col(text))
       .agg(max(col("__j") >= minJaccard).as("__dropped"))
       .select(col(id), col(text), (!col("__dropped")).as("kept"))
@@ -521,6 +526,34 @@ object StreamOps {
     scrubbed
       .withColumn("ws_tokens", wsTokenCount(col(text)))
       .withColumn("bpeish_tokens", bpeishTokenCount(col(text)))
+  }
+
+  /** Streaming E7 — the RAW-CRAWL leg (q138's streaming twin): HTML →
+    * text extraction composed ahead of the full [[streamingCuration]]
+    * chain. The extraction is
+    * [[graft.operators.TextExtract.extractHtmlTextCol]] — a pure
+    * stateless column projection (regexp/array algebra, no explode, no
+    * shuffle, no watermark constraint), so the leg's state remains
+    * exactly the curation chain's two dedup stores; a live crawl feed
+    * goes from raw markup to curated token-counted documents in one
+    * streaming query. Batch-grade near-dup recall stays a batch job,
+    * as [[streamingNearDup]] documents. Input: (ts, id, `html`);
+    * output: the [[streamingCuration]] contract over the EXTRACTED
+    * text. */
+  def streamingRawCrawlCuration(docs: DataFrame, ts: String = "ts",
+      html: String = "html", langs: Seq[String] = Seq("en"),
+      minQuality: Double = 0.3, k: Int = 8, shingleWidth: Int = 3,
+      scrubPii: Boolean = false, watermarkDelay: String = "10 minutes",
+      paragraphSep: Option[String] = None, paragraphWindow: String = "1 minute",
+      id: String = "doc_id"): DataFrame = {
+    val extracted = docs
+      .withColumn("text",
+        graft.operators.TextExtract.extractHtmlTextCol(col(html)))
+      .drop(html)
+    streamingCuration(extracted, ts = ts, langs = langs,
+      minQuality = minQuality, k = k, shingleWidth = shingleWidth,
+      scrubPii = scrubPii, watermarkDelay = watermarkDelay,
+      paragraphSep = paragraphSep, paragraphWindow = paragraphWindow, id = id)
   }
 
   /** Checkpointed parquet file sink — the production shape for a

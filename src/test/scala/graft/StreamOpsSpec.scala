@@ -647,6 +647,82 @@ class StreamOpsSpec extends SparkSpec {
       "a stream-only doc was dropped by batch for a non-near-dup reason")
   }
 
+  test("streaming E7 raw-crawl batch≡stream: planted HTML through extraction into curation (q138 gate)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.functions.TextFunctions._
+    import graft.operators.{TextDedup, TextExtract}
+    val docsB = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    // the exact q137/q138 planted-HTML fixture (title/script/style
+    // head, link-dense nav + ads + footer, fixture text as content)
+    val htmlB = graft.queries.TextQueries.plantedHtml(docsB).localCheckpoint(true)
+    val rows = htmlB.as[(Long, String)].collect().sortBy(_._1)
+    // replay in doc_id order (ascending batches) so streaming
+    // keep-FIRST-ARRIVAL coincides with batch keep-lowest-id
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val dir = java.nio.file.Files.createTempDirectory("graft_e7_gate").toString
+    val curated = StreamOps.streamingRawCrawlCuration(
+      input.toDS().toDF("ts", "doc_id", "html"), minQuality = 0.3, k = 8)
+    val query = StreamOps.parquetSink(curated, s"$dir/out", s"$dir/ckpt")
+    try {
+      val t0 = 1700000000000L
+      rows.grouped(100).foreach { b =>
+        input.addData(b.map { case (id, h) => (new Timestamp(t0 + id), id, h) }.toSeq: _*)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    def key(r: org.apache.spark.sql.Row) = r.getAs[Long]("doc_id") ->
+      ((r.getAs[String]("lang"), math.round(r.getAs[Double]("quality") * 1e6),
+        r.getAs[Int]("ws_tokens"), r.getAs[Int]("bpeish_tokens")))
+    val streamOut = spark.read.parquet(s"$dir/out")
+      .select("doc_id", "lang", "quality", "ws_tokens", "bpeish_tokens")
+      .collect().map(key).toMap
+    assert(streamOut.nonEmpty, "stream produced no curated docs")
+    // batch replay of the STREAM semantics over the SAME stateless
+    // extraction column: extract → min-id per fingerprint → min-id per
+    // full MinHash signature → stateless scoring stages
+    val extracted = htmlB.select(col("doc_id"),
+      TextExtract.extractHtmlTextCol(col("html")).as("text"))
+    val fpKeep = TextDedup.exactDedup(extracted)
+    val sigged = fpKeep.withColumn("sig", concat_ws("|",
+      minhashXx(array_distinct(shingles(tokens(col("text")), 3)), 8)))
+    val sigAll = sigged.select("doc_id", "sig")
+    val sigKeep = sigged
+      .groupBy("sig")
+      .agg(min_by(struct(col("doc_id"), col("text")), col("doc_id")).as("w"))
+      .select("w.*")
+    val expected = sigKeep
+      .withColumn("lang", langId(tokens(col("text")))).filter(col("lang") === "en")
+      .withColumn("quality", qualityScore(col("text"))).filter(col("quality") >= 0.3)
+      .withColumn("ws_tokens", wsTokenCount(col("text")))
+      .withColumn("bpeish_tokens", bpeishTokenCount(col("text")))
+      .select("doc_id", "lang", "quality", "ws_tokens", "bpeish_tokens")
+      .collect().map(key).toMap
+    // exact equality up to intra-micro-batch winner swaps (the q65
+    // gate's tolerance): divergent ids must pair up by signature class
+    val common0 = streamOut.keySet & expected.keySet
+    common0.foreach(id => assert(streamOut(id) == expected(id),
+      s"doc $id metrics diverged between stream and batch replay"))
+    val sigOf = sigAll.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val onlyS = streamOut.keySet -- expected.keySet
+    val onlyB = expected.keySet -- streamOut.keySet
+    assert(onlyS.map(sigOf) == onlyB.map(sigOf),
+      s"non-winner-swap divergence: onlyStream=$onlyS onlyBatch=$onlyB")
+    // vs the REAL q138 batch chain (relational extraction + full
+    // textCuration): identical metrics on every doc both keep —
+    // extraction equivalence and stage equivalence in one check
+    val batchOut = graft.Pipelines.textCuration(
+        TextExtract.extractHtmlText(htmlB).select(col("doc_id"), col("text")),
+        langs = Seq("en"), minQuality = 0.3, nearDupJaccard = 0.5)
+      .select("doc_id", "lang", "quality", "ws_tokens", "bpeish_tokens")
+      .collect().map(key).toMap
+    val common = streamOut.keySet & batchOut.keySet
+    assert(common.nonEmpty)
+    common.foreach(id => assert(streamOut(id) == batchOut(id),
+      s"doc $id diverged between the E7 stream and the q138 batch chain"))
+  }
+
   test("readRsemResults maps symbols to Ensembl ids and drops unmapped rows") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_rsem").toString
