@@ -111,11 +111,45 @@ object Plans {
     }
 
   /** Unpartitioned (global) windows that are the intended plan: the
-    * windowed relation is BOUNDED by construction (gene-, contrast-,
-    * sample- or quantile-grain — thousands of rows independent of
-    * corpus size), so the single task is a constant-size sort, not a
-    * scale cliff. Any corpus-grain global window still gets flagged. */
-  private val intendedGlobalWindow: Map[String, String] = Map.empty
+    * windowed relation is BOUNDED by construction (gene-, sample-, or
+    * partition-grain — row count independent of corpus size), so the
+    * single task is a constant-size sort, not a scale cliff. The
+    * recurring case is the STITCH window of the range-partition +
+    * stitched-prefix-sum pattern (BH adjust, token packing, shard
+    * manifests): the partition-local windows are keyed by `__pid`,
+    * and the one global window runs over EXACTLY ONE ROW PER SHUFFLE
+    * PARTITION — that one-row-per-pid offset relation is the entire
+    * point of the pattern (docs/SCALING.md §windows). Any corpus-grain
+    * global window still gets flagged. */
+  private val intendedGlobalWindow: Map[String, String] = Map(
+    "q03_top_sd" ->
+      "global top-N rank over the per-gene SD relation — gene-grain (one row per gene), contract-bounded",
+    "q52_percent_rank" ->
+      "percent_rank over the per-gene SD relation — gene-grain, contract-bounded",
+    "q41_replicate_renumber" ->
+      "dense_rank over (dataset, replicate) — sample-grain, contract-bounded at hundreds of rows",
+    "q10_bh_adjust" ->
+      "BH machinery: __pid-keyed local ranks + __pid-grain stitch windows (one row per shuffle partition)",
+    "q55_decide_tests" ->
+      "the q10 BH stitch windows — __pid-grain offsets, one row per shuffle partition",
+    "q70_e3_chain" ->
+      "the chain's BH stages — __pid-keyed local ranks + one-row-per-pid stitch windows",
+    "q71_annotated_toptable" ->
+      "topTable's BH adjust — __pid-keyed local ranks + one-row-per-pid stitch windows",
+    "q72_bind_meta_de" ->
+      "both merged DE legs' BH adjusts — __pid-keyed local ranks + one-row-per-pid stitch windows",
+    "q24_ks" ->
+      "KS ECDF: __pid-keyed cumulative sums + the __pid-grain stitch (one row per shuffle partition); value axis is data-grain but range-partitioned first",
+    "q47_perm_fdr" ->
+      "n_ge_obs count over the (gene, perm) stat relation — gene x nperm rows, both contract-bounded; per-perm label ranks are sample-grain",
+    "q91_packing_manifest" ->
+      "token-packing prefix sums: __pid-keyed local sums + the one-row-per-pid stitch window",
+    "q102_shard_manifest" ->
+      "shard carving: __pid-keyed local ranks + the one-row-per-pid stitch window",
+    "q135_real_token_packing" ->
+      "the q91 packing windows over real-tokenizer counts — __pid-keyed + one-row-per-pid stitch",
+    "q93_data_mix" ->
+      "domain-keyed cumulative token sums (domain-bounded) + the q91 stitch pattern for the budget cut")
 
   /** SMJs that are the intended plan (docs/SCALING.md): both sides are
     * data- or gene-grain on matching keys, so forcing broadcast would
@@ -165,7 +199,9 @@ object Plans {
     "q47_perm_fdr" ->
       "sample×perm label relation (supplier scan × Range(nperm)) — samples contract-bounded, nperm fixture-bounded",
     "q81_e1_blocked" ->
-      "supplier-derived group/replicate metadata on the build side — the sample axis, ≤ hundreds of rows in every reference config")
+      "supplier-derived group/replicate metadata on the build side — the sample axis, ≤ hundreds of rows in every reference config",
+    "q141_quality_cluster_amortized" ->
+      "the at-rest NB model tables (graft_nbw_*/graft_nbp_*) — bucket-space-bounded by construction (16^3 weight rows + a 1-row prior), stored full scans that exist precisely to be broadcast at apply time")
 
   private val intendedSmj = Map(
     "q35_minhash_lsh" ->
@@ -217,7 +253,25 @@ object Plans {
     "q130_e6_amortized" ->
       "the q125 chain joins with the reference near-dup side read from its BUCKETED at-rest tables (q128's layout) — band/shingle SMJs against the bucketed side are the intended at-scale plan; AQE demotes when small",
     "q131_real_token_budget" ->
-      "the (doc, word) count relation joined with the vocabulary-grain segmentation on word, then the salted budget windows — both sides corpus/vocabulary-grain keyed; AQE demotes when small")
+      "the (doc, word) count relation joined with the vocabulary-grain segmentation on word, then the salted budget windows — both sides corpus/vocabulary-grain keyed; AQE demotes when small",
+    "q34_ngram_jaccard" ->
+      "per-source shingle-set pair self-join — both sides corpus-grain keyed on source; AQE demotes when small",
+    "q44_combat" ->
+      "data-grain expression cells joined with gene-grain batch estimates on gene — both sides gene-keyed; AQE demotes at runtime",
+    "q66_combat_covariates" ->
+      "the q44 ComBat joins plus covariate design joins — all gene-/data-grain keyed; AQE demotes at runtime",
+    "q67_combat_nonparam" ->
+      "the q44 joins plus the int.eprior per-gene posterior join — gene-keyed both sides; AQE demotes at runtime",
+    "q65_text_curation" ->
+      "the q79 curation-chain joins (near-dup verify on (id_a,id_b), loser anti-join on doc_id) — corpus-grain keyed; AQE demotes at runtime",
+    "q75_e2_multi_contrast" ->
+      "the q82 voom/GLS observation joins — data-grain keyed both sides; AQE demotes at runtime",
+    "q72_bind_meta_de" ->
+      "meta-relation and DE toptables merged on gene — both sides gene-grain keyed; AQE demotes when small",
+    "q141_quality_cluster_amortized" ->
+      "the q129 curation joins with the classifier score join reading the at-rest model — corpus-grain keyed on doc/bucket/component; AQE demotes at runtime",
+    "q142_containment_incremental" ->
+      "fingerprint-keyed pair join against the BUCKETED at-rest winnow index (the q128 at-scale shape — the bucketed side needs no exchange) plus the loser left_anti on doc_id; AQE demotes when small")
 
   /** Count SHUFFLE exchanges only — a BroadcastExchange moves the
     * bounded side, not the data, and is the desired join strategy.
