@@ -597,6 +597,44 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("winnowOverlap dfCap binding: viral-hash pairs drop, distinctive pairs keep identical rows") {
+    // the winnow100x probe fixture in miniature (VERDICT r9 #6): a
+    // viral boilerplate shared by 20 docs (its selected hashes have
+    // df = 20) and one genuinely copied 16-token passage shared by
+    // exactly two docs (df = 2). dfCap = 10 must (a) erase every pair
+    // whose evidence is ONLY the boilerplate, (b) keep the copied-
+    // passage pair, and (c) report that pair's row IDENTICALLY to the
+    // uncapped run — per-doc sizes come from the UNCAPPED relation,
+    // so the cap changes candidate generation, never denominators.
+    // 19 boilerplate tokens → 16 grams → 13 full windows → ≥ 4 distinct
+    // selected hashes shared by all 20 docs (minShared = 2 must fire
+    // on boilerplate evidence alone in the uncapped run)
+    val boiler = "terms and conditions apply all rights reserved contact " +
+      "support for more details visit our website help center page info"
+    val passage = Seq.tabulate(16)(i => s"p$i").mkString(" ")
+    val viralDocs = (1 to 20).map(i => (i.toLong, s"$boiler filler$i only"))
+    val copyDocs = Seq(
+      (100L, s"intro alpha beta $passage outro gamma"),
+      (101L, s"other start words here $passage different tail"))
+    val docs = (viralDocs ++ copyDocs).toDF("doc_id", "text")
+    def rows(cap: Long) = TextDedup.winnowOverlap(docs, k = 4, window = 4,
+        minShared = 2, dfCap = cap, md5Hashes = true)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    val uncapped = rows(Long.MaxValue)
+    val capped = rows(10L)
+    assert(uncapped.keySet.contains((100L, 101L)),
+      "uncapped run must find the copied-passage pair")
+    assert(uncapped.keys.exists { case (a, b) => a <= 20 && b <= 20 },
+      "uncapped run must find boilerplate-evidence pairs (df = 20)")
+    assert(capped.keySet == Set((100L, 101L)),
+      s"dfCap=10 must keep ONLY the distinctive pair, got ${capped.keySet}")
+    assert(capped((100L, 101L)) == uncapped((100L, 101L)),
+      "the surviving pair's (shared, nfp_a, nfp_b, overlap) must not change under the cap")
+  }
+
   test("chunkByTokenCounts: piece totals conserve; unit fertility degenerates to chunkByTokens") {
     val wordG = Gen.oneOf("alpha", "beta", "gamma", "delta", "ep")
     val docG = Gen.chooseNum(1, 50).flatMap(n => Gen.listOfN(n, wordG))
