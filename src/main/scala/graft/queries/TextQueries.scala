@@ -112,6 +112,29 @@ object TextQueries {
     (s.table(fpTbl), s.table(szTbl))
   }
 
+  /** At-rest TRAINED-BPE vocabulary (the tokenizer analogue of the
+    * q141 model artifact): the q126 merge table (fit on the %5 sample
+    * by [[graft.operators.Bpe.bpeMergesFast]] — deterministic argmax,
+    * so the stored table IS the fit) written ONCE per fixture as a
+    * warehouse table and collected (vocabulary-bounded: nMerges rows)
+    * on every later call. Apply-side work per run is then segmentation
+    * only — the production pattern where the tokenizer is a versioned
+    * artifact and every pipeline run encodes against it. */
+  private def amortizedBpeMerges(s: SparkSession, dir: String): Seq[(String, String)] = {
+    val key = fixtureKey(dir)
+    val tbl = s"graft_bpe_$key"
+    if (!s.catalog.tableExists(tbl)) synchronized {
+      if (!s.catalog.tableExists(tbl)) {
+        val merges = graft.operators.Bpe.bpeMergesFast(
+          t(s, dir, "documents").filter(col("doc_id") % 5 === 0), nMerges = 12)
+        freshPath(s, tbl, key)
+        merges.write.format("parquet").mode("overwrite").saveAsTable(tbl)
+      }
+    }
+    s.table(tbl).orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+  }
+
   /** At-rest NB quality-classifier MODEL (VERDICT-r9 #3): the
     * [[TextRetrieval.qualityClassifierFit]] weight and prior relations
     * for the q119/q129 task (label: lang = 'en'), fit ONCE per fixture
@@ -1041,6 +1064,28 @@ object TextQueries {
         .agg(count(lit(1)).as("n_kept"), min("doc_id").as("first_kept"),
           sum("doc_id").as("sum_ids"))
         .orderBy("source")
+    }),
+
+    // ---- q131 with the TOKENIZER AT REST: identical per-domain
+    // token-budget semantics, but the trained-BPE merge table is a
+    // stored warehouse artifact ([[amortizedBpeMerges]]) and the run
+    // pays segmentation only — the q141 production pattern for the
+    // tokenizer (a versioned artifact every pipeline run encodes
+    // against, never refits). Shares q131's oracle: the stored fit is
+    // deterministic, so store-then-segment must reproduce the inline
+    // fit exactly. ----
+    "q143_real_budget_amortized" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = amortizedBpeMerges(s, dir)
+      val vocab = docs.select(explode(tokens(col("text"))).as("word")).distinct()
+      val nSub = graft.operators.Bpe.segmentFast(vocab, merges)
+        .groupBy("word").agg(count(lit(1)).as("n_sub"))
+      val docToks = docTokCounts(docs, nSub)
+        .withColumn("domain", col("doc_id") % 7)
+      TextDedup.capTokensPerKey(docToks, "domain", "toks", budget = 3000L,
+          seed = 3, md5Hashes = true)
+        .select(col("domain"), col("doc_id"), col("toks"))
+        .orderBy("domain", "doc_id")
     }),
 
     // ---- Near-dup CLUSTERS: connected components over the verified
@@ -3334,5 +3379,11 @@ object TextQueries {
     * trip). */
   val oracleSql: Map[String, String] = oracleSql0 +
     ("q141_quality_cluster_amortized" ->
-      oracleSql0("q129_quality_cluster_curation"))
+      oracleSql0("q129_quality_cluster_curation")) +
+    // q143 runs the q131 semantics with the trained-BPE merge table AT
+    // REST — the fit is deterministic, so the stored artifact must
+    // reproduce the inline training exactly (same shared-oracle
+    // round-trip argument as q141/q128)
+    ("q143_real_budget_amortized" ->
+      oracleSql0("q131_real_token_budget"))
 }

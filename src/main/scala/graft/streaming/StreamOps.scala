@@ -328,6 +328,80 @@ object StreamOps {
       .select(col(id), col(text), (!col("__dropped")).as("kept"))
   }
 
+  /** Streaming INCREMENTAL CONTAINMENT dedup against a frozen
+    * winnowed-fingerprint index — the live-feed form of
+    * [[graft.operators.TextDedup.containmentAgainstIndex]] (q142): a
+    * crawl STREAM drops documents whose copied-passage containment
+    * against any reference document meets the threshold. The
+    * reference index is the [[graft.operators.TextDedup.winnowIndex]]
+    * pair — the (id, h) fingerprint relation plus doc-grain sizes —
+    * read at rest and joined STREAM-STATIC (stateless per
+    * micro-batch, the q128 bucketed-table contract).
+    *
+    * Stream-side winnowing is ONE pure array-algebra column (the
+    * SWA'03 selection as a list comprehension — grams via
+    * slice/transform, per-window `array_min`): positions drop because
+    * the containment measure only consumes the distinct selected HASH
+    * SET, and window ties pick a position, never a different hash —
+    * so the stream's set equals the batch
+    * [[graft.operators.TextDedup.winnowFingerprints]] set exactly
+    * (spec-gated). Two chained watermark-bounded aggregations fold
+    * the verdict: shared-hash counts per (doc, ref), then the per-doc
+    * max over the containment rule — same-window chained stateful
+    * aggregations, Spark's supported shape. Zero-token documents
+    * have no fingerprints and are always kept (the batch convention:
+    * absent from the fp relation ⇒ never dropped).
+    *
+    * Returns (doc_id, text, kept) per closed window. */
+  def streamingContainmentAgainstIndex(docs: DataFrame, refFp: DataFrame,
+      refSizes: DataFrame, k: Int = 4, window: Int = 4,
+      minShared: Long = 2, minContainment: Double = 0.8,
+      ts: String = "ts", id: String = "doc_id", text: String = "text",
+      windowLen: String = "10 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    import graft.functions.TextFunctions._
+    require(k >= 1 && window >= 1, "k and window must be positive")
+    require(minShared >= 1, "minShared must be >= 1")
+    val tk = tokens(col(text))
+    // grams: full k-gram slides for len >= k, the whole token stream
+    // as ONE gram for shorter non-empty docs (the batch gram rule)
+    val ng = when(size(tk) >= k, size(tk) - (k - 1)).otherwise(lit(1))
+    val grams = transform(sequence(lit(0), ng - 1),
+      i => concat_ws(" ", slice(tk, i + 1, lit(k))))
+    val hs = transform(grams, g => md5(g))
+    // selection windows: start positions 0..ng-w (full) or the one
+    // truncated whole-doc window; `slice` truncates at the array end
+    val nw = greatest(ng - (window - 1), lit(1))
+    val sel = array_distinct(transform(sequence(lit(0), nw - 1),
+      j => array_min(slice(hs, j + 1, lit(window)))))
+    val refF = refFp.select(col("h"), col(id).as("__ref_id"))
+    val refS = refSizes.select(col(id).as("__ref_id"),
+      col("nfp").as("__nfp_ref"))
+    // both static joins run BEFORE the aggregations (streaming forbids
+    // joins after an aggregation); __nfp_ref rides into the first
+    // grouping key — functionally dependent on __ref_id, so it never
+    // splits a group
+    docs.withWatermark(ts, watermarkDelay)
+      .withColumn("__sel",
+        when(size(tk) > 0, sel).otherwise(array().cast("array<string>")))
+      .withColumn("__nfp", size(col("__sel")))
+      .select(col(ts), col(id), col(text), col("__nfp"),
+        explode_outer(col("__sel")).as("h"))
+      .join(refF, Seq("h"), "left")
+      .join(refS, Seq("__ref_id"), "left")
+      .groupBy(org.apache.spark.sql.functions.window(col(ts), windowLen),
+        col(id), col(text), col("__nfp"), col("__ref_id"), col("__nfp_ref"))
+      .agg(count(col("__ref_id")).as("__shared"))
+      .withColumn("__dropped",
+        coalesce(col("__ref_id").isNotNull &&
+          col("__shared") >= minShared &&
+          round(col("__shared") / least(col("__nfp"), col("__nfp_ref")) +
+            lit(1e-9), 6) >= minContainment, lit(false)))
+      .groupBy(col("window"), col(id), col(text))
+      .agg(max(col("__dropped")).as("__drop"))
+      .select(col(id), col(text), (!col("__drop")).as("kept"))
+  }
+
   /** Streaming PARAGRAPH-grain dedup — the incremental form of
     * [[graft.operators.TextDedup.paragraphDedup]], enabled by that
     * operator's aggregation shape: the keep-first decision needs ONE

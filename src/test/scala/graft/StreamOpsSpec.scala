@@ -389,6 +389,57 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streamingContainmentAgainstIndex batch≡stream: frozen winnow index on a live crawl") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.TextDedup
+    val docsB = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val ref = docsB.filter(col("doc_id") % 7 < 3).select("doc_id", "text")
+    val inc = docsB.filter(col("doc_id") % 7 >= 3).select("doc_id", "text")
+    // batch answer: the q142 operator's keep set at the q142 thresholds
+    val (refFp, refSizes) = TextDedup.winnowIndex(ref, k = 4, window = 4,
+      md5Hashes = true)
+    val refFpStatic = refFp.localCheckpoint(true)
+    val refSizesStatic = refSizes.localCheckpoint(true)
+    graft.model.RelCache.release("textdedup.winnowIndex")
+    val batchKept = TextDedup.containmentAgainstIndex(inc, refFpStatic,
+        refSizesStatic, k = 4, window = 4, minShared = 2,
+        minContainment = 0.8, md5Hashes = true)
+      .select("doc_id").as[Long].collect().toSet
+    // the stream's array-algebra winnow selection must equal the batch
+    // operator's selected hash SET doc-for-doc (positions drop: ties
+    // pick a position, never a different hash) — asserted directly
+    // before the streaming run so a divergence names the stage
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamOps.streamingContainmentAgainstIndex(
+      input.toDS().toDF("ts", "doc_id", "text"), refFpStatic, refSizesStatic,
+      k = 4, window = 4, minShared = 2, minContainment = 0.8)
+    val query = out.writeStream.format("memory")
+      .queryName("containment_idx_out").outputMode("append").start()
+    try {
+      val t0 = 1700000000000L
+      val rows = inc.as[(Long, String)].collect().sortBy(_._1)
+      rows.grouped(100).foreach { b =>
+        input.addData(b.map { case (id, tx) => (new Timestamp(t0 + id), id, tx) }.toSeq: _*)
+        query.processAllAvailable()
+      }
+      input.addData((new Timestamp(t0 + 48 * 3600 * 1000L), -1L, "flush"))
+      query.processAllAvailable()
+      val streamRows = spark.table("containment_idx_out")
+        .collect().filter(_.getAs[Long]("doc_id") >= 0L)
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("kept"))
+      // every incoming doc gets exactly one verdict row, and the
+      // verdicts are per-doc deterministic (no cross-doc state), so
+      // the keep set must equal batch EXACTLY — no winner-swap class
+      assert(streamRows.length == rows.length,
+        s"expected ${rows.length} verdicts, got ${streamRows.length}")
+      val streamKept = streamRows.collect { case (d, true) => d }.toSet
+      assert(streamKept == batchKept,
+        s"keep sets diverged: onlyStream=${streamKept -- batchKept} " +
+          s"onlyBatch=${batchKept -- streamKept}")
+    } finally query.stop()
+  }
+
   test("streamingQualityScores batch≡stream: static NB fit applied to the live feed") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
