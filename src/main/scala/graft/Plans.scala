@@ -31,7 +31,8 @@ object Plans {
     // printed, so the audit record shows the skip was a decision.
     val names = if (args.nonEmpty) args.toSeq
       else SparkEntry.queries.keys.toSeq.sorted ++
-        Seq("bucketed_demo", "bucketed_neardup_demo", "partitioned_ivf_demo")
+        Seq("bucketed_demo", "bucketed_neardup_demo", "bucketed_winnow_demo",
+          "partitioned_ivf_demo")
     var audited = 0; var clean = 0; val smelly =
       scala.collection.mutable.ListBuffer.empty[String]
     names.foreach { name =>
@@ -40,6 +41,7 @@ object Plans {
       else
       if (name == "bucketed_demo") bucketedDemo(spark, dir)
       else if (name == "bucketed_neardup_demo") bucketedNearDupDemo(spark, dir)
+      else if (name == "bucketed_winnow_demo") bucketedWinnowDemo(spark, dir)
       else if (name == "partitioned_ivf_demo") partitionedIvfDemo(spark, dir)
       else {
         val df = SparkEntry.queries(name)(spark, dir)
@@ -350,6 +352,57 @@ object Plans {
       (if (prunedFiles < plainFiles || prunedParts < 8)
         "(probed-cell pruning confirmed at rest)"
        else "UNEXPECTED: partitioning pruned nothing"))
+  }
+
+  /** The at-rest WINNOW-index co-location proof (TextDedup
+    * .winnowIndex's storage contract, the q142 layout): the reference
+    * winnowed-fingerprint relation written BUCKETED by `h` joins an
+    * incremental crawl's fingerprints with no reference-side shuffle —
+    * only the (new, small) incoming side exchanges. Same measurement
+    * as [[bucketedNearDupDemo]], on the containment family's hash
+    * key. */
+  private def bucketedWinnowDemo(spark: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val ref = docs.filter(col("doc_id") % 7 < 3)
+    val inc = docs.filter(col("doc_id") % 7 >= 3)
+    def save(df: org.apache.spark.sql.DataFrame, table: String,
+        bucketKey: Option[String]): org.apache.spark.sql.DataFrame = {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      val warehouse = new org.apache.hadoop.fs.Path(
+        spark.sessionState.conf.warehousePath, table.toLowerCase)
+      val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(warehouse)) fs.delete(warehouse, true)
+      val w = df.write.format("parquet").mode("overwrite")
+      bucketKey.fold(w)(k => w.bucketBy(8, k).sortBy(k)).saveAsTable(table)
+      spark.table(table)
+    }
+    val (refFp, _) = graft.operators.TextDedup.winnowIndex(ref, md5Hashes = true)
+    val plainTbl = save(refFp, "graft_winnow_fp_plain", None)
+    val bucketTbl = save(refFp, "graft_winnow_fp_bucketed", Some("h"))
+    // materialize the incoming fingerprints too, so the counted
+    // exchanges are the JOIN's alone, and force the at-scale no-
+    // broadcast regime (the bucketedNearDupDemo convention)
+    val (incFp, _) = graft.operators.TextDedup.winnowIndex(inc, md5Hashes = true)
+    val incTbl = save(incFp.select(col("h"), col("doc_id").as("inc_id")),
+      "graft_winnow_fp_incoming", None)
+    graft.model.RelCache.release("textdedup.winnowIndex")
+    val prevThreshold =
+      spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    def cand(refRel: org.apache.spark.sql.DataFrame) = incTbl
+      .join(refRel.select(col("h"), col("doc_id").as("ref_id")), Seq("h"))
+    val (p, b) =
+      try (exchanges(cand(plainTbl)), exchanges(cand(bucketTbl)))
+      finally prevThreshold match {
+        case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    println(s"\n========== bucketed_winnow_demo ==========")
+    println(s"[audit] bucketed_winnow_demo: containment candidate-join exchanges " +
+      s"unbucketed-index=$p bucketed-index=$b " +
+      (if (b < p) "(reference fingerprints co-located at rest — only the incoming crawl shuffles)"
+       else "UNEXPECTED: bucketing removed no exchange"))
   }
 
   /** The at-rest near-dup index co-location proof (TextDedup
