@@ -35,8 +35,11 @@ object Plans {
           "partitioned_ivf_demo")
     var audited = 0; var clean = 0; val smelly =
       scala.collection.mutable.ListBuffer.empty[String]
+    // exclusions apply only to the DEFAULT sweep: an explicitly named
+    // query is an explicit request — audit it even if excluded (the
+    // developer inspecting q126's plan after a bpeMerges change)
     names.foreach { name =>
-      if (excluded.contains(name))
+      if (args.isEmpty && excluded.contains(name))
         println(s"[audit] $name: EXCLUDED — ${excluded(name)}")
       else
       if (name == "bucketed_demo") bucketedDemo(spark, dir)

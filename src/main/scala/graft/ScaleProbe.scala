@@ -50,14 +50,20 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     val keyShift = 10000000L
-    def replicate(table: String, derive: (DataFrame, Int) => DataFrame): Unit = {
-      val out = s"$dst/$table.parquet"
+    // ONE home for the replicate-derive-write pattern (every probe's
+    // corpus derivation goes through it — a fix to the pattern, e.g.
+    // partial-write detection, lands once)
+    def replicateInto(srcDir: String, dstDir: String, nCopies: Int)(
+        table: String, derive: (DataFrame, Int) => DataFrame): Unit = {
+      val out = s"$dstDir/$table.parquet"
       if (!new java.io.File(out).exists()) {
-        val base = spark.read.parquet(s"$src/$table.parquet")
-        (0 until copies).map(c => derive(base, c)).reduce(_ unionByName _)
+        val base = spark.read.parquet(s"$srcDir/$table.parquet")
+        (0 until nCopies).map(c => derive(base, c)).reduce(_ unionByName _)
           .write.mode("overwrite").parquet(out)
       }
     }
+    def replicate(table: String, derive: (DataFrame, Int) => DataFrame): Unit =
+      replicateInto(src, dst, copies)(table, derive)
     replicate("supplier", (df, c) =>
       df.withColumn("s_suppkey", col("s_suppkey") + c * keyShift))
     replicate("lineitem", (df, c) =>
@@ -89,14 +95,7 @@ object ScaleProbe {
     if (args.contains("chain100x")) {
       val copies100 = 100
       val dst100 = s"target/scale/sf10x-v$derivationVersion-c$copies100"
-      def replicate100(table: String, derive: (DataFrame, Int) => DataFrame): Unit = {
-        val out = s"$dst100/$table.parquet"
-        if (!new java.io.File(out).exists()) {
-          val base = spark.read.parquet(s"$src/$table.parquet")
-          (0 until copies100).map(c => derive(base, c)).reduce(_ unionByName _)
-            .write.mode("overwrite").parquet(out)
-        }
-      }
+      val replicate100 = replicateInto(src, dst100, copies100) _
       replicate100("supplier", (df, c) =>
         df.withColumn("s_suppkey", col("s_suppkey") + c * keyShift))
       replicate100("lineitem", (df, c) =>
@@ -133,15 +132,10 @@ object ScaleProbe {
         .getOrElse("q79_full_curation")
       val copies100 = 100
       val dst100 = s"target/scale/sf10x-v$derivationVersion-c$copies100"
-      val out = s"$dst100/documents.parquet"
-      if (!new java.io.File(out).exists()) {
-        val base = spark.read.parquet(s"$src/documents.parquet")
-        (0 until copies100).map { c =>
-          if (c == 0) base
-          else base.withColumn("doc_id", col("doc_id") + c * keyShift)
-            .withColumn("text", regexp_replace(col("text"), "e", "e" + c.toString))
-        }.reduce(_ unionByName _).write.mode("overwrite").parquet(out)
-      }
+      replicateInto(src, dst100, copies100)("documents", (base, c) =>
+        if (c == 0) base
+        else base.withColumn("doc_id", col("doc_id") + c * keyShift)
+          .withColumn("text", regexp_replace(col("text"), "e", "e" + c.toString)))
       spark.range(1000000L).selectExpr("sum(id)").collect()
       def oneCuration(dir: String): Double = {
         spark.catalog.clearCache()
@@ -216,14 +210,7 @@ object ScaleProbe {
         "/root/testdata/sf0.01")
       val copies100 = 100
       val dstC = s"target/scale/cohort-v1-c$copies100"
-      def replicateC(table: String, derive: (DataFrame, Int) => DataFrame): Unit = {
-        val out = s"$dstC/$table.parquet"
-        if (!new java.io.File(out).exists()) {
-          val b = spark.read.parquet(s"$base/$table.parquet")
-          (0 until copies100).map(c => derive(b, c)).reduce(_ unionByName _)
-            .write.mode("overwrite").parquet(out)
-        }
-      }
+      val replicateC = replicateInto(base, dstC, copies100) _
       replicateC("supplier", (df, c) =>
         df.withColumn("s_suppkey", col("s_suppkey") + c * keyShift))
       replicateC("lineitem", (df, c) =>
@@ -446,16 +433,14 @@ object ScaleProbe {
       val copies100 = 100
       val boiler = " terms and conditions apply all rights reserved" +
         " contact support for more details visit our website help center"
-      val out = s"target/scale/winnow-v1-c$copies100/documents.parquet"
-      if (!new java.io.File(out).exists()) {
-        val base = spark.read.parquet(s"$src/documents.parquet")
-        (0 until copies100).map { c =>
-          val b = if (c == 0) base
-            else base.withColumn("doc_id", col("doc_id") + c * keyShift)
-              .withColumn("text", regexp_replace(col("text"), "e", "e" + c.toString))
-          b.withColumn("text", concat(col("text"), lit(boiler)))
-        }.reduce(_ unionByName _).write.mode("overwrite").parquet(out)
-      }
+      val dstW = s"target/scale/winnow-v1-c$copies100"
+      replicateInto(src, dstW, copies100)("documents", (base, c) => {
+        val b = if (c == 0) base
+          else base.withColumn("doc_id", col("doc_id") + c * keyShift)
+            .withColumn("text", regexp_replace(col("text"), "e", "e" + c.toString))
+        b.withColumn("text", concat(col("text"), lit(boiler)))
+      })
+      val out = s"$dstW/documents.parquet"
       // same boilerplate at 1× so the small side carries the same
       // viral-hash structure (a fair per-scale comparison)
       val docs1 = spark.read.parquet(s"$src/documents.parquet")

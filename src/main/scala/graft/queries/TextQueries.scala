@@ -48,7 +48,9 @@ object TextQueries {
         freshPath(s, shTbl, key)
         shingles.write.format("parquet").mode("overwrite")
           .bucketBy(8, "s").sortBy("s").saveAsTable(shTbl)
-        shingles.unpersist(blocking = false)
+        // release through the registry (the relation was held by
+        // nearDupIndex's slot) so liveSlots stays truthful
+        graft.model.RelCache.release("textdedup.nearDupIndex")
       }
     }
     (s.table(bandsTbl), s.table(shTbl))
@@ -56,27 +58,36 @@ object TextQueries {
 
   /** Fingerprint of the fixture's document files — at-rest table names
     * carry it so regenerated testdata can never silently reuse a stale
-    * artifact. */
+    * artifact. The sanitized DIRECTORY name is prepended so different
+    * fixtures (sf0.01 vs sf0.1) occupy disjoint table-name prefixes:
+    * the generation sweep in [[freshPath]] must only ever delete stale
+    * generations of the SAME fixture, never another fixture's live
+    * index (a session alternating SFs would otherwise find its
+    * still-registered tables' files gone). */
   private def fixtureKey(dir: String): String = {
     val f = new java.io.File(s"$dir/documents.parquet")
     val parts = (f +: Option(f.listFiles()).getOrElse(Array.empty).toSeq
         .sortBy(_.getName))
       .map(p => s"${p.getName}:${p.length}:${p.lastModified}")
-    java.security.MessageDigest.getInstance("MD5")
+    val hash = java.security.MessageDigest.getInstance("MD5")
       .digest(parts.mkString("|").getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
+    val tag = new java.io.File(dir).getName.toLowerCase
+      .replaceAll("[^a-z0-9]", "_")
+    s"${tag}_$hash"
   }
 
   /** The in-memory catalog is session-scoped but the warehouse dir is
     * not: clear stale files from an earlier session so a bucketed CTAS
-    * never mixes layouts. Sweeps SIBLING fixture generations too (same
-    * prefix, different key suffix) — without it every testdata
-    * regeneration orphans the previous generation's directories
-    * forever (ADVICE r9). */
+    * never mixes layouts. Sweeps SIBLING GENERATIONS too (same prefix
+    * incl. the fixture-dir tag, different content hash) — without it
+    * every testdata regeneration orphans the previous generation's
+    * directories forever (ADVICE r9); the dir tag in [[fixtureKey]]
+    * keeps other fixtures' live tables out of the sweep's reach. */
   private def freshPath(s: SparkSession, table: String, key: String): Unit = {
     val wh = new org.apache.hadoop.fs.Path(s.sessionState.conf.warehousePath)
     val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val prefix = table.toLowerCase.stripSuffix(key)
+    val prefix = table.toLowerCase.stripSuffix(key.substring(key.lastIndexOf('_') + 1))
     if (fs.exists(wh)) fs.listStatus(wh).foreach { st =>
       val n = st.getPath.getName
       if (n.startsWith(prefix)) fs.delete(st.getPath, true)

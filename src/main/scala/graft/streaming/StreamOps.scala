@@ -356,19 +356,30 @@ object StreamOps {
   def streamingContainmentAgainstIndex(docs: DataFrame, refFp: DataFrame,
       refSizes: DataFrame, k: Int = 4, window: Int = 4,
       minShared: Long = 2, minContainment: Double = 0.8,
+      md5Hashes: Boolean = true,
       ts: String = "ts", id: String = "doc_id", text: String = "text",
       windowLen: String = "10 minutes",
       watermarkDelay: String = "10 minutes"): DataFrame = {
     import graft.functions.TextFunctions._
     require(k >= 1 && window >= 1, "k and window must be positive")
     require(minShared >= 1, "minShared must be >= 1")
+    // the stream's hash family MUST match the index's build-time
+    // choice or the h-join silently matches nothing (hex string vs
+    // long) and every doc streams out kept — catch the drift eagerly
+    require(refFp.schema("h").dataType ==
+      (if (md5Hashes) org.apache.spark.sql.types.StringType
+       else org.apache.spark.sql.types.LongType),
+      s"refFp.h is ${refFp.schema("h").dataType}; md5Hashes=$md5Hashes " +
+        "expects the index built with the same hash family " +
+        "(TextDedup.winnowIndex(md5Hashes = ...))")
     val tk = tokens(col(text))
     // grams: full k-gram slides for len >= k, the whole token stream
     // as ONE gram for shorter non-empty docs (the batch gram rule)
     val ng = when(size(tk) >= k, size(tk) - (k - 1)).otherwise(lit(1))
     val grams = transform(sequence(lit(0), ng - 1),
       i => concat_ws(" ", slice(tk, i + 1, lit(k))))
-    val hs = transform(grams, g => md5(g))
+    val hs = transform(grams,
+      g => if (md5Hashes) md5(g).cast("string") else xxhash64(g))
     // selection windows: start positions 0..ng-w (full) or the one
     // truncated whole-doc window; `slice` truncates at the array end
     val nw = greatest(ng - (window - 1), lit(1))
@@ -382,8 +393,8 @@ object StreamOps {
     // grouping key — functionally dependent on __ref_id, so it never
     // splits a group
     docs.withWatermark(ts, watermarkDelay)
-      .withColumn("__sel",
-        when(size(tk) > 0, sel).otherwise(array().cast("array<string>")))
+      .withColumn("__sel", when(size(tk) > 0, sel).otherwise(array()
+        .cast(if (md5Hashes) "array<string>" else "array<bigint>")))
       .withColumn("__nfp", size(col("__sel")))
       .select(col(ts), col(id), col(text), col("__nfp"),
         explode_outer(col("__sel")).as("h"))
