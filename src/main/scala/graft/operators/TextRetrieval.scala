@@ -483,6 +483,22 @@ object TextRetrieval {
       headFrac: Double = 1.0 / 3, midFrac: Double = 1.0 / 3,
       id: String = "doc_id", text: String = "text"): DataFrame = {
     val (freq, nTotal, vocab) = unigramLmFit(lmRef, text)
+    ccnetBucketsWithLm(docs, freq, nTotal, vocab, langCol, sep,
+      headFrac, midFrac, id, text)
+  }
+
+  /** [[ccnetBuckets]] against a PREFIT reference LM (the
+    * [[unigramLmFit]] relation + scalars, typically re-read from an
+    * at-rest warehouse table) — the apply-only form: a curation run
+    * scores against the stored model and never re-fits (the
+    * q141/q143 artifact pattern for the reference LM). Threshold
+    * FITTING stays per-corpus by design — the terciles are a property
+    * of the corpus being partitioned, not of the model. */
+  def ccnetBucketsWithLm(docs: DataFrame, freq: DataFrame,
+      nTotal: Long, vocab: Long,
+      langCol: String = "lang", sep: String = "\n",
+      headFrac: Double = 1.0 / 3, midFrac: Double = 1.0 / 3,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
     val para = docs.select(col(id), col(langCol).as("lang"),
       posexplode(split(col(text), java.util.regex.Pattern.quote(sep)))
         .as(Seq("ppos", "para")))
