@@ -153,7 +153,7 @@ object TextQueries {
     * (doc_id % 5 = 0), written ONCE per fixture — both relations
     * token-type-grain / 1-row, so apply-only runs never re-tokenize
     * the reference corpus. Returns (freq, nTotal, vocab). */
-  private def amortizedLm(s: SparkSession, dir: String): (DataFrame, Long, Long) = {
+  private[graft] def amortizedLm(s: SparkSession, dir: String): (DataFrame, Long, Long) = {
     val key = fixtureKey(dir)
     val fTbl = s"graft_lm_$key"
     val sTbl = s"graft_lms_$key"

@@ -774,6 +774,50 @@ class StreamOpsSpec extends SparkSpec {
       s"doc $id diverged between the E7 stream and the q138 batch chain"))
   }
 
+  test("the at-rest reference LM serves the stream: stored fit ≡ fresh fit, stream scores against the stored tables") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.TextRetrieval
+    val dir = "/root/testdata/sf0.001"
+    // stored artifact (warehouse tables, built once per fixture)
+    val (storedFreq, n1, v1) = graft.queries.TextQueries.amortizedLm(spark, dir)
+    // fresh fit on the same reference slice
+    val lmRef = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 5 === 0)
+    val (freshFreq, n2, v2) = TextRetrieval.unigramLmFit(lmRef)
+    assert((n1, v1) == (n2, v2), "stored LM scalars diverged from the fresh fit")
+    val stored = storedFreq.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fresh = freshFreq.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stored == fresh, "stored LM frequency relation diverged from the fresh fit")
+    // and the stored relation works as the stream's static side: one
+    // doc scored through streamingCcnetBuckets reading the WAREHOUSE
+    // table gets the same xent the batch scorer computes
+    val th = Seq(("en", 99.0, 99.9)).toDF("lang", "t_head", "t_mid")
+      .localCheckpoint(true)
+    val input = MemoryStream[(Long, String, String, Timestamp)]
+    val out = StreamOps.streamingCcnetBuckets(
+      input.toDF().toDF("doc_id", "lang", "text", "ts"),
+      storedFreq, n1, v1, th)
+    val q = out.writeStream.format("memory").queryName("ccnet_atrest_out")
+      .outputMode("append").start()
+    val probeText = "the quick brown fox jumps over the lazy dog"
+    try {
+      val t0 = 1700000000000L
+      input.addData((7L, "en", probeText, new Timestamp(t0)))
+      input.addData((-1L, "en", "flush", new Timestamp(t0 + 3600 * 1000L)))
+      q.processAllAvailable()
+      val got = spark.table("ccnet_atrest_out")
+        .filter(col("doc_id") === 7L).collect()
+      assert(got.length == 1, "probe doc did not emit")
+      val expected = TextRetrieval.ccnetBucketsWithLm(
+          Seq((7L, "en", probeText)).toDF("doc_id", "lang", "text"),
+          storedFreq, n1, v1)
+        .collect().head.getAs[Double]("xent")
+      assert(got.head.getAs[Double]("xent") == expected,
+        "stream xent against the stored LM diverged from batch")
+    } finally q.stop()
+  }
+
   test("readRsemResults maps symbols to Ensembl ids and drops unmapped rows") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_rsem").toString
