@@ -237,6 +237,8 @@ object Plans {
       "FULL OUTER join of two corpus snapshots on the id — both sides corpus-grain and full-outer cannot build a broadcast side; bucket both snapshots by id to co-locate at rest",
     "q117_semdedup" ->
       "within-cell pair join keyed on cell (both sides corpus-grain — the SemDeDup contract bounds per-cell mass via nCells ∝ N) and the dropped-id LEFT JOIN back on vec_id (drop set is corpus-grain worst-case); AQE demotes when small",
+    "q145_semantic_decon" ->
+      "the hit-id LEFT JOIN back on vec_id (the q117 verdict shape — the hit set is corpus-grain worst-case, a fully contaminated corpus); the benchmark panel join itself is explicitly broadcast; AQE demotes when small",
     "q118_dsir_select" ->
       "doc-grain weight relation LEFT JOIN back to the doc universe on doc_id — both sides corpus-grain keyed; the λ and top-k relations are bounded and explicitly broadcast; AQE demotes when small",
     "q119_quality_classifier" ->

@@ -254,14 +254,40 @@ object Similarity {
     * shuffle, no MLlib row UDF on the corpus-sized side. Shared by
     * [[ivfTopK]] and [[semDedup]]. Returns (corpus_id, c_vec, cell). */
   private def assignCells(corpus: DataFrame, cents: Seq[(Int, Array[Float])],
-      id: String, vec: String): DataFrame = {
+      id: String, vec: String): DataFrame =
+    corpus.select(col(id).as("corpus_id"), col(vec).as("c_vec"),
+      cellColumn(cents, col(vec)).as("cell"))
+
+  /** The assignment argmin as a bare COLUMN over `vec` — the form a
+    * stateless stream projection composes
+    * ([[graft.streaming.StreamOps]]). Centroids are literals, so the
+    * column is pure codegen: no join, no shuffle, no state. */
+  private[graft] def cellColumn(cents: Seq[(Int, Array[Float])], vec: Column): Column = {
     val distStructs = cents.map { case (cellId, arr) =>
       val c2 = arr.foldLeft(0.0)((s, v) => s + v.toDouble * v.toDouble)
-      struct((lit(c2) - lit(2.0) * vec_dot(col("c_vec"), lit(arr))).as("d"),
+      struct((lit(c2) - lit(2.0) * vec_dot(vec, lit(arr))).as("d"),
         lit(cellId).as("cell"))
     }
-    corpus.select(col(id).as("corpus_id"), col(vec).as("c_vec"),
-      least(distStructs: _*).getField("cell").as("cell"))
+    least(distStructs: _*).getField("cell")
+  }
+
+  /** Static side for [[graft.streaming.StreamOps
+    * .streamingSemDecontaminate]]: the benchmark panel fanned out to
+    * each vector's `nProbe` nearest cells (the [[semDecontaminate]]
+    * probe, verbatim) and GROUPED per cell — at most nCells rows,
+    * each carrying the cell's candidate bench vectors as an array.
+    * The stream side then joins 1:1 on cell and folds the verdict
+    * with a pure exists(), keeping the whole streaming op stateless. */
+  def semDecontPanel(centroids: DataFrame, benchmark: DataFrame,
+      nProbe: Int = 2, id: String = "vec_id",
+      vec: String = "embedding"): DataFrame = {
+    val spark = benchmark.sparkSession
+    import spark.implicits._
+    val cents = collectCentroids(centroids)
+    val centDf = cents.map { case (i, a) => (i, a.toSeq) }.toDF("cell", "centroid")
+    probeCells(benchmark.select(col(id).as("query_id"), col(vec).as("q_vec")),
+        centDf, nProbe)
+      .groupBy("cell").agg(collect_list(col("q_vec")).as("q_vecs"))
   }
 
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
@@ -332,6 +358,53 @@ object Similarity {
     assigned.join(dropped, Seq("corpus_id"), "left")
       .select(col("corpus_id").as(id), col("cell"),
         coalesce(col("__dup"), lit(false)).unary_!.as("kept"))
+  }
+
+  /** Semantic DECONTAMINATION — the asymmetric [[semDedup]]: drop
+    * every corpus vector whose cosine with ANY benchmark-panel vector
+    * reaches τ (benchmark questions that leaked into a training
+    * corpus survive exact n-gram decontamination when paraphrased;
+    * the embedding-space sweep catches those — the embedding-level
+    * counterpart of the gram-Bloom `decontaminate`). The benchmark is
+    * NOT deduplicated and NOT dropped — it is the frozen query panel;
+    * only corpus membership changes.
+    *
+    * Scale shape (the IVF probe, roles flipped): the coarse quantizer
+    * fits on a bounded corpus sample ([[lloydCentroids]]); the CORPUS
+    * side never shuffles — cell assignment is the zero-shuffle
+    * literal-baked argmin and the verdict join broadcasts the
+    * benchmark, which is bounded by contract (a benchmark panel, not
+    * a second corpus — for corpus×corpus semantic overlap use
+    * [[semDedup]] on the union). Each benchmark vector fans out to
+    * its `nProbe` nearest cells (cosine desc, cell-asc ties — the
+    * [[ivfTopK]] probe), so a corpus row compares against
+    * |B|·nProbe/nCells panel vectors in expectation, not |B|. Like
+    * any IVF probe this is approximate: a τ-similar pair straddling
+    * more than `nProbe` cells is missed; nProbe = nCells is the
+    * exhaustive (still corpus-shuffle-free) form.
+    *
+    * Returns (id, cell, kept) for every CORPUS row; cosine compares
+    * on the catalog's rounded grid (6 dp, +1e-9) so the τ boundary is
+    * engine-portable. */
+  def semDecontaminate(corpus: DataFrame, benchmark: DataFrame, nCells: Int,
+      tau: Double, dim: Int, iters: Int = 10, nProbe: Int = 2,
+      id: String = "vec_id", vec: String = "embedding",
+      sampleCap: Int = 1000, md5Sample: Boolean = false): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centsDf = lloydCentroids(corpus, nCells, iters, dim, id, vec, sampleCap, md5Sample)
+    val cents = collectCentroids(centsDf)
+    val centDf = cents.map { case (i, a) => (i, a.toSeq) }.toDF("cell", "centroid")
+    val assigned = assignCells(corpus, cents, id, vec)
+    val bench = benchmark.select(col(id).as("query_id"), col(vec).as("q_vec"))
+    val probed = probeCells(bench, centDf, nProbe).select("q_vec", "cell")
+    val hit = assigned.join(broadcast(probed), Seq("cell"))
+      .filter(round(cosine(col("c_vec"), col("q_vec")) + lit(1e-9), 6) >= tau)
+      .select(col("corpus_id")).distinct()
+      .withColumn("__hit", lit(true))
+    assigned.join(hit, Seq("corpus_id"), "left")
+      .select(col("corpus_id").as(id), col("cell"),
+        coalesce(col("__hit"), lit(false)).unary_!.as("kept"))
   }
 
   /** Seed for the fit-sample hash — shared with the q40/q103/q110/
@@ -554,7 +627,7 @@ object Similarity {
     rankAdcTopK(adc, k, "corpus_id")
   }
 
-  private def collectCentroids(centroids: DataFrame): Seq[(Int, Array[Float])] =
+  private[graft] def collectCentroids(centroids: DataFrame): Seq[(Int, Array[Float])] =
     centroids.select(col("cell").cast("int"), col("centroid"))
       .collect().toSeq.map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)

@@ -1523,6 +1523,28 @@ object TextQueries {
         .orderBy("vec_id")
     }),
 
+    // ---- semantic decontamination: the asymmetric SemDeDup — drop
+    // corpus vectors τ-similar to ANY benchmark-panel vector (the
+    // embedding-space leak sweep exact n-gram decontamination cannot
+    // catch once a benchmark item is paraphrased). The panel is
+    // PLANTED: perturbed copies of the first 20 corpus vectors
+    // (double-precision affine x·0.9 + 0.01, rounded back to float —
+    // both engines replay the IEEE arithmetic bit-identically), so
+    // the τ=0.95 sweep must find exactly those leaked originals. Fit
+    // + probe fan-out + verify all replay in the oracle (the q40/q117
+    // Lloyd CTEs + a bench-side probe ranking). ----
+    "q145_semantic_decon" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val bench = emb.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          transform(col("embedding"),
+            x => (x.cast("double") * lit(0.9) + lit(0.01)).cast("float"))
+            .as("embedding"))
+      Similarity.semDecontaminate(emb, bench, nCells = 8, tau = 0.95,
+          dim = 64, iters = 10, nProbe = 2, md5Sample = true)
+        .orderBy("vec_id")
+    }),
+
     // ---- DSIR importance resampling: hashed unigram+bigram buckets
     // (md5-prefix bucketing, 256 buckets), add-1 smoothed target/raw
     // log-ratio weights, deterministic Gumbel-top-k selection (the
@@ -2118,6 +2140,42 @@ object TextQueries {
          WHERE round((${pairDotSql("a", "b", dim)}) / (na.nrm * nb.nrm) + 1e-9, 6) >= 0.25)
        SELECT m.vec_id, m.cell, (d.vec_id IS NULL) AS kept
        FROM mem m LEFT JOIN dup d ON d.vec_id = m.vec_id
+       ORDER BY m.vec_id"""
+    },
+
+    // semantic decontamination: the q117 Lloyd fit/assignment CTEs,
+    // a planted benchmark panel (the same double-affine perturbation
+    // the Spark wiring derives), the nProbe=2 bench-side probe
+    // ranking (the q110 pr convention over the derived panel), and
+    // the τ-filtered pairwise verify with the keep verdict
+    "q145_semantic_decon" -> {
+      val dim = 64
+      val probeCos = s"((${dotVecListSql("q", "f.c", dim)}) / " +
+        s"(sqrt(${pairDotSql("q", "q", dim)}) * sqrt(${selfListSql("f.c", dim)})))"
+      s"""WITH ${ivfCoreCtes(nCells = 8, iters = 10, nProbe = 1, dim = dim, queryBound = 0)},
+       bench AS MATERIALIZED (
+         SELECT vec_id + 100000 AS query_id,
+                list_transform(embedding,
+                  x -> CAST(CAST(x AS DOUBLE)*0.9 + 0.01 AS REAL)) AS embedding
+         FROM embeddings WHERE vec_id < 20),
+       bpr AS MATERIALIZED (
+         SELECT query_id, cell FROM (
+           SELECT q.query_id, f.cell,
+                  row_number() OVER (PARTITION BY q.query_id
+                    ORDER BY $probeCos DESC, f.cell ASC) AS rn
+           FROM bench q CROSS JOIN cf f) WHERE rn <= 2),
+       mem AS MATERIALIZED (
+         SELECT ca.corpus_id AS vec_id, ca.cell, e.embedding
+         FROM ca JOIN embeddings e ON e.vec_id = ca.corpus_id),
+       hit AS (
+         SELECT DISTINCT m.vec_id
+         FROM mem m JOIN bpr p ON p.cell = m.cell
+         JOIN bench b ON b.query_id = p.query_id
+         WHERE round((${pairDotSql("m", "b", dim)}) /
+           (sqrt(${pairDotSql("m", "m", dim)}) * sqrt(${pairDotSql("b", "b", dim)}))
+           + 1e-9, 6) >= 0.95)
+       SELECT m.vec_id, m.cell, (h.vec_id IS NULL) AS kept
+       FROM mem m LEFT JOIN hit h ON h.vec_id = m.vec_id
        ORDER BY m.vec_id"""
     },
 

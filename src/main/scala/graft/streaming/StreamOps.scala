@@ -528,6 +528,37 @@ object StreamOps {
       .withColumn("predicted", col("score") >= 0.5)
   }
 
+  /** Streaming SEMANTIC DECONTAMINATION — the live-feed form of
+    * [[graft.operators.Similarity.semDecontaminate]]: score every
+    * streamed embedding against a frozen benchmark panel and mark
+    * τ-similar rows dropped. Fully STATELESS: cell assignment is the
+    * literal-baked argmin COLUMN ([[graft.operators.Similarity
+    * .cellColumn]] — centroids fit batch-side, the IVF contract), the
+    * per-cell panel relation (≤ nCells rows, build it batch-side with
+    * [[graft.operators.Similarity.semDecontPanel]]) joins
+    * stream-static broadcast after a localCheckpoint (the
+    * streamingQualityScores convention — a raw static plan would
+    * re-derive the panel every micro-batch), and the verdict is a
+    * pure exists() over the cell's candidate vectors — no watermark,
+    * no aggregation, no state store. Rows landing in a cell no
+    * benchmark vector probes join nothing and keep (the coalesce).
+    * Returns (id, cell, kept) per input row, the batch operator's
+    * schema. */
+  def streamingSemDecontaminate(docs: DataFrame, centroids: DataFrame,
+      panel: DataFrame, tau: Double, id: String = "vec_id",
+      vec: String = "embedding"): DataFrame = {
+    import graft.operators.Similarity
+    val cents = Similarity.collectCentroids(centroids)
+    val pMat = broadcast(panel.localCheckpoint(true))
+    docs.withColumn("cell", Similarity.cellColumn(cents, col(vec)))
+      .join(pMat, Seq("cell"), "left")
+      .withColumn("kept", !coalesce(
+        exists(col("q_vecs"), b =>
+          round(Similarity.cosine(col(vec), b) + lit(1e-9), 6) >= tau),
+        lit(false)))
+      .select(col(id), col("cell"), col("kept"))
+  }
+
   def streamingParagraphDedup(docs: DataFrame, ts: String = "ts", sep: String = "\n",
       id: String = "doc_id", text: String = "text",
       watermarkDelay: String = "10 minutes", windowLen: String = "1 minute"): DataFrame = {

@@ -295,4 +295,45 @@ class SimilaritySpec extends SparkSpec {
     val kept = guarded.toMap
     twins.foreach { case (id, _) => assert(!kept(id), s"twin $id survived") }
   }
+
+  test("semDecontaminate: planted leaks drop, benchmark-free rows keep, " +
+      "exhaustive nProbe equals brute force") {
+    // 4 well-separated clusters of 10 (the semDedup fixture geometry);
+    // benchmark = perturbed copies of ids 0..4 (leaked items) plus one
+    // vector orthogonal to everything (a benchmark item NOT in the
+    // corpus — must drop nothing).
+    val base = (0L until 40L).map { i =>
+      val c = (i / 10).toInt; val j = (i % 10).toInt
+      val v = Array.fill(8)(0.0f)
+      v(c * 2) = 10.0f
+      v(c * 2 + 1) = j.toFloat
+      (i, v.toSeq)
+    }
+    val corpus = base.toDF("vec_id", "embedding")
+    val lone = { val v = Array.fill(8)(0.0f); v(1) = -10.0f; v.toSeq }
+    val bench = (base.take(5).map { case (i, v) =>
+      (9000L + i, v.map(x => x * 0.9f + 0.001f))
+    } :+ (9900L, lone)).toDF("vec_id", "embedding")
+    def run(nProbe: Int) = Similarity.semDecontaminate(corpus, bench,
+        nCells = 4, tau = 0.99, dim = 8, iters = 5, nProbe = nProbe)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("kept"))
+      .sortBy(_._1).toSeq
+    val out = run(2).toMap
+    assert(out.size == base.size, "corpus rows vanished or duplicated")
+    (0L until 5L).foreach(i => assert(!out(i), s"leaked row $i survived"))
+    // brute-force ground truth: any corpus row with rounded cosine
+    // >= tau against any bench vector
+    val truth = corpus.as("c").crossJoin(bench.as("b"))
+      .filter(round(Similarity.cosine(col("c.embedding"), col("b.embedding"))
+        + lit(1e-9), 6) >= 0.99)
+      .select(col("c.vec_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(out.filter(!_._2).keySet == truth,
+      "nProbe=2 drop set differs from brute force on this geometry")
+    // exhaustive probing must equal brute force by construction
+    val exhaustive = run(4)
+    assert(exhaustive.filter(!_._2).map(_._1).toSet == truth)
+    // and the corpus-absent benchmark item dropped nothing extra
+    assert(out.count(!_._2) == truth.size)
+  }
 }

@@ -344,6 +344,52 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streamingSemDecontaminate batch≡stream: frozen benchmark panel on a live embedding feed (q145 gate)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // the q145 planted-panel derivation, verbatim
+    val bench = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"),
+          x => (x.cast("double") * lit(0.9) + lit(0.01)).cast("float"))
+          .as("embedding"))
+    val batch = Similarity.semDecontaminate(emb, bench, nCells = 8,
+        tau = 0.95, dim = 64, iters = 10, nProbe = 2, md5Sample = true)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Int]("cell"), r.getAs[Boolean]("kept")))).toMap
+    // the stream scores under the SAME deterministic fit the batch
+    // operator derives (md5 sample, fixed iters) — the artifact the
+    // production path would store at rest
+    val cents = Similarity.lloydCentroids(emb, nCells = 8, iters = 10,
+      dim = 64, md5Sample = true).localCheckpoint(true)
+    val panel = Similarity.semDecontPanel(cents, bench, nProbe = 2)
+    val input = MemoryStream[(Long, Seq[Float])]
+    val scored = StreamOps.streamingSemDecontaminate(
+      input.toDS().toDF("vec_id", "embedding"), cents, panel, tau = 0.95)
+    val query = scored.writeStream.format("memory")
+      .queryName("semdecon_out").outputMode("append").start()
+    try {
+      val rows = emb.select("vec_id", "embedding")
+        .as[(Long, Seq[Float])].collect().sortBy(_._1)
+      rows.grouped(17).foreach { b =>
+        input.addData(b.toSeq: _*)
+        query.processAllAvailable()
+      }
+      val streamOut = spark.table("semdecon_out").collect()
+        .map(r => r.getAs[Long]("vec_id") ->
+          ((r.getAs[Int]("cell"), r.getAs[Boolean]("kept")))).toMap
+      assert(streamOut == batch,
+        s"batch/stream verdicts diverged: " +
+          s"onlyStream=${streamOut.toSet -- batch.toSet} " +
+          s"onlyBatch=${batch.toSet -- streamOut.toSet}")
+      // not vacuous: the 20 planted leaks drop on both sides
+      assert(batch.count(!_._2._2) == 20)
+    } finally query.stop()
+  }
+
   test("streamingNearDupAgainstIndex batch≡stream: frozen reference index on a live crawl") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

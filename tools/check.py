@@ -43,13 +43,25 @@ for name, sql in sorted(oracle.items()):
                 round(v, 9) if isinstance(v, float) else v for v in row))
         return sorted(rows, key=lambda r: tuple(str(x) for x in r))
     s, d = norm(spark_tbl), norm(duck)
+    retried = ""
+    if s != d or len(s) != len(d):
+        # DuckDB's parallel float aggregation is order-nondeterministic and
+        # can land on a rounding boundary (one observed flake in ~16 full
+        # catalog runs). Retry the oracle single-threaded before flagging.
+        try:
+            con.execute("SET threads=1")
+            duck = con.execute(sql).arrow()
+            d = norm(duck)
+            retried = ", single-thread retry"
+        finally:
+            con.execute("RESET threads")
     if len(s) != len(d):
         results[name] = f"ROWCOUNT {len(s)} vs {len(d)}"
     elif s != d:
         diff = next((i, a, b) for i, (a, b) in enumerate(zip(s, d)) if a != b)
         results[name] = f"VALUE_MISMATCH at sorted row {diff[0]}: spark={diff[1]} duck={diff[2]}"
     else:
-        results[name] = f"OK ({len(s)} rows)"
+        results[name] = f"OK ({len(s)} rows{retried})"
 
 width = max(len(n) for n in results)
 ok = sum(1 for v in results.values() if v.startswith("OK"))
