@@ -486,6 +486,73 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    // 100× probe for the INCREMENTAL containment operator (q142):
+    // the reference winnow index is FROZEN (built once from the 1×
+    // corpus, localCheckpointed — the at-rest contract), and the
+    // incoming crawl scales 1× → 100×. Every 5th incoming doc stays
+    // VERBATIM (a contaminated copy that must drop against the
+    // index); the rest perturb per copy. Reports candidate-pair mass
+    // uncapped vs capped (incoming-side dfCap — e-free grams survive
+    // the perturbation in all 100 copies, so incoming df scales with
+    // copies exactly like viral boilerplate) and walls at the capped
+    // setting only.
+    if (args.contains("containment100x")) {
+      import graft.operators.TextDedup
+      val copies100 = 100
+      val dstC = s"target/scale/containment-v1-c$copies100"
+      replicateInto(src, dstC, copies100)("documents", (base, c) => {
+        val b = if (c == 0) base
+          else base.withColumn("doc_id", col("doc_id") + c * keyShift)
+        b.withColumn("text", when(pmod(col("doc_id"), lit(5)) === 0, col("text"))
+          .otherwise(regexp_replace(col("text"), "e", "e" + c.toString)))
+      })
+      val refDocs = spark.read.parquet(s"$src/documents.parquet")
+      val (refFp0, refSizes0) = TextDedup.winnowIndex(refDocs, k = 4, window = 4)
+      val refFp = refFp0.localCheckpoint(true)
+      val refSizes = refSizes0.localCheckpoint(true)
+      graft.model.RelCache.releaseAll() // frozen checkpoints stand alone
+      val incAll = spark.read.parquet(s"$dstC/documents.parquet")
+      val inc1 = incAll.filter(col("doc_id") < keyShift).localCheckpoint(true)
+      val cap = 1000L
+      def pairMass(inc: DataFrame): (Long, Long) = {
+        spark.catalog.clearCache()
+        val df = TextDedup.winnowFingerprints(inc, k = 4, window = 4)
+          .select(col("doc_id"), col("h")).distinct()
+          .groupBy("h").agg(count(lit(1)).as("df_inc"))
+          .join(refFp.groupBy("h").agg(count(lit(1)).as("df_ref")), Seq("h"))
+          .localCheckpoint(true)
+        def mass(rel: DataFrame): Long = rel
+          .agg(coalesce(sum((col("df_inc") * col("df_ref")).cast("long")), lit(0L)))
+          .head.getLong(0)
+        (mass(df), mass(df.filter(col("df_inc") <= cap)))
+      }
+      def wall(inc: DataFrame): (Double, Long) = {
+        var kept = 0L
+        def once(): Double = {
+          spark.catalog.clearCache()
+          graft.model.RelCache.releaseAll()
+          val t0 = System.nanoTime()
+          kept = TextDedup.containmentAgainstIndex(inc, refFp, refSizes,
+            k = 4, window = 4, minShared = 2, minContainment = 0.8,
+            dfCap = cap).queryExecution.toRdd.count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        (math.min(once(), once()), kept)
+      }
+      spark.range(1000000L).selectExpr("sum(id)").collect()
+      val (m1Unc, m1Cap) = pairMass(inc1)
+      val (m100Unc, m100Cap) = pairMass(incAll)
+      val (w1, kept1) = wall(inc1)
+      val (w100, kept100) = wall(incAll)
+      val n1 = inc1.count(); val n100 = incAll.count()
+      println(f"[scale] containmentAgainstIndex candidate mass 1x: uncapped=$m1Unc%d capped=$m1Cap%d; " +
+        f"100x: uncapped=$m100Unc%d capped=$m100Cap%d (incoming dfCap=$cap)")
+      println(f"[scale] containmentAgainstIndex wall 1x=$w1%8.2fs (kept $kept1/$n1) " +
+        f"100x=$w100%8.2fs (kept $kept100/$n100) ratio=${w100 / w1}%6.2f")
+      println(f"""[scale-json] {"copies":$copies100,"df_cap":$cap,"queries":{"containment_incremental_100x":{"mass_1x_uncapped":$m1Unc,"mass_1x_capped":$m1Cap,"mass_100x_uncapped":$m100Unc,"mass_100x_capped":$m100Cap,"wall_1x":$w1%.3f,"wall_100x":$w100%.3f,"ratio":${w100 / w1}%.3f,"kept_1x":$kept1,"n_1x":$n1,"kept_100x":$kept100,"n_100x":$n100}}}""")
+      spark.stop(); return
+    }
+
     // best of two runs: the first run pays codegen/JIT/footer costs
     // that would otherwise inflate the small side (it runs first) and
     // flatter the ratio
