@@ -113,4 +113,62 @@ object TextExtract {
     })
     array_join(kept, " ")
   }
+
+  // -----------------------------------------------------------------
+  // URL canonicalization — the OTHER raw-crawl front stage: a crawl
+  // frontier reaches the same resource through syntactic URL variants
+  // (scheme/host case, www., default ports, trailing slashes,
+  // tracking parameters, parameter order, fragments), and URL-grain
+  // dedup BEFORE fetch/extraction is the cheapest dedup a pipeline
+  // has — it needs no content at all. Rules follow RFC 3986 §6
+  // syntax-based normalization plus the standard tracking-parameter
+  // strip.
+  // -----------------------------------------------------------------
+
+  /** Query parameters that identify a CAMPAIGN, not a resource. */
+  private val trackingParamRe =
+    "^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_eid|igshid|ref)(=|$)"
+
+  /** Canonical form of a URL as ONE pure codegen-friendly column:
+    * strip the fragment; lowercase scheme+authority (ONLY those —
+    * path case is significant per RFC 3986); drop `www.`; drop
+    * default ports (`:80` http, `:443` https); strip trailing path
+    * slashes; drop tracking parameters and SORT the survivors (query
+    * order is almost never semantic, and a canonical order is what
+    * makes the string a dedup key). A scheme-less/relative input
+    * degenerates gracefully (empty authority, same path/query
+    * rules). */
+  def canonicalizeUrl(url: Column): Column = {
+    val u0 = regexp_replace(trim(url), "#.*$", "")
+    val auth0 = regexp_extract(u0, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    val rest = u0.substr(length(auth0) + lit(1), length(u0))
+    val auth = regexp_replace(
+      regexp_replace(
+        regexp_replace(lower(auth0), "://www\\.", "://"),
+        "^(http://[^/:?#]+):80$", "$1"),
+      "^(https://[^/:?#]+):443$", "$1")
+    val qpos = instr(rest, "?")
+    val path = regexp_replace(
+      when(qpos > 0, rest.substr(lit(1), qpos - 1)).otherwise(rest),
+      "/+$", "")
+    val query = when(qpos > 0, rest.substr(qpos + 1, length(rest))).otherwise(lit(""))
+    val params = filter(split(query, "&"),
+      p => p =!= "" && !p.rlike(trackingParamRe))
+    val canonQ = when(size(params) > 0,
+      concat(lit("?"), array_join(array_sort(params), "&"))).otherwise(lit(""))
+    concat(auth, path, canonQ)
+  }
+
+  /** URL-grain dedup: keep the lowest id per CANONICAL url — the
+    * [[TextDedup.exactDedup]] min_by keep-first convention (partial-
+    * aggregatable; a viral URL never becomes a single-task sort),
+    * keyed on [[canonicalizeUrl]] instead of the content
+    * fingerprint. Returns the input columns plus `canon_url`. */
+  def urlDedup(docs: DataFrame, url: String = "url",
+      id: String = "doc_id"): DataFrame = {
+    val canon = docs.withColumn("canon_url", canonicalizeUrl(col(url)))
+    canon.groupBy(col("canon_url"))
+      .agg(min_by(struct(canon.columns.map(col): _*), col(id)).as("__w"))
+      .select(col("__w.*"))
+  }
 }

@@ -788,6 +788,35 @@ object TextQueries {
       TextRetrieval.ccnetBuckets(docs, lmRef).orderBy("doc_id")
     }),
 
+    // ---- URL canonicalization + URL-grain dedup (the crawl-frontier
+    // front stage — dedup BEFORE fetch, no content needed). URLs are
+    // planted in-query: five syntactic variants of the same page
+    // (fragment / case+www / default port+trailing slash / tracking
+    // params / unsorted params+fbclid), hosts derived from the page
+    // id so variants of one page genuinely collide. Variants 0–3
+    // canonicalize identically (one survivor, the min doc_id);
+    // variant 4 carries real params (?a=1&b=2) and survives
+    // separately. The oracle replays the derivation and the whole
+    // RFC-3986 §6 rule chain. ----
+    "q146_url_dedup" -> ((s, dir) => {
+      val page = expr("doc_id div 5")
+      val site = pmod(page, lit(7)).cast("string")
+      val p = page.cast("string")
+      val base = concat(lit("https://site"), site, lit(".example.com/p/"), p)
+      val v = pmod(col("doc_id"), lit(5))
+      val url = when(v === 0, concat(base, lit("#section-2")))
+        .when(v === 1, concat(lit("HTTPS://WWW.SITE"), site,
+          lit(".EXAMPLE.COM/p/"), p))
+        .when(v === 2, concat(lit("https://site"), site,
+          lit(".example.com:443/p/"), p, lit("/")))
+        .when(v === 3, concat(base, lit("?utm_source=feed&utm_campaign=x")))
+        .otherwise(concat(base, lit("?b=2&a=1&fbclid=IwAB12")))
+      graft.operators.TextExtract.urlDedup(
+          t(s, dir, "documents").withColumn("url", url))
+        .select(col("doc_id"), col("canon_url"))
+        .orderBy("doc_id")
+    }),
+
     // ---- HTML → text extraction (the raw-crawl front stage): strip
     // head/script/style, block tags → lines, entity decode, drop
     // boilerplate lines by link density. HTML is planted in-query
@@ -2404,6 +2433,66 @@ object TextQueries {
                      WHEN d.xent <= t.t_mid THEN 'middle'
                      ELSE 'tail' END AS bucket
          FROM ds d JOIN th t USING (lang) ORDER BY d.doc_id""",
+
+    // URL canonicalization replay: the planted five-variant
+    // derivation + the full RFC-3986 §6 rule chain (fragment strip,
+    // authority lowercase, www./default-port drop, trailing-slash
+    // strip, tracking-param filter + param sort), then min-doc_id
+    // per canonical url
+    "q146_url_dedup" ->
+      s"""WITH u AS (
+         SELECT doc_id,
+           CASE CAST(doc_id % 5 AS INT)
+             WHEN 0 THEN 'https://site' || CAST((doc_id // 5) % 7 AS VARCHAR)
+               || '.example.com/p/' || CAST(doc_id // 5 AS VARCHAR) || '#section-2'
+             WHEN 1 THEN 'HTTPS://WWW.SITE' || CAST((doc_id // 5) % 7 AS VARCHAR)
+               || '.EXAMPLE.COM/p/' || CAST(doc_id // 5 AS VARCHAR)
+             WHEN 2 THEN 'https://site' || CAST((doc_id // 5) % 7 AS VARCHAR)
+               || '.example.com:443/p/' || CAST(doc_id // 5 AS VARCHAR) || '/'
+             WHEN 3 THEN 'https://site' || CAST((doc_id // 5) % 7 AS VARCHAR)
+               || '.example.com/p/' || CAST(doc_id // 5 AS VARCHAR)
+               || '?utm_source=feed&utm_campaign=x'
+             ELSE 'https://site' || CAST((doc_id // 5) % 7 AS VARCHAR)
+               || '.example.com/p/' || CAST(doc_id // 5 AS VARCHAR)
+               || '?b=2&a=1&fbclid=IwAB12'
+           END AS url
+         FROM documents),
+       c1 AS (
+         SELECT doc_id, regexp_replace(trim(url), '#.*$$', '') AS u1 FROM u),
+       c2 AS (
+         SELECT doc_id, u1,
+                regexp_extract(u1, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) AS auth0
+         FROM c1),
+       c3 AS (
+         SELECT doc_id,
+                regexp_replace(regexp_replace(regexp_replace(lower(auth0),
+                  '://www\\.', '://'),
+                  '^(http://[^/:?#]+):80$$', '\\1'),
+                  '^(https://[^/:?#]+):443$$', '\\1') AS auth,
+                substr(u1, length(auth0) + 1) AS rest
+         FROM c2),
+       c4 AS (
+         SELECT doc_id, auth,
+                regexp_replace(CASE WHEN strpos(rest, '?') > 0
+                  THEN substr(rest, 1, strpos(rest, '?') - 1) ELSE rest END,
+                  '/+$$', '') AS path,
+                CASE WHEN strpos(rest, '?') > 0
+                  THEN substr(rest, strpos(rest, '?') + 1) ELSE '' END AS query
+         FROM c3),
+       c5 AS (
+         SELECT doc_id, auth, path,
+                list_sort(list_filter(string_split(query, '&'),
+                  p -> p <> '' AND NOT regexp_matches(p,
+                    '^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_eid|igshid|ref)(=|${"$"})')))
+                  AS params
+         FROM c4),
+       canon AS (
+         SELECT doc_id, auth || path ||
+                (CASE WHEN len(params) > 0
+                  THEN '?' || array_to_string(params, '&') ELSE '' END) AS canon_url
+         FROM c5)
+       SELECT min(doc_id) AS doc_id, canon_url
+       FROM canon GROUP BY canon_url ORDER BY doc_id""",
 
     // HTML-extraction replay: the planted template + the full regexp
     // chain (head/script/style strip, block tags → lines, tag strip,

@@ -372,6 +372,42 @@ class TextFunctionsSpec extends SparkSpec {
     assert(!out(5L)._3.contains("href"), "attribute text leaked from a line-broken tag")
   }
 
+  test("canonicalizeUrl: RFC-3986 rules and the edges the regexes must not overreach") {
+    import spark.implicits._
+    import graft.operators.TextExtract
+    val cases = Seq(
+      // authority lowercases, path case is PRESERVED
+      "HTTPS://WWW.Example.COM/Path/File.HTML" -> "https://example.com/Path/File.HTML",
+      // default ports strip; non-default ports stay
+      "http://a.com:80/x" -> "http://a.com/x",
+      "https://a.com:443/x" -> "https://a.com/x",
+      "http://a.com:8080/x" -> "http://a.com:8080/x",
+      // fragment + trailing slashes
+      "https://a.com/x/y//#frag" -> "https://a.com/x/y",
+      // tracking-only query vanishes entirely
+      "https://a.com/x?utm_source=s&utm_medium=m&gclid=G" -> "https://a.com/x",
+      // params sort; tracking strips mid-list; '?' in a VALUE stays
+      // part of the first query (strpos takes the first '?')
+      "https://a.com/x?b=2&fbclid=F&a=1" -> "https://a.com/x?a=1&b=2",
+      "https://a.com/x?b=c?d&a=1" -> "https://a.com/x?a=1&b=c?d",
+      // a bare param with no '=' is kept unless it IS a tracking name
+      "https://a.com/x?ref&z" -> "https://a.com/x?z",
+      // 'reference' is NOT the tracking param 'ref' (the (=|$) anchor)
+      "https://a.com/x?reference=1" -> "https://a.com/x?reference=1",
+      // www only strips as a LEADING host label
+      "https://notwww.com/x" -> "https://notwww.com/x",
+      // scheme-less input degrades gracefully (no authority rules)
+      "/relative/path/?a=1" -> "/relative/path?a=1",
+      // whitespace trims
+      "  https://a.com/x  " -> "https://a.com/x")
+    val out = cases.map(_._1).toDF("url")
+      .select(col("url"), TextExtract.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) =>
+      assert(out(in) == want, s"canonicalizeUrl('$in') = '${out(in)}', want '$want'")
+    }
+  }
+
   test("chunkByTokenCounts fails loudly when nSub misses a corpus word") {
     import graft.operators.TextDedup
     val docs = Seq((0L, "alpha beta gamma")).toDF("doc_id", "text")
