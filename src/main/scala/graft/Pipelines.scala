@@ -431,6 +431,64 @@ object Pipelines {
       .withColumn("bpeish_tokens", bpeishTokenCount(col("text")))
   }
 
+  /** E4 AUDIT LEDGER — per-document drop ATTRIBUTION for the base
+    * curation chain (the provenance record production pipelines
+    * publish next to the cleaned corpus — Dolma ships per-doc
+    * "attributes" files for exactly this): every input document gets
+    * ONE row naming the FIRST stage that dropped it (`exact_dup`,
+    * `near_dup`, `lang`, `quality`) or `kept`, plus a detail — the
+    * winning twin's id for the dedup stages, the detected language
+    * for the lang stage — and the quality score for every document
+    * that reached scoring. The keep set is EXACTLY
+    * [[textCuration]]'s under the same parameters (spec-gated): the
+    * ledger re-derives each stage with the same operators and keep
+    * rules, it never re-decides them.
+    *
+    * Scale shape: same as the chain it audits — the exact stage is
+    * one fingerprint-keyed aggregation (the winner id is the min the
+    * ledger needs anyway), near-dup losers come from the same
+    * [[TextDedup.minhashLshPairs]] relation folded with one keyed
+    * min-aggregation, and the final attribution is three corpus-grain
+    * keyed LEFT joins. No content-keyed windows, nothing a viral key
+    * can serialize. */
+  def curationAudit(docs: DataFrame, langs: Seq[String] = Seq("en"),
+      minQuality: Double = 0.3, nearDupJaccard: Double = 0.8,
+      dfCap: Long = 100000L, md5Hashes: Boolean = false): DataFrame = {
+    import graft.functions.TextFunctions._
+    val fp = docs.select(col("doc_id"), col("text"))
+      .withColumn("__fp", fingerprint(col("text")))
+    val win = fp.groupBy("__fp").agg(min(col("doc_id")).as("__win"))
+    val withWin = fp.join(win, Seq("__fp"))
+    val exact = withWin.filter(col("doc_id") === col("__win"))
+      .select(col("doc_id"), col("text"))
+    val pairs = TextDedup.minhashLshPairs(exact, k = 8, bands = 4,
+      shingleWidth = 3, minJaccard = nearDupJaccard, md5Hashes = md5Hashes,
+      dfCap = dfCap)
+    val ndWin = pairs
+      .groupBy(greatest(col("id_a"), col("id_b")).as("doc_id"))
+      .agg(min(least(col("id_a"), col("id_b"))).as("__ndwin"))
+    val survived = exact.join(ndWin, Seq("doc_id"), "left_anti")
+      .withColumn("__lang", langId(tokens(col("text"))))
+      .withColumn("__q", qualityScore(col("text")))
+      .select(col("doc_id"), col("__lang"), col("__q"))
+    withWin.select(col("doc_id"), col("__win"))
+      .join(ndWin, Seq("doc_id"), "left")
+      .join(survived, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") =!= col("__win"), lit("exact_dup"))
+          .when(col("__ndwin").isNotNull, lit("near_dup"))
+          .when(!col("__lang").isin(langs: _*), lit("lang"))
+          // verdict on the RAW score (the chain's own compare);
+          // only the REPORTED value is rounded
+          .when(col("__q") < minQuality, lit("quality"))
+          .otherwise(lit("kept")).as("stage"),
+        when(col("doc_id") =!= col("__win"), col("__win").cast("string"))
+          .when(col("__ndwin").isNotNull, col("__ndwin").cast("string"))
+          .when(!col("__lang").isin(langs: _*), col("__lang"))
+          .otherwise(lit(null).cast("string")).as("detail"),
+        round(col("__q") + lit(1e-9), 6).as("quality"))
+  }
+
   /** E5 — training-data MIXING chain (the step after curation in a
     * production corpus pass): per-source mixing WEIGHTS
     * ([[TextDedup.sampleByRate]]: exact hex-md5-threshold Bernoulli)

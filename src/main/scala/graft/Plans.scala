@@ -237,6 +237,8 @@ object Plans {
       "FULL OUTER join of two corpus snapshots on the id — both sides corpus-grain and full-outer cannot build a broadcast side; bucket both snapshots by id to co-locate at rest",
     "q117_semdedup" ->
       "within-cell pair join keyed on cell (both sides corpus-grain — the SemDeDup contract bounds per-cell mass via nCells ∝ N) and the dropped-id LEFT JOIN back on vec_id (drop set is corpus-grain worst-case); AQE demotes when small",
+    "q147_curation_audit" ->
+      "the q65 minhash pair machinery plus three corpus-grain keyed LEFT joins (winner-id, near-dup-loser, scored relations onto the doc universe) — attribution needs every input row, so no side is bounded; AQE demotes when small",
     "q145_semantic_decon" ->
       "the hit-id LEFT JOIN back on vec_id (the q117 verdict shape — the hit set is corpus-grain worst-case, a fully contaminated corpus); the benchmark panel join itself is explicitly broadcast; AQE demotes when small",
     "q118_dsir_select" ->

@@ -660,6 +660,19 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- E4 audit ledger: per-document drop ATTRIBUTION for the
+    // q65 chain — one row per INPUT doc naming the first stage that
+    // dropped it (exact_dup/near_dup/lang/quality) or kept, the
+    // winning twin / detected language as detail, and the quality
+    // score for every doc that reached scoring. The keep set is
+    // exactly q65's (spec-gated); the oracle composes the q65 CTE
+    // core with winner-id aggregations. ----
+    "q147_curation_audit" -> ((s, dir) => {
+      graft.Pipelines.curationAudit(t(s, dir, "documents"), langs = Seq("en"),
+          minQuality = 0.3, nearDupJaccard = 0.5, md5Hashes = true)
+        .orderBy("doc_id")
+    }),
+
     // ---- E4 curation with MODEL-QUALITY cluster representatives:
     // the production dedup policy (RefinedWeb "quality filtering" +
     // Dolma's dedup) — near-dup clusters resolve to their BEST member
@@ -2625,6 +2638,34 @@ object TextQueries {
           FROM quality
           WHERE lang = 'en' AND q >= 0.3
           ORDER BY doc_id"""),
+
+    // E4 audit-ledger replay: the q65 CTE core plus winner-id
+    // aggregations — fingerprint-group min for the exact stage,
+    // min-counterpart per pair loser for the near-dup stage — and the
+    // CASE attribution over them (verdicts on RAW q, reported value
+    // rounded, exactly the operator's convention)
+    "q147_curation_audit" ->
+      (s"""${curationCoreSql("SELECT doc_id, text FROM documents")},
+          fpx AS (SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp FROM tk),
+          w AS (SELECT fp, min(doc_id) AS win FROM fpx GROUP BY fp),
+          ex AS (SELECT f.doc_id, w.win FROM fpx f JOIN w USING (fp)),
+          ndw AS (SELECT greatest(id_a, id_b) AS doc_id,
+                         min(least(id_a, id_b)) AS ndwin
+                  FROM verified WHERE j >= 0.5 GROUP BY 1)
+          SELECT e.doc_id,
+                 CASE WHEN e.doc_id <> e.win THEN 'exact_dup'
+                      WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+                      WHEN q.lang <> 'en' THEN 'lang'
+                      WHEN q.q < 0.3 THEN 'quality'
+                      ELSE 'kept' END AS stage,
+                 CASE WHEN e.doc_id <> e.win THEN CAST(e.win AS VARCHAR)
+                      WHEN n.doc_id IS NOT NULL THEN CAST(n.ndwin AS VARCHAR)
+                      WHEN q.lang <> 'en' THEN q.lang
+                      ELSE NULL END AS detail,
+                 round(q.q + 1e-9, 6) + 0.0 AS quality
+          FROM ex e LEFT JOIN ndw n ON n.doc_id = e.doc_id
+          LEFT JOIN quality q ON q.doc_id = e.doc_id
+          ORDER BY e.doc_id"""),
 
     // full-curation chain replay (q79): the q65 core over the planted
     // train split, then the repetition filter, the 3-gram benchmark

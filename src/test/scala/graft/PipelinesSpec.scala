@@ -214,6 +214,40 @@ class PipelinesSpec extends SparkSpec {
     assert(out.forall(_.getInt(2) > 10))
   }
 
+  test("curationAudit: every stage attributed with its winner/detail, keep set exactly textCuration's") {
+    val base = "the quick brown fox jumps over the lazy dog and it is a fine day in the park " * 3
+    val docs = Seq(
+      (1L, base),                                  // keeper
+      (2L, base.toUpperCase),                      // exact dup of 1 (normalized)
+      (3L, base + "with one extra tail phrase"),   // near-dup of 1
+      (4L, "der hund ist nicht auf der mit und das war so und der tag ist gut " * 4), // German
+      (5L, "zx qv jk wq " * 40),                   // no stopwords -> 'und', lang stage
+      (6L, "a completely different english story about the sea and the ships that sail it " * 3),
+      // detected en (one en stopword) but junk quality: long words
+      // kill the word-length term, punctuation mass kills the punct
+      // term, 4 tokens kill the length term
+      (7L, "the, understanding;;; extraordinarily!!! incomprehensibilities??? !!!!!!!!!!!!!!!!"))
+      .toDF("doc_id", "text")
+    val ledger = Pipelines.curationAudit(docs, langs = Seq("en"),
+        minQuality = 0.3, nearDupJaccard = 0.5)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), Option(r.getString(2)))))
+      .toMap
+    assert(ledger.size == 7, "every input doc gets exactly one ledger row")
+    assert(ledger(1L) == ("kept", None))
+    assert(ledger(2L) == ("exact_dup", Some("1")), s"got ${ledger(2L)}")
+    assert(ledger(3L) == ("near_dup", Some("1")), s"got ${ledger(3L)}")
+    assert(ledger(4L) == ("lang", Some("de")), s"got ${ledger(4L)}")
+    assert(ledger(5L) == ("lang", Some("und")), s"got ${ledger(5L)}")
+    assert(ledger(6L) == ("kept", None))
+    assert(ledger(7L) == ("quality", None), s"got ${ledger(7L)}")
+    // the contract: the ledger's kept set IS textCuration's keep set
+    val chainKept = Pipelines.textCuration(docs, langs = Seq("en"),
+        minQuality = 0.3, nearDupJaccard = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ledger.filter(_._2._1 == "kept").keySet == chainKept)
+  }
+
   test("textCuration repeatedSpanN hook equals manual span-mask composition") {
     val boiler = "all rights reserved contact the webmaster for license terms today"
     val docs = Seq(
