@@ -407,6 +407,105 @@ object Similarity {
         coalesce(col("__hit"), lit(false)).unary_!.as("kept"))
   }
 
+  /** k-NN GRAPH construction by NN-Descent (Dong, Moses & Li, WWW'11
+    * "Efficient k-nearest neighbor graph construction for generic
+    * similarity measures") — the graph-ANN family's build step
+    * (HNSW/NSG descend from this construction): start from a random
+    * k-neighborhood per node and iterate the paper's local-join —
+    * a neighbor of my neighbor is probably my neighbor — scoring
+    * candidate pairs inside each node's adjacency and keeping the
+    * top k, until the graph converges.
+    *
+    * Determinism (everything replays in the oracle): "random" init =
+    * k INDEPENDENT seeded md5 pairings, each hashing every node into
+    * ~2-member buckets — one ~random partner per node per seed, so
+    * the init digraph is a sparse random graph (connected w.h.p.,
+    * like the paper's independent per-node sampling). A single
+    * k+1-member co-bucket init is WRONG here: it partitions the
+    * graph into closed cliques, and the local join — which only ever
+    * reaches neighbors of neighbors — can never escape a clique
+    * (found the hard way: the graph froze at its init). Reverse
+    * neighbors cap at the k SMALLEST ids (the paper's ρK sample,
+    * made deterministic); ranking is rounded cosine (6 dp, +1e-9)
+    * desc with id-asc ties through the bounded [[graft.functions
+    * .TopKPairs]] aggregate; a fixed `iters` iteration count replaces
+    * the convergence test.
+    *
+    * Scale shape: every join is node-id-keyed; per-iteration
+    * candidate volume is O(n·(2k+1)²) pair cosines (the paper's
+    * local-join bound) — never n²; top-k selection is the
+    * partial-aggregatable TopKPairs, no windows; each iteration's
+    * state materializes at a stage boundary (k rows per node), so
+    * plans stay iteration-depth-free. The one driver-side scalar is
+    * count(n) for the init bucket count — the Bloom-sizing
+    * convention. Unlike the paper's incremental flags, candidates
+    * re-score every iteration (deterministic, replayable; the
+    * asymptotic bound is unchanged, the constant is the price of
+    * the oracle).
+    *
+    * Returns (id, nbr, rank, sim) — k rows per node, sim on the
+    * rounded grid. */
+  def knnGraphDescent(emb: DataFrame, k: Int, iters: Int, dim: Int,
+      seed: Int = 31, id: String = "vec_id",
+      vec: String = "embedding"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(iters >= 0, "iters must be >= 0")
+    val docs = emb.select(col(id).cast("long").as("nid"), col(vec).as("v"))
+    val n = docs.count()
+    val nb = math.max(1L, (n + 1) / 2)
+    def topK(edges: DataFrame): DataFrame =
+      edges.groupBy(col("a"))
+        .agg(top_k_pairs(round(col("sim") + lit(1e-9), 6), col("c"), k).as("tk"))
+        .select(col("a"), posexplode(col("tk")).as(Seq("r0", "p")))
+        .select(col("a"), col("p.id").as("c"), col("p.score").as("sim"),
+          (col("r0") + 1).cast("int").as("rank"))
+    // k independent ~2-member bucket families: each (seed, bucket)
+    // key pairs a node with ~1 random partner per seed
+    val bucketed = docs
+      .withColumn("s", explode(sequence(lit(1), lit(k))))
+      .withColumn("b", pmod(conv(substring(md5(concat_ws("#",
+        lit(s"nnd$seed"), col("s").cast("string"),
+        col("nid").cast("string"))), 1, 8), 16, 10).cast("long"), lit(nb)))
+    val initEdges = bucketed.select(col("s"), col("b"), col("nid").as("a"), col("v").as("va"))
+      .join(bucketed.select(col("s"), col("b"), col("nid").as("c"), col("v").as("vc")),
+        Seq("s", "b"))
+      .filter(col("a") =!= col("c"))
+      .select(col("a"), col("c"), cosine(col("va"), col("vc")).as("sim"))
+      .distinct()
+    var state = graft.model.Workspace.stageCheckpoint(topK(initEdges), "nnd_init")
+    for (t <- 0 until iters) {
+      val fwd = state.select(col("a"), col("c"))
+      // reverse fan-in is unbounded (a hub can be everyone's
+      // neighbor) — cap at the k smallest ids, deterministically
+      val revCap = state.select(col("c").as("a"), col("a").as("c"))
+        .groupBy("a")
+        .agg(top_k_pairs(-col("c").cast("double"), col("c"), k).as("tk"))
+        .select(col("a"), explode(col("tk")).as("p"))
+        .select(col("a"), col("p.id").as("c"))
+      // adjacency incl. the pivot, so pivot–member pairs re-score too
+      val adj = fwd.union(revCap)
+        .union(docs.select(col("nid").as("a"), col("nid").as("c")))
+        .distinct()
+      val cand = adj.select(col("a").as("pivot"), col("c").as("x"))
+        .join(adj.select(col("a").as("pivot"), col("c").as("y")), Seq("pivot"))
+        .filter(col("x") < col("y"))
+        .select(col("x"), col("y")).distinct()
+      val scored = cand
+        .join(docs.select(col("nid").as("x"), col("v").as("vx")), Seq("x"))
+        .join(docs.select(col("nid").as("y"), col("v").as("vy")), Seq("y"))
+        .select(col("x"), col("y"), cosine(col("vx"), col("vy")).as("sim"))
+      val undirected = scored
+        .union(scored.select(col("y"), col("x"), col("sim")))
+        .toDF("a", "c", "sim")
+      // one row per (a, c) before top-k — duplicates would occupy two
+      // slots; max(raw, grid) re-rounds to the same grid value
+      val uniq = undirected.union(state.select(col("a"), col("c"), col("sim")))
+        .groupBy("a", "c").agg(max("sim").as("sim"))
+      state = graft.model.Workspace.stageCheckpoint(topK(uniq), s"nnd_iter$t")
+    }
+    state.select(col("a").as(id), col("c").as("nbr"), col("rank"), col("sim"))
+  }
+
   /** Seed for the fit-sample hash — shared with the q40/q103/q110/
     * q113 oracle SQL, which replays `md5('17#' || id)` ordering. */
   private val sampleSeed = 17

@@ -1720,6 +1720,19 @@ object TextQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- k-NN graph by NN-Descent (Dong 2011 — the graph-ANN
+    // family's build step): seeded co-bucket random init, two
+    // local-join iterations (neighbors + id-capped reverse neighbors
+    // as each node's adjacency, all in-adjacency pairs scored,
+    // rounded-cosine top-k kept). The oracle replays the init and
+    // BOTH iterations as materialized CTE rounds (the Lloyd/BPE
+    // pattern). ----
+    "q148_knn_graph" -> ((s, dir) => {
+      Similarity.knnGraphDescent(t(s, dir, "embeddings"), k = 5, iters = 2,
+          dim = 64)
+        .orderBy("vec_id", "rank")
+    }),
+
     // ---- IVF-PQ composed ANN (the FAISS IVFPQ probe shape): coarse
     // Lloyd cells prune the corpus to nProbe cells per query, ADC
     // runs only over PQ codes within those cells. The oracle replays
@@ -1922,6 +1935,46 @@ object TextQueries {
                     ORDER BY $assignD ASC, f.cell ASC) AS rn
            FROM embeddings e CROSS JOIN cf f) WHERE rn = 1)"""
   }
+
+  /** One NN-Descent round (q148): id-capped reverse neighbors →
+    * adjacency incl. the pivot → in-adjacency candidate pairs →
+    * exact cosines → undirected union with the previous state (max
+    * per (a, c) — the dedup before top-k) → rounded-cosine top-k.
+    * Mirrors [[graft.operators.Similarity.knnGraphDescent]]'s
+    * iteration body term by term. */
+  private def nndIterSql(t: Int, k: Int, dim: Int): String =
+    s"""rv$t AS MATERIALIZED (
+         SELECT a, c FROM (
+           SELECT n.c AS a, n.a AS c,
+                  row_number() OVER (PARTITION BY n.c ORDER BY n.a ASC) AS rn
+           FROM nn$t n) WHERE rn <= $k),
+       adj$t AS MATERIALIZED (
+         SELECT DISTINCT a, c FROM (
+           SELECT a, c FROM nn$t
+           UNION ALL SELECT a, c FROM rv$t
+           UNION ALL SELECT vec_id AS a, vec_id AS c FROM embeddings)),
+       cd$t AS MATERIALIZED (
+         SELECT DISTINCT p.c AS x, q.c AS y
+         FROM adj$t p JOIN adj$t q ON p.a = q.a AND p.c < q.c),
+       sc$t AS MATERIALIZED (
+         SELECT c.x, c.y,
+                (${pairDotSql("ex", "ey", dim)}) / (nx.nrm * ny.nrm) AS sim
+         FROM cd$t c
+         JOIN embeddings ex ON ex.vec_id = c.x
+         JOIN embeddings ey ON ey.vec_id = c.y
+         JOIN nndnrm nx ON nx.vec_id = c.x
+         JOIN nndnrm ny ON ny.vec_id = c.y),
+       un$t AS MATERIALIZED (
+         SELECT a, c, max(sim) AS sim FROM (
+           SELECT x AS a, y AS c, sim FROM sc$t
+           UNION ALL SELECT y AS a, x AS c, sim FROM sc$t
+           UNION ALL SELECT a, c, sim FROM nn$t) GROUP BY a, c),
+       nn${t + 1} AS MATERIALIZED (
+         SELECT a, c, sim, rank FROM (
+           SELECT a, c, round(sim + 1e-9, 6) AS sim,
+                  CAST(row_number() OVER (PARTITION BY a
+                    ORDER BY round(sim + 1e-9, 6) DESC, c ASC) AS INT) AS rank
+           FROM un$t) WHERE rank <= $k)"""
 
   /** One Lloyd round: centroid lists → argmin assignment →
     * per-(cell, position) means → carry (empty cells keep their
@@ -3148,6 +3201,39 @@ object TextQueries {
     // IVF-PQ replay: the q40 coarse chain (cf/pr/ca) + the q103 PQ
     // chain under the pq_ prefix + the q104 LUT/ADC restricted to
     // candidates from probed cells.
+    // NN-Descent replay: seeded co-bucket init, then both local-join
+    // rounds as materialized CTEs (nndIterSql — the Lloyd/BPE
+    // iterative-oracle pattern)
+    "q148_knn_graph" -> {
+      val k = 5; val dim = 64
+      s"""WITH nndnrm AS MATERIALIZED (
+         SELECT e.vec_id, sqrt(${pairDotSql("e", "e", dim)}) AS nrm FROM embeddings e),
+       bk AS MATERIALIZED (
+         SELECT s, vec_id,
+                ('0x' || substr(md5('nnd31#' || CAST(s AS VARCHAR) || '#'
+                    || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+                  % (SELECT greatest(1, (count(*) + 1) // 2) FROM embeddings) AS b
+         FROM embeddings, (SELECT unnest(generate_series(1, $k)) AS s)),
+       ie AS MATERIALIZED (
+         SELECT DISTINCT p.vec_id AS a, q.vec_id AS c,
+                (${pairDotSql("ex", "ey", dim)}) / (nx.nrm * ny.nrm) AS sim
+         FROM bk p JOIN bk q ON p.s = q.s AND p.b = q.b AND p.vec_id <> q.vec_id
+         JOIN embeddings ex ON ex.vec_id = p.vec_id
+         JOIN embeddings ey ON ey.vec_id = q.vec_id
+         JOIN nndnrm nx ON nx.vec_id = p.vec_id
+         JOIN nndnrm ny ON ny.vec_id = q.vec_id),
+       nn0 AS MATERIALIZED (
+         SELECT a, c, sim, rank FROM (
+           SELECT a, c, round(sim + 1e-9, 6) AS sim,
+                  CAST(row_number() OVER (PARTITION BY a
+                    ORDER BY round(sim + 1e-9, 6) DESC, c ASC) AS INT) AS rank
+           FROM ie) WHERE rank <= $k),
+       ${nndIterSql(0, k, dim)},
+       ${nndIterSql(1, k, dim)}
+       SELECT a AS vec_id, c AS nbr, rank, sim + 0.0 AS sim
+       FROM nn2 ORDER BY vec_id, rank"""
+    },
+
     "q110_ivfpq_topk" ->
       (s"""WITH ${ivfCoreCtes(nCells = 8, iters = 10, nProbe = 3, dim = 64, queryBound = 20)},
        ${pqCoreCtes("pq_")},

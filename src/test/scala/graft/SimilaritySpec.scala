@@ -296,6 +296,51 @@ class SimilaritySpec extends SparkSpec {
     twins.foreach { case (id, _) => assert(!kept(id), s"twin $id survived") }
   }
 
+  test("knnGraphDescent: invariants hold and local joins converge to the true graph") {
+    // 4 well-separated clusters of 10 plus a SHARED component so
+    // cross-cluster cosines are nonzero and varied (exact-zero ties
+    // would freeze the descent on id tie-breaks): the true top-5 of
+    // every node is in-cluster, while the random init mixes
+    // clusters — recall@5 must climb across NN-Descent iterations
+    // and reach 1.0.
+    val base = (0L until 40L).map { i =>
+      val c = (i / 10).toInt; val j = (i % 10).toInt
+      val v = Array.fill(9)(0.0f)
+      v(c * 2) = 10.0f
+      v(c * 2 + 1) = j.toFloat
+      v(8) = 5.0f + 0.1f * (i % 13)
+      (i, v.toSeq)
+    }
+    val df = base.toDF("vec_id", "embedding")
+    val truth = Similarity.bruteForceTopK(df, df, k = 5, id = "vec_id")
+      .collect().groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("corpus_id")).toSet).toMap
+    def recallAt(iters: Int): (Double, Array[org.apache.spark.sql.Row]) = {
+      val rows = Similarity.knnGraphDescent(df, k = 5, iters = iters, dim = 9)
+        .collect()
+      val got = rows.groupBy(_.getAs[Long]("vec_id"))
+        .view.mapValues(_.map(_.getAs[Long]("nbr")).toSet).toMap
+      val hits = truth.toSeq.map { case (q, t) =>
+        (t intersect got.getOrElse(q, Set.empty)).size.toDouble / t.size
+      }
+      (hits.sum / hits.size, rows)
+    }
+    val (r0, _) = recallAt(0)
+    val (r4, rows4) = recallAt(4)
+    // invariants: at most k rows per node, no self edges, no duplicates
+    val byNode = rows4.groupBy(_.getAs[Long]("vec_id"))
+    assert(byNode.forall(_._2.length <= 5))
+    assert(rows4.forall(r => r.getAs[Long]("vec_id") != r.getAs[Long]("nbr")))
+    byNode.foreach { case (id, rs) =>
+      assert(rs.map(_.getAs[Long]("nbr")).distinct.length == rs.length,
+        s"duplicate neighbor for node $id")
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rs.length),
+        s"ranks not contiguous for node $id")
+    }
+    assert(r4 > r0, s"recall did not improve: init=$r0 after-4=$r4")
+    assert(r4 == 1.0, s"NN-Descent failed to converge on planted clusters: $r4")
+  }
+
   test("semDecontaminate: planted leaks drop, benchmark-free rows keep, " +
       "exhaustive nProbe equals brute force") {
     // 4 well-separated clusters of 10 (the semDedup fixture geometry);
