@@ -506,6 +506,65 @@ object Similarity {
     state.select(col("a").as(id), col("c").as("nbr"), col("rank"), col("sim"))
   }
 
+  /** Graph-ANN SERVING: beam search over a prebuilt k-NN graph
+    * ([[knnGraphDescent]]'s output — the query path that makes the
+    * graph an index; HNSW's search restricted to one layer). Each
+    * query starts from `entries` fixed entry points (the nodes with
+    * the smallest seeded hash — one bounded aggregation, shared by
+    * every query), then for a fixed number of rounds expands the
+    * current beam's graph neighbors, re-ranks by exact cosine, and
+    * keeps the best `beam`; the final beam's top k is the answer.
+    *
+    * Determinism: fixed rounds instead of a convergence test, rounded
+    * cosine (6 dp, +1e-9) desc with id-asc ties through
+    * [[graft.functions.TopKPairs]], hash-ranked entries. Scale shape:
+    * per-query work is O(rounds·beam·k) graph edges + cosines —
+    * independent of corpus size; the graph relation joins keyed on
+    * node id (at rest: bucket it by node id and the expansion join
+    * co-locates); queries broadcast nothing corpus-sized. Re-scoring
+    * the beam each round (no visited set) is the oracle-replayable
+    * simplification — asymptotics unchanged, the constant is the
+    * price of the replay. */
+  def graphSearchTopK(graph: DataFrame, corpus: DataFrame, queries: DataFrame,
+      k: Int, beam: Int = 8, rounds: Int = 2, entries: Int = 4,
+      seed: Int = 47, id: String = "vec_id",
+      vec: String = "embedding"): DataFrame = {
+    require(k <= beam, "k must not exceed the beam width")
+    require(rounds >= 0 && entries >= 1)
+    val docs = corpus.select(col(id).cast("long").as("nid"), col(vec).as("v"))
+    val entry = docs.select(col("nid"),
+        conv(substring(md5(concat_ws("#", lit(s"gse$seed"),
+          col("nid").cast("string"))), 1, 8), 16, 10).cast("double").as("h"))
+      .agg(top_k_pairs(-col("h"), col("nid"), entries).as("tk"))
+      .select(explode(col("tk")).as("p")).select(col("p.id").as("c"))
+    val q = queries.select(col(id).cast("long").as("query_id"), col(vec).as("q_vec"))
+    def rank(cands: DataFrame, cap: Int): DataFrame =
+      cands.groupBy("query_id")
+        .agg(top_k_pairs(round(col("sim") + lit(1e-9), 6), col("c"), cap).as("tk"))
+        .select(col("query_id"), posexplode(col("tk")).as(Seq("r0", "p")))
+        .select(col("query_id"), col("p.id").as("c"), col("p.score").as("sim"),
+          (col("r0") + 1).cast("int").as("rank"))
+    val init = broadcast(q).crossJoin(broadcast(entry))
+      .join(docs.select(col("nid").as("c"), col("v")), Seq("c"))
+      .select(col("query_id"), col("c"), cosine(col("q_vec"), col("v")).as("sim"))
+    var state = graft.model.Workspace.stageCheckpoint(rank(init, beam), "gs_init")
+    val g = graph.select(col(id).cast("long").as("c"), col("nbr"))
+    for (r <- 0 until rounds) {
+      val expand = state.select(col("query_id"), col("c"))
+        .join(g, Seq("c"))
+        .select(col("query_id"), col("nbr").as("c"))
+        .union(state.select(col("query_id"), col("c")))
+        .distinct()
+      val scored = expand
+        .join(broadcast(q), Seq("query_id"))
+        .join(docs.select(col("nid").as("c"), col("v")), Seq("c"))
+        .select(col("query_id"), col("c"), cosine(col("q_vec"), col("v")).as("sim"))
+      state = graft.model.Workspace.stageCheckpoint(rank(scored, beam), s"gs_round$r")
+    }
+    rank(state.select(col("query_id"), col("c"), col("sim")), k)
+      .select(col("query_id"), col("c").as("corpus_id"), col("rank"), col("sim"))
+  }
+
   /** Seed for the fit-sample hash — shared with the q40/q103/q110/
     * q113 oracle SQL, which replays `md5('17#' || id)` ordering. */
   private val sampleSeed = 17

@@ -1733,6 +1733,26 @@ object TextQueries {
         .orderBy("vec_id", "rank")
     }),
 
+    // ---- graph-ANN serving: beam search over the q148 NN-Descent
+    // graph — hash-ranked entry points, three expand/re-rank beam
+    // rounds along graph edges, exact-cosine ranking throughout.
+    // Queries are the q145 planted external panel (perturbed copies
+    // of 20 corpus vectors), so the search must walk to each query's
+    // corpus original. Per-query work is O(rounds·beam·k) —
+    // corpus-size-independent, the graph-index contract. ----
+    "q149_graph_search" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val graph = Similarity.knnGraphDescent(emb, k = 5, iters = 2, dim = 64)
+      val qs = emb.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          transform(col("embedding"),
+            x => (x.cast("double") * lit(0.9) + lit(0.01)).cast("float"))
+            .as("embedding"))
+      Similarity.graphSearchTopK(graph, emb, qs, k = 5, beam = 8,
+          rounds = 3, entries = 4)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- IVF-PQ composed ANN (the FAISS IVFPQ probe shape): coarse
     // Lloyd cells prune the corpus to nProbe cells per query, ADC
     // runs only over PQ codes within those cells. The oracle replays
@@ -1935,6 +1955,36 @@ object TextQueries {
                     ORDER BY $assignD ASC, f.cell ASC) AS rn
            FROM embeddings e CROSS JOIN cf f) WHERE rn = 1)"""
   }
+
+  /** The full q148 NN-Descent chain WITHOUT the leading `WITH` —
+    * norms, the k-independent-pairings init, nn0, and both local-join
+    * rounds, ending at `nn2` (plus `nndnrm` for reuse). Shared by the
+    * q148 gate and the q149 search replay. */
+  private def nndChainCtes(k: Int, dim: Int): String =
+    s"""nndnrm AS MATERIALIZED (
+         SELECT e.vec_id, sqrt(${pairDotSql("e", "e", dim)}) AS nrm FROM embeddings e),
+       bk AS MATERIALIZED (
+         SELECT s, vec_id,
+                ('0x' || substr(md5('nnd31#' || CAST(s AS VARCHAR) || '#'
+                    || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+                  % (SELECT greatest(1, (count(*) + 1) // 2) FROM embeddings) AS b
+         FROM embeddings, (SELECT unnest(generate_series(1, $k)) AS s)),
+       ie AS MATERIALIZED (
+         SELECT DISTINCT p.vec_id AS a, q.vec_id AS c,
+                (${pairDotSql("ex", "ey", dim)}) / (nx.nrm * ny.nrm) AS sim
+         FROM bk p JOIN bk q ON p.s = q.s AND p.b = q.b AND p.vec_id <> q.vec_id
+         JOIN embeddings ex ON ex.vec_id = p.vec_id
+         JOIN embeddings ey ON ey.vec_id = q.vec_id
+         JOIN nndnrm nx ON nx.vec_id = p.vec_id
+         JOIN nndnrm ny ON ny.vec_id = q.vec_id),
+       nn0 AS MATERIALIZED (
+         SELECT a, c, sim, rank FROM (
+           SELECT a, c, round(sim + 1e-9, 6) AS sim,
+                  CAST(row_number() OVER (PARTITION BY a
+                    ORDER BY round(sim + 1e-9, 6) DESC, c ASC) AS INT) AS rank
+           FROM ie) WHERE rank <= $k),
+       ${nndIterSql(0, k, dim)},
+       ${nndIterSql(1, k, dim)}"""
 
   /** One NN-Descent round (q148): id-capped reverse neighbors →
     * adjacency incl. the pivot → in-adjacency candidate pairs →
@@ -3201,37 +3251,74 @@ object TextQueries {
     // IVF-PQ replay: the q40 coarse chain (cf/pr/ca) + the q103 PQ
     // chain under the pq_ prefix + the q104 LUT/ADC restricted to
     // candidates from probed cells.
-    // NN-Descent replay: seeded co-bucket init, then both local-join
-    // rounds as materialized CTEs (nndIterSql — the Lloyd/BPE
-    // iterative-oracle pattern)
-    "q148_knn_graph" -> {
-      val k = 5; val dim = 64
-      s"""WITH nndnrm AS MATERIALIZED (
-         SELECT e.vec_id, sqrt(${pairDotSql("e", "e", dim)}) AS nrm FROM embeddings e),
-       bk AS MATERIALIZED (
-         SELECT s, vec_id,
-                ('0x' || substr(md5('nnd31#' || CAST(s AS VARCHAR) || '#'
-                    || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
-                  % (SELECT greatest(1, (count(*) + 1) // 2) FROM embeddings) AS b
-         FROM embeddings, (SELECT unnest(generate_series(1, $k)) AS s)),
-       ie AS MATERIALIZED (
-         SELECT DISTINCT p.vec_id AS a, q.vec_id AS c,
-                (${pairDotSql("ex", "ey", dim)}) / (nx.nrm * ny.nrm) AS sim
-         FROM bk p JOIN bk q ON p.s = q.s AND p.b = q.b AND p.vec_id <> q.vec_id
-         JOIN embeddings ex ON ex.vec_id = p.vec_id
-         JOIN embeddings ey ON ey.vec_id = q.vec_id
-         JOIN nndnrm nx ON nx.vec_id = p.vec_id
-         JOIN nndnrm ny ON ny.vec_id = q.vec_id),
-       nn0 AS MATERIALIZED (
-         SELECT a, c, sim, rank FROM (
-           SELECT a, c, round(sim + 1e-9, 6) AS sim,
-                  CAST(row_number() OVER (PARTITION BY a
-                    ORDER BY round(sim + 1e-9, 6) DESC, c ASC) AS INT) AS rank
-           FROM ie) WHERE rank <= $k),
-       ${nndIterSql(0, k, dim)},
-       ${nndIterSql(1, k, dim)}
+    // NN-Descent replay: seeded independent-pairing init, then both
+    // local-join rounds as materialized CTEs (nndChainCtes — the
+    // Lloyd/BPE iterative-oracle pattern; shared with q149 so the
+    // built graph cannot drift between the two gates)
+    "q148_knn_graph" ->
+      s"""WITH ${nndChainCtes(5, 64)}
        SELECT a AS vec_id, c AS nbr, rank, sim + 0.0 AS sim
-       FROM nn2 ORDER BY vec_id, rank"""
+       FROM nn2 ORDER BY vec_id, rank""",
+
+    // graph-search replay: the q148 graph chain verbatim, then the
+    // hash-ranked entry points and all beam rounds (expand along nn2
+    // edges ∪ keep the frontier, exact cosine, rounded-rank ≤ beam),
+    // final top-k from the last frontier
+    "q149_graph_search" -> {
+      val k = 5; val dim = 64; val beam = 8; val rounds = 3; val entries = 4
+      val roundsSql = (0 until rounds).map { r =>
+        s"""ex$r AS MATERIALIZED (
+           SELECT DISTINCT query_id, c FROM (
+             SELECT f.query_id, g.c AS c FROM f$r f JOIN nn2 g ON g.a = f.c
+             UNION ALL SELECT query_id, c FROM f$r)),
+         fsc$r AS MATERIALIZED (
+           SELECT e.query_id, e.c,
+                  (${pairDotSql("q", "ec", dim)}) / (qn.nrm * nc.nrm) AS sim
+           FROM ex$r e
+           JOIN qrs q ON q.query_id = e.query_id
+           JOIN embeddings ec ON ec.vec_id = e.c
+           JOIN qn ON qn.query_id = e.query_id
+           JOIN nndnrm nc ON nc.vec_id = e.c),
+         f${r + 1} AS MATERIALIZED (
+           SELECT query_id, c, sim, rank FROM (
+             SELECT query_id, c, round(sim + 1e-9, 6) AS sim,
+                    CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY round(sim + 1e-9, 6) DESC, c ASC) AS INT) AS rank
+             FROM fsc$r) WHERE rank <= $beam)"""
+      }.mkString(",\n       ")
+      s"""WITH ${nndChainCtes(k, dim)},
+       qrs AS MATERIALIZED (
+         SELECT vec_id + 100000 AS query_id,
+                list_transform(embedding,
+                  x -> CAST(CAST(x AS DOUBLE)*0.9 + 0.01 AS REAL)) AS embedding
+         FROM embeddings WHERE vec_id < 20),
+       qn AS MATERIALIZED (
+         SELECT q.query_id, sqrt(${pairDotSql("q", "q", dim)}) AS nrm FROM qrs q),
+       ent AS (SELECT vec_id AS c FROM (
+         SELECT vec_id, row_number() OVER (
+                  ORDER BY ('0x' || substr(md5('gse47#' || CAST(vec_id AS VARCHAR)),
+                    1, 8))::BIGINT ASC, vec_id ASC) AS rn
+         FROM embeddings) WHERE rn <= $entries),
+       isc AS MATERIALIZED (
+         SELECT q.query_id, e.c,
+                (${pairDotSql("q", "ec", dim)}) / (qn.nrm * nc.nrm) AS sim
+         FROM qrs q CROSS JOIN ent e
+         JOIN embeddings ec ON ec.vec_id = e.c
+         JOIN qn ON qn.query_id = q.query_id
+         JOIN nndnrm nc ON nc.vec_id = e.c),
+       f0 AS MATERIALIZED (
+         SELECT query_id, c, sim, rank FROM (
+           SELECT query_id, c, round(sim + 1e-9, 6) AS sim,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY round(sim + 1e-9, 6) DESC, c ASC) AS INT) AS rank
+           FROM isc) WHERE rank <= $beam),
+       $roundsSql
+       SELECT query_id, corpus_id, rank, sim + 0.0 AS sim FROM (
+         SELECT query_id, c AS corpus_id, sim,
+                CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY round(sim + 1e-9, 6) DESC, c ASC) AS INT) AS rank
+         FROM f$rounds) WHERE rank <= $k
+       ORDER BY query_id, rank"""
     },
 
     "q110_ivfpq_topk" ->

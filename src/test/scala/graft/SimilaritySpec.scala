@@ -341,6 +341,48 @@ class SimilaritySpec extends SparkSpec {
     assert(r4 == 1.0, s"NN-Descent failed to converge on planted clusters: $r4")
   }
 
+  test("graphSearchTopK: beam search over the converged graph finds each query's true nearest") {
+    // the knnGraphDescent planted-cluster fixture; queries are
+    // perturbed copies of one member per cluster, so the true
+    // top-1 is the original and the true top-k is in-cluster
+    val base = (0L until 40L).map { i =>
+      val c = (i / 10).toInt; val j = (i % 10).toInt
+      val v = Array.fill(9)(0.0f)
+      v(c * 2) = 10.0f
+      v(c * 2 + 1) = j.toFloat
+      v(8) = 5.0f + 0.1f * (i % 13)
+      (i, v.toSeq)
+    }
+    val df = base.toDF("vec_id", "embedding")
+    // one query per cluster (ids 3, 13, 23, 33), perturbed
+    val qs = Seq(3L, 13L, 23L, 33L).map { i =>
+      (9000L + i, base(i.toInt)._2.map(x => x * 0.97f + 0.005f))
+    }.toDF("vec_id", "embedding")
+    // a CONVERGED graph is pure in-cluster edges — entry points must
+    // cover every cluster or its queries are unreachable (the
+    // long-range-link problem HNSW's layers solve); entries=8 over 4
+    // clusters of 10 covers all four here
+    val graph = Similarity.knnGraphDescent(df, k = 5, iters = 4, dim = 9)
+    val out = Similarity.graphSearchTopK(graph, df, qs, k = 3, beam = 8,
+        rounds = 3, entries = 8)
+      .collect()
+    val top1 = out.filter(_.getAs[Int]("rank") == 1)
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("corpus_id")).toMap
+    Seq(3L, 13L, 23L, 33L).foreach { i =>
+      assert(top1(9000L + i) == i,
+        s"query for $i walked to ${top1(9000L + i)}, not its original")
+    }
+    // the full top-3 must match brute force on this geometry
+    val truth = Similarity.bruteForceTopK(df, qs, k = 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        r.getAs[Long]("corpus_id")).toMap
+    out.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Int]("rank"))
+      assert(truth(key) == r.getAs[Long]("corpus_id"),
+        s"rank ${key._2} of query ${key._1}: graph=${r.getAs[Long]("corpus_id")} truth=${truth(key)}")
+    }
+  }
+
   test("semDecontaminate: planted leaks drop, benchmark-free rows keep, " +
       "exhaustive nProbe equals brute force") {
     // 4 well-separated clusters of 10 (the semDedup fixture geometry);
