@@ -155,6 +155,37 @@ object TextDedup {
     incoming.join(dup, Seq(id), "left_anti")
   }
 
+  /** Index MAINTENANCE — the missing third verb of the incremental
+    * near-dup lifecycle (build: [[nearDupIndex]]; query:
+    * [[nearDupAgainstIndex]]; UPSERT: this): the next-generation
+    * index after a crawl, i.e. the generation-N band/shingle
+    * relations plus the rows of the crawl docs that SURVIVED the
+    * check against generation N. The production crawl loop is
+    * check → accept → upsert → next crawl checks against the grown
+    * index, so near-dups of PREVIOUSLY-ACCEPTED crawl docs (not just
+    * of the original reference snapshot) are caught — a frozen index
+    * silently re-admits them forever.
+    *
+    * Scale shape: the accepted batch pays one shingle/band
+    * derivation (its own size, never the index's); the union is
+    * APPEND-ONLY — at rest this is writing the new generation's
+    * band/shingle files into the existing bucketed tables
+    * (`.insertInto` on the band / shingle buckets), so no existing
+    * index row is ever rewritten or shuffled. Hash-family and
+    * (k, bands, shingleWidth) must match the index being grown —
+    * same contract as [[nearDupAgainstIndex]]. */
+  def nearDupIndexUpsert(refBands: DataFrame, refShingles: DataFrame,
+      accepted: DataFrame, k: Int = 8, bands: Int = 4,
+      shingleWidth: Int = 3, md5Hashes: Boolean = false,
+      id: String = "doc_id", text: String = "text",
+      dfCap: Long = Long.MaxValue): (DataFrame, DataFrame) = {
+    require(k % bands == 0, "k must divide into bands")
+    val shAcc = capShingleDf(shingleRows(accepted, shingleWidth, id, text), dfCap)
+    graft.model.RelCache.hold("textdedup.nearDupIndexUpsert", shAcc)
+    (refBands.unionByName(bandRows(shAcc, k, bands, md5Hashes, id)),
+      refShingles.unionByName(shAcc))
+  }
+
   /** PARAGRAPH-grain exact dedup — the Dolma/RefinedWeb curation stage
     * between whole-document dedup and near-dup: boilerplate paragraphs
     * (headers, licence blocks, navigation) repeat across millions of

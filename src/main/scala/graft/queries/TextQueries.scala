@@ -173,6 +173,33 @@ object TextQueries {
     (s.table(fTbl), sc.getLong(0), sc.getLong(1))
   }
 
+  /** At-rest k-NN GRAPH index (the graph-ANN family's stored
+    * artifact, completing the at-rest set: near-dup index, winnow
+    * index, NB classifier, BPE vocabulary, reference LM — and now the
+    * serving graph): the q148 NN-Descent graph written ONCE per
+    * fixture, BUCKETED by node id — [[Similarity.graphSearchTopK]]'s
+    * expansion joins key on it, so at rest the graph side co-locates
+    * with zero graph-side shuffle (the `bucketed_neardup_demo` layout
+    * argument on the node-id key). The build is deterministic, so the
+    * store/re-read round trip stays on q149's oracle hash. Serving
+    * then pays only O(rounds·beam·k) per query — the graph-index
+    * contract q149's inline form cannot demonstrate because it
+    * rebuilds the graph per call. */
+  private def amortizedKnnGraph(s: SparkSession, dir: String): DataFrame = {
+    val key = fixtureKey(dir)
+    val tbl = s"graft_kng_$key"
+    if (!s.catalog.tableExists(tbl)) synchronized {
+      if (!s.catalog.tableExists(tbl)) {
+        val g = Similarity.knnGraphDescent(t(s, dir, "embeddings"),
+          k = 5, iters = 2, dim = 64)
+        freshPath(s, tbl, key)
+        g.write.format("parquet").mode("overwrite")
+          .bucketBy(8, "vec_id").sortBy("vec_id").saveAsTable(tbl)
+      }
+    }
+    s.table(tbl)
+  }
+
   /** At-rest NB quality-classifier MODEL (VERDICT-r9 #3): the
     * [[TextRetrieval.qualityClassifierFit]] weight and prior relations
     * for the q119/q129 task (label: lang = 'en'), fit ONCE per fixture
@@ -443,43 +470,49 @@ object TextQueries {
     s"""(WITH sh0 AS ($shinglesSql),
         shr AS (SELECT doc_id, sh FROM sh0 WHERE doc_id % 7 < 3),
         shi AS (SELECT doc_id, sh FROM sh0 WHERE doc_id % 7 >= 3),
-        hr AS (SELECT doc_id, md5(unnest(sh)) AS h FROM shr),
-        hi AS (SELECT doc_id, md5(unnest(sh)) AS h FROM shi),
-        sigr AS (
-          SELECT doc_id,
+        ${nearDupDropCtes("", "shi", "shr", minJ)}
+        SELECT inc_id FROM dup)"""
+
+  /** The band-collision + exact-Jaccard near-dup DROP chain between
+    * two named shingle-set CTEs (`inc` / `ref`, each (doc_id, sh)),
+    * every CTE name prefixed with `p` — emitted WITHOUT a leading
+    * WITH, ending at `${p}dup` (DISTINCT inc_id). The single home
+    * for the md5 signature/band layout ([[refNearDupDropSubquery]]
+    * delegates here); the q151 upsert oracle instantiates it once
+    * per index GENERATION with the gen-1 reference relation set to
+    * ref0 ∪ accepted(crawl 1). */
+  private def nearDupDropCtes(p: String, inc: String, ref: String,
+      minJ: Double): String = {
+    def sig(src: String) =
+      s"""SELECT doc_id,
                  [min(substr(h, 1, 4)), min(substr(h, 5, 4)),
                   min(substr(h, 9, 4)), min(substr(h, 13, 4)),
                   min(substr(h, 17, 4)), min(substr(h, 21, 4)),
                   min(substr(h, 25, 4)), min(substr(h, 29, 4))] AS s
-          FROM hr GROUP BY doc_id),
-        sigi AS (
-          SELECT doc_id,
-                 [min(substr(h, 1, 4)), min(substr(h, 5, 4)),
-                  min(substr(h, 9, 4)), min(substr(h, 13, 4)),
-                  min(substr(h, 17, 4)), min(substr(h, 21, 4)),
-                  min(substr(h, 25, 4)), min(substr(h, 29, 4))] AS s
-          FROM hi GROUP BY doc_id),
-        br AS (
-          SELECT doc_id,
+          FROM $src GROUP BY doc_id"""
+    def bandsOf(src: String) =
+      s"""SELECT doc_id,
                  unnest(['0#' || s[1] || '#' || s[2], '1#' || s[3] || '#' || s[4],
                          '2#' || s[5] || '#' || s[6], '3#' || s[7] || '#' || s[8]]) AS band
-          FROM sigr),
-        bi AS (
-          SELECT doc_id,
-                 unnest(['0#' || s[1] || '#' || s[2], '1#' || s[3] || '#' || s[4],
-                         '2#' || s[5] || '#' || s[6], '3#' || s[7] || '#' || s[8]]) AS band
-          FROM sigi),
-        cand AS (
+          FROM $src"""
+    s"""${p}hr AS (SELECT doc_id, md5(unnest(sh)) AS h FROM $ref),
+        ${p}hi AS (SELECT doc_id, md5(unnest(sh)) AS h FROM $inc),
+        ${p}sigr AS (${sig(s"${p}hr")}),
+        ${p}sigi AS (${sig(s"${p}hi")}),
+        ${p}br AS (${bandsOf(s"${p}sigr")}),
+        ${p}bi AS (${bandsOf(s"${p}sigi")}),
+        ${p}cand AS (
           SELECT DISTINCT i.doc_id AS inc_id, r.doc_id AS ref_id
-          FROM bi i JOIN br r ON i.band = r.band),
-        ver AS (
+          FROM ${p}bi i JOIN ${p}br r ON i.band = r.band),
+        ${p}ver AS (
           SELECT inc_id, ref_id,
                  len(list_filter(si.sh, x -> list_contains(sr.sh, x))) * 1.0 /
                  (len(si.sh) + len(sr.sh)
                   - len(list_filter(si.sh, x -> list_contains(sr.sh, x)))) AS j
-          FROM cand JOIN shi si ON si.doc_id = inc_id
-                    JOIN shr sr ON sr.doc_id = ref_id)
-        SELECT DISTINCT inc_id FROM ver WHERE j >= $minJ)"""
+          FROM ${p}cand JOIN $inc si ON si.doc_id = inc_id
+                    JOIN $ref sr ON sr.doc_id = ref_id),
+        ${p}dup AS (SELECT DISTINCT inc_id FROM ${p}ver WHERE j >= $minJ)"""
+  }
 
   /** Shared q125/q130 oracle — the E6 chain replay: the q65 core over
     * the incoming slice pre-filtered by the q94 exact-fingerprint NOT
@@ -1265,6 +1298,40 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // ---- near-dup index UPSERT — the crawl loop CLOSED: crawl 1
+    // (doc_id % 7 ∈ {3,4}) checks against the generation-0 reference
+    // index; its accepted docs' band/shingle rows MERGE into the
+    // index ([[TextDedup.nearDupIndexUpsert]]); crawl 2
+    // (doc_id % 7 ∈ {5,6}) then checks against the GROWN index, so
+    // near-dups of crawl-1 acceptances — invisible to a frozen
+    // index — are caught. Output: per-(generation, source) keep
+    // stats; the oracle replays both generations' drop chains with
+    // the gen-1 reference = ref0 ∪ accepted(crawl 1). ----
+    "q151_neardup_upsert" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val m = col("doc_id") % 7
+      val (b0, s0) = TextDedup.nearDupIndex(docs.filter(m < 3),
+        k = 8, bands = 4, shingleWidth = 3, md5Hashes = true)
+      val kept1 = graft.model.Workspace.stageCheckpoint(
+        TextDedup.nearDupAgainstIndex(docs.filter(m === 3 || m === 4),
+          b0, s0, minJaccard = 0.3, k = 8, bands = 4, shingleWidth = 3,
+          md5Hashes = true),
+        "ndx_upsert_kept1")
+      val (b1, s1) = TextDedup.nearDupIndexUpsert(b0, s0, kept1,
+        k = 8, bands = 4, shingleWidth = 3, md5Hashes = true)
+      val kept2 = TextDedup.nearDupAgainstIndex(docs.filter(m >= 5),
+        b1, s1, minJaccard = 0.3, k = 8, bands = 4, shingleWidth = 3,
+        md5Hashes = true)
+      def stats(kept: DataFrame, gen: Int): DataFrame = kept
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), min("doc_id").as("first_kept"),
+          sum("doc_id").as("sum_ids"))
+        .select(lit(gen).as("generation"), col("source"), col("n_kept"),
+          col("first_kept"), col("sum_ids"))
+      stats(kept1, 1).unionByName(stats(kept2, 2))
+        .orderBy("generation", "source")
+    }),
+
     // ---- per-source vocabulary stats (Zipf shape): vocab size,
     // hapax count, top-token share — corpus drift monitoring ----
     "q98_vocab_stats" -> ((s, dir) => {
@@ -1753,6 +1820,25 @@ object TextQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- graph-ANN serving over the AT-REST graph: the q149 search
+    // with the NN-Descent graph read from its bucketed warehouse
+    // table instead of rebuilt inline — the amortization receipt for
+    // the GRAPH index (the q128/q141/q143/q144 pattern). Shares
+    // q149's oracle: the build is deterministic, so the store/
+    // re-read round trip is hash-gated, not argued. ----
+    "q150_graph_amortized" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val graph = amortizedKnnGraph(s, dir)
+      val qs = emb.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          transform(col("embedding"),
+            x => (x.cast("double") * lit(0.9) + lit(0.01)).cast("float"))
+            .as("embedding"))
+      Similarity.graphSearchTopK(graph, emb, qs, k = 5, beam = 8,
+          rounds = 3, entries = 4)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- IVF-PQ composed ANN (the FAISS IVFPQ probe shape): coarse
     // Lloyd cells prune the corpus to nProbe cells per query, ADC
     // runs only over PQ codes within those cells. The oracle replays
@@ -1954,6 +2040,70 @@ object TextQueries {
                   row_number() OVER (PARTITION BY e.vec_id
                     ORDER BY $assignD ASC, f.cell ASC) AS rn
            FROM embeddings e CROSS JOIN cf f) WHERE rn = 1)"""
+  }
+
+  /** Shared q149/q150 oracle — the q148 graph chain verbatim, then
+    * the hash-ranked entry points and all beam rounds (expand along
+    * nn2 edges ∪ keep the frontier, exact cosine, rounded-rank ≤
+    * beam), final top-k from the last frontier. One home so the
+    * inline (q149) and at-rest (q150) gates cannot drift — the graph
+    * build is deterministic, so the stored-graph round trip must
+    * land on the same hash. */
+  private lazy val graphSearchOracleSql: String = {
+    val k = 5; val dim = 64; val beam = 8; val rounds = 3; val entries = 4
+    val roundsSql = (0 until rounds).map { r =>
+      s"""ex$r AS MATERIALIZED (
+         SELECT DISTINCT query_id, c FROM (
+           SELECT f.query_id, g.c AS c FROM f$r f JOIN nn2 g ON g.a = f.c
+           UNION ALL SELECT query_id, c FROM f$r)),
+       fsc$r AS MATERIALIZED (
+         SELECT e.query_id, e.c,
+                (${pairDotSql("q", "ec", dim)}) / (qn.nrm * nc.nrm) AS sim
+         FROM ex$r e
+         JOIN qrs q ON q.query_id = e.query_id
+         JOIN embeddings ec ON ec.vec_id = e.c
+         JOIN qn ON qn.query_id = e.query_id
+         JOIN nndnrm nc ON nc.vec_id = e.c),
+       f${r + 1} AS MATERIALIZED (
+         SELECT query_id, c, sim, rank FROM (
+           SELECT query_id, c, round(sim + 1e-9, 6) AS sim,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY round(sim + 1e-9, 6) DESC, c ASC) AS INT) AS rank
+           FROM fsc$r) WHERE rank <= $beam)"""
+    }.mkString(",\n       ")
+    s"""WITH ${nndChainCtes(k, dim)},
+       qrs AS MATERIALIZED (
+         SELECT vec_id + 100000 AS query_id,
+                list_transform(embedding,
+                  x -> CAST(CAST(x AS DOUBLE)*0.9 + 0.01 AS REAL)) AS embedding
+         FROM embeddings WHERE vec_id < 20),
+       qn AS MATERIALIZED (
+         SELECT q.query_id, sqrt(${pairDotSql("q", "q", dim)}) AS nrm FROM qrs q),
+       ent AS (SELECT vec_id AS c FROM (
+         SELECT vec_id, row_number() OVER (
+                  ORDER BY ('0x' || substr(md5('gse47#' || CAST(vec_id AS VARCHAR)),
+                    1, 8))::BIGINT ASC, vec_id ASC) AS rn
+         FROM embeddings) WHERE rn <= $entries),
+       isc AS MATERIALIZED (
+         SELECT q.query_id, e.c,
+                (${pairDotSql("q", "ec", dim)}) / (qn.nrm * nc.nrm) AS sim
+         FROM qrs q CROSS JOIN ent e
+         JOIN embeddings ec ON ec.vec_id = e.c
+         JOIN qn ON qn.query_id = q.query_id
+         JOIN nndnrm nc ON nc.vec_id = e.c),
+       f0 AS MATERIALIZED (
+         SELECT query_id, c, sim, rank FROM (
+           SELECT query_id, c, round(sim + 1e-9, 6) AS sim,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY round(sim + 1e-9, 6) DESC, c ASC) AS INT) AS rank
+           FROM isc) WHERE rank <= $beam),
+       $roundsSql
+       SELECT query_id, corpus_id, rank, sim + 0.0 AS sim FROM (
+         SELECT query_id, c AS corpus_id, sim,
+                CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY round(sim + 1e-9, 6) DESC, c ASC) AS INT) AS rank
+         FROM f$rounds) WHERE rank <= $k
+       ORDER BY query_id, rank"""
   }
 
   /** The full q148 NN-Descent chain WITHOUT the leading `WITH` —
@@ -3080,6 +3230,39 @@ object TextQueries {
     // collision whose exact Jaccard ≥ 0.3
     "q123_neardup_incremental" -> nearDupIncrementalOracleSql,
 
+    // two-generation upsert replay: crawl 1 vs ref0, then crawl 2 vs
+    // ref1 = ref0 ∪ accepted(crawl 1) — both chains instantiate the
+    // SHARED drop-chain builder, so the layout cannot drift from
+    // q123/q125/q128/q130.
+    "q151_neardup_upsert" ->
+      s"""WITH sh0 AS ($shinglesSql),
+        ref0 AS (SELECT doc_id, sh FROM sh0 WHERE doc_id % 7 < 3),
+        inc1 AS (SELECT doc_id, sh FROM sh0 WHERE doc_id % 7 IN (3, 4)),
+        ${nearDupDropCtes("g1", "inc1", "ref0", 0.3)},
+        ref1 AS (SELECT doc_id, sh FROM ref0
+                 UNION ALL
+                 SELECT doc_id, sh FROM inc1
+                 WHERE doc_id NOT IN (SELECT inc_id FROM g1dup)),
+        inc2 AS (SELECT doc_id, sh FROM sh0 WHERE doc_id % 7 >= 5),
+        ${nearDupDropCtes("g2", "inc2", "ref1", 0.3)}
+        SELECT * FROM (
+          SELECT 1 AS generation, d.source, count(*) AS n_kept,
+                 min(d.doc_id) AS first_kept,
+                 CAST(sum(d.doc_id) AS BIGINT) AS sum_ids
+          FROM documents d
+          WHERE d.doc_id % 7 IN (3, 4)
+            AND d.doc_id NOT IN (SELECT inc_id FROM g1dup)
+          GROUP BY 2
+          UNION ALL
+          SELECT 2 AS generation, d.source, count(*) AS n_kept,
+                 min(d.doc_id) AS first_kept,
+                 CAST(sum(d.doc_id) AS BIGINT) AS sum_ids
+          FROM documents d
+          WHERE d.doc_id % 7 >= 5
+            AND d.doc_id NOT IN (SELECT inc_id FROM g2dup)
+          GROUP BY 2)
+        ORDER BY generation, source""",
+
     // q128 = q123 with the reference index read from its bucketed
     // at-rest tables — the storage layout cannot change the keep set,
     // so the oracle IS the q123 replay (and the shared gate proves the
@@ -3264,62 +3447,11 @@ object TextQueries {
     // hash-ranked entry points and all beam rounds (expand along nn2
     // edges ∪ keep the frontier, exact cosine, rounded-rank ≤ beam),
     // final top-k from the last frontier
-    "q149_graph_search" -> {
-      val k = 5; val dim = 64; val beam = 8; val rounds = 3; val entries = 4
-      val roundsSql = (0 until rounds).map { r =>
-        s"""ex$r AS MATERIALIZED (
-           SELECT DISTINCT query_id, c FROM (
-             SELECT f.query_id, g.c AS c FROM f$r f JOIN nn2 g ON g.a = f.c
-             UNION ALL SELECT query_id, c FROM f$r)),
-         fsc$r AS MATERIALIZED (
-           SELECT e.query_id, e.c,
-                  (${pairDotSql("q", "ec", dim)}) / (qn.nrm * nc.nrm) AS sim
-           FROM ex$r e
-           JOIN qrs q ON q.query_id = e.query_id
-           JOIN embeddings ec ON ec.vec_id = e.c
-           JOIN qn ON qn.query_id = e.query_id
-           JOIN nndnrm nc ON nc.vec_id = e.c),
-         f${r + 1} AS MATERIALIZED (
-           SELECT query_id, c, sim, rank FROM (
-             SELECT query_id, c, round(sim + 1e-9, 6) AS sim,
-                    CAST(row_number() OVER (PARTITION BY query_id
-                      ORDER BY round(sim + 1e-9, 6) DESC, c ASC) AS INT) AS rank
-             FROM fsc$r) WHERE rank <= $beam)"""
-      }.mkString(",\n       ")
-      s"""WITH ${nndChainCtes(k, dim)},
-       qrs AS MATERIALIZED (
-         SELECT vec_id + 100000 AS query_id,
-                list_transform(embedding,
-                  x -> CAST(CAST(x AS DOUBLE)*0.9 + 0.01 AS REAL)) AS embedding
-         FROM embeddings WHERE vec_id < 20),
-       qn AS MATERIALIZED (
-         SELECT q.query_id, sqrt(${pairDotSql("q", "q", dim)}) AS nrm FROM qrs q),
-       ent AS (SELECT vec_id AS c FROM (
-         SELECT vec_id, row_number() OVER (
-                  ORDER BY ('0x' || substr(md5('gse47#' || CAST(vec_id AS VARCHAR)),
-                    1, 8))::BIGINT ASC, vec_id ASC) AS rn
-         FROM embeddings) WHERE rn <= $entries),
-       isc AS MATERIALIZED (
-         SELECT q.query_id, e.c,
-                (${pairDotSql("q", "ec", dim)}) / (qn.nrm * nc.nrm) AS sim
-         FROM qrs q CROSS JOIN ent e
-         JOIN embeddings ec ON ec.vec_id = e.c
-         JOIN qn ON qn.query_id = q.query_id
-         JOIN nndnrm nc ON nc.vec_id = e.c),
-       f0 AS MATERIALIZED (
-         SELECT query_id, c, sim, rank FROM (
-           SELECT query_id, c, round(sim + 1e-9, 6) AS sim,
-                  CAST(row_number() OVER (PARTITION BY query_id
-                    ORDER BY round(sim + 1e-9, 6) DESC, c ASC) AS INT) AS rank
-           FROM isc) WHERE rank <= $beam),
-       $roundsSql
-       SELECT query_id, corpus_id, rank, sim + 0.0 AS sim FROM (
-         SELECT query_id, c AS corpus_id, sim,
-                CAST(row_number() OVER (PARTITION BY query_id
-                  ORDER BY round(sim + 1e-9, 6) DESC, c ASC) AS INT) AS rank
-         FROM f$rounds) WHERE rank <= $k
-       ORDER BY query_id, rank"""
-    },
+    "q149_graph_search" -> graphSearchOracleSql,
+
+    // q150 = q149 over the stored graph; the build is deterministic,
+    // so the at-rest round trip must land on the same hash.
+    "q150_graph_amortized" -> graphSearchOracleSql,
 
     "q110_ivfpq_topk" ->
       (s"""WITH ${ivfCoreCtes(nCells = 8, iters = 10, nProbe = 3, dim = 64, queryBound = 20)},

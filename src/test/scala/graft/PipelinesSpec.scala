@@ -248,6 +248,33 @@ class PipelinesSpec extends SparkSpec {
     assert(ledger.filter(_._2._1 == "kept").keySet == chainKept)
   }
 
+  test("nearDupIndexUpsert: crawl-2 near-dups of crawl-1 acceptances are caught only by the grown index") {
+    import graft.operators.TextDedup
+    val a = "the quick brown fox jumps over the lazy dog and it is a fine day in the park " * 3
+    val b = "a completely different english story about the sea and the ships that sail it " * 3
+    val ref0 = Seq((1L, a)).toDF("doc_id", "text")
+    // crawl 1: 10 near-dups the reference (dropped), 11 is novel (accepted)
+    val crawl1 = Seq((10L, a + "with one extra tail phrase"), (11L, b))
+      .toDF("doc_id", "text")
+    // crawl 2: 20 near-dups the ACCEPTED crawl-1 doc 11, 21 is novel
+    val crawl2 = Seq((20L, b + "with one extra tail phrase"),
+      (21L, "yet another unrelated english text about mountains and the snow that falls on them " * 3))
+      .toDF("doc_id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val (b0, s0) = TextDedup.nearDupIndex(ref0)
+    val kept1 = TextDedup.nearDupAgainstIndex(crawl1, b0, s0, minJaccard = 0.3)
+    assert(ids(kept1) == Set(11L), s"gen-1 keep set: ${ids(kept1)}")
+    // the frozen index re-admits the duplicate of an accepted doc...
+    val frozen = TextDedup.nearDupAgainstIndex(crawl2, b0, s0, minJaccard = 0.3)
+    assert(ids(frozen) == Set(20L, 21L), s"frozen-index keep set: ${ids(frozen)}")
+    // ...the upserted index catches it
+    val (b1, s1) = TextDedup.nearDupIndexUpsert(b0, s0, kept1)
+    val grown = TextDedup.nearDupAgainstIndex(crawl2, b1, s1, minJaccard = 0.3)
+    assert(ids(grown) == Set(21L), s"grown-index keep set: ${ids(grown)}")
+    graft.model.RelCache.releaseAll()
+  }
+
   test("textCuration repeatedSpanN hook equals manual span-mask composition") {
     val boiler = "all rights reserved contact the webmaster for license terms today"
     val docs = Seq(
