@@ -435,6 +435,67 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streamingNearDupAgainstIndex over an UPSERTED index: the stream catches crawl-1 acceptances") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.TextDedup
+    val docsB = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val m = col("doc_id") % 7
+    val ref0 = docsB.filter(m < 3).select("doc_id", "text")
+    val crawl1 = docsB.filter(m === 3 || m === 4).select("doc_id", "text")
+    // crawl 2 with a PLANTED near-dup of a crawl-1 doc that gen-0
+    // cannot know about — the verdict only an upserted index gets right
+    val (b0, s0) = TextDedup.nearDupIndex(ref0, md5Hashes = true)
+    val kept1 = TextDedup.nearDupAgainstIndex(crawl1, b0, s0,
+      minJaccard = 0.3, md5Hashes = true).localCheckpoint(true)
+    val seedText = kept1.orderBy("doc_id").select("text").as[String].head()
+    val planted = 999999L
+    val crawl2 = docsB.filter(m >= 5).select("doc_id", "text")
+      .unionByName(Seq((planted, seedText + " with one extra tail phrase"))
+        .toDF("doc_id", "text"))
+    val (b1, s1) = TextDedup.nearDupIndexUpsert(b0, s0, kept1, md5Hashes = true)
+    val batchKept2 = TextDedup.nearDupAgainstIndex(crawl2, b1, s1,
+        minJaccard = 0.3, md5Hashes = true)
+      .select("doc_id").as[Long].collect().toSet
+    // the planted doc: dropped by the grown index, re-admitted frozen
+    assert(!batchKept2.contains(planted), "grown index must catch the plant")
+    val frozenKept2 = TextDedup.nearDupAgainstIndex(crawl2, b0, s0,
+        minJaccard = 0.3, md5Hashes = true)
+      .select("doc_id").as[Long].collect().toSet
+    assert(frozenKept2.contains(planted), "gen-0 index cannot know the plant")
+    val bandsStatic = b1.localCheckpoint(true)
+    val sets = s1.groupBy("doc_id")
+      .agg(collect_set("s").as("sh")).localCheckpoint(true)
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamOps.streamingNearDupAgainstIndex(
+      input.toDS().toDF("ts", "doc_id", "text"), bandsStatic, sets,
+      minJaccard = 0.3)
+    val query = out.writeStream.format("memory")
+      .queryName("neardup_upsert_out").outputMode("append").start()
+    try {
+      val t0 = 1700000000000L
+      val rows = crawl2.as[(Long, String)].collect().sortBy(_._1)
+      rows.grouped(100).foreach { b =>
+        input.addData(b.map { case (id, tx) => (new Timestamp(t0 + id), id, tx) }.toSeq: _*)
+        query.processAllAvailable()
+      }
+      input.addData((new Timestamp(t0 + 96 * 3600 * 1000L), -1L, "flush"))
+      query.processAllAvailable()
+      val streamRows = spark.table("neardup_upsert_out")
+        .collect().filter(_.getAs[Long]("doc_id") >= 0L)
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("kept"))
+      assert(streamRows.length == rows.length,
+        s"expected ${rows.length} verdicts, got ${streamRows.length}")
+      val streamKept = streamRows.collect { case (d, true) => d }.toSet
+      assert(streamKept == batchKept2,
+        s"keep sets diverged: onlyStream=${streamKept -- batchKept2} " +
+          s"onlyBatch=${batchKept2 -- streamKept}")
+    } finally {
+      query.stop()
+      graft.model.RelCache.releaseAll()
+    }
+  }
+
   test("streamingContainmentAgainstIndex batch≡stream: frozen winnow index on a live crawl") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
