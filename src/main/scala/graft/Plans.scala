@@ -253,6 +253,8 @@ object Plans {
       "the winnow fingerprint-keyed pair join (both sides fingerprint-grain, the q133 shape) and the loser left_anti on doc_id — both sides corpus-grain keyed; AQE demotes when small",
     "q123_neardup_incremental" ->
       "cross-corpus candidate/verify joins keyed on (band|shingle|pair) and the final left_anti on doc_id — both sides corpus-grain, the q35 shape split across two corpora; AQE demotes when small",
+    "q152_source_overlap" ->
+      "the q35 shingle/band/pair-keyed joins plus the two source-lookup joins of the pair relation against the doc-grain (id, source) projection — both sides corpus-grain keyed; the aggregated output is source²-bounded; AQE demotes when small",
     "q151_neardup_upsert" ->
       "the q123 band/shingle/pair-keyed joins run once per index GENERATION (crawl 1 vs ref0, crawl 2 vs the upserted ref1) — both sides corpus-grain; the upsert itself is an append-only union, never a shuffle of the existing index; AQE demotes when small",
     "q125_incremental_curation" ->

@@ -663,6 +663,47 @@ object TextDedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Cross-source duplication analytics — the mixture-design input
+    * (which sources copy from which, and how hard): verified MinHash
+    * near-dup pairs ([[minhashLshPairs]]) at `minJaccard`, each pair
+    * keyed by its lexicographically ORDERED source pair; per
+    * (source_a, source_b): pair count, distinct docs touched, mean
+    * and max Jaccard. Rows with source_a = source_b measure a
+    * source's internal redundancy; off-diagonal rows are the
+    * cross-source mass that double-counts a mixture weight if both
+    * sources are sampled independently.
+    *
+    * Scale shape: two keyed aggregations over the pair relation —
+    * pair mass is the q35/q133 edge-volume regime and inherits the
+    * minhash `dfCap` guard; source cardinality bounds the output, so
+    * the result is always tiny however large the corpus. */
+  def sourceOverlap(docs: DataFrame, minJaccard: Double = 0.3, k: Int = 8,
+      bands: Int = 4, shingleWidth: Int = 3, md5Hashes: Boolean = false,
+      id: String = "doc_id", text: String = "text", source: String = "source",
+      dfCap: Long = Long.MaxValue): DataFrame = {
+    val pairs = minhashLshPairs(docs, k, bands, shingleWidth, minJaccard,
+      md5Hashes, id, text, dfCap)
+    val src = docs.select(col(id), col(source))
+    val withSrc = pairs
+      .join(src.select(col(id).as("id_a"), col(source).as("src_a")), Seq("id_a"))
+      .join(src.select(col(id).as("id_b"), col(source).as("src_b")), Seq("id_b"))
+      .select(least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"),
+        col("id_a"), col("id_b"), col("jaccard"))
+    graft.model.RelCache.hold("textdedup.sourceOverlap", withSrc)
+    val ps = withSrc.groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg("jaccard") + lit(1e-9), 6).as("avg_jaccard"),
+        round(max("jaccard") + lit(1e-9), 6).as("max_jaccard"))
+    val ds = withSrc.select(col("source_a"), col("source_b"),
+        explode(array(col("id_a"), col("id_b"))).as("__d"))
+      .groupBy("source_a", "source_b")
+      .agg(countDistinct(col("__d")).as("n_docs"))
+    ps.join(ds, Seq("source_a", "source_b"))
+      .select(col("source_a"), col("source_b"), col("n_pairs"),
+        col("n_docs"), col("avg_jaccard"), col("max_jaccard"))
+  }
+
   /** Connected components over a near-dup PAIR relation — cluster
     * dedup semantics (RefinedWeb/C4 style): near-duplicate pairs chain
     * into clusters, and the pipeline keeps ONE representative per

@@ -551,6 +551,39 @@ object TextQueries {
                           WHERE dup.inc_id = d.doc_id)
         GROUP BY 1 ORDER BY 1"""
 
+  /** Shared q35/q152 fragment: the full in-corpus MinHash LSH chain —
+    * shingle sets → md5 minhash signature → 4 bands → distinct
+    * candidate pairs (id_a < id_b) → exact-Jaccard `verified`
+    * (id_a, id_b, j). Emitted WITHOUT the leading WITH; one home so
+    * the pair layout cannot drift between the two gates. */
+  private lazy val minhashVerifiedCtes: String =
+    s"""sh AS ($shinglesSql), hashed AS (
+            SELECT doc_id, md5(unnest(sh)) AS h FROM sh
+          ), sig AS (
+            SELECT doc_id,
+                   [min(substr(h, 1, 4)), min(substr(h, 5, 4)),
+                    min(substr(h, 9, 4)), min(substr(h, 13, 4)),
+                    min(substr(h, 17, 4)), min(substr(h, 21, 4)),
+                    min(substr(h, 25, 4)), min(substr(h, 29, 4))] AS s
+            FROM hashed GROUP BY doc_id
+          ), banded AS (
+            SELECT doc_id,
+                   unnest(['0#' || s[1] || '#' || s[2], '1#' || s[3] || '#' || s[4],
+                           '2#' || s[5] || '#' || s[6], '3#' || s[7] || '#' || s[8]]) AS band
+            FROM sig
+          ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.doc_id < b.doc_id
+          ), verified AS (
+            SELECT id_a, id_b,
+                   len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) * 1.0 /
+                   (len(sa.sh) + len(sb.sh)
+                    - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))) AS j
+            FROM cand JOIN sh sa ON sa.doc_id = id_a
+                      JOIN sh sb ON sb.doc_id = id_b
+          )"""
+
   /** Shared SQL fragment: distinct 3-shingle sets per document. */
   private val shinglesSql =
     s"""WITH tk AS ($toksSql)
@@ -1085,6 +1118,18 @@ object TextQueries {
       pairs.agg(count(lit(1)).as("n_candidates"),
         coalesce(sum((col("jaccard") >= 0.3).cast("long")), lit(0L)).as("n_high"),
         round(avg("jaccard") + 1e-9, 6).as("avg_jaccard"))
+    }),
+
+    // ---- cross-source duplication matrix (the mixture-design
+    // input): q35's verified near-dup pairs at j >= 0.3 keyed by the
+    // ordered source pair — which sources copy from which, how many
+    // docs are touched, and how hard. Diagonal rows are internal
+    // redundancy; off-diagonal rows are the mass that double-counts
+    // a mixture weight. ----
+    "q152_source_overlap" -> ((s, dir) => {
+      TextDedup.sourceOverlap(t(s, dir, "documents"), minJaccard = 0.3,
+          k = 8, bands = 4, shingleWidth = 3, md5Hashes = true)
+        .orderBy("source_a", "source_b")
     }),
 
     // ---- Winnowed document fingerprints (Schleimer–Wilkerson–Aiken
@@ -3065,35 +3110,39 @@ object TextQueries {
             FROM pairs GROUP BY 1"""),
 
     "q35_minhash_lsh" ->
-      (s"""WITH sh AS ($shinglesSql), hashed AS (
-            SELECT doc_id, md5(unnest(sh)) AS h FROM sh
-          ), sig AS (
-            SELECT doc_id,
-                   [min(substr(h, 1, 4)), min(substr(h, 5, 4)),
-                    min(substr(h, 9, 4)), min(substr(h, 13, 4)),
-                    min(substr(h, 17, 4)), min(substr(h, 21, 4)),
-                    min(substr(h, 25, 4)), min(substr(h, 29, 4))] AS s
-            FROM hashed GROUP BY doc_id
-          ), banded AS (
-            SELECT doc_id,
-                   unnest(['0#' || s[1] || '#' || s[2], '1#' || s[3] || '#' || s[4],
-                           '2#' || s[5] || '#' || s[6], '3#' || s[7] || '#' || s[8]]) AS band
-            FROM sig
-          ), cand AS (
-            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM banded a JOIN banded b
-              ON a.band = b.band AND a.doc_id < b.doc_id
-          ), verified AS (
-            SELECT id_a, id_b,
-                   len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) * 1.0 /
-                   (len(sa.sh) + len(sb.sh)
-                    - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))) AS j
-            FROM cand JOIN sh sa ON sa.doc_id = id_a
-                      JOIN sh sb ON sb.doc_id = id_b
-          ) SELECT count(*) AS n_candidates,
+      (s"""WITH $minhashVerifiedCtes
+           SELECT count(*) AS n_candidates,
                    CAST(coalesce(sum(CASE WHEN j >= 0.3 THEN 1 END), 0) AS BIGINT) AS n_high,
                    round(avg(j) + 1e-9, 6) + 0.0 AS avg_jaccard
             FROM verified"""),
+
+    // cross-source duplication mass: the q35 verified pairs at
+    // j >= 0.3, each pair keyed by its lexicographically-ordered
+    // source pair; pair/doc/ jaccard stats per (source_a, source_b).
+    "q152_source_overlap" ->
+      (s"""WITH $minhashVerifiedCtes,
+          vsrc AS (
+            SELECT least(da.source, db.source) AS source_a,
+                   greatest(da.source, db.source) AS source_b,
+                   v.id_a, v.id_b, v.j
+            FROM verified v JOIN documents da ON da.doc_id = v.id_a
+                            JOIN documents db ON db.doc_id = v.id_b
+            WHERE v.j >= 0.3),
+          ps AS (
+            SELECT source_a, source_b, count(*) AS n_pairs,
+                   round(avg(j) + 1e-9, 6) + 0.0 AS avg_jaccard,
+                   round(max(j) + 1e-9, 6) + 0.0 AS max_jaccard
+            FROM vsrc GROUP BY 1, 2),
+          ds AS (
+            SELECT source_a, source_b, count(DISTINCT id) AS n_docs FROM (
+              SELECT source_a, source_b, id_a AS id FROM vsrc
+              UNION ALL
+              SELECT source_a, source_b, id_b AS id FROM vsrc)
+            GROUP BY 1, 2)
+          SELECT ps.source_a, ps.source_b, n_pairs, n_docs,
+                 avg_jaccard, max_jaccard
+          FROM ps JOIN ds USING (source_a, source_b)
+          ORDER BY 1, 2"""),
 
     // winnowing replay: list-comprehension window selection (min
     // hash, rightmost tie) over per-doc k-gram md5 lists — the

@@ -275,6 +275,27 @@ class PipelinesSpec extends SparkSpec {
     graft.model.RelCache.releaseAll()
   }
 
+  test("sourceOverlap: ordered source pairs; diagonal rows are internal redundancy") {
+    import graft.operators.TextDedup
+    val a = "the quick brown fox jumps over the lazy dog and it is a fine day in the park " * 3
+    val docs = Seq(
+      (1L, "wiki", a),
+      (2L, "web", a + "with one extra tail phrase"),  // cross-source near-dup of 1
+      (3L, "web", a + "with one extra tail phrase!"), // near-dups BOTH 1 and 2
+      (4L, "wiki", "a completely different english story about the sea and the ships that sail it " * 3))
+      .toDF("doc_id", "source", "text")
+    val out = TextDedup.sourceOverlap(docs, minJaccard = 0.3)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3))))
+      .toMap
+    // pairs: (1,2) wiki-web, (1,3) wiki-web, (2,3) web-web
+    assert(out.keySet == Set(("web", "wiki"), ("web", "web")), s"got ${out.keySet}")
+    assert(out(("web", "wiki")) == ((2L, 3L)), s"got ${out(("web", "wiki"))}") // 2 pairs over docs {1,2,3}
+    assert(out(("web", "web")) == ((1L, 2L)), s"got ${out(("web", "web"))}")   // 1 pair over docs {2,3}
+    graft.model.RelCache.releaseAll()
+  }
+
   test("textCuration repeatedSpanN hook equals manual span-mask composition") {
     val boiler = "all rights reserved contact the webmaster for license terms today"
     val docs = Seq(
