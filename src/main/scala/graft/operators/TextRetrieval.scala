@@ -198,6 +198,42 @@ object TextRetrieval {
       .agg(count(lit(1)).as("n_bigrams"), avg("nll").as("xent_kn"))
   }
 
+  /** Tokenizer-FERTILITY quality verdicts (the FineWeb-class
+    * compression-ratio signal a REAL tokenizer enables): per-doc mean
+    * subwords-per-word under a trained-BPE fertility relation `nSub`
+    * (word, n_sub — [[Bpe.segmentFast]] output, vocabulary-grain).
+    * Gibberish, wrong-alphabet and encoding-junk text tokenizes HARD
+    * (every word shatters into pieces), so docs whose fertility lands
+    * above the corpus `quantile` are flagged `kept = false`. Verdicts
+    * for every doc with ≥ 1 word — the caller owns the drop, so the
+    * signal composes with audit ledgers.
+    *
+    * Determinism/scale: fertility rounded to 4dp (+1e-7) BEFORE the
+    * percentile, the q112 convention (Spark `percentile` ≡ DuckDB
+    * `quantile_cont` on identical rounded inputs); one corpus-grain
+    * aggregation + a vocabulary-grain fertility join + a broadcast
+    * 1-row threshold — no corpus-keyed window anywhere. */
+  def fertilityFilter(docs: DataFrame, nSub: DataFrame,
+      quantile: Double = 0.9, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val scored = docs.select(col(id), explode(tokens(col(text))).as("word"))
+      .groupBy(col(id), col("word")).agg(count(lit(1)).as("cnt"))
+      .join(nSub, Seq("word"))
+      .groupBy(col(id))
+      .agg(sum(col("cnt") * col("n_sub")).as("toks"),
+        sum(col("cnt")).as("words"))
+      .withColumn("fertility",
+        round(col("toks").cast("double") / col("words") + 1e-7, 4))
+      // the percentile aggregate and the verdict projection otherwise
+      // re-run the whole scoring chain (no subplan sharing across the
+      // crossJoin) — the q112 materialization
+      .localCheckpoint(true)
+    val thr = scored.agg(expr(s"percentile(fertility, $quantile)").as("__thr"))
+    scored.crossJoin(broadcast(thr))
+      .select(col(id), col("words"), col("toks"), col("fertility"),
+        (col("fertility") <= col("__thr")).as("kept"))
+  }
+
   def unigramCrossEntropy(docs: DataFrame,
       id: String = "doc_id", text: String = "text"): DataFrame = {
     val tok = docs.select(col(id), explode(tokens(col(text))).as("tk"))

@@ -825,6 +825,16 @@ object TextQueries {
         .orderBy("domain", "doc_id")
     }),
 
+    // ---- Tokenizer-fertility quality verdicts (FineWeb-class
+    // compression-ratio signal): per-doc mean subwords-per-word under
+    // the trained BPE; docs above the corpus 90th percentile flagged
+    // kept = false — gibberish tokenizes hard. ----
+    "q153_fertility_filter" -> ((s, dir) => {
+      val (docs, nSub) = realNSub(s, dir)
+      TextRetrieval.fertilityFilter(docs, nSub, quantile = 0.9)
+        .orderBy("doc_id")
+    }),
+
     // ---- Context-window chunking at REAL tokenizer boundaries:
     // chunk membership computed on SUBWORD positions (trained-BPE
     // fertility via segmentFast), so boundaries fall where the
@@ -2654,6 +2664,22 @@ object TextQueries {
     // feeding the q88 budget window over the real subword counts
     "q131_real_token_budget" -> bpeTokenBudgetOracleSql(nMerges = 12,
       budget = 3000L),
+
+    // fertility replay: per-doc dw × nsub totals, 4dp-rounded mean
+    // subwords-per-word, quantile_cont threshold (the q112
+    // convention), verdict for every doc with >= 1 word
+    "q153_fertility_filter" ->
+      (s"""WITH ${bpeSubwordCtes(12)},
+          d AS (SELECT doc_id, CAST(sum(cnt * n_sub) AS BIGINT) AS toks,
+                       CAST(sum(cnt) AS BIGINT) AS words
+                FROM dw JOIN nsub USING (word) GROUP BY 1),
+          sc AS (SELECT doc_id, words, toks,
+                        round(toks * 1.0 / words + 1e-7, 4) + 0.0 AS fertility
+                 FROM d),
+          thr AS (SELECT quantile_cont(fertility, 0.9) AS thr FROM sc)
+          SELECT doc_id, words, toks, fertility,
+                 fertility <= thr.thr AS kept
+          FROM sc CROSS JOIN thr ORDER BY doc_id"""),
 
     // real-token chunking replay: the q127 nsub relation joined onto
     // per-doc ordered word positions, a per-doc prefix sum placing

@@ -296,6 +296,25 @@ class PipelinesSpec extends SparkSpec {
     graft.model.RelCache.releaseAll()
   }
 
+  test("fertilityFilter: gibberish tokenizes hard and lands above the quantile") {
+    import graft.operators.{Bpe, TextRetrieval}
+    import graft.functions.TextFunctions.tokens
+    val normal = "the cat sat on the mat and the dog ran to the cat " * 4
+    val docs = ((1L to 10L).map(i => (i, normal + s"extra word$i")) :+
+      (99L, "xqzvkj wqpzkt bzxvqn qkzwvp xjqzvt kpwqzx " * 8))
+      .toDF("doc_id", "text")
+    val merges = Bpe.bpeMergesFast(docs.filter(col("doc_id") <= 10L), nMerges = 12)
+      .orderBy("round").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val vocab = docs.select(explode(tokens(col("text"))).as("word")).distinct()
+    val nSub = Bpe.segmentFast(vocab, merges)
+      .groupBy("word").agg(count(lit(1)).as("n_sub"))
+    val out = TextRetrieval.fertilityFilter(docs, nSub, quantile = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(out.size == 11)
+    assert(!out(99L), "the gibberish doc must be flagged")
+    assert((1L to 10L).forall(out(_)), "normal docs must pass")
+  }
+
   test("textCuration repeatedSpanN hook equals manual span-mask composition") {
     val boiler = "all rights reserved contact the webmaster for license terms today"
     val docs = Seq(
