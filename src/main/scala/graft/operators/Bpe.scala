@@ -220,6 +220,74 @@ object Bpe {
     out.toArray
   }
 
+  /** WordPiece-style VOCABULARY: the top `vocabSize` substrings of
+    * length ≤ `maxPieceLen` ranked by corpus-frequency-weighted
+    * occurrence count (count desc, piece asc — an integer argmax, so
+    * deterministic across engines), plus every single character seen
+    * in the fit sample. The BERT-family alternative to the BPE merge
+    * table: the vocabulary is a SET of pieces and inference is greedy
+    * longest-match ([[wordPieceSegment]]) rather than ordered merge
+    * replay. (The full WordPiece training loop is BPE-shaped —
+    * likelihood-ranked merges — which [[bpeMerges]] already covers;
+    * the substring-frequency fit is the deterministic, replayable
+    * vocabulary this inference family needs.)
+    *
+    * Scale shape: corpus → word-frequency relation in one token-keyed
+    * aggregation; the substring fan-out is vocabulary-grain ×
+    * maxPieceLen² (bounded by the language); top-V is a TakeOrdered,
+    * never a full sort at corpus grain. Returns a (piece) relation,
+    * ≤ vocabSize + |alphabet| rows. */
+  def wordPieceVocab(sample: DataFrame, maxPieceLen: Int = 4,
+      vocabSize: Int = 200, text: String = "text"): DataFrame = {
+    require(maxPieceLen >= 1 && vocabSize >= 1)
+    val wf = sample.select(explode(tokens(col(text))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val wli = wf
+      .withColumn("l", explode(sequence(lit(1),
+        least(lit(maxPieceLen), length(col("word"))))))
+      .withColumn("i", explode(sequence(lit(1),
+        length(col("word")) - col("l") + 1)))
+      .select(expr("substring(word, i, l)").as("piece"), col("freq"),
+        col("l"))
+    graft.model.RelCache.hold("bpe.wordPieceVocab", wli)
+    val topv = wli.groupBy("piece").agg(sum("freq").as("cnt"))
+      .orderBy(col("cnt").desc, col("piece").asc)
+      .limit(vocabSize).select("piece")
+    val chars = wli.filter(col("l") === 1).select("piece").distinct()
+    topv.union(chars).distinct()
+  }
+
+  /** Greedy longest-match-first segmentation under a WordPiece-style
+    * piece SET — the BERT tokenizer's inference rule: at each offset
+    * take the longest vocab piece (≤ `maxPieceLen`) matching the
+    * remaining suffix; a character absent from the vocabulary falls
+    * back to its own 1-char piece (the byte-fallback convention), so
+    * segmentation is TOTAL and out-of-alphabet text degrades instead
+    * of failing. Piece set rides along broadcast (vocabulary-grain,
+    * the [[segmentFast]] shape); one partition-local pass per word.
+    * Returns (word, pos, piece). */
+  def wordPieceSegment(words: DataFrame, vocab: Seq[String],
+      maxPieceLen: Int = 4): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(vocab.toSet)
+    words.select(col("word")).as[String].mapPartitions { it =>
+      val v = bc.value
+      it.flatMap { w =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var off = 0
+        while (off < w.length) {
+          var l = math.min(maxPieceLen, w.length - off)
+          while (l > 1 && !v.contains(w.substring(off, off + l))) l -= 1
+          // l == 1 emits whether or not the char is in the vocabulary
+          out += w.substring(off, off + l)
+          off += l
+        }
+        out.iterator.zipWithIndex.map { case (p, pos) => (w, pos, p) }
+      }
+    }.toDF("word", "pos", "piece")
+  }
+
   /** Distributed one-pass ENCODE with a trained merge table — the
     * production counterpart of [[segment]] (which replays each merge
     * as a separate round of Spark jobs: fine for the 12-merge gate,

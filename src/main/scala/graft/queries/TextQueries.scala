@@ -584,6 +584,68 @@ object TextQueries {
                       JOIN sh sb ON sb.doc_id = id_b
           )"""
 
+  /** q154 WordPiece replay: the substring-frequency vocabulary fit
+    * (top `vocabSize` by (weighted count desc, piece asc) over the
+    * %5 sample, plus the sample alphabet) and the greedy
+    * longest-match segmentation of the full corpus vocabulary as
+    * `rounds` unrolled CTE rounds — one emitted piece per round per
+    * still-active word, `greatest(coalesce(max matched length, 0), 1)`
+    * implementing the 1-char byte fallback. All comparisons are
+    * integer (counts, lengths) — no float argmax anywhere. */
+  private def wordPieceOracleSql(maxPieceLen: Int, vocabSize: Int,
+      rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""m$r AS MATERIALIZED (
+           SELECT g.word, g.off, greatest(coalesce(max(v.l), 0), 1) AS l
+           FROM g${r - 1} g
+           LEFT JOIN vl v
+             ON g.off + v.l - 1 <= length(g.word)
+            AND v.piece = substr(g.word, g.off, v.l)
+           GROUP BY 1, 2),
+         pc$r AS (SELECT word, substr(word, off, l) AS piece FROM m$r),
+         g$r AS (SELECT word, off + l AS off FROM m$r
+                 WHERE off + l <= length(word))"""
+    }.mkString(",\n       ")
+    s"""WITH tk AS ($toksSql),
+       dwp AS (
+         SELECT doc_id, source, w AS word, count(*) AS cnt
+         FROM (SELECT doc_id, source, unnest(toks) AS w FROM tk)
+         GROUP BY 1, 2, 3),
+       wpf AS (
+         SELECT word, CAST(sum(cnt) AS BIGINT) AS freq
+         FROM dwp WHERE doc_id % 5 = 0 GROUP BY 1),
+       wl AS (SELECT word, freq,
+                     unnest(generate_series(1, least($maxPieceLen, length(word)))) AS l
+              FROM wpf),
+       wli AS (SELECT word, freq, l,
+                      unnest(generate_series(1, length(word) - l + 1)) AS i
+               FROM wl),
+       subs AS (SELECT substr(word, i, l) AS piece,
+                       CAST(sum(freq) AS BIGINT) AS cnt
+                FROM wli GROUP BY 1),
+       topv AS (SELECT piece FROM (
+                  SELECT piece, row_number() OVER (
+                           ORDER BY cnt DESC, piece ASC) AS rn
+                  FROM subs) WHERE rn <= $vocabSize),
+       vocab AS (SELECT DISTINCT piece FROM (
+                   SELECT piece FROM topv
+                   UNION ALL
+                   SELECT substr(word, i, 1) FROM wli WHERE l = 1)),
+       vl AS (SELECT piece, length(piece) AS l FROM vocab),
+       g0 AS (SELECT DISTINCT word, 1 AS off FROM dwp
+              WHERE length(word) >= 1),
+       $roundCtes,
+       np AS (SELECT word, count(*) AS n_wp
+              FROM (${(1 to rounds).map(r => s"SELECT word, piece FROM pc$r")
+                        .mkString(" UNION ALL ")})
+              GROUP BY 1)
+       SELECT source, count(DISTINCT doc_id) AS n_docs,
+              CAST(sum(cnt * n_wp) AS BIGINT) AS wp_tokens,
+              CAST(sum(cnt) AS BIGINT) AS ws_tokens,
+              round(sum(cnt * n_wp) * 1.0 / sum(cnt) + 1e-7, 4) + 0.0 AS fertility
+       FROM dwp JOIN np USING (word) GROUP BY 1 ORDER BY 1"""
+  }
+
   /** Shared SQL fragment: distinct 3-shingle sets per document. */
   private val shinglesSql =
     s"""WITH tk AS ($toksSql)
@@ -804,6 +866,35 @@ object TextQueries {
         .agg(count_distinct(col("doc_id")).as("n_docs"),
           sum(col("cnt") * col("n_sub")).as("subword_tokens"),
           sum(col("cnt")).as("ws_tokens"))
+        .orderBy("source")
+    }),
+
+    // ---- WordPiece tokenizer family (the BERT inference rule, the
+    // q127 mirror for the SECOND tokenizer): substring-frequency
+    // vocabulary fit on the %5 sample (top-200 pieces ≤ 4 chars +
+    // the sample alphabet), GREEDY LONGEST-MATCH segmentation of the
+    // full corpus vocabulary with 1-char byte fallback, per-source
+    // piece stats. The oracle replays the fit and every greedy round
+    // (one unrolled CTE per emitted piece position). ----
+    "q154_wordpiece_counts" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = graft.operators.Bpe.wordPieceVocab(
+          docs.filter(col("doc_id") % 5 === 0), maxPieceLen = 4,
+          vocabSize = 200)
+        .orderBy("piece").collect().map(_.getString(0)).toSeq
+      val dw = docs.select(col("doc_id"), col("source"),
+          explode(tokens(col("text"))).as("word"))
+        .groupBy("doc_id", "source", "word").agg(count(lit(1)).as("cnt"))
+      val np = graft.operators.Bpe.wordPieceSegment(
+          dw.select("word").distinct(), vocab, maxPieceLen = 4)
+        .groupBy("word").agg(count(lit(1)).as("n_wp"))
+      dw.join(np, Seq("word"))
+        .groupBy("source")
+        .agg(count_distinct(col("doc_id")).as("n_docs"),
+          sum(col("cnt") * col("n_wp")).as("wp_tokens"),
+          sum(col("cnt")).as("ws_tokens"),
+          round(sum(col("cnt") * col("n_wp")) / sum(col("cnt")) + 1e-7, 4)
+            .as("fertility"))
         .orderBy("source")
     }),
 
@@ -2659,6 +2750,17 @@ object TextQueries {
     // subword-count replay: the q126 training chain + the apply-only
     // t-chain over the full corpus vocabulary + per-source totals
     "q127_subword_counts" -> bpeSubwordOracleSql(nMerges = 12),
+
+    // WordPiece replay: substring-frequency vocabulary on the %5
+    // sample (integer-count argmax — no float comparisons anywhere),
+    // then greedy longest-match per word as unrolled rounds: each
+    // round LEFT-joins the active (word, off) frontier against the
+    // piece/length relation on the substring equality, takes
+    // greatest(max matched length, 1) — the 1 is the byte fallback —
+    // emits the piece, and advances the offset. 12 rounds cover
+    // words to length 12 (fixture max is 8).
+    "q154_wordpiece_counts" -> wordPieceOracleSql(maxPieceLen = 4,
+      vocabSize = 200, rounds = 12),
 
     // real-token-budget replay: the q127 machinery at PER-DOC grain
     // feeding the q88 budget window over the real subword counts

@@ -371,6 +371,44 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("wordPieceSegment ≡ sequential greedy reference; concat and longest-match invariants") {
+    import graft.operators.Bpe
+    // reference: textbook greedy longest-match with 1-char fallback
+    def refSeg(w: String, v: Set[String], maxLen: Int): List[String] =
+      if (w.isEmpty) Nil
+      else {
+        val l = (math.min(maxLen, w.length) to 2 by -1)
+          .find(k => v.contains(w.take(k))).getOrElse(1)
+        w.take(l) :: refSeg(w.drop(l), v, maxLen)
+      }
+    val alpha = Gen.listOfN(6, Gen.oneOf('a', 'b', 'c')).map(_.mkString)
+    val words = cases(alpha, 40).distinct.filter(_.nonEmpty)
+    // vocab from a biased sample so some words segment OOV (fallback)
+    val vocabPieces = cases(Gen.chooseNum(1, 4).flatMap(l =>
+      Gen.listOfN(l, Gen.oneOf('a', 'b'))).map(_.mkString), 30)
+      .toSet ++ Set("a", "b") // 'c' deliberately absent -> byte fallback
+    val got = Bpe.wordPieceSegment(words.toDF("word"), vocabPieces.toSeq, 4)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+      .groupBy(_._1)
+      .map { case (w, rs) => w -> rs.sortBy(_._2).map(_._3).toList }
+    words.foreach { w =>
+      val ref = refSeg(w, vocabPieces, 4)
+      assert(got(w) == ref, s"word '$w': got ${got(w)}, ref $ref")
+      assert(got(w).mkString == w, s"pieces must concatenate to '$w'")
+      // greedy invariant: each piece is the longest vocab match (or a
+      // 1-char fallback) at its offset
+      var off = 0
+      got(w).foreach { p =>
+        val longest = (math.min(4, w.length - off) to 2 by -1)
+          .find(k => vocabPieces.contains(w.substring(off, off + k)))
+          .getOrElse(1)
+        assert(p.length == longest, s"'$w' at $off: piece '$p' not longest")
+        off += p.length
+      }
+    }
+  }
+
   test("nearDupAgainstReference: drops incoming docs with a verified reference near-dup only") {
     import graft.operators.TextDedup
     val ref = Seq(
