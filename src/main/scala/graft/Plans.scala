@@ -253,6 +253,8 @@ object Plans {
       "the winnow fingerprint-keyed pair join (both sides fingerprint-grain, the q133 shape) and the loser left_anti on doc_id — both sides corpus-grain keyed; AQE demotes when small",
     "q123_neardup_incremental" ->
       "cross-corpus candidate/verify joins keyed on (band|shingle|pair) and the final left_anti on doc_id — both sides corpus-grain, the q35 shape split across two corpora; AQE demotes when small",
+    "q155_split_leakage" ->
+      "the q152 machinery keyed on the split label — q35 shingle/band/pair-keyed joins plus split-lookup joins of the pair relation against the labeled doc projection; both sides corpus-grain keyed, output splits²-bounded; AQE demotes when small",
     "q152_source_overlap" ->
       "the q35 shingle/band/pair-keyed joins plus the two source-lookup joins of the pair relation against the doc-grain (id, source) projection — both sides corpus-grain keyed; the aggregated output is source²-bounded; AQE demotes when small",
     "q151_neardup_upsert" ->

@@ -704,6 +704,30 @@ object TextDedup {
         col("n_docs"), col("avg_jaccard"), col("max_jaccard"))
   }
 
+  /** Train/test LEAKAGE audit — the split-side complement of
+    * benchmark decontamination: [[assignSplits]] labels every doc,
+    * then verified near-dup pairs ([[sourceOverlap]] keyed on the
+    * split label) that CROSS a split boundary are reported per
+    * ordered (split_a, split_b). A non-empty relation means the
+    * eval split contains near-copies of training docs — eval numbers
+    * are contaminated even though the splits were disjoint by id,
+    * which is exactly how leakage happens in practice (dedup ran
+    * per-split or not at all, and hash-splitting scatters twins).
+    * Same-split pairs are dropped: internal redundancy is q152's
+    * diagonal, not leakage. */
+  def splitLeakage(docs: DataFrame, splits: Seq[(String, Double)],
+      seed: Int = 0, minJaccard: Double = 0.3, k: Int = 8, bands: Int = 4,
+      shingleWidth: Int = 3, md5Hashes: Boolean = false,
+      id: String = "doc_id", text: String = "text",
+      dfCap: Long = Long.MaxValue): DataFrame = {
+    val labeled = assignSplits(docs, splits, seed, id)
+    sourceOverlap(labeled, minJaccard, k, bands, shingleWidth, md5Hashes,
+        id, text, source = "split", dfCap)
+      .filter(col("source_a") =!= col("source_b"))
+      .select(col("source_a").as("split_a"), col("source_b").as("split_b"),
+        col("n_pairs"), col("n_docs"), col("avg_jaccard"), col("max_jaccard"))
+  }
+
   /** Connected components over a near-dup PAIR relation — cluster
     * dedup semantics (RefinedWeb/C4 style): near-duplicate pairs chain
     * into clusters, and the pipeline keeps ONE representative per

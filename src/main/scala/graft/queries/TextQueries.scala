@@ -1505,6 +1505,18 @@ object TextQueries {
         .orderBy("source", "split")
     }),
 
+    // ---- train/test LEAKAGE audit (the split-side complement of
+    // benchmark decontamination): q97's hash splits + q35's verified
+    // near-dup pairs — pairs CROSSING a split boundary, per ordered
+    // split pair. Non-empty output = eval contamination despite
+    // id-disjoint splits (hash-splitting scatters twins). ----
+    "q155_split_leakage" -> ((s, dir) => {
+      TextDedup.splitLeakage(t(s, dir, "documents"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 11,
+          minJaccard = 0.3, md5Hashes = true)
+        .orderBy("split_a", "split_b")
+    }),
+
     // ---- self-balancing mix: mixtureWeights DERIVES alpha=0.25
     // rates from per-domain token mass, rateThresholds quantizes them
     // to exact-Bernoulli hex thresholds, sampleByRate APPLIES them —
@@ -3534,6 +3546,43 @@ object TextQueries {
 
     // split replay: identical literal hex thresholds (generated by
     // the same splitThresholds call the operator uses).
+    // leakage replay: the q97 split labels (seed 11) on the q35
+    // verified pairs, cross-split rows only, the q152 stat tail
+    "q155_split_leakage" -> locally {
+      val thrs = TextDedup.splitThresholds(Seq(0.8, 0.1, 0.1))
+      def h = "substr(md5('11#' || CAST(doc_id AS VARCHAR)), 1, 12)"
+      s"""WITH $minhashVerifiedCtes,
+          lab AS (
+            SELECT doc_id,
+                   CASE WHEN $h < '${thrs(0)}' THEN 'train'
+                        WHEN $h < '${thrs(1)}' THEN 'val'
+                        WHEN $h < '${thrs(2)}' THEN 'test'
+                        ELSE 'holdout' END AS split
+            FROM documents),
+          vsrc AS (
+            SELECT least(la.split, lb.split) AS split_a,
+                   greatest(la.split, lb.split) AS split_b,
+                   v.id_a, v.id_b, v.j
+            FROM verified v JOIN lab la ON la.doc_id = v.id_a
+                            JOIN lab lb ON lb.doc_id = v.id_b
+            WHERE v.j >= 0.3 AND la.split <> lb.split),
+          ps AS (
+            SELECT split_a, split_b, count(*) AS n_pairs,
+                   round(avg(j) + 1e-9, 6) + 0.0 AS avg_jaccard,
+                   round(max(j) + 1e-9, 6) + 0.0 AS max_jaccard
+            FROM vsrc GROUP BY 1, 2),
+          ds AS (
+            SELECT split_a, split_b, count(DISTINCT id) AS n_docs FROM (
+              SELECT split_a, split_b, id_a AS id FROM vsrc
+              UNION ALL
+              SELECT split_a, split_b, id_b AS id FROM vsrc)
+            GROUP BY 1, 2)
+          SELECT ps.split_a, ps.split_b, n_pairs, n_docs,
+                 avg_jaccard, max_jaccard
+          FROM ps JOIN ds USING (split_a, split_b)
+          ORDER BY 1, 2"""
+    },
+
     "q97_split_assign" -> locally {
       val thrs = TextDedup.splitThresholds(Seq(0.8, 0.1, 0.1))
       def h = "substr(md5('11#' || CAST(doc_id AS VARCHAR)), 1, 12)"
