@@ -565,6 +565,35 @@ object Similarity {
       .select(col("query_id"), col("c").as("corpus_id"), col("rank"), col("sim"))
   }
 
+  /** Graph-based SEMANTIC DEDUP — the k-NN graph artifact's second
+    * job: [[knnGraphDescent]] edges at cosine ≥ `tau` close into
+    * components (min-id label propagation, the q92 closure) and every
+    * non-representative member is flagged dropped. Where [[semDedup]]
+    * partitions by quantizer cells and pays within-cell pair joins,
+    * the graph form inherits the graph's k-BOUNDED edge set — dedup
+    * cost is edge-volume, and the SAME stored graph (q150's bucketed
+    * table) serves ANN queries and dedup. Approximate by
+    * construction: only pairs the graph discovered can merge —
+    * SemDeDup's cell restriction has the same character, and for
+    * dedup thresholds (τ high) a true near-dup is overwhelmingly a
+    * nearest neighbor. Returns (id, component, kept) for the whole
+    * corpus — kept = the member IS its component's min-id
+    * representative. */
+  def graphSemDedup(graph: DataFrame, corpus: DataFrame, tau: Double,
+      id: String = "vec_id"): DataFrame = {
+    val edges = graph
+      .filter(col("sim") >= tau && col(id) =!= col("nbr"))
+      .select(least(col(id), col("nbr")).as("id_a"),
+        greatest(col(id), col("nbr")).as("id_b"))
+      .distinct()
+    val comp = graft.operators.TextDedup.duplicateComponents(edges)
+    corpus.select(col(id))
+      .join(comp.withColumnRenamed("id", id), Seq(id), "left")
+      .select(col(id),
+        coalesce(col("component"), col(id)).as("component"))
+      .withColumn("kept", col(id) === col("component"))
+  }
+
   /** Seed for the fit-sample hash — shared with the q40/q103/q110/
     * q113 oracle SQL, which replays `md5('17#' || id)` ordering. */
   private val sampleSeed = 17

@@ -1997,6 +1997,17 @@ object TextQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- graph-based semantic dedup: the q150 stored graph's SECOND
+    // job — edges at cosine >= 0.4 close into components (the q92
+    // min-id closure), non-representative members flagged dropped.
+    // One artifact serves ANN queries AND dedup; dedup cost is the
+    // graph's k-bounded edge volume, never a within-cell pair join. ----
+    "q156_graph_semdedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.graphSemDedup(amortizedKnnGraph(s, dir), emb, tau = 0.4)
+        .orderBy("vec_id")
+    }),
+
     // ---- IVF-PQ composed ANN (the FAISS IVFPQ probe shape): coarse
     // Lloyd cells prune the corpus to nProbe cells per query, ADC
     // runs only over PQ codes within those cells. The oracle replays
@@ -3678,6 +3689,29 @@ object TextQueries {
     // q150 = q149 over the stored graph; the build is deterministic,
     // so the at-rest round trip must land on the same hash.
     "q150_graph_amortized" -> graphSearchOracleSql,
+
+    // graph-semdedup replay: the q148 graph chain, edges at
+    // grid-rounded cosine >= 0.4, the q92 recursive min-label
+    // closure, LEFT join back to the corpus (singletons keep)
+    "q156_graph_semdedup" ->
+      s"""WITH RECURSIVE ${nndChainCtes(5, 64)},
+       gedges AS (
+         SELECT DISTINCT least(a, c) AS id_a, greatest(a, c) AS id_b
+         FROM nn2 WHERE sim >= 0.4 AND a <> c),
+       edges AS (
+         SELECT id_a AS src, id_b AS dst FROM gedges
+         UNION
+         SELECT id_b AS src, id_a AS dst FROM gedges),
+       nodes AS (SELECT DISTINCT src AS id FROM edges),
+       reach(id, lab) AS (
+         SELECT id, id FROM nodes
+         UNION
+         SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst),
+       comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY 1)
+       SELECT e.vec_id, coalesce(c.component, e.vec_id) AS component,
+              coalesce(c.component, e.vec_id) = e.vec_id AS kept
+       FROM embeddings e LEFT JOIN comp c ON c.id = e.vec_id
+       ORDER BY e.vec_id""",
 
     "q110_ivfpq_topk" ->
       (s"""WITH ${ivfCoreCtes(nCells = 8, iters = 10, nProbe = 3, dim = 64, queryBound = 20)},

@@ -341,6 +341,27 @@ class SimilaritySpec extends SparkSpec {
     assert(r4 == 1.0, s"NN-Descent failed to converge on planted clusters: $r4")
   }
 
+  test("graphSemDedup: planted near-identical cluster collapses to its min id; singletons keep") {
+    // 3 near-identical vectors (ids 5,6,7) among well-separated others
+    val base = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (5L, Seq(0.0f, 0.0f, 1.0f, 0.01f)),
+      (6L, Seq(0.0f, 0.0f, 1.0f, 0.02f)),
+      (7L, Seq(0.0f, 0.0f, 1.0f, 0.03f)),
+      (9L, Seq(0.0f, 0.0f, 0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val graph = Similarity.knnGraphDescent(base, k = 3, iters = 2, dim = 4)
+    val out = Similarity.graphSemDedup(graph, base, tau = 0.99)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out.size == 6, "one verdict per corpus vector")
+    assert(out(5L) == ((5L, true)), s"got ${out(5L)}")
+    assert(out(6L) == ((5L, false)) && out(7L) == ((5L, false)),
+      s"cluster members must collapse to 5: ${out(6L)}, ${out(7L)}")
+    Seq(1L, 2L, 9L).foreach(i =>
+      assert(out(i) == ((i, true)), s"singleton $i must keep itself"))
+  }
+
   test("graphSearchTopK: beam search over the converged graph finds each query's true nearest") {
     // the knnGraphDescent planted-cluster fixture; queries are
     // perturbed copies of one member per cluster, so the true
