@@ -32,7 +32,7 @@ object Plans {
     val names = if (args.nonEmpty) args.toSeq
       else SparkEntry.queries.keys.toSeq.sorted ++
         Seq("bucketed_demo", "bucketed_neardup_demo", "bucketed_winnow_demo",
-          "partitioned_ivf_demo")
+          "partitioned_ivf_demo", "bucketed_graph_demo")
     var audited = 0; var clean = 0; val smelly =
       scala.collection.mutable.ListBuffer.empty[String]
     // exclusions apply only to the DEFAULT sweep: an explicitly named
@@ -46,6 +46,7 @@ object Plans {
       else if (name == "bucketed_neardup_demo") bucketedNearDupDemo(spark, dir)
       else if (name == "bucketed_winnow_demo") bucketedWinnowDemo(spark, dir)
       else if (name == "partitioned_ivf_demo") partitionedIvfDemo(spark, dir)
+      else if (name == "bucketed_graph_demo") bucketedGraphDemo(spark, dir)
       else {
         val df = SparkEntry.queries(name)(spark, dir)
         val plan = df.queryExecution.explainString(
@@ -415,6 +416,55 @@ object Plans {
     println(s"[audit] bucketed_winnow_demo: containment candidate-join exchanges " +
       s"unbucketed-index=$p bucketed-index=$b " +
       (if (b < p) "(reference fingerprints co-located at rest — only the incoming crawl shuffles)"
+       else "UNEXPECTED: bucketing removed no exchange"))
+  }
+
+  /** The at-rest k-NN GRAPH co-location proof (the q150 storage
+    * contract): graphSearchTopK's beam-expansion join keys on the
+    * graph's node id, so a graph table BUCKETED by vec_id joins each
+    * round's frontier with NO graph-side shuffle — only the (tiny,
+    * query-bounded) frontier exchanges. Compares shuffle-exchange
+    * counts for the same expansion join against the unbucketed vs
+    * bucketed at-rest graph under the no-broadcast regime. */
+  private def bucketedGraphDemo(spark: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    def save(df: org.apache.spark.sql.DataFrame, table: String,
+        bucketKey: Option[String]): org.apache.spark.sql.DataFrame = {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      val warehouse = new org.apache.hadoop.fs.Path(
+        spark.sessionState.conf.warehousePath, table.toLowerCase)
+      val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(warehouse)) fs.delete(warehouse, true)
+      val w = df.write.format("parquet").mode("overwrite")
+      bucketKey.fold(w)(k => w.bucketBy(8, k).sortBy(k)).saveAsTable(table)
+      spark.table(table)
+    }
+    val graph = graft.operators.Similarity.knnGraphDescent(emb, k = 5,
+      iters = 2, dim = 64)
+    val plainTbl = save(graph, "graft_graph_plain", None)
+    val bucketTbl = save(graph, "graft_graph_bucketed", Some("vec_id"))
+    // materialized frontier (the per-round beam state), so the counted
+    // exchanges are the expansion JOIN's alone
+    val frontier = save(emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("vec_id").as("c")),
+      "graft_graph_frontier", None)
+    val prevThreshold =
+      spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    def expand(g: org.apache.spark.sql.DataFrame) = frontier
+      .join(g.select(col("vec_id").as("c"), col("nbr")), Seq("c"))
+      .select(col("query_id"), col("nbr").as("c"))
+    val (p, b) =
+      try (exchanges(expand(plainTbl)), exchanges(expand(bucketTbl)))
+      finally prevThreshold match {
+        case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    println(s"\n========== bucketed_graph_demo ==========")
+    println(s"[audit] bucketed_graph_demo: beam-expansion join exchanges " +
+      s"unbucketed-graph=$p bucketed-graph=$b " +
+      (if (b < p) "(graph co-located at rest — only the query frontier shuffles)"
        else "UNEXPECTED: bucketing removed no exchange"))
   }
 
