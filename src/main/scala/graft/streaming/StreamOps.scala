@@ -459,6 +459,34 @@ object StreamOps {
       .select(col(id), col("n_tokens"), col("xent"))
   }
 
+  /** Stream-static tokenizer-FERTILITY verdicts — the incremental
+    * APPLY half of [[graft.operators.TextRetrieval.fertilityFilter]]:
+    * the trained-BPE fertility relation `nSub` (word, n_sub —
+    * vocabulary-grain, typically q143's at-rest table) and the
+    * corpus-percentile `threshold` both fit ONCE batch-side (a
+    * percentile is a property of the reference corpus, the q144
+    * split); each arriving doc pays one stateless stream-static join
+    * + one windowed doc-grain aggregation. Out-of-vocabulary words
+    * take the fallback fertility `length(word)` (every char its own
+    * piece — the byte-fallback convention), so verdicts are total.
+    * Emits (id, words, toks, fertility, kept). */
+  def streamingFertilityVerdicts(docs: DataFrame, nSub: DataFrame,
+      threshold: Double, ts: String = "ts", id: String = "doc_id",
+      text: String = "text", windowLen: String = "10 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    import graft.functions.TextFunctions._
+    val tok = docs.withWatermark(ts, watermarkDelay)
+      .select(col(ts), col(id), explode(tokens(col(text))).as("word"))
+    val scored = tok
+      .join(nSub.select(col("word"), col("n_sub")), Seq("word"), "left")
+      .withColumn("n_sub", coalesce(col("n_sub"), length(col("word")).cast("long")))
+    scored.groupBy(window(col(ts), windowLen), col(id))
+      .agg(sum(col("n_sub")).as("toks"), count(lit(1)).as("words"))
+      .select(col(id), col("words"), col("toks"),
+        round(col("toks").cast("double") / col("words") + 1e-7, 4).as("fertility"))
+      .withColumn("kept", col("fertility") <= lit(threshold))
+  }
+
   /** Stream-static DSIR scoring — the incremental APPLY half of
     * [[graft.operators.TextRetrieval.dsirSelect]]: λ fits ONCE on a
     * static reference corpus ([[graft.operators.TextRetrieval

@@ -496,6 +496,55 @@ class StreamOpsSpec extends SparkSpec {
     }
   }
 
+  test("streamingFertilityVerdicts batch≡stream: static fertility relation + batch-fit threshold") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.{Bpe, TextRetrieval}
+    import graft.functions.TextFunctions.tokens
+    val docsB = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val merges = Bpe.bpeMergesFast(docsB.filter(col("doc_id") % 5 === 0),
+        nMerges = 12)
+      .orderBy("round").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val nSub = Bpe.segmentFast(
+        docsB.select(explode(tokens(col("text"))).as("word")).distinct(), merges)
+      .groupBy("word").agg(count(lit(1)).as("n_sub")).localCheckpoint(true)
+    val batch = TextRetrieval.fertilityFilter(docsB, nSub, quantile = 0.9)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    // the stream applies a BATCH-FIT threshold (the q144 split): the
+    // max kept fertility reproduces the batch split exactly — scores
+    // live on the 4dp grid, so no unseen value sits between it and
+    // the true percentile
+    val thr = batch.values.collect { case (_, _, f, true) => f }.max
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamOps.streamingFertilityVerdicts(
+      input.toDS().toDF("ts", "doc_id", "text"), nSub, threshold = thr)
+    val query = out.writeStream.format("memory")
+      .queryName("fertility_out").outputMode("append").start()
+    try {
+      val t0 = 1700000000000L
+      val rows = docsB.as[(Long, String)].collect().sortBy(_._1)
+      rows.grouped(100).foreach { b =>
+        input.addData(b.map { case (id, tx) => (new Timestamp(t0 + id), id, tx) }.toSeq: _*)
+        query.processAllAvailable()
+      }
+      input.addData((new Timestamp(t0 + 48 * 3600 * 1000L), -1L, "flush"))
+      query.processAllAvailable()
+      val stream = spark.table("fertility_out")
+        .collect().filter(_.getAs[Long]("doc_id") >= 0L)
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("words"), r.getAs[Long]("toks"),
+            r.getAs[Double]("fertility"), r.getAs[Boolean]("kept"))))
+        .toMap
+      assert(stream == batch,
+        s"diverged: onlyStream=${stream.toSet -- batch.toSet} " +
+          s"onlyBatch=${batch.toSet -- stream.toSet}")
+    } finally query.stop()
+  }
+
   test("streamingContainmentAgainstIndex batch≡stream: frozen winnow index on a live crawl") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
