@@ -565,6 +565,50 @@ object Similarity {
       .select(col("query_id"), col("c").as("corpus_id"), col("rank"), col("sim"))
   }
 
+  /** k-NN graph UPSERT — the HNSW insert primitive at one layer, the
+    * q151 lifecycle verb for the GRAPH artifact: new vectors join the
+    * stored graph WITHOUT an NN-Descent rebuild. Each new vector (1)
+    * beam-searches its top-k among the EXISTING corpus over the
+    * current graph ([[graphSearchTopK]] — O(rounds·beam·k) per
+    * vector, corpus-size-independent), becoming its own adjacency
+    * rows; (2) offers itself to each found neighbor, which re-ranks
+    * its current k edges ∪ the offer and keeps the best k (one keyed
+    * aggregation over ≤ |new|·k affected nodes). Untouched nodes'
+    * rows pass through verbatim — at rest this is an append + a
+    * bounded per-bucket rewrite, never a corpus shuffle.
+    *
+    * Batch simplification (documented): new↔new edges are not
+    * formed — each new node wires to the EXISTING graph only, the
+    * standard bulk-insert shape; a periodic NN-Descent round is the
+    * refresh. Determinism: grid-rounded sims, TopKPairs (sim desc,
+    * id asc) ties — new ids sort after existing ids on equal sim. */
+  def knnGraphUpsert(graph: DataFrame, corpus: DataFrame,
+      newVecs: DataFrame, k: Int, beam: Int = 8, rounds: Int = 2,
+      entries: Int = 4, seed: Int = 47, id: String = "vec_id",
+      vec: String = "embedding"): DataFrame = {
+    val found = graft.model.Workspace.stageCheckpoint(
+      graphSearchTopK(graph, corpus, newVecs, k, beam, rounds, entries,
+        seed, id, vec),
+      "graph_upsert_found")
+    val newEdges = found.select(col("query_id").as(id),
+      col("corpus_id").as("nbr"), col("rank"), col("sim"))
+    val rev = found.select(col("corpus_id").as("a"),
+      col("query_id").as("c"), col("sim"))
+    val affected = rev.select(col("a")).distinct()
+    val cur = graph.join(affected.withColumnRenamed("a", id), Seq(id))
+      .select(col(id).as("a"), col("nbr").as("c"), col("sim"))
+    val rer = cur.unionByName(rev)
+      .groupBy("a")
+      .agg(top_k_pairs(round(col("sim") + lit(1e-9), 6), col("c"), k).as("tk"))
+      .select(col("a"), posexplode(col("tk")).as(Seq("r0", "p")))
+      .select(col("a").as(id), col("p.id").as("nbr"),
+        (col("r0") + 1).cast("int").as("rank"), col("p.score").as("sim"))
+    val untouched = graph
+      .join(affected.withColumnRenamed("a", id), Seq(id), "left_anti")
+      .select(col(id), col("nbr"), col("rank"), col("sim"))
+    untouched.unionByName(rer).unionByName(newEdges)
+  }
+
   /** Graph-based SEMANTIC DEDUP — the k-NN graph artifact's second
     * job: [[knnGraphDescent]] edges at cosine ≥ `tau` close into
     * components (min-id label propagation, the q92 closure) and every

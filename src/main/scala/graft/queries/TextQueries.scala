@@ -1997,6 +1997,23 @@ object TextQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- k-NN graph UPSERT (the HNSW insert primitive — the q151
+    // lifecycle verb for the graph artifact): the q149 panel joins
+    // the stored graph by beam-searching its neighbors and offering
+    // itself to each of them; affected nodes re-rank to k, untouched
+    // rows pass through, no rebuild anywhere. ----
+    "q157_graph_upsert" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          transform(col("embedding"),
+            x => (x.cast("double") * lit(0.9) + lit(0.01)).cast("float"))
+            .as("embedding"))
+      Similarity.knnGraphUpsert(amortizedKnnGraph(s, dir), emb, qs,
+          k = 5, beam = 8, rounds = 3, entries = 4)
+        .orderBy("vec_id", "rank")
+    }),
+
     // ---- graph-based semantic dedup: the q150 stored graph's SECOND
     // job — edges at cosine >= 0.4 close into components (the q92
     // min-id closure), non-representative members flagged dropped.
@@ -2218,8 +2235,18 @@ object TextQueries {
     * inline (q149) and at-rest (q150) gates cannot drift — the graph
     * build is deterministic, so the stored-graph round trip must
     * land on the same hash. */
-  private lazy val graphSearchOracleSql: String = {
-    val k = 5; val dim = 64; val beam = 8; val rounds = 3; val entries = 4
+  private lazy val graphSearchOracleSql: String =
+    s"""WITH ${graphSearchCtes(k = 5, dim = 64, beam = 8, rounds = 3,
+        entries = 4)}
+       SELECT query_id, corpus_id, rank, sim + 0.0 AS sim
+       FROM gsr ORDER BY query_id, rank"""
+
+  /** The q149/q150/q157 shared graph-search chain WITHOUT the
+    * leading WITH: the q148 graph (nn2), the planted query panel,
+    * hash-ranked entries, all beam rounds, ending at `gsr`
+    * (query_id, corpus_id, sim, rank ≤ k). */
+  private def graphSearchCtes(k: Int, dim: Int, beam: Int, rounds: Int,
+      entries: Int): String = {
     val roundsSql = (0 until rounds).map { r =>
       s"""ex$r AS MATERIALIZED (
          SELECT DISTINCT query_id, c FROM (
@@ -2240,7 +2267,7 @@ object TextQueries {
                     ORDER BY round(sim + 1e-9, 6) DESC, c ASC) AS INT) AS rank
            FROM fsc$r) WHERE rank <= $beam)"""
     }.mkString(",\n       ")
-    s"""WITH ${nndChainCtes(k, dim)},
+    s"""${nndChainCtes(k, dim)},
        qrs AS MATERIALIZED (
          SELECT vec_id + 100000 AS query_id,
                 list_transform(embedding,
@@ -2266,13 +2293,13 @@ object TextQueries {
                   CAST(row_number() OVER (PARTITION BY query_id
                     ORDER BY round(sim + 1e-9, 6) DESC, c ASC) AS INT) AS rank
            FROM isc) WHERE rank <= $beam),
-       $roundsSql
-       SELECT query_id, corpus_id, rank, sim + 0.0 AS sim FROM (
-         SELECT query_id, c AS corpus_id, sim,
-                CAST(row_number() OVER (PARTITION BY query_id
-                  ORDER BY round(sim + 1e-9, 6) DESC, c ASC) AS INT) AS rank
-         FROM f$rounds) WHERE rank <= $k
-       ORDER BY query_id, rank"""
+       $roundsSql,
+       gsr AS (
+         SELECT query_id, corpus_id, sim, rank FROM (
+           SELECT query_id, c AS corpus_id, sim,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY round(sim + 1e-9, 6) DESC, c ASC) AS INT) AS rank
+           FROM f$rounds) WHERE rank <= $k)"""
   }
 
   /** The full q148 NN-Descent chain WITHOUT the leading `WITH` —
@@ -3689,6 +3716,30 @@ object TextQueries {
     // q150 = q149 over the stored graph; the build is deterministic,
     // so the at-rest round trip must land on the same hash.
     "q150_graph_amortized" -> graphSearchOracleSql,
+
+    // graph-upsert replay: the shared search chain (gsr = each new
+    // vector's top-k), reverse offers re-ranked per affected node,
+    // untouched nn2 rows verbatim, new nodes' rows from gsr
+    "q157_graph_upsert" ->
+      s"""WITH ${graphSearchCtes(k = 5, dim = 64, beam = 8, rounds = 3,
+          entries = 4)},
+       rev AS (SELECT corpus_id AS a, query_id AS c, sim FROM gsr),
+       aff AS (SELECT DISTINCT a FROM rev),
+       rer AS (
+         SELECT a, c, sim,
+                CAST(row_number() OVER (PARTITION BY a
+                  ORDER BY round(sim + 1e-9, 6) DESC, c ASC) AS INT) AS rank
+         FROM (SELECT n.a, n.c, n.sim FROM nn2 n JOIN aff USING (a)
+               UNION ALL SELECT a, c, sim FROM rev)),
+       upd AS (
+         SELECT a AS vec_id, c AS nbr, rank, sim FROM rer WHERE rank <= 5
+         UNION ALL
+         SELECT n.a AS vec_id, n.c AS nbr, n.rank, n.sim FROM nn2 n
+         WHERE n.a NOT IN (SELECT a FROM aff)
+         UNION ALL
+         SELECT query_id AS vec_id, corpus_id AS nbr, rank, sim FROM gsr)
+       SELECT vec_id, nbr, rank, sim + 0.0 AS sim FROM upd
+       ORDER BY vec_id, rank""",
 
     // graph-semdedup replay: the q148 graph chain, edges at
     // grid-rounded cosine >= 0.4, the q92 recursive min-label

@@ -362,6 +362,42 @@ class SimilaritySpec extends SparkSpec {
       assert(out(i) == ((i, true)), s"singleton $i must keep itself"))
   }
 
+  test("knnGraphUpsert: a new twin wires in at rank 1 both ways, untouched rows pass through") {
+    // 4 clusters of 10 (the knnGraphDescent fixture geometry)
+    val base = (0L until 40L).map { i =>
+      val c = (i / 10).toInt; val j = (i % 10).toInt
+      val v = Array.fill(9)(0.0f)
+      v(c * 2) = 10.0f; v(c * 2 + 1) = j.toFloat; v(8) = 5.0f + 0.1f * (i % 13)
+      (i, v.toSeq)
+    }
+    val df = base.toDF("vec_id", "embedding")
+    val graph = Similarity.knnGraphDescent(df, k = 3, iters = 3, dim = 9)
+      .localCheckpoint(true)
+    // the new vector: a near-copy of node 17 (cluster 1)
+    val twin = Seq((900L, base(17)._2.map(x => x * 1.001f)))
+      .toDF("vec_id", "embedding")
+    val upd = Similarity.knnGraphUpsert(graph, df, twin, k = 3, beam = 4,
+        rounds = 3, entries = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    // (a) the new node's rank-1 neighbor is its original
+    assert(upd((900L, 1)) == 17L, s"twin's top nbr: ${upd((900L, 1))}")
+    // (b) the original adopted the twin at rank 1 (cosine ~1 beats all)
+    assert(upd((17L, 1)) == 900L, s"node 17's top nbr: ${upd((17L, 1))}")
+    // (c) every node has exactly k rows; untouched nodes unchanged
+    val byNode = upd.keys.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(byNode.values.forall(_ == 3) && byNode.size == 41)
+    val affected = Similarity.graphSearchTopK(graph, df, twin, k = 3,
+        beam = 4, rounds = 3, entries = 2)
+      .select("corpus_id").collect().map(_.getLong(0)).toSet
+    val before = graph.collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    before.foreach { case ((n, rk), nbr) =>
+      if (!affected.contains(n))
+        assert(upd((n, rk)) == nbr, s"untouched node $n rank $rk changed")
+    }
+  }
+
   test("graphSearchTopK: beam search over the converged graph finds each query's true nearest") {
     // the knnGraphDescent planted-cluster fixture; queries are
     // perturbed copies of one member per cluster, so the true
