@@ -224,6 +224,8 @@ object Plans {
       "the q69 voom observation joins plus the GLS per-(gene,unit) aggregation joined back on gene — both sides data-grain keyed; AQE demotes to broadcast at runtime (final plans show BroadcastQueryStage)",
     "q79_full_curation" ->
       "curation keep-set joins (repetition/decontamination ids against the doc relation) — both sides corpus-grain keyed; AQE demotes at runtime",
+    "q158_e8_webcorpus" ->
+      "the q138 E7 joins (extraction line reassembly keyed on doc id, curation near-dup verify keyed on (id_a,id_b), loser anti-join) plus the URL-survivor semi-join on doc_id — all corpus-grain keyed; the URL-grain winner is a partial-aggregatable min_by; AQE demotes at runtime",
     "q138_e7_rawcrawl" ->
       "the q79 curation-chain joins over the EXTRACTED corpus (near-dup verify keyed on (id_a,id_b), loser anti-join on doc_id) plus the extraction's doc-keyed line reassembly — all corpus-grain keyed; AQE demotes at runtime",
     "q116_gopher_curation" ->

@@ -680,6 +680,29 @@ object TextQueries {
       .join(nSub, Seq("word"))
       .groupBy("doc_id").agg(sum(col("cnt") * col("n_sub")).as("toks"))
 
+  /** Shared q146/q158 planted-URL derivation (Spark side): five
+    * syntactic variants of the same page per 5-doc group — fragment /
+    * case+www / default port+trailing slash / tracking params /
+    * unsorted params+fbclid. Variants 0–3 canonicalize identically
+    * (one survivor, the min doc_id); variant 4 carries real params
+    * and survives separately. The oracle `urlCanonCtes` replays the
+    * derivation and the whole RFC-3986 §6 rule chain. */
+  private def plantedUrls(docs: DataFrame): DataFrame = {
+    val page = expr("doc_id div 5")
+    val site = pmod(page, lit(7)).cast("string")
+    val p = page.cast("string")
+    val base = concat(lit("https://site"), site, lit(".example.com/p/"), p)
+    val v = pmod(col("doc_id"), lit(5))
+    val url = when(v === 0, concat(base, lit("#section-2")))
+      .when(v === 1, concat(lit("HTTPS://WWW.SITE"), site,
+        lit(".EXAMPLE.COM/p/"), p))
+      .when(v === 2, concat(lit("https://site"), site,
+        lit(".example.com:443/p/"), p, lit("/")))
+      .when(v === 3, concat(base, lit("?utm_source=feed&utm_campaign=x")))
+      .otherwise(concat(base, lit("?b=2&a=1&fbclid=IwAB12")))
+    docs.withColumn("url", url)
+  }
+
   /** Shared q137/q138 planted-HTML derivation (Spark side): the
     * fixture text wrapped in a deterministic template — metadata head,
     * link-dense nav/ads/footer boilerplate, the original text as the
@@ -745,6 +768,75 @@ object TextQueries {
        SELECT doc_id,
               coalesce(string_agg(CASE WHEN keep THEN txt END, ' ' ORDER BY lpos), '') AS text
        FROM verdict GROUP BY doc_id"""
+
+  /** Shared q146/q158 fragment — the planted-URL derivation and the
+    * whole RFC-3986 §6 canonicalization chain, WITHOUT the leading
+    * WITH, ending at `canon` (doc_id, canon_url). One home so the
+    * URL-dedup gate and the E8 chain cannot drift. */
+  private val urlCanonCtes: String =
+    s"""u AS (
+         SELECT doc_id,
+           CASE CAST(doc_id % 5 AS INT)
+             WHEN 0 THEN 'https://site' || CAST((doc_id // 5) % 7 AS VARCHAR)
+               || '.example.com/p/' || CAST(doc_id // 5 AS VARCHAR) || '#section-2'
+             WHEN 1 THEN 'HTTPS://WWW.SITE' || CAST((doc_id // 5) % 7 AS VARCHAR)
+               || '.EXAMPLE.COM/p/' || CAST(doc_id // 5 AS VARCHAR)
+             WHEN 2 THEN 'https://site' || CAST((doc_id // 5) % 7 AS VARCHAR)
+               || '.example.com:443/p/' || CAST(doc_id // 5 AS VARCHAR) || '/'
+             WHEN 3 THEN 'https://site' || CAST((doc_id // 5) % 7 AS VARCHAR)
+               || '.example.com/p/' || CAST(doc_id // 5 AS VARCHAR)
+               || '?utm_source=feed&utm_campaign=x'
+             ELSE 'https://site' || CAST((doc_id // 5) % 7 AS VARCHAR)
+               || '.example.com/p/' || CAST(doc_id // 5 AS VARCHAR)
+               || '?b=2&a=1&fbclid=IwAB12'
+           END AS url
+         FROM documents),
+       c1 AS (
+         SELECT doc_id, regexp_replace(trim(url), '#.*$$', '') AS u1 FROM u),
+       c2 AS (
+         SELECT doc_id, u1,
+                regexp_extract(u1, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) AS auth0
+         FROM c1),
+       c3 AS (
+         SELECT doc_id,
+                regexp_replace(regexp_replace(regexp_replace(lower(auth0),
+                  '://www\\.', '://'),
+                  '^(http://[^/:?#]+):80$$', '\\1'),
+                  '^(https://[^/:?#]+):443$$', '\\1') AS auth,
+                substr(u1, length(auth0) + 1) AS rest
+         FROM c2),
+       c4 AS (
+         SELECT doc_id, auth,
+                regexp_replace(CASE WHEN strpos(rest, '?') > 0
+                  THEN substr(rest, 1, strpos(rest, '?') - 1) ELSE rest END,
+                  '/+$$', '') AS path,
+                CASE WHEN strpos(rest, '?') > 0
+                  THEN substr(rest, strpos(rest, '?') + 1) ELSE '' END AS query
+         FROM c3),
+       c5 AS (
+         SELECT doc_id, auth, path,
+                list_sort(list_filter(string_split(query, '&'),
+                  p -> p <> '' AND NOT regexp_matches(p,
+                    '^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_eid|igshid|ref)(=|${"$"})')))
+                  AS params
+         FROM c4),
+       canon AS (
+         SELECT doc_id, auth || path ||
+                (CASE WHEN len(params) > 0
+                  THEN '?' || array_to_string(params, '&') ELSE '' END) AS canon_url
+         FROM c5)"""
+
+  /** q158 source: the q137 extraction replay restricted to q146's
+    * URL-dedup survivors — the E8 chain's crawl front as ONE
+    * self-contained subquery. */
+  private lazy val e8SrcSql: String =
+    s"""WITH $urlCanonCtes,
+       usurv AS (SELECT min(doc_id) AS doc_id FROM canon GROUP BY canon_url),
+       $htmlVerdictCtes
+       SELECT v.doc_id,
+              coalesce(string_agg(CASE WHEN keep THEN txt END, ' ' ORDER BY lpos), '') AS text
+       FROM verdict v JOIN usurv ON usurv.doc_id = v.doc_id
+       GROUP BY v.doc_id"""
 
   /** Shared q132/q133 CTE chain — winnowing selection replay: per-doc
     * k-gram md5 list `hs`, then per window j the min hash with the
@@ -979,21 +1071,27 @@ object TextQueries {
     // separately. The oracle replays the derivation and the whole
     // RFC-3986 §6 rule chain. ----
     "q146_url_dedup" -> ((s, dir) => {
-      val page = expr("doc_id div 5")
-      val site = pmod(page, lit(7)).cast("string")
-      val p = page.cast("string")
-      val base = concat(lit("https://site"), site, lit(".example.com/p/"), p)
-      val v = pmod(col("doc_id"), lit(5))
-      val url = when(v === 0, concat(base, lit("#section-2")))
-        .when(v === 1, concat(lit("HTTPS://WWW.SITE"), site,
-          lit(".EXAMPLE.COM/p/"), p))
-        .when(v === 2, concat(lit("https://site"), site,
-          lit(".example.com:443/p/"), p, lit("/")))
-        .when(v === 3, concat(base, lit("?utm_source=feed&utm_campaign=x")))
-        .otherwise(concat(base, lit("?b=2&a=1&fbclid=IwAB12")))
-      graft.operators.TextExtract.urlDedup(
-          t(s, dir, "documents").withColumn("url", url))
+      graft.operators.TextExtract.urlDedup(plantedUrls(t(s, dir, "documents")))
         .select(col("doc_id"), col("canon_url"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- E8: the complete web-corpus build front — URL-grain dedup
+    // (q146, dedup BEFORE fetch) → HTML extraction (q137) → the full
+    // E4 curation chain. One composed oracle: the q65 core's source
+    // is the extraction replay restricted to URL-dedup survivors. ----
+    "q158_e8_webcorpus" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val survivors = graft.operators.TextExtract.urlDedup(plantedUrls(docs))
+        .select("doc_id")
+      val extracted = graft.operators.TextExtract
+        .extractHtmlText(plantedHtml(docs.join(survivors, Seq("doc_id"))))
+        .select(col("doc_id"), col("text"))
+      graft.Pipelines.textCuration(extracted, langs = Seq("en"),
+          minQuality = 0.3, nearDupJaccard = 0.5, md5Hashes = true)
+        .select(col("doc_id"), col("lang"),
+          round(col("quality") + 1e-9, 6).as("quality"),
+          col("ws_tokens"), col("bpeish_tokens"))
         .orderBy("doc_id")
     }),
 
@@ -2929,59 +3027,23 @@ object TextQueries {
     // strip, tracking-param filter + param sort), then min-doc_id
     // per canonical url
     "q146_url_dedup" ->
-      s"""WITH u AS (
-         SELECT doc_id,
-           CASE CAST(doc_id % 5 AS INT)
-             WHEN 0 THEN 'https://site' || CAST((doc_id // 5) % 7 AS VARCHAR)
-               || '.example.com/p/' || CAST(doc_id // 5 AS VARCHAR) || '#section-2'
-             WHEN 1 THEN 'HTTPS://WWW.SITE' || CAST((doc_id // 5) % 7 AS VARCHAR)
-               || '.EXAMPLE.COM/p/' || CAST(doc_id // 5 AS VARCHAR)
-             WHEN 2 THEN 'https://site' || CAST((doc_id // 5) % 7 AS VARCHAR)
-               || '.example.com:443/p/' || CAST(doc_id // 5 AS VARCHAR) || '/'
-             WHEN 3 THEN 'https://site' || CAST((doc_id // 5) % 7 AS VARCHAR)
-               || '.example.com/p/' || CAST(doc_id // 5 AS VARCHAR)
-               || '?utm_source=feed&utm_campaign=x'
-             ELSE 'https://site' || CAST((doc_id // 5) % 7 AS VARCHAR)
-               || '.example.com/p/' || CAST(doc_id // 5 AS VARCHAR)
-               || '?b=2&a=1&fbclid=IwAB12'
-           END AS url
-         FROM documents),
-       c1 AS (
-         SELECT doc_id, regexp_replace(trim(url), '#.*$$', '') AS u1 FROM u),
-       c2 AS (
-         SELECT doc_id, u1,
-                regexp_extract(u1, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) AS auth0
-         FROM c1),
-       c3 AS (
-         SELECT doc_id,
-                regexp_replace(regexp_replace(regexp_replace(lower(auth0),
-                  '://www\\.', '://'),
-                  '^(http://[^/:?#]+):80$$', '\\1'),
-                  '^(https://[^/:?#]+):443$$', '\\1') AS auth,
-                substr(u1, length(auth0) + 1) AS rest
-         FROM c2),
-       c4 AS (
-         SELECT doc_id, auth,
-                regexp_replace(CASE WHEN strpos(rest, '?') > 0
-                  THEN substr(rest, 1, strpos(rest, '?') - 1) ELSE rest END,
-                  '/+$$', '') AS path,
-                CASE WHEN strpos(rest, '?') > 0
-                  THEN substr(rest, strpos(rest, '?') + 1) ELSE '' END AS query
-         FROM c3),
-       c5 AS (
-         SELECT doc_id, auth, path,
-                list_sort(list_filter(string_split(query, '&'),
-                  p -> p <> '' AND NOT regexp_matches(p,
-                    '^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_eid|igshid|ref)(=|${"$"})')))
-                  AS params
-         FROM c4),
-       canon AS (
-         SELECT doc_id, auth || path ||
-                (CASE WHEN len(params) > 0
-                  THEN '?' || array_to_string(params, '&') ELSE '' END) AS canon_url
-         FROM c5)
+      s"""WITH $urlCanonCtes
        SELECT min(doc_id) AS doc_id, canon_url
        FROM canon GROUP BY canon_url ORDER BY doc_id""",
+
+    // E8 replay: the q65 curation core with its source = the q137
+    // extraction replay restricted to q146's URL-dedup survivors
+    "q158_e8_webcorpus" ->
+      (s"""${curationCoreSql(e8SrcSql)}
+          SELECT doc_id, lang, round(q + 1e-9, 6) + 0.0 AS quality,
+                 CAST(len(toks) AS INT) AS ws_tokens,
+                 CAST(coalesce(list_sum(list_transform(toks,
+                        w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0)
+                      + length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS INT) AS bpeish_tokens
+          FROM quality
+          WHERE lang = 'en' AND q >= 0.3
+          ORDER BY doc_id"""),
+
 
     // HTML-extraction replay: the planted template + the full regexp
     // chain (head/script/style strip, block tags → lines, tag strip,
