@@ -114,6 +114,23 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("sig")
   }
 
+  /** Streaming URL-grain dedup — the crawl-FRONTIER form of
+    * [[graft.operators.TextExtract.urlDedup]] (dedup BEFORE fetch, no
+    * content needed): each arriving URL canonicalizes through the
+    * same RFC-3986 §6 codegen rule chain, and
+    * `dropDuplicatesWithinWatermark` on the canonical key keeps
+    * exactly the first arrival per page with ONE state row per
+    * distinct canonical URL, evicted at the watermark. Keep-first is
+    * ARRIVAL order — the batch operator's min-id winner has no
+    * streaming meaning (the [[streamingDedup]] convention). */
+  def streamingUrlDedup(docs: DataFrame, ts: String = "ts",
+      url: String = "url", watermarkDelay: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("canon_url",
+        graft.operators.TextExtract.canonicalizeUrl(col(url)))
+      .withWatermark(ts, watermarkDelay)
+      .dropDuplicatesWithinWatermark("canon_url")
+
   case class KeyedDoc(ts: Timestamp, key: String, doc_id: Long, text: String)
 
   /** Streaming per-key QUOTA — the incremental form of

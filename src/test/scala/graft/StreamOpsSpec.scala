@@ -496,6 +496,49 @@ class StreamOpsSpec extends SparkSpec {
     }
   }
 
+  test("streamingUrlDedup: one survivor per canonical URL, first arrival wins, canon keys ≡ batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.TextExtract
+    // the q146 planted variants: 5 syntactic spellings of each page
+    def urlOf(id: Long): String = {
+      val page = id / 5; val site = page % 7
+      val base = s"https://site$site.example.com/p/$page"
+      (id % 5) match {
+        case 0 => base + "#section-2"
+        case 1 => s"HTTPS://WWW.SITE$site.EXAMPLE.COM/p/$page"
+        case 2 => s"https://site$site.example.com:443/p/$page/"
+        case 3 => base + "?utm_source=feed&utm_campaign=x"
+        case _ => base + "?b=2&a=1&fbclid=IwAB12"
+      }
+    }
+    val ids = (0L until 200L)
+    val batch = TextExtract.urlDedup(
+        ids.map(i => (i, urlOf(i))).toDF("doc_id", "url"))
+      .select("doc_id", "canon_url").collect()
+      .map(r => r.getString(1) -> r.getLong(0)).toMap
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamOps.streamingUrlDedup(
+      input.toDS().toDF("ts", "doc_id", "url"))
+    val query = out.writeStream.format("memory")
+      .queryName("url_dedup_out").outputMode("append").start()
+    try {
+      val t0 = 1700000000000L
+      // ascending arrival ⇒ first arrival per canon key IS the min id,
+      // so the stream must reproduce the batch winner map exactly
+      ids.grouped(50).foreach { b =>
+        input.addData(b.map(i => (new Timestamp(t0 + i), i, urlOf(i))): _*)
+        query.processAllAvailable()
+      }
+      val stream = spark.table("url_dedup_out")
+        .select("doc_id", "canon_url").collect()
+        .map(r => r.getString(1) -> r.getLong(0)).toMap
+      assert(stream == batch,
+        s"diverged: onlyStream=${stream.toSet -- batch.toSet} " +
+          s"onlyBatch=${batch.toSet -- stream.toSet}")
+    } finally query.stop()
+  }
+
   test("streamingFertilityVerdicts batch≡stream: static fertility relation + batch-fit threshold") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
