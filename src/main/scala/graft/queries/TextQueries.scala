@@ -1603,6 +1603,38 @@ object TextQueries {
         .orderBy("source", "split")
     }),
 
+    // ---- corpus DATASHEET (the dataset-card table a data team
+    // ships with a corpus): per-source doc/token/vocab mass, language
+    // purity, exact-duplicate rate (corpus-wide winners, attributed
+    // to the duplicate's source), and mean quality — every signal on
+    // its established convention (q30/q31/q32/q33/q98). ----
+    "q159_corpus_datasheet" -> ((s, dir) => {
+      import graft.functions.TextFunctions.{fingerprint, langId, qualityScore, tokens}
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"),
+          tokens(col("text")).as("toks"))
+        .withColumn("lang_pred", langId(col("toks")))
+        .withColumn("q", qualityScore(col("text")))
+        .withColumn("fp", fingerprint(col("text")))
+      val winners = base.groupBy("fp").agg(min("doc_id").as("__w"))
+      val flagged = base.join(winners, Seq("fp"))
+        .withColumn("is_dup", col("doc_id") =!= col("__w"))
+      val ps = flagged.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(col("toks"))).cast("long").as("ws_tokens"),
+        round(avg(when(col("lang_pred") === "en", 1.0).otherwise(0.0)) + 1e-9, 4)
+          .as("pct_en"),
+        round(avg(when(col("is_dup"), 1.0).otherwise(0.0)) + 1e-9, 4)
+          .as("dup_rate"),
+        round(avg("q") + 1e-9, 6).as("avg_quality"))
+      val vocab = base.select(col("source"), explode(col("toks")).as("w"))
+        .groupBy("source").agg(countDistinct(col("w")).as("vocab"))
+      ps.join(vocab, Seq("source"))
+        .select(col("source"), col("n_docs"), col("ws_tokens"), col("vocab"),
+          col("pct_en"), col("dup_rate"), col("avg_quality"))
+        .orderBy("source")
+    }),
+
     // ---- train/test LEAKAGE audit (the split-side complement of
     // benchmark decontamination): q97's hash splits + q35's verified
     // near-dup pairs — pairs CROSSING a split boundary, per ordered
@@ -3646,6 +3678,57 @@ object TextQueries {
 
     // split replay: identical literal hex thresholds (generated by
     // the same splitThresholds call the operator uses).
+    // datasheet replay: per-doc lang CASE (the q33 tie order),
+    // quality blend (q32), fingerprint winners (q30), per-source
+    // aggregation + vocab
+    "q159_corpus_datasheet" ->
+      (s"""WITH tk AS ($toksSql),
+          sc AS (
+            SELECT doc_id, source, toks,
+                   md5(array_to_string(toks, ' ')) AS fp,
+                   len(list_filter(toks, w -> list_contains(${langListSql("en")}, w))) AS s_en,
+                   len(list_filter(toks, w -> list_contains(${langListSql("de")}, w))) AS s_de,
+                   len(list_filter(toks, w -> list_contains(${langListSql("es")}, w))) AS s_es,
+                   len(list_filter(toks, w -> list_contains(${langListSql("fr")}, w))) AS s_fr,
+                   len(toks) * 1.0 AS ntok,
+                   CASE WHEN len(toks) > 0
+                        THEN coalesce(list_sum(list_transform(toks, w -> length(w))), 0) * 1.0 / len(toks)
+                        ELSE 0.0 END AS mwl,
+                   CASE WHEN length(text) > 0
+                        THEN length(regexp_replace(text, '[^.,!?;:]', '', 'g')) * 1.0 / length(text)
+                        ELSE 0.0 END AS pr,
+                   CASE WHEN len(toks) > 0
+                        THEN len(list_filter(toks, w -> list_contains($stoplistSql, w))) * 1.0 / len(toks)
+                        ELSE 0.0 END AS sr
+            FROM tk),
+          b AS (
+            SELECT doc_id, source, toks, fp,
+                   CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+                        WHEN s_fr = greatest(s_en, s_de, s_es, s_fr) THEN 'fr'
+                        WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+                        WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+                        ELSE 'de' END AS lang_pred,
+                   least(1.0, ntok / 100.0) * 0.3
+                 + (1.0 - least(1.0, abs(mwl - 5.0) / 5.0)) * 0.3
+                 + (1.0 - least(1.0, pr * 10.0)) * 0.2
+                 + least(1.0, sr * 3.0) * 0.2 AS q
+            FROM sc),
+          w AS (SELECT fp, min(doc_id) AS wid FROM b GROUP BY 1),
+          f AS (SELECT b.*, b.doc_id <> w.wid AS is_dup
+                FROM b JOIN w USING (fp)),
+          ps AS (
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(len(toks)) AS BIGINT) AS ws_tokens,
+                   round(avg(CASE WHEN lang_pred = 'en' THEN 1.0 ELSE 0.0 END) + 1e-9, 4) + 0.0 AS pct_en,
+                   round(avg(CASE WHEN is_dup THEN 1.0 ELSE 0.0 END) + 1e-9, 4) + 0.0 AS dup_rate,
+                   round(avg(q) + 1e-9, 6) + 0.0 AS avg_quality
+            FROM f GROUP BY 1),
+          vc AS (SELECT source, count(DISTINCT w) AS vocab
+                 FROM (SELECT source, unnest(toks) AS w FROM tk) GROUP BY 1)
+          SELECT ps.source, n_docs, ws_tokens, vocab, pct_en, dup_rate,
+                 avg_quality
+          FROM ps JOIN vc USING (source) ORDER BY 1"""),
+
     // leakage replay: the q97 split labels (seed 11) on the q35
     // verified pairs, cross-split rows only, the q152 stat tail
     "q155_split_leakage" -> locally {
