@@ -609,6 +609,74 @@ object Similarity {
     untouched.unionByName(rer).unionByName(newEdges)
   }
 
+  /** FAISS-style SCALAR quantization fit (SQ8): per-dimension
+    * min/max over the corpus — ONE keyed aggregation, `dim` output
+    * rows, collected as the affine code parameters. Exact (no
+    * sampling): a per-dim extremum is partial-aggregatable and
+    * costs a scan, and an out-of-range query value would otherwise
+    * clamp training vectors. */
+  def sqFit(corpus: DataFrame, dim: Int,
+      vec: String = "embedding"): (Array[Double], Array[Double]) = {
+    val rows = corpus.select(posexplode(col(vec)).as(Seq("d", "v")))
+      .groupBy("d")
+      .agg(min(col("v").cast("double")).as("mn"),
+        max(col("v").cast("double")).as("mx"))
+      .collect()
+    val mn = Array.ofDim[Double](dim)
+    val mx = Array.ofDim[Double](dim)
+    rows.foreach { r =>
+      val d = r.getInt(0); mn(d) = r.getDouble(1); mx(d) = r.getDouble(2)
+    }
+    (mn, mx)
+  }
+
+  /** SQ8 ENCODE: each float dimension to one affine int8 code
+    * (`round((x−mn)/(mx−mn)·255)`, clamped; constant dims code 0) —
+    * 4× smaller vectors at rest, the storage half of the FAISS
+    * ScalarQuantizer. Pure codegen transform; params ride as plan
+    * constants (dim-bounded, the Lloyd-centroid convention). */
+  def sqEncode(corpus: DataFrame, mn: Array[Double], mx: Array[Double],
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val mnA = array(mn.map(lit(_)): _*)
+    val mxA = array(mx.map(lit(_)): _*)
+    corpus.select(col(id),
+      transform(col(vec), (x, i) => {
+        val m = element_at(mnA, i + 1)
+        val bigM = element_at(mxA, i + 1)
+        when(bigM > m,
+          least(lit(255.0), greatest(lit(0.0),
+            round((x.cast("double") - m) / (bigM - m) * lit(255.0) + lit(1e-9), 0))))
+          .otherwise(lit(0.0)).cast("int")
+      }).as("codes"))
+  }
+
+  /** SQ8 DECODE: codes back to the reconstruction grid
+    * (`mn + code/255·(mx−mn)`, cast to float — double arithmetic,
+    * float storage, so both engines replay the IEEE rounding
+    * bit-identically, the q145 convention). */
+  def sqDecode(codes: DataFrame, mn: Array[Double], mx: Array[Double],
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val mnA = array(mn.map(lit(_)): _*)
+    val mxA = array(mx.map(lit(_)): _*)
+    codes.select(col(id),
+      transform(col("codes"), (c, i) => {
+        val m = element_at(mnA, i + 1)
+        val bigM = element_at(mxA, i + 1)
+        (m + c.cast("double") / lit(255.0) * (bigM - m)).cast("float")
+      }).as(vec))
+  }
+
+  /** SQ8 search: exact cosine top-k of float queries against the
+    * DECODED code relation ([[bruteForceTopK]] over the
+    * reconstruction) — the accuracy/storage trade measured at query
+    * time. At scale the codes relation is the at-rest artifact (4×
+    * smaller scans); compose with IVF cells for the pruned form
+    * exactly as PQ does. */
+  def sqTopK(codes: DataFrame, queries: DataFrame, k: Int,
+      mn: Array[Double], mx: Array[Double], id: String = "vec_id",
+      vec: String = "embedding"): DataFrame =
+    bruteForceTopK(sqDecode(codes, mn, mx, id, vec), queries, k, id, vec)
+
   /** Graph-based SEMANTIC DEDUP — the k-NN graph artifact's second
     * job: [[knnGraphDescent]] edges at cosine ≥ `tau` close into
     * components (min-id label propagation, the q92 closure) and every

@@ -2127,6 +2127,22 @@ object TextQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- scalar quantization (FAISS SQ8 — the missing classic of
+    // the quantization family next to PQ/IVF-PQ): per-dim affine
+    // int8 codes (4x smaller at rest), float queries ranked by exact
+    // cosine against the RECONSTRUCTION. Fit/encode/decode all
+    // replay in the oracle — integer codes, double arithmetic,
+    // float storage. ----
+    "q160_sq8_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val (mn, mx) = Similarity.sqFit(emb, dim = 64)
+      val codes = Similarity.sqEncode(emb, mn, mx)
+      Similarity.sqTopK(codes, emb.filter(col("vec_id") < 20), k = 5, mn, mx)
+        .select(col("query_id"), col("corpus_id"), col("rank"),
+          round(col("cosine") + 1e-9, 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- k-NN graph UPSERT (the HNSW insert primitive — the q151
     // lifecycle verb for the graph artifact): the q149 panel joins
     // the stored graph by beam-searching its neighbors and offering
@@ -3861,6 +3877,50 @@ object TextQueries {
     // q150 = q149 over the stored graph; the build is deterministic,
     // so the at-rest round trip must land on the same hash.
     "q150_graph_amortized" -> graphSearchOracleSql,
+
+    // SQ8 replay: per-dim min/max fit, integer encode (round-half-up
+    // on positive values agrees across engines; +1e-9 nudges binary
+    // .5 boundaries consistently), double-arithmetic float-storage
+    // decode, q37 ranking over the reconstruction
+    "q160_sq8_topk" ->
+      s"""WITH prm AS (
+         SELECT i AS d, min(CAST(e.embedding[i] AS DOUBLE)) AS mn,
+                max(CAST(e.embedding[i] AS DOUBLE)) AS mx
+         FROM embeddings e, (SELECT unnest(generate_series(1, 64)) AS i)
+         GROUP BY 1),
+       pa AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs
+              FROM prm),
+       cd AS (
+         SELECT e.vec_id,
+                list_transform(generate_series(1, 64),
+                  i -> CAST(CASE WHEN mxs[i] > mns[i]
+                    THEN least(255.0, greatest(0.0,
+                      round((CAST(e.embedding[i] AS DOUBLE) - mns[i])
+                            / (mxs[i] - mns[i]) * 255.0 + 1e-9)))
+                    ELSE 0.0 END AS INT)) AS codes
+         FROM embeddings e, pa),
+       dec AS (
+         SELECT vec_id,
+                list_transform(generate_series(1, 64),
+                  i -> CAST(mns[i] + CAST(codes[i] AS DOUBLE) / 255.0
+                            * (mxs[i] - mns[i]) AS REAL)) AS demb
+         FROM cd, pa),
+       scored AS (
+         SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                list_sum(list_transform(range(1, 65),
+                  i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.demb[i] AS DOUBLE))) /
+                (sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+                 sqrt(list_sum(list_transform(c.demb, x -> x::DOUBLE * x::DOUBLE)))) AS cosine
+         FROM embeddings q JOIN dec c ON q.vec_id <> c.vec_id
+         WHERE q.vec_id < 20),
+       ranked AS (
+         SELECT query_id, corpus_id, cosine,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, corpus_id ASC) AS rank
+         FROM scored)
+       SELECT query_id, corpus_id, CAST(rank AS INT) AS rank,
+              round(cosine + 1e-9, 6) + 0.0 AS cosine
+       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
 
     // graph-upsert replay: the shared search chain (gsr = each new
     // vector's top-k), reverse offers re-ranked per affected node,

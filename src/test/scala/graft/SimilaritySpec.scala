@@ -362,6 +362,43 @@ class SimilaritySpec extends SparkSpec {
       assert(out(i) == ((i, true)), s"singleton $i must keep itself"))
   }
 
+  test("SQ8: codes bounded, reconstruction within half a step, top-k ≈ exact on clustered data") {
+    val base = (0L until 40L).map { i =>
+      val c = (i / 10).toInt; val j = (i % 10).toInt
+      val v = Array.fill(9)(0.0f)
+      v(c * 2) = 10.0f; v(c * 2 + 1) = j.toFloat; v(8) = 5.0f + 0.1f * (i % 13)
+      (i, v.toSeq)
+    }
+    val df = base.toDF("vec_id", "embedding")
+    val (mn, mx) = Similarity.sqFit(df, dim = 9)
+    val codes = Similarity.sqEncode(df, mn, mx).localCheckpoint(true)
+    assert(codes.select(explode(col("codes")).as("c"))
+      .filter(col("c") < 0 || col("c") > 255).count() == 0)
+    // reconstruction error ≤ half a quantization step per dimension
+    val err = Similarity.sqDecode(codes, mn, mx)
+      .withColumnRenamed("embedding", "demb")
+      .join(df, Seq("vec_id"))
+      .select(posexplode(arrays_zip(col("embedding"), col("demb"))).as(Seq("d", "z")))
+      .select(col("d"), abs(col("z.embedding") - col("z.demb")).as("e"))
+      .collect()
+    err.foreach { r =>
+      val d = r.getInt(0)
+      val halfStep = (mx(d) - mn(d)) / 255.0 / 2.0 + 1e-6
+      assert(r.getFloat(1) <= halfStep, s"dim $d err ${r.getFloat(1)} > $halfStep")
+    }
+    // search over the reconstruction: high recall vs exact
+    val qs = df.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(df, qs, k = 3).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("corpus_id")).toSet).toMap
+    val sq = Similarity.sqTopK(codes, qs, k = 3, mn, mx).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("corpus_id")).toSet).toMap
+    val recall = exact.keys.toSeq.map(q =>
+      (sq(q) & exact(q)).size.toDouble / 3.0).sum / exact.size
+    assert(recall >= 0.9, s"SQ8 recall@3 = $recall")
+  }
+
   test("knnGraphUpsert: a new twin wires in at rank 1 both ways, untouched rows pass through") {
     // 4 clusters of 10 (the knnGraphDescent fixture geometry)
     val base = (0L until 40L).map { i =>
