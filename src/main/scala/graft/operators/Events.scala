@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream relational primitives the engine's `events` family
+  * builds on. The centerpiece is the AS-OF join — the time-series
+  * operator Spark has no native form of (the brief's canonical
+  * example): each left row matched to the single right row with the
+  * greatest right time ≤ the left time, per key.
+  */
+object Events {
+
+  /** AS-OF join, composed from built-ins (no custom plan node
+    * needed): tag both sides, union, and carry the latest right row
+    * forward with `last(_, ignoreNulls) OVER (PARTITION BY key ORDER
+    * BY time, side ROWS UNBOUNDED PRECEDING)` — right rows sort
+    * BEFORE left rows at equal time, so the match is inclusive
+    * (right.time ≤ left.time), the DuckDB `ASOF JOIN ... ON l.t >=
+    * r.t` semantics. The carried payload is ONE struct per right
+    * row, so a match is always a consistent single row even when
+    * some right columns are null. Left rows with no prior right row
+    * keep null match columns (LEFT-join semantics).
+    *
+    * Scale shape: one union + ONE keyed window (partitioned by
+    * `key`, running frame — a streaming aggregate, no whole-partition
+    * sort buffer beyond the key group). Never a per-left-row
+    * subquery, never a range cross-join: cost is the per-key event
+    * volume, which is the as-of problem's intrinsic grain. A key
+    * whose history exceeds one task's memory needs time-bucketed
+    * pre-splitting — out of contract here, as in every keyed-window
+    * operator in this engine.
+    *
+    * Determinism: (time, side) ordering is total on fixtures with
+    * unique (key, time) per side; right-side ties at one instant
+    * would be order-dependent, so callers with tied clocks must add
+    * a tie column to `time`'s grain upstream. */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      time: String, rightVals: Seq[String],
+      prefix: String = "asof_"): DataFrame = {
+    val lCols = left.columns.toSeq
+    val payload = struct(
+      (rightVals.map(col) :+ col(time).as("__t")): _*)
+    val rU = right.select(col(key), col(time), lit(0).as("__side"),
+      payload.as("__r"))
+    val payloadType = rU.schema("__r").dataType
+    val lU = left.select(
+      (lCols.map(col) :+ lit(1).as("__side") :+
+        lit(null).cast(payloadType).as("__r")): _*)
+    val rAligned = rU.select(
+      (lCols.map(c =>
+        if (c == key) col(key)
+        else if (c == time) col(time)
+        else lit(null).cast(left.schema(c).dataType).as(c)) :+
+        col("__side") :+ col("__r")): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(time).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lU.unionByName(rAligned)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select((lCols.map(col) ++
+        rightVals.map(v => col(s"__m.$v").as(s"$prefix$v")) :+
+        col("__m.__t").as(s"$prefix$time")): _*)
+  }
+}

@@ -279,6 +279,24 @@ object MetaQueries {
         .orderBy("event_type")
     }),
 
+    // ---- AS-OF join (click → latest prior view per user — the
+    // impression-attribution shape; the brief's canonical missing-
+    // Spark operator, composed as union + ONE keyed running window,
+    // never a per-row subquery). DuckDB replays it with its native
+    // ASOF LEFT JOIN — two independent implementations of the
+    // semantics must agree. ----
+    "q161_asof_join" -> ((s, dir) => {
+      val ev = eventsWithMicros(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "us", "value")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("us"), col("event_id").as("view_id"),
+          col("value").as("view_value"))
+      graft.operators.Events.asofJoin(clicks, views, key = "user_id",
+          time = "us", rightVals = Seq("view_id", "view_value"))
+        .orderBy("event_id")
+    }),
+
     // ---- tumbling-window event aggregation (streaming-shaped) ----
     "q27_event_window" -> ((s, dir) => {
       val ev = eventsWithMicros(s, dir)
@@ -606,6 +624,27 @@ object MetaQueries {
                   CAST(sum(CASE WHEN gap IS NULL OR gap > 30*60*1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
                   count(*) AS n_events
            FROM gaps GROUP BY 1""",
+
+    // the engine's union+window form vs DuckDB's NATIVE ASOF JOIN —
+    // the strongest kind of gate: two unrelated implementations of
+    // the same semantics (inclusive match, per-key latest-prior)
+    "q161_asof_join" ->
+      """WITH ev AS (
+           SELECT event_id, user_id, epoch_us(ts) AS us, event_type, value
+           FROM events
+         ), c AS (
+           SELECT event_id, user_id, us, value FROM ev
+           WHERE event_type = 'click'
+         ), v AS (
+           SELECT user_id, us, event_id AS view_id, value AS view_value
+           FROM ev WHERE event_type = 'view'
+         )
+         SELECT c.event_id, c.user_id, c.us, c.value,
+                v.view_id AS asof_view_id, v.view_value AS asof_view_value,
+                v.us AS asof_us
+         FROM c ASOF LEFT JOIN v
+           ON c.user_id = v.user_id AND c.us >= v.us
+         ORDER BY c.event_id""",
 
     "q27_event_window" ->
       """SELECT CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS mo, CAST(day(ts) AS INT) AS d, CAST(hour(ts) AS INT) AS h,

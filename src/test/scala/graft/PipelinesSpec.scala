@@ -315,6 +315,35 @@ class PipelinesSpec extends SparkSpec {
     assert((1L to 10L).forall(out(_)), "normal docs must pass")
   }
 
+  test("asofJoin: latest-prior per key, inclusive at equal time, null when no prior") {
+    import graft.operators.Events
+    val clicks = Seq(
+      (1L, 7L, 100L, 1.0),  // prior views at 50, 90 -> match 90
+      (2L, 7L, 60L, 2.0),   // prior view at 50 -> match 50
+      (3L, 7L, 40L, 3.0),   // no prior view -> null match
+      (4L, 8L, 200L, 4.0),  // view at exactly 200 -> inclusive match
+      (5L, 9L, 10L, 5.0))   // user with no views at all -> null
+      .toDF("event_id", "user_id", "us", "value")
+    val views = Seq(
+      (101L, 7L, 50L, 0.5), (102L, 7L, 90L, 0.9),
+      (103L, 7L, 150L, 1.5),  // AFTER click 1 -> never matched by it
+      (104L, 8L, 200L, 2.0))
+      .toDF("view_id", "user_id", "us", "view_value")
+      .select(col("user_id"), col("us"), col("view_id"), col("view_value"))
+    val out = Events.asofJoin(clicks, views, key = "user_id", time = "us",
+        rightVals = Seq("view_id", "view_value"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.get(4)).map(_.asInstanceOf[Long]),
+          Option(r.get(6)).map(_.asInstanceOf[Long]))))
+      .toMap
+    assert(out(1L) == ((Some(102L), Some(90L))), s"got ${out(1L)}")
+    assert(out(2L) == ((Some(101L), Some(50L))), s"got ${out(2L)}")
+    assert(out(3L) == ((None, None)), s"got ${out(3L)}")
+    assert(out(4L) == ((Some(104L), Some(200L))), s"inclusive: ${out(4L)}")
+    assert(out(5L) == ((None, None)), s"got ${out(5L)}")
+  }
+
   test("textCuration repeatedSpanN hook equals manual span-mask composition") {
     val boiler = "all rights reserved contact the webmaster for license terms today"
     val docs = Seq(
