@@ -36,6 +36,38 @@ object Events {
     * unique (key, time) per side; right-side ties at one instant
     * would be order-dependent, so callers with tied clocks must add
     * a tie column to `time`'s grain upstream. */
+  /** Binned RANGE join — point-in-interval per key, the other
+    * classic operator Spark lacks natively (a bare range predicate
+    * plans as a nested-loop cross join): intervals explode into
+    * fixed-width time bins, each point lands in exactly ONE bin, the
+    * join becomes an EQUI-join on (key, bin), and the exact
+    * containment filter runs after. A qualifying (point, interval)
+    * pair surfaces exactly once — the point's single bin — so no
+    * dedup pass is needed. `binWidth` trades interval fan-out
+    * (⌈len/W⌉+1 rows per interval) against bin selectivity; pick ≈
+    * the typical interval length. Times must be non-negative
+    * integers (`div` binning). Interval columns come back prefixed.
+    *
+    * Scale shape: one equi-join keyed on (key, bin) — shuffles
+    * partition by the join key like any aggregation; a hot (key,
+    * bin) means genuinely overlapping mass, the problem's intrinsic
+    * output size, not an artifact. */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, key: String,
+      t: String, lo: String, hi: String, binWidth: Long,
+      prefix: String = "iv_"): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val pB = points.withColumn("__bin", expr(s"$t div ${binWidth}L"))
+    val iCols = intervals.columns.filterNot(_ == key).toSeq
+    val iB = intervals
+      .withColumn("__bin", explode(sequence(
+        expr(s"$lo div ${binWidth}L"), expr(s"$hi div ${binWidth}L"))))
+      .select((col(key) +: col("__bin") +:
+        iCols.map(c => col(c).as(s"$prefix$c"))): _*)
+    pB.join(iB, Seq(key, "__bin"))
+      .filter(col(t) >= col(s"$prefix$lo") && col(t) <= col(s"$prefix$hi"))
+      .drop("__bin")
+  }
+
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
       time: String, rightVals: Seq[String],
       prefix: String = "asof_"): DataFrame = {

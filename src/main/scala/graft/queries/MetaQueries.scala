@@ -297,6 +297,27 @@ object MetaQueries {
         .orderBy("event_id")
     }),
 
+    // ---- binned RANGE join (view → every purchase whose 24 h
+    // attribution window contains it, per user): intervals explode
+    // to 6 h bins, the join is an equi-join on (user, bin) + exact
+    // containment — never the nested-loop cross join a bare range
+    // predicate plans as. Oracle = DuckDB's native range-predicate
+    // join (IEJoin), again two unrelated implementations. ----
+    "q162_range_join" -> ((s, dir) => {
+      val ev = eventsWithMicros(s, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"), col("us"))
+      val wins = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          (col("us") - lit(24L * 3600 * 1000000)).as("lo"),
+          col("us").as("hi"), col("event_id").as("purchase_id"))
+      graft.operators.Events.rangeJoin(views, wins, key = "user_id",
+          t = "us", lo = "lo", hi = "hi", binWidth = 6L * 3600 * 1000000)
+        .select(col("view_id"), col("user_id"), col("iv_purchase_id").as("purchase_id"),
+          (col("iv_hi") - col("us")).as("gap_us"))
+        .orderBy("view_id", "purchase_id")
+    }),
+
     // ---- tumbling-window event aggregation (streaming-shaped) ----
     "q27_event_window" -> ((s, dir) => {
       val ev = eventsWithMicros(s, dir)
@@ -645,6 +666,23 @@ object MetaQueries {
          FROM c ASOF LEFT JOIN v
            ON c.user_id = v.user_id AND c.us >= v.us
          ORDER BY c.event_id""",
+
+    "q162_range_join" ->
+      """WITH ev AS (
+           SELECT event_id, user_id, epoch_us(ts) AS us, event_type
+           FROM events
+         ), v AS (
+           SELECT event_id AS view_id, user_id, us FROM ev
+           WHERE event_type = 'view'
+         ), p AS (
+           SELECT user_id, us - 86400000000 AS lo, us AS hi,
+                  event_id AS purchase_id
+           FROM ev WHERE event_type = 'purchase'
+         )
+         SELECT v.view_id, v.user_id, p.purchase_id, p.hi - v.us AS gap_us
+         FROM v JOIN p
+           ON v.user_id = p.user_id AND v.us BETWEEN p.lo AND p.hi
+         ORDER BY view_id, purchase_id""",
 
     "q27_event_window" ->
       """SELECT CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS mo, CAST(day(ts) AS INT) AS d, CAST(hour(ts) AS INT) AS h,

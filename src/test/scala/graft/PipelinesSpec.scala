@@ -344,6 +344,27 @@ class PipelinesSpec extends SparkSpec {
     assert(out(5L) == ((None, None)), s"got ${out(5L)}")
   }
 
+  test("rangeJoin: inclusive bounds, multi-bin intervals, exactly-once pairs") {
+    import graft.operators.Events
+    val points = Seq(
+      (1L, 7L, 100L), (2L, 7L, 150L), (3L, 7L, 250L),
+      (4L, 7L, 99L),   // just below interval A
+      (5L, 7L, 251L),  // just above interval A
+      (6L, 8L, 150L))  // right time, wrong key
+      .toDF("pid", "user_id", "us")
+    // interval A spans bins [10, 25] at binWidth 10; B is sub-bin
+    val ivs = Seq((7L, 100L, 250L, 900L), (7L, 148L, 152L, 901L))
+      .toDF("user_id", "lo", "hi", "win_id")
+    val out = Events.rangeJoin(points, ivs, key = "user_id", t = "us",
+        lo = "lo", hi = "hi", binWidth = 10L)
+      .select("pid", "iv_win_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairs = out.toSet
+    assert(out.length == pairs.size, "each qualifying pair exactly once")
+    assert(pairs == Set((1L, 900L), (2L, 900L), (3L, 900L), (2L, 901L)),
+      s"got $pairs")
+  }
+
   test("textCuration repeatedSpanN hook equals manual span-mask composition") {
     val boiler = "all rights reserved contact the webmaster for license terms today"
     val docs = Seq(
