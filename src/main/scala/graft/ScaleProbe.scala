@@ -76,6 +76,16 @@ object ScaleProbe {
       if (c == 0) df
       else df.withColumn("doc_id", col("doc_id") + c * keyShift)
         .withColumn("text", regexp_replace(col("text"), "e", "e" + c.toString)))
+    // Events scale along the USER axis (disjoint user/event ids per
+    // copy, timestamps untouched): 10× the traffic with the same
+    // per-user history — the axis that grows in production; per-user
+    // windows/sessions stay the same size, there are just 10× more
+    // of them. Additive to the existing derived dir (replicateInto
+    // writes only missing tables), so no derivation-version bump.
+    replicate("events", (df, c) =>
+      if (c == 0) df
+      else df.withColumn("user_id", col("user_id") + c * keyShift)
+        .withColumn("event_id", col("event_id") + c * keyShift))
     // Embeddings scale by id shift only (values unperturbed): the PQ /
     // BM25-era probes are per-row and aggregation shaped, so copies
     // can't explode a pair relation the way duplicate text would —
