@@ -57,15 +57,25 @@ object Events {
       prefix: String = "iv_"): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
     val pB = points.withColumn("__bin", expr(s"$t div ${binWidth}L"))
+    val iB = binIntervals(intervals, key, lo, hi, binWidth, prefix)
+    pB.join(iB, Seq(key, "__bin"))
+      .filter(col(t) >= col(s"$prefix$lo") && col(t) <= col(s"$prefix$hi"))
+      .drop("__bin")
+  }
+
+  /** The interval side of [[rangeJoin]]'s binning, exposed so the
+    * stream-static form can pre-explode intervals ONCE batch-side
+    * (the at-rest fan-out) and share the exact layout with the batch
+    * join — one home, no drift. */
+  def binIntervals(intervals: DataFrame, key: String, lo: String,
+      hi: String, binWidth: Long, prefix: String = "iv_"): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
     val iCols = intervals.columns.filterNot(_ == key).toSeq
-    val iB = intervals
+    intervals
       .withColumn("__bin", explode(sequence(
         expr(s"$lo div ${binWidth}L"), expr(s"$hi div ${binWidth}L"))))
       .select((col(key) +: col("__bin") +:
         iCols.map(c => col(c).as(s"$prefix$c"))): _*)
-    pB.join(iB, Seq(key, "__bin"))
-      .filter(col(t) >= col(s"$prefix$lo") && col(t) <= col(s"$prefix$hi"))
-      .drop("__bin")
   }
 
   def asofJoin(left: DataFrame, right: DataFrame, key: String,

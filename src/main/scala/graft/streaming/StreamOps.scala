@@ -476,6 +476,25 @@ object StreamOps {
       .select(col(id), col("n_tokens"), col("xent"))
   }
 
+  /** Streaming RANGE join — live points against a STATIC interval
+    * table ([[graft.operators.Events.rangeJoin]]'s binning, the
+    * attribution-window serving shape): each arriving point computes
+    * its single bin statelessly and inner-joins the pre-exploded
+    * (key, bin)-keyed interval relation, exact containment filtered
+    * after — a stateless stream-static equi-join, no watermark or
+    * state store at all. Intervals must be bin-exploded ONCE
+    * batch-side (the at-rest form of the operator's fan-out); pass
+    * the same `binWidth`. */
+  def streamingRangeJoin(points: DataFrame, binnedIntervals: DataFrame,
+      binWidth: Long, key: String = "user_id", t: String = "us",
+      lo: String = "iv_lo", hi: String = "iv_hi"): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    points.withColumn("__bin", expr(s"$t div ${binWidth}L"))
+      .join(binnedIntervals, Seq(key, "__bin"))
+      .filter(col(t) >= col(lo) && col(t) <= col(hi))
+      .drop("__bin")
+  }
+
   /** Stream-static tokenizer-FERTILITY verdicts — the incremental
     * APPLY half of [[graft.operators.TextRetrieval.fertilityFilter]]:
     * the trained-BPE fertility relation `nSub` (word, n_sub —

@@ -539,6 +539,45 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streamingRangeJoin batch≡stream: live views against static attribution windows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Events
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("us"))
+      .localCheckpoint(true)
+    val wins = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), (col("us") - lit(24L * 3600 * 1000000)).as("lo"),
+        col("us").as("hi"), col("event_id").as("purchase_id"))
+    val binWidth = 6L * 3600 * 1000000
+    val batch = Events.rangeJoin(views, wins, key = "user_id", t = "us",
+        lo = "lo", hi = "hi", binWidth = binWidth)
+      .select("view_id", "iv_purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val binned = Events.binIntervals(wins, key = "user_id", lo = "lo",
+      hi = "hi", binWidth = binWidth).localCheckpoint(true)
+    val input = MemoryStream[(Long, Long, Long)]
+    val out = StreamOps.streamingRangeJoin(
+      input.toDS().toDF("view_id", "user_id", "us"), binned, binWidth)
+    val query = out.writeStream.format("memory")
+      .queryName("range_join_out").outputMode("append").start()
+    try {
+      val rows = views.as[(Long, Long, Long)].collect().sortBy(_._1)
+      rows.grouped(50).foreach { b =>
+        input.addData(b.toSeq: _*)
+        query.processAllAvailable()
+      }
+      val stream = spark.table("range_join_out")
+        .select("view_id", "iv_purchase_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(stream == batch,
+        s"diverged: onlyStream=${stream -- batch} onlyBatch=${batch -- stream}")
+      assert(batch.nonEmpty, "fixture must produce attribution pairs")
+    } finally query.stop()
+  }
+
   test("streamingFertilityVerdicts batch≡stream: static fertility relation + batch-fit threshold") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
