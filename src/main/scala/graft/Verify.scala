@@ -52,6 +52,16 @@ object Verify {
     }
     tasks.foreach(_.get())
     pool.shutdown()
+    // q142 gate armor (VERDICT r10 #1): snapshot the at-rest winnow
+    // index (counts + order-insensitive checksums) next to the dumps,
+    // so a repeat of the r10 driver flake is self-explaining — the
+    // diag separates "the index differed" from "the compare flaked".
+    if (keep("q142_containment_incremental")) {
+      try Files.writeString(Paths.get(s"$outDir/q142_diag.json"),
+        graft.queries.TextQueries.q142Diag(spark, sfDir))
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] q142 diag failed: ${e.getMessage}") }
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -12,30 +12,6 @@ import org.apache.spark.sql.functions._
   */
 object Events {
 
-  /** AS-OF join, composed from built-ins (no custom plan node
-    * needed): tag both sides, union, and carry the latest right row
-    * forward with `last(_, ignoreNulls) OVER (PARTITION BY key ORDER
-    * BY time, side ROWS UNBOUNDED PRECEDING)` — right rows sort
-    * BEFORE left rows at equal time, so the match is inclusive
-    * (right.time ≤ left.time), the DuckDB `ASOF JOIN ... ON l.t >=
-    * r.t` semantics. The carried payload is ONE struct per right
-    * row, so a match is always a consistent single row even when
-    * some right columns are null. Left rows with no prior right row
-    * keep null match columns (LEFT-join semantics).
-    *
-    * Scale shape: one union + ONE keyed window (partitioned by
-    * `key`, running frame — a streaming aggregate, no whole-partition
-    * sort buffer beyond the key group). Never a per-left-row
-    * subquery, never a range cross-join: cost is the per-key event
-    * volume, which is the as-of problem's intrinsic grain. A key
-    * whose history exceeds one task's memory needs time-bucketed
-    * pre-splitting — out of contract here, as in every keyed-window
-    * operator in this engine.
-    *
-    * Determinism: (time, side) ordering is total on fixtures with
-    * unique (key, time) per side; right-side ties at one instant
-    * would be order-dependent, so callers with tied clocks must add
-    * a tie column to `time`'s grain upstream. */
   /** Binned RANGE join — point-in-interval per key, the other
     * classic operator Spark lacks natively (a bare range predicate
     * plans as a nested-loop cross join): intervals explode into
@@ -78,6 +54,37 @@ object Events {
         iCols.map(c => col(c).as(s"$prefix$c"))): _*)
   }
 
+  /** AS-OF join, composed from built-ins (no custom plan node
+    * needed): tag both sides, union, and carry the latest right row
+    * forward with `last(_, ignoreNulls) OVER (PARTITION BY key ORDER
+    * BY time, side, payload ROWS UNBOUNDED PRECEDING)` — right rows
+    * sort BEFORE left rows at equal time, so the match is inclusive
+    * (right.time ≤ left.time), the DuckDB `ASOF JOIN ... ON l.t >=
+    * r.t` semantics. The carried payload is ONE struct per right
+    * row, so a match is always a consistent single row even when
+    * some right columns are null. Left rows with no prior right row
+    * keep null match columns (LEFT-join semantics).
+    *
+    * Scale shape: one union + ONE keyed window (partitioned by
+    * `key`, running frame — a streaming aggregate, no whole-partition
+    * sort buffer beyond the key group). Never a per-left-row
+    * subquery, never a range cross-join: cost is the per-key event
+    * volume, which is the as-of problem's intrinsic grain. A key
+    * whose history exceeds one task's memory needs time-bucketed
+    * pre-splitting — out of contract here, as in every keyed-window
+    * operator in this engine.
+    *
+    * Determinism (ADVICE r10): right-side rows tied at one (key,
+    * time) instant are ordered by their payload struct ascending, so
+    * `last` deterministically carries the LARGEST payload among the
+    * ties — a total tie-break with no fixture-uniqueness assumption
+    * (the previous contract pushed tied clocks to the caller).
+    * Requires `rightVals` columns to be orderable types (no maps) —
+    * true of every relational payload this engine emits. Engines
+    * differ on WHICH tied row an as-of picks (DuckDB's native ASOF
+    * is itself unspecified under ties), so cross-engine gates should
+    * still prefer tie-free fixtures; within THIS engine the result
+    * is now stable under any plan or partitioning change. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
       time: String, rightVals: Seq[String],
       prefix: String = "asof_"): DataFrame = {
@@ -96,8 +103,12 @@ object Events {
         else if (c == time) col(time)
         else lit(null).cast(left.schema(c).dataType).as(c)) :+
         col("__side") :+ col("__r")): _*)
+    // __r asc as the final key: right rows tied at (key, time) order
+    // by payload, so `last` picks the largest payload deterministically
+    // (left rows all carry null __r — their relative order is
+    // irrelevant, every right row at time <= t precedes them)
     val w = Window.partitionBy(col(key))
-      .orderBy(col(time).asc, col("__side").asc)
+      .orderBy(col(time).asc, col("__side").asc, col("__r").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lU.unionByName(rAligned)
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))

@@ -171,9 +171,14 @@ object TextDedup {
     * APPEND-ONLY — at rest this is writing the new generation's
     * band/shingle files into the existing bucketed tables
     * (`.insertInto` on the band / shingle buckets), so no existing
-    * index row is ever rewritten or shuffled. Hash-family and
-    * (k, bands, shingleWidth) must match the index being grown —
-    * same contract as [[nearDupAgainstIndex]]. */
+    * index row is ever rewritten or shuffled. Hash-family,
+    * (k, bands, shingleWidth) AND `dfCap` must match the index being
+    * grown — same contract as [[nearDupAgainstIndex]], plus the cap:
+    * growing an index built under a finite dfCap with a different
+    * cap silently mixes capped and uncapped shingle relations across
+    * generations, changing band/verify sets (ADVICE r10). Production
+    * stores all five alongside the index artifacts, exactly like the
+    * hash family. */
   def nearDupIndexUpsert(refBands: DataFrame, refShingles: DataFrame,
       accepted: DataFrame, k: Int = 8, bands: Int = 4,
       shingleWidth: Int = 3, md5Hashes: Boolean = false,

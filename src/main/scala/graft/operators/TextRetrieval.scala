@@ -206,7 +206,14 @@ object TextRetrieval {
     * (every word shatters into pieces), so docs whose fertility lands
     * above the corpus `quantile` are flagged `kept = false`. Verdicts
     * for every doc with ≥ 1 word — the caller owns the drop, so the
-    * signal composes with audit ledgers.
+    * signal composes with audit ledgers. Out-of-vocabulary words take
+    * the fallback fertility `length(word)` (every char its own piece —
+    * the byte-fallback convention), exactly like [[graft.streaming
+    * .StreamOps.streamingFertilityVerdicts]]: verdicts stay total even
+    * when `nSub` covers only part of the corpus vocabulary, and
+    * batch≡stream holds unconditionally (ADVICE r10 — the previous
+    * inner join silently dropped OOV words from BOTH numerator and
+    * denominator and emitted no verdict for an all-OOV doc).
     *
     * Determinism/scale: fertility rounded to 4dp (+1e-7) BEFORE the
     * percentile, the q112 convention (Spark `percentile` ≡ DuckDB
@@ -218,7 +225,9 @@ object TextRetrieval {
       text: String = "text"): DataFrame = {
     val scored = docs.select(col(id), explode(tokens(col(text))).as("word"))
       .groupBy(col(id), col("word")).agg(count(lit(1)).as("cnt"))
-      .join(nSub, Seq("word"))
+      .join(nSub.select(col("word"), col("n_sub")), Seq("word"), "left")
+      .withColumn("n_sub",
+        coalesce(col("n_sub"), length(col("word")).cast("long")))
       .groupBy(col(id))
       .agg(sum(col("cnt") * col("n_sub")).as("toks"),
         sum(col("cnt")).as("words"))

@@ -40,20 +40,96 @@ object TextQueries {
     def missing = !s.catalog.tableExists(bandsTbl) || !s.catalog.tableExists(shTbl)
     if (missing) synchronized {
       if (missing) {
-        val ref = t(s, dir, "documents").filter(col("doc_id") % 7 < 3)
-        val (bands, shingles) = TextDedup.nearDupIndex(ref, md5Hashes = true)
-        freshPath(s, bandsTbl, key)
-        bands.write.format("parquet").mode("overwrite")
-          .bucketBy(8, "band").sortBy("band").saveAsTable(bandsTbl)
-        freshPath(s, shTbl, key)
-        shingles.write.format("parquet").mode("overwrite")
-          .bucketBy(8, "s").sortBy("s").saveAsTable(shTbl)
+        lazy val built = {
+          val ref = t(s, dir, "documents").filter(col("doc_id") % 7 < 3)
+          TextDedup.nearDupIndex(ref, md5Hashes = true)
+        }
+        ensureTable(s, bandsTbl, key, Some((8, "band")), validateCount = true)(built._1)
+        ensureTable(s, shTbl, key, Some((8, "s")), validateCount = true)(built._2)
         // release through the registry (the relation was held by
-        // nearDupIndex's slot) so liveSlots stays truthful
+        // nearDupIndex's slot) so liveSlots stays truthful; a no-op
+        // when both tables re-registered from a previous session
         graft.model.RelCache.release("textdedup.nearDupIndex")
       }
     }
     (s.table(bandsTbl), s.table(shTbl))
+  }
+
+  /** Bump when ANY amortized operator's semantics change: the at-rest
+    * artifacts persist across sessions now, and a stale-SEMANTICS
+    * table (same fixture, older operator code) reused silently would
+    * be exactly the q142-class hash flake this machinery exists to
+    * prevent. The fixture hash in the table name guards data
+    * staleness; this guards code staleness. */
+  private val atRestVersion = 1
+
+  /** Cross-session at-rest registration (VERDICT r10 #3): ensure
+    * `tbl` exists in the session catalog, WITHOUT rebuilding when a
+    * previous session already built it. The in-memory catalog is
+    * session-scoped but the warehouse directory is not — every
+    * amortized table used to be rebuilt per session, making the
+    * "written ONCE per fixture" production claim within-session only.
+    *
+    * Protocol: a `_graft_complete.json` marker (invisible to Spark's
+    * file index — underscore prefix) is written as the LAST step of a
+    * successful build, carrying the schema DDL, the bucket spec and
+    * [[atRestVersion]]. A later session finding the marker issues
+    * `CREATE TABLE ... USING parquet [CLUSTERED BY ...] LOCATION ...`
+    * — re-declaring the bucketing DDL over the existing files, so
+    * bucketed joins keep their zero-exchange co-location — and never
+    * touches the data files (a second Verify session leaves mtimes
+    * unchanged). No marker, version drift, or schema drift → sweep
+    * and rebuild, exactly as before.
+    *
+    * `validateCount` (q142 gate armor, VERDICT r10 #1): after a
+    * build, re-read the table and require its row count to equal the
+    * built relation's — a partial/invisible CTAS under the 4-thread
+    * Verify pool would be NAMED here instead of surfacing as an
+    * unexplained hash mismatch downstream. Enabled for the dedup
+    * index families, whose build relations are RelCache-persisted
+    * (the recount is a cache hit, not a recompute). */
+  private def ensureTable(s: SparkSession, tbl: String, key: String,
+      bucket: Option[(Int, String)], validateCount: Boolean = false)(
+      build: => DataFrame): Unit = {
+    if (s.catalog.tableExists(tbl)) return
+    val wh = new org.apache.hadoop.fs.Path(s.sessionState.conf.warehousePath)
+    val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(wh, tbl.toLowerCase)
+    val marker = new org.apache.hadoop.fs.Path(dir, "_graft_complete.json")
+    def readMarker(): Option[(Int, String)] =
+      try {
+        val in = fs.open(marker)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        val v = """"v"\s*:\s*(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toInt)
+        val ddl = """"ddl"\s*:\s*"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(txt)
+          .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+        for (vv <- v; dd <- ddl) yield (vv, dd)
+      } catch { case _: Throwable => None }
+    readMarker() match {
+      case Some((v, ddl)) if v == atRestVersion =>
+        val cluster = bucket.map { case (n, k) =>
+          s"CLUSTERED BY ($k) SORTED BY ($k) INTO $n BUCKETS" }.getOrElse("")
+        s.sql(s"CREATE TABLE $tbl ($ddl) USING parquet $cluster " +
+          s"LOCATION '${dir.toString}'")
+      case _ =>
+        freshPath(s, tbl, key)
+        val df = build
+        val w = df.write.format("parquet").mode("overwrite")
+        bucket.fold(w) { case (n, k) => w.bucketBy(n, k).sortBy(k) }
+          .saveAsTable(tbl)
+        if (validateCount) {
+          val nBuilt = df.count(); val nRead = s.table(tbl).count()
+          require(nBuilt == nRead, s"at-rest build of $tbl is inconsistent: " +
+            s"built $nBuilt rows, table reads $nRead — CTAS visibility fault")
+        }
+        val ddlEsc = df.schema.toDDL.replace("\\", "\\\\").replace("\"", "\\\"")
+        val out = fs.create(marker, true)
+        try out.write(
+          s"""{"v":$atRestVersion,"table":"$tbl","ddl":"$ddlEsc"}"""
+            .getBytes("UTF-8"))
+        finally out.close()
+    }
   }
 
   /** Fingerprint of the fixture's document files — at-rest table names
@@ -64,8 +140,8 @@ object TextQueries {
     * generations of the SAME fixture, never another fixture's live
     * index (a session alternating SFs would otherwise find its
     * still-registered tables' files gone). */
-  private def fixtureKey(dir: String): String = {
-    val f = new java.io.File(s"$dir/documents.parquet")
+  private def fixtureKey(dir: String, table: String = "documents"): String = {
+    val f = new java.io.File(s"$dir/$table.parquet")
     val parts = (f +: Option(f.listFiles()).getOrElse(Array.empty).toSeq
         .sortBy(_.getName))
       .map(p => s"${p.getName}:${p.length}:${p.lastModified}")
@@ -109,18 +185,36 @@ object TextQueries {
     def missing = !s.catalog.tableExists(fpTbl) || !s.catalog.tableExists(szTbl)
     if (missing) synchronized {
       if (missing) {
-        val ref = t(s, dir, "documents").filter(col("doc_id") % 7 < 3)
-        val (fp, sizes) = TextDedup.winnowIndex(ref, k = 4, window = 4,
-          md5Hashes = true)
-        freshPath(s, fpTbl, key)
-        fp.write.format("parquet").mode("overwrite")
-          .bucketBy(8, "h").sortBy("h").saveAsTable(fpTbl)
-        freshPath(s, szTbl, key)
-        sizes.write.format("parquet").mode("overwrite").saveAsTable(szTbl)
+        lazy val built = {
+          val ref = t(s, dir, "documents").filter(col("doc_id") % 7 < 3)
+          TextDedup.winnowIndex(ref, k = 4, window = 4, md5Hashes = true)
+        }
+        ensureTable(s, fpTbl, key, Some((8, "h")), validateCount = true)(built._1)
+        ensureTable(s, szTbl, key, None, validateCount = true)(built._2)
         graft.model.RelCache.release("textdedup.winnowIndex")
       }
     }
     (s.table(fpTbl), s.table(szTbl))
+  }
+
+  /** q142 gate diagnostic (VERDICT r10 #1): a one-line JSON snapshot
+    * of the at-rest winnow index the incremental containment query
+    * reads — row counts plus ORDER-INSENSITIVE checksums (bit_xor of
+    * xxhash64 over the row's columns — xor commutes and cannot
+    * overflow under ANSI arithmetic) of both relations. Written by
+    * [[graft.Verify]] next to the query dumps: if the driver's gate
+    * ever flags q142 again, the diag names whether the INDEX differed
+    * (build/visibility fault) or only the final compare did (hash
+    * procedure transient). */
+  private[graft] def q142Diag(s: SparkSession, dir: String): String = {
+    val (fp, sizes) = amortizedWinnowIndex(s, dir)
+    val f = fp.agg(count(lit(1)).as("n"),
+      expr("bit_xor(xxhash64(doc_id, h))").as("chk")).head()
+    val z = sizes.agg(count(lit(1)).as("n"),
+      expr("bit_xor(xxhash64(doc_id, nfp))").as("chk")).head()
+    s"""{"fixture_key":"${fixtureKey(dir)}","fp_rows":${f.getLong(0)},""" +
+      s""""fp_checksum":${f.getLong(1)},"sz_rows":${z.getLong(0)},""" +
+      s""""sz_checksum":${z.getLong(1)}}"""
   }
 
   /** At-rest TRAINED-BPE vocabulary (the tokenizer analogue of the
@@ -136,10 +230,8 @@ object TextQueries {
     val tbl = s"graft_bpe_$key"
     if (!s.catalog.tableExists(tbl)) synchronized {
       if (!s.catalog.tableExists(tbl)) {
-        val merges = graft.operators.Bpe.bpeMergesFast(
-          t(s, dir, "documents").filter(col("doc_id") % 5 === 0), nMerges = 12)
-        freshPath(s, tbl, key)
-        merges.write.format("parquet").mode("overwrite").saveAsTable(tbl)
+        ensureTable(s, tbl, key, None)(graft.operators.Bpe.bpeMergesFast(
+          t(s, dir, "documents").filter(col("doc_id") % 5 === 0), nMerges = 12))
       }
     }
     s.table(tbl).orderBy("round").collect()
@@ -160,13 +252,11 @@ object TextQueries {
     def missing = !s.catalog.tableExists(fTbl) || !s.catalog.tableExists(sTbl)
     if (missing) synchronized {
       if (missing) {
-        val lmRef = t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
-        val (freq, nTotal, vocab) = TextRetrieval.unigramLmFit(lmRef)
-        freshPath(s, fTbl, key)
-        freq.write.format("parquet").mode("overwrite").saveAsTable(fTbl)
-        freshPath(s, sTbl, key)
-        s.range(1).select(lit(nTotal).as("n_total"), lit(vocab).as("vocab"))
-          .write.format("parquet").mode("overwrite").saveAsTable(sTbl)
+        lazy val built = TextRetrieval.unigramLmFit(
+          t(s, dir, "documents").filter(col("doc_id") % 5 === 0))
+        ensureTable(s, fTbl, key, None)(built._1)
+        ensureTable(s, sTbl, key, None)(s.range(1).select(
+          lit(built._2).as("n_total"), lit(built._3).as("vocab")))
       }
     }
     val sc = s.table(sTbl).head()
@@ -186,15 +276,17 @@ object TextQueries {
     * contract q149's inline form cannot demonstrate because it
     * rebuilds the graph per call. */
   private def amortizedKnnGraph(s: SparkSession, dir: String): DataFrame = {
-    val key = fixtureKey(dir)
+    // keyed on the EMBEDDINGS fixture (the table the graph derives
+    // from) — a regenerated embeddings.parquet with an unchanged
+    // documents.parquet must never reuse a stale graph, doubly so now
+    // that at-rest artifacts survive sessions
+    val key = fixtureKey(dir, "embeddings")
     val tbl = s"graft_kng_$key"
     if (!s.catalog.tableExists(tbl)) synchronized {
       if (!s.catalog.tableExists(tbl)) {
-        val g = Similarity.knnGraphDescent(t(s, dir, "embeddings"),
-          k = 5, iters = 2, dim = 64)
-        freshPath(s, tbl, key)
-        g.write.format("parquet").mode("overwrite")
-          .bucketBy(8, "vec_id").sortBy("vec_id").saveAsTable(tbl)
+        ensureTable(s, tbl, key, Some((8, "vec_id")))(
+          Similarity.knnGraphDescent(t(s, dir, "embeddings"),
+            k = 5, iters = 2, dim = 64))
       }
     }
     s.table(tbl)
@@ -214,12 +306,10 @@ object TextQueries {
     def missing = !s.catalog.tableExists(wTbl) || !s.catalog.tableExists(pTbl)
     if (missing) synchronized {
       if (missing) {
-        val (w, prior) = TextRetrieval.qualityClassifierFit(
+        lazy val built = TextRetrieval.qualityClassifierFit(
           t(s, dir, "documents"), col("lang") === "en")
-        freshPath(s, wTbl, key)
-        w.write.format("parquet").mode("overwrite").saveAsTable(wTbl)
-        freshPath(s, pTbl, key)
-        prior.write.format("parquet").mode("overwrite").saveAsTable(pTbl)
+        ensureTable(s, wTbl, key, None)(built._1)
+        ensureTable(s, pTbl, key, None)(built._2)
       }
     }
     (s.table(wTbl), s.table(pTbl))
@@ -2965,12 +3055,16 @@ object TextQueries {
 
     // fertility replay: per-doc dw × nsub totals, 4dp-rounded mean
     // subwords-per-word, quantile_cont threshold (the q112
-    // convention), verdict for every doc with >= 1 word
+    // convention), verdict for every doc with >= 1 word; OOV words
+    // take the byte-fallback fertility length(word), mirroring the
+    // engine (LEFT JOIN — on this fixture nsub is vocabulary-total,
+    // so the fallback never fires, but the semantics must agree)
     "q153_fertility_filter" ->
       (s"""WITH ${bpeSubwordCtes(12)},
-          d AS (SELECT doc_id, CAST(sum(cnt * n_sub) AS BIGINT) AS toks,
+          d AS (SELECT doc_id,
+                       CAST(sum(cnt * coalesce(n_sub, len(word))) AS BIGINT) AS toks,
                        CAST(sum(cnt) AS BIGINT) AS words
-                FROM dw JOIN nsub USING (word) GROUP BY 1),
+                FROM dw LEFT JOIN nsub USING (word) GROUP BY 1),
           sc AS (SELECT doc_id, words, toks,
                         round(toks * 1.0 / words + 1e-7, 4) + 0.0 AS fertility
                  FROM d),
