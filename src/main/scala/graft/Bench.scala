@@ -61,8 +61,49 @@ object Bench {
       Option(java.lang.management.ManagementFactory.getCompilationMXBean)
         .filter(_.isCompilationTimeMonitoringSupported)
         .map(_.getTotalCompilationTime).getOrElse(0L)
+    // Per-sample JOB/STAGE listener (VERDICT r10 #2): the steal and
+    // gc/jit fields closed the host and JVM-debt channels but left
+    // 2-4x sample outliers unattributed — this snapshot records what
+    // the TASKS did during each sample (executor run/cpu time, task
+    // GC, shuffle volume, spill), so an inflated wall names its cause
+    // in the artifact: task_sec scaling with wall = uniform slowdown
+    // (ambient contention); flat task_sec with inflated wall =
+    // scheduler idle/straggler; cpu_frac collapse = cpu-wait.
+    class TaskMeter extends org.apache.spark.scheduler.SparkListener {
+      var jobs = 0L; var tasks = 0L; var runMs = 0L; var cpuNs = 0L
+      var gcMs = 0L; var shufB = 0L; var spillB = 0L
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        synchronized { jobs += 1 }
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        synchronized {
+          tasks += 1
+          val m = t.taskMetrics
+          if (m != null) {
+            runMs += m.executorRunTime; cpuNs += m.executorCpuTime
+            gcMs += m.jvmGCTime
+            shufB += m.shuffleReadMetrics.totalBytesRead
+            spillB += m.diskBytesSpilled
+          }
+        }
+      def reset(): Unit = synchronized {
+        jobs = 0; tasks = 0; runMs = 0; cpuNs = 0; gcMs = 0; shufB = 0
+        spillB = 0
+      }
+      def snap(): Tasks = synchronized {
+        Tasks(jobs, tasks, runMs / 1e3,
+          if (runMs > 0) cpuNs / 1e6 / runMs else 0.0,
+          if (runMs > 0) gcMs.toDouble / runMs else 0.0,
+          shufB / 1e6, spillB / 1e6)
+      }
+    }
+    case class Tasks(jobs: Long, tasks: Long, taskSec: Double,
+        cpuFrac: Double, taskGcFrac: Double, shufMb: Double, spillMb: Double)
+    val meter = new TaskMeter
+    spark.sparkContext.addSparkListener(meter)
     case class Sample(wall: Double, err: Option[String],
-        steal: Option[Double], gc: Double, jit: Double)
+        steal: Option[Double], gc: Double, jit: Double, t: Tasks)
     val results = SparkEntry.queries.toSeq
       .filter(t => only.forall(_.findFirstIn(t._1).isDefined))
       .sortBy(_._1).map { case (name, fn) =>
@@ -75,6 +116,7 @@ object Bench {
         // methodology change from an operator regression across
         // rounds (the r5→r6 "1.55×" was purely warm→cold).
         if (cold) SparkEntry.clearQueryCaches()
+        meter.reset()
         val j0 = cpuJiffies(); val g0 = gcMillis(); val c0 = jitMillis()
         val t0 = System.nanoTime()
         // toRdd.count() materializes every output column — a plain
@@ -88,12 +130,16 @@ object Bench {
           (s0, tot0) <- j0; (s1, tot1) <- cpuJiffies()
           if tot1 > tot0
         } yield (s1 - s0).toDouble / (tot1 - tot0)
+        // listener events are async — give the bus a moment to drain
+        // before snapshotting (ms-scale lag vs the multi-second
+        // outliers this instrumentation exists to attribute)
+        Thread.sleep(50)
         // fractions of this sample's wall spent in stop-the-world GC
         // and (cumulative, cross-thread) JIT compilation; jit can
         // exceed 1.0 — several compiler threads run concurrently
         Sample(wall, err, steal,
           (gcMillis() - g0) / 1e3 / wall.max(1e-9),
-          (jitMillis() - c0) / 1e3 / wall.max(1e-9))
+          (jitMillis() - c0) / 1e3 / wall.max(1e-9), meter.snap())
       }
       val base = (1 to reps).map(_ => once())
       // sub-second queries are scheduling-jitter-bound (measured: every
@@ -105,29 +151,28 @@ object Bench {
       // warm samples per query, after the colds (memo caches carry
       // over from the last cold run); a FAILED warm rep must not pose
       // as a fast warm number — record null and surface the error.
-      // Multi-second queries get TWO warm samples and report the min,
-      // the same contention filter the cold headline has: the round-7
-      // "q82 warm 11.1 s vs cold 7.1 s" was one warm sample landing on
-      // a host CPU-steal burst (diagnosed with a per-job listener —
-      // every one of the chain's 114 jobs slowed uniformly ~4x, no
-      // stage- or cache-specific cause; GC log clean) that min-of-2
-      // cold absorbed and min-of-1 warm could not.
+      // EVERY query gets TWO warm samples and reports the min — the
+      // same contention filter the cold headline has (the round-7
+      // "q82 warm 11.1 s vs cold 7.1 s" was one warm sample on a host
+      // steal burst). Sub-second queries used to get min-of-1, which
+      // let a single burst become the warm headline (r10's q137 warm
+      // 6.79 s vs cold 0.83 s was exactly that); their second sample
+      // costs under a second, so min-of-2 is now unconditional
+      // (VERDICT r10 #2).
       val warmRes: Seq[Sample] =
-        if (coldSamples.forall(_.err.isEmpty)) {
-          val first = once(cold = false)
-          if (coldSamples.map(_.wall).min >= 1.0) Seq(first, once(cold = false))
-          else Seq(first)
-        } else Seq.empty
-      val warmOk = warmRes.collect { case Sample(t, None, _, _, _) => t }
+        if (coldSamples.forall(_.err.isEmpty))
+          Seq(once(cold = false), once(cold = false))
+        else Seq.empty
+      val warmOk = warmRes.collect { case Sample(t, None, _, _, _, _) => t }
       val warm = if (warmOk.nonEmpty) Some(warmOk.min) else None
-      val err = coldSamples.collectFirst { case Sample(_, Some(e), _, _, _) => e }
+      val err = coldSamples.collectFirst { case Sample(_, Some(e), _, _, _, _) => e }
         .orElse(warmRes.collectFirst {
-          case Sample(_, Some(e), _, _, _) => s"warm-only: $e" })
+          case Sample(_, Some(e), _, _, _, _) => s"warm-only: $e" })
       // the reported min is over SUCCESSFUL samples: a fast failure
       // must not under-report a query whose other rep succeeded (the
       // headline and the failure set would disagree); only when every
       // rep failed do the failed walls stand in
-      val ok = coldSamples.collect { case Sample(t, None, _, _, _) => t }
+      val ok = coldSamples.collect { case Sample(t, None, _, _, _, _) => t }
       (name, coldSamples.map(_.wall),
         if (ok.nonEmpty) ok else coldSamples.map(_.wall), warm, err,
         coldSamples ++ warmRes)
@@ -148,8 +193,62 @@ object Bench {
         ",\"samples\":" + ss.mkString("[", ",", "]") +
         ",\"steal\":" + stealArr(samples.map(_.steal)) +
         ",\"gc\":" + fracArr(samples.map(_.gc)) +
-        ",\"jit\":" + fracArr(samples.map(_.jit)) + "}" }
+        ",\"jit\":" + fracArr(samples.map(_.jit)) +
+        ",\"task_sec\":" + fracArr(samples.map(_.t.taskSec)) +
+        ",\"cpu_frac\":" + fracArr(samples.map(_.t.cpuFrac)) + "}" }
       .mkString("{", ",", "}")
+    // OUTLIER ATTRIBUTION (VERDICT r10 #2): any sample whose wall
+    // exceeds 1.5x the best same-kind (cold/warm) sibling gets a
+    // NAMED cause from its task snapshot — the r7 q82 diagnosis
+    // pattern, automated. The discriminator: task_sec scaling with
+    // wall = the tasks themselves ran long (ambient contention /
+    // cpu-wait, visible in cpu_frac); flat task_sec with inflated
+    // wall = the executor sat idle (scheduler gaps / stragglers).
+    val stealThr = 0.05
+    def cause(s: Sample, best: Sample, firstCold: Boolean): String = {
+      val wallR = s.wall / best.wall.max(1e-9)
+      val taskR = s.t.taskSec / best.t.taskSec.max(1e-9)
+      // the first cold sample legitimately does MORE work than its
+      // siblings: codegen/JIT, parquet footer reads, memo-cache and
+      // at-rest index builds — when its tasks genuinely ran longer,
+      // name that rather than mislabel it contention
+      if (firstCold && taskR > 1.5)
+        "first-sample-build: extra task work (at-rest/memo builds, codegen) the later samples amortize"
+      else if (s.steal.exists(_ > stealThr)) "host-steal"
+      else if (s.gc > 0.20) "driver-gc"
+      else if (s.t.taskGcFrac > 0.20) "task-gc"
+      else if (s.t.spillMb > 2 * best.t.spillMb + 8) "spill"
+      else if (taskR > 0.75 * wallR)
+        if (best.t.cpuFrac > 0 && s.t.cpuFrac < 0.6 * best.t.cpuFrac)
+          "cpu-wait: tasks ran longer at collapsed cpu fraction (unaccounted external contention)"
+        else "uniform-task-slowdown: task time scaled with wall at similar cpu fraction"
+      else "scheduler-idle: wall inflated while task time stayed flat (stragglers/driver gaps)"
+    }
+    val outliers = results.flatMap { case (k, ss, _, _, _, samples) =>
+      val (colds, warms) = samples.splitAt(ss.length)
+      // cold samples compare within their kind; WARM samples compare
+      // against the best of ALL samples — a warm run holds every cache
+      // a cold run holds, so warm >> cold-best is an inversion that
+      // must carry a cause, not just warm-vs-warm spread
+      def flag(kind: String, grp: Seq[Sample], ref: Seq[Sample]): Seq[String] = {
+        val okRef = ref.filter(_.err.isEmpty)
+        if (okRef.isEmpty) Seq.empty else {
+          val best = okRef.minBy(_.wall)
+          grp.zipWithIndex.filter { case (s, _) => s.err.isEmpty &&
+              s.wall > 1.5 * best.wall && s.wall >= 1.0 && !(s eq best) }
+            .map { case (s, i) =>
+            s"""{"kind":"$kind","wall":${f"${s.wall}%.2f"},"best":${f"${best.wall}%.2f"},""" +
+              s""""task_sec":${f"${s.t.taskSec}%.2f"},"best_task_sec":${f"${best.t.taskSec}%.2f"},""" +
+              s""""cpu_frac":${f"${s.t.cpuFrac}%.3f"},"best_cpu_frac":${f"${best.t.cpuFrac}%.3f"},""" +
+              s""""jobs":${s.t.jobs},"spill_mb":${f"${s.t.spillMb}%.1f"},""" +
+              s""""cause":"${cause(s, best, kind == "cold" && i == 0)}"}"""
+          }
+        }
+      }
+      val fl = flag("cold", colds, colds) ++ flag("warm", warms, colds ++ warms)
+      if (fl.isEmpty) None
+      else Some("\"" + k + "\":" + fl.mkString("[", ",", "]"))
+    }.mkString("{", ",", "}")
     val failures = results.collect { case (k, _, _, _, Some(e), _) =>
       "\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\"" }
       .mkString("{", ",", "}")
@@ -168,7 +267,37 @@ object Bench {
       case (k, _, _, _, _, samples)
         if samples.exists(_.gc > gcThreshold) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"parsed":$parsed,"failures":$failures,"high_steal":$highSteal,"steal_threshold":$stealThreshold,"high_gc":$highGc,"gc_threshold":$gcThreshold,"sf":"$sfDir"}"""
+    // SESSION-2 at-rest proof (VERDICT r10 #3): the amortized family's
+    // warehouse artifacts now survive the session via build-complete
+    // markers — a FRESH session (newSession: same JVM/SparkContext,
+    // EMPTY in-memory catalog, the driver-restart shape) re-registers
+    // them instead of rebuilding. These lines measure that saving:
+    // session2 cold ≈ the apply-only cost, vs the in-session cold
+    // above which paid the first build.
+    val s2Names = Seq("q128_neardup_amortized", "q141_quality_cluster_amortized",
+        "q150_graph_amortized")
+      .filter(n => SparkEntry.queries.contains(n) &&
+        only.forall(_.findFirstIn(n).isDefined))
+    val session2 = if (s2Names.isEmpty) "{}" else {
+      val s2 = spark.newSession()
+      org.apache.spark.sql.SparkSession.setActiveSession(s2)
+      // memo caches hold session-1-bound DataFrames; clear under the
+      // ACTIVE new session so the sweep hits the right catalog
+      SparkEntry.clearQueryCaches()
+      val timed = s2Names.map { n =>
+        val t0 = System.nanoTime()
+        val r = try { SparkEntry.queries(n)(s2, sfDir).queryExecution.toRdd.count();
+          f"${(System.nanoTime() - t0) / 1e9}%.3f" }
+          catch { case e: Throwable =>
+            "\"" + e.toString.takeWhile(_ != '\n').take(120)
+              .replace("\\", "\\\\").replace("\"", "\\\"") + "\"" }
+        "\"" + n + "\":" + r
+      }
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+      SparkEntry.clearQueryCaches()
+      timed.mkString("{", ",", "}")
+    }
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"parsed":$parsed,"failures":$failures,"outliers":$outliers,"session2":$session2,"high_steal":$highSteal,"steal_threshold":$stealThreshold,"high_gc":$highGc,"gc_threshold":$gcThreshold,"sf":"$sfDir"}"""
     println(json)
     // Persist the full artifact: captured stdout tails truncate to the
     // last ~2000 chars, which can never hold the 105-query map — the
