@@ -578,6 +578,57 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streamingAsofJoin batch≡stream: live clicks against static view validity intervals (q161 twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Events
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("us"))
+      .localCheckpoint(true)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("us"), col("event_id").as("view_id"),
+        col("value").as("view_value"))
+    // the q161 batch as-of, reduced to its MATCHED pairs — the
+    // stream-static form has inner semantics (no bounded-state
+    // analogue of the null rows), so the gate compares the match set
+    val batch = Events.asofJoin(clicks, views, key = "user_id",
+        time = "us", rightVals = Seq("view_id", "view_value"))
+      .filter(col("asof_view_id").isNotNull)
+      .select("event_id", "asof_view_id", "asof_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // static-side prep, ONCE batch-side: validity intervals closed at
+    // the serving horizon (any bound >= the last event), bin-exploded
+    // with the range-join machinery
+    val horizon = clicks.agg(max("us")).head().getLong(0)
+    val binWidth = 6L * 3600 * 1000000
+    val validity = Events.asofValidityIntervals(views, key = "user_id",
+      time = "us", rightVals = Seq("view_id", "view_value"),
+      horizon = horizon)
+    val binned = Events.binIntervals(validity, key = "user_id",
+      lo = "lo", hi = "hi", binWidth = binWidth).localCheckpoint(true)
+    val input = MemoryStream[(Long, Long, Long)]
+    val out = StreamOps.streamingAsofJoin(
+      input.toDS().toDF("event_id", "user_id", "us"), binned, binWidth)
+    val query = out.writeStream.format("memory")
+      .queryName("asof_out").outputMode("append").start()
+    try {
+      val rows = clicks.as[(Long, Long, Long)].collect().sortBy(_._1)
+      rows.grouped(50).foreach { b =>
+        input.addData(b.toSeq: _*)
+        query.processAllAvailable()
+      }
+      val stream = spark.table("asof_out")
+        .select("event_id", "iv_view_id", "iv_us").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(stream == batch,
+        s"diverged: onlyStream=${(stream -- batch).take(5)} " +
+          s"onlyBatch=${(batch -- stream).take(5)}")
+      assert(batch.nonEmpty, "fixture must produce as-of matches")
+    } finally query.stop()
+  }
+
   test("streamingFertilityVerdicts batch≡stream: static fertility relation + batch-fit threshold") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
