@@ -35,12 +35,19 @@ object Plans {
           "partitioned_ivf_demo", "bucketed_graph_demo")
     var audited = 0; var clean = 0; val smelly =
       scala.collection.mutable.ListBuffer.empty[String]
+    // AUDIT ARTIFACT (VERDICT r10 #6): the per-query one-line verdicts
+    // also land in docs/PLAN_AUDIT.md when the DEFAULT full sweep runs,
+    // so rounds diff the audit and a new smell is a visible delta —
+    // stdout alone left the record inside a scrolled-away log.
+    val artifact = scala.collection.mutable.ListBuffer.empty[String]
     // exclusions apply only to the DEFAULT sweep: an explicitly named
     // query is an explicit request — audit it even if excluded (the
     // developer inspecting q126's plan after a bpeMerges change)
     names.foreach { name =>
-      if (args.isEmpty && excluded.contains(name))
+      if (args.isEmpty && excluded.contains(name)) {
         println(s"[audit] $name: EXCLUDED — ${excluded(name)}")
+        artifact += s"| $name | excluded | ${excluded(name).take(120)} |"
+      }
       else
       if (name == "bucketed_demo") bucketedDemo(spark, dir)
       else if (name == "bucketed_neardup_demo") bucketedNearDupDemo(spark, dir)
@@ -86,11 +93,37 @@ object Plans {
         if (smells.isEmpty) clean += 1 else smelly += name
         println(s"[audit] $name: " +
           (if (smells.isEmpty) s"clean$note" else s"SMELLS: ${smells.mkString(", ")}"))
+        artifact += s"| $name | " +
+          (if (smells.isEmpty) "clean" else s"SMELLS: ${smells.mkString(", ")}") +
+          s" |${note.trim match { case "" => " |"; case n => s" $n |" }}"
       }
     }
     println(s"\n[audit-summary] audited=$audited clean=$clean " +
       s"excluded=${names.count(excluded.contains)} " +
       s"smells=${smelly.size}${if (smelly.nonEmpty) " " + smelly.mkString(",") else ""}")
+    if (args.isEmpty) {
+      val hdr = Seq(
+        "# Plan audit — full catalog (regenerated by `runMain graft.Plans`)",
+        "",
+        "One line per catalog query: the auditor's verdict (clean / smells)",
+        "plus any DECLARED intents (intended SMJ / broadcast / global window",
+        "— each with its boundedness argument). The demo rows carry their",
+        "measured exchange/file counts on stdout; this table records the",
+        "query verdicts so a new smell shows up as a git diff, not a",
+        "scrolled-away log line.",
+        "",
+        s"Summary: audited=$audited clean=$clean " +
+          s"excluded=${names.count(excluded.contains)} smells=${smelly.size}" +
+          (if (smelly.nonEmpty) s" (${smelly.mkString(", ")})" else ""),
+        "",
+        "| query | verdict | declared intents |",
+        "|---|---|---|")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("docs/PLAN_AUDIT.md"),
+        (hdr ++ artifact).mkString("", "\n", "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      println(s"[audit] artifact written: docs/PLAN_AUDIT.md (${artifact.size} rows)")
+    }
     spark.stop()
   }
 

@@ -563,6 +563,83 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    // 100× probe for the kNN-GRAPH family (VERDICT r10 #4): q148's
+    // NN-Descent BUILD is the expensive member and q157's UPSERT is
+    // its amortization claim. Derives a 100× embedding corpus with
+    // vectors PERTURBED per copy (an id-shift alone would make every
+    // copy an exact duplicate direction — cosine ties everywhere and
+    // the graph degenerates to id tie-breaks), then walls: build at
+    // 1× vs 100× (candidate volume O(n·(2k+1)²) — linear in n), and
+    // upsert of a FIXED 200-vector batch against the 1× vs the 100×
+    // at-rest graph. The upsert's per-vector COMPUTE is
+    // O(rounds·beam·k) — corpus-size-independent — but the batch form
+    // pays corpus SCANS in the beam-expansion joins (tiny frontier
+    // broadcast against the graph/corpus relations), so the honest
+    // expectation is compute-flat, scan-linear; the claim that
+    // matters for the lifecycle is upsert ≪ rebuild at 100×.
+    if (args.contains("graph100x")) {
+      import graft.operators.Similarity
+      val copies100 = 100
+      val dstG = s"target/scale/graph-v1-c$copies100"
+      replicateInto(src, dstG, copies100)("embeddings", (base, c) =>
+        (if (c == 0) base
+         else base.withColumn("vec_id", col("vec_id") + c * keyShift))
+          .withColumn("embedding",
+            if (c == 0) col("embedding")
+            else transform(col("embedding"), (x, i) =>
+              (x + lit(0.05) * cos(i.cast("double") * lit(1.7) +
+                lit(c.toDouble))).cast("float"))))
+      val emb1 = spark.read.parquet(s"$src/embeddings.parquet")
+        .localCheckpoint(true)
+      val embAll = spark.read.parquet(s"$dstG/embeddings.parquet")
+        .localCheckpoint(true)
+      // the upsert batch: 200 NEW vectors (ids past every corpus id),
+      // perturbations of the first 200 base vectors
+      val newVecs = emb1.filter(col("vec_id") < 200)
+        .withColumn("vec_id", col("vec_id") + lit(10L * keyShift))
+        .withColumn("embedding", transform(col("embedding"), (x, i) =>
+          (x + lit(0.03) * cos(i.cast("double") + lit(0.5))).cast("float")))
+        .localCheckpoint(true)
+      spark.range(1000000L).selectExpr("sum(id)").collect()
+      def buildWall(emb: DataFrame): (Double, DataFrame, Long) = {
+        var g: DataFrame = null
+        def once(): Double = {
+          spark.catalog.clearCache(); graft.model.RelCache.releaseAll()
+          val t0 = System.nanoTime()
+          g = Similarity.knnGraphDescent(emb, k = 5, iters = 2, dim = 64)
+            .localCheckpoint(true) // materialized inside the wall
+          (System.nanoTime() - t0) / 1e9
+        }
+        val w = math.min(once(), once())
+        (w, g, g.count())
+      }
+      def upsertWall(g: DataFrame, corpus: DataFrame): (Double, Long) = {
+        var n = 0L
+        def once(): Double = {
+          spark.catalog.clearCache(); graft.model.RelCache.releaseAll()
+          val t0 = System.nanoTime()
+          n = Similarity.knnGraphUpsert(g, corpus, newVecs, k = 5)
+            .queryExecution.toRdd.count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        (math.min(once(), once()), n)
+      }
+      val (b1, g1, e1) = buildWall(emb1)
+      val (b100, g100, e100) = buildWall(embAll)
+      val (u1, un1) = upsertWall(g1, emb1)
+      val (u100, un100) = upsertWall(g100, embAll)
+      val n1 = emb1.count(); val n100 = embAll.count()
+      println(f"[scale] knnGraphDescent build 1x(n=$n1)=$b1%8.2fs " +
+        f"100x(n=$n100)=$b100%8.2fs ratio=${b100 / b1}%6.2f " +
+        f"(edges $e1 -> $e100)")
+      println(f"[scale] knnGraphUpsert 200-vec batch vs 1x graph=$u1%8.2fs " +
+        f"vs 100x graph=$u100%8.2fs ratio=${u100 / u1}%6.2f; " +
+        f"amortization upsert/rebuild at 100x = ${u100 / b100}%.3f " +
+        f"(rows out $un1 -> $un100)")
+      println(f"""[scale-json] {"copies":$copies100,"queries":{"knn_graph_100x":{"build_1x":$b1%.3f,"build_100x":$b100%.3f,"build_ratio":${b100 / b1}%.3f,"upsert_1x":$u1%.3f,"upsert_100x":$u100%.3f,"upsert_ratio":${u100 / u1}%.3f,"upsert_over_rebuild_100x":${u100 / b100}%.4f,"n_1x":$n1,"n_100x":$n100,"edges_1x":$e1,"edges_100x":$e100}}}""")
+      spark.stop(); return
+    }
+
     // best of two runs: the first run pays codegen/JIT/footer costs
     // that would otherwise inflate the small side (it runs first) and
     // flatter the ratio

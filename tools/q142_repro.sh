@@ -1,0 +1,36 @@
+#!/bin/bash
+# q142 gate-flake reproduction harness (VERDICT r10 #1c): run the FULL
+# catalog through Verify + the DuckDB gate N times in driver-shaped
+# sessions (fresh SparkSession, 4-thread Verify pool, default CPUs).
+# Odd iterations sweep the graft_* warehouse tables first so the
+# at-rest winnow index takes the FIRST-BUILD path (the suspected
+# channel); even iterations keep them, covering the cross-session
+# registration path. Each iteration records the q142 verdict AND the
+# q142_diag.json index checksum so any flake is self-explaining.
+set -u
+N=${1:-6}
+SF=${2:-/root/testdata/sf0.01}
+LOG=${3:-/tmp/q142_repro.log}
+cd /root/repo
+echo "=== q142 repro: $N iterations over $SF ===" | tee -a "$LOG"
+for i in $(seq 1 "$N"); do
+  out="/tmp/q142_repro_$i"
+  rm -rf "$out"
+  if [ $((i % 2)) -eq 1 ]; then
+    rm -rf spark-warehouse/graft_wfp_* spark-warehouse/graft_wsz_* \
+      spark-warehouse/graft_ndx_* spark-warehouse/graft_kng_* \
+      spark-warehouse/graft_nbw_* spark-warehouse/graft_nbp_* \
+      spark-warehouse/graft_bpe_* spark-warehouse/graft_lm_* \
+      spark-warehouse/graft_lms_*
+    mode=first-build
+  else
+    mode=registered
+  fi
+  sbt -batch "runMain graft.Verify $SF $out" >/dev/null 2>&1
+  python3 tools/check.py "$SF" "$out" >"$out.check" 2>/dev/null
+  res=$(grep q142_containment "$out.check")
+  tot=$(tail -1 "$out.check")
+  diag=$(cat "$out/q142_diag.json" 2>/dev/null)
+  echo "[iter $i/$N mode=$mode] $res | $tot | diag=$diag" | tee -a "$LOG"
+  rm -rf "$out"
+done
