@@ -318,6 +318,38 @@ object MetaQueries {
         .orderBy("view_id", "purchase_id")
     }),
 
+    // ---- AS-OF via VALIDITY INTERVALS — the streaming twin's batch
+    // core as a gated query: each view becomes its per-user validity
+    // interval [us, next_us - 1] (ONE keyed lead window, closed at
+    // the serving horizon), and clicks land by the binned range join
+    // — intervals partition each user's timeline, so the containing
+    // interval IS the latest prior view. INNER semantics (clicks
+    // before their user's first view are absent). Oracle: DuckDB's
+    // native ASOF (inner) JOIN — with q161, THREE independent
+    // implementations of the as-of semantics must now agree: the
+    // union+running-window form, this interval decomposition, and
+    // DuckDB's. The horizon is a bounded driver scalar (max click
+    // time — one aggregation). ----
+    "q163_asof_intervals" -> ((s, dir) => {
+      val ev = eventsWithMicros(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("us"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("us"), col("event_id").as("view_id"),
+          col("value").as("view_value"))
+      val horizon = clicks.agg(max("us")).head().getLong(0)
+      val validity = graft.operators.Events.asofValidityIntervals(views,
+        key = "user_id", time = "us",
+        rightVals = Seq("view_id", "view_value"), horizon = horizon)
+      graft.operators.Events.rangeJoin(clicks, validity, key = "user_id",
+          t = "us", lo = "lo", hi = "hi", binWidth = 6L * 3600 * 1000000)
+        .select(col("event_id"), col("user_id"), col("us"),
+          col("iv_view_id").as("asof_view_id"),
+          col("iv_view_value").as("asof_view_value"),
+          col("iv_us").as("asof_us"))
+        .orderBy("event_id")
+    }),
+
     // ---- tumbling-window event aggregation (streaming-shaped) ----
     "q27_event_window" -> ((s, dir) => {
       val ev = eventsWithMicros(s, dir)
@@ -664,6 +696,27 @@ object MetaQueries {
                 v.view_id AS asof_view_id, v.view_value AS asof_view_value,
                 v.us AS asof_us
          FROM c ASOF LEFT JOIN v
+           ON c.user_id = v.user_id AND c.us >= v.us
+         ORDER BY c.event_id""",
+
+    // the interval-decomposition as-of vs the SAME native ASOF oracle
+    // as q161, inner form: lead-window validity intervals + binned
+    // range join must reproduce latest-prior-per-key exactly
+    "q163_asof_intervals" ->
+      """WITH ev AS (
+           SELECT event_id, user_id, epoch_us(ts) AS us, event_type, value
+           FROM events
+         ), c AS (
+           SELECT event_id, user_id, us FROM ev
+           WHERE event_type = 'click'
+         ), v AS (
+           SELECT user_id, us, event_id AS view_id, value AS view_value
+           FROM ev WHERE event_type = 'view'
+         )
+         SELECT c.event_id, c.user_id, c.us,
+                v.view_id AS asof_view_id, v.view_value AS asof_view_value,
+                v.us AS asof_us
+         FROM c ASOF JOIN v
            ON c.user_id = v.user_id AND c.us >= v.us
          ORDER BY c.event_id""",
 
