@@ -191,6 +191,35 @@ object TextDedup {
       refShingles.unionByName(shAcc))
   }
 
+  /** Index DELETION — the fourth lifecycle verb (build:
+    * [[nearDupIndex]]; query: [[nearDupAgainstIndex]]; upsert:
+    * [[nearDupIndexUpsert]]; DELETE: this), the takedown path a
+    * production corpus cannot skip: a removal request (copyright,
+    * privacy, retraction) must expunge a document's band and shingle
+    * rows from the index, so FUTURE crawls containing near-copies of
+    * the removed document are admitted again — the index must forget,
+    * not just the corpus. Two keyed left_anti joins on the doc id;
+    * the deleted index is EXACTLY the index built without the removed
+    * documents (both relations are row-wise per-doc derivations, so
+    * anti-join ≡ rebuild-without — q164 gates that identity). One
+    * caveat: under a finite build-time `dfCap` the identity is
+    * approximate — the cap's df counts included the removed docs'
+    * shingles — so a capped index re-caps at the next compaction,
+    * exactly like generation drift in [[nearDupIndexUpsert]].
+    *
+    * Scale shape: `removeIds` is takedown-batch-sized; the anti-joins
+    * key on the id. At rest this is a tombstone write: the bucketed
+    * band/shingle tables rewrite only the files containing the
+    * removed ids' rows (id-bucketed layouts localize them), or keep a
+    * tombstone relation that serving anti-joins until the next
+    * compaction — either way never a full-index shuffle. */
+  def nearDupIndexDelete(refBands: DataFrame, refShingles: DataFrame,
+      removeIds: DataFrame, id: String = "doc_id"): (DataFrame, DataFrame) = {
+    val rm = removeIds.select(col(id)).distinct()
+    (refBands.join(rm, Seq(id), "left_anti"),
+      refShingles.join(rm, Seq(id), "left_anti"))
+  }
+
   /** PARAGRAPH-grain exact dedup — the Dolma/RefinedWeb curation stage
     * between whole-document dedup and near-dup: boilerplate paragraphs
     * (headers, licence blocks, navigation) repeat across millions of

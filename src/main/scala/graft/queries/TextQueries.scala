@@ -641,6 +641,23 @@ object TextQueries {
                           WHERE dup.inc_id = d.doc_id)
         GROUP BY 1 ORDER BY 1"""
 
+  /** q164 oracle: the q123 incremental near-dup replay with the
+    * reference slice MINUS the takedown batch (doc_id % 11 = 0) —
+    * deletion-by-anti-join must equal rebuild-without-removed, so the
+    * oracle simply rebuilds without. */
+  private lazy val indexDeleteOracleSql: String =
+    s"""WITH sh0 AS ($shinglesSql),
+        shr AS (SELECT doc_id, sh FROM sh0
+                WHERE doc_id % 7 < 3 AND doc_id % 11 <> 0),
+        shi AS (SELECT doc_id, sh FROM sh0 WHERE doc_id % 7 >= 3),
+        ${nearDupDropCtes("", "shi", "shr", 0.3)}
+        SELECT d.source, count(*) AS n_kept, min(d.doc_id) AS first_kept,
+               CAST(sum(d.doc_id) AS BIGINT) AS sum_ids
+        FROM documents d
+        WHERE d.doc_id % 7 >= 3
+          AND NOT EXISTS (SELECT 1 FROM dup WHERE dup.inc_id = d.doc_id)
+        GROUP BY 1 ORDER BY 1"""
+
   /** Shared q35/q152 fragment: the full in-corpus MinHash LSH chain —
     * shingle sets → md5 minhash signature → 4 bands → distinct
     * candidate pairs (id_a < id_b) → exact-Jaccard `verified`
@@ -1664,6 +1681,32 @@ object TextQueries {
           col("first_kept"), col("sum_ids"))
       stats(kept1, 1).unionByName(stats(kept2, 2))
         .orderBy("generation", "source")
+    }),
+
+    // ---- near-dup index DELETE — the takedown verb closing the
+    // index lifecycle (build / query / upsert / delete): a removal
+    // batch (reference docs with doc_id % 11 = 0) expunges its band
+    // and shingle rows ([[TextDedup.nearDupIndexDelete]]), and the
+    // next crawl checks against the FORGETTING index — near-copies
+    // of removed docs are admitted again, exactly the
+    // copyright/privacy contract. The oracle replays the q123 drop
+    // chain with the reference slice minus the takedowns: anti-join
+    // deletion must equal rebuild-without-removed. ----
+    "q164_index_delete" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ref = docs.filter(col("doc_id") % 7 < 3)
+      val inc = docs.filter(col("doc_id") % 7 >= 3)
+      val (b0, s0) = TextDedup.nearDupIndex(ref,
+        k = 8, bands = 4, shingleWidth = 3, md5Hashes = true)
+      val takedown = ref.filter(col("doc_id") % 11 === 0).select("doc_id")
+      val (b1, s1) = TextDedup.nearDupIndexDelete(b0, s0, takedown)
+      TextDedup.nearDupAgainstIndex(inc, b1, s1,
+          minJaccard = 0.3, k = 8, bands = 4, shingleWidth = 3,
+          md5Hashes = true)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), min("doc_id").as("first_kept"),
+          sum("doc_id").as("sum_ids"))
+        .orderBy("source")
     }),
 
     // ---- per-source vocabulary stats (Zipf shape): vocab size,
@@ -3660,6 +3703,10 @@ object TextQueries {
     // refNearDupDropSubquery); dropped = any cross-corpus band
     // collision whose exact Jaccard ≥ 0.3
     "q123_neardup_incremental" -> nearDupIncrementalOracleSql,
+
+    // takedown-deletion replay: the q123 chain with the reference
+    // minus the removal batch — anti-join delete ≡ rebuild-without
+    "q164_index_delete" -> indexDeleteOracleSql,
 
     // two-generation upsert replay: crawl 1 vs ref0, then crawl 2 vs
     // ref1 = ref0 ∪ accepted(crawl 1) — both chains instantiate the
