@@ -609,6 +609,36 @@ object Similarity {
     untouched.unionByName(rer).unionByName(newEdges)
   }
 
+  /** k-NN graph DELETION — the takedown verb for the VECTOR index
+    * (the [[graft.operators.TextDedup.nearDupIndexDelete]] contract
+    * on the graph artifact; lifecycle: build [[knnGraphDescent]],
+    * serve [[graphSearchTopK]], upsert [[knnGraphUpsert]], DELETE
+    * this): removed nodes' adjacency rows drop, surviving nodes drop
+    * their edges TO removed nodes and recompact ranks (sim desc, id
+    * asc — the TopKPairs tie order), leaving degree possibly < k
+    * until the next NN-Descent refresh round — the HNSW
+    * tombstone-then-compact practice (eager re-wiring would need a
+    * beam search per affected node; that is exactly
+    * [[knnGraphUpsert]]'s machinery, run at compaction, not inline
+    * with every takedown).
+    *
+    * Scale shape: two keyed anti-joins (the affected mass is bounded
+    * by the removed nodes' reverse degree — ≤ k·|removed| rows plus
+    * the removed rows themselves) and ONE node-grain window (≤ k
+    * rows per node, contract-bounded — never a corpus-keyed sort).
+    * At rest: a tombstone write over the vec_id-bucketed layout. */
+  def knnGraphDelete(graph: DataFrame, removeIds: DataFrame,
+      id: String = "vec_id"): DataFrame = {
+    val rm = removeIds.select(col(id)).distinct()
+    val kept = graph.join(rm, Seq(id), "left_anti")
+      .join(rm.withColumnRenamed(id, "nbr"), Seq("nbr"), "left_anti")
+    kept
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(id))
+          .orderBy(col("sim").desc, col("nbr").asc)).cast("int"))
+      .select(col(id), col("nbr"), col("rank"), col("sim"))
+  }
+
   /** FAISS-style SCALAR quantization fit (SQ8): per-dimension
     * min/max over the corpus — ONE keyed aggregation, `dim` output
     * rows, collected as the affine code parameters. Exact (no

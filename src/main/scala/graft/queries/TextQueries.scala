@@ -2221,6 +2221,20 @@ object TextQueries {
         .orderBy("vec_id", "rank")
     }),
 
+    // ---- k-NN graph DELETE — the takedown verb on the VECTOR index
+    // (q164's contract on the graph artifact): removed nodes'
+    // adjacency drops, survivors drop dangling edges and recompact
+    // ranks; degree may fall below k until the next refresh (HNSW
+    // tombstone-then-compact). The oracle replays the q148 chain and
+    // applies the same filter + re-rank. ----
+    "q165_graph_delete" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val g = Similarity.knnGraphDescent(emb, k = 5, iters = 2, dim = 64)
+      Similarity.knnGraphDelete(g,
+          emb.filter(col("vec_id") % 13 === 0).select("vec_id"))
+        .orderBy("vec_id", "rank")
+    }),
+
     // ---- graph-ANN serving: beam search over the q148 NN-Descent
     // graph — hash-ranked entry points, three expand/re-rank beam
     // rounds along graph edges, exact-cosine ranking throughout.
@@ -4008,6 +4022,19 @@ object TextQueries {
       s"""WITH ${nndChainCtes(5, 64)}
        SELECT a AS vec_id, c AS nbr, rank, sim + 0.0 AS sim
        FROM nn2 ORDER BY vec_id, rank""",
+
+    // graph-delete replay: the q148 chain, then tombstone semantics —
+    // drop removed nodes' rows and dangling edges, recompact ranks in
+    // the engine's (sim desc, id asc) tie order
+    "q165_graph_delete" ->
+      s"""WITH ${nndChainCtes(5, 64)},
+       kept AS (SELECT a, c, sim FROM nn2
+                WHERE a % 13 <> 0 AND c % 13 <> 0)
+       SELECT a AS vec_id, c AS nbr,
+              CAST(row_number() OVER (PARTITION BY a
+                ORDER BY sim DESC, c ASC) AS INT) AS rank,
+              sim + 0.0 AS sim
+       FROM kept ORDER BY vec_id, rank""",
 
     // graph-search replay: the q148 graph chain verbatim, then the
     // hash-ranked entry points and all beam rounds (expand along nn2
