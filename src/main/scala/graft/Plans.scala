@@ -289,6 +289,8 @@ object Plans {
       "the winnow fingerprint-keyed pair join (both sides fingerprint-grain, the q133 shape) and the loser left_anti on doc_id — both sides corpus-grain keyed; AQE demotes when small",
     "q123_neardup_incremental" ->
       "cross-corpus candidate/verify joins keyed on (band|shingle|pair) and the final left_anti on doc_id — both sides corpus-grain, the q35 shape split across two corpora; AQE demotes when small",
+    "q164_index_delete" ->
+      "the q123 band/shingle/pair-keyed joins against the takedown-deleted index (two keyed anti-joins ahead of them) — both sides corpus-grain keyed; AQE demotes when small",
     "q157_graph_upsert" ->
       "the graph relation joined/anti-joined on node id against the affected-node set, plus the beam-search expansion joins — graph side corpus-grain keyed (bucketed by vec_id at rest, the bucketed_graph_demo layout), affected/frontier sides |new|·k-bounded; AQE demotes when small",
     "q155_split_leakage" ->

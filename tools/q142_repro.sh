@@ -17,11 +17,9 @@ for i in $(seq 1 "$N"); do
   out="/tmp/q142_repro_$i"
   rm -rf "$out"
   if [ $((i % 2)) -eq 1 ]; then
-    rm -rf spark-warehouse/graft_wfp_* spark-warehouse/graft_wsz_* \
-      spark-warehouse/graft_ndx_* spark-warehouse/graft_kng_* \
-      spark-warehouse/graft_nbw_* spark-warehouse/graft_nbp_* \
-      spark-warehouse/graft_bpe_* spark-warehouse/graft_lm_* \
-      spark-warehouse/graft_lms_*
+    # sweep ONLY this fixture's generation (sf0_01-keyed tables): a
+    # concurrent process may hold other fixtures' tables registered
+    rm -rf spark-warehouse/graft_*_sf0_01_*
     mode=first-build
   else
     mode=registered
