@@ -291,6 +291,10 @@ object Plans {
       "cross-corpus candidate/verify joins keyed on (band|shingle|pair) and the final left_anti on doc_id — both sides corpus-grain, the q35 shape split across two corpora; AQE demotes when small",
     "q164_index_delete" ->
       "the q123 band/shingle/pair-keyed joins against the takedown-deleted index (two keyed anti-joins ahead of them) — both sides corpus-grain keyed; AQE demotes when small",
+    "q166_winnow_upsert" ->
+      "the q142 fingerprint-keyed pair joins run once per index GENERATION (crawl 1 vs ref0, crawl 2 vs the upserted ref1) — both sides corpus-grain; the upsert itself is an append-only union; AQE demotes when small",
+    "q167_winnow_delete" ->
+      "the q142 fingerprint-keyed pair join against the takedown-deleted winnow index (two keyed anti-joins ahead of it) plus the loser left_anti on doc_id — both sides corpus-grain keyed; AQE demotes when small",
     "q157_graph_upsert" ->
       "the graph relation joined/anti-joined on node id against the affected-node set, plus the beam-search expansion joins — graph side corpus-grain keyed (bucketed by vec_id at rest, the bucketed_graph_demo layout), affected/frontier sides |new|·k-bounded; AQE demotes when small",
     "q155_split_leakage" ->

@@ -1353,6 +1353,46 @@ object TextDedup {
     (fp, fp.groupBy(col(id)).agg(count(lit(1)).as("nfp")))
   }
 
+  /** Winnow-index UPSERT — [[nearDupIndexUpsert]]'s verb on the
+    * containment family: the next-generation index after a crawl is
+    * the generation-N fingerprint/size relations plus the rows of the
+    * crawl docs that SURVIVED the check against generation N
+    * ([[containmentAgainstIndex]]). The crawl loop is check → accept
+    * → upsert → the next crawl checks the grown index, so copied
+    * passages of PREVIOUSLY-ACCEPTED docs are caught, not just of
+    * the original snapshot. The accepted batch pays one winnowing
+    * pass (its own size, never the index's); both unions are
+    * APPEND-ONLY — at rest, new files into the h-bucketed fingerprint
+    * table and the doc-grain size table, no existing row rewritten.
+    * (k, window), hash family AND dfCap must match the index being
+    * grown — the [[nearDupIndexUpsert]] contract verbatim. */
+  def winnowIndexUpsert(refFp: DataFrame, refSizes: DataFrame,
+      accepted: DataFrame, k: Int = 4, window: Int = 4,
+      md5Hashes: Boolean = false, id: String = "doc_id",
+      text: String = "text"): (DataFrame, DataFrame) = {
+    val fpAcc = winnowFingerprints(accepted, k, window, md5Hashes, id, text)
+      .select(col(id), col("h")).distinct()
+    graft.model.RelCache.hold("textdedup.winnowIndexUpsert", fpAcc)
+    (refFp.unionByName(fpAcc),
+      refSizes.unionByName(fpAcc.groupBy(col(id)).agg(count(lit(1)).as("nfp"))))
+  }
+
+  /** Winnow-index DELETION — the takedown verb on the containment
+    * family ([[nearDupIndexDelete]]'s contract): a removal batch
+    * expunges its fingerprint and size rows, so future crawls
+    * containing passages of removed documents are admitted again.
+    * Two keyed anti-joins; anti-join deletion ≡ rebuild-without
+    * (both relations are per-doc derivations — q167 gates the
+    * identity); under a finite build-time dfCap the identity is
+    * approximate until the next compaction re-caps, exactly as in
+    * [[nearDupIndexDelete]]. */
+  def winnowIndexDelete(refFp: DataFrame, refSizes: DataFrame,
+      removeIds: DataFrame, id: String = "doc_id"): (DataFrame, DataFrame) = {
+    val rm = removeIds.select(col(id)).distinct()
+    (refFp.join(rm, Seq(id), "left_anti"),
+      refSizes.join(rm, Seq(id), "left_anti"))
+  }
+
   /** Incremental CONTAINMENT dedup of a new crawl against a frozen
     * reference corpus' winnowed-fingerprint index — the MOSS/
     * copied-passage analogue of [[nearDupAgainstIndex]]: an incoming

@@ -1530,6 +1530,63 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // ---- winnow-index UPSERT — the containment crawl loop CLOSED
+    // (q151's shape on the MOSS family): crawl 1 (doc_id % 7 ∈ {3,4})
+    // checks against the generation-0 winnow index; its survivors'
+    // fingerprint/size rows MERGE in ([[TextDedup.winnowIndexUpsert]]);
+    // crawl 2 (doc_id % 7 ∈ {5,6}) checks the GROWN index, so copied
+    // passages of crawl-1 acceptances are caught. Output: per-
+    // (generation, source) keep stats; the oracle replays both
+    // generations' asymmetric pair joins with the gen-1 reference =
+    // ref0 ∪ accepted(crawl 1). ----
+    "q166_winnow_upsert" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val m = col("doc_id") % 7
+      val (fp0, sz0) = TextDedup.winnowIndex(docs.filter(m < 3),
+        k = 4, window = 4, md5Hashes = true)
+      val kept1 = graft.model.Workspace.stageCheckpoint(
+        TextDedup.containmentAgainstIndex(docs.filter(m === 3 || m === 4),
+          fp0, sz0, k = 4, window = 4, minShared = 2,
+          minContainment = 0.8, md5Hashes = true),
+        "wdx_upsert_kept1")
+      val (fp1, sz1) = TextDedup.winnowIndexUpsert(fp0, sz0, kept1,
+        k = 4, window = 4, md5Hashes = true)
+      val kept2 = TextDedup.containmentAgainstIndex(docs.filter(m >= 5),
+        fp1, sz1, k = 4, window = 4, minShared = 2,
+        minContainment = 0.8, md5Hashes = true)
+      def stats(kept: DataFrame, gen: Int): DataFrame = kept
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), min("doc_id").as("first_kept"),
+          sum("doc_id").as("sum_ids"))
+        .select(lit(gen).as("generation"), col("source"), col("n_kept"),
+          col("first_kept"), col("sum_ids"))
+      stats(kept1, 1).unionByName(stats(kept2, 2))
+        .orderBy("generation", "source")
+    }),
+
+    // ---- winnow-index DELETE — the takedown verb on the containment
+    // family (q164's contract): reference docs with doc_id % 11 = 0
+    // expunge their fingerprint/size rows, and the crawl checks the
+    // FORGETTING index — copied passages of removed docs are admitted
+    // again. Oracle: the q142 replay with the reference minus the
+    // takedowns — anti-join deletion ≡ rebuild-without. ----
+    "q167_winnow_delete" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ref = docs.filter(col("doc_id") % 7 < 3)
+      val inc = docs.filter(col("doc_id") % 7 >= 3)
+      val (fp0, sz0) = TextDedup.winnowIndex(ref, k = 4, window = 4,
+        md5Hashes = true)
+      val takedown = ref.filter(col("doc_id") % 11 === 0).select("doc_id")
+      val (fp1, sz1) = TextDedup.winnowIndexDelete(fp0, sz0, takedown)
+      TextDedup.containmentAgainstIndex(inc, fp1, sz1,
+          k = 4, window = 4, minShared = 2, minContainment = 0.8,
+          md5Hashes = true)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), min("doc_id").as("first_kept"),
+          sum("doc_id").as("sum_ids"))
+        .orderBy("source")
+    }),
+
     // ---- q136 with the reference LM AT REST: identical CCNet
     // head/middle/tail semantics, but the unigram LM (frequency
     // relation + scalars) is a stored warehouse artifact
@@ -3665,6 +3722,79 @@ object TextQueries {
             WHERE round(shared * 1.0 / least(si.nfp, sr.nfp) + 1e-9, 6) >= 0.8)
           SELECT source, count(*) AS n_kept, min(doc_id) AS first_kept,
                  sum(doc_id) AS sum_ids
+          FROM documents d
+          WHERE doc_id % 7 >= 3
+            AND NOT EXISTS (SELECT 1 FROM dropped x WHERE x.inc_id = d.doc_id)
+          GROUP BY 1 ORDER BY 1"""),
+
+    // winnow-upsert replay: both generations' asymmetric pair joins
+    // over the shared full-corpus winnow selection — the gen-1
+    // reference is ref0 ∪ (crawl-1 survivors), exactly the engine's
+    // append-only union
+    "q166_winnow_upsert" ->
+      (s"""WITH ${winnowSelSql(4, 4)},
+          fpu AS (SELECT doc_id, unnest(fps) AS f FROM sel),
+          fph AS (SELECT DISTINCT doc_id, substr(f, 1, 32) AS h FROM fpu),
+          sizes AS (SELECT doc_id, count(*) AS nfp FROM fph GROUP BY 1),
+          p1 AS (
+            SELECT i.doc_id AS inc_id, r.doc_id AS ref_id, count(*) AS shared
+            FROM fph i JOIN fph r ON i.h = r.h
+            WHERE i.doc_id % 7 IN (3, 4) AND r.doc_id % 7 < 3
+            GROUP BY 1, 2 HAVING count(*) >= 2),
+          d1 AS (
+            SELECT DISTINCT inc_id
+            FROM p1 JOIN sizes si ON si.doc_id = inc_id
+                    JOIN sizes sr ON sr.doc_id = ref_id
+            WHERE round(shared * 1.0 / least(si.nfp, sr.nfp) + 1e-9, 6) >= 0.8),
+          ref2 AS (
+            SELECT doc_id FROM documents WHERE doc_id % 7 < 3
+            UNION ALL
+            SELECT doc_id FROM documents WHERE doc_id % 7 IN (3, 4)
+              AND NOT EXISTS (SELECT 1 FROM d1 WHERE d1.inc_id = doc_id)),
+          p2 AS (
+            SELECT i.doc_id AS inc_id, r.doc_id AS ref_id, count(*) AS shared
+            FROM fph i JOIN fph r ON i.h = r.h
+                 JOIN ref2 ON ref2.doc_id = r.doc_id
+            WHERE i.doc_id % 7 IN (5, 6)
+            GROUP BY 1, 2 HAVING count(*) >= 2),
+          d2 AS (
+            SELECT DISTINCT inc_id
+            FROM p2 JOIN sizes si ON si.doc_id = inc_id
+                    JOIN sizes sr ON sr.doc_id = ref_id
+            WHERE round(shared * 1.0 / least(si.nfp, sr.nfp) + 1e-9, 6) >= 0.8)
+          SELECT 1 AS generation, source, count(*) AS n_kept,
+                 min(doc_id) AS first_kept, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+          FROM documents d WHERE doc_id % 7 IN (3, 4)
+            AND NOT EXISTS (SELECT 1 FROM d1 WHERE d1.inc_id = d.doc_id)
+          GROUP BY 2
+          UNION ALL
+          SELECT 2 AS generation, source, count(*) AS n_kept,
+                 min(doc_id) AS first_kept, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+          FROM documents d WHERE doc_id % 7 IN (5, 6)
+            AND NOT EXISTS (SELECT 1 FROM d2 WHERE d2.inc_id = d.doc_id)
+          GROUP BY 2
+          ORDER BY generation, source"""),
+
+    // winnow-delete replay: the q142 chain with the reference minus
+    // the takedown batch — anti-join deletion ≡ rebuild-without
+    "q167_winnow_delete" ->
+      (s"""WITH ${winnowSelSql(4, 4)},
+          fpu AS (SELECT doc_id, unnest(fps) AS f FROM sel),
+          fph AS (SELECT DISTINCT doc_id, substr(f, 1, 32) AS h FROM fpu),
+          sizes AS (SELECT doc_id, count(*) AS nfp FROM fph GROUP BY 1),
+          pairs AS (
+            SELECT i.doc_id AS inc_id, r.doc_id AS ref_id, count(*) AS shared
+            FROM fph i JOIN fph r ON i.h = r.h
+            WHERE i.doc_id % 7 >= 3 AND r.doc_id % 7 < 3
+              AND r.doc_id % 11 <> 0
+            GROUP BY 1, 2 HAVING count(*) >= 2),
+          dropped AS (
+            SELECT DISTINCT inc_id
+            FROM pairs JOIN sizes si ON si.doc_id = inc_id
+                       JOIN sizes sr ON sr.doc_id = ref_id
+            WHERE round(shared * 1.0 / least(si.nfp, sr.nfp) + 1e-9, 6) >= 0.8)
+          SELECT source, count(*) AS n_kept, min(doc_id) AS first_kept,
+                 CAST(sum(doc_id) AS BIGINT) AS sum_ids
           FROM documents d
           WHERE doc_id % 7 >= 3
             AND NOT EXISTS (SELECT 1 FROM dropped x WHERE x.inc_id = d.doc_id)
