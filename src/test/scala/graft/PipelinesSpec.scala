@@ -275,6 +275,84 @@ class PipelinesSpec extends SparkSpec {
     graft.model.RelCache.releaseAll()
   }
 
+  test("index DELETE: anti-join deletion ≡ rebuild-without, and the index forgets (near-dup + winnow + graph)") {
+    import graft.operators.{Similarity, TextDedup}
+    import spark.implicits._
+    val a = "the quick brown fox jumps over the lazy dog and it is a fine day in the park " * 3
+    val ref = Seq((1L, a),
+      (2L, "a completely different english story about the sea and the ships that sail it " * 3))
+      .toDF("doc_id", "text")
+    // the crawl doc near-dups ONLY ref doc 1 (the takedown target)
+    val crawl = Seq((10L, a + "with one extra tail phrase")).toDF("doc_id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val rm = Seq(1L).toDF("doc_id")
+    // near-dup family: before deletion the crawl doc drops; after, admitted
+    val (b0, s0) = TextDedup.nearDupIndex(ref)
+    assert(ids(TextDedup.nearDupAgainstIndex(crawl, b0, s0, minJaccard = 0.3)).isEmpty)
+    val (b1, s1) = TextDedup.nearDupIndexDelete(b0, s0, rm)
+    assert(ids(TextDedup.nearDupAgainstIndex(crawl, b1, s1, minJaccard = 0.3)) == Set(10L),
+      "deleted near-dup index must re-admit near-copies of the removed doc")
+    // deletion ≡ rebuild-without (row-set identity on both relations)
+    val (b2, s2) = TextDedup.nearDupIndex(ref.filter($"doc_id" =!= 1L))
+    assert(b1.collect().toSet == b2.collect().toSet)
+    assert(s1.collect().toSet == s2.collect().toSet)
+    // winnow family: same contract
+    val (fp0, sz0) = TextDedup.winnowIndex(ref)
+    assert(ids(TextDedup.containmentAgainstIndex(crawl, fp0, sz0,
+      minShared = 2, minContainment = 0.8)).isEmpty)
+    val (fp1, sz1) = TextDedup.winnowIndexDelete(fp0, sz0, rm)
+    assert(ids(TextDedup.containmentAgainstIndex(crawl, fp1, sz1,
+      minShared = 2, minContainment = 0.8)) == Set(10L),
+      "deleted winnow index must re-admit passages of the removed doc")
+    val (fp2, sz2) = TextDedup.winnowIndex(ref.filter($"doc_id" =!= 1L))
+    assert(fp1.collect().toSet == fp2.collect().toSet)
+    assert(sz1.collect().toSet == sz2.collect().toSet)
+    // graph family: removed node gone, dangling edges gone, ranks
+    // recompacted contiguously from 1 in (sim desc, id asc) order
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val g = Similarity.knnGraphDescent(emb, k = 3, iters = 1, dim = 64)
+      .localCheckpoint(true)
+    val del = Similarity.knnGraphDelete(g,
+      emb.filter($"vec_id" % 13 === 0).select("vec_id")).localCheckpoint(true)
+    assert(del.filter($"vec_id" % 13 === 0 || $"nbr" % 13 === 0).count() == 0)
+    val badRank = del.groupBy("vec_id")
+      .agg(org.apache.spark.sql.functions.collect_list("rank").as("rs"))
+      .collect().exists { r =>
+        val rs = r.getSeq[Int](1).sorted; rs != (1 to rs.size) }
+    assert(!badRank, "ranks must recompact to 1..m per node")
+    graft.model.RelCache.releaseAll()
+  }
+
+  test("winnowIndexUpsert: the frozen index re-admits a passage of an accepted doc; the grown index catches it") {
+    import graft.operators.TextDedup
+    import spark.implicits._
+    val a = "the quick brown fox jumps over the lazy dog and it is a fine day in the park " * 3
+    val b = "an entirely separate english essay about rivers and the valleys they carve through stone " * 3
+    val ref0 = Seq((1L, a)).toDF("doc_id", "text")
+    // crawl 1: 10 contains a copied passage of ref doc 1 (dropped), 11 novel
+    val crawl1 = Seq((10L, a + " with one extra tail phrase"), (11L, b))
+      .toDF("doc_id", "text")
+    // crawl 2: 20 copies a passage of ACCEPTED doc 11, 21 novel
+    val crawl2 = Seq((20L, b + " with one extra tail phrase"),
+      (21L, "yet another unrelated english text about mountains and the snow that falls on them " * 3))
+      .toDF("doc_id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val (fp0, sz0) = TextDedup.winnowIndex(ref0)
+    val kept1 = TextDedup.containmentAgainstIndex(crawl1, fp0, sz0,
+      minShared = 2, minContainment = 0.8).localCheckpoint(true)
+    assert(ids(kept1) == Set(11L), s"gen-1 keep set: ${ids(kept1)}")
+    val frozen = TextDedup.containmentAgainstIndex(crawl2, fp0, sz0,
+      minShared = 2, minContainment = 0.8)
+    assert(ids(frozen) == Set(20L, 21L), s"frozen-index keep set: ${ids(frozen)}")
+    val (fp1, sz1) = TextDedup.winnowIndexUpsert(fp0, sz0, kept1)
+    val grown = TextDedup.containmentAgainstIndex(crawl2, fp1, sz1,
+      minShared = 2, minContainment = 0.8)
+    assert(ids(grown) == Set(21L), s"grown-index keep set: ${ids(grown)}")
+    graft.model.RelCache.releaseAll()
+  }
+
   test("sourceOverlap: ordered source pairs; diagonal rows are internal redundancy") {
     import graft.operators.TextDedup
     val a = "the quick brown fox jumps over the lazy dog and it is a fine day in the park " * 3
