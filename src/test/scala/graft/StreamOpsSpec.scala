@@ -729,6 +729,47 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming serve over a DELETED winnow index: passages of removed docs admit again (q167 twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.TextDedup
+    val a = "the quick brown fox jumps over the lazy dog and it is a fine day in the park " * 3
+    val ref = Seq((1L, a),
+      (2L, "a completely different english story about the sea and the ships that sail it " * 3))
+      .toDF("doc_id", "text")
+    val (fp0r, sz0r) = TextDedup.winnowIndex(ref, k = 4, window = 4,
+      md5Hashes = true)
+    val fp0 = fp0r.localCheckpoint(true); val sz0 = sz0r.localCheckpoint(true)
+    graft.model.RelCache.release("textdedup.winnowIndex")
+    val (fp1r, sz1r) = TextDedup.winnowIndexDelete(fp0, sz0, Seq(1L).toDF("doc_id"))
+    val fp1 = fp1r.localCheckpoint(true); val sz1 = sz1r.localCheckpoint(true)
+    def verdicts(fp: org.apache.spark.sql.DataFrame,
+        sz: org.apache.spark.sql.DataFrame, name: String): Map[Long, Boolean] = {
+      val input = MemoryStream[(Timestamp, Long, String)]
+      val out = StreamOps.streamingContainmentAgainstIndex(
+        input.toDS().toDF("ts", "doc_id", "text"), fp, sz,
+        k = 4, window = 4, minShared = 2, minContainment = 0.8)
+      val query = out.writeStream.format("memory")
+        .queryName(name).outputMode("append").start()
+      try {
+        // doc 10 contains a copied passage of the REMOVED ref doc 1;
+        // the late flush event pushes the watermark past the verdict
+        // window so append mode emits it
+        val t0 = 1700000000000L
+        input.addData((new Timestamp(t0), 10L, a + " with one extra tail phrase"))
+        query.processAllAvailable()
+        input.addData((new Timestamp(t0 + 48 * 3600 * 1000L), -1L, "flush"))
+        query.processAllAvailable()
+        spark.table(name).collect().filter(_.getAs[Long]("doc_id") >= 0L)
+          .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("kept")).toMap
+      } finally query.stop()
+    }
+    assert(verdicts(fp0, sz0, "wdel_before") == Map(10L -> false),
+      "pre-delete the planted passage must drop against the live index")
+    assert(verdicts(fp1, sz1, "wdel_after") == Map(10L -> true),
+      "post-delete the index must forget: the same passage admits again")
+  }
+
   test("streamingQualityScores batch≡stream: static NB fit applied to the live feed") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
