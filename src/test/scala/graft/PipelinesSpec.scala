@@ -324,6 +324,40 @@ class PipelinesSpec extends SparkSpec {
     graft.model.RelCache.releaseAll()
   }
 
+  test("at-rest artifacts survive sessions: a fresh catalog re-registers from markers, data files untouched") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    // session 1: q143 builds (or re-registers) the at-rest BPE table
+    val r1 = SparkEntry.queries("q143_real_budget_amortized")(spark, dir)
+      .collect().map(_.toString).sorted
+    val wh = new java.io.File(
+      spark.sessionState.conf.warehousePath.stripPrefix("file:"))
+    val tbls = Option(wh.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("graft_bpe_sf0_001_"))
+    assert(tbls.nonEmpty, s"expected an at-rest BPE table under $wh")
+    assert(tbls.forall(t => new java.io.File(t, "_graft_complete.json").exists()),
+      "build-complete marker must be the build's last step")
+    def mtimes(): Map[String, Long] = tbls.flatMap(t =>
+      Option(t.listFiles()).getOrElse(Array.empty)
+        .filterNot(_.getName.startsWith("_"))
+        .map(f => f.getAbsolutePath -> f.lastModified())).toMap
+    val before = mtimes()
+    // session 2: FRESH in-memory catalog (the driver-restart shape) —
+    // must re-register via the marker's DDL, never rebuild
+    val s2 = spark.newSession()
+    org.apache.spark.sql.SparkSession.setActiveSession(s2)
+    try {
+      SparkEntry.clearQueryCaches() // memo caches hold session-1 frames
+      val r2 = SparkEntry.queries("q143_real_budget_amortized")(s2, dir)
+        .collect().map(_.toString).sorted
+      assert(r2.toSeq == r1.toSeq, "registered-table session must reproduce the build session")
+      assert(mtimes() == before, "session 2 must leave data-file mtimes unchanged")
+    } finally {
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+      SparkEntry.clearQueryCaches()
+    }
+  }
+
   test("winnowIndexUpsert: the frozen index re-admits a passage of an accepted doc; the grown index catches it") {
     import graft.operators.TextDedup
     import spark.implicits._
