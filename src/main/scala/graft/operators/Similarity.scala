@@ -453,12 +453,6 @@ object Similarity {
     val docs = emb.select(col(id).cast("long").as("nid"), col(vec).as("v"))
     val n = docs.count()
     val nb = math.max(1L, (n + 1) / 2)
-    def topK(edges: DataFrame): DataFrame =
-      edges.groupBy(col("a"))
-        .agg(top_k_pairs(round(col("sim") + lit(1e-9), 6), col("c"), k).as("tk"))
-        .select(col("a"), posexplode(col("tk")).as(Seq("r0", "p")))
-        .select(col("a"), col("p.id").as("c"), col("p.score").as("sim"),
-          (col("r0") + 1).cast("int").as("rank"))
     // k independent ~2-member bucket families: each (seed, bucket)
     // key pairs a node with ~1 random partner per seed
     val bucketed = docs
@@ -472,38 +466,87 @@ object Similarity {
       .filter(col("a") =!= col("c"))
       .select(col("a"), col("c"), cosine(col("va"), col("vc")).as("sim"))
       .distinct()
-    var state = graft.model.Workspace.stageCheckpoint(topK(initEdges), "nnd_init")
-    for (t <- 0 until iters) {
-      val fwd = state.select(col("a"), col("c"))
-      // reverse fan-in is unbounded (a hub can be everyone's
-      // neighbor) — cap at the k smallest ids, deterministically
-      val revCap = state.select(col("c").as("a"), col("a").as("c"))
-        .groupBy("a")
-        .agg(top_k_pairs(-col("c").cast("double"), col("c"), k).as("tk"))
-        .select(col("a"), explode(col("tk")).as("p"))
-        .select(col("a"), col("p.id").as("c"))
-      // adjacency incl. the pivot, so pivot–member pairs re-score too
-      val adj = fwd.union(revCap)
-        .union(docs.select(col("nid").as("a"), col("nid").as("c")))
-        .distinct()
-      val cand = adj.select(col("a").as("pivot"), col("c").as("x"))
-        .join(adj.select(col("a").as("pivot"), col("c").as("y")), Seq("pivot"))
-        .filter(col("x") < col("y"))
-        .select(col("x"), col("y")).distinct()
-      val scored = cand
-        .join(docs.select(col("nid").as("x"), col("v").as("vx")), Seq("x"))
-        .join(docs.select(col("nid").as("y"), col("v").as("vy")), Seq("y"))
-        .select(col("x"), col("y"), cosine(col("vx"), col("vy")).as("sim"))
-      val undirected = scored
-        .union(scored.select(col("y"), col("x"), col("sim")))
-        .toDF("a", "c", "sim")
-      // one row per (a, c) before top-k — duplicates would occupy two
-      // slots; max(raw, grid) re-rounds to the same grid value
-      val uniq = undirected.union(state.select(col("a"), col("c"), col("sim")))
-        .groupBy("a", "c").agg(max("sim").as("sim"))
-      state = graft.model.Workspace.stageCheckpoint(topK(uniq), s"nnd_iter$t")
-    }
+    var state = graft.model.Workspace.stageCheckpoint(
+      nndTopK(initEdges, k), "nnd_init")
+    for (t <- 0 until iters)
+      state = graft.model.Workspace.stageCheckpoint(
+        nndRound(state, docs, k), s"nnd_iter$t")
     state.select(col("a").as(id), col("c").as("nbr"), col("rank"), col("sim"))
+  }
+
+  /** Rounded-cosine top-k per pivot — the NN-Descent selection step
+    * (grid round, sim desc, id asc through [[graft.functions
+    * .TopKPairs]]). */
+  private def nndTopK(edges: DataFrame, k: Int): DataFrame =
+    edges.groupBy(col("a"))
+      .agg(top_k_pairs(round(col("sim") + lit(1e-9), 6), col("c"), k).as("tk"))
+      .select(col("a"), posexplode(col("tk")).as(Seq("r0", "p")))
+      .select(col("a"), col("p.id").as("c"), col("p.score").as("sim"),
+        (col("r0") + 1).cast("int").as("rank"))
+
+  /** ONE NN-Descent local-join round over an existing k-NN state —
+    * the iteration body of [[knnGraphDescent]], shared verbatim with
+    * [[knnGraphRefresh]] so build and compaction cannot drift.
+    * `state` is (a, c, sim) adjacency; `docs` is (nid, v) and defines
+    * BOTH the pivot universe (every docs node re-scores its
+    * adjacency, including isolated ones via the self row) and the
+    * scoring vectors. */
+  private def nndRound(state: DataFrame, docs: DataFrame, k: Int): DataFrame = {
+    val fwd = state.select(col("a"), col("c"))
+    // reverse fan-in is unbounded (a hub can be everyone's
+    // neighbor) — cap at the k smallest ids, deterministically
+    val revCap = state.select(col("c").as("a"), col("a").as("c"))
+      .groupBy("a")
+      .agg(top_k_pairs(-col("c").cast("double"), col("c"), k).as("tk"))
+      .select(col("a"), explode(col("tk")).as("p"))
+      .select(col("a"), col("p.id").as("c"))
+    // adjacency incl. the pivot, so pivot–member pairs re-score too
+    val adj = fwd.union(revCap)
+      .union(docs.select(col("nid").as("a"), col("nid").as("c")))
+      .distinct()
+    val cand = adj.select(col("a").as("pivot"), col("c").as("x"))
+      .join(adj.select(col("a").as("pivot"), col("c").as("y")), Seq("pivot"))
+      .filter(col("x") < col("y"))
+      .select(col("x"), col("y")).distinct()
+    val scored = cand
+      .join(docs.select(col("nid").as("x"), col("v").as("vx")), Seq("x"))
+      .join(docs.select(col("nid").as("y"), col("v").as("vy")), Seq("y"))
+      .select(col("x"), col("y"), cosine(col("vx"), col("vy")).as("sim"))
+    val undirected = scored
+      .union(scored.select(col("y"), col("x"), col("sim")))
+      .toDF("a", "c", "sim")
+    // one row per (a, c) before top-k — duplicates would occupy two
+    // slots; max(raw, grid) re-rounds to the same grid value
+    val uniq = undirected.union(state.select(col("a"), col("c"), col("sim")))
+      .groupBy("a", "c").agg(max("sim").as("sim"))
+    nndTopK(uniq, k)
+  }
+
+  /** k-NN graph REFRESH — the compaction verb completing the
+    * takedown story ([[knnGraphDelete]] documents
+    * tombstone-then-compact; this is the compact): ONE NN-Descent
+    * local-join round over the current (typically just-deleted)
+    * graph, restricted to the surviving corpus. Degree-deficient
+    * nodes (holes left by dangling-edge removal) refill from their
+    * 2-hop neighborhood — the same neighbor-of-a-neighbor argument
+    * as the build, which is exactly why the body IS
+    * [[knnGraphDescent]]'s iteration, shared verbatim. Removed nodes
+    * cannot re-enter: they appear in neither the graph state nor
+    * `corpus`. Run periodically (per takedown batch or per
+    * compaction window), not inline with every delete.
+    *
+    * Scale shape: identical to one build iteration — candidate
+    * volume O(n·(2k+1)²), node-keyed joins, partial-aggregatable
+    * top-k — but over the post-delete state only; ~n/iters of a full
+    * rebuild's cost, and at rest it rewrites only rows whose top-k
+    * changed. */
+  def knnGraphRefresh(graph: DataFrame, corpus: DataFrame, k: Int,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val docs = corpus.select(col(id).cast("long").as("nid"), col(vec).as("v"))
+    val state = graph.select(col(id).cast("long").as("a"),
+      col("nbr").cast("long").as("c"), col("sim"))
+    nndRound(state, docs, k)
+      .select(col("a").as(id), col("c").as("nbr"), col("rank"), col("sim"))
   }
 
   /** Graph-ANN SERVING: beam search over a prebuilt k-NN graph

@@ -2292,6 +2292,25 @@ object TextQueries {
         .orderBy("vec_id", "rank")
     }),
 
+    // ---- k-NN graph COMPACTION — delete then REFRESH: one
+    // NN-Descent local-join round over the tombstone-deleted graph
+    // restricted to survivors ([[Similarity.knnGraphRefresh]] — the
+    // same iteration body as the build, shared code), refilling the
+    // degree holes the dangling-edge removal left from each node's
+    // 2-hop neighborhood. Removed nodes cannot re-enter (absent from
+    // both state and corpus). The oracle replays the q148 chain, the
+    // delete filter, and one more generalized iteration round over
+    // the survivor universe. ----
+    "q168_graph_compact" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val g = Similarity.knnGraphDescent(emb, k = 5, iters = 2, dim = 64)
+      val del = Similarity.knnGraphDelete(g,
+        emb.filter(col("vec_id") % 13 === 0).select("vec_id"))
+      Similarity.knnGraphRefresh(del,
+          emb.filter(col("vec_id") % 13 =!= 0), k = 5)
+        .orderBy("vec_id", "rank")
+    }),
+
     // ---- graph-ANN serving: beam search over the q148 NN-Descent
     // graph — hash-ranked entry points, three expand/re-rank beam
     // rounds along graph edges, exact-cosine ranking throughout.
@@ -2687,18 +2706,24 @@ object TextQueries {
     * exact cosines → undirected union with the previous state (max
     * per (a, c) — the dedup before top-k) → rounded-cosine top-k.
     * Mirrors [[graft.operators.Similarity.knnGraphDescent]]'s
-    * iteration body term by term. */
-  private def nndIterSql(t: Int, k: Int, dim: Int): String =
+    * iteration body term by term. `in` overrides the input state CTE
+    * (default `nn$t` — the build chain); `universe` overrides the
+    * pivot universe (default the whole corpus — q168's refresh
+    * round restricts it to survivors so removed nodes never
+    * re-enter). Output CTE is always `nn${t+1}`. */
+  private def nndIterSql(t: Int, k: Int, dim: Int,
+      in: String = "", universe: String = "embeddings"): String = {
+    val src = if (in.isEmpty) s"nn$t" else in
     s"""rv$t AS MATERIALIZED (
          SELECT a, c FROM (
            SELECT n.c AS a, n.a AS c,
                   row_number() OVER (PARTITION BY n.c ORDER BY n.a ASC) AS rn
-           FROM nn$t n) WHERE rn <= $k),
+           FROM $src n) WHERE rn <= $k),
        adj$t AS MATERIALIZED (
          SELECT DISTINCT a, c FROM (
-           SELECT a, c FROM nn$t
+           SELECT a, c FROM $src
            UNION ALL SELECT a, c FROM rv$t
-           UNION ALL SELECT vec_id AS a, vec_id AS c FROM embeddings)),
+           UNION ALL SELECT vec_id AS a, vec_id AS c FROM $universe)),
        cd$t AS MATERIALIZED (
          SELECT DISTINCT p.c AS x, q.c AS y
          FROM adj$t p JOIN adj$t q ON p.a = q.a AND p.c < q.c),
@@ -2714,13 +2739,14 @@ object TextQueries {
          SELECT a, c, max(sim) AS sim FROM (
            SELECT x AS a, y AS c, sim FROM sc$t
            UNION ALL SELECT y AS a, x AS c, sim FROM sc$t
-           UNION ALL SELECT a, c, sim FROM nn$t) GROUP BY a, c),
+           UNION ALL SELECT a, c, sim FROM $src) GROUP BY a, c),
        nn${t + 1} AS MATERIALIZED (
          SELECT a, c, sim, rank FROM (
            SELECT a, c, round(sim + 1e-9, 6) AS sim,
                   CAST(row_number() OVER (PARTITION BY a
                     ORDER BY round(sim + 1e-9, 6) DESC, c ASC) AS INT) AS rank
            FROM un$t) WHERE rank <= $k)"""
+  }
 
   /** One Lloyd round: centroid lists → argmin assignment →
     * per-(cell, position) means → carry (empty cells keep their
@@ -4165,6 +4191,19 @@ object TextQueries {
                 ORDER BY sim DESC, c ASC) AS INT) AS rank,
               sim + 0.0 AS sim
        FROM kept ORDER BY vec_id, rank""",
+
+    // compaction replay: the q148 chain, the q165 tombstone filter,
+    // then ONE more generalized NN-Descent round (input = the deleted
+    // graph, pivot universe = survivors) — build and refresh share
+    // the iteration template, so the round body cannot drift
+    "q168_graph_compact" ->
+      (s"""WITH ${nndChainCtes(5, 64)},
+       kept AS MATERIALIZED (
+         SELECT a, c, sim FROM nn2 WHERE a % 13 <> 0 AND c % 13 <> 0),
+       surv AS (SELECT vec_id FROM embeddings WHERE vec_id % 13 <> 0),
+       ${nndIterSql(7, 5, 64, in = "kept", universe = "surv")}
+       SELECT a AS vec_id, c AS nbr, rank, sim + 0.0 AS sim
+       FROM nn8 ORDER BY vec_id, rank"""),
 
     // graph-search replay: the q148 graph chain verbatim, then the
     // hash-ranked entry points and all beam rounds (expand along nn2

@@ -321,6 +321,25 @@ class PipelinesSpec extends SparkSpec {
       .collect().exists { r =>
         val rs = r.getSeq[Int](1).sorted; rs != (1 to rs.size) }
     assert(!badRank, "ranks must recompact to 1..m per node")
+    // COMPACTION: one refresh round refills degree holes from the
+    // 2-hop neighborhood; the union includes the current state, so
+    // no node can lose degree, and deficient nodes recover
+    def degrees(g: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      g.groupBy("vec_id").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dBefore = degrees(del)
+    assert(dBefore.values.exists(_ < 3), "fixture must leave degree holes")
+    val refreshed = Similarity.knnGraphRefresh(del,
+      emb.filter($"vec_id" % 13 =!= 0), k = 3).localCheckpoint(true)
+    assert(refreshed.filter($"vec_id" % 13 === 0 || $"nbr" % 13 === 0).count() == 0,
+      "removed nodes must not re-enter through the refresh")
+    val dAfter = degrees(refreshed)
+    assert(dBefore.forall { case (n, d) => dAfter.getOrElse(n, 0L) >= d },
+      "refresh must never lose degree (state is in the candidate union)")
+    val deficient = dBefore.collect { case (n, d) if d < 3 => n }
+    assert(deficient.count(n => dAfter.getOrElse(n, 0L) == 3) >
+      deficient.size / 2,
+      "most degree-deficient nodes must refill to k from their 2-hop neighborhood")
     graft.model.RelCache.releaseAll()
   }
 
