@@ -295,6 +295,8 @@ object Plans {
       "the q142 fingerprint-keyed pair joins run once per index GENERATION (crawl 1 vs ref0, crawl 2 vs the upserted ref1) — both sides corpus-grain; the upsert itself is an append-only union; AQE demotes when small",
     "q167_winnow_delete" ->
       "the q142 fingerprint-keyed pair join against the takedown-deleted winnow index (two keyed anti-joins ahead of it) plus the loser left_anti on doc_id — both sides corpus-grain keyed; AQE demotes when small",
+    "q168_graph_compact" ->
+      "the refresh round's adjacency self-join on the pivot node id and its vector-scoring joins — both sides corpus-grain keyed (the NN-Descent local-join shape; the build's identical joins sit behind per-round checkpoints whose known small sizes let static planning broadcast them); AQE demotes when small",
     "q157_graph_upsert" ->
       "the graph relation joined/anti-joined on node id against the affected-node set, plus the beam-search expansion joins — graph side corpus-grain keyed (bucketed by vec_id at rest, the bucketed_graph_demo layout), affected/frontier sides |new|·k-bounded; AQE demotes when small",
     "q155_split_leakage" ->
