@@ -103,7 +103,8 @@ object Bench {
     val meter = new TaskMeter
     spark.sparkContext.addSparkListener(meter)
     case class Sample(wall: Double, err: Option[String],
-        steal: Option[Double], gc: Double, jit: Double, t: Tasks)
+        steal: Option[Double], gc: Double, jit: Double, t: Tasks,
+        buildSec: Double)
     val results = SparkEntry.queries.toSeq
       .filter(t => only.forall(_.findFirstIn(t._1).isDefined))
       .sortBy(_._1).map { case (name, fn) =>
@@ -117,6 +118,7 @@ object Bench {
         // rounds (the r5→r6 "1.55×" was purely warm→cold).
         if (cold) SparkEntry.clearQueryCaches()
         meter.reset()
+        val b0 = graft.model.BuildMeter.seconds
         val j0 = cpuJiffies(); val g0 = gcMillis(); val c0 = jitMillis()
         val t0 = System.nanoTime()
         // toRdd.count() materializes every output column — a plain
@@ -139,7 +141,8 @@ object Bench {
         // exceed 1.0 — several compiler threads run concurrently
         Sample(wall, err, steal,
           (gcMillis() - g0) / 1e3 / wall.max(1e-9),
-          (jitMillis() - c0) / 1e3 / wall.max(1e-9), meter.snap())
+          (jitMillis() - c0) / 1e3 / wall.max(1e-9), meter.snap(),
+          graft.model.BuildMeter.seconds - b0)
       }
       val base = (1 to reps).map(_ => once())
       // sub-second queries are scheduling-jitter-bound (measured: every
@@ -163,16 +166,16 @@ object Bench {
         if (coldSamples.forall(_.err.isEmpty))
           Seq(once(cold = false), once(cold = false))
         else Seq.empty
-      val warmOk = warmRes.collect { case Sample(t, None, _, _, _, _) => t }
+      val warmOk = warmRes.collect { case Sample(t, None, _, _, _, _, _) => t }
       val warm = if (warmOk.nonEmpty) Some(warmOk.min) else None
-      val err = coldSamples.collectFirst { case Sample(_, Some(e), _, _, _, _) => e }
+      val err = coldSamples.collectFirst { case Sample(_, Some(e), _, _, _, _, _) => e }
         .orElse(warmRes.collectFirst {
-          case Sample(_, Some(e), _, _, _, _) => s"warm-only: $e" })
+          case Sample(_, Some(e), _, _, _, _, _) => s"warm-only: $e" })
       // the reported min is over SUCCESSFUL samples: a fast failure
       // must not under-report a query whose other rep succeeded (the
       // headline and the failure set would disagree); only when every
       // rep failed do the failed walls stand in
-      val ok = coldSamples.collect { case Sample(t, None, _, _, _, _) => t }
+      val ok = coldSamples.collect { case Sample(t, None, _, _, _, _, _) => t }
       (name, coldSamples.map(_.wall),
         if (ok.nonEmpty) ok else coldSamples.map(_.wall), warm, err,
         coldSamples ++ warmRes)
@@ -208,12 +211,16 @@ object Bench {
     def cause(s: Sample, best: Sample, firstCold: Boolean): String = {
       val wallR = s.wall / best.wall.max(1e-9)
       val taskR = s.t.taskSec / best.t.taskSec.max(1e-9)
+      // measured at-rest artifact builds (BuildMeter deltas) explain
+      // the excess wall directly — the sharpest attribution available
+      if (s.buildSec > 0.5 * (s.wall - best.wall).max(1e-9))
+        f"at-rest-build: ${s.buildSec}%.2f s of this sample built warehouse artifacts (one-time, amortized by min-of-N)"
       // the first cold sample legitimately does MORE work than its
       // siblings: codegen/JIT, parquet footer reads, memo-cache and
       // at-rest index builds — when its tasks genuinely ran longer,
       // name that rather than mislabel it contention
-      if (firstCold && taskR > 1.5)
-        "first-sample-build: extra task work (at-rest/memo builds, codegen) the later samples amortize"
+      else if (firstCold && taskR > 1.5)
+        "first-sample-build: extra task work (memo builds, codegen) the later samples amortize"
       else if (s.steal.exists(_ > stealThr)) "host-steal"
       else if (s.gc > 0.20) "driver-gc"
       else if (s.t.taskGcFrac > 0.20) "task-gc"

@@ -1,0 +1,28 @@
+package graft.model
+
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+
+/** Session-lifetime accounting of at-rest ARTIFACT BUILD time (the
+  * `ensureTable` build branch: warehouse CTAS of the amortized
+  * index/model tables). The bench reads cumulative deltas per sample
+  * — exactly like its GC/JIT meters — so a first-cold-sample outlier
+  * can say "N.N s of this wall was building warehouse artifacts"
+  * instead of the coarser "first-sample-build" bucket (VERDICT r10
+  * #2 attribution granularity, ROADMAP r12 thread #4). Registration
+  * from a marker is NOT counted: the point is to separate the
+  * one-time build cost from the query's own cost. */
+object BuildMeter {
+  private val nanos = new AtomicLong(0L)
+  private val builds = new AtomicInteger(0)
+
+  def add(wallNanos: Long): Unit = {
+    nanos.addAndGet(wallNanos)
+    builds.incrementAndGet()
+  }
+
+  /** Cumulative at-rest build seconds since JVM start. */
+  def seconds: Double = nanos.get() / 1e9
+
+  /** Cumulative build count since JVM start. */
+  def count: Int = builds.get()
+}

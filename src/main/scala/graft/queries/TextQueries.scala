@@ -113,6 +113,7 @@ object TextQueries {
         s.sql(s"CREATE TABLE $tbl ($ddl) USING parquet $cluster " +
           s"LOCATION '${dir.toString}'")
       case _ =>
+        val t0 = System.nanoTime()
         freshPath(s, tbl, key)
         val df = build
         val w = df.write.format("parquet").mode("overwrite")
@@ -129,6 +130,9 @@ object TextQueries {
           s"""{"v":$atRestVersion,"table":"$tbl","ddl":"$ddlEsc"}"""
             .getBytes("UTF-8"))
         finally out.close()
+        // registration never counts — the meter separates the
+        // one-time build cost from the query's own (bench attribution)
+        graft.model.BuildMeter.add(System.nanoTime() - t0)
     }
   }
 
