@@ -17,9 +17,11 @@ for i in $(seq 1 "$N"); do
   out="/tmp/q142_repro_$i"
   rm -rf "$out"
   if [ $((i % 2)) -eq 1 ]; then
-    # sweep ONLY this fixture's generation (sf0_01-keyed tables): a
-    # concurrent process may hold other fixtures' tables registered
-    rm -rf spark-warehouse/graft_*_sf0_01_*
+    # sweep ONLY this fixture's generation (tables keyed by the SF
+    # dir's sanitized tag): a concurrent process may hold other
+    # fixtures' tables registered
+    tag=$(basename "$SF" | tr -c 'a-z0-9' '_' | sed 's/_$//')
+    rm -rf spark-warehouse/graft_*_"${tag}"_*
     mode=first-build
   else
     mode=registered
