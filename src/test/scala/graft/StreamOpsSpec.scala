@@ -770,6 +770,47 @@ class StreamOpsSpec extends SparkSpec {
       "post-delete the index must forget: the same passage admits again")
   }
 
+  test("streaming serve over an UPSERTED winnow index: passages of accepted docs are caught (q166 twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.TextDedup
+    val a = "the quick brown fox jumps over the lazy dog and it is a fine day in the park " * 3
+    val b = "an entirely separate english essay about rivers and the valleys they carve through stone " * 3
+    val ref0 = Seq((1L, a)).toDF("doc_id", "text")
+    val accepted = Seq((11L, b)).toDF("doc_id", "text") // crawl-1 acceptance
+    val (fp0r, sz0r) = TextDedup.winnowIndex(ref0, k = 4, window = 4,
+      md5Hashes = true)
+    val fp0 = fp0r.localCheckpoint(true); val sz0 = sz0r.localCheckpoint(true)
+    graft.model.RelCache.release("textdedup.winnowIndex")
+    val (fp1r, sz1r) = TextDedup.winnowIndexUpsert(fp0, sz0, accepted,
+      k = 4, window = 4, md5Hashes = true)
+    val fp1 = fp1r.localCheckpoint(true); val sz1 = sz1r.localCheckpoint(true)
+    graft.model.RelCache.release("textdedup.winnowIndexUpsert")
+    def verdicts(fp: org.apache.spark.sql.DataFrame,
+        sz: org.apache.spark.sql.DataFrame, name: String): Map[Long, Boolean] = {
+      val input = MemoryStream[(Timestamp, Long, String)]
+      val out = StreamOps.streamingContainmentAgainstIndex(
+        input.toDS().toDF("ts", "doc_id", "text"), fp, sz,
+        k = 4, window = 4, minShared = 2, minContainment = 0.8)
+      val query = out.writeStream.format("memory")
+        .queryName(name).outputMode("append").start()
+      try {
+        // doc 20 contains a copied passage of the ACCEPTED crawl doc 11
+        val t0 = 1700000000000L
+        input.addData((new Timestamp(t0), 20L, b + " with one extra tail phrase"))
+        query.processAllAvailable()
+        input.addData((new Timestamp(t0 + 48 * 3600 * 1000L), -1L, "flush"))
+        query.processAllAvailable()
+        spark.table(name).collect().filter(_.getAs[Long]("doc_id") >= 0L)
+          .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("kept")).toMap
+      } finally query.stop()
+    }
+    assert(verdicts(fp0, sz0, "wup_frozen") == Map(20L -> true),
+      "the FROZEN index must re-admit a passage of a crawl-1 acceptance")
+    assert(verdicts(fp1, sz1, "wup_grown") == Map(20L -> false),
+      "the GROWN index must catch it - the crawl loop closed on the stream")
+  }
+
   test("streamingQualityScores batch≡stream: static NB fit applied to the live feed") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
