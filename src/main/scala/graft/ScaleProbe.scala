@@ -593,10 +593,13 @@ object ScaleProbe {
         .localCheckpoint(true)
       val embAll = spark.read.parquet(s"$dstG/embeddings.parquet")
         .localCheckpoint(true)
-      // the upsert batch: 200 NEW vectors (ids past every corpus id),
-      // perturbations of the first 200 base vectors
+      // the upsert batch: 200 NEW vectors with ids past EVERY corpus
+      // id — the 100× corpus occupies c*keyShift for c = 0..copies-1,
+      // so the shift must clear the whole replicated keyspace (ADVICE
+      // r11: a 10*keyShift shift collided exactly with copy 10's ids,
+      // corrupting the 100× upsert premise with duplicate adjacency)
       val newVecs = emb1.filter(col("vec_id") < 200)
-        .withColumn("vec_id", col("vec_id") + lit(10L * keyShift))
+        .withColumn("vec_id", col("vec_id") + lit((copies100 + 1L) * keyShift))
         .withColumn("embedding", transform(col("embedding"), (x, i) =>
           (x + lit(0.03) * cos(i.cast("double") + lit(0.5))).cast("float")))
         .localCheckpoint(true)

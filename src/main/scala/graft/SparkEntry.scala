@@ -230,7 +230,8 @@ object SparkEntry {
            SELECT l_partkey, sd_price,
                   row_number() OVER (ORDER BY sd_price DESC, l_partkey ASC) AS rk
            FROM sd WHERE sd_price IS NOT NULL
-         ) SELECT l_partkey, sd_price, rk FROM ranked WHERE rk <= 100""",
+         ) SELECT l_partkey, sd_price, CAST(rk AS INTEGER) AS rk
+           FROM ranked WHERE rk <= 100""",
 
     "q04_outlier_antijoin" ->
       """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity) + 1e-5, 2) + 0.0 AS sum_qty

@@ -14,15 +14,27 @@ import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
 object BuildMeter {
   private val nanos = new AtomicLong(0L)
   private val builds = new AtomicInteger(0)
+  private val regs = new AtomicInteger(0)
 
   def add(wallNanos: Long): Unit = {
     nanos.addAndGet(wallNanos)
     builds.incrementAndGet()
   }
 
+  /** A marker RE-REGISTRATION happened (the `CREATE TABLE ...
+    * LOCATION` branch of `ensureTable` — no build, files untouched).
+    * Counted separately so a "fresh catalog" gate can PROVE the
+    * re-registration path actually ran instead of passing vacuously
+    * on a still-registered table (ADVICE r11: `newSession()` shares
+    * the external catalog, so the old spec never exercised it). */
+  def addReg(): Unit = regs.incrementAndGet()
+
   /** Cumulative at-rest build seconds since JVM start. */
   def seconds: Double = nanos.get() / 1e9
 
   /** Cumulative build count since JVM start. */
   def count: Int = builds.get()
+
+  /** Cumulative marker re-registration count since JVM start. */
+  def regCount: Int = regs.get()
 }

@@ -220,6 +220,39 @@ object TextDedup {
       refShingles.join(rm, Seq(id), "left_anti"))
   }
 
+  /** Index COMPACTION — the fifth lifecycle verb on the near-dup
+    * family (build / query / upsert / delete / COMPACT), the
+    * generation rewrite the delete docs promise: re-apply the df cap
+    * over the POST-DELETE shingle relation and re-derive the band
+    * signatures from the re-capped rows. Returns (bands, shingles) ≡
+    * [[nearDupIndex]] built fresh on the surviving documents with the
+    * same `dfCap` (q170 gates the identity) — the signatures MUST be
+    * re-derived, not carried: capping changes each doc's shingle set,
+    * hence its MinHash minima and band keys.
+    *
+    * Exactness: exact when the stored relation is UNCAPPED (the
+    * build default — cap at serve/compact time); compacting an index
+    * built under a finite cap is downward-only, because rows the old
+    * cap dropped cannot be resurrected from the index alone — that
+    * case is a rebuild from the surviving documents, by construction.
+    *
+    * Scale shape: one pass over the index relation (a window count on
+    * the shingle key — the same key the relation is bucketed by at
+    * rest, so no extra exchange) plus the signature re-aggregation;
+    * never touches document text. At rest this is the tombstone
+    * drain: rewrite the bucketed shingle/band tables from the
+    * compacted relations and drop the tombstone relation — the
+    * ScaleProbe `compact` row walls this rewrite against a fresh
+    * text-winnowing rebuild. */
+  def nearDupIndexCompact(refShingles: DataFrame, k: Int = 8,
+      bands: Int = 4, md5Hashes: Boolean = false, id: String = "doc_id",
+      dfCap: Long = Long.MaxValue): (DataFrame, DataFrame) = {
+    require(k % bands == 0, "k must divide into bands")
+    val sh2 = capShingleDf(refShingles, dfCap)
+    graft.model.RelCache.hold("textdedup.nearDupIndexCompact", sh2)
+    (bandRows(sh2, k, bands, md5Hashes, id), sh2)
+  }
+
   /** PARAGRAPH-grain exact dedup — the Dolma/RefinedWeb curation stage
     * between whole-document dedup and near-dup: boilerplate paragraphs
     * (headers, licence blocks, navigation) repeat across millions of
@@ -1391,6 +1424,31 @@ object TextDedup {
     val rm = removeIds.select(col(id)).distinct()
     (refFp.join(rm, Seq(id), "left_anti"),
       refSizes.join(rm, Seq(id), "left_anti"))
+  }
+
+  /** Winnow-index COMPACTION — [[nearDupIndexCompact]]'s verb on the
+    * containment family, the re-cap the delete docs defer to: apply
+    * `dfCap` over the POST-DELETE fingerprint relation and rebuild
+    * the doc-grain size table. Returns (cappedFingerprints, sizes) ≡
+    * the [[winnowIndex]]+cap a fresh build on the surviving documents
+    * would produce (q169 gates the identity). Sizes are rebuilt from
+    * the UNCAPPED input relation — the containment denominator is the
+    * document's true fingerprint mass, the [[winnowOverlap]] contract
+    * — so the serve join runs against the capped relation while
+    * ratios stay exact.
+    *
+    * Exactness and scale shape: the [[nearDupIndexCompact]] contract
+    * verbatim — exact on an uncapped stored relation (the build
+    * default), downward-only on a capped one; one hash-keyed window
+    * pass over the index relation (its at-rest bucket key) plus a
+    * doc-grain count, never a document-text re-winnowing. At rest:
+    * rewrite the h-bucketed fingerprint table and the size table,
+    * drain tombstones. */
+  def winnowIndexCompact(refFp: DataFrame, dfCap: Long = Long.MaxValue,
+      id: String = "doc_id"): (DataFrame, DataFrame) = {
+    graft.model.RelCache.hold("textdedup.winnowIndexCompact", refFp)
+    (capShingleDf(refFp, dfCap, "h"),
+      refFp.groupBy(col(id)).agg(count(lit(1)).as("nfp")))
   }
 
   /** Incremental CONTAINMENT dedup of a new crawl against a frozen

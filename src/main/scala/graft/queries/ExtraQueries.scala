@@ -3766,9 +3766,10 @@ ORDER BY 1, 2""",
                   (sum(w*dstar)/sum(w)) * sqrt(sum(w)) AS z_comb
            FROM sized GROUP BY 1 HAVING count(*) > 1
          )
-         SELECT t.t, CAST(coalesce(sum(CASE WHEN abs(z_comb) >= t.t
-                                             AND abs(z_max_single) < t.t
-                                        THEN 1 END), 0) AS BIGINT) AS idr_count
+         SELECT CAST(t.t AS DOUBLE) AS t,
+                CAST(coalesce(sum(CASE WHEN abs(z_comb) >= t.t
+                                        AND abs(z_max_single) < t.t
+                                   THEN 1 END), 0) AS BIGINT) AS idr_count
          FROM per_gene CROSS JOIN (VALUES (0.5), (1.0), (1.5), (2.0), (2.5), (3.0)) t(t)
          GROUP BY 1""",
 

@@ -112,6 +112,10 @@ object TextQueries {
           s"CLUSTERED BY ($k) SORTED BY ($k) INTO $n BUCKETS" }.getOrElse("")
         s.sql(s"CREATE TABLE $tbl ($ddl) USING parquet $cluster " +
           s"LOCATION '${dir.toString}'")
+        // counted so fresh-catalog gates can assert this branch RAN
+        // (ADVICE r11: the shared external catalog made the old
+        // session-2 spec pass without ever reaching this code)
+        graft.model.BuildMeter.addReg()
       case _ =>
         val t0 = System.nanoTime()
         freshPath(s, tbl, key)
@@ -628,7 +632,7 @@ object TextQueries {
                CAST(len(toks) AS INT) AS ws_tokens,
                CAST(coalesce(list_sum(list_transform(toks,
                       w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0)
-                    + length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS INT) AS bpeish_tokens
+                    + length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS BIGINT) AS bpeish_tokens
         FROM quality
         WHERE lang = 'en' AND q >= 0.3
         ORDER BY doc_id"""
@@ -1584,6 +1588,64 @@ object TextQueries {
       val (fp1, sz1) = TextDedup.winnowIndexDelete(fp0, sz0, takedown)
       TextDedup.containmentAgainstIndex(inc, fp1, sz1,
           k = 4, window = 4, minShared = 2, minContainment = 0.8,
+          md5Hashes = true)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), min("doc_id").as("first_kept"),
+          sum("doc_id").as("sum_ids"))
+        .orderBy("source")
+    }),
+
+    // ---- winnow-index COMPACTION — the fifth lifecycle verb
+    // (VERDICT r11 #4), the re-cap q167's delete docs defer to:
+    // takedowns (doc_id % 11 = 0) expunge their rows, then
+    // [[TextDedup.winnowIndexCompact]] re-applies dfCap = 2 over the
+    // surviving fingerprint relation and rebuilds the size table; the
+    // crawl serves against the COMPACTED index (capped join side,
+    // true-mass denominators). dfCap = 1 — aggressive by design: the
+    // synthetic fixture's cross-doc hash sharing is thin (max winnow
+    // df 3 at sf0.01), and the gate must prove the cap BITES at the
+    // driver's SF (measured: keep sets flip at both SFs at cap 1,
+    // only at sf0.1 at cap 2); production caps are orders larger and
+    // the verb is cap-agnostic. Oracle: a fresh capped build on the
+    // survivors — compact ≡ rebuild-with-cap. ----
+    "q169_winnow_compact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ref = docs.filter(col("doc_id") % 7 < 3)
+      val inc = docs.filter(col("doc_id") % 7 >= 3)
+      val (fp0, sz0) = TextDedup.winnowIndex(ref, k = 4, window = 4,
+        md5Hashes = true)
+      val takedown = ref.filter(col("doc_id") % 11 === 0).select("doc_id")
+      val (fp1, _) = TextDedup.winnowIndexDelete(fp0, sz0, takedown)
+      val (fp2, sz2) = TextDedup.winnowIndexCompact(fp1, dfCap = 1)
+      TextDedup.containmentAgainstIndex(inc, fp2, sz2,
+          k = 4, window = 4, minShared = 2, minContainment = 0.8,
+          md5Hashes = true)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), min("doc_id").as("first_kept"),
+          sum("doc_id").as("sum_ids"))
+        .orderBy("source")
+    }),
+
+    // ---- near-dup-index COMPACTION — the same verb on the MinHash
+    // family: after q164's takedown, [[TextDedup.nearDupIndexCompact]]
+    // re-caps the surviving shingle relation at dfCap = 1 (the q169
+    // rationale: caps 2-3 only flip keep sets at sf0.1 — the gate
+    // must bite at the driver's sf0.01 too) and
+    // RE-DERIVES the band signatures from the capped rows — capping
+    // changes each doc's shingle set, hence its MinHash minima, so
+    // signatures must be recomputed, never carried. The crawl then
+    // serves against the compacted index at j >= 0.3. Oracle: fresh
+    // capped build on the survivors, row-grain replay. ----
+    "q170_neardup_compact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ref = docs.filter(col("doc_id") % 7 < 3)
+      val inc = docs.filter(col("doc_id") % 7 >= 3)
+      val (bd0, sh0) = TextDedup.nearDupIndex(ref, md5Hashes = true)
+      val takedown = ref.filter(col("doc_id") % 11 === 0).select("doc_id")
+      val (_, sh1) = TextDedup.nearDupIndexDelete(bd0, sh0, takedown)
+      val (bd2, sh2) = TextDedup.nearDupIndexCompact(sh1, md5Hashes = true,
+        dfCap = 1)
+      TextDedup.nearDupAgainstIndex(inc, bd2, sh2, minJaccard = 0.3,
           md5Hashes = true)
         .groupBy("source")
         .agg(count(lit(1)).as("n_kept"), min("doc_id").as("first_kept"),
@@ -2889,8 +2951,8 @@ object TextQueries {
                   CAST(doc_id % 9000 + 1000 AS VARCHAR) AS text2
            FROM documents)
          SELECT doc_id,
-                CAST(len(regexp_extract_all(text2, '$em')) AS BIGINT) AS n_email,
-                CAST(len(regexp_extract_all(text2, '$ph')) AS BIGINT) AS n_phone,
+                CAST(len(regexp_extract_all(text2, '$em')) AS INTEGER) AS n_email,
+                CAST(len(regexp_extract_all(text2, '$ph')) AS INTEGER) AS n_phone,
                 md5(regexp_replace(regexp_replace(text2, '$em', '<EMAIL>', 'g'),
                                    '$ph', '<PHONE>', 'g')) AS scrub_md5
          FROM aug ORDER BY 1"""
@@ -3325,7 +3387,7 @@ object TextQueries {
                  CAST(len(toks) AS INT) AS ws_tokens,
                  CAST(coalesce(list_sum(list_transform(toks,
                         w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0)
-                      + length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS INT) AS bpeish_tokens
+                      + length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS BIGINT) AS bpeish_tokens
           FROM quality
           WHERE lang = 'en' AND q >= 0.3
           ORDER BY doc_id"""),
@@ -3354,7 +3416,7 @@ object TextQueries {
                  CAST(len(toks) AS INT) AS ws_tokens,
                  CAST(coalesce(list_sum(list_transform(toks,
                         w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0)
-                      + length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS INT) AS bpeish_tokens
+                      + length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS BIGINT) AS bpeish_tokens
           FROM quality
           WHERE lang = 'en' AND q >= 0.3
           ORDER BY doc_id"""),
@@ -3443,7 +3505,7 @@ object TextQueries {
                  CAST(len(toks) AS INT) AS ws_tokens,
                  CAST(coalesce(list_sum(list_transform(toks,
                         w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0)
-                      + length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS INT) AS bpeish_tokens
+                      + length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS BIGINT) AS bpeish_tokens
           FROM quality
           WHERE lang = 'en' AND q >= 0.3
           ORDER BY doc_id"""
@@ -3458,7 +3520,7 @@ object TextQueries {
                  CAST(len(toks) AS INT) AS ws_tokens,
                  CAST(coalesce(list_sum(list_transform(toks,
                         w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0)
-                      + length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS INT) AS bpeish_tokens
+                      + length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS BIGINT) AS bpeish_tokens
           FROM quality
           WHERE lang = 'en' AND q >= 0.3
           ORDER BY doc_id"""),
@@ -3555,7 +3617,7 @@ object TextQueries {
                  CAST(len(stoks) AS INT) AS ws_tokens,
                  CAST(coalesce(list_sum(list_transform(stoks,
                         w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0)
-                      + length(regexp_replace(stext, '[a-zA-Z0-9\\s]', '', 'g')) AS INT) AS bpeish_tokens,
+                      + length(regexp_replace(stext, '[a-zA-Z0-9\\s]', '', 'g')) AS BIGINT) AS bpeish_tokens,
                  md5(stext) AS text_md5
           FROM sct ORDER BY doc_id"""
     },
@@ -3751,7 +3813,7 @@ object TextQueries {
                        JOIN sizes sr ON sr.doc_id = ref_id
             WHERE round(shared * 1.0 / least(si.nfp, sr.nfp) + 1e-9, 6) >= 0.8)
           SELECT source, count(*) AS n_kept, min(doc_id) AS first_kept,
-                 sum(doc_id) AS sum_ids
+                 CAST(sum(doc_id) AS BIGINT) AS sum_ids
           FROM documents d
           WHERE doc_id % 7 >= 3
             AND NOT EXISTS (SELECT 1 FROM dropped x WHERE x.inc_id = d.doc_id)
@@ -3828,6 +3890,102 @@ object TextQueries {
           FROM documents d
           WHERE doc_id % 7 >= 3
             AND NOT EXISTS (SELECT 1 FROM dropped x WHERE x.inc_id = d.doc_id)
+          GROUP BY 1 ORDER BY 1"""),
+
+    // winnow-compaction replay: fresh capped build on the survivors —
+    // the takedown slice removed, a df <= 1 window over the SURVIVOR
+    // fingerprint relation as the capped join side, denominators from
+    // the uncapped survivor relation (true fingerprint mass)
+    "q169_winnow_compact" ->
+      (s"""WITH ${winnowSelSql(4, 4)},
+          fpu AS (SELECT doc_id, unnest(fps) AS f FROM sel),
+          fph AS (SELECT DISTINCT doc_id, substr(f, 1, 32) AS h FROM fpu),
+          surv AS (SELECT doc_id, h FROM fph
+                   WHERE doc_id % 7 < 3 AND doc_id % 11 <> 0),
+          capped AS (SELECT doc_id, h FROM (
+                       SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df
+                       FROM surv) WHERE df <= 1),
+          sizes_inc AS (SELECT doc_id, count(*) AS nfp FROM fph
+                        WHERE doc_id % 7 >= 3 GROUP BY 1),
+          sizes_ref AS (SELECT doc_id, count(*) AS nfp FROM surv GROUP BY 1),
+          pairs AS (
+            SELECT i.doc_id AS inc_id, r.doc_id AS ref_id, count(*) AS shared
+            FROM fph i JOIN capped r ON i.h = r.h
+            WHERE i.doc_id % 7 >= 3
+            GROUP BY 1, 2 HAVING count(*) >= 2),
+          dropped AS (
+            SELECT DISTINCT inc_id
+            FROM pairs JOIN sizes_inc si ON si.doc_id = inc_id
+                       JOIN sizes_ref sr ON sr.doc_id = ref_id
+            WHERE round(shared * 1.0 / least(si.nfp, sr.nfp) + 1e-9, 6) >= 0.8)
+          SELECT source, count(*) AS n_kept, min(doc_id) AS first_kept,
+                 CAST(sum(doc_id) AS BIGINT) AS sum_ids
+          FROM documents d
+          WHERE doc_id % 7 >= 3
+            AND NOT EXISTS (SELECT 1 FROM dropped x WHERE x.inc_id = d.doc_id)
+          GROUP BY 1 ORDER BY 1"""),
+
+    // near-dup-compaction replay: fresh capped build on the survivors,
+    // ROW-grain — a df <= 1 window over the survivor shingle rows,
+    // md5 minhash signatures and bands RE-DERIVED from the capped
+    // rows, verify counts via the capped ref side, Jaccard with the
+    // capped ref mass (the engine's nearDupAgainstIndex denominator
+    // when the stored relation is the compacted one)
+    "q170_neardup_compact" ->
+      (s"""WITH sh0 AS ($shinglesSql),
+          srow AS (SELECT doc_id, unnest(sh) AS sgl FROM sh0
+                   WHERE doc_id % 7 < 3 AND doc_id % 11 <> 0),
+          scap AS (SELECT doc_id, sgl FROM (
+                     SELECT doc_id, sgl, count(*) OVER (PARTITION BY sgl) AS df
+                     FROM srow) WHERE df <= 1),
+          irow AS (SELECT doc_id, unnest(sh) AS sgl FROM sh0
+                   WHERE doc_id % 7 >= 3),
+          hr AS (SELECT doc_id, md5(sgl) AS h FROM scap),
+          hi AS (SELECT doc_id, md5(sgl) AS h FROM irow),
+          sigr AS (
+            SELECT doc_id,
+                   [min(substr(h, 1, 4)), min(substr(h, 5, 4)),
+                    min(substr(h, 9, 4)), min(substr(h, 13, 4)),
+                    min(substr(h, 17, 4)), min(substr(h, 21, 4)),
+                    min(substr(h, 25, 4)), min(substr(h, 29, 4))] AS s
+            FROM hr GROUP BY doc_id),
+          sigi AS (
+            SELECT doc_id,
+                   [min(substr(h, 1, 4)), min(substr(h, 5, 4)),
+                    min(substr(h, 9, 4)), min(substr(h, 13, 4)),
+                    min(substr(h, 17, 4)), min(substr(h, 21, 4)),
+                    min(substr(h, 25, 4)), min(substr(h, 29, 4))] AS s
+            FROM hi GROUP BY doc_id),
+          br AS (
+            SELECT doc_id,
+                   unnest(['0#' || s[1] || '#' || s[2], '1#' || s[3] || '#' || s[4],
+                           '2#' || s[5] || '#' || s[6], '3#' || s[7] || '#' || s[8]]) AS band
+            FROM sigr),
+          bi AS (
+            SELECT doc_id,
+                   unnest(['0#' || s[1] || '#' || s[2], '1#' || s[3] || '#' || s[4],
+                           '2#' || s[5] || '#' || s[6], '3#' || s[7] || '#' || s[8]]) AS band
+            FROM sigi),
+          cand AS (
+            SELECT DISTINCT i.doc_id AS inc_id, r.doc_id AS ref_id
+            FROM bi i JOIN br r ON i.band = r.band),
+          inter AS (
+            SELECT c.inc_id, c.ref_id, count(*) AS shared
+            FROM cand c JOIN irow a ON a.doc_id = c.inc_id
+                        JOIN scap b ON b.doc_id = c.ref_id AND b.sgl = a.sgl
+            GROUP BY 1, 2),
+          szi AS (SELECT doc_id, count(*) AS sz FROM irow GROUP BY 1),
+          szr AS (SELECT doc_id, count(*) AS sz FROM scap GROUP BY 1),
+          dup AS (
+            SELECT DISTINCT inc_id
+            FROM inter JOIN szi ON szi.doc_id = inc_id
+                       JOIN szr ON szr.doc_id = ref_id
+            WHERE shared * 1.0 / (szi.sz + szr.sz - shared) >= 0.3)
+          SELECT source, count(*) AS n_kept, min(doc_id) AS first_kept,
+                 CAST(sum(doc_id) AS BIGINT) AS sum_ids
+          FROM documents d
+          WHERE doc_id % 7 >= 3
+            AND NOT EXISTS (SELECT 1 FROM dup x WHERE x.inc_id = d.doc_id)
           GROUP BY 1 ORDER BY 1"""),
 
     // components replay: the q35 pair machinery (j >= 0.3 losers) and

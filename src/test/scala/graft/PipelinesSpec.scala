@@ -343,6 +343,59 @@ class PipelinesSpec extends SparkSpec {
     graft.model.RelCache.releaseAll()
   }
 
+  test("index COMPACT: re-cap over the post-delete relation ≡ fresh capped build, and the cap changes serving (near-dup + winnow)") {
+    import graft.operators.TextDedup
+    import spark.implicits._
+    // boiler is shared VERBATIM by ref docs 2,3,4 (df = 3); each adds
+    // a unique tail. Crawl doc 10 is the boilerplate alone — it
+    // matches ref doc 2 (also boiler-only) exactly, so the uncompacted
+    // index drops it; compacting at dfCap = 2 caps the boiler-interior
+    // hashes away and the crawl doc is admitted again.
+    val boiler = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi"
+    val ref = Seq(
+      (2L, boiler),
+      (3L, boiler + " rho sigma tau upsilon phi chi psi omega one two"),
+      (4L, boiler + " three four five six seven eight nine ten eleven"))
+      .toDF("doc_id", "text")
+    val crawl = Seq((10L, boiler)).toDF("doc_id", "text")
+    val rm = Seq(99L).toDF("doc_id") // takedown of an absent id: compaction alone must flip the outcome
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // near-dup family: identity vs fresh capped build (both relations)
+    val (bd0, sh0) = TextDedup.nearDupIndex(ref)
+    assert(ids(TextDedup.nearDupAgainstIndex(crawl, bd0, sh0, minJaccard = 0.3)).isEmpty,
+      "uncompacted index must drop the boilerplate-only crawl doc")
+    val (bd1, sh1) = TextDedup.nearDupIndexDelete(bd0, sh0, rm)
+    val (bd2, sh2) = TextDedup.nearDupIndexCompact(sh1, dfCap = 2)
+    val (bdF, shF) = TextDedup.nearDupIndex(ref, dfCap = 2)
+    assert(bd2.collect().toSet == bdF.collect().toSet,
+      "compacted bands must equal a fresh capped build's (signatures re-derived)")
+    assert(sh2.collect().toSet == shF.collect().toSet,
+      "compacted shingles must equal a fresh capped build's")
+    assert(ids(TextDedup.nearDupAgainstIndex(crawl, bd2, sh2, minJaccard = 0.3)) == Set(10L),
+      "compaction must cap the boilerplate signal away (crawl doc admitted)")
+
+    // winnow family: same contract; sizes stay TRUE mass (uncapped)
+    val (fp0, sz0) = TextDedup.winnowIndex(ref)
+    assert(ids(TextDedup.containmentAgainstIndex(crawl, fp0, sz0,
+      minShared = 2, minContainment = 0.8)).isEmpty,
+      "uncompacted winnow index must drop the boilerplate-only crawl doc")
+    val (fp1, _) = TextDedup.winnowIndexDelete(fp0, sz0, rm)
+    val (fp2, sz2) = TextDedup.winnowIndexCompact(fp1, dfCap = 2)
+    val (fpF, szF) = TextDedup.winnowIndex(ref)
+    assert(fp2.collect().toSet ==
+      TextDedup.capShingleDf(fpF, 2, "h").collect().toSet,
+      "compacted fingerprints must equal the fresh relation re-capped")
+    assert(sz2.collect().toSet == szF.collect().toSet,
+      "compacted sizes must be TRUE fingerprint mass (uncapped denominators)")
+    assert(ids(TextDedup.containmentAgainstIndex(crawl, fp2, sz2,
+      minShared = 2, minContainment = 0.8)) == Set(10L),
+      "winnow compaction must cap the boilerplate signal away (crawl doc admitted)")
+    graft.model.RelCache.releaseAll()
+  }
+
   test("at-rest artifacts survive sessions: a fresh catalog re-registers from markers, data files untouched") {
     import org.apache.spark.sql.functions.col
     val dir = "/root/testdata/sf0.001"
@@ -361,15 +414,29 @@ class PipelinesSpec extends SparkSpec {
         .filterNot(_.getName.startsWith("_"))
         .map(f => f.getAbsolutePath -> f.lastModified())).toMap
     val before = mtimes()
-    // session 2: FRESH in-memory catalog (the driver-restart shape) —
-    // must re-register via the marker's DDL, never rebuild
+    // session 2, the driver-restart shape FOR REAL (ADVICE r11):
+    // newSession() SHARES SharedState's external catalog, so the
+    // graft_* entries from session 1 would still be registered and
+    // ensureTable would early-return — the marker re-registration
+    // branch would never run and this gate would pass vacuously.
+    // Detach the catalog entries first (files + markers untouched),
+    // then require the re-registration branch to have actually fired
+    // (BuildMeter.regCount) with ZERO rebuilds (BuildMeter.count).
+    val detached = graft.model.AtRest.detachGraftTables(spark)
+    assert(detached > 0, "expected registered graft_* tables to detach")
     val s2 = spark.newSession()
     org.apache.spark.sql.SparkSession.setActiveSession(s2)
     try {
       SparkEntry.clearQueryCaches() // memo caches hold session-1 frames
+      val regs0 = graft.model.BuildMeter.regCount
+      val builds0 = graft.model.BuildMeter.count
       val r2 = SparkEntry.queries("q143_real_budget_amortized")(s2, dir)
         .collect().map(_.toString).sorted
-      assert(r2.toSeq == r1.toSeq, "registered-table session must reproduce the build session")
+      assert(graft.model.BuildMeter.regCount > regs0,
+        "session 2 must take the marker RE-REGISTRATION branch (detached catalog)")
+      assert(graft.model.BuildMeter.count == builds0,
+        "session 2 must never REBUILD an at-rest artifact")
+      assert(r2.toSeq == r1.toSeq, "re-registered session must reproduce the build session")
       assert(mtimes() == before, "session 2 must leave data-file mtimes unchanged")
     } finally {
       org.apache.spark.sql.SparkSession.setActiveSession(spark)

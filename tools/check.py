@@ -36,6 +36,20 @@ for name, sql in sorted(oracle.items()):
     if scols != dcols:
         results[name] = f"SCHEMA_MISMATCH spark={scols} duck={dcols}"
         continue
+    # Arrow-TYPE parity (VERDICT r11 #1/#2): the driver's compare hashes
+    # serialized values, so a type divergence (e.g. DuckDB promoting
+    # integer sum() to HUGEINT -> decimal128(38,0) vs Spark's int64)
+    # fails the driver even when every value matches. The local gate
+    # must be at least as strict: any per-column Arrow type difference
+    # is a hard failure here, so this class can never reach the driver.
+    tdiffs = [
+        f"{c}: spark={spark_tbl.schema.field(c).type} duck={duck.schema.field(c).type}"
+        for c in scols
+        if str(spark_tbl.schema.field(c).type) != str(duck.schema.field(c).type)
+    ]
+    if tdiffs:
+        results[name] = f"TYPE_MISMATCH {'; '.join(tdiffs)}"
+        continue
     def norm(tbl):
         rows = []
         for row in zip(*[tbl.column(c).to_pylist() for c in sorted(tbl.column_names)]):
