@@ -318,23 +318,42 @@ object Bench {
       // ACTIVE new session so the sweep hits the right catalog
       SparkEntry.clearQueryCaches()
       val timed = s2Names.map { n =>
+        // reference point for the cause discriminator: the query's
+        // best MAIN sample (cold or warm) — a session-2 number that
+        // dwarfs it must name its mechanism in the artifact (VERDICT
+        // r11 #2: q141's 31.4 s session-2 sat unexplained)
+        val mainBest = results.find(_._1 == n)
+          .map(_._6.filter(_.err.isEmpty)).filter(_.nonEmpty)
+          .map(_.minBy(_.wall))
         def s2once(): String = {
           meter.reset()
           val b0 = graft.model.BuildMeter.seconds
           val r0 = graft.model.BuildMeter.regCount
-          val g0 = gcMillis(); val c0 = jitMillis()
+          val j0 = cpuJiffies(); val g0 = gcMillis(); val c0 = jitMillis()
           val t0 = System.nanoTime()
           try {
             SparkEntry.queries(n)(s2, sfDir).queryExecution.toRdd.count()
             val wall = (System.nanoTime() - t0) / 1e9
             drainMeter()
-            val tk = meter.snap()
-            f"""{"wall":$wall%.3f,"build_sec":${graft.model.BuildMeter.seconds - b0}%.3f,""" +
+            val steal = for {
+              (st0, tot0) <- j0; (st1, tot1) <- cpuJiffies()
+              if tot1 > tot0
+            } yield (st1 - st0).toDouble / (tot1 - tot0)
+            val smp = Sample(wall, None, steal,
+              (gcMillis() - g0) / 1e3 / wall.max(1e-9),
+              (jitMillis() - c0) / 1e3 / wall.max(1e-9), meter.snap(),
+              graft.model.BuildMeter.seconds - b0)
+            val why = mainBest.map { b =>
+              if (smp.wall <= 1.3 * b.wall) "in-line-with-main-session"
+              else cause(smp, b, firstCold = false)
+            }.getOrElse("no-main-sample-reference")
+            f"""{"wall":$wall%.3f,"build_sec":${smp.buildSec}%.3f,""" +
               s""""regs":${graft.model.BuildMeter.regCount - r0},""" +
-              f""""task_sec":${tk.taskSec}%.2f,"jobs":${tk.jobs},""" +
-              f""""cpu_frac":${tk.cpuFrac}%.3f,""" +
-              f""""gc_frac":${(gcMillis() - g0) / 1e3 / wall.max(1e-9)}%.3f,""" +
-              f""""jit_frac":${(jitMillis() - c0) / 1e3 / wall.max(1e-9)}%.3f}"""
+              f""""task_sec":${smp.t.taskSec}%.2f,"jobs":${smp.t.jobs},""" +
+              f""""cpu_frac":${smp.t.cpuFrac}%.3f,""" +
+              f""""gc_frac":${smp.gc}%.3f,"jit_frac":${smp.jit}%.3f,""" +
+              mainBest.map(b => f""""best_main_wall":${b.wall}%.3f,"best_main_task_sec":${b.t.taskSec}%.2f,""").getOrElse("") +
+              s""""cause":"$why"}"""
           } catch { case e: Throwable =>
             "{\"err\":\"" + e.toString.takeWhile(_ != '\n').take(120)
               .replace("\\", "\\\\").replace("\"", "\\\"") + "\"}" }

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Throwaway diagnostic (round 12, VERDICT r11 #2): name the cause of
+  * q141's session-2 overhead by diffing the executed plan and timing
+  * between the build session and a detached fresh-catalog session. */
+object DiagS2 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val q = sys.env.getOrElse("SPARK_GRAFT_DIAG_Q", "q141_quality_cluster_amortized")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+
+    def run(s: SparkSession, tag: String): String = {
+      SparkEntry.clearQueryCaches()
+      val df = SparkEntry.queries(q)(s, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      val t0 = System.nanoTime()
+      df.queryExecution.toRdd.count()
+      val w1 = (System.nanoTime() - t0) / 1e9
+      SparkEntry.clearQueryCaches()
+      val df2 = SparkEntry.queries(q)(s, sfDir)
+      val t1 = System.nanoTime()
+      df2.queryExecution.toRdd.count()
+      val w2 = (System.nanoTime() - t1) / 1e9
+      println(f"[diag] $tag: cold1=$w1%.2fs cold2=$w2%.2fs plan_hash=${plan.hashCode}")
+      plan
+    }
+    val p1 = run(spark, "session1")
+    val p1b = run(spark, "session1-again")
+    val detached = graft.model.AtRest.detachGraftTables(spark)
+    println(s"[diag] detached=$detached")
+    val s2 = spark.newSession()
+    SparkSession.setActiveSession(s2)
+    val p2 = run(s2, "session2-detached")
+    val p2b = run(s2, "session2-again")
+    def norm(p: String): Seq[String] =
+      p.linesIterator.map(_.replaceAll("#\\d+[L]?", "#x")
+        .replaceAll("plan_id=\\d+", "plan_id=x")
+        .replaceAll("\\[id=#?\\d+\\]", "[id=x]")).toSeq
+    val a = norm(p1); val b = norm(p2)
+    if (a == b) println("[diag] plans IDENTICAL (normalized)")
+    else {
+      println(s"[diag] plans DIFFER: s1 ${a.size} lines, s2 ${b.size} lines")
+      a.zipAll(b, "<absent>", "<absent>").zipWithIndex
+        .filter { case ((x, y), _) => x != y }.take(40)
+        .foreach { case ((x, y), i) =>
+          println(s"[diag]  line $i\n[diag]   s1: $x\n[diag]   s2: $y") }
+    }
+    spark.stop()
+  }
+}

@@ -643,6 +643,83 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    // 100× probe for index COMPACTION (q169/q170, VERDICT r11 #4):
+    // the at-rest generation rewrite after deletions. Compaction
+    // reads the INDEX RELATION only (re-cap window on its bucket key
+    // + doc-grain size rebuild + the rewrite of both relations);
+    // a fresh rebuild re-winnows DOCUMENT TEXT. Both are linear in
+    // corpus size — the claim that matters for the lifecycle is the
+    // constant: compact ≪ rebuild at every scale, because the index
+    // relation is ~50× smaller than the text it summarizes. The 100×
+    // corpus is the winnow100x fixture (per-copy perturbation + a
+    // shared viral boilerplate so the cap has real work at scale);
+    // the takedown is doc_id % 11 = 0, the q167/q169 batch shape.
+    if (args.contains("compact100x")) {
+      import graft.operators.TextDedup
+      val copies100 = 100
+      val boiler = " terms and conditions apply all rights reserved" +
+        " contact support for more details visit our website help center"
+      val dstK = s"target/scale/compact-v1-c$copies100"
+      replicateInto(src, dstK, copies100)("documents", (base, c) => {
+        val b = if (c == 0) base
+          else base.withColumn("doc_id", col("doc_id") + c * keyShift)
+            .withColumn("text", regexp_replace(col("text"), "e", "e" + c.toString))
+        b.withColumn("text", concat(col("text"), lit(boiler)))
+      })
+      val docs1 = spark.read.parquet(s"$src/documents.parquet")
+        .withColumn("text", concat(col("text"), lit(boiler)))
+        .localCheckpoint(true)
+      val docs100 = spark.read.parquet(s"$dstK/documents.parquet")
+      val cap = 50L
+      spark.range(1000000L).selectExpr("sum(id)").collect()
+      def probe(docs: DataFrame): (Double, Double, Long, Long) = {
+        // the at-rest state: the UNCAPPED fingerprint relation, frozen
+        // (checkpoint = the warehouse read), then the takedown
+        val (fp0, sz0) = TextDedup.winnowIndex(docs, k = 4, window = 4,
+          md5Hashes = true)
+        val fpAtRest = fp0.localCheckpoint(true)
+        val szAtRest = sz0.localCheckpoint(true)
+        graft.model.RelCache.releaseAll()
+        val rm = docs.filter(col("doc_id") % 11 === 0).select("doc_id")
+          .localCheckpoint(true)
+        val (fp1, _) = TextDedup.winnowIndexDelete(fpAtRest, szAtRest, rm)
+        var rowsOut = 0L
+        def compactOnce(): Double = {
+          spark.catalog.clearCache(); graft.model.RelCache.releaseAll()
+          val t0 = System.nanoTime()
+          val (fp2, sz2) = TextDedup.winnowIndexCompact(fp1, dfCap = cap)
+          // materialize BOTH relations — this is the generation
+          // rewrite (at rest: the h-bucketed fp table + size table)
+          rowsOut = fp2.queryExecution.toRdd.count() +
+            sz2.queryExecution.toRdd.count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        def rebuildOnce(): Double = {
+          spark.catalog.clearCache(); graft.model.RelCache.releaseAll()
+          val t0 = System.nanoTime()
+          val surv = docs.join(rm, Seq("doc_id"), "left_anti")
+          val (fpF, szF) = TextDedup.winnowIndex(surv, k = 4, window = 4,
+            md5Hashes = true)
+          TextDedup.capShingleDf(fpF, cap, "h").queryExecution.toRdd.count()
+          szF.queryExecution.toRdd.count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val wc = math.min(compactOnce(), compactOnce())
+        val wr = math.min(rebuildOnce(), rebuildOnce())
+        val fpRows = fpAtRest.count()
+        (wc, wr, rowsOut, fpRows)
+      }
+      val (c1, r1, out1, fpr1) = probe(docs1)
+      val (c100, r100, out100, fpr100) = probe(docs100)
+      println(f"[scale] winnowIndexCompact 1x: compact=$c1%8.2fs rebuild=$r1%8.2fs " +
+        f"(compact/rebuild=${c1 / r1}%.3f, fp rows $fpr1, rewrite rows $out1)")
+      println(f"[scale] winnowIndexCompact 100x: compact=$c100%8.2fs rebuild=$r100%8.2fs " +
+        f"(compact/rebuild=${c100 / r100}%.3f, fp rows $fpr100, rewrite rows $out100); " +
+        f"compact scales ${c100 / c1}%.2fx for 100x corpus")
+      println(f"""[scale-json] {"copies":$copies100,"df_cap":$cap,"queries":{"winnow_compact_100x":{"compact_1x":$c1%.3f,"rebuild_1x":$r1%.3f,"compact_100x":$c100%.3f,"rebuild_100x":$r100%.3f,"compact_over_rebuild_1x":${c1 / r1}%.4f,"compact_over_rebuild_100x":${c100 / r100}%.4f,"compact_ratio":${c100 / c1}%.3f,"fp_rows_1x":$fpr1,"fp_rows_100x":$fpr100,"rewrite_rows_1x":$out1,"rewrite_rows_100x":$out100}}}""")
+      spark.stop(); return
+    }
+
     // best of two runs: the first run pays codegen/JIT/footer costs
     // that would otherwise inflate the small side (it runs first) and
     // flatter the ratio

@@ -37,4 +37,68 @@ object AtRest {
     }
     tbls.size
   }
+
+  /** Fingerprint of a fixture's files — at-rest table names carry it
+    * so regenerated testdata can never silently reuse a stale
+    * artifact. The sanitized DIRECTORY name is prepended so different
+    * fixtures (sf0.01 vs sf0.1) occupy disjoint table-name prefixes.
+    * THE at-rest naming contract: TextQueries' table wiring and the
+    * warehouse GC below both resolve through this single definition,
+    * so the sweep can never misclassify a live table. */
+  def fixtureKey(dir: String, table: String = "documents"): String = {
+    val f = new java.io.File(s"$dir/$table.parquet")
+    val parts = (f +: Option(f.listFiles()).getOrElse(Array.empty).toSeq
+        .sortBy(_.getName))
+      .map(p => s"${p.getName}:${p.length}:${p.lastModified}")
+    val hash = java.security.MessageDigest.getInstance("MD5")
+      .digest(parts.mkString("|").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    val tag = new java.io.File(dir).getName.toLowerCase
+      .replaceAll("[^a-z0-9]", "_")
+    s"${tag}_$hash"
+  }
+
+  /** Warehouse RETENTION sweep (VERDICT r11 #6): at-rest persistence
+    * made every per-fixture table generation immortal — markers
+    * re-register them forever, and a regenerated or deleted fixture
+    * orphans its generation on disk. This verb deletes every
+    * fixture-tagged warehouse directory (`graft_<family>_<tag>_<hash12>`)
+    * whose key is not LIVE — i.e. does not equal [[fixtureKey]] of any
+    * current testdata directory (checked for every table the key can
+    * fingerprint: documents and embeddings) — dropping its catalog
+    * entry first if registered. Non-fixture-tagged tables (spec demo
+    * fixtures) are out of scope: they are rebuilt per test run and
+    * carry no marker protocol. Returns (deleted, kept) dir names. */
+  def gcWarehouse(s: SparkSession,
+      testdataRoot: String = "/root/testdata"): (Seq[String], Seq[String]) = {
+    val fixtureDirs = Option(new java.io.File(testdataRoot).listFiles())
+      .getOrElse(Array.empty).filter(_.isDirectory).toSeq
+    val live: Set[String] = fixtureDirs.flatMap(d =>
+      Seq("documents", "embeddings").map(t => fixtureKey(d.getAbsolutePath, t)))
+      .toSet
+    val wh = new org.apache.hadoop.fs.Path(s.sessionState.conf.warehousePath)
+    val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val tagged = "^graft_.+?_((sf[0-9_]+)_([0-9a-f]{12}))$".r
+    val cat = s.sessionState.catalog
+    val ext = cat.externalCatalog
+    val db = cat.getCurrentDatabase
+    var deleted = Vector.empty[String]
+    var kept = Vector.empty[String]
+    if (fs.exists(wh)) fs.listStatus(wh).foreach { st =>
+      val n = st.getPath.getName
+      tagged.findFirstMatchIn(n) match {
+        case Some(m) if !live.contains(m.group(1)) =>
+          if (ext.tableExists(db, n)) {
+            val ct = ext.getTable(db, n)
+            if (ct.tableType == CatalogTableType.MANAGED)
+              ext.alterTable(ct.copy(tableType = CatalogTableType.EXTERNAL))
+            s.sql(s"DROP TABLE IF EXISTS `$db`.`$n`")
+          }
+          fs.delete(st.getPath, true)
+          deleted :+= n
+        case _ => kept :+= n
+      }
+    }
+    (deleted, kept)
+  }
 }

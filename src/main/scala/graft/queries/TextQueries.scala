@@ -148,18 +148,8 @@ object TextQueries {
     * generations of the SAME fixture, never another fixture's live
     * index (a session alternating SFs would otherwise find its
     * still-registered tables' files gone). */
-  private def fixtureKey(dir: String, table: String = "documents"): String = {
-    val f = new java.io.File(s"$dir/$table.parquet")
-    val parts = (f +: Option(f.listFiles()).getOrElse(Array.empty).toSeq
-        .sortBy(_.getName))
-      .map(p => s"${p.getName}:${p.length}:${p.lastModified}")
-    val hash = java.security.MessageDigest.getInstance("MD5")
-      .digest(parts.mkString("|").getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(12)
-    val tag = new java.io.File(dir).getName.toLowerCase
-      .replaceAll("[^a-z0-9]", "_")
-    s"${tag}_$hash"
-  }
+  private def fixtureKey(dir: String, table: String = "documents"): String =
+    graft.model.AtRest.fixtureKey(dir, table)
 
   /** The in-memory catalog is session-scoped but the warehouse dir is
     * not: clear stale files from an earlier session so a bucketed CTAS

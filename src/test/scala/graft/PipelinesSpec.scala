@@ -396,6 +396,32 @@ class PipelinesSpec extends SparkSpec {
     graft.model.RelCache.releaseAll()
   }
 
+  test("warehouse GC: orphaned fixture generations are swept, live and untagged tables survive") {
+    val wh = new java.io.File(
+      spark.sessionState.conf.warehousePath.stripPrefix("file:"))
+    wh.mkdirs()
+    // a fixture-tagged generation whose key matches NO testdata dir
+    // (regenerated-fixture orphan) and an untagged spec-demo dir
+    val orphan = new java.io.File(wh, "graft_wfp_sf9_99_deadbeef0123")
+    val demo = new java.io.File(wh, "graft_gcdemo_untagged")
+    orphan.mkdirs(); demo.mkdirs()
+    try {
+      val (deleted, kept) = graft.model.AtRest.gcWarehouse(spark, "/root/testdata")
+      assert(deleted.contains("graft_wfp_sf9_99_deadbeef0123"),
+        s"orphaned generation must be swept (deleted=$deleted)")
+      assert(!orphan.exists(), "orphan dir must be gone from disk")
+      assert(demo.exists() && !deleted.contains("graft_gcdemo_untagged"),
+        "untagged spec-demo tables are out of the sweep's scope")
+      // every LIVE fixture-tagged table (current testdata keys) kept
+      val liveKeys = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1").flatMap(d =>
+        Seq("documents", "embeddings").map(t => graft.model.AtRest.fixtureKey(d, t))).toSet
+      val wrongly = deleted.filter(n => liveKeys.exists(n.endsWith))
+      assert(wrongly.isEmpty, s"live tables must never be swept: $wrongly")
+    } finally { demo.delete(); if (orphan.exists()) {
+      orphan.listFiles().foreach(_.delete()); orphan.delete() } }
+  }
+
   test("at-rest artifacts survive sessions: a fresh catalog re-registers from markers, data files untouched") {
     import org.apache.spark.sql.functions.col
     val dir = "/root/testdata/sf0.001"
