@@ -245,6 +245,10 @@ object Plans {
   private val intendedSmj = Map(
     "q35_minhash_lsh" ->
       "shingle/candidate joins keyed on (shingle|band|pair) — both sides corpus-grain",
+    "q169_winnow_compact" ->
+      "the compacted-index containment join on h: the re-cap window already partitions AND sorts the reference side by h, so SMJ reuses that sort with zero extra exchange — exactly the plan the h-bucketed at-rest layout serves; both sides corpus-grain, AQE demotes when small",
+    "q170_neardup_compact" ->
+      "the compacted-index candidate/verify joins on (band|shingle): the re-cap window partitions and sorts the reference shingles, SMJ reuses the sort (the at-rest bucketed layout's plan); both sides corpus-grain, AQE demotes when small",
     "q47_perm_fdr" ->
       "per-(gene,perm) stat join against observed stats — both sides gene-grain",
     "q60_nuse" ->

@@ -1297,6 +1297,46 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ANN serve over the at-rest graph ≡ batch beam search, stateless across split micro-batches (q149 twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Similarity
+    // q149's fixture: the NN-Descent graph over the sf0.001 embeddings
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .localCheckpoint(true)
+    val graph = Similarity.knnGraphDescent(emb, k = 5, iters = 2, dim = 64)
+      .localCheckpoint(true)
+    graft.model.RelCache.releaseAll()
+    val qs = emb.filter($"vec_id" < 20)
+      .select(($"vec_id" + 100000L).as("vec_id"),
+        transform($"embedding",
+          x => (x.cast("double") * lit(0.9) + lit(0.01)).cast("float"))
+          .as("embedding"))
+      .localCheckpoint(true)
+    def key(r: org.apache.spark.sql.Row): (Long, Long, Int, Double) =
+      (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"),
+        r.getAs[Int]("rank"), r.getAs[Double]("sim"))
+    val want = Similarity.graphSearchTopK(graph, emb, qs, k = 5, beam = 8,
+      rounds = 3, entries = 4).collect().map(key).toSet
+    val rows = qs.select("vec_id", "embedding").as[(Long, Array[Float])]
+      .collect().sortBy(_._1)
+    val input = MemoryStream[(Long, Array[Float])]
+    val got = scala.collection.mutable.Set.empty[(Long, Long, Int, Double)]
+    val q = graft.streaming.StreamOps.streamingGraphServe(
+      input.toDS().toDF("vec_id", "embedding"), graph, emb,
+      k = 5, beam = 8, rounds = 3, entries = 4)(
+      res => got.synchronized { got ++= res.collect().map(key) })
+    try {
+      // SPLIT the queries across two micro-batches: serving is
+      // stateless, so the union must equal the one-shot batch search
+      val (first, second) = rows.splitAt(rows.length / 2)
+      input.addData(first.toSeq: _*); q.processAllAvailable()
+      input.addData(second.toSeq: _*); q.processAllAvailable()
+      assert(got.toSet == want,
+        s"stream∪batches != batch: missing=${want -- got}, extra=${got.toSet -- want}")
+    } finally q.stop()
+  }
+
   test("windowedCounts groups into tumbling windows (batch mode)") {
     import spark.implicits._
     val t0 = 1700000000000L // 2023-11-14 22:13:20 UTC
