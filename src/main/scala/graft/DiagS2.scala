@@ -8,7 +8,9 @@ import org.apache.spark.sql.SparkSession
 object DiagS2 {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val q = sys.env.getOrElse("SPARK_GRAFT_DIAG_Q", "q141_quality_cluster_amortized")
+    val qseq = sys.env.getOrElse("SPARK_GRAFT_DIAG_Q", "q141_quality_cluster_amortized")
+      .split(",").toSeq
+    val q = qseq.last
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -33,6 +35,14 @@ object DiagS2 {
       val w2 = (System.nanoTime() - t1) / 1e9
       println(f"[diag] $tag: cold1=$w1%.2fs cold2=$w2%.2fs plan_hash=${plan.hashCode}")
       plan
+    }
+    // optional PREFIX queries (comma-separated before the target):
+    // reproduce in-catalog accumulated state ahead of the target query
+    qseq.init.foreach { pq =>
+      SparkEntry.clearQueryCaches()
+      val t0 = System.nanoTime()
+      SparkEntry.queries(pq)(spark, sfDir).queryExecution.toRdd.count()
+      println(f"[diag] prefix $pq: ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
     val p1 = run(spark, "session1")
     val p1b = run(spark, "session1-again")
