@@ -1335,6 +1335,28 @@ class StreamOpsSpec extends SparkSpec {
       assert(got.toSet == want,
         s"stream∪batches != batch: missing=${want -- got}, extra=${got.toSet -- want}")
     } finally q.stop()
+
+    // takedown-serving parity (the winnow/near-dup streaming twins'
+    // contract on the graph family): the stream serves the DELETED
+    // graph/corpus and the removed nodes never appear in any result
+    val rmIds = emb.filter($"vec_id" % 13 === 0).select("vec_id")
+    val delGraph = Similarity.knnGraphDelete(graph, rmIds).localCheckpoint(true)
+    val delCorpus = emb.join(rmIds, Seq("vec_id"), "left_anti").localCheckpoint(true)
+    val wantDel = Similarity.graphSearchTopK(delGraph, delCorpus, qs, k = 5,
+      beam = 8, rounds = 3, entries = 4).collect().map(key).toSet
+    val input2 = MemoryStream[(Long, Array[Float])]
+    val got2 = scala.collection.mutable.Set.empty[(Long, Long, Int, Double)]
+    val q2 = graft.streaming.StreamOps.streamingGraphServe(
+      input2.toDS().toDF("vec_id", "embedding"), delGraph, delCorpus,
+      k = 5, beam = 8, rounds = 3, entries = 4)(
+      res => got2.synchronized { got2 ++= res.collect().map(key) })
+    try {
+      input2.addData(rows.toSeq: _*); q2.processAllAvailable()
+      assert(got2.toSet == wantDel, "stream over the deleted graph != batch")
+      assert(!got2.exists(_._2 % 13 == 0),
+        "removed corpus nodes must never be served")
+    } finally q2.stop()
+    graft.model.RelCache.releaseAll()
   }
 
   test("windowedCounts groups into tumbling windows (batch mode)") {
