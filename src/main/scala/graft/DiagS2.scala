@@ -19,21 +19,44 @@ object DiagS2 {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional conf overrides: SPARK_GRAFT_DIAG_CONF="k=v;k=v"
+    sys.env.get("SPARK_GRAFT_DIAG_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+    })
     spark.range(1000000L).selectExpr("sum(id)").collect()
 
     def run(s: SparkSession, tag: String): String = {
+      // split the Bench-shaped wall into PLANNING (frame construction
+      // + analysis + optimization + physical planning) and EXECUTION:
+      // the bench clock covers both, so a planning-heavy query can
+      // look "slow" while its tasks are fine
       SparkEntry.clearQueryCaches()
+      val tp0 = System.nanoTime()
       val df = SparkEntry.queries(q)(s, sfDir)
       val plan = df.queryExecution.executedPlan.toString
+      val wPlan = (System.nanoTime() - tp0) / 1e9
       val t0 = System.nanoTime()
       df.queryExecution.toRdd.count()
       val w1 = (System.nanoTime() - t0) / 1e9
       SparkEntry.clearQueryCaches()
+      val tA = System.nanoTime()
       val df2 = SparkEntry.queries(q)(s, sfDir)
+      val wCons = (System.nanoTime() - tA) / 1e9
+      val tB = System.nanoTime()
+      df2.queryExecution.assertAnalyzed()
+      val wAna = (System.nanoTime() - tB) / 1e9
+      val tC = System.nanoTime()
+      df2.queryExecution.optimizedPlan
+      val wOpt = (System.nanoTime() - tC) / 1e9
+      val tD = System.nanoTime()
+      df2.queryExecution.executedPlan
+      val wPhy = (System.nanoTime() - tD) / 1e9
       val t1 = System.nanoTime()
       df2.queryExecution.toRdd.count()
       val w2 = (System.nanoTime() - t1) / 1e9
-      println(f"[diag] $tag: cold1=$w1%.2fs cold2=$w2%.2fs plan_hash=${plan.hashCode}")
+      println(f"[diag] $tag: plan1=$wPlan%.2fs exec1=$w1%.2fs | " +
+        f"cons=$wCons%.2fs ana=$wAna%.2fs opt=$wOpt%.2fs phy=$wPhy%.2fs " +
+        f"exec2=$w2%.2fs plan_hash=${plan.hashCode}")
       plan
     }
     // optional PREFIX queries (comma-separated before the target):
