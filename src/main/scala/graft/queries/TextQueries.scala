@@ -195,6 +195,44 @@ object TextQueries {
     (s.table(fpTbl), s.table(szTbl))
   }
 
+  /** At-rest COMPACTED-GENERATION winnow index (round 12, the q169
+    * verb driven through the warehouse): the delete→compact chain
+    * WRITTEN BACK as a new bucketed generation — the "rewrite the
+    * bucketed tables" the compaction contract promises, exercised for
+    * real rather than argued. Derived from the at-rest generation-0
+    * index ([[amortizedWinnowIndex]]): the takedown batch
+    * (ref docs with doc_id % 11 = 0) anti-joins out, the survivor
+    * relation re-caps at dfCap = 1 (q169's binding cap), the size
+    * table rebuilds from the survivor relation; both land through the
+    * same marker protocol as generation 0 (h-bucketed fingerprints +
+    * doc-grain sizes, build-complete marker last), so a later session
+    * re-registers the COMPACTED generation instead of re-compacting.
+    * q171 serves a crawl from these tables and shares q169's oracle:
+    * the whole chain is deterministic, so the store/re-read round
+    * trip is hash-gated, not argued (the q150 pattern). */
+  private def amortizedCompactedWinnowIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val key = fixtureKey(dir)
+    val fpTbl = s"graft_wfc_$key"
+    val szTbl = s"graft_wsc_$key"
+    def missing = !s.catalog.tableExists(fpTbl) || !s.catalog.tableExists(szTbl)
+    if (missing) synchronized {
+      if (missing) {
+        lazy val built = {
+          val (fp0, sz0) = amortizedWinnowIndex(s, dir)
+          val takedown = t(s, dir, "documents")
+            .filter(col("doc_id") % 7 < 3 && col("doc_id") % 11 === 0)
+            .select("doc_id")
+          val (fp1, _) = TextDedup.winnowIndexDelete(fp0, sz0, takedown)
+          TextDedup.winnowIndexCompact(fp1, dfCap = 1)
+        }
+        ensureTable(s, fpTbl, key, Some((8, "h")), validateCount = true)(built._1)
+        ensureTable(s, szTbl, key, None, validateCount = true)(built._2)
+        graft.model.RelCache.release("textdedup.winnowIndexCompact")
+      }
+    }
+    (s.table(fpTbl), s.table(szTbl))
+  }
+
   /** q142 gate diagnostic (VERDICT r10 #1): a one-line JSON snapshot
     * of the at-rest winnow index the incremental containment query
     * reads — row counts plus ORDER-INSENSITIVE checksums (bit_xor of
@@ -1607,6 +1645,25 @@ object TextQueries {
       val takedown = ref.filter(col("doc_id") % 11 === 0).select("doc_id")
       val (fp1, _) = TextDedup.winnowIndexDelete(fp0, sz0, takedown)
       val (fp2, sz2) = TextDedup.winnowIndexCompact(fp1, dfCap = 1)
+      TextDedup.containmentAgainstIndex(inc, fp2, sz2,
+          k = 4, window = 4, minShared = 2, minContainment = 0.8,
+          md5Hashes = true)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), min("doc_id").as("first_kept"),
+          sum("doc_id").as("sum_ids"))
+        .orderBy("source")
+    }),
+
+    // ---- winnow compaction AT REST — the q169 chain with the
+    // compacted generation WRITTEN to the warehouse
+    // ([[amortizedCompactedWinnowIndex]]: h-bucketed fingerprint table
+    // + size table + build-complete marker) and the crawl served from
+    // the re-read tables — the "rewrite the bucketed tables" half of
+    // the compaction contract, hash-gated through the store/re-read
+    // round trip (the q150 pattern). Shares q169's oracle. ----
+    "q171_winnow_compact_amortized" -> ((s, dir) => {
+      val inc = t(s, dir, "documents").filter(col("doc_id") % 7 >= 3)
+      val (fp2, sz2) = amortizedCompactedWinnowIndex(s, dir)
       TextDedup.containmentAgainstIndex(inc, fp2, sz2,
           k = 4, window = 4, minShared = 2, minContainment = 0.8,
           md5Hashes = true)
@@ -3885,7 +3942,10 @@ object TextQueries {
     // winnow-compaction replay: fresh capped build on the survivors —
     // the takedown slice removed, a df <= 1 window over the SURVIVOR
     // fingerprint relation as the capped join side, denominators from
-    // the uncapped survivor relation (true fingerprint mass)
+    // the uncapped survivor relation (true fingerprint mass). q171
+    // (the at-rest compacted generation) shares this oracle: the
+    // delete→compact chain is deterministic, so inline and
+    // store/re-read forms must hash identically.
     "q169_winnow_compact" ->
       (s"""WITH ${winnowSelSql(4, 4)},
           fpu AS (SELECT doc_id, unnest(fps) AS f FROM sel),
@@ -4944,5 +5004,10 @@ object TextQueries {
     // q144 runs the q136 semantics with the reference LM at rest —
     // the deterministic fit makes the stored relation the fit
     ("q144_ccnet_amortized" ->
-      oracleSql0("q136_ccnet_buckets"))
+      oracleSql0("q136_ccnet_buckets")) +
+    // q171 runs the q169 semantics with the COMPACTED generation at
+    // rest — delete→compact is deterministic, so the bucketed-table
+    // rewrite must reproduce the inline chain exactly
+    ("q171_winnow_compact_amortized" ->
+      oracleSql0("q169_winnow_compact"))
 }

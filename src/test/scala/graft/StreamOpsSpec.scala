@@ -1356,6 +1356,30 @@ class StreamOpsSpec extends SparkSpec {
       assert(!got2.exists(_._2 % 13 == 0),
         "removed corpus nodes must never be served")
     } finally q2.stop()
+
+    // UPSERT-serving parity (q166's "grown index catches it" on the
+    // graph family): a new vector joins via knnGraphUpsert; the stream
+    // serving the grown graph/corpus must surface the new id — here a
+    // query identical to the new vector finds itself at rank 1
+    val newVec = emb.filter($"vec_id" === 7L)
+      .select(lit(900000L).as("vec_id"), $"embedding").localCheckpoint(true)
+    val grown = Similarity.knnGraphUpsert(graph, emb, newVec, k = 5)
+      .localCheckpoint(true)
+    val grownCorpus = emb.select($"vec_id", $"embedding")
+      .unionByName(newVec).localCheckpoint(true)
+    val probe = newVec.select(lit(555L).as("vec_id"), $"embedding")
+      .as[(Long, Array[Float])].collect()
+    val input3 = MemoryStream[(Long, Array[Float])]
+    val got3 = scala.collection.mutable.Set.empty[(Long, Long, Int, Double)]
+    val q3 = graft.streaming.StreamOps.streamingGraphServe(
+      input3.toDS().toDF("vec_id", "embedding"), grown, grownCorpus,
+      k = 5, beam = 8, rounds = 3, entries = 4)(
+      res => got3.synchronized { got3 ++= res.collect().map(key) })
+    try {
+      input3.addData(probe.toSeq: _*); q3.processAllAvailable()
+      assert(got3.exists(r => r._1 == 555L && r._2 == 900000L && r._3 == 1),
+        s"the upserted vector must be served at rank 1 for its own probe: $got3")
+    } finally q3.stop()
     graft.model.RelCache.releaseAll()
   }
 
