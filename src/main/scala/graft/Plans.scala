@@ -249,6 +249,10 @@ object Plans {
       "the compacted-index containment join on h: the re-cap window already partitions AND sorts the reference side by h, so SMJ reuses that sort with zero extra exchange — exactly the plan the h-bucketed at-rest layout serves; both sides corpus-grain, AQE demotes when small",
     "q170_neardup_compact" ->
       "the compacted-index candidate/verify joins on (band|shingle): the re-cap window partitions and sorts the reference shingles, SMJ reuses the sort (the at-rest bucketed layout's plan); both sides corpus-grain, AQE demotes when small",
+    "q171_winnow_compact_amortized" ->
+      "q169's containment join with the compacted generation read from its h-bucketed at-rest table — the bucketed scan arrives pre-partitioned and SMJ reuses the layout's sort order (bucketed_winnow_demo measures the exchange saving); both sides corpus-grain, AQE demotes when small",
+    "q172_neardup_compact_amortized" ->
+      "q170's candidate/verify joins with the compacted generation read from its band/shingle-bucketed at-rest tables — SMJ rides the bucketed layout (bucketed_neardup_demo measures the exchange saving); both sides corpus-grain, AQE demotes when small",
     "q47_perm_fdr" ->
       "per-(gene,perm) stat join against observed stats — both sides gene-grain",
     "q60_nuse" ->

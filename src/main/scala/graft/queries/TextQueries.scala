@@ -233,6 +233,37 @@ object TextQueries {
     (s.table(fpTbl), s.table(szTbl))
   }
 
+  /** At-rest COMPACTED-GENERATION near-dup index —
+    * [[amortizedCompactedWinnowIndex]]'s twin on the MinHash family
+    * (the q170 chain through the warehouse): the generation-0 at-rest
+    * index ([[amortizedRefIndex]] — only its shingle relation is
+    * needed; bands re-derive) loses the takedown batch, re-caps at
+    * dfCap = 1, and the RE-DERIVED band + shingle relations land as a
+    * new bucketed generation under the marker protocol. q172 serves a
+    * crawl from the re-read tables and shares q170's oracle. */
+  private def amortizedCompactedRefIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val key = fixtureKey(dir)
+    val bandsTbl = s"graft_ndc_bands_$key"
+    val shTbl = s"graft_ndc_shingles_$key"
+    def missing = !s.catalog.tableExists(bandsTbl) || !s.catalog.tableExists(shTbl)
+    if (missing) synchronized {
+      if (missing) {
+        lazy val built = {
+          val (bands0, sh0) = amortizedRefIndex(s, dir)
+          val takedown = t(s, dir, "documents")
+            .filter(col("doc_id") % 7 < 3 && col("doc_id") % 11 === 0)
+            .select("doc_id")
+          val (_, sh1) = TextDedup.nearDupIndexDelete(bands0, sh0, takedown)
+          TextDedup.nearDupIndexCompact(sh1, md5Hashes = true, dfCap = 1)
+        }
+        ensureTable(s, bandsTbl, key, Some((8, "band")), validateCount = true)(built._1)
+        ensureTable(s, shTbl, key, Some((8, "s")), validateCount = true)(built._2)
+        graft.model.RelCache.release("textdedup.nearDupIndexCompact")
+      }
+    }
+    (s.table(bandsTbl), s.table(shTbl))
+  }
+
   /** q142 gate diagnostic (VERDICT r10 #1): a one-line JSON snapshot
     * of the at-rest winnow index the incremental containment query
     * reads — row counts plus ORDER-INSENSITIVE checksums (bit_xor of
@@ -1692,6 +1723,22 @@ object TextQueries {
       val (_, sh1) = TextDedup.nearDupIndexDelete(bd0, sh0, takedown)
       val (bd2, sh2) = TextDedup.nearDupIndexCompact(sh1, md5Hashes = true,
         dfCap = 1)
+      TextDedup.nearDupAgainstIndex(inc, bd2, sh2, minJaccard = 0.3,
+          md5Hashes = true)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), min("doc_id").as("first_kept"),
+          sum("doc_id").as("sum_ids"))
+        .orderBy("source")
+    }),
+
+    // ---- near-dup compaction AT REST — q171's twin on the MinHash
+    // family: the q170 chain with the compacted generation written to
+    // the warehouse ([[amortizedCompactedRefIndex]]: band- and
+    // shingle-bucketed tables + markers) and the crawl served from
+    // the re-read tables. Shares q170's oracle. ----
+    "q172_neardup_compact_amortized" -> ((s, dir) => {
+      val inc = t(s, dir, "documents").filter(col("doc_id") % 7 >= 3)
+      val (bd2, sh2) = amortizedCompactedRefIndex(s, dir)
       TextDedup.nearDupAgainstIndex(inc, bd2, sh2, minJaccard = 0.3,
           md5Hashes = true)
         .groupBy("source")
@@ -5009,5 +5056,7 @@ object TextQueries {
     // rest — delete→compact is deterministic, so the bucketed-table
     // rewrite must reproduce the inline chain exactly
     ("q171_winnow_compact_amortized" ->
-      oracleSql0("q169_winnow_compact"))
+      oracleSql0("q169_winnow_compact")) +
+    ("q172_neardup_compact_amortized" ->
+      oracleSql0("q170_neardup_compact"))
 }
