@@ -343,8 +343,15 @@ object Bench {
               (gcMillis() - g0) / 1e3 / wall.max(1e-9),
               (jitMillis() - c0) / 1e3 / wall.max(1e-9), meter.snap(),
               graft.model.BuildMeter.seconds - b0)
+            val regsDelta = graft.model.BuildMeter.regCount - r0
             val why = mainBest.map { b =>
               if (smp.wall <= 1.3 * b.wall) "in-line-with-main-session"
+              // the first post-detach run legitimately does MORE than a
+              // main-session sample: marker re-registration DDL plus the
+              // fresh session's first execution of the whole chain —
+              // name that before reaching for the contention buckets
+              else if (regsDelta > 0 && smp.wall <= 2.0 * b.wall)
+                s"session2-first-run: $regsDelta marker re-registrations + fresh-session first execution"
               else cause(smp, b, firstCold = false)
             }.getOrElse("no-main-sample-reference")
             f"""{"wall":$wall%.3f,"build_sec":${smp.buildSec}%.3f,""" +
