@@ -673,6 +673,47 @@ class PropertySpec extends SparkSpec {
       "the surviving pair's (shared, nfp_a, nfp_b, overlap) must not change under the cap")
   }
 
+  test("index compaction is IDEMPOTENT: compact(compact(X, c), c) == compact(X, c), both families") {
+    // the production invariant behind repeated maintenance cycles: a
+    // second compaction at the same cap (no intervening deletes) must
+    // be a no-op — the df counts of an already-capped relation are
+    // <= the originals, so no further row can cross the cap, and the
+    // re-derived signatures/sizes are pure functions of the rows
+    val boiler = "terms and conditions apply all rights reserved contact " +
+      "support for more details visit our website help center page info"
+    val docs = ((1 to 12).map(i => (i.toLong, s"$boiler filler$i only")) ++
+      Seq((100L, "a wholly unrelated essay about rivers and stones and time")))
+      .toDF("doc_id", "text")
+    // winnow family
+    val (fp0, _) = TextDedup.winnowIndex(docs, md5Hashes = true)
+    val (fp1, sz1) = TextDedup.winnowIndexCompact(fp0, dfCap = 5)
+    val (fp2, sz2) = TextDedup.winnowIndexCompact(fp1, dfCap = 5)
+    assert(fp1.collect().toSet == fp2.collect().toSet,
+      "second winnow compaction must not change the fingerprint relation")
+    // NOTE the documented asymmetry: sizes are TRUE mass of the verb's
+    // INPUT relation — recompacting a capped relation rebuilds sizes
+    // from capped rows, so production keeps the generation's size
+    // table rather than re-deriving it from the capped fp (the verb's
+    // contract: compact the POST-DELETE UNCAPPED relation)
+    assert(sz2.collect().toSet ==
+      fp1.groupBy("doc_id").count().withColumnRenamed("count", "nfp")
+        .collect().toSet,
+      "recompacted sizes are the capped relation's own mass, by contract")
+    assert(sz1.collect().toSet ==
+      fp0.groupBy("doc_id").count().withColumnRenamed("count", "nfp")
+        .collect().toSet,
+      "first compaction's sizes are the uncapped input's true mass")
+    // near-dup family: bands AND shingles both fixed points
+    val (_, sh0) = TextDedup.nearDupIndex(docs, md5Hashes = true)
+    val (bd1, sh1) = TextDedup.nearDupIndexCompact(sh0, md5Hashes = true, dfCap = 5)
+    val (bd2, sh2) = TextDedup.nearDupIndexCompact(sh1, md5Hashes = true, dfCap = 5)
+    assert(sh1.collect().toSet == sh2.collect().toSet,
+      "second near-dup compaction must not change the shingle relation")
+    assert(bd1.collect().toSet == bd2.collect().toSet,
+      "re-derived band signatures must be a fixed point under recompaction")
+    graft.model.RelCache.releaseAll()
+  }
+
   test("chunkByTokenCounts: piece totals conserve; unit fertility degenerates to chunkByTokens") {
     val wordG = Gen.oneOf("alpha", "beta", "gamma", "delta", "ep")
     val docG = Gen.chooseNum(1, 50).flatMap(n => Gen.listOfN(n, wordG))
