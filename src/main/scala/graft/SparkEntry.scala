@@ -49,11 +49,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = coreQueries ++
     graft.queries.MetaQueries.queries ++ graft.queries.TextQueries.queries ++
-    graft.queries.ExtraQueries.queries
+    graft.queries.ExtraQueries.queries ++ graft.queries.SourceQueries.queries
 
   def oracleSql: Map[String, String] = coreOracleSql ++
     graft.queries.MetaQueries.oracleSql ++ graft.queries.TextQueries.oracleSql ++
-    graft.queries.ExtraQueries.oracleSql
+    graft.queries.ExtraQueries.oracleSql ++ graft.queries.SourceQueries.oracleSql
 
   /** Drop every query-scoped memo cache (shared chain fixtures, IVF
     * quantizer). The bench calls this before each timed sample so a
