@@ -35,6 +35,14 @@ object Plans {
           "partitioned_ivf_demo", "bucketed_graph_demo")
     var audited = 0; var clean = 0; val smelly =
       scala.collection.mutable.ListBuffer.empty[String]
+    // observed ≡ declared loop closure (VERDICT r12 #6 / r13 #4):
+    // queries whose executed plan actually contains an unpartitioned
+    // WindowExec, collected so the summary can assert set equality
+    // with `intendedGlobalWindow` — an undeclared observation is
+    // already a per-query smell; a STALE declaration (declared but no
+    // longer observed) would otherwise rot the allowlist and mask a
+    // future reintroduction under different semantics.
+    val observedGlobal = scala.collection.mutable.Set.empty[String]
     // AUDIT ARTIFACT (VERDICT r10 #6): the per-query one-line verdicts
     // also land in docs/PLAN_AUDIT.md when the DEFAULT full sweep runs,
     // so rounds diff the audit and a new smell is a visible delta —
@@ -62,6 +70,7 @@ object Plans {
         println(plan)
         val smjIntended = intendedSmj.contains(name)
         val globalWins = unpartitionedWindows(df)
+        if (globalWins.nonEmpty) observedGlobal += name
         val smells = Seq(
           "no parquet filter pushdown" ->
             (plan.contains("PushedFilters: []") && plan.contains("Filter (")),
@@ -98,6 +107,22 @@ object Plans {
           s" |${note.trim match { case "" => " |"; case n => s" $n |" }}"
       }
     }
+    // set-equality assertion: every observed global window is declared
+    // (per-query smell) AND every declaration is still observed (stale
+    // declarations fail the audit too). Only meaningful on the full
+    // default sweep — a partial run simply doesn't execute the
+    // declared queries.
+    val staleDeclared =
+      if (args.isEmpty) intendedGlobalWindow.keySet -- observedGlobal else Set.empty[String]
+    val undeclaredObserved = observedGlobal.toSet -- intendedGlobalWindow.keySet
+    val windowLoop =
+      if (args.nonEmpty) "partial run — window set equality not checked"
+      else if (staleDeclared.isEmpty && undeclaredObserved.isEmpty)
+        s"observed ≡ declared (${observedGlobal.size} queries)"
+      else s"MISMATCH: stale declarations=${staleDeclared.mkString(",")} " +
+        s"undeclared observed=${undeclaredObserved.mkString(",")}"
+    if (staleDeclared.nonEmpty) smelly ++= staleDeclared.toSeq.sorted
+    println(s"[audit] global windows: $windowLoop")
     println(s"\n[audit-summary] audited=$audited clean=$clean " +
       s"excluded=${names.count(excluded.contains)} " +
       s"smells=${smelly.size}${if (smelly.nonEmpty) " " + smelly.mkString(",") else ""}")
@@ -115,6 +140,12 @@ object Plans {
         s"Summary: audited=$audited clean=$clean " +
           s"excluded=${names.count(excluded.contains)} smells=${smelly.size}" +
           (if (smelly.nonEmpty) s" (${smelly.mkString(", ")})" else ""),
+        "",
+        s"Global-window loop closure (VERDICT r13 #4): $windowLoop —",
+        "every unpartitioned WindowExec observed in an executed plan must",
+        "be a declared bounded intent, and every declaration must still be",
+        "observed (stale entries fail the audit, so the allowlist cannot",
+        "rot and mask a reintroduced unbounded window).",
         "",
         "| query | verdict | declared intents |",
         "|---|---|---|")
