@@ -58,6 +58,32 @@ object AtRest {
     s"${tag}_$hash"
   }
 
+  /** Atomic cross-process publish of a completed build directory
+    * (VERDICT r13 #5): rename `tmp` onto `dst`, FAILING — not nesting
+    * — when `dst` already exists. `FileContext.rename` with default
+    * options throws FileAlreadyExistsException on an existing
+    * destination on every Hadoop filesystem; plain `FileSystem
+    * .rename` would move tmp INSIDE an existing dst directory,
+    * polluting the winner's table with a stray subdirectory. Returns
+    * true iff this caller's build is the published generation; on a
+    * lost race the tmp dir is deleted. A failed rename with NO winner
+    * on disk is a transient fault, not a lost race — retried once
+    * before conceding. */
+  def publish(s: SparkSession, tmp: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Boolean = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = tmp.getFileSystem(conf)
+    def attempt(): Boolean =
+      try {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(tmp.toUri, conf)
+        fc.rename(tmp, dst)
+        true
+      } catch { case _: Throwable => false }
+    val won = attempt() || (!fs.exists(dst) && attempt())
+    if (!won && fs.exists(tmp)) fs.delete(tmp, true)
+    won
+  }
+
   /** Warehouse RETENTION sweep (VERDICT r11 #6): at-rest persistence
     * made every per-fixture table generation immortal — markers
     * re-register them forever, and a regenerated or deleted fixture

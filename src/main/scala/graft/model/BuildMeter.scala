@@ -29,6 +29,19 @@ object BuildMeter {
     * the external catalog, so the old spec never exercised it). */
   def addReg(): Unit = regs.incrementAndGet()
 
+  // Cross-process publish outcomes (VERDICT r13 #5): a WIN means this
+  // process's build became the at-rest generation (atomic rename
+  // claimed the final dir); a LOSS means another process won the race
+  // and this one deleted its temp build and served the winner's. The
+  // race harness (tools/RaceCheck) asserts exactly one win across
+  // racing processes.
+  private val pubWins = new AtomicInteger(0)
+  private val pubLosses = new AtomicInteger(0)
+  def addPublishWin(): Unit = pubWins.incrementAndGet()
+  def addPublishLoss(): Unit = pubLosses.incrementAndGet()
+  def publishWins: Int = pubWins.get()
+  def publishLosses: Int = pubLosses.get()
+
   /** Cumulative at-rest build seconds since JVM start. */
   def seconds: Double = nanos.get() / 1e9
 

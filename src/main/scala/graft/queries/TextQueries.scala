@@ -106,37 +106,97 @@ object TextQueries {
           .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
         for (vv <- v; dd <- ddl) yield (vv, dd)
       } catch { case _: Throwable => None }
+    def register(ddl: String, countReg: Boolean): Unit = {
+      val cluster = bucket.map { case (n, k) =>
+        s"CLUSTERED BY ($k) SORTED BY ($k) INTO $n BUCKETS" }.getOrElse("")
+      s.sql(s"CREATE TABLE $tbl ($ddl) USING parquet $cluster " +
+        s"LOCATION '${dir.toString}'")
+      // counted so fresh-catalog gates can assert the marker
+      // re-registration branch RAN (ADVICE r11: the shared external
+      // catalog made the old session-2 spec pass without ever
+      // reaching this code); a build WINNER's self-registration does
+      // NOT count — the meter separates serving an existing
+      // generation from publishing a new one
+      if (countReg) graft.model.BuildMeter.addReg()
+    }
     readMarker() match {
-      case Some((v, ddl)) if v == atRestVersion =>
-        val cluster = bucket.map { case (n, k) =>
-          s"CLUSTERED BY ($k) SORTED BY ($k) INTO $n BUCKETS" }.getOrElse("")
-        s.sql(s"CREATE TABLE $tbl ($ddl) USING parquet $cluster " +
-          s"LOCATION '${dir.toString}'")
-        // counted so fresh-catalog gates can assert this branch RAN
-        // (ADVICE r11: the shared external catalog made the old
-        // session-2 spec pass without ever reaching this code)
-        graft.model.BuildMeter.addReg()
+      case Some((v, ddl)) if v == atRestVersion => register(ddl, countReg = true)
       case _ =>
         val t0 = System.nanoTime()
         freshPath(s, tbl, key)
+        // CROSS-PROCESS build protocol (VERDICT r13 #5): build into a
+        // process-private temp TABLE (bucketBy is only writable via
+        // saveAsTable), write the marker INSIDE the temp dir as the
+        // build's last step, detach the temp catalog entry, then
+        // atomically RENAME temp → final (AtRest.publish). The final
+        // dir can therefore only ever appear complete-with-marker:
+        // two processes racing the same missing fixture produce one
+        // winner (rename claims the dir) and one loser (rename fails,
+        // temp deleted, winner's generation served). In-JVM callers
+        // still serialize through the amortized wrappers'
+        // `synchronized`; this closes the two-JVM write side whose
+        // read side the fresh-JVM session-2 leg already exercises.
+        val nonce = java.lang.ProcessHandle.current().pid() + "_" +
+          java.lang.Long.toHexString(System.nanoTime())
+        val tmpTbl = s"${tbl}__b$nonce"
+        val tmpDir = new org.apache.hadoop.fs.Path(wh, tmpTbl.toLowerCase)
         val df = build
         val w = df.write.format("parquet").mode("overwrite")
         bucket.fold(w) { case (n, k) => w.bucketBy(n, k).sortBy(k) }
-          .saveAsTable(tbl)
-        if (validateCount) {
-          val nBuilt = df.count(); val nRead = s.table(tbl).count()
-          require(nBuilt == nRead, s"at-rest build of $tbl is inconsistent: " +
-            s"built $nBuilt rows, table reads $nRead — CTAS visibility fault")
-        }
+          .saveAsTable(tmpTbl)
+        val nBuilt = if (validateCount) df.count() else -1L
         val ddlEsc = df.schema.toDDL.replace("\\", "\\\\").replace("\"", "\\\"")
-        val out = fs.create(marker, true)
+        val out = fs.create(
+          new org.apache.hadoop.fs.Path(tmpDir, "_graft_complete.json"), true)
         try out.write(
           s"""{"v":$atRestVersion,"table":"$tbl","ddl":"$ddlEsc"}"""
             .getBytes("UTF-8"))
         finally out.close()
-        // registration never counts — the meter separates the
-        // one-time build cost from the query's own (bench attribution)
-        graft.model.BuildMeter.add(System.nanoTime() - t0)
+        // detach the temp catalog entry WITHOUT deleting its files
+        // (InMemoryCatalog.dropTable deletes a MANAGED table's dir)
+        locally {
+          val cat = s.sessionState.catalog
+          val ext = cat.externalCatalog
+          val db = cat.getCurrentDatabase
+          val tn = tmpTbl.toLowerCase
+          if (ext.tableExists(db, tn)) {
+            val ct = ext.getTable(db, tn)
+            if (ct.tableType ==
+                org.apache.spark.sql.catalyst.catalog.CatalogTableType.MANAGED)
+              ext.alterTable(ct.copy(tableType =
+                org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL))
+            s.sql(s"DROP TABLE IF EXISTS `$db`.`$tn`")
+          }
+        }
+        val won = graft.model.AtRest.publish(s, tmpDir, dir)
+        if (won) graft.model.BuildMeter.addPublishWin()
+        else graft.model.BuildMeter.addPublishLoss()
+        // loser: the winner's rename is atomic but its marker may land
+        // an instant after our failed rename observed the dir — poll
+        // briefly, then serve the winner's generation
+        var m = readMarker()
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (m.isEmpty && System.nanoTime() < deadline) {
+          Thread.sleep(100); m = readMarker()
+        }
+        m match {
+          case Some((v, ddl)) if v == atRestVersion =>
+            register(ddl, countReg = !won)
+          case _ => throw new IllegalStateException(
+            s"at-rest publish of $tbl yielded no readable marker " +
+              s"(won=$won) — winner crashed mid-publish or version drift")
+        }
+        if (validateCount) {
+          val nRead = s.table(tbl).count()
+          require(nBuilt == nRead, s"at-rest build of $tbl is inconsistent: " +
+            (if (won) s"built $nBuilt rows, table reads $nRead — CTAS visibility fault"
+             else s"this process built $nBuilt rows but the race winner's " +
+               s"generation reads $nRead — non-deterministic build"))
+        }
+        // the build branch's wall counts as build time only when this
+        // process actually published; a losing build is recorded via
+        // publishLosses, not as amortizable build cost
+        if (won) graft.model.BuildMeter.add(System.nanoTime() - t0)
     }
   }
 
@@ -164,8 +224,43 @@ object TextQueries {
     val prefix = table.toLowerCase.stripSuffix(key.substring(key.lastIndexOf('_') + 1))
     if (fs.exists(wh)) fs.listStatus(wh).foreach { st =>
       val n = st.getPath.getName
-      if (n.startsWith(prefix)) fs.delete(st.getPath, true)
+      // skip another process's IN-FLIGHT build temp (same prefix,
+      // `__b<pid>_<nonce>` suffix) — deleting it mid-write would
+      // corrupt that process's publish; temps older than an hour are
+      // crashed builds and are swept like any stale generation
+      val isTemp = n.contains("__b")
+      val staleTemp = isTemp &&
+        st.getModificationTime < System.currentTimeMillis() - 3600L * 1000
+      if (n.startsWith(prefix) && (!isTemp || staleTemp))
+        fs.delete(st.getPath, true)
     }
+  }
+
+  /** Cross-process write-race probe (VERDICT r13 #5): ensure a small
+    * dedicated at-rest table through the full publish protocol
+    * (build → temp CTAS → marker → atomic rename) and return a
+    * one-line JSON receipt — row count, order-insensitive checksum,
+    * and the BuildMeter counters — for `tools/RaceCheck`'s
+    * invariants: across N racing processes exactly one publish WINS,
+    * every loser serves the winner's generation, and all receipts
+    * carry identical data. */
+  def raceProbe(s: SparkSession, dir: String): String = {
+    val key = fixtureKey(dir)
+    val tbl = s"graft_race_$key"
+    ensureTable(s, tbl, key, Some((4, "doc_id")), validateCount = true) {
+      t(s, dir, "documents").filter(col("doc_id") % 11 === 0)
+        .select(col("doc_id"), col("n_chars"))
+    }
+    // bit_xor, not sum: order-insensitive AND overflow-free under the
+    // ANSI arithmetic Spark 4 defaults to
+    val row = s.table(tbl).agg(
+      count(lit(1)).as("n"),
+      expr("bit_xor(xxhash64(doc_id, n_chars))").as("chk")).head()
+    s"""{"count":${row.getLong(0)},"chk":${row.getLong(1)},""" +
+      s""""builds":${graft.model.BuildMeter.count},""" +
+      s""""regs":${graft.model.BuildMeter.regCount},""" +
+      s""""wins":${graft.model.BuildMeter.publishWins},""" +
+      s""""losses":${graft.model.BuildMeter.publishLosses}}"""
   }
 
   /** At-rest WINNOWED-fingerprint index (VERDICT-r9 #4): the

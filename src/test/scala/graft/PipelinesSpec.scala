@@ -422,6 +422,43 @@ class PipelinesSpec extends SparkSpec {
       orphan.listFiles().foreach(_.delete()); orphan.delete() } }
   }
 
+  test("atomic publish: first rename wins, second loses without nesting, loser temp is deleted") {
+    val wh = new java.io.File(
+      spark.sessionState.conf.warehousePath.stripPrefix("file:"))
+    wh.mkdirs()
+    def mk(name: String, payload: String): java.io.File = {
+      val d = new java.io.File(wh, name); d.mkdirs()
+      java.nio.file.Files.write(new java.io.File(d, "part-0").toPath,
+        payload.getBytes("UTF-8"))
+      d
+    }
+    val tmp1 = mk("graft_pubspec__b1_aaaa", "gen1")
+    val tmp2 = mk("graft_pubspec__b2_bbbb", "gen2")
+    val dst = new java.io.File(wh, "graft_pubspec")
+    try {
+      val p = new org.apache.hadoop.fs.Path(_: String)
+      val won1 = graft.model.AtRest.publish(spark,
+        p(tmp1.getAbsolutePath), p(dst.getAbsolutePath))
+      val won2 = graft.model.AtRest.publish(spark,
+        p(tmp2.getAbsolutePath), p(dst.getAbsolutePath))
+      assert(won1, "first publish must claim the final dir")
+      assert(!won2, "second publish must LOSE, not nest into the winner")
+      assert(new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(dst, "part-0").toPath), "UTF-8") == "gen1",
+        "the published generation must be the winner's")
+      assert(!tmp2.exists(), "the loser's temp build must be deleted")
+      assert(Option(dst.listFiles()).getOrElse(Array.empty)
+          .forall(_.isFile),
+        "no stray subdirectory inside the published dir (the FileSystem" +
+          ".rename nesting failure mode)")
+    } finally {
+      Seq(tmp1, tmp2, dst).foreach { d =>
+        Option(d.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+        d.delete()
+      }
+    }
+  }
+
   test("at-rest artifacts survive sessions: a fresh catalog re-registers from markers, data files untouched") {
     import org.apache.spark.sql.functions.col
     val dir = "/root/testdata/sf0.001"
