@@ -121,6 +121,16 @@ object AtRest {
     var kept = Vector.empty[String]
     if (fs.exists(wh)) fs.listStatus(wh).foreach { st =>
       val n = st.getPath.getName
+      // crashed in-flight build temps (`graft_*__b<pid>_<nonce>`, the
+      // atomic-publish protocol's scratch dirs): a build that died
+      // before its rename leaves a temp no rebuild will ever sweep —
+      // the retention verb collects them once they are clearly dead
+      // (>1h old; a live build's dir mtime is minutes old at most)
+      if (n.startsWith("graft_") && n.contains("__b") &&
+          st.getModificationTime < System.currentTimeMillis() - 3600L * 1000) {
+        fs.delete(st.getPath, true)
+        deleted :+= n
+      } else
       tagged.findFirstMatchIn(n) match {
         case Some(m) if !live.contains(m.group(1)) =>
           if (ext.tableExists(db, n)) {

@@ -404,7 +404,12 @@ class PipelinesSpec extends SparkSpec {
     // (regenerated-fixture orphan) and an untagged spec-demo dir
     val orphan = new java.io.File(wh, "graft_wfp_sf9_99_deadbeef0123")
     val demo = new java.io.File(wh, "graft_gcdemo_untagged")
-    orphan.mkdirs(); demo.mkdirs()
+    // crashed build temps: a DEAD one (>1h old) must be swept, a LIVE
+    // one (fresh mtime — possibly another process mid-build) kept
+    val deadTmp = new java.io.File(wh, "graft_gcdemo__b99_dead")
+    val liveTmp = new java.io.File(wh, "graft_gcdemo__b99_live")
+    orphan.mkdirs(); demo.mkdirs(); deadTmp.mkdirs(); liveTmp.mkdirs()
+    deadTmp.setLastModified(System.currentTimeMillis() - 2 * 3600L * 1000)
     try {
       val (deleted, kept) = graft.model.AtRest.gcWarehouse(spark, "/root/testdata")
       assert(deleted.contains("graft_wfp_sf9_99_deadbeef0123"),
@@ -412,14 +417,19 @@ class PipelinesSpec extends SparkSpec {
       assert(!orphan.exists(), "orphan dir must be gone from disk")
       assert(demo.exists() && !deleted.contains("graft_gcdemo_untagged"),
         "untagged spec-demo tables are out of the sweep's scope")
+      assert(deleted.contains("graft_gcdemo__b99_dead") && !deadTmp.exists(),
+        "crashed (>1h) build temps must be swept")
+      assert(liveTmp.exists() && !deleted.contains("graft_gcdemo__b99_live"),
+        "a fresh build temp may be another process mid-build — kept")
       // every LIVE fixture-tagged table (current testdata keys) kept
       val liveKeys = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
         "/root/testdata/sf0.1").flatMap(d =>
         Seq("documents", "embeddings").map(t => graft.model.AtRest.fixtureKey(d, t))).toSet
       val wrongly = deleted.filter(n => liveKeys.exists(n.endsWith))
       assert(wrongly.isEmpty, s"live tables must never be swept: $wrongly")
-    } finally { demo.delete(); if (orphan.exists()) {
-      orphan.listFiles().foreach(_.delete()); orphan.delete() } }
+    } finally { demo.delete(); liveTmp.delete(); deadTmp.delete()
+      if (orphan.exists()) {
+        orphan.listFiles().foreach(_.delete()); orphan.delete() } }
   }
 
   test("atomic publish: first rename wins, second loses without nesting, loser temp is deleted") {
