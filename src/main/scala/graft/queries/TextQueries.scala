@@ -107,10 +107,16 @@ object TextQueries {
         for (vv <- v; dd <- ddl) yield (vv, dd)
       } catch { case _: Throwable => None }
     def register(ddl: String, countReg: Boolean): Unit = {
+      // in-JVM insurance: unsynchronized concurrent callers (the
+      // amortized wrappers serialize, but ensureTable itself makes no
+      // such promise) may both reach CREATE TABLE — the second is a
+      // benign duplicate, not a failure
+      if (s.catalog.tableExists(tbl)) return
       val cluster = bucket.map { case (n, k) =>
         s"CLUSTERED BY ($k) SORTED BY ($k) INTO $n BUCKETS" }.getOrElse("")
-      s.sql(s"CREATE TABLE $tbl ($ddl) USING parquet $cluster " +
+      try s.sql(s"CREATE TABLE $tbl ($ddl) USING parquet $cluster " +
         s"LOCATION '${dir.toString}'")
+      catch { case e: Throwable if s.catalog.tableExists(tbl) => return }
       // counted so fresh-catalog gates can assert the marker
       // re-registration branch RAN (ADVICE r11: the shared external
       // catalog made the old session-2 spec pass without ever
