@@ -643,6 +643,35 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    // ORACLE-PARITY HASH TAX probe (`runMain graft.ScaleProbe
+    // hashtax`): the catalog's near-dup queries hash with md5 so
+    // DuckDB replays every banding/minhash decision bit-identically
+    // (TextFunctions' stated md5-vs-xxhash64 split); production runs
+    // the xxhash64 path. This measures the tax on the exact LSH
+    // invocation the curation chains share, so committed bench numbers
+    // read as "checkable-path" numbers with a measured production-path
+    // discount — the tax is pure per-row compute, so it is
+    // scale-invariant (both paths are embarrassingly parallel).
+    if (args.contains("hashtax")) {
+      val docs = spark.read.parquet(s"$src/documents.parquet")
+      spark.range(1000000L).selectExpr("sum(id)").collect()
+      def one(md5: Boolean): Double = {
+        spark.catalog.clearCache()
+        SparkEntry.clearQueryCaches()
+        val t0 = System.nanoTime()
+        graft.operators.TextDedup.minhashLshPairs(docs, k = 8, bands = 4,
+          shingleWidth = 3, minJaccard = 0.5, md5Hashes = md5)
+          .queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val md5T = math.min(one(true), one(true))
+      val xxT = math.min(one(false), one(false))
+      println(f"[scale] lsh-pairs hash tax: md5=$md5T%8.2fs " +
+        f"xxhash64=$xxT%8.2fs tax=${md5T / xxT}%5.2fx")
+      println(f"""[scale-json] {"queries":{"lsh_hashtax":{"md5":$md5T%.3f,"xxhash64":$xxT%.3f,"ratio":${md5T / xxT}%.3f}}}""")
+      spark.stop(); return
+    }
+
     // 100× probe for index COMPACTION (q169/q170, VERDICT r11 #4):
     // the at-rest generation rewrite after deletions. Compaction
     // reads the INDEX RELATION only (re-cap window on its bucket key
