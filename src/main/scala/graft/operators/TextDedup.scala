@@ -798,49 +798,85 @@ object TextDedup {
   /** Connected components over a near-dup PAIR relation — cluster
     * dedup semantics (RefinedWeb/C4 style): near-duplicate pairs chain
     * into clusters, and the pipeline keeps ONE representative per
-    * cluster rather than resolving each pair independently. Smallest-id
-    * label propagation to FIXPOINT: every node starts as its own
-    * label; each round takes the min of its neighbors' labels; at
-    * convergence every member carries the component's minimum id — a
+    * cluster rather than resolving each pair independently. At
+    * convergence every member carries the component's MINIMUM id — a
     * deterministic representative independent of iteration order or
     * round count.
     *
-    * Scale shape: each round is two keyed shuffles (edge join +
-    * min-aggregation) over the PAIR graph — corpus-small (only docs
-    * that near-dup anything appear), with lineage truncated per round
-    * (eager localCheckpoint, the iterative-kernel idiom) so plans
-    * don't grow with rounds. Rounds needed = component diameter; dup
-    * clusters are band-collision cliques, so diameters are small —
-    * `maxIters` is a backstop, and hitting it throws rather than
-    * returning silently-unconverged labels. Returns (id, component). */
+    * Algorithm (round 14): alternating LARGE-STAR / SMALL-STAR
+    * contraction (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii,
+    * "Connected Components in MapReduce and Beyond", SoCC 2014) —
+    * large-star hangs every strictly-larger neighbor of a node onto
+    * its neighborhood minimum; small-star re-points the smaller
+    * neighbors; the edge set converges to per-component stars rooted
+    * at the minimum id in O(log² n) rounds INDEPENDENT OF COMPONENT
+    * DIAMETER. The previous min-id label propagation needed
+    * diameter-many rounds, so a CHAINED duplicate run (versioned
+    * documents a~b~c~… where only adjacent pairs collide) longer than
+    * `maxIters` threw at corpus scale; star contraction collapses the
+    * same chain in a handful of rounds (PropertySpec: a 300-link path
+    * converges in ≤ 8). Output is identical — min-id per component —
+    * so every oracle-gated consumer (q117/q122/q129 …) is unchanged.
+    *
+    * Scale shape: each round is two keyed aggregations + joins over
+    * the PAIR graph — corpus-small (only docs that near-dup anything
+    * appear), edge state kept canonically oriented (src > dst) with
+    * lineage truncated per round (eager localCheckpoint, the
+    * iterative-kernel idiom) so plans don't grow with rounds. The
+    * fixpoint test is an exact set compare (count + one except), the
+    * same cost class as a round. `maxIters` is a backstop and hitting
+    * it throws rather than returning silently-unconverged labels.
+    * Returns (id, component). */
   def duplicateComponents(pairs: DataFrame, maxIters: Int = 50,
       idA: String = "id_a", idB: String = "id_b"): DataFrame = {
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id")).localCheckpoint(true)
+    // canonical undirected edge state: (src, dst) with src > dst
+    val init = pairs
+      .select(greatest(col(idA), col(idB)).as("src"),
+        least(col(idA), col(idB)).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct().localCheckpoint(true)
+    // large-star: center every node u over its SYMMETRIC neighborhood,
+    // m = min(Γ(u) ∪ {u}); connect each strictly larger neighbor v to
+    // m. Emitted pairs keep src > dst (v > u ≥ m).
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("src").as("u"), col("dst").as("v"))
+        .unionByName(e.select(col("dst").as("u"), col("src").as("v")))
+      val mins = sym.groupBy("u")
+        .agg(min(col("v")).as("__mn"))
+        .select(col("u"), least(col("__mn"), col("u")).as("m"))
+      sym.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("src"), col("m").as("dst"))
+        .distinct()
+    }
+    // small-star: edges already (src > dst); center each src over its
+    // smaller neighbors S, m = min(S); re-point every other member of
+    // S ∪ {src} to m. Emitted pairs keep src > dst.
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("src").agg(min(col("dst")).as("m"))
+      e.join(mins, Seq("src"))
+        .filter(col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .unionByName(mins.select(col("src"), col("m").as("dst")))
+        .distinct()
+    }
+    var edges = init
     var iter = 0
-    var changed = 1L
-    while (changed > 0 && iter < maxIters) {
-      val neighborMin = edges
-        .join(labels.select(col("id").as("dst"), col("component").as("__nl")), Seq("dst"))
-        .groupBy(col("src").as("id")).agg(min("__nl").as("__nmin"))
-      val updated = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("__nmin"), col("component")))
-            .as("component"))
-        .localCheckpoint(true)
-      changed = updated
-        .join(labels.select(col("id"), col("component").as("__old")), Seq("id"))
-        .filter(col("component") =!= col("__old")).count()
-      labels = updated
+    var done = false
+    while (!done && iter < maxIters) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // exact fixpoint: equal cardinality + next ⊆ edges on distinct
+      // canonical sets ⇒ set equality
+      done = next.count() == edges.count() && next.except(edges).isEmpty
+      edges = next
       iter += 1
     }
-    edges.unpersist(blocking = false)
-    require(changed == 0, s"component labels not converged after $maxIters rounds")
-    labels
+    require(done, s"component labels not converged after $maxIters rounds")
+    // converged state is the star set {(v, root) : v ∈ C \ {root}} per
+    // component C — roots appear only on the dst side
+    edges.select(col("src").as("id"), col("dst").as("component"))
+      .unionByName(edges.select(col("dst").as("id"), col("dst").as("component")))
+      .distinct()
   }
 
   /** Cluster-grain near-dup removal: keep each component's

@@ -100,6 +100,50 @@ class PropertySpec extends SparkSpec {
     assert(pairwise == Seq(1L, 2L) && cluster == Seq(1L))
   }
 
+  test("duplicateComponents: star contraction equals union-find on random graphs") {
+    // the star-contraction rewrite (round 14) must produce EXACTLY the
+    // min-id component labeling the propagation version produced —
+    // ground truth here is an in-memory union-find over the same edges
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(ra.max(rb)) = ra.min(rb) // min-id root
+      }
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    val graphs = cases(for {
+      n <- Gen.choose(2, 40)
+      m <- Gen.choose(1, 80)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong); b <- Gen.choose(0L, n.toLong)
+      } yield (a, b))
+    } yield es.filter(e => e._1 != e._2), n = 8)
+    graphs.filter(_.nonEmpty).foreach { es =>
+      val expected = unionFind(es)
+      val got = TextDedup.duplicateComponents(es.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"star contraction diverged from union-find " +
+        s"on edges $es: got $got expected $expected")
+    }
+  }
+
+  test("duplicateComponents: a 300-link chain converges (diameter-independent rounds)") {
+    // the propagation version needed diameter-many rounds and THREW at
+    // maxIters=50 on any chain longer than 50 — the real shape of
+    // versioned/template documents where only adjacent revisions
+    // collide; star contraction must collapse it within the backstop
+    val chain = (1L until 300L).map(i => (i + 1, i)).toDF("id_a", "id_b")
+    val comps = TextDedup.duplicateComponents(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(comps.length == 300 && comps.forall(_._2 == 1L),
+      "every chain member must label to the minimum id")
+  }
+
   test("packingManifest: spans tile [0, total) contiguously in corpus order") {
     val docs = cases(Gen.listOfN(60, Gen.choose(1, 40)), n = 2).flatten.zipWithIndex
       .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "toks")
