@@ -643,6 +643,31 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    // ADVERSARIAL-CHAIN COMPONENTS probe (`runMain graft.ScaleProbe
+    // chaincc`): a 300k-node pure path — every doc near-dups ONLY its
+    // neighbors, the worst case for component closure (diameter = n).
+    // The pre-round-14 label propagation needed diameter-many rounds
+    // (it THREW at the 50-round backstop on any chain past 50); the
+    // star-contraction rewrite must close it in O(log² n) rounds.
+    // The probe records wall + verifies every node labels to id 1.
+    if (args.contains("chaincc")) {
+      val n = 300000L
+      val pairs = spark.range(1L, n)
+        .select((col("id") + 1L).as("id_a"), col("id").as("id_b"))
+      spark.range(1000000L).selectExpr("sum(id)").collect()
+      val t0 = System.nanoTime()
+      val labels = graft.operators.TextDedup.duplicateComponents(pairs)
+      val row = labels.agg(max(col("component")).as("mx"),
+        count(lit(1)).as("n")).head()
+      val wall = (System.nanoTime() - t0) / 1e9
+      require(row.getLong(0) == 1L && row.getLong(1) == n,
+        s"chain closure wrong: max=${row.getLong(0)} n=${row.getLong(1)}")
+      println(f"[scale] chaincc: ${n}-node path closed in $wall%.2fs " +
+        "(diameter-independent star contraction; propagation was O(n) rounds)")
+      println(f"""[scale-json] {"queries":{"chaincc":{"nodes":$n,"wall":$wall%.3f}}}""")
+      spark.stop(); return
+    }
+
     // ORACLE-PARITY HASH TAX probe (`runMain graft.ScaleProbe
     // hashtax`): the catalog's near-dup queries hash with md5 so
     // DuckDB replays every banding/minhash decision bit-identically
