@@ -879,6 +879,28 @@ object TextDedup {
       .distinct()
   }
 
+  /** INCREMENTAL component maintenance — the cluster family's UPSERT
+    * verb (the lifecycle the other index families already have): fold
+    * a batch of NEW near-dup pairs into an existing labeling without
+    * re-closing the historical pair graph. A stored labeling IS a
+    * compressed spanning forest — one star edge (member → root) per
+    * non-root member — so closure over {star edges} ∪ {batch} equals
+    * closure over every pair ever seen (PropertySpec gates the
+    * equivalence on random split graphs), at edge volume
+    * |labeled nodes| + |batch| instead of |historical pairs|. Chains
+    * crossing the batch boundary merge correctly because the batch
+    * edges re-connect the affected roots and star contraction
+    * re-roots the merged component at its global minimum. Returns the
+    * same (id, component) shape as [[duplicateComponents]]. */
+  def componentsUpsert(labels: DataFrame, newPairs: DataFrame,
+      idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    val starEdges = labels.filter(col("id") =!= col("component"))
+      .select(col("id").as(idA), col("component").as(idB))
+    duplicateComponents(
+      starEdges.unionByName(newPairs.select(col(idA), col(idB))),
+      idA = idA, idB = idB)
+  }
+
   /** Cluster-grain near-dup removal: keep each component's
     * representative (its min id) plus every unpaired document. The
     * CLUSTER semantics — pairwise loser-drop removes both ends of a

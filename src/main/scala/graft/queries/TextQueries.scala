@@ -1901,6 +1901,31 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- cluster-family UPSERT verb: components maintained
+    // incrementally — close HALF the pair graph, then fold the other
+    // half into the stored labeling (componentsUpsert). The pair graph
+    // is the orders-adjacency chain relation broken into 50-link
+    // chains (edge k→k−1 except at k % 50 = 0): chain count scales
+    // with SF while chain LENGTH stays bounded, so the recursive-CTE
+    // oracle is O(n·50), not O(n²). Edge parities alternate along
+    // every chain, so the parity split guarantees chains CROSS the
+    // batch boundary — the gate fails unless cross-batch merges
+    // re-root correctly. The oracle closes ALL pairs in one recursive
+    // CTE — incremental maintenance must be invisible to the result. ----
+    "q175_components_upsert" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"))
+      val pairs = o.as("a").join(o.as("b"),
+          col("b.o_orderkey") === col("a.o_orderkey") + 1)
+        .filter(col("b.o_orderkey") % 50 =!= 0)
+        .select(col("b.o_orderkey").as("id_a"), col("a.o_orderkey").as("id_b"))
+      val batch1 = pairs.filter(col("id_b") % 2 === 0)
+      val batch2 = pairs.filter(col("id_b") % 2 =!= 0)
+      val base = TextDedup.duplicateComponents(batch1)
+      TextDedup.componentsUpsert(base, batch2)
+        .select(col("id").as("o_orderkey"), col("component"))
+        .orderBy("o_orderkey")
+    }),
+
     // ---- quality-keyed cluster representatives: same component
     // closure as q92, but each cluster keeps its BEST member
     // (max n_chars, min-id tie-break) — the RefinedWeb/Dolma keep
@@ -4227,6 +4252,26 @@ object TextQueries {
           )
           SELECT id AS doc_id, min(lab) AS component
           FROM reach GROUP BY 1 ORDER BY 1"""),
+
+    // upsert-verb replay: the oracle closes the WHOLE orders-adjacency
+    // pair graph in one recursive CTE — the Spark side's two-batch
+    // incremental maintenance must produce the identical labeling
+    "q175_components_upsert" ->
+      """WITH RECURSIVE pairs AS (
+           SELECT b.o_orderkey AS id_a, a.o_orderkey AS id_b
+           FROM orders a JOIN orders b ON b.o_orderkey = a.o_orderkey + 1
+           WHERE b.o_orderkey % 50 <> 0
+         ), edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION SELECT id_b AS src, id_a AS dst FROM pairs
+         ), nodes AS (SELECT DISTINCT src AS id FROM edges
+         ), reach(id, lab) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst
+         )
+         SELECT id AS o_orderkey, min(lab) AS component
+         FROM reach GROUP BY 1""",
 
     // incremental near-dup replay: the q92 signature/band machinery
     // split by the q94 reference/incoming rule (the shared

@@ -132,6 +132,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("componentsUpsert: folding a batch into stored labels equals full closure over all pairs") {
+    val graphs = cases(for {
+      n <- Gen.choose(2, 40)
+      m <- Gen.choose(2, 80)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong); b <- Gen.choose(0L, n.toLong)
+      } yield (a, b))
+    } yield es.filter(e => e._1 != e._2), n = 6)
+    graphs.filter(_.size >= 2).foreach { es =>
+      // split so chains CROSS the boundary (parity of the smaller id)
+      val (h1, h2) = es.partition(e => e._1.min(e._2) % 2 == 0)
+      if (h1.nonEmpty && h2.nonEmpty) {
+        val full = TextDedup.duplicateComponents(es.toDF("id_a", "id_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val base = TextDedup.duplicateComponents(h1.toDF("id_a", "id_b"))
+        val upserted = TextDedup.componentsUpsert(base, h2.toDF("id_a", "id_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(upserted == full,
+          s"upsert diverged from full closure on $es split ($h1 | $h2): " +
+            s"got $upserted expected $full")
+      }
+    }
+  }
+
   test("duplicateComponents: a 300-link chain converges (diameter-independent rounds)") {
     // the propagation version needed diameter-many rounds and THREW at
     // maxIters=50 on any chain longer than 50 — the real shape of
