@@ -891,7 +891,13 @@ object TextDedup {
     * crossing the batch boundary merge correctly because the batch
     * edges re-connect the affected roots and star contraction
     * re-roots the merged component at its global minimum. Returns the
-    * same (id, component) shape as [[duplicateComponents]]. */
+    * same (id, component) shape as [[duplicateComponents]].
+    *
+    * No DELETE twin by design: removing a node can SPLIT a component,
+    * and the star forest has intentionally discarded the pair-grain
+    * edges a split needs — takedown therefore re-closes the surviving
+    * PAIRS (the near-dup index families keep that pair-capable state
+    * at rest; their delete verbs are where cluster takedown lives). */
   def componentsUpsert(labels: DataFrame, newPairs: DataFrame,
       idA: String = "id_a", idB: String = "id_b"): DataFrame = {
     val starEdges = labels.filter(col("id") =!= col("component"))
