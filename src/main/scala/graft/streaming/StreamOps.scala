@@ -833,6 +833,40 @@ object StreamOps {
     * corpus-size-independent, and the static side keeps its bucketed
     * co-location. Batch ≡ stream is spec-gated on q149's fixture,
     * including across SPLIT micro-batches (statelessness receipt). */
+  /** STREAMING cluster maintenance — the
+    * [[graft.operators.TextDedup.componentsUpsert]] twin: near-dup
+    * PAIRS arrive as a stream and every micro-batch folds into the
+    * accumulated component labeling (stored labels ∪ batch re-closed
+    * via star contraction), so after any prefix of batches the
+    * labeling equals the one-shot closure over every pair seen so far
+    * (batch ≡ stream, StreamOpsSpec-gated). The labeling is eagerly
+    * localCheckpointed per batch — cross-batch lineage would otherwise
+    * grow without bound. `sink` receives the FULL updated labeling
+    * after each batch (complete-relation semantics: a cross-batch
+    * merge can RELABEL old members, which append-mode rows cannot
+    * express). */
+  def streamingComponentsUpsert(pairs: DataFrame,
+      idA: String = "id_a", idB: String = "id_b")(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    var labels: Option[DataFrame] = None
+    pairs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.localCheckpoint(true)
+        if (!b.isEmpty) {
+          val updated = (labels match {
+            case None =>
+              graft.operators.TextDedup.duplicateComponents(b, idA = idA, idB = idB)
+            case Some(l) =>
+              graft.operators.TextDedup.componentsUpsert(l, b, idA, idB)
+          }).localCheckpoint(true)
+          labels = Some(updated)
+          sink(updated)
+        }
+      }
+      .outputMode(OutputMode.Append())
+      .start()
+  }
+
   def streamingGraphServe(queries: DataFrame, graph: DataFrame,
       corpus: DataFrame, k: Int, beam: Int = 8, rounds: Int = 2,
       entries: Int = 4, seed: Int = 47, id: String = "vec_id",

@@ -1383,6 +1383,34 @@ class StreamOpsSpec extends SparkSpec {
     graft.model.RelCache.releaseAll()
   }
 
+  test("streamingComponentsUpsert: per-batch labeling equals one-shot closure over the prefix") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Long)]
+    @volatile var latest: Map[Long, Long] = Map.empty
+    val q = StreamOps.streamingComponentsUpsert(
+      input.toDS().toDF("id_a", "id_b")) { labels =>
+      latest = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    try {
+      // batch 1: two separate chains 1-2-3 and 10-11
+      input.addData((2L, 1L), (3L, 2L), (11L, 10L))
+      q.processAllAvailable()
+      assert(latest == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L),
+        s"prefix closure after batch 1 wrong: $latest")
+      // batch 2: a bridge 3-10 MERGES the two stored components, and a
+      // new pair 20-21 starts a fresh one — old members must RELABEL
+      input.addData((10L, 3L), (21L, 20L))
+      q.processAllAvailable()
+      val all = Seq((2L, 1L), (3L, 2L), (11L, 10L), (10L, 3L), (21L, 20L))
+      val oneShot = graft.operators.TextDedup
+        .duplicateComponents(all.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(latest == oneShot && latest(11L) == 1L,
+        s"stream after batch 2 must equal one-shot closure: $latest vs $oneShot")
+    } finally q.stop()
+  }
+
   test("windowedCounts groups into tumbling windows (batch mode)") {
     import spark.implicits._
     val t0 = 1700000000000L // 2023-11-14 22:13:20 UTC
