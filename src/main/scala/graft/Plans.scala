@@ -165,7 +165,13 @@ object Plans {
       ("bpeMerges executes its merge rounds during DataFrame construction, " +
        "so the auditable plan is just the collected merge table " +
        "(LocalTableScan) — the most expensive construction in the catalog " +
-       "for a vacuous check; q127's final plan has real joins and IS audited"))
+       "for a vacuous check; q127's final plan has real joins and IS audited"),
+    "q175_components_upsert" ->
+      ("the star-contraction closure iterates during DataFrame construction " +
+       "(per-round actions + localCheckpoint), so the auditable plan is the " +
+       "final label projection over checkpointed edges — vacuous; each " +
+       "round's plan is keyed aggregations + joins by construction, and " +
+       "q92/q122/q129 audit the same machinery embedded in real chains"))
 
   /** Physical WindowExec nodes with an EMPTY partition spec (the
     * `WindowExec: No Partition Defined` class): each is a single-task
