@@ -583,13 +583,13 @@ private[graft] object BenchPrior {
       Option[String], Seq[Sample])], total: Double): String =
     try {
       val rx = "^BENCH_r(\\d+)\\.json$".r
-      val wrappers = Option(new java.io.File(".").listFiles())
+      val cwdFiles = Option(new java.io.File(".").listFiles())
         .getOrElse(Array.empty).toSeq
+      val wrappers = cwdFiles
         .flatMap(f => rx.findFirstMatchIn(f.getName)
           .map(m => (m.group(1).toInt, f)))
         .sortBy(-_._1).map(_._2)
-      val siblings = Option(new java.io.File(".").listFiles())
-        .getOrElse(Array.empty).toSeq
+      val siblings = cwdFiles
         .filter(f => f.getName.startsWith("bench_r") &&
           f.getName.endsWith(".json"))
         .sortBy(_.getName).reverse
@@ -614,9 +614,13 @@ private[graft] object BenchPrior {
           def priorTask(q: String): Option[Double] = parsed.get(q).flatMap { v =>
             val nCold = v \ "samples" match {
               case JArray(a) => a.length; case _ => 0 }
+            // no samples array → can't tell cold from warm task_sec
+            // entries; min over ALL would pick a warm (memo-held)
+            // value and fabricate a task-inflation verdict — better
+            // no ratio than a wrong one
             v \ "task_sec" match {
-              case JArray(a) if a.nonEmpty =>
-                val colds = a.take(if (nCold > 0) nCold else a.length).flatMap(num)
+              case JArray(a) if a.nonEmpty && nCold > 0 =>
+                val colds = a.take(nCold).flatMap(num)
                 if (colds.nonEmpty) Some(colds.min) else None
               case _ => None
             }
@@ -639,8 +643,9 @@ private[graft] object BenchPrior {
                     if (!regressed) taskR match {
                       case Some(r) if r < 0.77 =>
                         f"less-task-work: $r%.2fx prior task work (operator/plan change, or the prior round's tasks were inflated)"
-                      case _ =>
+                      case Some(_) =>
                         "faster-at-same-task-work: the prior round's wall was inflated (ambient or scheduling)"
+                      case None => "no-prior-task-data"
                     }
                     else if (anySteal)
                       "ambient-steal: a cold sample recorded >5% host steal this run"

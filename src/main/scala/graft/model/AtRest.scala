@@ -58,6 +58,15 @@ object AtRest {
     s"${tag}_$hash"
   }
 
+  /** Structural name of an in-flight publish-protocol build temp:
+    * `<table>__graftbuild_<pid>_<hex-nonce>`. Matched as a SUFFIX
+    * pattern (digits + hex) so a fixture-directory tag that sanitizes
+    * to something containing "__b…" can never collide with it —
+    * both the per-table sweep (TextQueries.freshPath) and the
+    * warehouse retention verb resolve temps through this single
+    * definition. */
+  val buildTempRe = "__graftbuild_\\d+_[0-9a-f]+$".r
+
   /** Atomic cross-process publish of a completed build directory
     * (VERDICT r13 #5): rename `tmp` onto `dst`, FAILING — not nesting
     * — when `dst` already exists. `FileContext.rename` with default
@@ -121,12 +130,14 @@ object AtRest {
     var kept = Vector.empty[String]
     if (fs.exists(wh)) fs.listStatus(wh).foreach { st =>
       val n = st.getPath.getName
-      // crashed in-flight build temps (`graft_*__b<pid>_<nonce>`, the
-      // atomic-publish protocol's scratch dirs): a build that died
-      // before its rename leaves a temp no rebuild will ever sweep —
-      // the retention verb collects them once they are clearly dead
-      // (>1h old; a live build's dir mtime is minutes old at most)
-      if (n.startsWith("graft_") && n.contains("__b") &&
+      // crashed in-flight build temps (the atomic-publish protocol's
+      // scratch dirs, matched STRUCTURALLY via [[buildTempRe]] so a
+      // sanitized fixture tag containing "__b..." can never be
+      // misclassified): a build that died before its rename leaves a
+      // temp no rebuild will ever sweep — the retention verb collects
+      // them once they are clearly dead (>1h old; a live build's dir
+      // mtime is minutes old at most)
+      if (n.startsWith("graft_") && buildTempRe.findFirstIn(n).isDefined &&
           st.getModificationTime < System.currentTimeMillis() - 3600L * 1000) {
         fs.delete(st.getPath, true)
         deleted :+= n

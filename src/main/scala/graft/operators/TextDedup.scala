@@ -829,6 +829,13 @@ object TextDedup {
     * Returns (id, component). */
   def duplicateComponents(pairs: DataFrame, maxIters: Int = 50,
       idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    // node universe BEFORE self-edge filtering: a self-pair (x, x) is
+    // a degenerate membership claim — the node must surface as its own
+    // singleton component, not vanish (and componentsUpsert feeds
+    // stored ROOT rows back through here as exactly that shape)
+    val allNodes = pairs.select(col(idA).as("id"))
+      .unionByName(pairs.select(col(idB).as("id")))
+      .distinct().localCheckpoint(true)
     // canonical undirected edge state: (src, dst) with src > dst
     val init = pairs
       .select(greatest(col(idA), col(idB)).as("src"),
@@ -873,10 +880,14 @@ object TextDedup {
     }
     require(done, s"component labels not converged after $maxIters rounds")
     // converged state is the star set {(v, root) : v ∈ C \ {root}} per
-    // component C — roots appear only on the dst side
-    edges.select(col("src").as("id"), col("dst").as("component"))
+    // component C — roots appear only on the dst side; nodes with no
+    // surviving edge (self-pairs only) label themselves
+    val labeled = edges.select(col("src").as("id"), col("dst").as("component"))
       .unionByName(edges.select(col("dst").as("id"), col("dst").as("component")))
       .distinct()
+    labeled.unionByName(
+      allNodes.join(labeled, Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("component")))
   }
 
   /** INCREMENTAL component maintenance — the cluster family's UPSERT
@@ -900,7 +911,10 @@ object TextDedup {
     * at rest; their delete verbs are where cluster takedown lives). */
   def componentsUpsert(labels: DataFrame, newPairs: DataFrame,
       idA: String = "id_a", idB: String = "id_b"): DataFrame = {
-    val starEdges = labels.filter(col("id") =!= col("component"))
+    // ALL label rows pass through — root/singleton rows become
+    // self-pairs, which duplicateComponents preserves as singleton
+    // components, so no stored node can vanish across an upsert
+    val starEdges = labels
       .select(col("id").as(idA), col("component").as(idB))
     duplicateComponents(
       starEdges.unionByName(newPairs.select(col(idA), col(idB))),

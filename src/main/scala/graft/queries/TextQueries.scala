@@ -129,7 +129,20 @@ object TextQueries {
       case Some((v, ddl)) if v == atRestVersion => register(ddl, countReg = true)
       case _ =>
         val t0 = System.nanoTime()
+        // sweep SIBLING generations and crashed temps only — never the
+        // current key's dir: that one is handled below under a marker
+        // RE-CHECK, so a generation a concurrent process published
+        // between our readMarker() above and this point can never be
+        // deleted. The re-check is race-free because publish is a
+        // rename onto a MISSING path — a valid marker can only appear
+        // while the dir is absent, so a dir observed "exists AND
+        // invalid" stays invalid until we delete it ourselves.
         freshPath(s, tbl, key)
+        readMarker() match {
+          case Some((v, ddl)) if v == atRestVersion =>
+            register(ddl, countReg = true); return
+          case _ => if (fs.exists(dir)) fs.delete(dir, true)
+        }
         // CROSS-PROCESS build protocol (VERDICT r13 #5): build into a
         // process-private temp TABLE (bucketBy is only writable via
         // saveAsTable), write the marker INSIDE the temp dir as the
@@ -144,7 +157,7 @@ object TextQueries {
         // read side the fresh-JVM session-2 leg already exercises.
         val nonce = java.lang.ProcessHandle.current().pid() + "_" +
           java.lang.Long.toHexString(System.nanoTime())
-        val tmpTbl = s"${tbl}__b$nonce"
+        val tmpTbl = s"${tbl}__graftbuild_$nonce"
         val tmpDir = new org.apache.hadoop.fs.Path(wh, tmpTbl.toLowerCase)
         val df = build
         val w = df.write.format("parquet").mode("overwrite")
@@ -228,16 +241,20 @@ object TextQueries {
     val wh = new org.apache.hadoop.fs.Path(s.sessionState.conf.warehousePath)
     val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
     val prefix = table.toLowerCase.stripSuffix(key.substring(key.lastIndexOf('_') + 1))
+    val self = table.toLowerCase
     if (fs.exists(wh)) fs.listStatus(wh).foreach { st =>
       val n = st.getPath.getName
       // skip another process's IN-FLIGHT build temp (same prefix,
-      // `__b<pid>_<nonce>` suffix) — deleting it mid-write would
-      // corrupt that process's publish; temps older than an hour are
-      // crashed builds and are swept like any stale generation
-      val isTemp = n.contains("__b")
+      // `__graftbuild_<pid>_<hex>` suffix — structural match, so a
+      // sanitized fixture tag can't collide) — deleting it mid-write
+      // would corrupt that process's publish; temps older than an
+      // hour are crashed builds, swept like any stale generation.
+      // The CURRENT key's dir is also skipped: ensureTable deletes it
+      // itself under a marker re-check (publish-race safety).
+      val isTemp = graft.model.AtRest.buildTempRe.findFirstIn(n).isDefined
       val staleTemp = isTemp &&
         st.getModificationTime < System.currentTimeMillis() - 3600L * 1000
-      if (n.startsWith(prefix) && (!isTemp || staleTemp))
+      if (n.startsWith(prefix) && n != self && (!isTemp || staleTemp))
         fs.delete(st.getPath, true)
     }
   }

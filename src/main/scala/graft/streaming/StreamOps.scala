@@ -839,26 +839,46 @@ object StreamOps {
     * accumulated component labeling (stored labels ∪ batch re-closed
     * via star contraction), so after any prefix of batches the
     * labeling equals the one-shot closure over every pair seen so far
-    * (batch ≡ stream, StreamOpsSpec-gated). The labeling is eagerly
-    * localCheckpointed per batch — cross-batch lineage would otherwise
-    * grow without bound. `sink` receives the FULL updated labeling
-    * after each batch (complete-relation semantics: a cross-batch
-    * merge can RELABEL old members, which append-mode rows cannot
-    * express). */
+    * (batch ≡ stream, StreamOpsSpec-gated). `sink` receives the FULL
+    * updated labeling after each batch (complete-relation semantics: a
+    * cross-batch merge can RELABEL old members, which append-mode rows
+    * cannot express).
+    *
+    * State & restarts: the accumulated labeling lives in this query's
+    * driver (RDD-checkpointed per batch, the SUPERSEDED generation
+    * explicitly unpersisted so storage holds exactly one labeling, not
+    * one per batch). It does NOT survive a query restart — offsets
+    * resume but pre-restart batches are not replayed — so a durable
+    * deployment persists each sink output (it IS the full state) and
+    * passes the last one back as `initial` on restart; `initial` rows
+    * re-enter the closure as stored star edges, exactly like a batch
+    * [[graft.operators.TextDedup.componentsUpsert]]. */
   def streamingComponentsUpsert(pairs: DataFrame,
+      initial: Option[DataFrame] = None,
       idA: String = "id_a", idB: String = "id_b")(
       sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
-    var labels: Option[DataFrame] = None
+    val spark = pairs.sparkSession
+    var labels: Option[DataFrame] = initial.map(_.localCheckpoint(true))
+    var prevState: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
     pairs.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val b = batch.localCheckpoint(true)
         if (!b.isEmpty) {
-          val updated = (labels match {
+          val computed = labels match {
             case None =>
               graft.operators.TextDedup.duplicateComponents(b, idA = idA, idB = idB)
             case Some(l) =>
               graft.operators.TextDedup.componentsUpsert(l, b, idA, idB)
-          }).localCheckpoint(true)
+          }
+          // hold the state through an explicit RDD checkpoint so the
+          // superseded generation can be unpersisted NOW instead of
+          // lingering in the block manager until a driver GC
+          val rdd = computed.rdd
+          rdd.localCheckpoint()
+          val updated = spark.createDataFrame(rdd, computed.schema)
+          updated.count() // materialize before dropping the old state
+          prevState.foreach(_.unpersist(blocking = false))
+          prevState = Some(rdd)
           labels = Some(updated)
           sink(updated)
         }

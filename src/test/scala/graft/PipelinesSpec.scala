@@ -404,10 +404,11 @@ class PipelinesSpec extends SparkSpec {
     // (regenerated-fixture orphan) and an untagged spec-demo dir
     val orphan = new java.io.File(wh, "graft_wfp_sf9_99_deadbeef0123")
     val demo = new java.io.File(wh, "graft_gcdemo_untagged")
-    // crashed build temps: a DEAD one (>1h old) must be swept, a LIVE
-    // one (fresh mtime — possibly another process mid-build) kept
-    val deadTmp = new java.io.File(wh, "graft_gcdemo__b99_dead")
-    val liveTmp = new java.io.File(wh, "graft_gcdemo__b99_live")
+    // crashed build temps (structural `__graftbuild_<pid>_<hex>`
+    // suffix): a DEAD one (>1h old) must be swept, a LIVE one (fresh
+    // mtime — possibly another process mid-build) kept
+    val deadTmp = new java.io.File(wh, "graft_gcdemo__graftbuild_99_abcd")
+    val liveTmp = new java.io.File(wh, "graft_gcdemo__graftbuild_99_beef")
     orphan.mkdirs(); demo.mkdirs(); deadTmp.mkdirs(); liveTmp.mkdirs()
     deadTmp.setLastModified(System.currentTimeMillis() - 2 * 3600L * 1000)
     try {
@@ -417,9 +418,9 @@ class PipelinesSpec extends SparkSpec {
       assert(!orphan.exists(), "orphan dir must be gone from disk")
       assert(demo.exists() && !deleted.contains("graft_gcdemo_untagged"),
         "untagged spec-demo tables are out of the sweep's scope")
-      assert(deleted.contains("graft_gcdemo__b99_dead") && !deadTmp.exists(),
+      assert(deleted.contains("graft_gcdemo__graftbuild_99_abcd") && !deadTmp.exists(),
         "crashed (>1h) build temps must be swept")
-      assert(liveTmp.exists() && !deleted.contains("graft_gcdemo__b99_live"),
+      assert(liveTmp.exists() && !deleted.contains("graft_gcdemo__graftbuild_99_beef"),
         "a fresh build temp may be another process mid-build — kept")
       // every LIVE fixture-tagged table (current testdata keys) kept
       val liveKeys = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",

@@ -116,13 +116,15 @@ class PropertySpec extends SparkSpec {
       }
       parent.keys.map(k => k -> find(k)).toMap
     }
+    // self-pairs (a, a) stay IN: they are degenerate membership claims
+    // and the contract preserves the node as a singleton component
     val graphs = cases(for {
       n <- Gen.choose(2, 40)
       m <- Gen.choose(1, 80)
       es <- Gen.listOfN(m, for {
         a <- Gen.choose(0L, n.toLong); b <- Gen.choose(0L, n.toLong)
       } yield (a, b))
-    } yield es.filter(e => e._1 != e._2), n = 8)
+    } yield es, n = 8)
     graphs.filter(_.nonEmpty).foreach { es =>
       val expected = unionFind(es)
       val got = TextDedup.duplicateComponents(es.toDF("id_a", "id_b"))

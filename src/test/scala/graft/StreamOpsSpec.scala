@@ -1409,6 +1409,23 @@ class StreamOpsSpec extends SparkSpec {
       assert(latest == oneShot && latest(11L) == 1L,
         s"stream after batch 2 must equal one-shot closure: $latest vs $oneShot")
     } finally q.stop()
+    // RESTART shape: a new query resumes from the persisted labeling
+    // via `initial` — pre-restart components must survive and merge
+    // with post-restart batches
+    val resumed = latest.toSeq.toDF("id", "component")
+    val input2 = MemoryStream[(Long, Long)]
+    @volatile var latest2: Map[Long, Long] = Map.empty
+    val q2 = StreamOps.streamingComponentsUpsert(
+      input2.toDS().toDF("id_a", "id_b"), initial = Some(resumed)) { labels =>
+      latest2 = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    try {
+      input2.addData((20L, 11L)) // merges the 1-cluster with the 20-cluster
+      q2.processAllAvailable()
+      assert(latest2.keySet == Set(1L, 2L, 3L, 10L, 11L, 20L, 21L) &&
+        latest2.values.forall(_ == 1L),
+        s"post-restart labeling must carry pre-restart state: $latest2")
+    } finally q2.stop()
   }
 
   test("windowedCounts groups into tumbling windows (batch mode)") {
