@@ -668,6 +668,54 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    // CLUSTER-UPSERT AMORTIZATION probe (`runMain graft.ScaleProbe
+    // ccupsert`): the componentsUpsert saving is structural — a stored
+    // labeling is ONE star edge per node, while the historical pair
+    // graph of clique-heavy near-dup clusters (the LSH regime: band
+    // collisions produce cliques) carries O(members²) pairs per
+    // cluster. Rebuild closes all historical pairs; upsert closes
+    // stars ∪ batch. 10k cliques × 30 members = 4.35M pairs vs 300k
+    // star edges (14.5× less edge volume), and a near-star state
+    // converges in fewer rounds. Verifies upsert ≡ rebuild-with-batch
+    // before reporting walls.
+    if (args.contains("ccupsert")) {
+      import graft.operators.TextDedup
+      val cliques = 10000L
+      val members = 60L
+      val nodes = spark.range(cliques * members)
+        .select(col("id"), (col("id") / members).cast("long").as("c"))
+        .localCheckpoint(true)
+      val hist = nodes.as("a").join(nodes.as("b"), col("a.c") === col("b.c"))
+        .filter(col("a.id") < col("b.id"))
+        .select(col("b.id").as("id_a"), col("a.id").as("id_b"))
+        .localCheckpoint(true)
+      // bridge batch: 1k pairs merging adjacent cliques
+      val batch = spark.range(1000L)
+        .select((col("id") * 2 * members + members).as("id_a"),
+          (col("id") * 2 * members + members - 1).as("id_b"))
+        .localCheckpoint(true)
+      spark.range(1000000L).selectExpr("sum(id)").collect()
+      def clock(fn: => DataFrame): (Double, DataFrame) = {
+        val t0 = System.nanoTime()
+        val out = fn
+        out.queryExecution.toRdd.count()
+        ((System.nanoTime() - t0) / 1e9, out)
+      }
+      val (baseW, labels) = clock(TextDedup.duplicateComponents(hist))
+      val (rebuildW, full) = clock(
+        TextDedup.duplicateComponents(hist.unionByName(batch)))
+      val (upsertW, ups) = clock(TextDedup.componentsUpsert(labels, batch))
+      val diff = ups.withColumnRenamed("component", "c1")
+        .join(full.withColumnRenamed("component", "c2"), Seq("id"))
+        .filter(col("c1") =!= col("c2")).count()
+      require(diff == 0, s"upsert diverged from rebuild-with-batch on $diff nodes")
+      println(f"[scale] ccupsert: base-build=$baseW%.2fs rebuild+batch=$rebuildW%.2fs " +
+        f"upsert=$upsertW%.2fs upsert/rebuild=${upsertW / rebuildW}%.3f " +
+        f"(hist pairs=${cliques * members * (members - 1) / 2}, star edges=${cliques * members})")
+      println(f"""[scale-json] {"queries":{"cc_upsert":{"base":$baseW%.3f,"rebuild":$rebuildW%.3f,"upsert":$upsertW%.3f,"ratio":${upsertW / rebuildW}%.3f}}}""")
+      spark.stop(); return
+    }
+
     // ORACLE-PARITY HASH TAX probe (`runMain graft.ScaleProbe
     // hashtax`): the catalog's near-dup queries hash with md5 so
     // DuckDB replays every banding/minhash decision bit-identically
