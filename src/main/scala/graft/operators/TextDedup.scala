@@ -872,9 +872,14 @@ object TextDedup {
     var done = false
     while (!done && iter < maxIters) {
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
-      // exact fixpoint: equal cardinality + next ⊆ edges on distinct
-      // canonical sets ⇒ set equality
-      done = next.count() == edges.count() && next.except(edges).isEmpty
+      // exact fixpoint in ONE action: both sides are DISTINCT sets, so
+      // in the bag union a row appears once iff it is in exactly one
+      // side — an empty symmetric difference ⇔ set equality (replaces
+      // the count + except pair; the per-round action count is the
+      // latency floor the ccupsert/chaincc probes measure)
+      done = next.unionByName(edges)
+        .groupBy("src", "dst").count()
+        .filter(col("count") === 1).isEmpty
       edges = next
       iter += 1
     }
