@@ -209,6 +209,15 @@ private[graft] object BenchKit {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the iterative kernels INTENTIONALLY unpersist locally-checkpointed
+    // round state once the next state is materialized; Spark logs an
+    // unconditional "cannot be recomputed after unpersisting" WARN per
+    // release (one per contraction round) — correct-by-construction
+    // here, so the harness silences that one logger rather than spam
+    // the captured output
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
     spark
   }
 

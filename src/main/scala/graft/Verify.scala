@@ -16,6 +16,12 @@ object Verify {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // intentional post-materialization unpersists of locally-
+    // checkpointed round state (TextDedup.duplicateComponents) log an
+    // unconditional WARN per release — silence that one logger
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
     // Queries run on a small thread pool — Spark schedules concurrent
     // jobs, so independent query dumps overlap their stages and the

@@ -821,30 +821,91 @@ object TextDedup {
     * Scale shape: each round is two keyed aggregations + joins over
     * the PAIR graph — corpus-small (only docs that near-dup anything
     * appear), edge state kept canonically oriented (src > dst) with
-    * lineage truncated per round (eager localCheckpoint, the
-    * iterative-kernel idiom) so plans don't grow with rounds. The
-    * fixpoint test is an exact set compare (count + one except), the
-    * same cost class as a round. `maxIters` is a backstop and hitting
-    * it throws rather than returning silently-unconverged labels.
-    * Returns (id, component). */
+    * lineage truncated per round (localCheckpoint, the iterative-
+    * kernel idiom) so plans don't grow with rounds, and each round's
+    * SUPERSEDED edge state explicitly unpersisted (ADVICE r14: blocks
+    * otherwise linger until a driver GC lets the ContextCleaner see
+    * them). Round cost is ONE Spark action (round 15): the checkpoint
+    * is lazy and the action that materializes it also returns an
+    * order-insensitive set signature (count + xxhash64 xor); only when
+    * two consecutive signatures MATCH does an exact symmetric-
+    * difference check confirm convergence — equal sets always have
+    * equal signatures, so the exact check runs once at the true
+    * fixpoint (plus on the ~never hash-collision, where it correctly
+    * keeps looping).
+    *
+    * SMALL-GRAPH regime (round 15): once the init signature reveals
+    * |E|, graphs at or under [[smallGraphEdges]] run the loop on a
+    * private `newSession()` with AQE off and partitions sized to the
+    * edge count. Measured on the 300k-node chain probe: under AQE
+    * every query stage materializes as its OWN job (~9 jobs/round,
+    * ~1.2 s/round of pure job-launch latency); with a fixed small
+    * partitioning the whole round pipelines as ONE job (~0.7 s/round).
+    * Larger graphs keep the caller's AQE regime — coalescing and
+    * skew-join handling matter exactly there, and the same probe run
+    * AQE-off at the caller's 32 partitions was 2× SLOWER, so the
+    * switch is size-gated, not global. The private session shares the
+    * SparkContext (RDDs cross sessions), so state moves via the
+    * public createDataFrame(rdd, schema) wrap; the caller's session
+    * conf is never touched (concurrent Verify threads share it).
+    * `maxIters` is a backstop and hitting it throws rather than
+    * returning silently-unconverged labels. Returns (id, component). */
   def duplicateComponents(pairs: DataFrame, maxIters: Int = 50,
       idA: String = "id_a", idB: String = "id_b"): DataFrame = {
     // node universe BEFORE self-edge filtering: a self-pair (x, x) is
     // a degenerate membership claim — the node must surface as its own
     // singleton component, not vanish (and componentsUpsert feeds
     // stored ROOT rows back through here as exactly that shape)
-    val allNodes = pairs.select(col(idA).as("id"))
-      .unionByName(pairs.select(col(idB).as("id")))
-      .distinct().localCheckpoint(true)
-    // canonical undirected edge state: (src, dst) with src > dst
-    val init = pairs
+    // the input plan is referenced TWICE below (node universe + edge
+    // state) and can be arbitrarily expensive (the LSH pair chain, an
+    // orders self-join) — pin it so it evaluates exactly ONCE (lazy:
+    // the init-signature action materializes it); released as soon as
+    // the output labeling is materialized
+    val pairsC = pairs.localCheckpoint(false)
+    // lazy: materialized by the consumer's first action over the
+    // returned labeling (no standalone job for the node universe)
+    val allNodes = pairsC.select(col(idA).as("id"))
+      .unionByName(pairsC.select(col(idB).as("id")))
+      .distinct().localCheckpoint(false)
+    // canonical undirected edge state: (src, dst) with src > dst.
+    // LAZY checkpoint: the signature action below materializes it
+    // (persist + lineage truncation happen on the first job), so each
+    // round costs exactly one action instead of checkpoint + fixpoint.
+    val init = pairsC
       .select(greatest(col(idA), col(idB)).as("src"),
         least(col(idA), col(idB)).as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(false)
+    // order-insensitive set signature, computed by the SAME action
+    // that materializes the lazy checkpoint: equal edge sets always
+    // produce equal signatures, so signature inequality proves
+    // non-convergence without a second job. bit_xor, not sum:
+    // order-insensitive and overflow-free under ANSI arithmetic.
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(src, dst))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    // release a superseded round's checkpointed blocks NOW — the next
+    // state is already materialized, so nothing downstream can still
+    // need them (ADVICE r14: they otherwise wait for a driver GC)
+    def releaseState(df: DataFrame): Unit =
+      df.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(false)
+        case _ => ()
+      }
     // large-star: center every node u over its SYMMETRIC neighborhood,
     // m = min(Γ(u) ∪ {u}); connect each strictly larger neighbor v to
-    // m. Emitted pairs keep src > dst (v > u ≥ m).
+    // m. Emitted pairs keep src > dst (v > u ≥ m). Output is a BAG,
+    // not deduplicated (round 15): the consumer smallStar's min-agg is
+    // duplicate-insensitive and its final distinct dedups the round,
+    // so the old intermediate `.distinct()` exchange bought nothing —
+    // dropping it removes one of the round's four shuffles, and total
+    // shuffled volume never grows (the raw bag is exactly one row per
+    // input edge, the same |E_t| the dropped distinct itself shuffled;
+    // the downstream distinct now carries |E_t| instead of |E_t| + the
+    // deduped set).
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.select(col("src").as("u"), col("dst").as("v"))
         .unionByName(e.select(col("dst").as("u"), col("src").as("v")))
@@ -854,11 +915,13 @@ object TextDedup {
       sym.join(mins, Seq("u"))
         .filter(col("v") > col("u"))
         .select(col("v").as("src"), col("m").as("dst"))
-        .distinct()
     }
-    // small-star: edges already (src > dst); center each src over its
-    // smaller neighbors S, m = min(S); re-point every other member of
-    // S ∪ {src} to m. Emitted pairs keep src > dst.
+    // small-star: edges already (src > dst), possibly with duplicates
+    // (largeStar's raw bag); center each src over its smaller
+    // neighbors S, m = min(S) — duplicate-insensitive; re-point every
+    // other member of S ∪ {src} to m. Emitted pairs keep src > dst;
+    // the final distinct restores SET state for the checkpoint,
+    // signature, and fixpoint compare.
     def smallStar(e: DataFrame): DataFrame = {
       val mins = e.groupBy("src").agg(min(col("dst")).as("m"))
       e.join(mins, Seq("src"))
@@ -867,33 +930,92 @@ object TextDedup {
         .unionByName(mins.select(col("src"), col("m").as("dst")))
         .distinct()
     }
-    var edges = init
+    var sig = signature(init) // materializes init, yields its signature
+    val spark = pairs.sparkSession
+    // small-graph regime: a private session whose conf the loop owns —
+    // AQE off (one pipelined job per round instead of a job per query
+    // stage) and partitions proportional to the measured edge count.
+    // The caller's session conf is NEVER mutated.
+    val small = sig._1 <= smallGraphEdges
+    val sess =
+      if (small) {
+        val t = spark.newSession()
+        t.conf.set("spark.sql.adaptive.enabled", "false")
+        // ~100k edge rows per partition, floor 2: the chain probe at
+        // 300k edges measured 4 partitions ≈ 0.78 s/round vs 1 ≈ 1.4
+        // (single-task sorts serialize the round); capped at the
+        // caller's configured parallelism
+        t.conf.set("spark.sql.shuffle.partitions",
+          math.max(2L, math.min(sig._1 / 100000L + 1,
+            spark.sessionState.conf.numShufflePartitions.toLong)).toString)
+        t
+      } else spark
+    var edges =
+      if (small) sess.createDataFrame(init.rdd, init.schema) else init
     var iter = 0
     var done = false
     while (!done && iter < maxIters) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
-      // exact fixpoint in ONE action: both sides are DISTINCT sets, so
-      // in the bag union a row appears once iff it is in exactly one
-      // side — an empty symmetric difference ⇔ set equality (replaces
-      // the count + except pair; the per-round action count is the
-      // latency floor the ccupsert/chaincc probes measure)
-      done = next.unionByName(edges)
-        .groupBy("src", "dst").count()
-        .filter(col("count") === 1).isEmpty
+      val next = smallStar(largeStar(edges)).localCheckpoint(false)
+      val nextSig = signature(next) // the round's ONE action
+      // signature match is necessary for set equality; CONFIRM it with
+      // an exact symmetric difference (both sides are DISTINCT sets,
+      // so in the bag union a row appears once iff it is in exactly
+      // one side — empty ⇔ set equality). A 64-bit xor collision
+      // cannot forge convergence: the exact check fails and the loop
+      // continues; it only prices one extra action at the true
+      // fixpoint.
+      if (nextSig == sig)
+        done = next.unionByName(edges)
+          .groupBy("src", "dst").count()
+          .filter(col("count") === 1).isEmpty
+      releaseState(edges) // next is materialized; the old state is dead
+      // round 1's `edges` on the small path is a plan wrapper, not the
+      // checkpoint itself — release the backing init blocks too
+      if (iter == 0 && small) releaseState(init)
       edges = next
+      sig = nextSig
       iter += 1
     }
     require(done, s"component labels not converged after $maxIters rounds")
     // converged state is the star set {(v, root) : v ∈ C \ {root}} per
     // component C — roots appear only on the dst side; nodes with no
     // surviving edge (self-pairs only) label themselves
-    val labeled = edges.select(col("src").as("id"), col("dst").as("component"))
+    val labeledS = edges.select(col("src").as("id"), col("dst").as("component"))
       .unionByName(edges.select(col("dst").as("id"), col("dst").as("component")))
       .distinct()
-    labeled.unionByName(
+    // hand the labeling back on the CALLER's session (consumers compose
+    // it with caller-side plans; the private session stays internal)
+    val labeled =
+      if (small) spark.createDataFrame(labeledS.rdd, labeledS.schema)
+      else labeledS
+    // EAGER checkpoint of the result (round 15): the labeling plan
+    // references `labeled` twice and consumers reference the RESULT
+    // repeatedly (componentsUpsert feeds it back through allNodes+init;
+    // dedup consumers join it against docs and again against losers) —
+    // un-checkpointed, each reference re-ran the distinct/anti-join
+    // chain (the q175 upsert leg re-evaluated its base closure 4×).
+    // One materialization here makes every later reference a block
+    // read, and lets the closure's internal state (final edge set,
+    // node universe) release NOW instead of leaking until a driver GC.
+    val out = labeled.unionByName(
       allNodes.join(labeled, Seq("id"), "left_anti")
         .select(col("id"), col("id").as("component")))
+      .localCheckpoint(true)
+    releaseState(edges)
+    releaseState(allNodes)
+    releaseState(pairsC)
+    out
   }
+
+  /** Edge-count ceiling for [[duplicateComponents]]' private
+    * fixed-partitioning loop session. Below it, per-round cost is
+    * job-launch latency, which AQE's job-per-stage materialization
+    * multiplies ~9×; above it, AQE's runtime coalescing and skew-join
+    * handling are worth their latency (the 300k-chain probe run
+    * AQE-off at 32 partitions was 2× slower than AQE — the regimes
+    * genuinely cross). 4M edges ≈ 64 MB of (long, long) state: a
+    * single executor's comfortable working set. */
+  private val smallGraphEdges = 4000000L
 
   /** INCREMENTAL component maintenance — the cluster family's UPSERT
     * verb (the lifecycle the other index families already have): fold

@@ -857,31 +857,38 @@ object StreamOps {
       initial: Option[DataFrame] = None,
       idA: String = "id_a", idB: String = "id_b")(
       sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
-    val spark = pairs.sparkSession
+    // unpersist a LogicalRDD-backed checkpoint's blocks (no-op on any
+    // other plan shape)
+    def releaseState(df: DataFrame): Unit =
+      df.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(false)
+        case _ => ()
+      }
     var labels: Option[DataFrame] = initial.map(_.localCheckpoint(true))
-    var prevState: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
     pairs.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val b = batch.localCheckpoint(true)
         if (!b.isEmpty) {
+          // duplicateComponents/componentsUpsert return an EAGERLY
+          // checkpointed labeling (and release their own internal
+          // state), so `computed` is already materialized: release
+          // everything else this batch pinned — the superseded
+          // labeling and the batch checkpoint (ADVICE r14: these
+          // previously waited for a driver GC, so block-manager
+          // storage grew per batch; now it holds exactly ONE labeling
+          // between batches).
           val computed = labels match {
             case None =>
               graft.operators.TextDedup.duplicateComponents(b, idA = idA, idB = idB)
             case Some(l) =>
               graft.operators.TextDedup.componentsUpsert(l, b, idA, idB)
           }
-          // hold the state through an explicit RDD checkpoint so the
-          // superseded generation can be unpersisted NOW instead of
-          // lingering in the block manager until a driver GC
-          val rdd = computed.rdd
-          rdd.localCheckpoint()
-          val updated = spark.createDataFrame(rdd, computed.schema)
-          updated.count() // materialize before dropping the old state
-          prevState.foreach(_.unpersist(blocking = false))
-          prevState = Some(rdd)
-          labels = Some(updated)
-          sink(updated)
-        }
+          labels.foreach(releaseState)
+          releaseState(b)
+          labels = Some(computed)
+          sink(computed)
+        } else releaseState(b) // an empty batch must not pin its checkpoint
       }
       .outputMode(OutputMode.Append())
       .start()
