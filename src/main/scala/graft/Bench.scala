@@ -495,7 +495,19 @@ object Bench {
         case Some(childJson) => childJson
         case None => inJvmSession2(spark, meter, sfDir, s2Names, mainBestOf)
       }
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"parsed":$parsed,"failures":$failures,"outliers":$outliers,"kind_gap":$kindGap,"vs_prior":$vsPrior,"session2":$session2,"high_steal":$highSteal,"steal_threshold":$stealThreshold,"high_gc":$highGc,"gc_threshold":$gcThreshold,"warehouse_gc":$whGc,"sf":"$sfDir"}"""
+    // committed soak record (VERDICT r14 #5): tools/bench_soak.py
+    // writes bench_soak.json (run totals + per-query spread percentiles
+    // for this code); embedding it makes the round artifact carry its
+    // own error bar instead of pointing at a doc.
+    val soak =
+      try {
+        val p = java.nio.file.Paths.get("bench_soak.json")
+        if (java.nio.file.Files.isRegularFile(p)) {
+          val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
+          if (s.startsWith("{") && s.endsWith("}")) s else "null"
+        } else "null"
+      } catch { case _: Throwable => "null" }
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"parsed":$parsed,"failures":$failures,"outliers":$outliers,"kind_gap":$kindGap,"vs_prior":$vsPrior,"soak":$soak,"session2":$session2,"high_steal":$highSteal,"steal_threshold":$stealThreshold,"high_gc":$highGc,"gc_threshold":$gcThreshold,"warehouse_gc":$whGc,"sf":"$sfDir"}"""
     println(json)
     // Persist the full artifact: captured stdout tails truncate to the
     // last ~2000 chars, which can never hold the 170+-query map — the
@@ -594,9 +606,26 @@ private[graft] object BenchPrior {
       val rx = "^BENCH_r(\\d+)\\.json$".r
       val cwdFiles = Option(new java.io.File(".").listFiles())
         .getOrElse(Array.empty).toSeq
+      // a wrapper qualifies as PRIOR only if its round is complete
+      // (ADVICE r14): once the driver has written THIS round's
+      // BENCH_r*.json, a rerun would otherwise attribute movement
+      // against the same round's earlier run. The last judged round is
+      // read from VERDICT.md's header; wrappers above it are this
+      // round's own artifacts. A missing/unparsable VERDICT (round 1)
+      // falls back to requiring the wrapper's CORRECTNESS sibling.
+      val judgedRound: Option[Int] =
+        try {
+          val src = scala.io.Source.fromFile("VERDICT.md", "UTF-8")
+          val head = try src.getLines().take(3).mkString(" ") finally src.close()
+          "round\\s+(\\d+)".r.findFirstMatchIn(head).map(_.group(1).toInt)
+        } catch { case _: Throwable => None }
       val wrappers = cwdFiles
         .flatMap(f => rx.findFirstMatchIn(f.getName)
           .map(m => (m.group(1).toInt, f)))
+        .filter { case (n, _) => judgedRound match {
+          case Some(r) => n <= r
+          case None => new java.io.File(s"CORRECTNESS_r$n.json").isFile
+        }}
         .sortBy(-_._1).map(_._2)
       val siblings = cwdFiles
         .filter(f => f.getName.startsWith("bench_r") &&
@@ -618,25 +647,35 @@ private[graft] object BenchPrior {
           def priorCold(q: String): Option[Double] =
             parsed.get(q).flatMap(v => num(v \ "cold"))
               .orElse(queriesMap.get(q).flatMap(num))
-          // best COLD task-seconds of the prior round: task_sec holds
-          // cold samples first (one per entry of `samples`), warms after
-          def priorTask(q: String): Option[Double] = parsed.get(q).flatMap { v =>
-            val nCold = v \ "samples" match {
-              case JArray(a) => a.length; case _ => 0 }
-            // no samples array → can't tell cold from warm task_sec
-            // entries; min over ALL would pick a warm (memo-held)
-            // value and fabricate a task-inflation verdict — better
-            // no ratio than a wrong one
-            v \ "task_sec" match {
-              case JArray(a) if a.nonEmpty && nCold > 0 =>
-                val colds = a.take(nCold).flatMap(num)
-                if (colds.nonEmpty) Some(colds.min) else None
-              case _ => None
+          // the prior round's HEADLINE cold sample (best wall) with its
+          // task_sec and cpu_frac at the same index — samples holds
+          // cold walls only, task_sec/cpu_frac hold colds first, so
+          // index i is the same sample across all three arrays. Ratios
+          // compare headline-to-headline; a min over mixed samples
+          // could pair a contended wall with a quiet task count and
+          // fabricate a verdict.
+          def priorHead(q: String): Option[(Double, Double)] =
+            parsed.get(q).flatMap { v =>
+              val walls = v \ "samples" match {
+                case JArray(a) => a.flatMap(num); case _ => List.empty[Double] }
+              if (walls.isEmpty) None else {
+                val i = walls.indexOf(walls.min)
+                def at(k: String): Option[Double] = v \ k match {
+                  case JArray(a) if a.length > i => num(a(i)); case _ => None }
+                for { ts <- at("task_sec"); cf <- at("cpu_frac") } yield (ts, cf)
+              }
             }
-          }
-          var nReg = 0; var nImp = 0; var nAmbient = 0
+          // committed soak noise floor (docs/BENCH_SOAK_r14.txt, five
+          // same-code runs): per-query cold spread p90 = 1.62x. A
+          // regression inside the floor at flat CPU-seconds is the
+          // sandbox, not the code.
+          val noiseFloor = 1.62
+          var nReg = 0; var nImp = 0; var nAmbient = 0; var nCompared = 0
+          val regCpuRs = scala.collection.mutable.ListBuffer.empty[Double]
+          val regGaps = scala.collection.mutable.ListBuffer.empty[Double]
           val rows = results.flatMap { case (q, ss, ok, _, err, samples) =>
             if (err.nonEmpty) None else priorCold(q).flatMap { pc =>
+              nCompared += 1
               val c = ok.min
               // sub-second pairs are scheduling-jitter-bound; a 30%
               // move there is noise, not a regression to attribute
@@ -645,7 +684,14 @@ private[graft] object BenchPrior {
                 val okColds = samples.take(ss.length).filter(_.err.isEmpty)
                 if (okColds.isEmpty) None else {
                   val bc = okColds.minBy(_.wall)
-                  val taskR = priorTask(q).map(pt => bc.t.taskSec / pt.max(1e-9))
+                  val head = priorHead(q)
+                  val taskR = head.map { case (ts, _) => bc.t.taskSec / ts.max(1e-9) }
+                  // task CPU-SECONDS ratio (VERDICT r14 #1): task wall
+                  // inflating while CPU-seconds stay flat is the
+                  // contention signature — the tasks WAITED; real work
+                  // growth moves both
+                  val cpuR = head.map { case (ts, cf) =>
+                    (bc.t.taskSec * bc.t.cpuFrac) / math.max(1e-9, ts * cf) }
                   val anySteal = okColds.flatMap(_.steal).exists(_ > 0.05)
                   val regressed = c > pc
                   val why =
@@ -658,29 +704,65 @@ private[graft] object BenchPrior {
                     }
                     else if (anySteal)
                       "ambient-steal: a cold sample recorded >5% host steal this run"
-                    else taskR match {
-                      case Some(r) if r > 1.3 =>
-                        f"task-inflation: $r%.1fx the prior round's cold task work at cpu_frac ${bc.t.cpuFrac}%.2f -- real work growth, or a whole-host slowdown steal cannot see"
-                      case Some(r) if r <= 1.15 =>
+                    else (taskR, cpuR) match {
+                      case (Some(t), Some(cr)) if t > 1.3 && cr <= 1.15 =>
+                        f"contention-not-work: task wall $t%.1fx prior but task CPU-seconds ~flat ($cr%.2fx) -- whole-host contention the steal counter cannot see" +
+                          (if (c <= noiseFloor * pc) f" [within the committed soak noise floor, p90 $noiseFloor%.2fx]" else "")
+                      case (Some(t), Some(cr)) if t > 1.3 && cr > 1.3 =>
+                        f"task-inflation-work: task CPU-seconds grew $cr%.2fx with task wall $t%.1fx -- real work growth (plan or operator change)"
+                      case (Some(t), Some(cr)) if t > 1.3 =>
+                        f"task-inflation-mixed: task wall $t%.1fx at CPU-seconds $cr%.2fx -- part work, part wait"
+                      case (Some(t), _) if t <= 1.15 =>
                         "wall-not-task: task work flat vs prior -- scheduler/driver overhead or untracked contention"
-                      case Some(r) => f"mild-task-growth: $r%.2fx prior task work"
-                      case None => "no-prior-task-data"
+                      case (Some(t), _) => f"mild-task-growth: $t%.2fx prior task work"
+                      case _ => "no-prior-task-data"
                     }
                   if (regressed) nReg += 1 else nImp += 1
-                  if (regressed && (anySteal || why.startsWith("wall-not-task")))
+                  if (regressed) cpuR.foreach(regCpuRs += _)
+                  if (regressed) for (t <- taskR; cr <- cpuR)
+                    regGaps += t / cr.max(1e-9)
+                  if (regressed && (anySteal || why.startsWith("wall-not-task") ||
+                      why.startsWith("contention-not-work")))
                     nAmbient += 1
                   Some("\"" + q + "\":" +
                     f"""{"dir":"${if (regressed) "regressed" else "improved"}",""" +
                     f""""prior_cold":$pc%.2f,"cold":$c%.2f,""" +
                     s""""task_ratio":${taskR.map(r => f"$r%.2f").getOrElse("null")},""" +
+                    s""""cpusec_ratio":${cpuR.map(r => f"$r%.2f").getOrElse("null")},""" +
                     s""""cause":${jsonStr(why)}}""")
                 }
               }
             }
           }.mkString("{", ",", "}")
+          // WHOLE-RUN verdict (VERDICT r14 #1), stated once at the top:
+          // many queries regressing TOGETHER at ~flat task CPU-seconds
+          // is a contended host, not 40 independent operator
+          // regressions — the r14 committed artifact hedged each one
+          // individually and misread an ambient burst as work growth.
+          def med(s: scala.collection.mutable.ListBuffer[Double]): Option[Double] = {
+            val v = s.sorted
+            if (v.isEmpty) None else Some(v(v.length / 2))
+          }
+          val medCpuR = med(regCpuRs)
+          // the WAIT GAP: task-wall growth divided by CPU-seconds
+          // growth. Contention inflates wall more than CPU (threads
+          // wait; cache/bandwidth pressure inflates CPU a little);
+          // real work growth moves both together (gap ≈ 1) — measured
+          // under a deliberate 28-thread burn: median gap 1.34 vs
+          // quiet ≈ 1.0.
+          val medGap = med(regGaps)
+          val runVerdict =
+            if (nReg == 0) "no-regressions"
+            else if (nReg >= 3 && nReg.toDouble > 0.2 * nCompared.max(1) &&
+                (medCpuR.exists(_ <= 1.15) || medGap.exists(_ > 1.25) ||
+                 2 * nAmbient >= nReg))
+              f"whole-run-ambient: $nReg of $nCompared compared queries regressed together with wall outgrowing task CPU-seconds (median cpusec ratio ${medCpuR.map(r => f"$r%.2f").getOrElse("n/a")}, median wait gap ${medGap.map(r => f"$r%.2f").getOrElse("n/a")}, $nAmbient ambient-flagged) -- host contention, not code; re-run in a quiet window before reading any row as a regression"
+            else "isolated-moves"
           s"""{"prior":${jsonStr(pf.getName)},""" +
+            s""""run_verdict":${jsonStr(runVerdict)},""" +
             s""""prior_total":${priorTotal.map(t => f"$t%.1f").getOrElse("null")},""" +
-            f""""total":$total%.1f,"n_regressed":$nReg,"n_improved":$nImp,""" +
+            f""""total":$total%.1f,"n_compared":$nCompared,""" +
+            f""""n_regressed":$nReg,"n_improved":$nImp,""" +
             s""""n_regressed_ambient":$nAmbient,"moved":$rows}"""
       }
     } catch { case e: Throwable =>

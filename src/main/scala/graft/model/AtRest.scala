@@ -67,6 +67,26 @@ object AtRest {
     * definition. */
   val buildTempRe = "__graftbuild_\\d+_[0-9a-f]+$".r
 
+  /** Newest modification time anywhere in a directory tree. A build
+    * temp's TOP-LEVEL mtime is set when the write starts and is not
+    * refreshed until commit, so judging "crashed" from the dir mtime
+    * alone would let a concurrent GC sweep a legitimately long
+    * (>1h) in-flight build mid-write (ADVICE r14); task commits keep
+    * touching files deeper in the tree, so the tree-newest mtime
+    * tracks liveness. Depth is the CTAS layout's (_temporary/attempt/
+    * task/part files, ~4 levels); errors degrade to the statuses
+    * already seen. */
+  def newestMtime(fs: org.apache.hadoop.fs.FileSystem,
+      st: org.apache.hadoop.fs.FileStatus): Long = {
+    val kids =
+      if (!st.isDirectory) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else try fs.listStatus(st.getPath)
+        catch { case _: Throwable =>
+          Array.empty[org.apache.hadoop.fs.FileStatus] }
+    kids.foldLeft(st.getModificationTime)((m, k) =>
+      math.max(m, newestMtime(fs, k)))
+  }
+
   /** Atomic cross-process publish of a completed build directory
     * (VERDICT r13 #5): rename `tmp` onto `dst`, FAILING — not nesting
     * — when `dst` already exists. `FileContext.rename` with default
@@ -135,10 +155,11 @@ object AtRest {
       // sanitized fixture tag containing "__b..." can never be
       // misclassified): a build that died before its rename leaves a
       // temp no rebuild will ever sweep — the retention verb collects
-      // them once they are clearly dead (>1h old; a live build's dir
-      // mtime is minutes old at most)
+      // them once they are clearly dead (nothing in the TREE touched
+      // for >1h; the top-level dir mtime alone would misread a long
+      // in-flight build as crashed, ADVICE r14)
       if (n.startsWith("graft_") && buildTempRe.findFirstIn(n).isDefined &&
-          st.getModificationTime < System.currentTimeMillis() - 3600L * 1000) {
+          newestMtime(fs, st) < System.currentTimeMillis() - 3600L * 1000) {
         fs.delete(st.getPath, true)
         deleted :+= n
       } else

@@ -28,7 +28,10 @@ object SourceQueries {
 
   private def scratch(dir: String, q: String): String = {
     val tag = new java.io.File(dir).getName.toLowerCase.replaceAll("[^a-z0-9]", "_")
-    s"${sys.props("java.io.tmpdir")}/graft_${q}_$tag"
+    // pid-keyed (ADVICE r14): two JVMs running the same query on the
+    // same fixture must not share a scratch dir — one's overwrite
+    // during the other's read-back would forge an oracle mismatch
+    s"${sys.props("java.io.tmpdir")}/graft_${q}_${tag}_p${ProcessHandle.current().pid()}"
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

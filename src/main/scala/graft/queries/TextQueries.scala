@@ -129,19 +129,65 @@ object TextQueries {
       case Some((v, ddl)) if v == atRestVersion => register(ddl, countReg = true)
       case _ =>
         val t0 = System.nanoTime()
+        val nonce = java.lang.ProcessHandle.current().pid() + "_" +
+          java.lang.Long.toHexString(System.nanoTime())
         // sweep SIBLING generations and crashed temps only — never the
         // current key's dir: that one is handled below under a marker
-        // RE-CHECK, so a generation a concurrent process published
-        // between our readMarker() above and this point can never be
-        // deleted. The re-check is race-free because publish is a
-        // rename onto a MISSING path — a valid marker can only appear
-        // while the dir is absent, so a dir observed "exists AND
-        // invalid" stays invalid until we delete it ourselves.
+        // RE-CHECK plus an ATOMIC CLAIM (ADVICE r14): with two racers,
+        // "observed invalid stays invalid until we delete it" holds,
+        // but with three+ a second claimer can delete the invalid dir
+        // and a winner can publish a VALID generation at this path
+        // between our re-check and a direct delete — so the delete is
+        // now exclusive: rename the invalid dir aside (atomic; only
+        // one process can win it) and delete the renamed dir, never
+        // the live path. The aside name is a publish-protocol temp
+        // (`__graftbuild_`), so a crash between rename and delete
+        // leaves a dir the retention sweeps already collect.
         freshPath(s, tbl, key)
         readMarker() match {
           case Some((v, ddl)) if v == atRestVersion =>
             register(ddl, countReg = true); return
-          case _ => if (fs.exists(dir)) fs.delete(dir, true)
+          case _ =>
+            if (fs.exists(dir)) {
+              // distinct from the build temp's name (nonce + "c", still
+              // hex) so the claim dir and this process's later CTAS
+              // temp can never alias
+              val aside = new org.apache.hadoop.fs.Path(wh,
+                s"${tbl.toLowerCase}__graftbuild_${nonce}c")
+              val claimed =
+                try {
+                  org.apache.hadoop.fs.FileContext.getFileContext(dir.toUri,
+                      s.sparkContext.hadoopConfiguration)
+                    .rename(dir, aside)
+                  true
+                } catch { case _: Throwable => false }
+              if (claimed) {
+                // the claim itself can race a publish: if the renamed
+                // dir holds a VALID generation (published between the
+                // re-check and our rename), put it back — or, when yet
+                // another winner refilled the path meanwhile, drop our
+                // copy and serve theirs (publish deletes the temp on a
+                // lost rename)
+                val asideValid =
+                  try {
+                    val in = fs.open(new org.apache.hadoop.fs.Path(
+                      aside, "_graft_complete.json"))
+                    val txt = try scala.io.Source
+                      .fromInputStream(in, "UTF-8").mkString finally in.close()
+                    """"v"\s*:\s*(\d+)""".r.findFirstMatchIn(txt)
+                      .map(_.group(1).toInt).contains(atRestVersion)
+                  } catch { case _: Throwable => false }
+                if (asideValid) graft.model.AtRest.publish(s, aside, dir)
+                else fs.delete(aside, true)
+              }
+              // whichever way the claim went, a valid generation may
+              // now sit at the path — serve it instead of rebuilding
+              readMarker() match {
+                case Some((v2, ddl2)) if v2 == atRestVersion =>
+                  register(ddl2, countReg = true); return
+                case _ => ()
+              }
+            }
         }
         // CROSS-PROCESS build protocol (VERDICT r13 #5): build into a
         // process-private temp TABLE (bucketBy is only writable via
@@ -155,8 +201,6 @@ object TextQueries {
         // still serialize through the amortized wrappers'
         // `synchronized`; this closes the two-JVM write side whose
         // read side the fresh-JVM session-2 leg already exercises.
-        val nonce = java.lang.ProcessHandle.current().pid() + "_" +
-          java.lang.Long.toHexString(System.nanoTime())
         val tmpTbl = s"${tbl}__graftbuild_$nonce"
         val tmpDir = new org.apache.hadoop.fs.Path(wh, tmpTbl.toLowerCase)
         val df = build
@@ -252,8 +296,10 @@ object TextQueries {
       // The CURRENT key's dir is also skipped: ensureTable deletes it
       // itself under a marker re-check (publish-race safety).
       val isTemp = graft.model.AtRest.buildTempRe.findFirstIn(n).isDefined
-      val staleTemp = isTemp &&
-        st.getModificationTime < System.currentTimeMillis() - 3600L * 1000
+      // tree-newest mtime, not the dir's (ADVICE r14): a long in-flight
+      // build's top-level mtime goes stale while its task files churn
+      val staleTemp = isTemp && graft.model.AtRest.newestMtime(fs, st) <
+        System.currentTimeMillis() - 3600L * 1000
       if (n.startsWith(prefix) && n != self && (!isTemp || staleTemp))
         fs.delete(st.getPath, true)
     }

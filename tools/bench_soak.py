@@ -48,6 +48,7 @@ def main() -> None:
         print(f"  {q}: {r:.2f}x  [{per_run}]")
 
     ratios = [s[0] for s in spreads if s[3] >= 1.0]
+    med = p90 = None
     if ratios:
         med = statistics.median(ratios)
         p90 = sorted(ratios)[int(0.9 * (len(ratios) - 1))]
@@ -56,6 +57,25 @@ def main() -> None:
     totals = [j["value"] for _, j in runs]
     print(f"totals: min {min(totals):.1f}s max {max(totals):.1f}s "
           f"(spread {max(totals)/min(totals):.2f}x)")
+
+    # Summary artifact the bench embeds verbatim as its "soak" field
+    # (VERDICT r14 #5): run totals, the error bar, and which run is the
+    # median — commit the median run as bench_prior.json and this file
+    # alongside it, and the round artifact carries its own error bar.
+    median_file = sorted(zip(totals, [p for p, _ in runs]))[len(runs) // 2][1]
+    summary = {
+        "runs": [round(t, 1) for t in totals],
+        "min": round(min(totals), 1),
+        "max": round(max(totals), 1),
+        "median_file": median_file,
+        "n_queries": len(names),
+        "query_spread_median": round(med, 3) if med else None,
+        "query_spread_p90": round(p90, 3) if p90 else None,
+        "files": [p for p, _ in runs],
+    }
+    with open("bench_soak.json", "w") as f:
+        json.dump(summary, f)
+    print(f"wrote bench_soak.json: {summary}")
 
 
 if __name__ == "__main__":
