@@ -482,7 +482,7 @@ object Bench {
     // and nothing else. In-JVM fallback retained for environments
     // where spawning fails (recorded as mode:"in-jvm").
     val s2Names = Seq("q128_neardup_amortized", "q141_quality_cluster_amortized",
-        "q150_graph_amortized")
+        "q150_graph_amortized", "q176_components_at_rest")
       .filter(n => SparkEntry.queries.contains(n) &&
         only.forall(_.findFirstIn(n).isDefined))
     val mainBestOf: Map[String, Sample] = results

@@ -171,7 +171,12 @@ object Plans {
        "(per-round actions + localCheckpoint), so the auditable plan is the " +
        "final label projection over checkpointed edges — vacuous; each " +
        "round's plan is keyed aggregations + joins by construction, and " +
-       "q92/q122/q129 audit the same machinery embedded in real chains"))
+       "q92/q122/q129 audit the same machinery embedded in real chains"),
+    "q176_components_at_rest" ->
+      ("q175's closure-during-construction shape over the STORED labeling " +
+       "(the upsert also iterates during construction), so the auditable " +
+       "plan is the same vacuous label projection; the at-rest read path " +
+       "itself is the bucketed-table machinery the demos measure"))
 
   /** Physical WindowExec nodes with an EMPTY partition spec (the
     * `WindowExec: No Partition Defined` class): each is a single-task

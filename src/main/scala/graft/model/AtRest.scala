@@ -137,8 +137,12 @@ object AtRest {
     val fixtureDirs = (Option(new java.io.File(testdataRoot).listFiles())
       .getOrElse(Array.empty).filter(_.isDirectory).toSeq ++
       extraFixtureDirs.map(new java.io.File(_)).filter(_.isDirectory)).distinct
+    // every table an at-rest family keys its generations by: documents
+    // (dedup/winnow/classifier), embeddings (kNN graph), orders (the
+    // cluster-labeling store, round 15)
     val live: Set[String] = fixtureDirs.flatMap(d =>
-      Seq("documents", "embeddings").map(t => fixtureKey(d.getAbsolutePath, t)))
+      Seq("documents", "embeddings", "orders")
+        .map(t => fixtureKey(d.getAbsolutePath, t)))
       .toSet
     val wh = new org.apache.hadoop.fs.Path(s.sessionState.conf.warehousePath)
     val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)

@@ -546,6 +546,44 @@ object TextQueries {
     (s.table(wTbl), s.table(pTbl))
   }
 
+  /** The q175/q176 pair relation: the orders-adjacency chain graph
+    * broken into 50-link chains (edge k→k−1 except at k % 50 = 0) —
+    * chain COUNT scales with SF while chain LENGTH stays bounded, so
+    * the recursive-CTE oracle is O(n·50). Edge parities alternate
+    * along every chain, so the even/odd id_b split guarantees chains
+    * CROSS the batch boundary. */
+  private def ordersChainPairs(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_orderkey"))
+    o.as("a").join(o.as("b"),
+        col("b.o_orderkey") === col("a.o_orderkey") + 1)
+      .filter(col("b.o_orderkey") % 50 =!= 0)
+      .select(col("b.o_orderkey").as("id_a"), col("a.o_orderkey").as("id_b"))
+  }
+
+  /** At-rest COMPONENT LABELING (round 15, the cluster family's
+    * stored-state verb — q128/q141/q150's pattern for components): the
+    * batch-1 closure of [[ordersChainPairs]] written once per fixture
+    * as an id-bucketed warehouse table under the marker protocol. A
+    * labeling IS a compressed spanning forest (one star edge per
+    * member), so serving it from disk and upserting new pair batches
+    * into it ([[TextDedup.componentsUpsert]]) is the production crawl
+    * loop: close once, store, fold every later batch in apply-only.
+    * Keyed on the ORDERS fixture — the table the pair graph derives
+    * from ([[graft.model.AtRest.gcWarehouse]] lists orders in its
+    * liveness set for exactly this family). */
+  private def amortizedComponentLabels(s: SparkSession, dir: String): DataFrame = {
+    val key = fixtureKey(dir, "orders")
+    val tbl = s"graft_cclab_$key"
+    if (!s.catalog.tableExists(tbl)) synchronized {
+      if (!s.catalog.tableExists(tbl)) {
+        ensureTable(s, tbl, key, Some((8, "id")), validateCount = true)(
+          TextDedup.duplicateComponents(
+            ordersChainPairs(s, dir).filter(col("id_b") % 2 === 0)))
+      }
+    }
+    s.table(tbl)
+  }
+
   /** Shared SQL fragment: tokens per document. */
   private val toksSql =
     """SELECT doc_id, source, lang, text,
@@ -1976,15 +2014,28 @@ object TextQueries {
     // re-root correctly. The oracle closes ALL pairs in one recursive
     // CTE — incremental maintenance must be invisible to the result. ----
     "q175_components_upsert" -> ((s, dir) => {
-      val o = t(s, dir, "orders").select(col("o_orderkey"))
-      val pairs = o.as("a").join(o.as("b"),
-          col("b.o_orderkey") === col("a.o_orderkey") + 1)
-        .filter(col("b.o_orderkey") % 50 =!= 0)
-        .select(col("b.o_orderkey").as("id_a"), col("a.o_orderkey").as("id_b"))
+      val pairs = ordersChainPairs(s, dir)
       val batch1 = pairs.filter(col("id_b") % 2 === 0)
       val batch2 = pairs.filter(col("id_b") % 2 =!= 0)
       val base = TextDedup.duplicateComponents(batch1)
       TextDedup.componentsUpsert(base, batch2)
+        .select(col("id").as("o_orderkey"), col("component"))
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- cluster-family AT-REST labeling — the q150/q141 pattern for
+    // components (the verb the other three index families already
+    // had): the batch-1 labeling is a STORED warehouse table (bucketed
+    // by id, published under the marker protocol, so a second session
+    // re-registers it instead of re-closing history), and the run is
+    // apply-only — fold batch 2 into the stored star forest. Shares
+    // q175's oracle: store-then-upsert must equal the one-shot closure
+    // over every pair, so the warehouse round trip is invisible to the
+    // result. ----
+    "q176_components_at_rest" -> ((s, dir) => {
+      val labels = amortizedComponentLabels(s, dir)
+      val batch2 = ordersChainPairs(s, dir).filter(col("id_b") % 2 =!= 0)
+      TextDedup.componentsUpsert(labels, batch2)
         .select(col("id").as("o_orderkey"), col("component"))
         .orderBy("o_orderkey")
     }),
@@ -4320,6 +4371,27 @@ object TextQueries {
     // pair graph in one recursive CTE — the Spark side's two-batch
     // incremental maintenance must produce the identical labeling
     "q175_components_upsert" ->
+      """WITH RECURSIVE pairs AS (
+           SELECT b.o_orderkey AS id_a, a.o_orderkey AS id_b
+           FROM orders a JOIN orders b ON b.o_orderkey = a.o_orderkey + 1
+           WHERE b.o_orderkey % 50 <> 0
+         ), edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION SELECT id_b AS src, id_a AS dst FROM pairs
+         ), nodes AS (SELECT DISTINCT src AS id FROM edges
+         ), reach(id, lab) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst
+         )
+         SELECT id AS o_orderkey, min(lab) AS component
+         FROM reach GROUP BY 1""",
+
+    // at-rest labeling replay: identical to q175 — the store/re-read
+    // round trip plus the upsert must be invisible to the result
+    // (store-then-apply ≡ one-shot closure, the q128-vs-q123 proof
+    // shape for the cluster family)
+    "q176_components_at_rest" ->
       """WITH RECURSIVE pairs AS (
            SELECT b.o_orderkey AS id_a, a.o_orderkey AS id_b
            FROM orders a JOIN orders b ON b.o_orderkey = a.o_orderkey + 1

@@ -518,6 +518,42 @@ class PipelinesSpec extends SparkSpec {
     }
   }
 
+  test("at-rest component labeling: q176 equals the inline q175 closure; a fresh catalog re-registers apply-only") {
+    val dir = "/root/testdata/sf0.001"
+    // store-then-upsert (q176) must be indistinguishable from the
+    // inline two-batch closure (q175) — the cluster family's
+    // q128-vs-q123 round-trip proof
+    val inline = SparkEntry.queries("q175_components_upsert")(spark, dir)
+      .collect().map(_.toString).sorted
+    val r1 = SparkEntry.queries("q176_components_at_rest")(spark, dir)
+      .collect().map(_.toString).sorted
+    assert(r1.toSeq == inline.toSeq,
+      "stored labeling + upsert must equal the inline closure")
+    // session 2 (driver-restart shape): detach the labeling's catalog
+    // entry, require the marker RE-REGISTRATION branch with ZERO
+    // rebuilds, and the same result
+    val detached = graft.model.AtRest.detachGraftTables(spark, prefix = "graft_cclab_")
+    assert(detached > 0, "expected a registered graft_cclab_* table to detach")
+    val s2 = spark.newSession()
+    org.apache.spark.sql.SparkSession.setActiveSession(s2)
+    try {
+      SparkEntry.clearQueryCaches()
+      val regs0 = graft.model.BuildMeter.regCount
+      val builds0 = graft.model.BuildMeter.count
+      val r2 = SparkEntry.queries("q176_components_at_rest")(s2, dir)
+        .collect().map(_.toString).sorted
+      assert(graft.model.BuildMeter.regCount > regs0,
+        "session 2 must take the marker re-registration branch")
+      assert(graft.model.BuildMeter.count == builds0,
+        "session 2 must never rebuild the stored labeling")
+      assert(r2.toSeq == r1.toSeq,
+        "re-registered session must reproduce the build session")
+    } finally {
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+      SparkEntry.clearQueryCaches()
+    }
+  }
+
   test("winnowIndexUpsert: the frozen index re-admits a passage of an accepted doc; the grown index catches it") {
     import graft.operators.TextDedup
     import spark.implicits._
