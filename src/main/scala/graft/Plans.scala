@@ -321,6 +321,8 @@ object Plans {
       "span-start mask-back join keyed on (doc, pos) and the doc-universe reassembly joins keyed on doc id — both sides corpus-grain; AQE demotes when small",
     "q114_snapshot_diff" ->
       "FULL OUTER join of two corpus snapshots on the id — both sides corpus-grain and full-outer cannot build a broadcast side; bucket both snapshots by id to co-locate at rest",
+    "q156_graph_semdedup" ->
+      "the component-labeling LEFT JOIN back onto the corpus on vec_id (the q117 verdict shape — the labeling is corpus-grain worst-case, and since round 15 it is served as a checkpointed relation whose static size is unknown, so AQE-off planning cannot broadcast it); both sides corpus-grain keyed, AQE demotes at runtime",
     "q117_semdedup" ->
       "within-cell pair join keyed on cell (both sides corpus-grain — the SemDeDup contract bounds per-cell mass via nCells ∝ N) and the dropped-id LEFT JOIN back on vec_id (drop set is corpus-grain worst-case); AQE demotes when small",
     "q147_curation_audit" ->
