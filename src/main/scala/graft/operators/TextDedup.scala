@@ -936,7 +936,7 @@ object TextDedup {
     // AQE off (one pipelined job per round instead of a job per query
     // stage) and partitions proportional to the measured edge count.
     // The caller's session conf is NEVER mutated.
-    val small = sig._1 <= smallGraphEdges
+    val small = sig._1 <= smallGraphEdges && sig._1 >= smallGraphMinEdges
     val sess =
       if (small) {
         val t = spark.newSession()
@@ -1016,6 +1016,17 @@ object TextDedup {
     * genuinely cross). 4M edges ≈ 64 MB of (long, long) state: a
     * single executor's comfortable working set. */
   private val smallGraphEdges = 4000000L
+
+  /** Lower bound for the private loop session. TINY graphs (a few
+    * thousand pairs — the q156 kNN-similarity shape) coalesce to
+    * nothing under AQE and close in sub-second rounds already; for
+    * them the private session's fixed costs (SessionState build,
+    * extension re-registration, the Row-encoding wraps at the session
+    * boundary) exceed the job-launch latency they avoid — measured:
+    * q156 0.98 s → 3.5 s when routed through the private session.
+    * The band therefore starts where per-round latency begins to
+    * dominate rounds (tens of thousands of edges). */
+  private val smallGraphMinEdges = 32768L
 
   /** INCREMENTAL component maintenance — the cluster family's UPSERT
     * verb (the lifecycle the other index families already have): fold
