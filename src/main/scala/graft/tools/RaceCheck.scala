@@ -22,10 +22,14 @@ import org.apache.spark.sql.SparkSession
   *      serving contract holds);
   *   3. each child either won, or lost-and-registered, or registered
   *      straight from the winner's marker;
-  *   4. a THIRD session (the parent's own) registers from the
+  *   4. a FINAL session (the parent's own) registers from the
   *      surviving marker and reads the same count + checksum.
   * Exit code 0 iff all hold. Run:
-  * `sbt "runMain graft.tools.RaceCheck"`. */
+  * `sbt "runMain graft.tools.RaceCheck"` — or
+  * `"runMain graft.tools.RaceCheck 3 invalid"` for the round-15
+  * claim-path shape: THREE processes racing a planted marker-less
+  * generation (exactly one may claim-and-delete it; a direct delete
+  * could destroy a generation a winner publishes in the window). */
 object RaceCheck {
 
   private case class Receipt(count: Long, chk: Long, builds: Int,
@@ -41,7 +45,16 @@ object RaceCheck {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    // sweep prior race generations (and crashed temps) so both
+    // args: [nChildren] [invalid]. `invalid` plants a marker-less
+    // garbage generation at the fixture's path before releasing the
+    // children — every child then observes "exists AND invalid" and
+    // races the rename-aside CLAIM (ADVICE r14: with 3+ processes a
+    // direct delete could destroy a just-published generation; the
+    // claim makes exactly one process the deleter).
+    val n = args.headOption.flatMap(a => scala.util.Try(a.toInt).toOption)
+      .getOrElse(2)
+    val plantInvalid = args.contains("invalid")
+    // sweep prior race generations (and crashed temps) so all
     // children see a missing fixture
     val wh = new java.io.File(sys.props("user.dir"), "spark-warehouse")
     def rmr(f: java.io.File): Unit = {
@@ -49,6 +62,15 @@ object RaceCheck {
     }
     Option(wh.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.startsWith("graft_race_")).foreach(rmr)
+    if (plantInvalid) {
+      val key = graft.model.AtRest.fixtureKey(sfDir)
+      val d = new java.io.File(wh, s"graft_race_$key")
+      d.mkdirs()
+      java.nio.file.Files.write(
+        new java.io.File(d, "garbage.parquet").toPath,
+        "not a generation".getBytes("UTF-8"))
+      println(s"[race] planted invalid (marker-less) generation: ${d.getName}")
+    }
 
     val go = java.io.File.createTempFile("graft_race_go", ".flag")
     go.delete()
@@ -63,7 +85,7 @@ object RaceCheck {
     case class Child(p: Process, out: java.io.BufferedReader,
         id: Int, receipt: java.util.concurrent.atomic.AtomicReference[String],
         ready: java.util.concurrent.CountDownLatch)
-    val children = (1 to 2).map { i =>
+    val children = (1 to n).map { i =>
       val cmd = (Seq(javaBin) ++ jvmArgs ++
         Seq("-cp", sys.props("java.class.path"), "graft.tools.RaceChild")).asJava
       val pb = new ProcessBuilder(cmd)
@@ -96,7 +118,7 @@ object RaceCheck {
       Child(p, out, i, receipt, ready)
     }
 
-    // barrier: release both children only when both sessions are warm
+    // barrier: release the children only when every session is warm
     val bothReady = children.forall(
       _.ready.await(4, java.util.concurrent.TimeUnit.MINUTES))
     if (!bothReady) {
@@ -117,11 +139,13 @@ object RaceCheck {
       println("[race] FAIL: a child produced no receipt")
       sys.exit(1)
     }
-    val Seq(a, b) = receipts.flatten
-    val totalWins = a.wins + b.wins
-    val identical = a.count == b.count && a.chk == b.chk && a.count > 0
-    val eachServed = Seq(a, b).forall(r =>
-      r.wins == 1 || (r.losses == 1 && r.regs >= 1) ||
+    val rs = receipts.flatten
+    val a = rs.head
+    val totalWins = rs.map(_.wins).sum
+    val identical = rs.forall(r => r.count == a.count && r.chk == a.chk) &&
+      a.count > 0
+    val eachServed = rs.forall(r =>
+      r.wins == 1 || (r.losses >= 1 && r.regs >= 1) ||
         (r.builds == 0 && r.regs >= 1))
 
     // third-session proof: the parent registers from the surviving
@@ -148,8 +172,11 @@ object RaceCheck {
     verdict.foreach { case (k, ok) =>
       println(s"[race] $k: ${if (ok) "OK" else "FAIL"}") }
     if (verdict.forall(_._2)) {
-      println(s"[race] PASS: wins=${a.wins}+${b.wins} losses=${a.losses}+${b.losses} " +
-        s"builds=${a.builds}+${b.builds} regs=${a.regs}+${b.regs} " +
+      println(s"[race] PASS (n=$n${if (plantInvalid) ", planted-invalid" else ""}): " +
+        s"wins=${rs.map(_.wins).mkString("+")} " +
+        s"losses=${rs.map(_.losses).mkString("+")} " +
+        s"builds=${rs.map(_.builds).mkString("+")} " +
+        s"regs=${rs.map(_.regs).mkString("+")} " +
         s"rows=${a.count} chk=${a.chk}")
     } else { println("[race] FAIL"); sys.exit(1) }
   }
