@@ -825,7 +825,12 @@ object TextDedup {
     * kernel idiom) so plans don't grow with rounds, and each round's
     * SUPERSEDED edge state explicitly unpersisted (ADVICE r14: blocks
     * otherwise linger until a driver GC lets the ContextCleaner see
-    * them). Round cost is ONE Spark action (round 15): the checkpoint
+    * them). Each materialized round applies TWO large/small-star
+    * alternations (round 16: the per-round floor is one job's launch
+    * latency, so fewer materialized rounds at the same total
+    * contraction work halves the floor; a converged double step is
+    * provably the single-step fixpoint — see the loop comment). Round
+    * cost is ONE Spark action (round 15): the checkpoint
     * is lazy and the action that materializes it also returns an
     * order-insensitive set signature (count + xxhash64 xor); only when
     * two consecutive signatures MATCH does an exact symmetric-
@@ -834,20 +839,24 @@ object TextDedup {
     * fixpoint (plus on the ~never hash-collision, where it correctly
     * keeps looping).
     *
-    * SMALL-GRAPH regime (round 15): once the init signature reveals
-    * |E|, graphs at or under [[smallGraphEdges]] run the loop on a
-    * private `newSession()` with AQE off and partitions sized to the
-    * edge count. Measured on the 300k-node chain probe: under AQE
-    * every query stage materializes as its OWN job (~9 jobs/round,
-    * ~1.2 s/round of pure job-launch latency); with a fixed small
-    * partitioning the whole round pipelines as ONE job (~0.7 s/round).
-    * Larger graphs keep the caller's AQE regime — coalescing and
-    * skew-join handling matter exactly there, and the same probe run
-    * AQE-off at the caller's 32 partitions was 2× SLOWER, so the
-    * switch is size-gated, not global. The private session shares the
-    * SparkContext (RDDs cross sessions), so state moves via the
-    * public createDataFrame(rdd, schema) wrap; the caller's session
-    * conf is never touched (concurrent Verify threads share it).
+    * BOUNDED-GRAPH regime (round 16, replacing round 15's private
+    * AQE-off session): once the init signature reveals |E|, a graph
+    * at or under [[localUnionFindMax]] distinct edges (≤ ~64 MB of
+    * (long, long) state — the same bounded-state judgment as a
+    * broadcast join's build side) is closed EXACTLY by a single-
+    * reducer union-find: `coalesce(1).mapPartitions` over the edge
+    * set plus the node universe, O((|E|+|V|) α) in one task, path
+    * compression + union-by-min so the root is the component MINIMUM
+    * — bit-identical labels to star contraction. The iterative
+    * distributed rounds are stage-latency-bound in this regime
+    * (measured: ~0.1 s × ~10 stages × ~7 alternations for a 147k-edge
+    * graph that union-find closes in ~0.1 s), and no contraction
+    * round can beat one linear pass over state that fits a task.
+    * Graphs ABOVE the bound — the 100 TB regime, where the pair graph
+    * outgrows any single task — run the contraction loop under the
+    * caller's AQE session exactly as before; ScaleProbe's chaincc /
+    * ccupsert receipts force this path (localUnionFindMax = 0) so the
+    * distributed kernel's scaling stays independently receipted.
     * `maxIters` is a backstop and hitting it throws rather than
     * returning silently-unconverged labels. Returns (id, component). */
   def duplicateComponents(pairs: DataFrame, maxIters: Int = 50,
@@ -930,33 +939,81 @@ object TextDedup {
         .unionByName(mins.select(col("src"), col("m").as("dst")))
         .distinct()
     }
+    // dev-only per-phase timing (SPARK_GRAFT_CC_DIAG=1): names where a
+    // closure's wall goes — init materialization, each contraction
+    // action, confirm, final labeling — so floor work is attributable
+    // without re-deriving it from job logs each round
+    val ccDiag = sys.env.get("SPARK_GRAFT_CC_DIAG").contains("1")
+    def diag(msg: => String): Unit = if (ccDiag) println(s"[ccdiag] $msg")
+    val tInit = System.nanoTime()
     var sig = signature(init) // materializes init, yields its signature
-    val spark = pairs.sparkSession
-    // small-graph regime: a private session whose conf the loop owns —
-    // AQE off (one pipelined job per round instead of a job per query
-    // stage) and partitions proportional to the measured edge count.
-    // The caller's session conf is NEVER mutated.
-    val small = sig._1 <= smallGraphEdges && sig._1 >= smallGraphMinEdges
-    val sess =
-      if (small) {
-        val t = spark.newSession()
-        t.conf.set("spark.sql.adaptive.enabled", "false")
-        // ~100k edge rows per partition, floor 2: the chain probe at
-        // 300k edges measured 4 partitions ≈ 0.78 s/round vs 1 ≈ 1.4
-        // (single-task sorts serialize the round); capped at the
-        // caller's configured parallelism
-        t.conf.set("spark.sql.shuffle.partitions",
-          math.max(2L, math.min(sig._1 / 100000L + 1,
-            spark.sessionState.conf.numShufflePartitions.toLong)).toString)
-        t
-      } else spark
-    var edges =
-      if (small) sess.createDataFrame(init.rdd, init.schema) else init
+    diag(f"init: ${(System.nanoTime() - tInit) / 1e9}%.2fs edges=${sig._1}")
+    // BOUNDED-GRAPH regime (round 16): the distinct edge set fits one
+    // task (≤ ~64 MB of long pairs) and the ids are integral — close
+    // it exactly with a single-reducer union-find instead of paying
+    // stage-latency-bound contraction rounds. The input is the
+    // canonical edge SET plus the node universe as self-pairs (so
+    // singletons and self-pair membership claims surface identically
+    // to the contraction path), and union is BY MIN with path
+    // compression, so every label is the component minimum —
+    // bit-identical output to the loop below (PropertySpec gates both
+    // regimes against the same oracle).
+    val idType = init.schema("src").dataType
+    val integralIds = idType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    if (integralIds && sig._1 <= localUnionFindMax) {
+      val tUf = System.nanoTime()
+      val lt = org.apache.spark.sql.types.LongType
+      val ufIn = init
+        .unionByName(allNodes.select(col("id").as("src"), col("id").as("dst")))
+        .select(col("src").cast(lt).as("_1"), col("dst").cast(lt).as("_2"))
+      val tupEnc = org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.LONG, org.apache.spark.sql.Encoders.LONG)
+      val out = ufIn.as(tupEnc)
+        .coalesce(1)
+        .mapPartitions(unionFindLabels _)(tupEnc)
+        .toDF("id", "component")
+        .select(col("id").cast(idType).as("id"),
+          col("component").cast(idType).as("component"))
+        .localCheckpoint(true)
+      diag(f"union-find: ${(System.nanoTime() - tUf) / 1e9}%.2fs")
+      releaseState(init)
+      releaseState(allNodes)
+      releaseState(pairsC)
+      return out
+    }
+    var edges = init
     var iter = 0
     var done = false
     while (!done && iter < maxIters) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(false)
+      // TWO contraction alternations per ACTION (round 16): the
+      // per-round floor is the launch latency of its one job, so
+      // halving the number of signature actions halves the floor.
+      // The half-step goes through its own LAZY checkpoint — NOT
+      // composed inline: star ops reference their input ~4×, and
+      // composing T² as one Catalyst plan re-plans (and re-executes)
+      // the inner alternation per reference (measured this round:
+      // q175 task CPU-seconds grew 11× that way). A lazy checkpoint
+      // is a LogicalRDD boundary, so every outer reference scans the
+      // SAME persisted RDD and the signature action below
+      // materializes BOTH checkpoints in one job. Double-step
+      // equality still witnesses the TRUE fixpoint: the alternation
+      // is deterministic and Kiveris et al.'s potential argument
+      // rules out cycles, so T²(e) = e with T(e) ≠ e would be a
+      // non-converging period-2 orbit — impossible; and the exact
+      // symmetric-difference check below re-confirms set equality
+      // before the loop exits.
+      val tRound = System.nanoTime()
+      val half = smallStar(largeStar(edges)).localCheckpoint(false)
+      val next = smallStar(largeStar(half)).localCheckpoint(false)
       val nextSig = signature(next) // the round's ONE action
+      diag(f"round $iter: ${(System.nanoTime() - tRound) / 1e9}%.2fs " +
+        f"edges=${nextSig._1}")
       // signature match is necessary for set equality; CONFIRM it with
       // an exact symmetric difference (both sides are DISTINCT sets,
       // so in the bag union a row appears once iff it is in exactly
@@ -964,14 +1021,15 @@ object TextDedup {
       // cannot forge convergence: the exact check fails and the loop
       // continues; it only prices one extra action at the true
       // fixpoint.
-      if (nextSig == sig)
+      if (nextSig == sig) {
+        val tConf = System.nanoTime()
         done = next.unionByName(edges)
           .groupBy("src", "dst").count()
           .filter(col("count") === 1).isEmpty
+        diag(f"confirm: ${(System.nanoTime() - tConf) / 1e9}%.2fs done=$done")
+      }
+      releaseState(half) // intermediate state: dead once next exists
       releaseState(edges) // next is materialized; the old state is dead
-      // round 1's `edges` on the small path is a plan wrapper, not the
-      // checkpoint itself — release the backing init blocks too
-      if (iter == 0 && small) releaseState(init)
       edges = next
       sig = nextSig
       iter += 1
@@ -980,14 +1038,9 @@ object TextDedup {
     // converged state is the star set {(v, root) : v ∈ C \ {root}} per
     // component C — roots appear only on the dst side; nodes with no
     // surviving edge (self-pairs only) label themselves
-    val labeledS = edges.select(col("src").as("id"), col("dst").as("component"))
+    val labeled = edges.select(col("src").as("id"), col("dst").as("component"))
       .unionByName(edges.select(col("dst").as("id"), col("dst").as("component")))
       .distinct()
-    // hand the labeling back on the CALLER's session (consumers compose
-    // it with caller-side plans; the private session stays internal)
-    val labeled =
-      if (small) spark.createDataFrame(labeledS.rdd, labeledS.schema)
-      else labeledS
     // EAGER checkpoint of the result (round 15): the labeling plan
     // references `labeled` twice and consumers reference the RESULT
     // repeatedly (componentsUpsert feeds it back through allNodes+init;
@@ -997,36 +1050,72 @@ object TextDedup {
     // One materialization here makes every later reference a block
     // read, and lets the closure's internal state (final edge set,
     // node universe) release NOW instead of leaking until a driver GC.
+    val tLab = System.nanoTime()
     val out = labeled.unionByName(
       allNodes.join(labeled, Seq("id"), "left_anti")
         .select(col("id"), col("id").as("component")))
       .localCheckpoint(true)
+    diag(f"labeling: ${(System.nanoTime() - tLab) / 1e9}%.2fs rounds=$iter")
     releaseState(edges)
     releaseState(allNodes)
     releaseState(pairsC)
     out
   }
 
-  /** Edge-count ceiling for [[duplicateComponents]]' private
-    * fixed-partitioning loop session. Below it, per-round cost is
-    * job-launch latency, which AQE's job-per-stage materialization
-    * multiplies ~9×; above it, AQE's runtime coalescing and skew-join
-    * handling are worth their latency (the 300k-chain probe run
-    * AQE-off at 32 partitions was 2× slower than AQE — the regimes
-    * genuinely cross). 4M edges ≈ 64 MB of (long, long) state: a
-    * single executor's comfortable working set. */
-  private val smallGraphEdges = 4000000L
+  /** Distinct-edge ceiling for [[duplicateComponents]]' single-
+    * reducer union-find path: 4M (long, long) edges ≈ 64 MB — the
+    * same order as a broadcast-join build side, a comfortable single-
+    * task working set (the union-find maps peak at a few hundred MB
+    * for the implied ≤8M nodes). Above it the pair graph has
+    * outgrown any one task and the distributed contraction loop runs
+    * — that is the only path the 100 TB regime ever takes, which is
+    * why ScaleProbe's chaincc/ccupsert receipts pin this to 0 and
+    * exercise the loop directly. `var` (not a conf) so probes and
+    * PropertySpec can force either regime deterministically; never
+    * written on a production path. */
+  private[graft] var localUnionFindMax: Long = 4000000L
 
-  /** Lower bound for the private loop session. TINY graphs (a few
-    * thousand pairs — the q156 kNN-similarity shape) coalesce to
-    * nothing under AQE and close in sub-second rounds already; for
-    * them the private session's fixed costs (SessionState build,
-    * extension re-registration, the Row-encoding wraps at the session
-    * boundary) exceed the job-launch latency they avoid — measured:
-    * q156 0.98 s → 3.5 s when routed through the private session.
-    * The band therefore starts where per-round latency begins to
-    * dominate rounds (tens of thousands of edges). */
-  private val smallGraphMinEdges = 32768L
+  /** The bounded-graph exact closure: union-find with path
+    * compression and union-BY-MIN (so a component's root is its
+    * minimum id — the contraction loop's exact output contract) over
+    * one task's iterator of (src, dst) edges; self-pairs register
+    * membership, and a null id (the degenerate (null, x) pair shape,
+    * which the contraction path surfaces as a (null, null) label via
+    * the node universe) passes through as the single (null, null)
+    * row. Emits (id, root) for every id seen. */
+  private def unionFindLabels(
+      it: Iterator[(java.lang.Long, java.lang.Long)])
+      : Iterator[(java.lang.Long, java.lang.Long)] = {
+    val parent = new scala.collection.mutable.LongMap[Long](1 << 16)
+    var sawNull = false
+    def find(x: Long): Long = {
+      var r = x
+      var p = parent.getOrElse(r, r)
+      while (p != r) { r = p; p = parent.getOrElse(r, r) }
+      var c = x
+      while (c != r) { val n = parent.getOrElse(c, c); parent.update(c, r)
+        c = if (n == c) r else n }
+      r
+    }
+    def add(x: Long): Unit = if (!parent.contains(x)) parent.update(x, x)
+    it.foreach { case (a, b) =>
+      if (a == null || b == null) sawNull = true
+      else {
+        val av = a.longValue; val bv = b.longValue
+        add(av); add(bv)
+        val ra = find(av); val rb = find(bv)
+        if (ra != rb) {
+          if (ra < rb) parent.update(rb, ra) else parent.update(ra, rb)
+        }
+      }
+    }
+    val ks = parent.keys.toArray
+    val base = ks.iterator.map(k =>
+      (java.lang.Long.valueOf(k), java.lang.Long.valueOf(find(k))))
+    if (sawNull)
+      base ++ Iterator((null: java.lang.Long, null: java.lang.Long))
+    else base
+  }
 
   /** INCREMENTAL component maintenance — the cluster family's UPSERT
     * verb (the lifecycle the other index families already have): fold

@@ -72,7 +72,22 @@ class PropertySpec extends SparkSpec {
     assert(quarter > 0 && quarter < all, "rate 1/4 must thin, not empty")
   }
 
+  /** Run a closure-correctness body under BOTH kernel regimes (round
+    * 16): the bounded-graph single-reducer union-find (forced via a
+    * Long.MaxValue ceiling) and the distributed star-contraction loop
+    * (ceiling 0) — the regime gate must be invisible to the result. */
+  def bothCcRegimes(body: => Unit): Unit = {
+    val saved = TextDedup.localUnionFindMax
+    try {
+      TextDedup.localUnionFindMax = Long.MaxValue
+      body
+      TextDedup.localUnionFindMax = 0L
+      body
+    } finally TextDedup.localUnionFindMax = saved
+  }
+
   test("duplicateComponents: transitive chains collapse to the min-id representative") {
+    bothCcRegimes {
     // chain 1-2, 2-3, 3-4 (no direct 1-4 pair) + separate cluster 10-11
     val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L)).toDF("id_a", "id_b")
     val comps = TextDedup.duplicateComponents(pairs)
@@ -98,6 +113,7 @@ class PropertySpec extends SparkSpec {
     val cluster = TextDedup.dedupByComponents(triDocs, tri)
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(pairwise == Seq(1L, 2L) && cluster == Seq(1L))
+    }
   }
 
   test("duplicateComponents: star contraction equals union-find on random graphs") {
@@ -125,12 +141,15 @@ class PropertySpec extends SparkSpec {
         a <- Gen.choose(0L, n.toLong); b <- Gen.choose(0L, n.toLong)
       } yield (a, b))
     } yield es, n = 8)
-    graphs.filter(_.nonEmpty).foreach { es =>
-      val expected = unionFind(es)
-      val got = TextDedup.duplicateComponents(es.toDF("id_a", "id_b"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got == expected, s"star contraction diverged from union-find " +
-        s"on edges $es: got $got expected $expected")
+    bothCcRegimes {
+      graphs.filter(_.nonEmpty).foreach { es =>
+        val expected = unionFind(es)
+        val got = TextDedup.duplicateComponents(es.toDF("id_a", "id_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expected, s"closure diverged from union-find oracle " +
+          s"(regime ceiling ${TextDedup.localUnionFindMax}) " +
+          s"on edges $es: got $got expected $expected")
+      }
     }
   }
 
@@ -142,18 +161,20 @@ class PropertySpec extends SparkSpec {
         a <- Gen.choose(0L, n.toLong); b <- Gen.choose(0L, n.toLong)
       } yield (a, b))
     } yield es.filter(e => e._1 != e._2), n = 6)
-    graphs.filter(_.size >= 2).foreach { es =>
-      // split so chains CROSS the boundary (parity of the smaller id)
-      val (h1, h2) = es.partition(e => e._1.min(e._2) % 2 == 0)
-      if (h1.nonEmpty && h2.nonEmpty) {
-        val full = TextDedup.duplicateComponents(es.toDF("id_a", "id_b"))
-          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-        val base = TextDedup.duplicateComponents(h1.toDF("id_a", "id_b"))
-        val upserted = TextDedup.componentsUpsert(base, h2.toDF("id_a", "id_b"))
-          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-        assert(upserted == full,
-          s"upsert diverged from full closure on $es split ($h1 | $h2): " +
-            s"got $upserted expected $full")
+    bothCcRegimes {
+      graphs.filter(_.size >= 2).foreach { es =>
+        // split so chains CROSS the boundary (parity of the smaller id)
+        val (h1, h2) = es.partition(e => e._1.min(e._2) % 2 == 0)
+        if (h1.nonEmpty && h2.nonEmpty) {
+          val full = TextDedup.duplicateComponents(es.toDF("id_a", "id_b"))
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          val base = TextDedup.duplicateComponents(h1.toDF("id_a", "id_b"))
+          val upserted = TextDedup.componentsUpsert(base, h2.toDF("id_a", "id_b"))
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          assert(upserted == full,
+            s"upsert diverged from full closure on $es split ($h1 | $h2): " +
+              s"got $upserted expected $full")
+        }
       }
     }
   }
@@ -163,11 +184,13 @@ class PropertySpec extends SparkSpec {
     // maxIters=50 on any chain longer than 50 — the real shape of
     // versioned/template documents where only adjacent revisions
     // collide; star contraction must collapse it within the backstop
-    val chain = (1L until 300L).map(i => (i + 1, i)).toDF("id_a", "id_b")
-    val comps = TextDedup.duplicateComponents(chain).collect()
-      .map(r => r.getLong(0) -> r.getLong(1))
-    assert(comps.length == 300 && comps.forall(_._2 == 1L),
-      "every chain member must label to the minimum id")
+    bothCcRegimes {
+      val chain = (1L until 300L).map(i => (i + 1, i)).toDF("id_a", "id_b")
+      val comps = TextDedup.duplicateComponents(chain).collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+      assert(comps.length == 300 && comps.forall(_._2 == 1L),
+        "every chain member must label to the minimum id")
+    }
   }
 
   test("packingManifest: spans tile [0, total) contiguously in corpus order") {

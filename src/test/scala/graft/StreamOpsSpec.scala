@@ -1428,6 +1428,56 @@ class StreamOpsSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streamingComponentsUpsert restarts from the STORED at-rest labeling (q176's warehouse table)") {
+    // the last cluster-family asymmetry (VERDICT r15 #4): the other
+    // at-rest families' streaming twins serve from stored state; the
+    // durable restart source for the components stream is q176's
+    // graft_cclab_* warehouse table — write labeling → "kill" →
+    // restart with initial = s.table(...) → fold the remaining pair
+    // batches → must equal the one-shot closure over every pair
+    // (q175's result, which the recursive-CTE oracle gates)
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    // materialize + register the stored batch-1 labeling (q176's path)
+    SparkEntry.queries("q176_components_at_rest")(spark, dir).collect()
+    val tbl = spark.catalog.listTables().collect()
+      .map(_.name).find(_.startsWith("graft_cclab_"))
+    assert(tbl.isDefined, "q176 must leave a registered graft_cclab_* table")
+    val stored = spark.table(tbl.get)
+      .select(col("id"), col("component"))
+    // the post-restart stream: batch-2 pairs (odd id_b — the chains
+    // CROSS the stored labeling's batch boundary), split across TWO
+    // micro-batches so prefix folding is exercised too
+    val o = spark.read.parquet(s"$dir/orders.parquet").select(col("o_orderkey"))
+    val batch2 = o.as("a").join(o.as("b"),
+        col("b.o_orderkey") === col("a.o_orderkey") + 1)
+      .filter(col("b.o_orderkey") % 50 =!= 0)
+      .select(col("b.o_orderkey").as("id_a"), col("a.o_orderkey").as("id_b"))
+      .filter(col("id_b") % 2 =!= 0)
+      .as[(Long, Long)].collect()
+    val input = MemoryStream[(Long, Long)]
+    @volatile var latest: Map[Long, Long] = Map.empty
+    val q = StreamOps.streamingComponentsUpsert(
+      input.toDS().toDF("id_a", "id_b"), initial = Some(stored)) { labels =>
+      latest = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    try {
+      val (b2a, b2b) = batch2.splitAt(batch2.length / 2)
+      input.addData(b2a.toSeq: _*); q.processAllAvailable()
+      input.addData(b2b.toSeq: _*); q.processAllAvailable()
+      val oneShot = SparkEntry.queries("q175_components_upsert")(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(latest == oneShot,
+        s"restart-from-stored-labeling diverged from the one-shot closure: " +
+          s"${latest.toSeq.diff(oneShot.toSeq).take(5)} vs " +
+          s"${oneShot.toSeq.diff(latest.toSeq).take(5)}")
+    } finally {
+      q.stop()
+      SparkEntry.clearQueryCaches()
+    }
+  }
+
   test("windowedCounts groups into tumbling windows (batch mode)") {
     import spark.implicits._
     val t0 = 1700000000000L // 2023-11-14 22:13:20 UTC
