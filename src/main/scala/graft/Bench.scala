@@ -213,11 +213,11 @@ private[graft] object BenchKit {
     // round state once the next state is materialized; Spark logs an
     // unconditional "cannot be recomputed after unpersisting" WARN per
     // release (one per contraction round) — correct-by-construction
-    // here, so the harness silences that one logger rather than spam
-    // the captured output
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rdd.MapPartitionsRDD",
-      org.apache.logging.log4j.Level.ERROR)
+    // here. ADVICE r15: deny ONLY that message (the old whole-logger
+    // ERROR demotion also masked "block not found" warnings — the
+    // first symptom if releaseState ever freed a still-needed
+    // lineage-truncated block).
+    graft.model.LogHygiene.suppressIntentionalUnpersistWarn()
     spark
   }
 
@@ -647,29 +647,63 @@ private[graft] object BenchPrior {
           def priorCold(q: String): Option[Double] =
             parsed.get(q).flatMap(v => num(v \ "cold"))
               .orElse(queriesMap.get(q).flatMap(num))
-          // the prior round's HEADLINE cold sample (best wall) with its
-          // task_sec and cpu_frac at the same index — samples holds
-          // cold walls only, task_sec/cpu_frac hold colds first, so
-          // index i is the same sample across all three arrays. Ratios
-          // compare headline-to-headline; a min over mixed samples
-          // could pair a contended wall with a quiet task count and
-          // fabricate a verdict.
-          def priorHead(q: String): Option[(Double, Double)] =
+          // the prior round's HEADLINE cold sample with its task_sec,
+          // cpu_frac and shuf_mb at the same index — located via the
+          // prior's error-free "cold" field (ADVICE r15: `samples`
+          // records ALL cold walls INCLUDING errored reps, so
+          // indexOf(min) could land on a fast-failing rep with ~0
+          // task counters and fabricate huge ratios; "cold" is
+          // min-over-SUCCESSFUL, and its wall is present in samples).
+          // Ratios compare headline-to-headline; a min over mixed
+          // samples could pair a contended wall with a quiet task
+          // count and fabricate a verdict.
+          def priorHead(q: String): Option[(Double, Double, Double)] =
             parsed.get(q).flatMap { v =>
               val walls = v \ "samples" match {
                 case JArray(a) => a.flatMap(num); case _ => List.empty[Double] }
-              if (walls.isEmpty) None else {
-                val i = walls.indexOf(walls.min)
+              num(v \ "cold").map(walls.indexOf(_)).filter(_ >= 0).flatMap { i =>
                 def at(k: String): Option[Double] = v \ k match {
                   case JArray(a) if a.length > i => num(a(i)); case _ => None }
-                for { ts <- at("task_sec"); cf <- at("cpu_frac") } yield (ts, cf)
+                for { ts <- at("task_sec"); cf <- at("cpu_frac") }
+                  yield (ts, cf, at("shuf_mb").getOrElse(-1.0))
               }
             }
-          // committed soak noise floor (docs/BENCH_SOAK_r14.txt, five
-          // same-code runs): per-query cold spread p90 = 1.62x. A
-          // regression inside the floor at flat CPU-seconds is the
-          // sandbox, not the code.
-          val noiseFloor = 1.62
+          // the committed same-code soak: per-query cold walls across
+          // its N runs (read from the run artifacts bench_soak.json
+          // lists) plus the soak's own spread p90 as the noise floor
+          // (ADVICE r15: the floor was hardcoded to r14's 1.62 while
+          // the artifact embedded a 2.80 soak beside it). Provenance
+          // (median_file) is emitted so a stale soak is detectable.
+          val soakJ: Option[JValue] =
+            try {
+              val p = java.nio.file.Paths.get("bench_soak.json")
+              if (java.nio.file.Files.isRegularFile(p))
+                Some(org.json4s.jackson.JsonMethods.parse(new String(
+                  java.nio.file.Files.readAllBytes(p), "UTF-8")))
+              else None
+            } catch { case _: Throwable => None }
+          val soakP90 = soakJ.flatMap(j => num(j \ "query_spread_p90"))
+          val soakProv = soakJ.flatMap(j => j \ "median_file" match {
+            case JString(s) => Some(s); case _ => None })
+          val soakQ: Map[String, Seq[Double]] = soakJ.map { j =>
+            val files = j \ "files" match {
+              case JArray(a) => a.collect { case JString(s) => s }; case _ => Nil }
+            val perRun = files.flatMap { f =>
+              try {
+                val jj = org.json4s.jackson.JsonMethods.parse(new String(
+                  java.nio.file.Files.readAllBytes(
+                    java.nio.file.Paths.get(f)), "UTF-8"))
+                jj \ "queries" match {
+                  case JObject(fs) =>
+                    Some(fs.flatMap { case (k, v) => num(v).map(k -> _) }.toMap)
+                  case _ => None
+                }
+              } catch { case _: Throwable => None }
+            }
+            perRun.flatMap(_.keys).distinct
+              .map(q => q -> perRun.flatMap(_.get(q))).toMap
+          }.getOrElse(Map.empty)
+          val noiseFloor = soakP90.getOrElse(1.62)
           var nReg = 0; var nImp = 0; var nAmbient = 0; var nCompared = 0
           val regCpuRs = scala.collection.mutable.ListBuffer.empty[Double]
           val regGaps = scala.collection.mutable.ListBuffer.empty[Double]
@@ -685,13 +719,32 @@ private[graft] object BenchPrior {
                 if (okColds.isEmpty) None else {
                   val bc = okColds.minBy(_.wall)
                   val head = priorHead(q)
-                  val taskR = head.map { case (ts, _) => bc.t.taskSec / ts.max(1e-9) }
+                  val taskR = head.map { case (ts, _, _) => bc.t.taskSec / ts.max(1e-9) }
                   // task CPU-SECONDS ratio (VERDICT r14 #1): task wall
                   // inflating while CPU-seconds stay flat is the
                   // contention signature — the tasks WAITED; real work
                   // growth moves both
-                  val cpuR = head.map { case (ts, cf) =>
+                  val cpuR = head.map { case (ts, cf, _) =>
                     (bc.t.taskSec * bc.t.cpuFrac) / math.max(1e-9, ts * cf) }
+                  // shuffle-volume ratio: BYTES MOVED are contention-
+                  // invariant, so they discriminate where CPU counters
+                  // cannot (a contended SMT core accrues task
+                  // CPU-seconds at full rate — VERDICT r15 #1): a plan
+                  // or operator change that does more work moves more
+                  // bytes; a host burst moves the same bytes slower
+                  val shufR = head.collect { case (_, _, sm) if sm >= 0 =>
+                    bc.t.shufMb / sm.max(1e-9) }
+                  val shufGrew = shufR.exists(_ > 1.3) && bc.t.shufMb > 8
+                  // the same-code soak's verdict on this query: if the
+                  // prior AND every soak run agree (within 1.3x) and
+                  // only the committed cold sits above the soak band ×
+                  // the noise floor, the committed sample is the
+                  // outlier — a host burst, not the code (the code is
+                  // IDENTICAL in all soak runs)
+                  val soakVals = soakQ.getOrElse(q, Nil)
+                  val soakQuiet = soakVals.nonEmpty &&
+                    soakVals.forall(v => v <= 1.3 * pc && v >= pc / 1.3) &&
+                    c > noiseFloor * soakVals.max
                   val anySteal = okColds.flatMap(_.steal).exists(_ > 0.05)
                   val regressed = c > pc
                   val why =
@@ -704,12 +757,26 @@ private[graft] object BenchPrior {
                     }
                     else if (anySteal)
                       "ambient-steal: a cold sample recorded >5% host steal this run"
+                    // consult the soak BEFORE any CPU-counter-based
+                    // attribution (VERDICT r15 #1): all same-code soak
+                    // runs quiet + committed cold alone elevated + no
+                    // shuffle-volume growth ⇒ contention-suspect, never
+                    // "real work growth" — contended-SMT CPU counters
+                    // inflate WITH wall, so cpusec_ratio alone cannot
+                    // clear the host. Shuffle growth overrides: more
+                    // bytes moved is physical evidence of a plan change
+                    // no soak row can explain away.
+                    else if (soakQuiet && !shufGrew)
+                      f"contention-suspect: all ${soakVals.length} same-code soak runs put this query at ${soakVals.min}%.2f-${soakVals.max}%.2f s (prior ${pc}%.2f); only the committed cold moved, at flat shuffle volume${shufR.map(r => f" ($r%.2fx bytes)").getOrElse("")} -- host burst, not work growth" +
+                        cpuR.map(cr => f" [cpusec_ratio $cr%.2f disregarded: contended-SMT CPU counters inflate with wall]").getOrElse("")
                     else (taskR, cpuR) match {
                       case (Some(t), Some(cr)) if t > 1.3 && cr <= 1.15 =>
                         f"contention-not-work: task wall $t%.1fx prior but task CPU-seconds ~flat ($cr%.2fx) -- whole-host contention the steal counter cannot see" +
                           (if (c <= noiseFloor * pc) f" [within the committed soak noise floor, p90 $noiseFloor%.2fx]" else "")
                       case (Some(t), Some(cr)) if t > 1.3 && cr > 1.3 =>
-                        f"task-inflation-work: task CPU-seconds grew $cr%.2fx with task wall $t%.1fx -- real work growth (plan or operator change)"
+                        f"task-inflation-work: task CPU-seconds grew $cr%.2fx with task wall $t%.1fx" +
+                          shufR.map(r => f" at $r%.2fx shuffle bytes").getOrElse("") +
+                          " -- real work growth (plan or operator change)"
                       case (Some(t), Some(cr)) if t > 1.3 =>
                         f"task-inflation-mixed: task wall $t%.1fx at CPU-seconds $cr%.2fx -- part work, part wait"
                       case (Some(t), _) if t <= 1.15 =>
@@ -722,7 +789,8 @@ private[graft] object BenchPrior {
                   if (regressed) for (t <- taskR; cr <- cpuR)
                     regGaps += t / cr.max(1e-9)
                   if (regressed && (anySteal || why.startsWith("wall-not-task") ||
-                      why.startsWith("contention-not-work")))
+                      why.startsWith("contention-not-work") ||
+                      why.startsWith("contention-suspect")))
                     nAmbient += 1
                   Some("\"" + q + "\":" +
                     f"""{"dir":"${if (regressed) "regressed" else "improved"}",""" +
@@ -751,15 +819,26 @@ private[graft] object BenchPrior {
           // under a deliberate 28-thread burn: median gap 1.34 vs
           // quiet ≈ 1.0.
           val medGap = med(regGaps)
+          // whole-run trigger (VERDICT r15 #1): ambient-flagged rows
+          // (which now include contention-suspect) can carry the
+          // verdict on their own — r15's run had 31 regressions, 26
+          // of them host-attributable under the soak test, yet said
+          // "isolated-moves" because 31 < 20% of 176 and only the
+          // steal-flagged 10 counted
           val runVerdict =
             if (nReg == 0) "no-regressions"
-            else if (nReg >= 3 && nReg.toDouble > 0.2 * nCompared.max(1) &&
+            else if ((nReg >= 3 && nReg.toDouble > 0.2 * nCompared.max(1) &&
                 (medCpuR.exists(_ <= 1.15) || medGap.exists(_ > 1.25) ||
-                 2 * nAmbient >= nReg))
+                 2 * nAmbient >= nReg)) ||
+                (nAmbient >= 3 && 2 * nAmbient >= nReg))
               f"whole-run-ambient: $nReg of $nCompared compared queries regressed together with wall outgrowing task CPU-seconds (median cpusec ratio ${medCpuR.map(r => f"$r%.2f").getOrElse("n/a")}, median wait gap ${medGap.map(r => f"$r%.2f").getOrElse("n/a")}, $nAmbient ambient-flagged) -- host contention, not code; re-run in a quiet window before reading any row as a regression"
             else "isolated-moves"
           s"""{"prior":${jsonStr(pf.getName)},""" +
             s""""run_verdict":${jsonStr(runVerdict)},""" +
+            f""""noise_floor":$noiseFloor%.2f,""" +
+            s""""noise_floor_src":${jsonStr(soakP90.map(_ =>
+              "bench_soak.json" + soakProv.map(m => s"(median=$m)").getOrElse(""))
+              .getOrElse("default-r14"))},""" +
             s""""prior_total":${priorTotal.map(t => f"$t%.1f").getOrElse("null")},""" +
             f""""total":$total%.1f,"n_compared":$nCompared,""" +
             f""""n_regressed":$nReg,"n_improved":$nImp,""" +

@@ -18,10 +18,10 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     // intentional post-materialization unpersists of locally-
     // checkpointed round state (TextDedup.duplicateComponents) log an
-    // unconditional WARN per release — silence that one logger
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rdd.MapPartitionsRDD",
-      org.apache.logging.log4j.Level.ERROR)
+    // unconditional WARN per release — deny ONLY that message (ADVICE
+    // r15: the old whole-logger demotion also masked "block not
+    // found" warnings, Verify's first symptom of a bad releaseState)
+    graft.model.LogHygiene.suppressIntentionalUnpersistWarn()
     new java.io.File(outDir).mkdirs()
     // Queries run on a small thread pool — Spark schedules concurrent
     // jobs, so independent query dumps overlap their stages and the

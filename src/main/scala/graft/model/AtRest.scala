@@ -73,18 +73,26 @@ object AtRest {
     * alone would let a concurrent GC sweep a legitimately long
     * (>1h) in-flight build mid-write (ADVICE r14); task commits keep
     * touching files deeper in the tree, so the tree-newest mtime
-    * tracks liveness. Depth is the CTAS layout's (_temporary/attempt/
-    * task/part files, ~4 levels); errors degrade to the statuses
-    * already seen. */
+    * tracks liveness. Recursion is DEPTH-CAPPED (ADVICE r15: the CTAS
+    * layout is ~4 levels — _temporary/attempt/task/part — so a tree
+    * deeper than 8 is pathological, e.g. a symlinked directory cycle
+    * on RawLocalFileSystem, and must not recurse to StackOverflow
+    * inside a GC sweep), and a listStatus FAILURE returns
+    * Long.MaxValue — "treat as live now" — because degrading to the
+    * stale top-level mtime is exactly the misread this function
+    * exists to avoid: a transient fault must never make a live build
+    * sweepable. */
   def newestMtime(fs: org.apache.hadoop.fs.FileSystem,
-      st: org.apache.hadoop.fs.FileStatus): Long = {
-    val kids =
-      if (!st.isDirectory) Array.empty[org.apache.hadoop.fs.FileStatus]
-      else try fs.listStatus(st.getPath)
-        catch { case _: Throwable =>
-          Array.empty[org.apache.hadoop.fs.FileStatus] }
-    kids.foldLeft(st.getModificationTime)((m, k) =>
-      math.max(m, newestMtime(fs, k)))
+      st: org.apache.hadoop.fs.FileStatus, depth: Int = 0): Long = {
+    if (!st.isDirectory) st.getModificationTime
+    else if (depth >= 8) st.getModificationTime
+    else {
+      val kids =
+        try fs.listStatus(st.getPath)
+        catch { case _: Throwable => return Long.MaxValue }
+      kids.foldLeft(st.getModificationTime)((m, k) =>
+        math.max(m, newestMtime(fs, k, depth + 1)))
+    }
   }
 
   /** Atomic cross-process publish of a completed build directory

@@ -167,18 +167,34 @@ object TextQueries {
                 // re-check and our rename), put it back — or, when yet
                 // another winner refilled the path meanwhile, drop our
                 // copy and serve theirs (publish deletes the temp on a
-                // lost rename)
-                val asideValid =
+                // lost rename). The marker read distinguishes
+                // GENUINELY ABSENT/STALE (FileNotFound, or a readable
+                // marker at the wrong version → the dir really is an
+                // invalid generation → delete) from a TRANSIENT read
+                // fault (any other IO error → retry once, and on
+                // persistent failure PUBLISH THE ASIDE BACK): deleting
+                // on an unreadable marker would silently destroy a
+                // just-published valid generation (ADVICE r15) —
+                // publish-back is the conservative move, since an
+                // actually-invalid restored dir only costs this
+                // process its rebuild-and-lose-the-rename path, never
+                // correctness.
+                def asideState(): Int = // 0 valid · 1 invalid · 2 unreadable
                   try {
                     val in = fs.open(new org.apache.hadoop.fs.Path(
                       aside, "_graft_complete.json"))
                     val txt = try scala.io.Source
                       .fromInputStream(in, "UTF-8").mkString finally in.close()
-                    """"v"\s*:\s*(\d+)""".r.findFirstMatchIn(txt)
-                      .map(_.group(1).toInt).contains(atRestVersion)
-                  } catch { case _: Throwable => false }
-                if (asideValid) graft.model.AtRest.publish(s, aside, dir)
-                else fs.delete(aside, true)
+                    if (""""v"\s*:\s*(\d+)""".r.findFirstMatchIn(txt)
+                        .map(_.group(1).toInt).contains(atRestVersion)) 0 else 1
+                  } catch {
+                    case _: java.io.FileNotFoundException => 1
+                    case _: Throwable => 2
+                  }
+                var st = asideState()
+                if (st == 2) st = asideState()
+                if (st == 1) fs.delete(aside, true)
+                else graft.model.AtRest.publish(s, aside, dir)
               }
               // whichever way the claim went, a valid generation may
               // now sit at the path — serve it instead of rebuilding
