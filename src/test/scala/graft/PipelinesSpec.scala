@@ -760,4 +760,37 @@ class PipelinesSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"unexpected shuffle in plan:\n$plan")
     assert(agg.count() == 50)
   }
+
+  test("newestMtime tracks the deepest fresh file and caps runaway recursion") {
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val root = new java.io.File(
+      java.nio.file.Files.createTempDirectory("graft_mtime").toFile, "t")
+    // CTAS-shaped tree: task file three levels down, touched NOW,
+    // while every directory above keeps a stale mtime — the sweep
+    // must see the deep file (the ADVICE-r14 liveness signal)
+    val deep = new java.io.File(root, "_temporary/attempt/task")
+    assert(deep.mkdirs())
+    val part = new java.io.File(deep, "part-0")
+    assert(part.createNewFile())
+    val now = System.currentTimeMillis()
+    part.setLastModified(now)
+    Seq(root, new java.io.File(root, "_temporary"),
+      new java.io.File(root, "_temporary/attempt"), deep)
+      .foreach(_.setLastModified(now - 10 * 3600 * 1000L))
+    val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(root.toURI))
+    val got = graft.model.AtRest.newestMtime(fs, st)
+    assert(math.abs(got - now) < 5000,
+      s"tree-newest mtime must surface the deep task file: $got vs $now")
+    // pathological depth (ADVICE r15: symlink-cycle shape): a
+    // 40-level chain must return without unbounded recursion — the
+    // cap trades mtimes below depth 8 for bounded stack, which only
+    // ever errs toward "stale", never toward sweeping a live build
+    // (a transient listStatus failure separately returns "live now")
+    var d = root
+    (1 to 40).foreach { i => d = new java.io.File(d, s"d$i") }
+    assert(d.mkdirs())
+    val got2 = graft.model.AtRest.newestMtime(fs, st)
+    assert(got2 >= now - 5000, "capped walk still sees the level-3 file")
+  }
 }

@@ -153,6 +153,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("duplicateComponents: null-id pairs degrade identically in both regimes") {
+    // a (null, x) pair contributes NO edge (the canonical filter
+    // null-drops it) but both endpoints stay in the node universe:
+    // x surfaces as its own singleton and null as the single
+    // (null, null) row — the union-find path must reproduce the
+    // contraction path's shape exactly
+    val pairs = Seq((Some(2L), Some(1L)), (None, Some(7L)))
+      .toDF("id_a", "id_b")
+    def run(): Set[(Option[Long], Option[Long])] =
+      TextDedup.duplicateComponents(pairs).collect().map { r =>
+        (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)))
+      }.toSet
+    val expected = Set[(Option[Long], Option[Long])](
+      (Some(1L), Some(1L)), (Some(2L), Some(1L)), (Some(7L), Some(7L)),
+      (None, None))
+    bothCcRegimes {
+      assert(run() == expected,
+        s"null-pair shape diverged (ceiling ${TextDedup.localUnionFindMax})")
+    }
+  }
+
   test("componentsUpsert: folding a batch into stored labels equals full closure over all pairs") {
     val graphs = cases(for {
       n <- Gen.choose(2, 40)
