@@ -769,20 +769,41 @@ private[graft] object BenchPrior {
                     else if (soakQuiet && !shufGrew)
                       f"contention-suspect: all ${soakVals.length} same-code soak runs put this query at ${soakVals.min}%.2f-${soakVals.max}%.2f s (prior ${pc}%.2f); only the committed cold moved, at flat shuffle volume${shufR.map(r => f" ($r%.2fx bytes)").getOrElse("")} -- host burst, not work growth" +
                         cpuR.map(cr => f" [cpusec_ratio $cr%.2f disregarded: contended-SMT CPU counters inflate with wall]").getOrElse("")
-                    else (taskR, cpuR) match {
-                      case (Some(t), Some(cr)) if t > 1.3 && cr <= 1.15 =>
-                        f"contention-not-work: task wall $t%.1fx prior but task CPU-seconds ~flat ($cr%.2fx) -- whole-host contention the steal counter cannot see" +
-                          (if (c <= noiseFloor * pc) f" [within the committed soak noise floor, p90 $noiseFloor%.2fx]" else "")
-                      case (Some(t), Some(cr)) if t > 1.3 && cr > 1.3 =>
-                        f"task-inflation-work: task CPU-seconds grew $cr%.2fx with task wall $t%.1fx" +
-                          shufR.map(r => f" at $r%.2fx shuffle bytes").getOrElse("") +
-                          " -- real work growth (plan or operator change)"
-                      case (Some(t), Some(cr)) if t > 1.3 =>
-                        f"task-inflation-mixed: task wall $t%.1fx at CPU-seconds $cr%.2fx -- part work, part wait"
-                      case (Some(t), _) if t <= 1.15 =>
-                        "wall-not-task: task work flat vs prior -- scheduler/driver overhead or untracked contention"
-                      case (Some(t), _) => f"mild-task-growth: $t%.2fx prior task work"
-                      case _ => "no-prior-task-data"
+                    else {
+                      // every regressed label carries its error-bar
+                      // context inline (round 16: the dress run showed
+                      // a 0.80->1.21 s same-code row wearing the bare
+                      // "real work growth" label at 1.00x shuffle —
+                      // true per the counters, but the move sits
+                      // INSIDE the committed soak's per-query spread,
+                      // and the row should say so itself rather than
+                      // cost the reader a cross-reference)
+                      // reference = the WIDEST committed same-code
+                      // evidence: the prior headline or the soak
+                      // band's max, whichever is larger — a query the
+                      // soak itself swung to 1.05 s is not "regressed"
+                      // at 1.50 s under a 1.54x p90
+                      val floorRef =
+                        if (soakVals.nonEmpty) soakVals.max.max(pc) else pc
+                      val inFloor =
+                        if (c <= noiseFloor * floorRef)
+                          f" [within the committed soak noise floor: p90 $noiseFloor%.2fx over ${if (soakVals.nonEmpty) f"soak band ${soakVals.min}%.2f-${soakVals.max}%.2f s" else "prior"}]"
+                        else ""
+                      (taskR, cpuR) match {
+                        case (Some(t), Some(cr)) if t > 1.3 && cr <= 1.15 =>
+                          f"contention-not-work: task wall $t%.1fx prior but task CPU-seconds ~flat ($cr%.2fx) -- whole-host contention the steal counter cannot see" + inFloor
+                        case (Some(t), Some(cr)) if t > 1.3 && cr > 1.3 =>
+                          f"task-inflation-work: task CPU-seconds grew $cr%.2fx with task wall $t%.1fx" +
+                            shufR.map(r => f" at $r%.2fx shuffle bytes").getOrElse("") +
+                            " -- real work growth (plan or operator change)" + inFloor
+                        case (Some(t), Some(cr)) if t > 1.3 =>
+                          f"task-inflation-mixed: task wall $t%.1fx at CPU-seconds $cr%.2fx -- part work, part wait" + inFloor
+                        case (Some(t), _) if t <= 1.15 =>
+                          "wall-not-task: task work flat vs prior -- scheduler/driver overhead or untracked contention" + inFloor
+                        case (Some(t), _) =>
+                          f"mild-task-growth: $t%.2fx prior task work" + inFloor
+                        case _ => "no-prior-task-data"
+                      }
                     }
                   if (regressed) nReg += 1 else nImp += 1
                   if (regressed) cpuR.foreach(regCpuRs += _)
