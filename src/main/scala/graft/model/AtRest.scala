@@ -77,15 +77,19 @@ object AtRest {
     * layout is ~4 levels — _temporary/attempt/task/part — so a tree
     * deeper than 8 is pathological, e.g. a symlinked directory cycle
     * on RawLocalFileSystem, and must not recurse to StackOverflow
-    * inside a GC sweep), and a listStatus FAILURE returns
-    * Long.MaxValue — "treat as live now" — because degrading to the
-    * stale top-level mtime is exactly the misread this function
-    * exists to avoid: a transient fault must never make a live build
-    * sweepable. */
+    * inside a GC sweep), and BOTH degradations return Long.MaxValue —
+    * "treat as live now": a listStatus FAILURE, because degrading to
+    * the stale top-level mtime is exactly the misread this function
+    * exists to avoid (a transient fault must never make a live build
+    * sweepable); and the DEPTH CAP itself (ADVICE r16: returning the
+    * capped directory's own potentially-stale mtime erred toward
+    * sweeping a live deep tree — the opposite direction; a >8-deep
+    * tree is pathological either way, and never-sweep-live is the
+    * stated conservative degradation). */
   def newestMtime(fs: org.apache.hadoop.fs.FileSystem,
       st: org.apache.hadoop.fs.FileStatus, depth: Int = 0): Long = {
     if (!st.isDirectory) st.getModificationTime
-    else if (depth >= 8) st.getModificationTime
+    else if (depth >= 8) Long.MaxValue
     else {
       val kids =
         try fs.listStatus(st.getPath)

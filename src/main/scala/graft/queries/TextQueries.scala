@@ -90,6 +90,39 @@ object TextQueries {
     * (the recount is a cache hit, not a recompute). */
   private def ensureTable(s: SparkSession, tbl: String, key: String,
       bucket: Option[(Int, String)], validateCount: Boolean = false)(
+      build: => DataFrame): Unit =
+    try ensureTableOnce(s, tbl, key, bucket, validateCount)(build)
+    catch {
+      // bounded publish-back endgame (ADVICE r16): a generation whose
+      // marker is PERSISTENTLY unreadable used to wedge the table —
+      // every claimer restored it (publish-back), rebuilt, lost the
+      // publish rename to the restored dir, polled 60 s, and threw;
+      // no process ever deleted the dir. One retry closes the cycle:
+      // the publish-back ledger below marks this path as already
+      // restored once, so the retry's claim treats a STILL-unreadable
+      // marker as invalid (≥60 s of failed reads across two claims is
+      // no longer "transient"), deletes it, and rebuilds into the
+      // cleared path.
+      case e: IllegalStateException
+          if e.getMessage != null &&
+            e.getMessage.contains("no readable marker") =>
+        ensureTableOnce(s, tbl, key, bucket, validateCount)(build)
+    }
+
+  /** Process-local count of publish-backs per live table path: how
+    * many times THIS process restored a claimed-aside generation whose
+    * marker was unreadable (transient-fault conservatism, ADVICE r15).
+    * A path already restored once that comes back unreadable on a
+    * SECOND claim is deemed invalid and deleted — the bound that keeps
+    * a genuinely corrupt generation from wedging the table forever
+    * (ADVICE r16). Worst case for a false positive (two independent
+    * transient faults against the same path in one process lifetime)
+    * is one redundant rebuild, never a correctness fault. */
+  private val publishBacks =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  private def ensureTableOnce(s: SparkSession, tbl: String, key: String,
+      bucket: Option[(Int, String)], validateCount: Boolean = false)(
       build: => DataFrame): Unit = {
     if (s.catalog.tableExists(tbl)) return
     val wh = new org.apache.hadoop.fs.Path(s.sessionState.conf.warehousePath)
@@ -193,8 +226,23 @@ object TextQueries {
                   }
                 var st = asideState()
                 if (st == 2) st = asideState()
+                // second unreadable claim of the SAME path in this
+                // process: the first publish-back plus the lost-rename
+                // poll already gave the marker ~60 s of reads — treat
+                // the generation as invalid rather than wedge forever
+                // (ADVICE r16; the ensureTable wrapper retries into
+                // this branch)
+                if (st == 2 && publishBacks
+                    .getOrDefault(dir.toString, Integer.valueOf(0))
+                    .intValue >= 1)
+                  st = 1
                 if (st == 1) fs.delete(aside, true)
-                else graft.model.AtRest.publish(s, aside, dir)
+                else {
+                  if (st == 2)
+                    publishBacks.merge(dir.toString, Integer.valueOf(1),
+                      (a, b) => Integer.valueOf(a.intValue + b.intValue))
+                  graft.model.AtRest.publish(s, aside, dir)
+                }
               }
               // whichever way the claim went, a valid generation may
               // now sit at the path — serve it instead of rebuilding

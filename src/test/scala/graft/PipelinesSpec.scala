@@ -783,14 +783,16 @@ class PipelinesSpec extends SparkSpec {
     assert(math.abs(got - now) < 5000,
       s"tree-newest mtime must surface the deep task file: $got vs $now")
     // pathological depth (ADVICE r15: symlink-cycle shape): a
-    // 40-level chain must return without unbounded recursion — the
-    // cap trades mtimes below depth 8 for bounded stack, which only
-    // ever errs toward "stale", never toward sweeping a live build
-    // (a transient listStatus failure separately returns "live now")
+    // 40-level chain must return without unbounded recursion, and the
+    // cap must degrade in the NEVER-SWEEP-LIVE direction (ADVICE r16:
+    // returning the capped dir's own stale mtime erred toward
+    // sweeping) — hitting the cap reads as "live now" (Long.MaxValue),
+    // exactly like a transient listStatus failure
     var d = root
     (1 to 40).foreach { i => d = new java.io.File(d, s"d$i") }
     assert(d.mkdirs())
     val got2 = graft.model.AtRest.newestMtime(fs, st)
-    assert(got2 >= now - 5000, "capped walk still sees the level-3 file")
+    assert(got2 == Long.MaxValue,
+      s"capped walk must degrade to live-now, got $got2")
   }
 }
