@@ -741,6 +741,79 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    // CC LABELING-CONSUMER probe (`runMain graft.ScaleProbe cclabel`),
+    // round 17 — two receipts for the bounded union-find regime:
+    // (a) ROADMAP r16 thread #1: the union-find labeling used to
+    //     materialize as ONE partition, so every consumer join
+    //     funneled it through a single map task. A 2M-node labeling
+    //     (1M disjoint pair edges — the regime near its ceiling) is
+    //     joined against a 2M-row doc relation and aggregated, with
+    //     the spread engaged (shipped) vs pinned single-partition.
+    // (b) VERDICT r16 #4: a 300k-link STRING-id chain (the common
+    //     text-pipeline doc-id shape) must close near the long-id
+    //     time now that the string union-find exists — it used to pay
+    //     the distributed-loop floor regardless of size.
+    if (args.contains("cclabel")) {
+      import graft.operators.TextDedup
+      val nPairs = 1000000L
+      val pairs = spark.range(nPairs)
+        .select((col("id") * 2).as("id_a"), (col("id") * 2 + 1).as("id_b"))
+        .localCheckpoint(true)
+      val docs = spark.range(2 * nPairs)
+        .select(col("id"), (col("id") % 97).as("w"))
+        .localCheckpoint(true)
+      spark.range(1000000L).selectExpr("sum(id)").collect()
+      def consume(spreadMin: Long): (Double, Double) = {
+        val saved = TextDedup.ccLabelSpreadMin
+        try {
+          TextDedup.ccLabelSpreadMin = spreadMin
+          val t0 = System.nanoTime()
+          val labels = TextDedup.duplicateComponents(pairs)
+          val tBuild = (System.nanoTime() - t0) / 1e9
+          val t1 = System.nanoTime()
+          val nComp = docs.join(labels, Seq("id"))
+            .groupBy("component").agg(sum("w")).queryExecution.toRdd.count()
+          val tJoin = (System.nanoTime() - t1) / 1e9
+          require(nComp == nPairs, s"consumer agg wrong: $nComp")
+          (tBuild, tJoin)
+        } finally TextDedup.ccLabelSpreadMin = saved
+      }
+      consume(Long.MaxValue) // warm-up: codegen + checkpoint paths
+      val (bSingle, jSingle) = consume(Long.MaxValue) // pinned one-partition
+      val (bSpread, jSpread) = consume(1L << 20) // shipped: 2M > 1M → spread
+      println(f"[scale] cclabel spread: build=$bSpread%.2fs consumer-join=$jSpread%.2fs " +
+        f"(spread by id) vs build=$bSingle%.2fs join=$jSingle%.2fs (single partition); " +
+        f"join speedup ${jSingle / jSpread}%.2fx on a ${2 * nPairs} node labeling")
+      // (b) string vs long closure, shipped config (union-find regime)
+      val n = 300000L
+      def longChain = spark.range(1L, n)
+        .select((col("id") + 1L).as("id_a"), col("id").as("id_b"))
+      def strChain = spark.range(1L, n)
+        .select(format_string("doc%07d", col("id") + 1L).as("id_a"),
+          format_string("doc%07d", col("id")).as("id_b"))
+      def closeLong(): Double = {
+        val t0 = System.nanoTime()
+        val r = TextDedup.duplicateComponents(longChain)
+          .agg(max("component"), count(lit(1))).head()
+        require(r.getLong(0) == 1L && r.getLong(1) == n)
+        (System.nanoTime() - t0) / 1e9
+      }
+      def closeStr(): Double = {
+        val t0 = System.nanoTime()
+        val r = TextDedup.duplicateComponents(strChain)
+          .agg(max("component"), count(lit(1))).head()
+        require(r.getString(0) == "doc0000001" && r.getLong(1) == n)
+        (System.nanoTime() - t0) / 1e9
+      }
+      val wLong = closeLong()
+      val wStr = closeStr()
+      println(f"[scale] cclabel string-id: ${n}-link chain closed in $wStr%.2fs " +
+        f"(string union-find) vs $wLong%.2fs long ids — " +
+        f"${wStr / wLong}%.2fx, regime=${TextDedup.lastCcRegime}")
+      println(f"""[scale-json] {"queries":{"cclabel":{"build_spread":$bSpread%.3f,"join_spread":$jSpread%.3f,"build_single":$bSingle%.3f,"join_single":$jSingle%.3f,"join_speedup":${jSingle / jSpread}%.3f,"string_chain":$wStr%.3f,"long_chain":$wLong%.3f}}}""")
+      spark.stop(); return
+    }
+
     // ORACLE-PARITY HASH TAX probe (`runMain graft.ScaleProbe
     // hashtax`): the catalog's near-dup queries hash with md5 so
     // DuckDB replays every banding/minhash decision bit-identically

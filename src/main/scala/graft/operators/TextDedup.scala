@@ -871,8 +871,9 @@ object TextDedup {
     // the init-signature action materializes it); released as soon as
     // the output labeling is materialized
     val pairsC = pairs.localCheckpoint(false)
-    // lazy: materialized by the consumer's first action over the
-    // returned labeling (no standalone job for the node universe)
+    // lazy: materialized by the gate-stats action below, which also
+    // counts it (the node universe bounds the union-find regime, so
+    // it can no longer defer to the consumer's first action)
     val allNodes = pairsC.select(col(idA).as("id"))
       .unionByName(pairsC.select(col(idB).as("id")))
       .distinct().localCheckpoint(false)
@@ -945,19 +946,49 @@ object TextDedup {
     // without re-deriving it from job logs each round
     val ccDiag = sys.env.get("SPARK_GRAFT_CC_DIAG").contains("1")
     def diag(msg: => String): Unit = if (ccDiag) println(s"[ccdiag] $msg")
+    // gate stats in the SAME single action that materializes the lazy
+    // checkpoints: the distinct-edge count + order-insensitive
+    // signature (the loop's fixpoint witness) AND the node-universe
+    // count (ADVICE r16: the old gate bounded only |E|, but the
+    // union-find task's working set is |E| + |V| — self-pair
+    // membership claims and stored singleton label rows, which
+    // componentsUpsert explicitly feeds back as self-pairs, add nodes
+    // without adding edges, so a singleton-dominated labeling could
+    // funnel an unbounded node universe through one task). Both
+    // subtrees read the shared pairsC checkpoint; the block manager's
+    // per-block write lock keeps the concurrent first computation
+    // single-flight.
     val tInit = System.nanoTime()
-    var sig = signature(init) // materializes init, yields its signature
-    diag(f"init: ${(System.nanoTime() - tInit) / 1e9}%.2fs edges=${sig._1}")
-    // BOUNDED-GRAPH regime (round 16): the distinct edge set fits one
-    // task (≤ ~64 MB of long pairs) and the ids are integral — close
-    // it exactly with a single-reducer union-find instead of paying
-    // stage-latency-bound contraction rounds. The input is the
-    // canonical edge SET plus the node universe as self-pairs (so
-    // singletons and self-pair membership claims surface identically
-    // to the contraction path), and union is BY MIN with path
-    // compression, so every label is the component minimum —
-    // bit-identical output to the loop below (PropertySpec gates both
-    // regimes against the same oracle).
+    val gr = init
+      .select(col("src"), col("dst"), lit(false).as("__self"))
+      .unionByName(allNodes.select(col("id").as("src"),
+        col("id").as("dst"), lit(true).as("__self")))
+      .agg(count(when(!col("__self"), 1)),
+        expr("bit_xor(case when not __self then xxhash64(src, dst) end)"),
+        count(when(col("__self"), 1)))
+      .head()
+    var sig = (gr.getLong(0), if (gr.isNullAt(1)) 0L else gr.getLong(1))
+    val nNodes = gr.getLong(2)
+    diag(f"init: ${(System.nanoTime() - tInit) / 1e9}%.2fs " +
+      f"edges=${sig._1} nodes=$nNodes")
+    // BOUNDED-GRAPH regime (round 16): the distinct edge set AND the
+    // node universe fit one task — close it exactly with a single-
+    // reducer union-find instead of paying stage-latency-bound
+    // contraction rounds. The input is the canonical edge SET plus
+    // the node universe as self-pairs (so singletons and self-pair
+    // membership claims surface identically to the contraction path),
+    // and union is BY MIN with path compression, so every label is
+    // the component minimum — bit-identical output to the loop below
+    // (PropertySpec gates both regimes against the same oracle).
+    // Round 17 extends the regime to STRING ids — the common doc-id
+    // shape in text pipelines, which used to pay the distributed-loop
+    // floor even for tiny graphs — via a hash-map union-find whose
+    // min is CODE-POINT order (== Spark's UTF8String binary order, so
+    // the min-id contract is preserved exactly; Java's UTF-16
+    // compareTo would disagree on supplementary characters). String
+    // entries cost ~4× a long entry (object headers + char data), so
+    // the string regime applies the same memory budget at a quarter
+    // of the row caps.
     val idType = init.schema("src").dataType
     val integralIds = idType match {
       case org.apache.spark.sql.types.ByteType |
@@ -966,27 +997,62 @@ object TextDedup {
            org.apache.spark.sql.types.LongType => true
       case _ => false
     }
-    if (integralIds && sig._1 <= localUnionFindMax) {
+    val stringIds = idType == org.apache.spark.sql.types.StringType
+    val (edgeCap, nodeCap) =
+      if (integralIds) (localUnionFindMax, localUnionFindNodeMax)
+      else (localUnionFindMax / 4, localUnionFindNodeMax / 4)
+    if ((integralIds || stringIds) && sig._1 <= edgeCap && nNodes <= nodeCap) {
+      lastCcRegime = "union-find"
       val tUf = System.nanoTime()
-      val lt = org.apache.spark.sql.types.LongType
-      val ufIn = init
+      val ufEdges = init
         .unionByName(allNodes.select(col("id").as("src"), col("id").as("dst")))
-        .select(col("src").cast(lt).as("_1"), col("dst").cast(lt).as("_2"))
-      val tupEnc = org.apache.spark.sql.Encoders.tuple(
-        org.apache.spark.sql.Encoders.LONG, org.apache.spark.sql.Encoders.LONG)
-      val out = ufIn.as(tupEnc)
-        .coalesce(1)
-        .mapPartitions(unionFindLabels _)(tupEnc)
+      val lab =
+        if (integralIds) {
+          val lt = org.apache.spark.sql.types.LongType
+          val tupEnc = org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.LONG, org.apache.spark.sql.Encoders.LONG)
+          ufEdges
+            .select(col("src").cast(lt).as("_1"), col("dst").cast(lt).as("_2"))
+            .as(tupEnc)
+            .coalesce(1)
+            .mapPartitions(unionFindLabels _)(tupEnc)
+        } else {
+          val strEnc = org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.STRING)
+          ufEdges
+            .select(col("src").as("_1"), col("dst").as("_2"))
+            .as(strEnc)
+            .coalesce(1)
+            .mapPartitions(unionFindLabelsStr _)(strEnc)
+        }
+      val labeled = lab
         .toDF("id", "component")
         .select(col("id").cast(idType).as("id"),
           col("component").cast(idType).as("component"))
-        .localCheckpoint(true)
-      diag(f"union-find: ${(System.nanoTime() - tUf) / 1e9}%.2fs")
+      // spread a LARGE labeling by id before the eager checkpoint
+      // (ROADMAP r16 thread #1): the union-find emits ONE partition
+      // (~120 MB at the old 4M-edge bound), so every consumer join
+      // shuffled it through a single map task; hash-repartitioning by
+      // id costs one bounded shuffle here and the checkpointed
+      // LogicalRDD keeps the HashPartitioning(id) output, so consumer
+      // joins on id reuse it instead of re-exchanging. Small labelings
+      // stay single-partition — at that size the extra stage IS the
+      // cost (the interactive regime this kernel exists for).
+      val spread =
+        if (nNodes > ccLabelSpreadMin)
+          labeled.repartition(
+            pairs.sparkSession.sessionState.conf.numShufflePartitions,
+            col("id"))
+        else labeled
+      val out = spread.localCheckpoint(true)
+      diag(f"union-find: ${(System.nanoTime() - tUf) / 1e9}%.2fs" +
+        (if (nNodes > ccLabelSpreadMin) " (spread by id)" else ""))
       releaseState(init)
       releaseState(allNodes)
       releaseState(pairsC)
       return out
     }
+    lastCcRegime = "contraction"
     var edges = init
     var iter = 0
     var done = false
@@ -1065,15 +1131,39 @@ object TextDedup {
   /** Distinct-edge ceiling for [[duplicateComponents]]' single-
     * reducer union-find path: 4M (long, long) edges ≈ 64 MB — the
     * same order as a broadcast-join build side, a comfortable single-
-    * task working set (the union-find maps peak at a few hundred MB
-    * for the implied ≤8M nodes). Above it the pair graph has
-    * outgrown any one task and the distributed contraction loop runs
-    * — that is the only path the 100 TB regime ever takes, which is
-    * why ScaleProbe's chaincc/ccupsert receipts pin this to 0 and
+    * task working set. Above it the pair graph has outgrown any one
+    * task and the distributed contraction loop runs — that is the
+    * only path the 100 TB regime ever takes, which is why
+    * ScaleProbe's chaincc/ccupsert receipts pin this to 0 and
     * exercise the loop directly. `var` (not a conf) so probes and
     * PropertySpec can force either regime deterministically; never
-    * written on a production path. */
+    * written on a production path. String-id graphs (round 17) apply
+    * both caps at a quarter, matching the ~4× per-entry cost of
+    * string keys. */
   private[graft] var localUnionFindMax: Long = 4000000L
+
+  /** Node-universe ceiling for the same regime (ADVICE r16): the
+    * union-find map is keyed by NODE, and self-pair membership claims
+    * / stored singleton labels add nodes without adding edges, so the
+    * edge cap alone left |V| unbounded. 8M long keys keep the LongMap
+    * peak at the documented few hundred MB. Counted in the same
+    * init-signature action, so the gate costs no extra job. */
+  private[graft] var localUnionFindNodeMax: Long = 8000000L
+
+  /** Labeling-spread threshold for the union-find regime (ROADMAP r16
+    * thread #1): a labeling above this many nodes is hash-
+    * repartitioned by id before its eager checkpoint instead of
+    * materializing as ONE partition that every consumer join funnels
+    * through a single map task. 1M rows ≈ 16 MB — below it the extra
+    * stage costs more than the skew it removes. */
+  private[graft] var ccLabelSpreadMin: Long = 1L << 20
+
+  /** Which regime the LAST [[duplicateComponents]] call took —
+    * "union-find" or "contraction". Diagnostic state for the gate
+    * specs (the node-universe cap routes on counts no small-graph
+    * assertion could otherwise observe); never read on a production
+    * path. */
+  private[graft] var lastCcRegime: String = ""
 
   /** The bounded-graph exact closure: union-find with path
     * compression and union-BY-MIN (so a component's root is its
@@ -1115,6 +1205,65 @@ object TextDedup {
     if (sawNull)
       base ++ Iterator((null: java.lang.Long, null: java.lang.Long))
     else base
+  }
+
+  /** Code-point "less than" — identical to Spark's UTF8String binary
+    * (UTF-8 byte) ordering, which `least`/`min` use on string
+    * columns. Java's `String.compareTo` is UTF-16 code-UNIT order and
+    * DISAGREES on supplementary characters (U+10000+ encode as
+    * surrogates 0xD800–0xDFFF, sorting below U+E000–U+FFFF), so using
+    * it would break the min-id contract against the contraction
+    * loop's labels exactly where ids carry emoji/CJK-extension
+    * characters. UTF-8 byte order equals code-point order, so
+    * comparing code points avoids re-encoding. */
+  private def ltUtf8(a: String, b: String): Boolean = {
+    val la = a.length; val lb = b.length
+    var i = 0
+    while (i < la && i < lb) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(i)
+      if (ca != cb) return ca < cb
+      i += Character.charCount(ca)
+    }
+    la < lb
+  }
+
+  /** [[unionFindLabels]] for STRING ids (round 17): the same path-
+    * compressed union-BY-MIN over one task's edge iterator, with the
+    * min taken in [[ltUtf8]] (code-point) order so labels stay
+    * bit-identical to the contraction loop's `least`/`min`-derived
+    * roots. Null ids pass through as the single (null, null) row,
+    * matching the long kernel and the distributed path's node-
+    * universe shape. */
+  private def unionFindLabelsStr(
+      it: Iterator[(String, String)]): Iterator[(String, String)] = {
+    val parent = new java.util.HashMap[String, String](1 << 16)
+    var sawNull = false
+    def find(x: String): String = {
+      var r = x
+      var p = parent.getOrDefault(r, r)
+      while (p != r) { r = p; p = parent.getOrDefault(r, r) }
+      var c = x
+      while (c != r) {
+        val n = parent.getOrDefault(c, c); parent.put(c, r)
+        c = if (n == c) r else n
+      }
+      r
+    }
+    def add(x: String): Unit = if (!parent.containsKey(x)) parent.put(x, x)
+    it.foreach { case (a, b) =>
+      if (a == null || b == null) sawNull = true
+      else {
+        add(a); add(b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) {
+          if (ltUtf8(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+    }
+    val ks = new Array[String](parent.size)
+    parent.keySet.toArray(ks)
+    val base = ks.iterator.map(k => (k, find(k)))
+    if (sawNull) base ++ Iterator((null: String, null: String)) else base
   }
 
   /** INCREMENTAL component maintenance — the cluster family's UPSERT

@@ -77,13 +77,19 @@ class PropertySpec extends SparkSpec {
     * Long.MaxValue ceiling) and the distributed star-contraction loop
     * (ceiling 0) — the regime gate must be invisible to the result. */
   def bothCcRegimes(body: => Unit): Unit = {
-    val saved = TextDedup.localUnionFindMax
+    val savedE = TextDedup.localUnionFindMax
+    val savedN = TextDedup.localUnionFindNodeMax
     try {
       TextDedup.localUnionFindMax = Long.MaxValue
+      TextDedup.localUnionFindNodeMax = Long.MaxValue
       body
       TextDedup.localUnionFindMax = 0L
+      TextDedup.localUnionFindNodeMax = 0L
       body
-    } finally TextDedup.localUnionFindMax = saved
+    } finally {
+      TextDedup.localUnionFindMax = savedE
+      TextDedup.localUnionFindNodeMax = savedN
+    }
   }
 
   test("duplicateComponents: transitive chains collapse to the min-id representative") {
@@ -173,6 +179,123 @@ class PropertySpec extends SparkSpec {
       assert(run() == expected,
         s"null-pair shape diverged (ceiling ${TextDedup.localUnionFindMax})")
     }
+  }
+
+  test("duplicateComponents: string ids close identically in both regimes (round 17)") {
+    // the common text-pipeline shape: string doc ids. Ground truth is
+    // an in-memory union-find whose min is CODE-POINT order (== the
+    // UTF8String binary order Spark's least/min use); unpadded
+    // decimal strings exercise the lexicographic-vs-numeric
+    // divergence ("10" < "2"), so a kernel accidentally comparing as
+    // longs would fail here
+    def ltCp(a: String, b: String): Boolean = {
+      var i = 0
+      while (i < a.length && i < b.length) {
+        val ca = a.codePointAt(i); val cb = b.codePointAt(i)
+        if (ca != cb) return ca < cb
+        i += Character.charCount(ca)
+      }
+      a.length < b.length
+    }
+    def unionFindS(edges: Seq[(String, String)]): Map[String, String] = {
+      val parent = scala.collection.mutable.Map.empty[String, String]
+      def find(x: String): String = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) {
+          if (ltCp(ra, rb)) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    val graphs = cases(for {
+      n <- Gen.choose(2, 40)
+      m <- Gen.choose(1, 60)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong); b <- Gen.choose(0L, n.toLong)
+      } yield (a.toString, b.toString))
+    } yield es, n = 6)
+    bothCcRegimes {
+      graphs.filter(_.nonEmpty).foreach { es =>
+        val expected = unionFindS(es)
+        val got = TextDedup.duplicateComponents(es.toDF("id_a", "id_b"))
+          .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+        assert(got == expected, s"string closure diverged from oracle " +
+          s"(ceiling ${TextDedup.localUnionFindMax}) on $es: " +
+          s"got $got expected $expected")
+      }
+      // supplementary-character ordering pin: U+FFFF < U+10000 in
+      // code-point (UTF-8 binary) order, but Java's UTF-16 compareTo
+      // says the opposite (the surrogate pair's 0xD800 lead unit
+      // sorts below 0xFFFF) — both regimes must root the pair at the
+      // U+FFFF id, so a kernel using String.compareTo diverges HERE
+      val hi = "\uFFFF_doc"
+      val supp = new String(Character.toChars(0x10000)) + "_doc"
+      val got = TextDedup.duplicateComponents(
+          Seq((hi, supp)).toDF("id_a", "id_b"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(got == Map(hi -> hi, supp -> hi),
+        s"supplementary-char min must be code-point order, got $got")
+    }
+  }
+
+  test("duplicateComponents: the node-universe cap routes singleton-heavy graphs off the single task (ADVICE r16)") {
+    // self-pairs add NODES without adding edges (componentsUpsert
+    // feeds stored singleton labels back as exactly this shape), so
+    // an edge-only gate would funnel an unbounded node universe
+    // through the one union-find task; the node cap must route such
+    // graphs to the distributed loop — with identical labels
+    val pairs = ((1L to 20L).map(i => (i, i)) :+ (21L, 22L))
+      .toDF("id_a", "id_b")
+    val expected = ((1L to 20L).map(i => i -> i) ++
+      Seq(21L -> 21L, 22L -> 21L)).toMap
+    val savedE = TextDedup.localUnionFindMax
+    val savedN = TextDedup.localUnionFindNodeMax
+    try {
+      // edge cap alone would admit this graph (1 distinct edge)...
+      TextDedup.localUnionFindMax = Long.MaxValue
+      TextDedup.localUnionFindNodeMax = Long.MaxValue
+      val uf = TextDedup.duplicateComponents(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(TextDedup.lastCcRegime == "union-find" && uf == expected)
+      // ...but 22 nodes over a 5-node cap must take the contraction
+      // loop, bit-identically
+      TextDedup.localUnionFindNodeMax = 5L
+      val dist = TextDedup.duplicateComponents(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(TextDedup.lastCcRegime == "contraction",
+        s"node cap must route to the distributed loop, took ${TextDedup.lastCcRegime}")
+      assert(dist == expected)
+    } finally {
+      TextDedup.localUnionFindMax = savedE
+      TextDedup.localUnionFindNodeMax = savedN
+    }
+  }
+
+  test("duplicateComponents: a large labeling leaves the union-find spread by id (ROADMAP r16 #1)") {
+    // above ccLabelSpreadMin the one-partition labeling is hash-
+    // repartitioned by id before the eager checkpoint, so consumer
+    // joins stop funneling through a single map task; below it the
+    // single partition stays (the extra stage would cost more than
+    // the skew it removes on a small labeling)
+    val pairs = (1L to 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val saved = TextDedup.ccLabelSpreadMin
+    try {
+      TextDedup.ccLabelSpreadMin = 8L
+      val spread = TextDedup.duplicateComponents(pairs)
+      assert(TextDedup.lastCcRegime == "union-find")
+      assert(spread.rdd.getNumPartitions > 1,
+        s"41-node labeling over an 8-node threshold must be spread, " +
+          s"got ${spread.rdd.getNumPartitions} partition(s)")
+      assert(spread.collect().forall(_.getLong(1) == 1L))
+      TextDedup.ccLabelSpreadMin = 1L << 20
+      val single = TextDedup.duplicateComponents(pairs)
+      assert(single.rdd.getNumPartitions == 1,
+        "small labeling must stay single-partition (no gratuitous stage)")
+    } finally TextDedup.ccLabelSpreadMin = saved
   }
 
   test("componentsUpsert: folding a batch into stored labels equals full closure over all pairs") {
