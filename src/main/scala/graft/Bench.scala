@@ -597,6 +597,18 @@ private[graft] object BenchAttribution {
 
   final case class RowOut(regressed: Boolean, cause: String, ambient: Boolean)
 
+  /** Human shuffle-volume phrase: a prior that shuffled ~nothing
+    * makes the ratio meaningless (the r17 dress run printed
+    * "18700000.00x shuffle bytes" for a 0.02 MB committed shuffle
+    * over a ~0 prior), so past 99x the label states the absolute MB
+    * instead. The shuffle-GROWTH override elsewhere keeps using the
+    * raw ratio — growth from ~0 to >8 MB is exactly the plan-change
+    * evidence it exists for. */
+  private def shufTxt(r: Option[Double], mb: Double): String =
+    r.map(rr =>
+      if (rr > 99) f" at $mb%.1f MB shuffle (prior ~0)"
+      else f" at $rr%.2fx shuffle bytes").getOrElse("")
+
   /** None = the pair did not move enough to attribute (within ±30%,
     * or both walls sub-second — scheduling-jitter-bound). */
   def classify(in: RowIn): Option[RowOut] = {
@@ -637,7 +649,7 @@ private[graft] object BenchAttribution {
       // plan change no soak row can explain away (the planted-q10
       // receipt shows the override is what catches real regressions).
       else if (soakQuiet && !shufGrew)
-        f"contention-suspect: all ${in.soakVals.length} same-code soak runs put this query at ${in.soakVals.min}%.2f-${in.soakVals.max}%.2f s (prior ${pc}%.2f); only the committed cold moved, at flat shuffle volume${in.shufRatio.map(r => f" ($r%.2fx bytes)").getOrElse("")} -- host burst, not work growth" +
+        f"contention-suspect: all ${in.soakVals.length} same-code soak runs put this query at ${in.soakVals.min}%.2f-${in.soakVals.max}%.2f s (prior ${pc}%.2f); only the committed cold moved, at flat shuffle volume${in.shufRatio.filter(_ <= 99).map(r => f" ($r%.2fx bytes)").getOrElse("")} -- host burst, not work growth" +
           in.cpusecRatio.map(cr => f" [cpusec_ratio $cr%.2f disregarded: contended-SMT CPU counters inflate with wall]").getOrElse("")
       else {
         // every regressed label carries its error-bar context inline
@@ -655,7 +667,7 @@ private[graft] object BenchAttribution {
             f"contention-not-work: task wall $t%.1fx prior but task CPU-seconds ~flat ($cr%.2fx) -- whole-host contention the steal counter cannot see" + inFloor
           case (Some(t), Some(cr)) if t > 1.3 && cr > 1.3 =>
             f"task-inflation-work: task CPU-seconds grew $cr%.2fx with task wall $t%.1fx" +
-              in.shufRatio.map(r => f" at $r%.2fx shuffle bytes").getOrElse("") +
+              shufTxt(in.shufRatio, in.shufMb) +
               " -- real work growth (plan or operator change)" + inFloor
           case (Some(t), Some(cr)) if t > 1.3 =>
             f"task-inflation-mixed: task wall $t%.1fx at CPU-seconds $cr%.2fx -- part work, part wait" + inFloor

@@ -97,6 +97,18 @@ class BenchSpec extends AnyFunSuite {
       Seq(0.3, 0.4), floor, anySteal = false)).isEmpty)
   }
 
+  test("near-zero prior shuffle states absolute MB, not a nonsense ratio") {
+    // the r17 dress run's q38 row: prior shuffled ~0, committed
+    // 0.02 MB -> the raw ratio printed "18700000.00x shuffle bytes"
+    val out = classify(RowIn(priorCold = 0.67, cold = 1.01,
+      taskRatio = Some(1.5), cpusecRatio = Some(1.37),
+      shufRatio = Some(1.87e7), shufMb = 0.02,
+      soakVals = Nil, noiseFloor = floor, anySteal = false)).get
+    assert(out.cause.startsWith("task-inflation-work"), out.cause)
+    assert(out.cause.contains("0.0 MB shuffle (prior ~0)") &&
+      !out.cause.contains("18700000"), out.cause)
+  }
+
   test("improved rows attribute task-work direction, never ambient") {
     val out = classify(RowIn(priorCold = 10.0, cold = 5.0,
       taskRatio = Some(0.5), cpusecRatio = Some(0.5),
