@@ -201,7 +201,7 @@ private[graft] object BenchKit {
   }
 
   def buildSession(cpus: String): SparkSession = {
-    val spark = SparkSession.builder()
+    val spark = graft.model.SessionTuning.tuned(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")

@@ -11,7 +11,7 @@ object DiagS2 {
     val qseq = sys.env.getOrElse("SPARK_GRAFT_DIAG_Q", "q141_quality_cluster_amortized")
       .split(",").toSeq
     val q = qseq.last
-    val spark = SparkSession.builder()
+    val spark = graft.model.SessionTuning.tuned(SparkSession.builder())
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false")

@@ -337,7 +337,7 @@ object Pipelines {
     // checkpoint every branch re-executes the upstream dedup lineage
     // (the scored0 boundary's argument). Only materialized when the
     // stage is on.
-    val exact = repeatedSpanN match {
+    val exact0k = repeatedSpanN match {
       case Some(n) =>
         val exactCk =
           graft.model.Workspace.stageCheckpoint(exact1, "curation_spandedup_in")
@@ -348,6 +348,14 @@ object Pipelines {
           .join(exactCk.select(keepCols.map(col): _*), Seq("doc_id"))
       case None => exact1
     }
+    // the deduped doc relation feeds TWO full consumers — the shingle
+    // derivation inside minhashLshPairs AND the keep-side of the
+    // loser anti-join below (where the pushed-down lang/quality filter
+    // evaluates) — and aliased projections defeat exchange reuse, so
+    // without a hold the exact-dedup aggregation re-executes from the
+    // source per branch (round 17; the minhashLshPairs shRows/cand
+    // holds' argument, one level up). Same RelCache slot lifecycle.
+    val exact = graft.model.RelCache.holding("pipelines.curation.exact", exact0k)
     val pairs = TextDedup
       .minhashLshPairs(exact, k = 8, bands = 4, shingleWidth = 3,
         minJaccard = nearDupJaccard, md5Hashes = md5Hashes, dfCap = dfCap)
@@ -458,7 +466,12 @@ object Pipelines {
     val fp = docs.select(col("doc_id"), col("text"))
       .withColumn("__fp", fingerprint(col("text")))
     val win = fp.groupBy("__fp").agg(min(col("doc_id")).as("__win"))
-    val withWin = fp.join(win, Seq("__fp"))
+    // held (round 17): the winner-annotated relation feeds the exact
+    // survivor branch (→ near-dup pairs AND the lang/quality scoring)
+    // plus the final attribution join — without a hold each branch
+    // re-executed the fingerprint aggregation from the source
+    val withWin = graft.model.RelCache.holding("pipelines.curationAudit.withWin",
+      fp.join(win, Seq("__fp")))
     val exact = withWin.filter(col("doc_id") === col("__win"))
       .select(col("doc_id"), col("text"))
     val pairs = TextDedup.minhashLshPairs(exact, k = 8, bands = 4,
@@ -531,11 +544,19 @@ object Pipelines {
     // Stage boundary: each platform matrix is hit by many actions
     // below (ICC standardize collects + treeAggregates, the per-
     // platform DE) — materialize once so upstream lineage doesn't
-    // re-execute per action.
-    val platforms = platforms0.map { case (name, m) =>
-      name -> ExpressionMatrix(
-        Workspace.stageCheckpoint(m.canonical.df, s"meta_platform_$name"))
-    }
+    // re-execute per action. The platforms are INDEPENDENT, so their
+    // eager work (checkpoint materialization here, the eBayes moment
+    // collects below) runs on a small thread pool and the next
+    // platform's stages back-fill executors freed by the previous
+    // one's tail (round 17, guide §2.6 "overlap independent jobs");
+    // Future.traverse keeps platform order, so output is unchanged.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val platforms = Await.result(Future.traverse(platforms0) { case (name, m) =>
+      Future(name -> ExpressionMatrix(
+        Workspace.stageCheckpoint(m.canonical.df, s"meta_platform_$name")))
+    }, Duration.Inf)
     // ICC per platform pair (standardized once per platform, reused
     // across pairs) -> mean per gene; genes with negative mean ICC are
     // dropped (Meta_analysis.R:620-645)
@@ -543,13 +564,17 @@ object Pipelines {
     val meanIcc = Meta.meanIcc(iccPairs).filter(col("mean_icc") >= 0)
 
     // per-platform DE at the reference's file contract: eBayes
-    // moderated t + BH topTable per platform
-    val topTables = platforms.map { case (name, m) =>
-      val stats = DiffExpr.groupStats(m, groups)
-      name -> DiffExpr.topTable(
-        DiffExpr.moderatedT(stats, "group", groupA, groupB)
-          .withColumnRenamed("p_mod", "p"))
-    }
+    // moderated t + BH topTable per platform (constructed
+    // concurrently — each construction runs the platform's
+    // hyperparameter moment collect)
+    val topTables = Await.result(Future.traverse(platforms) { case (name, m) =>
+      Future {
+        val stats = DiffExpr.groupStats(m, groups)
+        name -> DiffExpr.topTable(
+          DiffExpr.moderatedT(stats, "group", groupA, groupB)
+            .withColumnRenamed("p_mod", "p"))
+      }
+    }, Duration.Inf)
     metaAnalysisFromTopTables(topTables, meanIcc)
   }
 

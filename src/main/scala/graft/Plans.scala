@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
   * `sbt "runMain graft.Plans [queryName ...]"`. */
 object Plans {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
+    val spark = graft.model.SessionTuning.tuned(SparkSession.builder())
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")

@@ -40,7 +40,7 @@ object ScaleProbe {
       if (args.nonEmpty) args(0).split(",").toSeq.filter(q => q.nonEmpty && q != "none")
       else headline
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = graft.model.SessionTuning.tuned(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")

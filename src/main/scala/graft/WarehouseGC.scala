@@ -13,7 +13,7 @@ object WarehouseGC {
   def main(args: Array[String]): Unit = {
     val root = args.headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_TESTDATA", "/root/testdata"))
-    val spark = SparkSession.builder()
+    val spark = graft.model.SessionTuning.tuned(SparkSession.builder())
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.ui.enabled", "false")

@@ -20,6 +20,24 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** Evaluate-once binding for a shared subexpression (round 17):
+    * `bindOne(e)(f)` computes `f` over `e` with `e` bound to a lambda
+    * variable of a single-element `transform`, so however many times
+    * `f`'s body references it, `e` is EVALUATED ONCE per row — and,
+    * because the optimizer cannot substitute through a lambda
+    * binding, predicate pushdown / projection collapse cannot
+    * re-duplicate it either. Before this, the q65 physical plan
+    * carried 35 copies of the `split(lower(text))` tokenizer: every
+    * alias substitution (langId's 4 language scores × the tie-break
+    * re-evaluation, qualityScore's 5 token references) re-inlined the
+    * full tokenize per reference. Value-identical by construction:
+    * the lambda body is the same expression tree over the same input.
+    * Null semantics match inlining: `array(e)` is never null, the
+    * lambda sees e's (possibly null) value exactly as the inline
+    * expression would. */
+  private[graft] def bindOne(e: Column)(f: Column => Column): Column =
+    element_at(transform(array(e), f), 1)
+
   /** Lowercase word tokens: split on runs of non-alphanumerics. */
   def tokens(text: Column): Column =
     array_remove(split(lower(text), "[^a-z0-9]+"), "")
@@ -31,10 +49,13 @@ object TextFunctions {
     * plus one per non-space symbol — a deterministic proxy for BPE
     * token counts without a vocabulary. */
   def bpeishTokenCount(text: Column): Column = {
-    val words = tokens(text)
-    val wordPieces = aggregate(
+    // tokens() bound once (bind1): the word-piece aggregate is the
+    // only consumer here, but callers compose this next to langId /
+    // qualityScore in one projection and alias substitution used to
+    // re-inline the tokenizer per reference
+    val wordPieces = bindOne(tokens(text))(words => aggregate(
       transform(words, w => ceil(length(w) / lit(4.0)).cast("long")),
-      lit(0L), (acc, x) => acc + x)
+      lit(0L), (acc, x) => acc + x))
     val symbols = length(regexp_replace(text, "[a-zA-Z0-9\\s]", ""))
     wordPieces + symbols
   }
@@ -72,24 +93,31 @@ object TextFunctions {
     * digests than hashing per (token, bit). */
   def simhashMd5(toks: Column, bits: Int = 32): Column = {
     require(bits <= 32, "md5 provides 32 hex chars = 32 votes")
-    val votes = (0 until bits).map { i =>
-      val vote = aggregate(transform(toks, t => md5(t)), lit(0),
-        (acc, h) => acc + when(substring(h, i + 1, 1) < "8", 1).otherwise(-1))
-      when(vote > 0, lit(1L << i)).otherwise(lit(0L))
+    // one digest pass, bound once: the 32 per-bit votes used to each
+    // re-evaluate transform(toks, md5) — 32 digests per token per row
+    bindOne(transform(toks, t => md5(t))) { hs =>
+      val votes = (0 until bits).map { i =>
+        val vote = aggregate(hs, lit(0),
+          (acc, h) => acc + when(substring(h, i + 1, 1) < "8", 1).otherwise(-1))
+        when(vote > 0, lit(1L << i)).otherwise(lit(0L))
+      }
+      votes.reduce(_ + _)
     }
-    votes.reduce(_ + _)
   }
 
   /** 64-bit SimHash, production path: one xxhash64 per token, bit i of
     * the hash is the vote. */
   def simhashXx(toks: Column): Column = {
-    // vote per bit from the token hash's own bit: sum_t (2*bit_i(h_t)-1)
-    val perBit = (0 until 64).map { i =>
-      val v = aggregate(toks, lit(0),
-        (acc, t) => acc + (shiftright(xxhash64(t), i).bitwiseAND(lit(1L)) * 2 - 1).cast("int"))
-      when(v > 0, lit(1L << i)).otherwise(lit(0L))
+    // vote per bit from the token hash's own bit: sum_t (2*bit_i(h_t)-1);
+    // hashes computed once and bound (64 votes used to re-hash per bit)
+    bindOne(transform(toks, t => xxhash64(t))) { hs =>
+      val perBit = (0 until 64).map { i =>
+        val v = aggregate(hs, lit(0),
+          (acc, h) => acc + (shiftright(h, i).bitwiseAND(lit(1L)) * 2 - 1).cast("int"))
+        when(v > 0, lit(1L << i)).otherwise(lit(0L))
+      }
+      perBit.reduce(_ + _)
     }
-    perBit.reduce(_ + _)
   }
 
   /** Hamming distance between two 64-bit fingerprints. */
@@ -110,20 +138,28 @@ object TextFunctions {
     * tie-break on language code; "und" (undetermined) when all zero. */
   def langId(toks: Column): Column = {
     val langs = stopwords.keys.toSeq.sorted
-    val scored = langs.map(l => struct(langScore(toks, l).as("score"), lit(l).as("lang")))
-    val best = array_max(array(scored.map(s =>
-      struct(s.getField("score").as("score"),
-        // invert lang code ordering so max prefers the alphabetically
-        // first language on score ties
-        s.getField("lang").as("lang"))): _*))
-    when(best.getField("score") === 0, lit("und")).otherwise(best.getField("lang"))
+    // toks bound once (4 language scores each referenced it), and the
+    // winning struct bound once (the zero-score test re-evaluated the
+    // whole argmax before) — one tokenize, 4 stoplist passes, period
+    bindOne(toks) { t =>
+      val scored = langs.map(l => struct(langScore(t, l).as("score"), lit(l).as("lang")))
+      val best = array_max(array(scored.map(s =>
+        struct(s.getField("score").as("score"),
+          // invert lang code ordering so max prefers the alphabetically
+          // first language on score ties
+          s.getField("lang").as("lang"))): _*))
+      bindOne(best)(b =>
+        when(b.getField("score") === 0, lit("und")).otherwise(b.getField("lang")))
+    }
   }
 
   /** Document quality score in [0,1]: blend of length, punctuation
     * ratio, stopword ratio, and mean word length — the survey's
     * length/punct/stopword heuristic. */
-  def qualityScore(text: Column): Column = {
-    val toks = tokens(text)
+  def qualityScore(text: Column): Column = bindOne(tokens(text)) { toks =>
+    // tokens bound once — the length / word-length / stopword terms
+    // each referenced it, so alias substitution used to inline 5
+    // tokenizer copies per evaluation site
     val nTok = size(toks).cast("double")
     val meanWordLen = when(nTok > 0,
       aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nTok).otherwise(0.0)

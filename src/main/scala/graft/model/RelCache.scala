@@ -49,6 +49,10 @@ object RelCache {
       .foreach(unpersistQuietly)
   }
 
+  /** [[hold]] for the single-relation call shape, returning the held
+    * relation so call sites can bind it inline. */
+  def holding(slot: String, df: DataFrame): DataFrame = { hold(slot, df); df }
+
   /** Explicitly release one operator slot's blocks. */
   def release(slot: String): Unit =
     slots.remove(slot).foreach(_.foreach(unpersistQuietly))

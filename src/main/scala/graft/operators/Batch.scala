@@ -58,18 +58,20 @@ object Batch {
       .join(covariates.withColumnRenamed(covCol, "__cov"), Seq("sample_id"))
     val df = m.canonical.df.join(broadcast(meta), Seq("sample_id"))
 
-    val batchLevels = meta.select("batch").distinct()
-      .collect().map(_.getString(0)).sorted.toSeq
-    val covLevels = meta.select("__cov").distinct()
-      .collect().map(_.getString(0)).sorted.toSeq
+    // ONE collect feeds the whole driver-side design: the level sets
+    // are exactly the cells' key projections (every meta row lands in
+    // a cell), so the two separate distinct-collect actions this used
+    // to run are derivable for free (round 17 — three driver actions
+    // to one on the q44/q66/q67 construction path)
+    val cells = meta.groupBy("batch", "__cov").agg(count(lit(1)).as("n"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val batchLevels = cells.keys.map(_._1).toSeq.distinct.sorted
+    val covLevels = cells.keys.map(_._2).toSeq.distinct.sorted
     val covNonRef = covLevels.drop(1) // model.matrix(~f) drops the reference level
     val nBatch = batchLevels.size
     val p = nBatch + covNonRef.size
-
     // XtX from the batch × covariate contingency table (the design is
     // shared by all genes; entries are joint sample counts)
-    val cells = meta.groupBy("batch", "__cov").agg(count(lit(1)).as("n"))
-      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
     def nOf(b: String, c: String): Double = cells.getOrElse((b, c), 0L).toDouble
     val xtx = Array.ofDim[Double](p, p)
     for ((b, i) <- batchLevels.zipWithIndex) {

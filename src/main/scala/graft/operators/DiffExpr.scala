@@ -237,6 +237,10 @@ object DiffExpr {
       .withColumn("df_resid", col("n_tot") - 2)
       .withColumn("s2", col("ss_resid") / col("df_resid"))
       .filter(col("s2") > 0)
+      // gene-grain bounded; executed TWICE (the hyperparameter moment
+      // collect below, then the returned plan) — persist so the stats
+      // lineage (for the chains: the whole upstream fit) runs once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // method-of-moments on z = log(s2): E[z] and Var[z] give (d0, s0).
     // Null-guarded: an empty perGene (every gene filtered) leaves all
     // three moments NULL, and a single gene leaves zvar NULL — both
@@ -296,6 +300,8 @@ object DiffExpr {
       .withColumn("df_resid", col("n_tot") - col("k"))
       .withColumn("s2", col("ss_resid") / col("df_resid"))
       .filter(col("s2") > 0)
+      // see moderatedT: two executions (moments collect + output plan)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // null-guarded like moderatedT: empty/single-gene moment rows
     // degrade to the d0 = 1e6 branch instead of an NPE
     val moments = perGene
@@ -351,8 +357,12 @@ object DiffExpr {
       .join(broadcast(replicates), Seq("sample_id"))
       .join(broadcast(groups), Seq("sample_id"))
     val cells = joined.groupBy("gene_id", groupCol).agg(avg("value").as("__mu"))
+    // gene×sample bounded; referenced by BOTH the unit decomposition
+    // and the per-gene group count below — persist or the cell-mean
+    // join lineage executes twice (round 17; sweep-owned lifecycle)
     val resid = joined.join(cells, Seq("gene_id", groupCol))
       .withColumn("__e", col("value") - col("__mu"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val unit = resid.groupBy(col("gene_id"), col("unit"))
       .agg(avg("__e").as("__eu"), count(lit(1)).as("__m"),
            sum(col("__e") * col("__e")).as("__se2"))
@@ -457,6 +467,12 @@ object DiffExpr {
     var w = sampleIds.map(_ -> 1.0).toMap
     var iter = 0
     var delta = Double.MaxValue
+    // depth-1 tree (= direct aggregate) while the partition count is
+    // modest: depth 2 inserts a shuffle level per sweep, which at ≤64
+    // partitions only adds a stage + job to every iteration (round
+    // 17); the vectors are samples-bounded either way, and huge
+    // partition counts (true cluster scale) keep the tree
+    val aggDepth = if (compact.rdd.getNumPartitions <= 64) 1 else 2
     while (iter < maxIter && delta > tol) {
       val bcW = spark.sparkContext.broadcast(sampleIds.map(w))
       val ab = compact.rdd.treeAggregate(null: Array[Double])(
@@ -497,7 +513,8 @@ object DiffExpr {
         },
         (a, b) =>
           if (a == null) b else if (b == null) a
-          else { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a })
+          else { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a },
+        depth = aggDepth)
       bcW.destroy()
       val wRaw = sampleIds.zipWithIndex.map { case (s, i) =>
         val (a, b) = if (ab == null) (0.0, 0.0) else (ab(i), ab(nS + i))
@@ -571,12 +588,24 @@ object DiffExpr {
       out: String = "p_bh"): DataFrame = {
     val spark = df.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
-    val nDf = df.agg(count(lit(1)).as("__n"))
+    // The stitch fans the input into FOUR consumers (the count, the
+    // per-partition offsets, the candidate relation, and the suffix
+    // minima), and without persistence each branch re-executed the
+    // ENTIRE upstream lineage — for the DE chains that meant the
+    // voom/GLS fit ran ~5× inside one topTable action (round 17:
+    // q82's physical plan carried 186 exchanges and re-scanned the
+    // checkpointed matrix 8×). Persist the input and the two shared
+    // window intermediates; the session cache sweep
+    // ([[graft.SparkEntry.clearQueryCaches]]) owns the lifecycle, the
+    // [[graft.operators.Normalize.voom]] `obs` convention.
+    val base = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDf = base.agg(count(lit(1)).as("__n"))
     val orderAsc = col(p).asc +: tiebreak.map(_.asc)
-    val ranged = df.repartitionByRange(parts, orderAsc: _*)
+    val ranged = base.repartitionByRange(parts, orderAsc: _*)
       .withColumn("__pid", spark_partition_id())
     val wLocal = Window.partitionBy("__pid").orderBy(orderAsc: _*)
     val withLrk = ranged.withColumn("__lrk", row_number().over(wLocal))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wOff = Window.partitionBy(lit(0)).orderBy(col("__pid").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val offs = withLrk.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
@@ -589,6 +618,7 @@ object DiffExpr {
     val wRevLocal = Window.partitionBy("__pid").orderBy(col("__rk").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withLmin = cand.withColumn("__lmin", min("__cand").over(wRevLocal))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wRevOff = Window.partitionBy(lit(0)).orderBy(col("__pid").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val sufmins = withLmin.groupBy("__pid").agg(min("__cand").as("__pmin"))

@@ -32,7 +32,11 @@ object Normalize {
     */
   def quantileNormalize(m: ExpressionMatrix): ExpressionMatrix = {
     val wRank = Window.partitionBy(m.sampleCol).orderBy(m.valueCol.asc, m.geneCol.asc)
+    // the ranked relation feeds the rank-mean aggregation AND the
+    // join back — persist, or the per-sample sort window (and the
+    // whole upstream) executes twice (round 17; sweep-owned)
     val ranked = m.df.withColumn("__rk", row_number().over(wRank))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rankMeans = ranked.groupBy(col("__rk")).agg(avg(m.valueCol).as("__rkmean"))
     val normed = ranked.join(rankMeans, Seq("__rk"))
       .select(m.geneCol, m.sampleCol, col("__rkmean").as(m.value))
@@ -409,7 +413,13 @@ object Normalize {
     * parameters re-enter the plan through a broadcast join; the
     * correction itself is one codegen projection over the cells. */
   def rmaBackground(m: ExpressionMatrix, bins: Int = 256): ExpressionMatrix = {
+    // the matrix feeds FIVE consumers (range stats, both histogram
+    // passes, the conditional moments, the corrected projection) —
+    // without persistence each re-executed the upstream lineage
+    // (round 17: q106's cold ran ~5 full input passes); gene×sample
+    // bounded, sweep-owned lifecycle
     val df = m.canonical.df
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rng = df.groupBy("sample_id")
       .agg(min("value").as("__lo"), max("value").as("__hi"))
       .withColumn("__w", (col("__hi") - col("__lo")) / bins)

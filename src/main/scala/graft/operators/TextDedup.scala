@@ -133,21 +133,24 @@ object TextDedup {
     require(minJaccard > 0.0, "minJaccard must be > 0")
     val shInc = capShingleDf(shingleRows(incoming, shingleWidth, id, text), dfCap)
     graft.model.RelCache.hold("textdedup.nearDupAgainstIndex", shInc)
-    val cand = bandRows(shInc, k, bands, md5Hashes, id)
-      .select(col("band"), col(id).as("inc_id"))
+    // the INCOMING side's shingle count rides its signature
+    // aggregation and the candidate join ([[bandRowsSized]], round
+    // 17) — one size aggregation + one pair-volume join saved; the
+    // reference side keeps its at-rest (id, band)/(id, shingle)
+    // schema, so its size aggregation and join stay
+    val cand = bandRowsSized(shInc, k, bands, md5Hashes, id)
+      .select(col("band"), col(id).as("inc_id"), col("__sz").as("sz_a"))
       .join(refBands.select(col("band"), col(id).as("ref_id")), Seq("band"))
-      .select("inc_id", "ref_id").distinct()
+      .select("inc_id", "ref_id", "sz_a").distinct()
     val inter = cand
       .join(shInc.select(col(id).as("inc_id"), col("s")), Seq("inc_id"))
       .join(refShingles.select(col(id).as("ref_id"), col("s")), Seq("ref_id", "s"))
-      .groupBy("inc_id", "ref_id").agg(count(lit(1)).as("inter"))
-    val szInc = shInc.groupBy(col(id)).agg(count(lit(1)).as("sz_a"))
+      .groupBy("inc_id", "ref_id", "sz_a").agg(count(lit(1)).as("inter"))
     val szRef = refShingles.groupBy(col(id)).agg(count(lit(1)).as("sz_b"))
     // band collisions with zero shared shingles never reach `inter`
     // (inner joins) — they are exactly the pairs that cannot pass any
     // positive minJaccard, so no left-join backfill is needed
     val dup = inter
-      .join(szInc.withColumnRenamed(id, "inc_id"), Seq("inc_id"))
       .join(szRef.withColumnRenamed(id, "ref_id"), Seq("ref_id"))
       .filter(col("inter").cast("double") /
         (col("sz_a") + col("sz_b") - col("inter")) >= minJaccard)
@@ -627,27 +630,43 @@ object TextDedup {
     * digest (engine-portable); xx path takes minima of k seeded
     * xxhash64 values (production).
     */
-  /** Distinct shingle rows `(id, extras..., s)` — the relational
-    * shingle shape: posexplode once, shingles from `lead` windows
-    * partitioned by doc (codegen'd; the array/HOF formulation is
-    * ~30× slower interpreted). concat_ws skips nulls, so documents
-    * shorter than the width yield one shingle of all their tokens,
-    * matching TextFunctions.shingles. */
-  def shingleRows(docs: DataFrame, shingleWidth: Int, id: String = "doc_id",
-      text: String = "text", extras: Seq[String] = Nil): DataFrame = {
-    val tok = docs.select((col(id) +: extras.map(col)) :+
-      posexplode(tokens(col(text))).as(Seq("pos", "tk")): _*)
-    val wDoc = Window.partitionBy(col(id)).orderBy(col("pos"))
-    val leads = (1 until shingleWidth).map(o => lead(col("tk"), o).over(wDoc))
-    // width 1 = unigrams: every token row is already a full shingle
-    // (leads is empty — guard, or `leads.last` throws)
-    val full = if (leads.isEmpty) lit(true) else leads.last.isNotNull
-    tok
-      .withColumn("s", concat_ws(" ", (col("tk") +: leads): _*))
-      .withColumn("full", full)
-      .filter(col("full") || col("pos") === 0)
-      .select((col(id) +: extras.map(col)) :+ col("s"): _*).distinct()
+  /** The w-token shingle ARRAY of one document, in position order —
+    * zero-shuffle (round 17): the normalized token stream is joined
+    * into one single-spaced string, and every shingle is one
+    * overlapping regex match anchored at a token start
+    * (`(?<=^| )(?=(tok( tok){w-1}))` — lookbehind pins token
+    * boundaries, the zero-width lookahead makes matches overlap).
+    * One codegen regex pass per document replaces the old
+    * posexplode → Exchange(id) → Sort(id, pos) → lead-Window
+    * pipeline, which shuffled and sorted the CORPUS TOKEN VOLUME
+    * in every shingle-bearing query (guide §2.4 "remove shuffles
+    * outright"). Strings are identical by construction: tokens are
+    * nonempty `[a-z0-9]+` runs, so `\S+` over the single-spaced
+    * join is exactly one token. Documents shorter than the width
+    * yield their whole token stream as the one shingle (the
+    * TextFunctions.shingles contract); empty documents yield [""]
+    * and the caller filters it, matching posexplode-of-empty which
+    * yielded no row. */
+  private[graft] def shingleArray(text: Column, w: Int): Column = {
+    val pattern = "(?<=^| )(?=(\\S+" + " \\S+" * (w - 1) + "))"
+    graft.functions.TextFunctions.bindOne(tokens(text)) { t =>
+      when(size(t) >= w,
+        regexp_extract_all(concat_ws(" ", t), lit(pattern), lit(1)))
+        .otherwise(array(concat_ws(" ", t)))
+    }
   }
+
+  /** Distinct shingle rows `(id, extras..., s)` — one zero-shuffle
+    * projection ([[shingleArray]]) + explode + distinct. The previous
+    * posexplode + doc-keyed lead-window formulation paid an exchange
+    * and a sort of the exploded token relation before any dedup work
+    * started; only the distinct's (id, s)-keyed exchange remains. */
+  def shingleRows(docs: DataFrame, shingleWidth: Int, id: String = "doc_id",
+      text: String = "text", extras: Seq[String] = Nil): DataFrame =
+    docs.select((col(id) +: extras.map(col)) :+
+        explode(shingleArray(col(text), shingleWidth)).as("s"): _*)
+      .filter(col("s") =!= "")
+      .distinct()
 
   /** Drop shingles whose document frequency exceeds `cap`. A shingle
     * present in more than `cap` documents carries no dedup signal but
@@ -670,7 +689,18 @@ object TextDedup {
     * or seeded xxhash64 production slots) concatenated into `bands`
     * LSH band keys and exploded. Shared by [[minhashLshPairs]] and
     * [[nearDupAgainstReference]]. */
-  private def bandRows(shRows: DataFrame, k: Int, bands: Int,
+  private[graft] def bandRows(shRows: DataFrame, k: Int, bands: Int,
+      md5Hashes: Boolean, id: String): DataFrame =
+    bandRowsSized(shRows, k, bands, md5Hashes, id).select(col(id), col("band"))
+
+  /** [[bandRows]] plus the per-doc shingle count `__sz` carried
+    * through the SAME signature aggregation (round 17): the Jaccard
+    * denominator needs |A| and |B|, and computing them here lets
+    * [[minhashLshPairs]] ride the sizes through the band self-join
+    * instead of paying a separate size aggregation plus two keyed
+    * joins against the pair relation — the count is a function of the
+    * group key, so the rows and every downstream value are unchanged. */
+  private[graft] def bandRowsSized(shRows: DataFrame, k: Int, bands: Int,
       md5Hashes: Boolean, id: String): DataFrame = {
     val rowsPerBand = k / bands
     val hashed =
@@ -682,12 +712,14 @@ object TextDedup {
       if (md5Hashes) (0 until k).map(i => min(substring(col("h"), i * 4 + 1, 4)).cast("string"))
       else (0 until k).map(i => min(xxhash64(lit(i), col("s"))).cast("string"))
     val sig = hashed.groupBy(col(id))
-      .agg(slots.head.as("m0"), slots.tail.zipWithIndex.map { case (c, i) => c.as(s"m${i + 1}") }: _*)
+      .agg(slots.head.as("m0"),
+        slots.tail.zipWithIndex.map { case (c, i) => c.as(s"m${i + 1}") } :+
+          count(lit(1)).as("__sz"): _*)
     val bandCols = (0 until bands).map { b =>
       concat_ws("#", lit(b.toString) +:
         (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*)
     }
-    sig.select(col(id), explode(array(bandCols: _*)).as("band"))
+    sig.select(col(id), col("__sz"), explode(array(bandCols: _*)).as("band"))
   }
 
   /** `dfCap` defaults to uncapped so the result matches the exact
@@ -707,23 +739,35 @@ object TextDedup {
     // they contribute no dedup signal, only df² join rows.
     val shRows = capShingleDf(shingleRows(docs, shingleWidth, id, text), dfCap)
     graft.model.RelCache.hold("textdedup.minhashLshPairs.sh", shRows)
-    val banded = bandRows(shRows, k, bands, md5Hashes, id)
-    val cand = banded.select(col("band"), col(id).as("id_a"))
-      .join(banded.select(col("band"), col(id).as("id_b")), Seq("band"))
+    // sizes ride the signature aggregation and the band self-join
+    // (round 17, [[bandRowsSized]]): the Jaccard denominators used to
+    // cost a separate per-doc count plus two keyed joins against the
+    // pair relation — two exchanges and two sorts of the pair volume,
+    // now zero. Same rows, same values: __sz is a function of the id.
+    val banded = bandRowsSized(shRows, k, bands, md5Hashes, id)
+    val cand = banded.select(col("band"), col(id).as("id_a"), col("__sz").as("sz_a"))
+      .join(banded.select(col("band"), col(id).as("id_b"), col("__sz").as("sz_b")),
+        Seq("band"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .select("id_a", "id_b", "sz_a", "sz_b").distinct()
     graft.model.RelCache.hold("textdedup.minhashLshPairs.cand", cand)
     // Jaccard relationally: |A∩B| by joining shingle rows on the
-    // shingle string, |A∪B| from per-doc distinct counts.
-    val sizes = shRows.groupBy(col(id)).agg(count(lit(1)).as("sz"))
+    // shingle string, |A∪B| from the carried per-doc counts.
     val inter = cand
       .join(shRows.select(col(id).as("id_a"), col("s")), Seq("id_a"))
       .join(shRows.select(col(id).as("id_b"), col("s")), Seq("id_b", "s"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    cand
-      .join(inter, Seq("id_a", "id_b"), "left").na.fill(0L, Seq("inter"))
-      .join(sizes.select(col(id).as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
-      .join(sizes.select(col(id).as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .groupBy("id_a", "id_b", "sz_a", "sz_b").agg(count(lit(1)).as("inter"))
+    // a candidate pair with ZERO shared shingles cannot pass any
+    // strictly positive cutoff (its Jaccard is exactly 0), so the
+    // join-back that re-attaches zero-inter pairs is needed only for
+    // minJaccard = 0 — the [[nearDupAgainstIndex]] inner-verify
+    // argument, applied at the source (round 17: one pair-volume
+    // exchange + sort saved on every thresholded call site)
+    val withInter =
+      if (minJaccard > 0.0) inter
+      else cand.join(inter.select("id_a", "id_b", "inter"),
+        Seq("id_a", "id_b"), "left").na.fill(0L, Seq("inter"))
+    withInter
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= minJaccard)
@@ -1750,33 +1794,32 @@ object TextDedup {
       md5Hashes: Boolean = false, id: String = "doc_id",
       text: String = "text"): DataFrame = {
     require(k >= 1 && window >= 1, "k and window must be positive")
-    val tok = docs.select(col(id), posexplode(tokens(col(text))).as(Seq("pos", "tk")))
-    val wDoc = Window.partitionBy(col(id)).orderBy(col("pos"))
-    val leads = (1 until k).map(o => lead(col("tk"), o).over(wDoc))
-    val full = if (leads.isEmpty) lit(true) else leads.last.isNotNull
-    val hCol = {
-      val gram = concat_ws(" ", (col("tk") +: leads): _*)
-      if (md5Hashes) md5(gram) else xxhash64(gram)
-    }
-    // gram rows: pos is consecutive 0..ng-1 (full grams start at
-    // 0..n-k; a short doc's single whole-stream gram sits at 0)
-    val grams = tok
-      .withColumn("h", hCol)
-      .withColumn("full", full)
-      .filter(col("full") || col("pos") === 0)
-      .select(col(id), col("pos"), col("h"))
-    grams
-      .withColumn("ng", count(lit(1)).over(Window.partitionBy(col(id))))
-      // min over the frame picks the smallest hash; -pos inside the
-      // struct makes ties resolve to the rightmost gram
-      .withColumn("sel", min(struct(col("h"), (-col("pos")).as("np")))
-        .over(wDoc.rowsBetween(Window.currentRow, window - 1)))
-      // keep only FULL windows (the paper has exactly ng-window+1 of
-      // them); a doc with fewer grams than the window keeps its one
-      // truncated whole-doc window at pos 0
-      .filter(col("pos") <= col("ng") - window || col("pos") === 0)
+    // ZERO-SHUFFLE winnowing (round 17): grams come from the
+    // [[shingleArray]] projection (one regex pass per doc, positions =
+    // array indices 0..ng-1 — exactly the old consecutive gram
+    // positions), and the per-window minimum is an `array_min` over
+    // the (hash, -pos) struct slice — same struct ordering as the old
+    // doc-keyed sliding `min(struct(h, -pos))` window, so the same
+    // (smallest hash, rightmost-on-ties) gram wins every window. The
+    // old pipeline paid posexplode → Exchange(id) → Sort(id, pos) →
+    // lead-Window → count-Window → min-Window over the token volume;
+    // this is one projection and per-doc distinct selections come from
+    // `array_distinct`, which equals the old row-level distinct
+    // because the id is in the key either way. Documents with no
+    // tokens produce the [""]-marker gram array and are dropped, the
+    // posexplode-of-empty behaviour.
+    val hOf: Column => Column = g => if (md5Hashes) md5(g) else xxhash64(g)
+    docs
+      .select(col(id), shingleArray(col(text), k).as("__g"))
+      .filter(element_at(col("__g"), 1) =!= "")
+      .select(col(id), explode(array_distinct(
+        graft.functions.TextFunctions.bindOne(
+          transform(col("__g"), (g, i) => struct(hOf(g).as("h"), (-i).as("np")))) { pairs =>
+          transform(
+            sequence(lit(0), greatest(size(pairs) - window, lit(0))),
+            j => array_min(slice(pairs, j + 1, lit(window))))
+        })).as("sel"))
       .select(col(id), (-col("sel.np")).cast("int").as("pos"), col("sel.h").as("h"))
-      .distinct()
   }
 
   /** MOSS-style cross-document overlap over shared winnowed
@@ -1963,15 +2006,10 @@ object TextDedup {
     * Same gram semantics: full lead windows, plus the all-tokens
     * shingle at pos 0 for documents shorter than the width. */
   private def gramRowsAll(docs: DataFrame, n: Int, id: String,
-      text: String): DataFrame = {
-    val tok = docs.select(col(id), posexplode(tokens(col(text))).as(Seq("pos", "tk")))
-    val wDoc = Window.partitionBy(col(id)).orderBy(col("pos"))
-    val leads = (1 until n).map(o => lead(col("tk"), o).over(wDoc))
-    val full = if (leads.isEmpty) lit(true) else leads.last.isNotNull
-    tok
-      .withColumn("s", concat_ws(" ", (col("tk") +: leads): _*))
-      .withColumn("full", full)
-      .filter(col("full") || col("pos") === 0)
-      .select(col(id), col("s"))
-  }
+      text: String): DataFrame =
+    // zero-shuffle gram derivation (round 17): same [[shingleArray]]
+    // projection as [[shingleRows]], duplicates kept (the counting
+    // shape) — replaces the posexplode + exchange + sort + lead-window
+    // pipeline; the caller's own "" filter keeps empty docs out
+    docs.select(col(id), explode(shingleArray(col(text), n)).as("s"))
 }

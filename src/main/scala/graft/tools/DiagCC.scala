@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
 object DiagCC {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(300000L)
-    val spark = SparkSession.builder()
+    val spark = graft.model.SessionTuning.tuned(SparkSession.builder())
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")

@@ -13,12 +13,18 @@ object DiagQ82 {
     val reps = if (args.length > 1) args(1).toInt else 5
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val b0 = graft.model.SessionTuning.tuned(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+    // A/B harness for session-level conf candidates:
+    //   SPARK_GRAFT_DIAG_CONF="k=v;k2=v2" applies before getOrCreate
+    val spark = sys.env.get("SPARK_GRAFT_DIAG_CONF").filter(_.nonEmpty)
+      .map(_.split(";").foldLeft(b0) { (b, kv) =>
+        val Array(k, v) = kv.split("=", 2); b.config(k, v) })
+      .getOrElse(b0)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
@@ -38,7 +44,7 @@ object DiagQ82 {
           s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         val i = s.stageInfo
         val wall = (for {a <- i.completionTime; b <- i.submissionTime} yield a - b).getOrElse(0L)
-        stages.add((s"${i.name}", wall, i.taskMetrics.executorRunTime,
+        stages.add((s"tasks=${i.numTasks} ${i.name}", wall, i.taskMetrics.executorRunTime,
           i.taskMetrics.shuffleReadMetrics.totalBytesRead,
           i.taskMetrics.shuffleWriteMetrics.bytesWritten))
       }
@@ -60,6 +66,10 @@ object DiagQ82 {
       all.take(8).foreach { case (id, ns, desc) =>
         println(f"[diag]   job $id%4d ${ns / 1e9}%7.2f s  ${desc.take(90)}")
       }
+      val allSt = stages.asScala.toSeq
+      println(f"[diag]   stages=${allSt.size} taskSum=${allSt.map(_._3).sum / 1e3}%.1f s " +
+        f"stageWallSum=${allSt.map(_._2).sum / 1e3}%.1f s " +
+        f"nTasks=${allSt.map(_._1.split(" ")(0).drop(6).toInt).sum}")
       val st = stages.asScala.toSeq.sortBy(-_._3).take(10)
       st.foreach { case (nm, wall, task, rd, wr) =>
         println(f"[diag]   stage wall=${wall / 1e3}%7.2f s task=${task / 1e3}%8.1f s " +

@@ -11,7 +11,7 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
 object SparkSpec {
   lazy val session: SparkSession = {
-    val s = SparkSession.builder()
+    val s = graft.model.SessionTuning.tuned(SparkSession.builder())
       .master("local[2]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "2")
