@@ -50,4 +50,20 @@ object SessionTuning {
   def tuned(b: org.apache.spark.sql.SparkSession.Builder)
       : org.apache.spark.sql.SparkSession.Builder =
     localDir.fold(b)(d => b.config("spark.local.dir", d))
+
+  /** Spread a relation whose STATIC partition count is below the
+    * session parallelism (round 17): zero-shuffle derivations put
+    * their per-row compute on the SCAN's partitioning, and a
+    * single-row-group parquet file is an unsplittable 1-task scan
+    * (guide §2.5 "input skew: one huge unsplittable file —
+    * repartition immediately after the read"). Scale-adaptive by
+    * construction: a corpus-scale input arrives in ≥ parallelism
+    * splits and takes the no-op branch, so the exchange is never
+    * added at the scale where it would cost corpus volume. Streaming
+    * inputs pass through untouched (micro-batches own their split). */
+  def spread(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    if (df.isStreaming) return df
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 }

@@ -417,8 +417,16 @@ object Normalize {
     // passes, the conditional moments, the corrected projection) —
     // without persistence each re-executed the upstream lineage
     // (round 17: q106's cold ran ~5 full input passes); gene×sample
-    // bounded, sweep-owned lifecycle
+    // bounded, sweep-owned lifecycle. Cache PARTITIONED BY THE
+    // AGGREGATION KEY: every consumer groups by sample_id, so the
+    // sample-hash layout is reused by all five aggregations with no
+    // further exchange (guide §2.4 "two operations keyed the same way
+    // share one exchange") — and it spreads the harness's 1-task
+    // single-row-group scan without round-robin's sort-before-
+    // repartition cost
+    val spark = m.df.sparkSession
     val df = m.canonical.df
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("sample_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rng = df.groupBy("sample_id")
       .agg(min("value").as("__lo"), max("value").as("__hi"))

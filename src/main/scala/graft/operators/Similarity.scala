@@ -590,6 +590,11 @@ object Similarity {
     val init = broadcast(q).crossJoin(broadcast(entry))
       .join(docs.select(col("nid").as("c"), col("v")), Seq("c"))
       .select(col("query_id"), col("c"), cosine(col("q_vec"), col("v")).as("sim"))
+    // eager checkpoint per round, KEPT after an A/B (round 17): a lazy
+    // persist-per-round variant saved the construction-time round
+    // trips but re-planned the accumulated 3-level plan inside one
+    // action and measured ~50% SLOWER (q149 3.9 → 6.0 s) — the
+    // lineage truncation is what keeps the per-round AQE plans small
     var state = graft.model.Workspace.stageCheckpoint(rank(init, beam), "gs_init")
     val g = graph.select(col(id).cast("long").as("c"), col("nbr"))
     for (r <- 0 until rounds) {

@@ -656,6 +656,20 @@ object TextDedup {
     }
   }
 
+  /** Spread a relation whose STATIC partition count is below the
+    * session parallelism (round 17): the shingle/gram/winnow
+    * derivations are now zero-shuffle projections, which puts their
+    * per-row compute on the SCAN's partitioning — and this harness's
+    * fixture tables are single-row-group parquet files, an
+    * unsplittable 1-task scan (guide §2.5 "input skew: one huge
+    * unsplittable file — repartition immediately after the read").
+    * Scale-adaptive by construction, not a local tune: a corpus-scale
+    * input arrives in ≥ parallelism splits and takes the no-op
+    * branch, so no exchange is ever added at the scale where it would
+    * cost corpus volume. */
+  private def spreadSmall(df: DataFrame): DataFrame =
+    graft.model.SessionTuning.spread(df)
+
   /** Distinct shingle rows `(id, extras..., s)` — one zero-shuffle
     * projection ([[shingleArray]]) + explode + distinct. The previous
     * posexplode + doc-keyed lead-window formulation paid an exchange
@@ -663,7 +677,7 @@ object TextDedup {
     * started; only the distinct's (id, s)-keyed exchange remains. */
   def shingleRows(docs: DataFrame, shingleWidth: Int, id: String = "doc_id",
       text: String = "text", extras: Seq[String] = Nil): DataFrame =
-    docs.select((col(id) +: extras.map(col)) :+
+    spreadSmall(docs).select((col(id) +: extras.map(col)) :+
         explode(shingleArray(col(text), shingleWidth)).as("s"): _*)
       .filter(col("s") =!= "")
       .distinct()
@@ -1494,28 +1508,38 @@ object TextDedup {
       maxSymbolRatio: Double = 0.1, minAlphaFrac: Double = 0.8,
       minStopWords: Int = 2,
       id: String = "doc_id", text: String = "text"): DataFrame = {
-    val toks = tokens(col(text))
-    val n = size(toks).cast("double")
-    val meanLen = when(n > 0,
-      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / n)
-      .otherwise(0.0)
-    val hashes = length(col(text)) - length(regexp_replace(col(text), "#", ""))
-    val ellipses = (length(col(text)) -
-      length(regexp_replace(col(text), "\\.\\.\\.", ""))) / 3
-    val symbolRatio = when(n > 0, (hashes + ellipses).cast("double") / n).otherwise(1.0)
-    val alphaFrac = when(n > 0,
-      size(filter(toks, t => t.rlike("[a-z]"))).cast("double") / n).otherwise(0.0)
-    val stopCount = size(array_distinct(
-      filter(toks, t => t.isin(gopherStopWords.map(lit(_)): _*))))
+    // every rule + `pass` computed inside ONE evaluate-once token
+    // binding (round 17, [[graft.functions.TextFunctions.bindOne]]):
+    // the five flags each referenced the tokenizer (and `pass` all
+    // five flags), so alias substitution used to inline ~12 tokenizer
+    // copies per row; a chain's filter(pass) now costs one extraction
     val flagNames = Seq("ok_words", "ok_word_len", "ok_symbols", "ok_alpha", "ok_stop")
-    val flags = Seq(
-      (n >= minWords && n <= maxWords).as("ok_words"),
-      (meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen).as("ok_word_len"),
-      (symbolRatio <= maxSymbolRatio).as("ok_symbols"),
-      (alphaFrac >= minAlphaFrac).as("ok_alpha"),
-      (stopCount >= minStopWords).as("ok_stop"))
-    docs.select((col("*") +: flags): _*)
-      .withColumn("pass", flagNames.map(col).reduce(_ && _))
+    val gf = graft.functions.TextFunctions.bindOne(tokens(col(text))) { toks =>
+      val n = size(toks).cast("double")
+      val meanLen = when(n > 0,
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / n)
+        .otherwise(0.0)
+      val hashes = length(col(text)) - length(regexp_replace(col(text), "#", ""))
+      val ellipses = (length(col(text)) -
+        length(regexp_replace(col(text), "\\.\\.\\.", ""))) / 3
+      val symbolRatio = when(n > 0, (hashes + ellipses).cast("double") / n).otherwise(1.0)
+      val alphaFrac = when(n > 0,
+        size(filter(toks, t => t.rlike("[a-z]"))).cast("double") / n).otherwise(0.0)
+      val stopCount = size(array_distinct(
+        filter(toks, t => t.isin(gopherStopWords.map(lit(_)): _*))))
+      val flags = Seq(
+        n >= minWords && n <= maxWords,
+        meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen,
+        symbolRatio <= maxSymbolRatio,
+        alphaFrac >= minAlphaFrac,
+        stopCount >= minStopWords)
+      struct(flags.zip(flagNames).map { case (f, nm) => f.as(nm) } :+
+        flags.reduce(_ && _).as("pass"): _*)
+    }
+    docs.withColumn("__gf", gf)
+      .select((col("*") +: (flagNames :+ "pass").map(f =>
+        col("__gf").getField(f).as(f))): _*)
+      .drop("__gf")
   }
 
   /** Snapshot DIFF between two corpus versions — the audit step of an
@@ -1809,7 +1833,7 @@ object TextDedup {
     // tokens produce the [""]-marker gram array and are dropped, the
     // posexplode-of-empty behaviour.
     val hOf: Column => Column = g => if (md5Hashes) md5(g) else xxhash64(g)
-    docs
+    spreadSmall(docs)
       .select(col(id), shingleArray(col(text), k).as("__g"))
       .filter(element_at(col("__g"), 1) =!= "")
       .select(col(id), explode(array_distinct(
@@ -2011,5 +2035,5 @@ object TextDedup {
     // projection as [[shingleRows]], duplicates kept (the counting
     // shape) — replaces the posexplode + exchange + sort + lead-window
     // pipeline; the caller's own "" filter keeps empty docs out
-    docs.select(col(id), explode(shingleArray(col(text), n)).as("s"))
+    spreadSmall(docs).select(col(id), explode(shingleArray(col(text), n)).as("s"))
 }
