@@ -326,18 +326,40 @@ object Bench {
       // sub-second queries are scheduling-jitter-bound (measured: every
       // >1.3x cross-run delta in round 5 was sub-second); one extra
       // sample there costs little and tightens the artifact
-      val coldSamples =
+      val coldSamples0 =
         if (base.map(_.wall).min < 1.0 && base.forall(_.err.isEmpty)) base :+ once()
         else base
+      // RETRY-ON-HIGH-STEAL (round 18, VERDICT r17 #1 — the r16 #5
+      // discipline): when the HEADLINE cold sample itself ran under
+      // >5% host steal, every rep of this query hit a contended
+      // window and the committed number measures the host, not the
+      // code (r17: q125 cold 91.4 s on both driver reps, 7.3-7.8 s in
+      // three same-code builder runs). Take up to 2 extra cold
+      // samples — the min-of-N convention is unchanged, all raw
+      // samples stay in the artifact, and a retry that still lands
+      // steal-flagged leaves the query on the high_steal list exactly
+      // as before.
+      var coldSamples = coldSamples0
+      var stealRetries = 0
+      def headlineStealFlagged(ss: Seq[Sample]): Boolean = {
+        val ok = ss.filter(_.err.isEmpty)
+        ok.nonEmpty && ok.minBy(_.wall).steal.exists(_ > 0.05)
+      }
+      while (stealRetries < 2 && headlineStealFlagged(coldSamples)) {
+        coldSamples = coldSamples :+ once()
+        stealRetries += 1
+      }
       // warm samples per query, after the colds (memo caches carry
       // over from the last cold run); a FAILED warm rep must not pose
       // as a fast warm number — record null and surface the error.
       // EVERY query gets TWO warm samples and reports the min — the
       // same contention filter the cold headline has.
       val warmRes: Seq[Sample] =
-        if (coldSamples.forall(_.err.isEmpty))
-          Seq(once(cold = false), once(cold = false))
-        else Seq.empty
+        if (coldSamples.forall(_.err.isEmpty)) {
+          val w0 = Seq(once(cold = false), once(cold = false))
+          // same retry-on-steal discipline for the warm headline
+          if (headlineStealFlagged(w0)) w0 :+ once(cold = false) else w0
+        } else Seq.empty
       val warmOk = warmRes.collect { case s if s.err.isEmpty => s.wall }
       val warm = if (warmOk.nonEmpty) Some(warmOk.min) else None
       val err = coldSamples.collectFirst { case Sample(_, Some(e), _, _, _, _, _, _) => e }

@@ -18,6 +18,38 @@ import org.apache.spark.sql.functions._
   * chains can be checkpointed to parquet at exactly the reference's
   * stage-file boundaries (Comb_*.exp, RNAseq_cqn.exp, topTables).
   */
+/** Bounded-pool overlap for INDEPENDENT eager stages (guide §2.6:
+  * submit independent jobs from a small thread pool so the next job's
+  * tasks back-fill executors freed by the current job's tail; 2-3 in
+  * flight is plenty). Round 18 (VERDICT r17 #8): a dedicated pool,
+  * shut down in a finally, replaces the shared global fork-join EC —
+  * blocking Spark actions on the default pool risked starvation under
+  * nesting or many platforms. Order-preserving; failures propagate. */
+private[graft] object Overlap {
+  def inParallel[A, B](items: Seq[A], maxInFlight: Int = 3)(f: A => B): Seq[B] = {
+    if (items.lengthCompare(1) <= 0) return items.map(f)
+    val session = org.apache.spark.sql.SparkSession.getActiveSession
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(items.length, maxInFlight))
+    try {
+      val futs = items.map { a =>
+        pool.submit(new java.util.concurrent.Callable[B] {
+          override def call(): B = {
+            // active session is thread-local; pool threads inherit the
+            // submitter's SparkContext properties but not the session
+            session.foreach(org.apache.spark.sql.SparkSession.setActiveSession)
+            f(a)
+          }
+        })
+      }
+      futs.map { fu =>
+        try fu.get()
+        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+      }
+    } finally pool.shutdown()
+  }
+}
+
 object Pipelines {
 
   /** E1 — closed-platform differential expression
@@ -70,15 +102,27 @@ object Pipelines {
     // `lmFit(eset, design, weights=arrayw, block=...,
     // correlation=corfit$consensus)` gls.series branch
     // (DiffExpression_closedPlatform.R:456-507)
-    val weights = DiffExpr.arrayWeightsReml(filtered, groups,
-      maxIter = remlIters, tol = remlTol)
     val stats = replicates match {
       case Some(reps) =>
-        val (_, rho) = DiffExpr.duplicateCorrelationReml(filtered, reps, groups)
+        // the REML array-weight fit and the duplicate-correlation
+        // consensus are INDEPENDENT eager fits over the same filtered
+        // matrix — overlap them on the bounded pool (round 18, guide
+        // §2.6) so the consensus' keyed aggregations back-fill the
+        // sweep jobs' idle tails; both results are deterministic, so
+        // output is unchanged
+        val Seq(weightsAny, rhoAny) = Overlap.inParallel[() => Any, Any](Seq(
+          () => DiffExpr.arrayWeightsReml(filtered, groups,
+            maxIter = remlIters, tol = remlTol),
+          () => DiffExpr.duplicateCorrelationReml(filtered, reps, groups)._2
+        ))(_.apply())
+        val weights = weightsAny.asInstanceOf[DataFrame]
+        val rho = rhoAny.asInstanceOf[Double]
         val obsW = filtered.canonical.df
           .join(broadcast(weights), Seq("sample_id"))
         DiffExpr.groupStatsGlsObs(obsW, groups, reps, rho)
-      case None => DiffExpr.groupStatsWeighted(filtered, groups, weights)
+      case None => DiffExpr.groupStatsWeighted(filtered, groups,
+        DiffExpr.arrayWeightsReml(filtered, groups,
+          maxIter = remlIters, tol = remlTol))
     }
     DiffExpr.topTable(
       DiffExpr.moderatedT(stats, "group", groupA, groupB).withColumnRenamed("p_mod", "p"))
@@ -118,15 +162,22 @@ object Pipelines {
     val filtered = ExpressionMatrix(Workspace.stageCheckpoint(
       Filters.topFracBySdNonZero(adjusted, sdFrac)
         .canonical.df, "comb_closed_multi_filtered"))
-    val weights = DiffExpr.arrayWeightsReml(filtered, groups,
-      maxIter = remlIters, tol = remlTol)
     val stats = replicates match {
       case Some(reps) =>
-        val (_, rho) = DiffExpr.duplicateCorrelationReml(filtered, reps, groups)
+        // overlap the two independent fits — see closedPlatformDE
+        val Seq(weightsAny, rhoAny) = Overlap.inParallel[() => Any, Any](Seq(
+          () => DiffExpr.arrayWeightsReml(filtered, groups,
+            maxIter = remlIters, tol = remlTol),
+          () => DiffExpr.duplicateCorrelationReml(filtered, reps, groups)._2
+        ))(_.apply())
+        val weights = weightsAny.asInstanceOf[DataFrame]
+        val rho = rhoAny.asInstanceOf[Double]
         val obsW = filtered.canonical.df
           .join(broadcast(weights), Seq("sample_id"))
         DiffExpr.groupStatsGlsObs(obsW, groups, reps, rho)
-      case None => DiffExpr.groupStatsWeighted(filtered, groups, weights)
+      case None => DiffExpr.groupStatsWeighted(filtered, groups,
+        DiffExpr.arrayWeightsReml(filtered, groups,
+          maxIter = remlIters, tol = remlTol))
     }
     val de = DiffExpr.moderatedTAll(stats)
     DiffExpr.decideTests(
@@ -463,7 +514,10 @@ object Pipelines {
       minQuality: Double = 0.3, nearDupJaccard: Double = 0.8,
       dfCap: Long = 100000L, md5Hashes: Boolean = false): DataFrame = {
     import graft.functions.TextFunctions._
-    val fp = docs.select(col("doc_id"), col("text"))
+    // spread first (round 18): the fingerprint pass is the ledger's
+    // per-doc entrance compute — single-task on unsplittable fixture
+    // scans otherwise (the TextDedup.exactDedup argument)
+    val fp = graft.model.SessionTuning.spread(docs.select(col("doc_id"), col("text")))
       .withColumn("__fp", fingerprint(col("text")))
     val win = fp.groupBy("__fp").agg(min(col("doc_id")).as("__win"))
     // held (round 17): the winner-annotated relation feeds the exact
@@ -546,17 +600,18 @@ object Pipelines {
     // platform DE) — materialize once so upstream lineage doesn't
     // re-execute per action. The platforms are INDEPENDENT, so their
     // eager work (checkpoint materialization here, the eBayes moment
-    // collects below) runs on a small thread pool and the next
-    // platform's stages back-fill executors freed by the previous
-    // one's tail (round 17, guide §2.6 "overlap independent jobs");
-    // Future.traverse keeps platform order, so output is unchanged.
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val platforms = Await.result(Future.traverse(platforms0) { case (name, m) =>
-      Future(name -> ExpressionMatrix(
-        Workspace.stageCheckpoint(m.canonical.df, s"meta_platform_$name")))
-    }, Duration.Inf)
+    // collects below) overlaps and the next platform's stages
+    // back-fill executors freed by the previous one's tail (round 17,
+    // guide §2.6 "overlap independent jobs"); order is preserved, so
+    // output is unchanged. Round 18 (VERDICT r17 #8): a DEDICATED
+    // bounded pool replaces the global fork-join EC — blocking Spark
+    // actions on the shared pool risked starvation under nesting /
+    // many platforms, and the guide's own note says 2-3 jobs in
+    // flight is plenty.
+    val platforms = Overlap.inParallel(platforms0) { case (name, m) =>
+      name -> ExpressionMatrix(
+        Workspace.stageCheckpoint(m.canonical.df, s"meta_platform_$name"))
+    }
     // ICC per platform pair (standardized once per platform, reused
     // across pairs) -> mean per gene; genes with negative mean ICC are
     // dropped (Meta_analysis.R:620-645)
@@ -567,14 +622,12 @@ object Pipelines {
     // moderated t + BH topTable per platform (constructed
     // concurrently — each construction runs the platform's
     // hyperparameter moment collect)
-    val topTables = Await.result(Future.traverse(platforms) { case (name, m) =>
-      Future {
-        val stats = DiffExpr.groupStats(m, groups)
-        name -> DiffExpr.topTable(
-          DiffExpr.moderatedT(stats, "group", groupA, groupB)
-            .withColumnRenamed("p_mod", "p"))
-      }
-    }, Duration.Inf)
+    val topTables = Overlap.inParallel(platforms) { case (name, m) =>
+      val stats = DiffExpr.groupStats(m, groups)
+      name -> DiffExpr.topTable(
+        DiffExpr.moderatedT(stats, "group", groupA, groupB)
+          .withColumnRenamed("p_mod", "p"))
+    }
     metaAnalysisFromTopTables(topTables, meanIcc)
   }
 

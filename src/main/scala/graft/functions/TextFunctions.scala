@@ -201,6 +201,36 @@ object TextFunctions {
     * whitespace/punctuation-insensitive exact-dup key. */
   def fingerprint(text: Column): Column = md5(concat_ws(" ", tokens(text)))
 
+  /** [[TextKernels.maskSpans]] as a codegen `StaticInvoke` (the
+    * deflateRatio convention): rebuild the cleaned token stream with
+    * every position covered by a [start, start+n-1] span dropped —
+    * the array-local half of TextDedup.removeRepeatedSpans. */
+  def maskSpansOf(toks: Column, starts: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.types._
+    ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        TextKernels.getClass, StringType, "maskSpans",
+        Seq(ColumnBridge.expression(toks), ColumnBridge.expression(starts),
+          org.apache.spark.sql.catalyst.expressions.Literal(n)),
+        Seq(ArrayType(StringType), ArrayType(IntegerType), IntegerType),
+        propagateNull = true, returnNullable = false))
+  }
+
+  /** [[TextKernels.coveredCount]] as a codegen `StaticInvoke`: how
+    * many of the first `nTokens` positions the span union covers. */
+  def coveredCountOf(nTokens: Column, starts: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.types._
+    ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        TextKernels.getClass, IntegerType, "coveredCount",
+        Seq(ColumnBridge.expression(nTokens), ColumnBridge.expression(starts),
+          org.apache.spark.sql.catalyst.expressions.Literal(n)),
+        Seq(IntegerType, ArrayType(IntegerType), IntegerType),
+        propagateNull = true, returnNullable = false))
+  }
+
   /** PII patterns for corpus scrubbing. Deliberately simple regexes
     * that mean the same thing to Java regex (Spark codegen) and RE2
     * (DuckDB), so the scrub is oracle-checkable: emails, and

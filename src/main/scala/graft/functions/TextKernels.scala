@@ -19,6 +19,61 @@ object TextKernels {
     override def initialValue(): Array[Byte] = new Array[Byte](8192)
   }
 
+  /** Rebuild the cleaned single-spaced token stream after repeated-
+    * span masking ([[graft.operators.TextDedup.removeRepeatedSpans]]):
+    * token positions covered by any interval [s, s+n-1] for a start
+    * position `s` in `starts` (SORTED ascending) are dropped; the
+    * survivors join with single spaces. Linear two-pointer merge —
+    * O(tokens + starts) per document, no quadratic containment scan.
+    * Replaces the round-17 coverage WINDOW (running max of starts ≤
+    * pos) exactly: kept ⇔ pos > lastStart + n − 1 ⇔ pos not covered. */
+  def maskSpans(toks: org.apache.spark.sql.catalyst.util.ArrayData,
+      starts: org.apache.spark.sql.catalyst.util.ArrayData,
+      n: Int): UTF8String = {
+    val nTok = toks.numElements()
+    val nSt = starts.numElements()
+    val sb = new java.lang.StringBuilder
+    var sp = 0
+    var coverEnd = -1L
+    var i = 0
+    while (i < nTok) {
+      while (sp < nSt && starts.getInt(sp) <= i) {
+        val e = starts.getInt(sp).toLong + (n - 1)
+        if (e > coverEnd) coverEnd = e
+        sp += 1
+      }
+      if (i > coverEnd) {
+        if (sb.length > 0) sb.append(' ')
+        sb.append(toks.getUTF8String(i).toString)
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** Number of token positions in [0, nTokens) covered by the union
+    * of [s, s+n-1] intervals over the SORTED `starts` — the companion
+    * count to [[maskSpans]] (n_removed; kept = nTokens − covered). */
+  def coveredCount(nTokens: Int,
+      starts: org.apache.spark.sql.catalyst.util.ArrayData, n: Int): Int = {
+    val nSt = starts.numElements()
+    var covered = 0L
+    var curStart = -1L
+    var curEnd = -2L
+    var i = 0
+    while (i < nSt) {
+      val s = starts.getInt(i).toLong
+      val e = math.min(s + (n - 1), nTokens - 1L)
+      if (s > curEnd + 1) {
+        if (curEnd >= curStart) covered += curEnd - curStart + 1
+        curStart = s; curEnd = e
+      } else if (e > curEnd) curEnd = e
+      i += 1
+    }
+    if (curEnd >= curStart && curStart >= 0) covered += curEnd - curStart + 1
+    covered.toInt
+  }
+
   /** zlib-compressed-size / raw-size ratio of the UTF-8 bytes — the
     * classic compression-based repetitiveness proxy of web-corpus
     * curation (boilerplate and templated spam compress far below

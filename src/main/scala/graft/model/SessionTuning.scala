@@ -26,6 +26,12 @@ package graft.model
   * optimum. */
 object SessionTuning {
 
+  /** tmpfs is RAM: require this much free space before defaulting
+    * shuffle dirs onto it (round 18, VERDICT r17 #5 — a node whose
+    * shuffle volume approaches its free RAM must fall back to disk,
+    * not trade slow shuffles for eviction pressure). */
+  private val shmFreeFloorBytes = 4L << 30
+
   /** The local-dir default for this process, or None to leave Spark's
     * stock behaviour: explicit env beats graft env beats /dev/shm
     * probe. */
@@ -33,25 +39,56 @@ object SessionTuning {
     if (sys.env.contains("SPARK_LOCAL_DIRS")) None // Spark env wins untouched
     else sys.env.get("SPARK_GRAFT_LOCAL_DIR").filter(_.nonEmpty).orElse {
       val shm = new java.io.File("/dev/shm")
-      if (shm.isDirectory && shm.canWrite) {
+      if (shm.isDirectory && shm.canWrite && shm.getUsableSpace > shmFreeFloorBytes) {
+        // a crashed/killed JVM leaves its dir consuming RAM until a
+        // reboot (deleteOnExit only runs on NORMAL shutdown and cannot
+        // remove non-empty dirs — ADVICE r17): sweep siblings whose
+        // owning pid is dead before creating ours
+        sweepStaleDirs(shm)
         // per-process subdir so concurrent JVMs never share block dirs;
-        // Spark removes its blockmgr/spill subdirs on shutdown, and the
-        // deleteOnExit marker covers abnormal exits of the wrapper dir
+        // Spark removes its blockmgr/spill subdirs on clean shutdown,
+        // and the startup sweep above reclaims dirs an abnormal exit
+        // left behind
         val d = new java.io.File(shm,
           s"graft-spark-${java.lang.ProcessHandle.current().pid()}")
         d.mkdirs()
-        d.deleteOnExit()
         Some(d.getAbsolutePath)
       } else None
     }
 
+  /** Remove `graft-spark-<pid>` dirs whose pid no longer exists
+    * (ADVICE r17: abnormal exits orphan RAM-backed shuffle dirs). */
+  private def sweepStaleDirs(shm: java.io.File): Unit =
+    try {
+      val rx = "^graft-spark-(\\d+)$".r
+      Option(shm.listFiles()).getOrElse(Array.empty).foreach { f =>
+        rx.findFirstMatchIn(f.getName).foreach { m =>
+          val pid = m.group(1).toLong
+          val alive = java.lang.ProcessHandle.of(pid)
+            .map[java.lang.Boolean](h => h.isAlive).orElse(false)
+          if (!alive && f.isDirectory) deleteRecursively(f)
+        }
+      }
+    } catch { case _: Throwable => () }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
+  }
+
   /** Apply the local-dir default to a session builder (no-op when the
-    * environment already decides). */
+    * environment already decides). Logs the chosen dir once so a
+    * deployment can SEE where its shuffle files land (VERDICT r17 #5). */
   def tuned(b: org.apache.spark.sql.SparkSession.Builder)
       : org.apache.spark.sql.SparkSession.Builder =
-    localDir.fold(b)(d => b.config("spark.local.dir", d))
+    localDir.fold(b) { d =>
+      System.err.println(s"[graft] spark.local.dir default -> $d " +
+        "(override: SPARK_GRAFT_LOCAL_DIR / SPARK_LOCAL_DIRS)")
+      b.config("spark.local.dir", d)
+    }
 
-  /** Spread a relation whose STATIC partition count is below the
+  /** Spread a relation whose STATIC scan parallelism is below the
     * session parallelism (round 17): zero-shuffle derivations put
     * their per-row compute on the SCAN's partitioning, and a
     * single-row-group parquet file is an unsplittable 1-task scan
@@ -60,10 +97,67 @@ object SessionTuning {
     * construction: a corpus-scale input arrives in ≥ parallelism
     * splits and takes the no-op branch, so the exchange is never
     * added at the scale where it would cost corpus volume. Streaming
-    * inputs pass through untouched (micro-batches own their split). */
+    * inputs pass through untouched (micro-batches own their split).
+    *
+    * Partition counts are read STATICALLY (round 18, VERDICT r17 #2 /
+    * ADVICE r17): the old `df.rdd.getNumPartitions` probe forced a
+    * full QueryExecution per call site, and with AQE on it also
+    * MATERIALIZED every upstream shuffle stage at plan-construction
+    * time — work the returned `repartition()` plan does not reuse.
+    * Now:
+    *  - narrow plans over estimable leaves (file scans, checkpointed
+    *    RDDs, local relations — every shingle/gram/winnow input shape)
+    *    estimate split counts from file bytes / RDD partition arrays,
+    *    zero planning;
+    *  - any other plan contains a shuffle-producing operator, whose
+    *    output parallelism is the session's shuffle partitioning
+    *    already — pass through. AQE may still coalesce a tiny shuffle
+    *    below the parallelism, but probing would EXECUTE it; at toy
+    *    scale those inputs are cheap either way and at corpus scale
+    *    the pass-through is exactly right. */
   def spread(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     if (df.isStreaming) return df
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    staticPartitionEstimate(df) match {
+      case Some(est) if est < target => df.repartition(target)
+      case _ => df
+    }
+  }
+
+  /** Static scan-parallelism estimate from the ANALYZED plan — no
+    * physical planning, no execution. None = the plan contains a
+    * wide/unknown operator (already shuffle-partitioned downstream of
+    * it) or an inestimable leaf. */
+  private[graft] def staticPartitionEstimate(
+      df: org.apache.spark.sql.DataFrame): Option[Long] = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val conf = df.sparkSession.sessionState.conf
+    val maxSplit = math.max(1L, conf.filesMaxPartitionBytes)
+    def walk(p: LogicalPlan): Option[Long] = p match {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          // per-file splits never merge across files; unsplittable
+          // single-row-group fixtures under-estimate toward 1, which
+          // is the conservative (repartition) direction
+          val files = fs.location.listFiles(Nil, Nil).flatMap(_.files)
+          Some(files.map(f => math.max(1L,
+            (f.getLen + maxSplit - 1) / maxSplit)).sum.max(1L))
+        case _ => None
+      }
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        Some(r.rdd.getNumPartitions.toLong)
+      case _: LocalRelation | _: OneRowRelation => Some(1L)
+      case u: Union => u.children.map(walk).reduce((a, b) =>
+        for (x <- a; y <- b) yield x + y)
+      // narrow, partition-preserving wrappers; everything else
+      // (Aggregate, Join, Window, Sort, Distinct, ...) is wide or
+      // unknown -> None
+      case _: Project | _: Filter | _: Generate | _: SubqueryAlias =>
+        walk(p.children.head)
+      case _ => None
+    }
+    walk(df.queryExecution.analyzed)
   }
 }

@@ -225,7 +225,15 @@ object DiffExpr {
     // count separately from the effective information `n`: df comes
     // from observations (limma's N − k), the SE term from `n`
     val nDf = if (stats.columns.contains("n_obs")) col("n_obs") else col("n")
-    val perGene = stats.filter(col(groupCol).isin(groupA, groupB))
+    // gene-grain bounded; executed TWICE (the hyperparameter moment
+    // collect below, then the returned plan) — persist so the stats
+    // lineage (for the chains: the whole upstream fit) runs once.
+    // Rolling RelCache slot (round 18): metaAnalysis invokes this per
+    // platform inside one query, so the per-invocation blocks roll
+    // out after `keep` invocations instead of accumulating for the
+    // session (VERDICT r17 #7).
+    val perGene = graft.model.RelCache.holdRolling("diffexpr.moderatedt.pergene",
+      stats.filter(col(groupCol).isin(groupA, groupB))
       .groupBy(col(gene))
       .agg(sum(nDf).as("n_tot"), count(lit(1)).as("k"),
            sum((nDf - 1) * col("var")).as("ss_resid"),
@@ -236,11 +244,7 @@ object DiffExpr {
       .filter(col("k") === 2 && col("n_tot") > 2 && col("ma").isNotNull && col("mb").isNotNull)
       .withColumn("df_resid", col("n_tot") - 2)
       .withColumn("s2", col("ss_resid") / col("df_resid"))
-      .filter(col("s2") > 0)
-      // gene-grain bounded; executed TWICE (the hyperparameter moment
-      // collect below, then the returned plan) — persist so the stats
-      // lineage (for the chains: the whole upstream fit) runs once
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .filter(col("s2") > 0))
     // method-of-moments on z = log(s2): E[z] and Var[z] give (d0, s0).
     // Null-guarded: an empty perGene (every gene filtered) leaves all
     // three moments NULL, and a single gene leaves zvar NULL — both
@@ -292,16 +296,17 @@ object DiffExpr {
     import spark.implicits._
     // see moderatedT: GLS stats split df (n_obs) from information (n)
     val nDf = if (stats.columns.contains("n_obs")) col("n_obs") else col("n")
-    val perGene = stats
+    // see moderatedT: two executions (moments collect + output plan);
+    // rolling RelCache slot, same lifecycle rationale
+    val perGene = graft.model.RelCache.holdRolling("diffexpr.moderatedtall.pergene",
+      stats
       .groupBy(col(gene))
       .agg(sum(nDf).as("n_tot"), count(lit(1)).as("k"),
            sum((nDf - 1) * col("var")).as("ss_resid"))
       .filter(col("n_tot") > col("k"))
       .withColumn("df_resid", col("n_tot") - col("k"))
       .withColumn("s2", col("ss_resid") / col("df_resid"))
-      .filter(col("s2") > 0)
-      // see moderatedT: two executions (moments collect + output plan)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .filter(col("s2") > 0))
     // null-guarded like moderatedT: empty/single-gene moment rows
     // degrade to the d0 = 1e6 branch instead of an NPE
     val moments = perGene
@@ -360,9 +365,9 @@ object DiffExpr {
     // gene×sample bounded; referenced by BOTH the unit decomposition
     // and the per-gene group count below — persist or the cell-mean
     // join lineage executes twice (round 17; sweep-owned lifecycle)
-    val resid = joined.join(cells, Seq("gene_id", groupCol))
-      .withColumn("__e", col("value") - col("__mu"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val resid = graft.model.RelCache.holdRolling("diffexpr.dupcorr.resid",
+      joined.join(cells, Seq("gene_id", groupCol))
+        .withColumn("__e", col("value") - col("__mu")))
     val unit = resid.groupBy(col("gene_id"), col("unit"))
       .agg(avg("__e").as("__eu"), count(lit(1)).as("__m"),
            sum(col("__e") * col("__e")).as("__se2"))
@@ -588,45 +593,68 @@ object DiffExpr {
       out: String = "p_bh"): DataFrame = {
     val spark = df.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
-    // The stitch fans the input into FOUR consumers (the count, the
-    // per-partition offsets, the candidate relation, and the suffix
-    // minima), and without persistence each branch re-executed the
-    // ENTIRE upstream lineage — for the DE chains that meant the
-    // voom/GLS fit ran ~5× inside one topTable action (round 17:
-    // q82's physical plan carried 186 exchanges and re-scanned the
-    // checkpointed matrix 8×). Persist the input and the two shared
-    // window intermediates; the session cache sweep
-    // ([[graft.SparkEntry.clearQueryCaches]]) owns the lifecycle, the
-    // [[graft.operators.Normalize.voom]] `obs` convention.
-    val base = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nDf = base.agg(count(lit(1)).as("__n"))
+    // The stitch fans the input into several consumers, and without
+    // persistence each branch re-executed the ENTIRE upstream lineage
+    // — for the DE chains that meant the voom/GLS fit ran ~5× inside
+    // one topTable action (round 17: q82's physical plan carried 186
+    // exchanges and re-scanned the checkpointed matrix 8×). Persists
+    // go through rolling RelCache slots (round 18, VERDICT r17 #7):
+    // one query may invoke BH per contrast/platform, so slots roll
+    // instead of releasing the previous invocation mid-query.
+    val base = graft.model.RelCache.holdRolling("diffexpr.bhadjust.base", df)
+    // n as a DRIVER scalar (round 18, the DE-chain job-floor fix):
+    // counting the persisted base materializes it once and replaces
+    // the broadcast-count subquery stage inside the action — and the
+    // count picks the path below, making the operator scale-adaptive
+    // instead of paying the multi-stage stitch on gene-grain inputs.
+    val n = base.count()
+    val smallMax = spark.conf.getOption("spark.graft.bh.smallThreshold")
+      .map(_.toLong).getOrElse(100000L)
     val orderAsc = col(p).asc +: tiebreak.map(_.asc)
-    val ranged = base.repartitionByRange(parts, orderAsc: _*)
-      .withColumn("__pid", spark_partition_id())
-    val wLocal = Window.partitionBy("__pid").orderBy(orderAsc: _*)
-    val withLrk = ranged.withColumn("__lrk", row_number().over(wLocal))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val wOff = Window.partitionBy(lit(0)).orderBy(col("__pid").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offs = withLrk.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
-      .select(col("__pid"), coalesce(sum("__cnt").over(wOff), lit(0L)).as("__off"))
-    val cand = withLrk.join(broadcast(offs), Seq("__pid")).crossJoin(broadcast(nDf))
-      .withColumn("__rk", col("__lrk") + col("__off"))
-      .withColumn("__cand", col(p) * col("__n") / col("__rk"))
-    // suffix min over the global rank order = within-partition reverse
-    // running min, floored by the min of all later partitions
-    val wRevLocal = Window.partitionBy("__pid").orderBy(col("__rk").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withLmin = cand.withColumn("__lmin", min("__cand").over(wRevLocal))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val wRevOff = Window.partitionBy(lit(0)).orderBy(col("__pid").desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val sufmins = withLmin.groupBy("__pid").agg(min("__cand").as("__pmin"))
-      .select(col("__pid"), min("__pmin").over(wRevOff).as("__sufmin"))
-    withLmin.join(broadcast(sufmins), Seq("__pid"))
-      .withColumn(out, least(lit(1.0),
-        least(col("__lmin"), coalesce(col("__sufmin"), lit(Double.MaxValue)))))
-      .drop("__pid", "__lrk", "__off", "__n", "__rk", "__cand", "__lmin", "__sufmin")
+    if (n <= smallMax) {
+      // gene-grain input: the [[bhAdjust]] window program with the
+      // known n injected — numerically identical (same p·n/rank
+      // candidates, same running min; DiffExprSpec pins both paths),
+      // one single-task sort instead of the stitch's range exchange +
+      // two persisted window passes + two broadcast joins. The
+      // single-partition window is exactly what `n ≤ smallMax` makes
+      // safe; data-sized relations take the stitch below.
+      val wRank = Window.orderBy(orderAsc: _*)
+      val wRevCum = Window.orderBy(
+          col(p).desc +: tiebreak.map(_.desc) :+ col("__rk").desc: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      base.withColumn("__rk", row_number().over(wRank))
+        .withColumn(out,
+          least(lit(1.0), min(col(p) * lit(n) / col("__rk")).over(wRevCum)))
+        .drop("__rk")
+    } else {
+      val ranged = base.repartitionByRange(parts, orderAsc: _*)
+        .withColumn("__pid", spark_partition_id())
+      val wLocal = Window.partitionBy("__pid").orderBy(orderAsc: _*)
+      val withLrk = graft.model.RelCache.holdRolling("diffexpr.bhadjust.lrk",
+        ranged.withColumn("__lrk", row_number().over(wLocal)))
+      val wOff = Window.partitionBy(lit(0)).orderBy(col("__pid").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = withLrk.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+        .select(col("__pid"), coalesce(sum("__cnt").over(wOff), lit(0L)).as("__off"))
+      val cand = withLrk.join(broadcast(offs), Seq("__pid"))
+        .withColumn("__rk", col("__lrk") + col("__off"))
+        .withColumn("__cand", col(p) * lit(n) / col("__rk"))
+      // suffix min over the global rank order = within-partition reverse
+      // running min, floored by the min of all later partitions
+      val wRevLocal = Window.partitionBy("__pid").orderBy(col("__rk").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val withLmin = graft.model.RelCache.holdRolling("diffexpr.bhadjust.lmin",
+        cand.withColumn("__lmin", min("__cand").over(wRevLocal)))
+      val wRevOff = Window.partitionBy(lit(0)).orderBy(col("__pid").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val sufmins = withLmin.groupBy("__pid").agg(min("__cand").as("__pmin"))
+        .select(col("__pid"), min("__pmin").over(wRevOff).as("__sufmin"))
+      withLmin.join(broadcast(sufmins), Seq("__pid"))
+        .withColumn(out, least(lit(1.0),
+          least(col("__lmin"), coalesce(col("__sufmin"), lit(Double.MaxValue)))))
+        .drop("__pid", "__lrk", "__off", "__rk", "__cand", "__lmin", "__sufmin")
+    }
   }
 
   /** W5/A13 — BH within groups (limma `decideTests(method="separate")`

@@ -34,9 +34,10 @@ object Normalize {
     val wRank = Window.partitionBy(m.sampleCol).orderBy(m.valueCol.asc, m.geneCol.asc)
     // the ranked relation feeds the rank-mean aggregation AND the
     // join back — persist, or the per-sample sort window (and the
-    // whole upstream) executes twice (round 17; sweep-owned)
-    val ranked = m.df.withColumn("__rk", row_number().over(wRank))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // whole upstream) executes twice (round 17); rolling RelCache
+    // slot so a long-lived session stays bounded (round 18)
+    val ranked = graft.model.RelCache.holdRolling("normalize.quantile.ranked",
+      m.df.withColumn("__rk", row_number().over(wRank)))
     val rankMeans = ranked.groupBy(col("__rk")).agg(avg(m.valueCol).as("__rkmean"))
     val normed = ranked.join(rankMeans, Seq("__rk"))
       .select(m.geneCol, m.sampleCol, col("__rkmean").as(m.value))
@@ -100,10 +101,10 @@ object Normalize {
       .withColumn("value", log2((col("value") + 0.5) / (col("__lib") + 1.0) * 1e6))
       .join(broadcast(groups.select(col("sample_id"), col(groupCol))), Seq("sample_id"))
     val cells = y.groupBy(col("gene_id"), col(groupCol)).agg(avg("value").as("__mu"))
-    val obs = y.join(cells, Seq("gene_id", groupCol))
-      .select(col("gene_id"), col("sample_id"), col(groupCol), col("value"),
-        col("__loglib"), col("__mu"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val obs = graft.model.RelCache.holdRolling("normalize.voom.obs",
+      y.join(cells, Seq("gene_id", groupCol))
+        .select(col("gene_id"), col("sample_id"), col(groupCol), col("value"),
+          col("__loglib"), col("__mu")))
     // per-gene trend points (genes with residual df and nonzero SS),
     // collected in the fit's ordering (sx, gene) — gene-grain bounded
     val pts = obs.groupBy("gene_id")
@@ -425,9 +426,9 @@ object Normalize {
     // single-row-group scan without round-robin's sort-before-
     // repartition cost
     val spark = m.df.sparkSession
-    val df = m.canonical.df
-      .repartition(spark.sessionState.conf.numShufflePartitions, col("sample_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = graft.model.RelCache.holdRolling("normalize.rmabg",
+      m.canonical.df
+        .repartition(spark.sessionState.conf.numShufflePartitions, col("sample_id")))
     val rng = df.groupBy("sample_id")
       .agg(min("value").as("__lo"), max("value").as("__hi"))
       .withColumn("__w", (col("__hi") - col("__lo")) / bins)

@@ -27,11 +27,20 @@ object QC {
       stddev_samp(m.valueCol).as("sd"))
 
   /** A28 — RLE (relative log expression): value − per-gene median;
-    * summarised per sample. */
+    * summarised per sample. The matrix feeds TWO consumers (the
+    * per-gene median aggregation and the residual join) — cache it
+    * PARTITIONED BY THE SHARED KEY (gene), so the scan runs once and
+    * both the aggregation and the join reuse the layout with no
+    * further gene exchange (round 18, the rmaBackground pattern,
+    * guide §2.4 "two operations keyed the same way share one
+    * exchange"). */
   def rle(m: ExpressionMatrix): DataFrame = {
-    val med = m.df.groupBy(m.geneCol)
+    val parts = m.df.sparkSession.sessionState.conf.numShufflePartitions
+    val df = graft.model.RelCache.holdRolling("qc.rle.in",
+      m.df.repartition(parts, m.geneCol))
+    val med = df.groupBy(m.geneCol)
       .agg(expr(s"percentile(${m.value}, 0.5)").as("__med"))
-    m.df.join(med, Seq(m.gene))
+    df.join(med, Seq(m.gene))
       .withColumn("__rle", m.valueCol - col("__med"))
       .groupBy(m.sampleCol)
       .agg(expr("percentile(__rle, 0.5)").as("rle_median"),
@@ -225,9 +234,14 @@ object QC {
     * median A — the table behind the plot grid. Two shuffles (gene
     * median, per-sample summary). */
   def maStats(m: ExpressionMatrix): DataFrame = {
-    val ref = m.canonical.df.groupBy("gene_id")
+    // gene-keyed cache shared by the reference-median aggregation and
+    // the M/A join — see [[rle]] (round 18, the rmaBackground pattern)
+    val parts = m.df.sparkSession.sessionState.conf.numShufflePartitions
+    val base = graft.model.RelCache.holdRolling("qc.mastats.in",
+      m.canonical.df.repartition(parts, col("gene_id")))
+    val ref = base.groupBy("gene_id")
       .agg(expr("percentile(value, 0.5)").as("__ref"))
-    m.canonical.df.join(ref, Seq("gene_id"))
+    base.join(ref, Seq("gene_id"))
       .withColumn("__m", col("value") - col("__ref"))
       .withColumn("__a", (col("value") + col("__ref")) / 2)
       .groupBy("sample_id")

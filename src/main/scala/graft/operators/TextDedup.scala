@@ -28,7 +28,13 @@ object TextDedup {
     * candidate row per fingerprint per partition), so a key with 10⁶
     * copies costs each task one row, never a single-task sort. */
   def exactDedup(docs: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame =
-    docs.withColumn("__fp", fingerprint(col(text)))
+    // spread first (round 18): the fingerprint tokenize+md5 is the
+    // chain's per-doc entrance compute, and on the harness's
+    // single-row-group fixtures it otherwise runs as ONE task feeding
+    // the min_by exchange (measured: a 3-4 s single-task stage at the
+    // head of every curation chain; guide §2.5 — repartition
+    // immediately after an unsplittable read). No-op at corpus scale.
+    spreadSmall(docs).withColumn("__fp", fingerprint(col(text)))
       .groupBy(col("__fp"))
       .agg(min_by(struct(docs.columns.map(col): _*), col(id)).as("__w"))
       .select(col("__w.*"))
@@ -56,7 +62,9 @@ object TextDedup {
   def dedupAgainstReference(docs: DataFrame, refFp: DataFrame,
       fpCol: String = "fp", text: String = "text",
       expectedItems: Long = -1L, fpp: Double = 0.01): DataFrame = {
-    val withFp = docs.withColumn("__fp", fingerprint(col(text)))
+    // spread first (round 18) — the incoming side's fingerprint +
+    // Bloom probe is per-doc entrance compute (see exactDedup)
+    val withFp = spreadSmall(docs).withColumn("__fp", fingerprint(col(text)))
     val n = if (expectedItems > 0L) expectedItems
             else math.max(refFp.count(), 1L)
     val bf = refFp.select(xxhash64(col(fpCol)).as("__k"))
@@ -1536,7 +1544,11 @@ object TextDedup {
       struct(flags.zip(flagNames).map { case (f, nm) => f.as(nm) } :+
         flags.reduce(_ && _).as("pass"): _*)
     }
-    docs.withColumn("__gf", gf)
+    // spread first (round 18): the rule battery tokenizes every doc —
+    // on the harness's single-row-group fixtures that compute would
+    // otherwise single-task (the exactDedup entrance argument);
+    // no-op at corpus scale and on exchange-bearing inputs
+    spreadSmall(docs).withColumn("__gf", gf)
       .select((col("*") +: (flagNames :+ "pass").map(f =>
         col("__gf").getField(f).as(f))): _*)
       .drop("__gf")
@@ -1677,39 +1689,51 @@ object TextDedup {
   def removeRepeatedSpans(docs: DataFrame, n: Int = 8, minDocs: Int = 2,
       id: String = "doc_id", text: String = "text"): DataFrame = {
     require(n >= 1, "span width must be positive")
-    val tok = docs.select(col(id), posexplode(tokens(col(text))).as(Seq("pos", "tk")))
-    val wDoc = Window.partitionBy(col(id)).orderBy(col("pos"))
-    val leads = (1 until n).map(o => lead(col("tk"), o).over(wDoc))
-    val full = if (leads.isEmpty) lit(true) else leads.last.isNotNull
-    val grams = tok
-      .withColumn("__h", when(full, md5(concat_ws(" ", (col("tk") +: leads): _*))))
-    val dupHashes = grams.filter(col("__h").isNotNull)
+    // ARRAY-LEVEL rewrite (round 18, VERDICT r17 #4 — the winnow
+    // treatment, guide §2.4): grams come from the [[shingleArray]]
+    // regex projection (zero shuffle; gram position = array index, the
+    // old posexplode positions), the corpus-wide duplicated-span
+    // decision stays a hash-keyed aggregation (inherent — it compares
+    // ACROSS documents), start positions fold back per doc as ONE
+    // keyed collect_list aggregation, and the coverage rule runs
+    // array-locally through the [[graft.functions.TextKernels]]
+    // two-pointer merge (StaticInvoke — codegen, no UDF closure).
+    // Gone from the plan: both doc-keyed Exchange+Sort window passes
+    // over the token volume, the kept-token groupBy rebuild, and the
+    // token-count aggregation (now `size(tokens)`); only full windows
+    // gram (docs shorter than n yield none — NOT the shingleArray
+    // whole-stream marker), so the dup decision is unchanged.
+    // RepeatedSpanRewriteSpec pins equivalence with the round-17
+    // formulation (positions are load-bearing).
+    val base = graft.model.SessionTuning.spread(docs)
+      .select(col(id), tokens(col(text)).as("__toks"))
+    val gramArr = graft.functions.TextFunctions.bindOne(col("__toks")) { t =>
+      when(size(t) >= n,
+        regexp_extract_all(concat_ws(" ", t),
+          lit("(?<=^| )(?=(\\S+" + " \\S+" * (n - 1) + "))"), lit(1)))
+        .otherwise(array().cast("array<string>"))
+    }
+    val grams = base.select(col(id), posexplode(gramArr).as(Seq("pos", "__g")))
+      .select(col(id), col("pos"), md5(col("__g")).as("__h"))
+    val dupHashes = grams
       .groupBy("__h").agg(countDistinct(col(id)).as("__nd"))
       .filter(col("__nd") >= minDocs)
       .select("__h")
-    val starts = grams.filter(col("__h").isNotNull)
+    val starts = grams
       .join(dupHashes, Seq("__h"), "left_semi")
-      .select(col(id), col("pos"), lit(true).as("__st"))
-    val wCov = Window.partitionBy(col(id)).orderBy(col("pos"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val kept = grams.select(col(id), col("pos"), col("tk"))
-      .join(starts, Seq(id, "pos"), "left")
-      .withColumn("__ls", max(when(col("__st"), col("pos"))).over(wCov))
-      .filter(col("__ls").isNull || col("pos") > col("__ls") + (n - 1))
-    val rebuilt = kept.groupBy(col(id))
-      .agg(concat_ws(" ",
-          transform(array_sort(collect_list(struct(col("pos"), col("tk")))),
-            s => s.getField("tk"))).as("__clean"),
-        count(lit(1)).as("__kept"))
-    val totals = tok.groupBy(col(id)).agg(count(lit(1)).as("__tot"))
-    docs.select(col(id))
-      .join(totals, Seq(id), "left")
-      .join(rebuilt, Seq(id), "left")
+      .groupBy(col(id))
+      .agg(sort_array(collect_list(col("pos"))).as("__starts"))
+    base.join(starts, Seq(id), "left")
+      .withColumn("__tot", size(col("__toks")).cast("long"))
+      .withColumn("__cov",
+        coalesce(graft.functions.TextFunctions.coveredCountOf(
+          size(col("__toks")), col("__starts"), n), lit(0)).cast("long"))
       .select(col(id),
-        coalesce(col("__clean"), lit("")).as("text_clean"),
-        coalesce(col("__kept"), lit(0L)).as("n_tokens"),
-        (coalesce(col("__tot"), lit(0L)) - coalesce(col("__kept"), lit(0L)))
-          .as("n_removed"))
+        when(col("__starts").isNull, concat_ws(" ", col("__toks")))
+          .otherwise(graft.functions.TextFunctions.maskSpansOf(
+            col("__toks"), col("__starts"), n)).as("text_clean"),
+        (col("__tot") - col("__cov")).as("n_tokens"),
+        col("__cov").as("n_removed"))
   }
 
   /** Cumulative hex thresholds for [[assignSplits]]: fraction `c`

@@ -26,7 +26,8 @@ object DiagQ82 {
         val Array(k, v) = kv.split("=", 2); b.config(k, v) })
       .getOrElse(b0)
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel(
+      sys.env.getOrElse("SPARK_GRAFT_DIAG_LOGLEVEL", "WARN"))
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     val done = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, String)]()
     // per-stage detail: (name@callsite, wall, task-time sum, shuffle

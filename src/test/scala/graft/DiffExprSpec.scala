@@ -26,17 +26,27 @@ class DiffExprSpec extends SparkSpec {
     adj.sliding(2).foreach { case Array(x, y) => assert(x <= y + 1e-12); case _ => }
   }
 
-  test("bhAdjustScalable is numerically identical to bhAdjust") {
+  test("bhAdjustScalable is numerically identical to bhAdjust (both paths)") {
     // 500 rows across many range partitions, with tied p-values so the
-    // partition-boundary tie handling is exercised
+    // partition-boundary tie handling is exercised. Round 18: the
+    // operator picks a single-window path for small inputs and the
+    // range-partitioned stitch above spark.graft.bh.smallThreshold —
+    // BOTH must equal the reference window program.
     val df = (1 to 500).map(i => (i, ((i * 131) % 97) / 97.0)).toDF("id", "p")
       .repartition(7)
     val simple = DiffExpr.bhAdjust(df, "p", Seq(col("id")))
       .orderBy("id").select("p_bh").as[Double].collect()
-    val scalable = DiffExpr.bhAdjustScalable(df, "p", Seq(col("id")))
-      .orderBy("id").select("p_bh").as[Double].collect()
-    assert(simple.length == 500 && scalable.length == 500)
-    simple.zip(scalable).foreach { case (a, b) => assert(a == b) }
+    assert(simple.length == 500)
+    for (threshold <- Seq("100000", "0")) { // small path, then forced stitch
+      spark.conf.set("spark.graft.bh.smallThreshold", threshold)
+      try {
+        val scalable = DiffExpr.bhAdjustScalable(df, "p", Seq(col("id")))
+          .orderBy("id").select("p_bh").as[Double].collect()
+        assert(scalable.length == 500, s"threshold=$threshold")
+        simple.zip(scalable).foreach { case (a, b) =>
+          assert(a == b, s"threshold=$threshold") }
+      } finally spark.conf.unset("spark.graft.bh.smallThreshold")
+    }
   }
 
   test("welchT recovers a known group difference") {

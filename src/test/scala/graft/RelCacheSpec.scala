@@ -68,6 +68,47 @@ class RelCacheSpec extends SparkSpec {
     assert(persisted == 0)
   }
 
+  test("rolling slots stay bounded over many invocations and sweep clean") {
+    SparkEntry.clearQueryCaches()
+    assert(persisted == 0)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey").as("id"),
+        (col("l_extendedprice") % 1.0).as("p"))
+    // 8 DIFFERENT-plan invocations of the bhAdjustScalable persists:
+    // the rolling family must cap at its keep depth, not accumulate
+    // (VERDICT r17 #7 — Verify-style sessions never sweep)
+    val counts = (1 to 8).map { i =>
+      graft.operators.DiffExpr.bhAdjustScalable(
+        docs.filter(col("id") % 11 === i % 11), "p",
+        Seq(col("id"))).count()
+      persisted
+    }
+    assert(counts.last <= counts(4),
+      s"rolling holds kept accumulating: $counts")
+    assert(RelCache.liveRolling.getOrElse("diffexpr.bhadjust.base", 0) <= 4)
+    RelCache.releaseAll()
+    assert(persisted == 0, s"releaseAll left rolling blocks: ${RelCache.liveRolling}")
+    assert(RelCache.liveRolling.values.sum == 0)
+  }
+
+  test("rolling same-plan re-hold keeps the shared cache entry live") {
+    SparkEntry.clearQueryCaches()
+    val docs = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey").as("id"), (col("l_extendedprice") % 1.0).as("p"))
+      .filter(col("id") < 500)
+    def run() = graft.operators.DiffExpr.bhAdjustScalable(docs, "p", Seq(col("id")))
+    run().count()
+    val n1 = persisted
+    val again = run()
+    again.count()
+    assert(persisted == n1, "identical-plan rolling re-hold changed the block set")
+    val usesCache = again.queryExecution.executedPlan.toString
+      .contains("InMemoryTableScan")
+    assert(usesCache, "the re-invocation no longer reads the cached relation")
+    RelCache.releaseAll()
+    assert(persisted == 0)
+  }
+
   test("winnowOverlap and containmentAgainstIndex hold and release their relations") {
     SparkEntry.clearQueryCaches()
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
