@@ -40,7 +40,8 @@ object Bpe {
 
   /** (word, freq) from the engine tokenizer — the corpus-facing pass. */
   def wordFreqs(docs: DataFrame, text: String = "text"): DataFrame =
-    docs.select(explode(tokens(col(text))).as("word"))
+    graft.model.SessionTuning.spread(docs)
+      .select(explode(tokens(col(text))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
 
   /** Initial symbol relation: characters plus the terminal `</w>`
@@ -240,7 +241,8 @@ object Bpe {
   def wordPieceVocab(sample: DataFrame, maxPieceLen: Int = 4,
       vocabSize: Int = 200, text: String = "text"): DataFrame = {
     require(maxPieceLen >= 1 && vocabSize >= 1)
-    val wf = sample.select(explode(tokens(col(text))).as("word"))
+    val wf = graft.model.SessionTuning.spread(sample)
+      .select(explode(tokens(col(text))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
     val wli = wf
       .withColumn("l", explode(sequence(lit(1),

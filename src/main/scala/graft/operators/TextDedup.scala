@@ -470,7 +470,7 @@ object TextDedup {
       id: String = "doc_id", text: String = "text"): DataFrame = {
     val stride = if (stride0 <= 0) chunkTokens else stride0
     require(stride <= chunkTokens, "stride beyond the chunk width would skip tokens")
-    val tok = docs.select(col(id), posexplode(tokens(col(text))).as(Seq("pos", "tk")))
+    val tok = spreadSmall(docs).select(col(id), posexplode(tokens(col(text))).as(Seq("pos", "tk")))
     // positive operands, so floor(a/b) is exact integer division and
     // matches DuckDB's `//` in the oracle replay
     val t = col("pos") - chunkTokens + 1
@@ -510,7 +510,7 @@ object TextDedup {
       id: String = "doc_id", text: String = "text"): DataFrame = {
     require(chunkTokens > 0, "chunkTokens must be positive")
     val c = lit(chunkTokens.toLong)
-    val tok = docs.select(col(id), posexplode(tokens(col(text))).as(Seq("wpos", "word")))
+    val tok = spreadSmall(docs).select(col(id), posexplode(tokens(col(text))).as(Seq("wpos", "word")))
     val wDoc = Window.partitionBy(col(id)).orderBy(col("wpos"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // LEFT join + loud failure: an nSub built from a sampled or stale
@@ -1792,7 +1792,7 @@ object TextDedup {
     * relation (parquet metadata at rest). */
   def tfIdfTopK(docs: DataFrame, k: Int = 5,
       id: String = "doc_id", text: String = "text"): DataFrame = {
-    val tok = docs.select(col(id), explode(tokens(col(text))).as("tk"))
+    val tok = spreadSmall(docs).select(col(id), explode(tokens(col(text))).as("tk"))
     val tf = tok.groupBy(col(id), col("tk")).agg(count(lit(1)).as("tf"))
     val dfRel = tf.groupBy("tk").agg(count(lit(1)).as("df"))
     val n = docs.count()

@@ -4,6 +4,7 @@ import graft.functions.TextFunctions.tokens
 import graft.functions.TopKPairs.top_k_pairs
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.model.SessionTuning.{spread => sp}
 
 /** Keyword retrieval over the document corpus — the ranking side of
   * the curation toolkit (benchmark decontamination triage, targeted
@@ -44,7 +45,7 @@ object TextRetrieval {
       k1: Double = 1.2, b: Double = 0.75,
       id: String = "doc_id", text: String = "text"): DataFrame = {
     val terms = queries.select(col("term")).distinct()
-    val tok = docs.select(col(id), explode(tokens(col(text))).as("tk"))
+    val tok = sp(docs).select(col(id), explode(tokens(col(text))).as("tk"))
     // The ONE pass over the tokenized corpus: per (doc, query term)
     // counts, with every non-query token falling into the doc's single
     // null-term row (broadcast left join marks query terms). The
@@ -113,7 +114,7 @@ object TextRetrieval {
     * emit no row. */
   def bigramCrossEntropy(docs: DataFrame,
       id: String = "doc_id", text: String = "text"): DataFrame = {
-    val tok = docs.select(col(id), posexplode(tokens(col(text))).as(Seq("pos", "tk")))
+    val tok = sp(docs).select(col(id), posexplode(tokens(col(text))).as(Seq("pos", "tk")))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col(id)).orderBy(col("pos"))
     val pairs = tok.withColumn("w2", lead(col("tk"), 1).over(w))
       .filter(col("w2").isNotNull)
@@ -164,7 +165,7 @@ object TextRetrieval {
     * Returns (id, n_bigrams, xent_kn). */
   def kneserNeyCrossEntropy(docs: DataFrame, discount: Option[Double] = None,
       id: String = "doc_id", text: String = "text"): DataFrame = {
-    val tok = docs.select(col(id), posexplode(tokens(col(text))).as(Seq("pos", "tk")))
+    val tok = sp(docs).select(col(id), posexplode(tokens(col(text))).as(Seq("pos", "tk")))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col(id)).orderBy(col("pos"))
     val pairs = tok.withColumn("w2", lead(col("tk"), 1).over(w))
       .filter(col("w2").isNotNull)
@@ -223,7 +224,7 @@ object TextRetrieval {
   def fertilityFilter(docs: DataFrame, nSub: DataFrame,
       quantile: Double = 0.9, id: String = "doc_id",
       text: String = "text"): DataFrame = {
-    val scored = docs.select(col(id), explode(tokens(col(text))).as("word"))
+    val scored = sp(docs).select(col(id), explode(tokens(col(text))).as("word"))
       .groupBy(col(id), col("word")).agg(count(lit(1)).as("cnt"))
       .join(nSub.select(col("word"), col("n_sub")), Seq("word"), "left")
       .withColumn("n_sub",
@@ -245,7 +246,7 @@ object TextRetrieval {
 
   def unigramCrossEntropy(docs: DataFrame,
       id: String = "doc_id", text: String = "text"): DataFrame = {
-    val tok = docs.select(col(id), explode(tokens(col(text))).as("tk"))
+    val tok = sp(docs).select(col(id), explode(tokens(col(text))).as("tk"))
     val freq = tok.groupBy(col("tk")).agg(count(lit(1)).as("tf"))
     val totals = freq.agg(sum("tf").as("n_total"), count(lit(1)).as("vocab"))
     tok.join(freq, Seq("tk")).crossJoin(broadcast(totals))
@@ -333,7 +334,7 @@ object TextRetrieval {
   def dsirLambda(reference: DataFrame, isTarget: Column,
       hexChars: Int = 2, alpha: Double = 1.0,
       text: String = "text"): DataFrame =
-    lambdaFromCounts(reference
+    lambdaFromCounts(sp(reference)
       .select(isTarget.as("__t"), explode(dsirFeatures(col(text))).as("f"))
       .select(col("__t"), dsirBucket(col("f"), hexChars).as("b"))
       .groupBy("__t", "b").agg(count(lit(1)).as("c")), hexChars, alpha)
@@ -344,7 +345,7 @@ object TextRetrieval {
     // ONE tokenize pass (the BM25 single-scan discipline): the cached
     // relation is per-(doc, bucket) feature counts — ≤ |docs|·16^hexChars
     // narrow rows — read by both the λ fit and the per-doc weights
-    val docBucket = docs
+    val docBucket = sp(docs)
       .select(col(id), isTarget.as("__t"), explode(dsirFeatures(col(text))).as("f"))
       .select(col(id), col("__t"), dsirBucket(col("f"), hexChars).as("b"))
       .groupBy(col(id), col("__t"), col("b")).agg(count(lit(1)).as("c"))
@@ -404,7 +405,7 @@ object TextRetrieval {
       alpha: Double = 1.0, hexChars: Int = 3,
       id: String = "doc_id", text: String = "text"): DataFrame = {
     val nBuckets = math.pow(16.0, hexChars)
-    val docBucket = docs
+    val docBucket = sp(docs)
       .select(col(id), isPositive.cast("boolean").as("__y"),
         explode(dsirFeatures(col(text))).as("f"))
       .select(col(id), col("__y"), dsirBucket(col("f"), hexChars).as("b"))
@@ -441,7 +442,7 @@ object TextRetrieval {
       text: String = "text"): (DataFrame, DataFrame) = {
     val spark = train.sparkSession
     val nBuckets = math.pow(16.0, hexChars)
-    val observed = train
+    val observed = sp(train)
       .select(isPositive.cast("boolean").as("__y"),
         explode(dsirFeatures(col(text))).as("f"))
       .select(col("__y"), dsirBucket(col("f"), hexChars).as("b"))
@@ -475,7 +476,7 @@ object TextRetrieval {
   def qualityClassifierApply(docs: DataFrame, weights: DataFrame,
       prior: DataFrame, hexChars: Int = 3,
       id: String = "doc_id", text: String = "text"): DataFrame = {
-    val docBucket = docs
+    val docBucket = sp(docs)
       .select(col(id), explode(dsirFeatures(col(text))).as("f"))
       .select(col(id), dsirBucket(col("f"), hexChars).as("b"))
       .groupBy(col(id), col("b")).agg(count(lit(1)).as("c"))
@@ -517,7 +518,7 @@ object TextRetrieval {
     * reference corpus plus the (n_total, vocab) scalars. Factored so
     * the batch and streaming scorers cannot drift. */
   def unigramLmFit(lmRef: DataFrame, text: String = "text"): (DataFrame, Long, Long) = {
-    val freq = lmRef.select(explode(tokens(col(text))).as("tk"))
+    val freq = sp(lmRef).select(explode(tokens(col(text))).as("tk"))
       .groupBy("tk").agg(count(lit(1)).as("tf"))
     val t = freq.agg(sum("tf").as("n_total"), count(lit(1)).as("vocab")).head()
     (freq, t.getLong(0), t.getLong(1))
@@ -544,7 +545,7 @@ object TextRetrieval {
       langCol: String = "lang", sep: String = "\n",
       headFrac: Double = 1.0 / 3, midFrac: Double = 1.0 / 3,
       id: String = "doc_id", text: String = "text"): DataFrame = {
-    val para = docs.select(col(id), col(langCol).as("lang"),
+    val para = sp(docs).select(col(id), col(langCol).as("lang"),
       posexplode(split(col(text), java.util.regex.Pattern.quote(sep)))
         .as(Seq("ppos", "para")))
     val ptok = para.select(col(id), col("lang"), col("ppos"),
